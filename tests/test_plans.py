@@ -1,0 +1,52 @@
+"""Plan hygiene: assert the physical plans we depend on at 100 TB scale.
+
+Correct results with the wrong plan (global sort instead of top-k heap,
+shuffle join against a 5-row dim, unpruned vector column) would melt at
+scale — these tests pin the plan shape, not just the values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vrod_spark.operators.knn import knn_exact
+from vrod_spark.plans.inspect import explain_str
+from vrod_spark.queries import QUERIES
+from vrod_spark.sources.tables import load_table
+
+
+def test_knn_is_take_ordered_not_global_sort(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [0.0] * 64
+    plan = explain_str(knn_exact(emb, qv, k=10), "formatted")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = explain_str(QUERIES["q02_revenue_by_nation"](spark, sf_dir), "formatted")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_filter_pushdown_to_parquet(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    plan = explain_str(df, "formatted")
+    assert "PushedFilters: [" in plan and "l_returnflag" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_skips_vector_column(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = emb.groupBy("label").count()
+    plan = explain_str(df, "formatted")
+    scan_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "embedding" not in scan_schema
+
+
+def test_whole_stage_codegen_covers_agg(spark, sf_dir):
+    plan = explain_str(QUERIES["q01_pricing_summary"](spark, sf_dir), "codegen")
+    assert "WholeStageCodegen" in plan
+
+
+def test_agg_is_partial_then_final(spark, sf_dir):
+    plan = explain_str(QUERIES["q01_pricing_summary"](spark, sf_dir), "formatted")
+    assert plan.count("HashAggregate") >= 2 and "partial_sum" in plan

@@ -1,0 +1,83 @@
+"""Exact k-nearest-neighbor search — the SEARCHSIMILAR command's engine.
+
+Reference intent: `SEARCHSIMILAR <query[,k]>` over a collection
+(/root/reference/src/command/builder.rs:68-72, types.rs:121-132; the Rust
+`execute()` body is an empty stub). Spark realization: score every row with
+a codegen'd distance expression, then ``orderBy(score).limit(k)`` — Catalyst
+plans this as ``TakeOrderedAndProject``: each task keeps a k-row heap, the
+driver merges per-partition top-k. No global sort, no shuffle of the full
+table; at 100 TB this moves only ``k × partitions`` rows to the driver.
+
+Determinism: ties broken by the id column so results hash-match oracles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vrod_spark.functions.vector import cosine_distance, l2_distance, vector_lit
+
+_METRICS = {
+    "l2": l2_distance,
+    "cosine": cosine_distance,
+}
+
+
+def _distance(metric: str, vec_col: Column | str, query: Column) -> Column:
+    try:
+        fn = _METRICS[metric]
+    except KeyError:
+        raise ValueError(f"unknown metric {metric!r}; expected one of {sorted(_METRICS)}")
+    return fn(vec_col, query)
+
+
+def knn_exact(
+    df: DataFrame,
+    query_vector: Sequence[float],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    metric: str = "l2",
+    payload_cols: Sequence[str] = (),
+    dist_alias: str = "dist",
+) -> DataFrame:
+    """Brute-force exact kNN: scan → score → top-k.
+
+    Returns (id, *payload_cols, dist) for the k nearest rows, ordered by
+    (dist, id). This is both the serving path for small collections and the
+    recall oracle for the LSH approximate path.
+    """
+    dist = _distance(metric, vec_col, vector_lit(query_vector))
+    scored = df.select(id_col, *payload_cols, dist.alias(dist_alias))
+    return scored.orderBy(F.col(dist_alias).asc(), F.col(id_col).asc()).limit(k)
+
+
+def knn_per_group(
+    df: DataFrame,
+    query_vector: Sequence[float],
+    k: int = 3,
+    *,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    metric: str = "l2",
+    dist_alias: str = "dist",
+) -> DataFrame:
+    """Top-k nearest per group (grouped/filtered kNN).
+
+    Window ``row_number`` over (dist, id) within each group — a single
+    shuffle on the group key; each group's top-k computed in parallel.
+    """
+    dist = _distance(metric, vec_col, vector_lit(query_vector))
+    scored = df.select(group_col, id_col, dist.alias(dist_alias))
+    w = Window.partitionBy(group_col).orderBy(F.col(dist_alias).asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy(group_col, dist_alias, id_col)
+    )

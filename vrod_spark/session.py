@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults are sized for local[N] testing but every knob is the one that
+matters on a real cluster too: AQE for runtime re-planning (skew joins,
+partition coalescing), Arrow for the Python boundary, UTC session time
+zone so results are oracle-comparable, and shuffle partitions matched to
+parallelism instead of the legacy 200.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "vrod-spark",
+    *,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    On a cluster, ``master`` comes from spark-submit; locally we default to
+    ``local[$SPARK_GRAFT_CPUS]`` (all cores). ``shuffle_partitions`` defaults
+    to the local parallelism; at 100 TB scale it should be set so that
+    post-shuffle partitions land in the 100-200 MB range — AQE's
+    ``coalescePartitions`` handles the fine-tuning at runtime either way.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 1)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime partition coalescing, skew-join splitting, plan re-opt.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow-vectorized transfer for every Python/pandas boundary.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Deterministic, oracle-comparable timestamps.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Small dims (region/nation/supplier) should always broadcast.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Quiet UI/retries for non-interactive runs.
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,86 @@
+"""Parquet sources for the driver-generated test tables.
+
+One parquet file per table under an sf-dir (see TESTDATA.md). Reads are
+plain ``spark.read.parquet`` so Catalyst gets full predicate pushdown,
+column pruning and (on partitioned layouts) partition pruning for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _load_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS) — beyond Spark's microsecond
+    timestamp precision. Read nanos as LONG (``nanosAsLong``), then expose
+    both ``ts_ns`` (exact epoch nanos, for oracle-exact comparisons via
+    DuckDB ``epoch_ns``) and ``ts`` (micros-truncated TIMESTAMP, for all
+    window/date logic)."""
+    from pyspark.sql import functions as F
+
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        raw = spark.read.parquet(path)
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    # Build ts as TIMESTAMP_NTZ from epoch nanos with pure integer
+    # arithmetic — no session-time-zone dependence (the driver's session
+    # may not pin UTC), matching the oracle's TZ-naive TIMESTAMP_NS.
+    d = F.date_add(F.lit("1970-01-01").cast("date"), F.expr("cast((ts div 1000) div 86400000000 as int)"))
+    rem_us = F.expr("(ts div 1000) % 86400000000")
+    ts_ntz = F.make_timestamp_ntz(
+        F.year(d),
+        F.month(d),
+        F.dayofmonth(d),
+        (rem_us / F.lit(3600000000)).cast("int"),
+        ((rem_us % 3600000000) / F.lit(60000000)).cast("int"),
+        ((rem_us % 60000000) / F.lit(1000000.0)).cast("decimal(16,6)"),
+    )
+    return raw.select(
+        "event_id",
+        ts_ntz.alias("ts"),
+        F.col("ts").alias("ts_ns"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (for the SQL surface)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
