@@ -1,0 +1,334 @@
+"""Database + collection catalog with copy-on-write versioning on plain
+Parquet.
+
+Maps the reference's data model (SURVEY.md §1) onto a Spark-native layout:
+
+- **Database** = a directory (reference: `Database { path }`,
+  src/database/mod.rs:6-10) containing `vr_config` (JSON metadata,
+  setup.rs:19-20) and `vr_wal` (the database-level write-ahead/ingest log,
+  setup.rs:22-23). Creation fails if the directory exists (setup.rs:6-15).
+- **Collection** = a subdirectory holding versioned Parquet snapshots:
+
+      <db>/<name>/
+        meta.json       # schema, vector dim, metric, index state
+        _CURRENT        # the committed version number (atomic pointer)
+        wal.jsonl       # per-collection commit log (TRUNCATEWAL target)
+        v<N>/           # immutable Parquet snapshot directories
+
+  Every mutation writes a NEW version directory and then atomically swaps
+  `_CURRENT` (os.replace of a temp file — atomic on POSIX). Readers
+  resolve `_CURRENT` once and only ever see a fully-committed snapshot:
+  old-or-new, never partial. Unreferenced versions are garbage: reclaimed
+  by `truncate_wal` (the reference's TRUNCATEWAL, builder.rs:39-42).
+
+  **Scale note:** INSERT-type mutations do NOT rewrite existing data —
+  prior snapshot files are hard-linked into the new version and only the
+  delta is written (O(delta) commit, like an Iceberg snapshot reusing
+  data files). UPDATE/DELETE rewrite only because plain Parquet has no
+  row-level deletes; on a cluster the rewrite is a distributed job and
+  the swap is still a single pointer write.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from vrod_spark.errors import (
+    CollectionExistsError,
+    CollectionNotFoundError,
+    DatabaseExistsError,
+    DatabaseNotFoundError,
+)
+
+VR_CONFIG = "vr_config"
+VR_WAL = "vr_wal"
+CURRENT = "_CURRENT"
+META = "meta.json"
+WAL = "wal.jsonl"
+
+#: Default record schema for a vRod-style collection (SURVEY.md §1.3):
+#: explicit id (replaces the reference's ordinal identity), dense float
+#: vector, text payload, string metadata map.
+RECORD_SCHEMA = "id bigint, embedding array<float>, payload string, meta map<string,string>"
+
+
+def _atomic_write(path: str, content: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(content)
+    os.replace(tmp, path)
+
+
+class Database:
+    """A named directory of collections (reference: database/mod.rs:13-17)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # -- lifecycle ---------------------------------------------------------
+    @classmethod
+    def create(cls, spark: SparkSession, parent: str, name: str) -> "Database":
+        """init-database: mkdir + vr_config + vr_wal; fails if the directory
+        already exists (setup.rs:6-15)."""
+        path = os.path.join(parent, name)
+        if os.path.exists(path):
+            raise DatabaseExistsError(f"database directory already exists: {path}")
+        os.makedirs(path)
+        _atomic_write(
+            os.path.join(path, VR_CONFIG),
+            json.dumps({"name": name, "created_at": time.time(), "format": "parquet"}),
+        )
+        _atomic_write(os.path.join(path, VR_WAL), "")
+        return cls(spark, path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "Database":
+        """load-database (the reference's todo!() at database/mod.rs:19-21,
+        made real): validate the directory by its vr_config."""
+        if not os.path.isfile(os.path.join(path, VR_CONFIG)):
+            raise DatabaseNotFoundError(f"not a vrod database (no {VR_CONFIG}): {path}")
+        return cls(spark, path)
+
+    @property
+    def config(self) -> dict:
+        with open(os.path.join(self.path, VR_CONFIG)) as f:
+            return json.loads(f.read() or "{}")
+
+    def _wal_append(self, entry: dict) -> None:
+        with open(os.path.join(self.path, VR_WAL), "a") as f:
+            f.write(json.dumps(entry) + "\n")
+
+    # -- collections -------------------------------------------------------
+    def collection_path(self, name: str) -> str:
+        return os.path.join(self.path, name)
+
+    def create_collection(
+        self,
+        name: str,
+        *,
+        dimension: int | None = None,
+        metric: str = "l2",
+        schema: str = RECORD_SCHEMA,
+    ) -> "Collection":
+        path = self.collection_path(name)
+        if os.path.exists(path):
+            raise CollectionExistsError(f"collection already exists: {name}")
+        os.makedirs(path)
+        meta = {
+            "name": name,
+            "schema": schema,
+            "dimension": dimension,
+            "metric": metric,
+            "index": None,
+            "created_at": time.time(),
+        }
+        _atomic_write(os.path.join(path, META), json.dumps(meta))
+        _atomic_write(os.path.join(path, CURRENT), "0")
+        # v0 = committed empty snapshot so readers always resolve.
+        empty = self.spark.createDataFrame([], schema)
+        empty.write.mode("overwrite").parquet(os.path.join(path, "v0"))
+        self._wal_append({"op": "CREATE", "collection": name, "ts": time.time()})
+        return Collection(self, name)
+
+    def drop_collection(self, name: str) -> None:
+        path = self.collection_path(name)
+        if not os.path.isdir(path):
+            raise CollectionNotFoundError(f"no such collection: {name}")
+        shutil.rmtree(path)
+        self._wal_append({"op": "DROP", "collection": name, "ts": time.time()})
+
+    def list_collections(self) -> list[str]:
+        out = []
+        for entry in sorted(os.listdir(self.path)):
+            if os.path.isfile(os.path.join(self.path, entry, META)):
+                out.append(entry)
+        return out
+
+    def collection(self, name: str) -> "Collection":
+        if not os.path.isfile(os.path.join(self.collection_path(name), META)):
+            raise CollectionNotFoundError(f"no such collection: {name}")
+        return Collection(self, name)
+
+    def truncate_wal(self, collection: str | None = None) -> dict:
+        """TRUNCATEWAL: collection WAL if given, else the database WAL
+        (builder.rs:39-42, comment at :41). Truncating a collection's WAL
+        also garbage-collects its superseded snapshot directories — the
+        'compaction after checkpoint' maintenance the reference implies."""
+        if collection is not None:
+            return self.collection(collection).truncate_wal()
+        _atomic_write(os.path.join(self.path, VR_WAL), "")
+        return {"truncated": "database", "path": os.path.join(self.path, VR_WAL)}
+
+
+class Collection:
+    """A versioned Parquet-backed table of (id, embedding, payload, meta)."""
+
+    def __init__(self, db: Database, name: str):
+        self.db = db
+        self.name = name
+        self.path = db.collection_path(name)
+
+    # -- metadata ----------------------------------------------------------
+    @property
+    def meta(self) -> dict:
+        with open(os.path.join(self.path, META)) as f:
+            return json.loads(f.read())
+
+    def _write_meta(self, meta: dict) -> None:
+        _atomic_write(os.path.join(self.path, META), json.dumps(meta))
+
+    def update_meta(self, **fields) -> dict:
+        meta = self.meta
+        meta.update(fields)
+        self._write_meta(meta)
+        return meta
+
+    # -- versioning --------------------------------------------------------
+    @property
+    def version(self) -> int:
+        with open(os.path.join(self.path, CURRENT)) as f:
+            return int(f.read().strip())
+
+    def version_dir(self, version: int | None = None) -> str:
+        v = self.version if version is None else version
+        return os.path.join(self.path, f"v{v}")
+
+    def read(self) -> DataFrame:
+        """Read the committed snapshot (resolves _CURRENT exactly once).
+
+        Indexed snapshots are bucket-partitioned on disk (operators.ann);
+        the internal ``bucket`` partition column is projected away here so
+        the logical schema is stable across REINDEX."""
+        meta = self.meta
+        field_names = [
+            f.name for f in self.db.spark.createDataFrame([], meta["schema"]).schema.fields
+        ]
+        if meta.get("index"):
+            return self.db.spark.read.parquet(self.version_dir()).select(*field_names)
+        return self.db.spark.read.schema(meta["schema"]).parquet(self.version_dir())
+
+    def _next_version_dir(self) -> tuple[int, str]:
+        nxt = self.version + 1
+        # Skip any orphaned directories from crashed commits.
+        while os.path.exists(os.path.join(self.path, f"v{nxt}")):
+            nxt += 1
+        return nxt, os.path.join(self.path, f"v{nxt}")
+
+    def _commit(self, new_version: int, op: str, detail: dict | None = None) -> None:
+        _atomic_write(os.path.join(self.path, CURRENT), str(new_version))
+        entry = {"op": op, "version": new_version, "ts": time.time()}
+        entry.update(detail or {})
+        with open(os.path.join(self.path, WAL), "a") as f:
+            f.write(json.dumps(entry) + "\n")
+
+    def _link_existing(self, src_dir: str, dst_dir: str) -> int:
+        """Hard-link the prior snapshot's data files into the new version —
+        O(1) per file, no data copy. Returns number of linked files."""
+        n = 0
+        for fname in os.listdir(src_dir):
+            if fname.startswith(("_", ".")):
+                continue
+            os.link(os.path.join(src_dir, fname), os.path.join(dst_dir, fname))
+            n += 1
+        return n
+
+    # -- mutations (each: write new snapshot → atomic pointer swap) --------
+    def insert(self, df: DataFrame) -> int:
+        """INSERT / BULKINSERT (builder.rs:43-52): append-only commit.
+        Existing files are hard-linked; only the delta is written."""
+        from vrod_spark.engine import validate_records  # cycle-free at call time
+
+        df = validate_records(self, df)
+        n_new = df.count()
+        if self.meta.get("index"):
+            # Indexed snapshots are bucket-partitioned; a delta append would
+            # bypass the bucket layout. Union-rewrite and invalidate the
+            # index (caller re-runs REINDEX when ingest settles).
+            merged = self.read().unionByName(df)
+            self.update_meta(index=None)
+            self._rewrite(merged, "INSERT", {"rows": n_new, "index": "invalidated"})
+            return n_new
+        cur_dir = self.version_dir()
+        nxt, nxt_dir = self._next_version_dir()
+        staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(staging)
+        os.makedirs(nxt_dir)
+        self._link_existing(cur_dir, nxt_dir)
+        for fname in os.listdir(staging):
+            if fname.startswith(("_", ".")):
+                continue
+            # Prefix delta files so they can never collide with linked ones.
+            os.rename(
+                os.path.join(staging, fname), os.path.join(nxt_dir, f"d{nxt}-{fname}")
+            )
+        shutil.rmtree(staging)
+        self._commit(nxt, "INSERT", {"rows": n_new})
+        return n_new
+
+    def _rewrite(self, df: DataFrame, op: str, detail: dict | None = None) -> int:
+        """Full-snapshot rewrite commit (UPDATE/DELETE path). Clears any
+        LSH index: the rewrite is unpartitioned, so a stale bucket layout
+        must not be trusted afterwards."""
+        nxt, nxt_dir = self._next_version_dir()
+        df.write.mode("overwrite").parquet(nxt_dir)
+        if self.meta.get("index"):
+            self.update_meta(index=None)
+        n = self.db.spark.read.schema(self.meta["schema"]).parquet(nxt_dir).count()
+        self._commit(nxt, op, {**(detail or {}), "rows": n})
+        return n
+
+    def update(self, predicate: str, assignments: dict[str, str]) -> int:
+        """UPDATE (builder.rs:53-57): copy-on-write rewrite of the snapshot
+        with `assignments` (col -> SQL expression) applied where
+        `predicate` (SQL boolean over the record columns) holds."""
+        from pyspark.sql import functions as F
+
+        df = self.read()
+        cond = F.expr(predicate)
+        out = df
+        for col_name, expr_str in assignments.items():
+            out = out.withColumn(
+                col_name, F.when(cond, F.expr(expr_str)).otherwise(F.col(col_name))
+            )
+        n_matched = df.filter(cond).count()
+        self._rewrite(out, "UPDATE", {"predicate": predicate, "matched": n_matched})
+        return n_matched
+
+    def delete(self, predicate: str) -> int:
+        """DELETE (builder.rs:58-62): anti-filter rewrite."""
+        from pyspark.sql import functions as F
+
+        df = self.read()
+        n_matched = df.filter(F.expr(predicate)).count()
+        self._rewrite(df.filter(~F.expr(predicate)), "DELETE", {"predicate": predicate})
+        return n_matched
+
+    # -- maintenance -------------------------------------------------------
+    def truncate_wal(self) -> dict:
+        """Per-collection TRUNCATEWAL: clear the commit log and reclaim
+        snapshot directories older than _CURRENT (checkpoint compaction)."""
+        current = self.version
+        removed = []
+        for entry in os.listdir(self.path):
+            if entry.startswith("v") and entry[1:].isdigit() and int(entry[1:]) != current:
+                shutil.rmtree(os.path.join(self.path, entry))
+                removed.append(entry)
+            elif entry.startswith(".staging-"):
+                shutil.rmtree(os.path.join(self.path, entry))
+                removed.append(entry)
+        _atomic_write(os.path.join(self.path, WAL), "")
+        return {"truncated": self.name, "removed_versions": sorted(removed)}
+
+    def wal_entries(self) -> list[dict]:
+        wal_path = os.path.join(self.path, WAL)
+        if not os.path.exists(wal_path):
+            return []
+        with open(wal_path) as f:
+            return [json.loads(line) for line in f if line.strip()]

@@ -1,0 +1,285 @@
+"""The command engine: vRod's verb surface executed as Spark plans.
+
+Mirrors the reference's dispatch (case-insensitive verb match,
+src/command/builder.rs:29-80) — but where every reference `execute()` body
+is an empty stub (src/command/types.rs:15-153), each verb here builds a
+declarative DataFrame plan (Catalyst optimizes) or a catalog/COW action.
+
+    engine = Engine.create(spark, "/tmp/warehouse", "mydb")
+    engine.execute("CREATE", collection="vectors")
+    engine.execute("BULKINSERT", collection="vectors", arg="/path/data.parquet")
+    engine.execute("SEARCHSIMILAR", collection="vectors", arg="0.1,0.2,...;k=5")
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vrod_spark.catalog import Collection, Database
+from vrod_spark.errors import (
+    CommandArgError,
+    DimensionMismatchError,
+    UnrecognizedCommandError,
+)
+from vrod_spark.operators.knn import knn_exact
+
+
+def validate_records(collection: Collection, df: DataFrame) -> DataFrame:
+    """Ingest-time schema + dimension enforcement.
+
+    The reference never validates dimension (it is only observed at runtime,
+    embeddings.rs:35); we enforce it at the ingest boundary so every stored
+    vector is scoreable. First ingest into a dim-less collection pins the
+    dimension (mirroring the reference's observe-at-runtime behavior).
+    """
+    expected_cols = [f.name for f in collection.db.spark.createDataFrame(
+        [], collection.meta["schema"]).schema.fields]
+    missing = set(expected_cols) - set(df.columns)
+    if missing:
+        raise CommandArgError(f"ingest missing columns: {sorted(missing)}")
+    df = df.select(*expected_cols)
+
+    meta = collection.meta
+    if "embedding" in df.columns:
+        dims = [
+            r["d"]
+            for r in df.select(F.size("embedding").alias("d")).distinct().collect()
+            if r["d"] is not None and r["d"] >= 0
+        ]
+        if dims:
+            if len(dims) > 1:
+                raise DimensionMismatchError(f"mixed vector dimensions in ingest: {sorted(dims)}")
+            declared = meta.get("dimension")
+            if declared is None:
+                collection.update_meta(dimension=dims[0])
+            elif dims[0] != declared:
+                raise DimensionMismatchError(
+                    f"vector dimension {dims[0]} != collection dimension {declared}"
+                )
+    return df
+
+
+@dataclass
+class CommandResult:
+    """Uniform result: a DataFrame for queries, a status dict for DDL/DML."""
+
+    verb: str
+    df: DataFrame | None = None
+    info: dict[str, Any] | None = None
+
+
+class Engine:
+    """One database's command executor (holds what the reference's
+    `Rc<RefCell<Database>>` holds, types.rs:10)."""
+
+    def __init__(self, db: Database):
+        self.db = db
+        self.spark: SparkSession = db.spark
+
+    # -- lifecycle (main.rs:51-62 / database/mod.rs:13-21) -----------------
+    @classmethod
+    def create(cls, spark: SparkSession, parent: str, name: str) -> "Engine":
+        return cls(Database.create(spark, parent, name))
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "Engine":
+        return cls(Database.load(spark, path))
+
+    # -- dispatch (builder.rs:29-80) ---------------------------------------
+    def execute(
+        self, verb: str, *, collection: str | None = None, arg: Any = None
+    ) -> CommandResult:
+        verb_up = verb.upper()
+        handlers = {
+            "CREATE": self._create,
+            "DROP": self._drop,
+            "LISTCOLLECTIONS": self._list_collections,
+            "TRUNCATEWAL": self._truncate_wal,
+            "INSERT": self._insert,
+            "BULKINSERT": self._bulkinsert,
+            "UPDATE": self._update,
+            "DELETE": self._delete,
+            "SEARCH": self._search,
+            "SEARCHSIMILAR": self._search_similar,
+            "REINDEX": self._reindex,
+        }
+        if verb_up not in handlers:
+            # builder.rs:77-79 → UnrecognizedCommand
+            raise UnrecognizedCommandError(f"unrecognized command: {verb}")
+        return handlers[verb_up](collection, arg)
+
+    def _require_collection(self, collection: str | None) -> Collection:
+        if not collection:
+            raise CommandArgError("command requires --collection")
+        return self.db.collection(collection)
+
+    def _require_arg(self, arg: Any, what: str) -> Any:
+        if arg is None:
+            raise CommandArgError(f"command requires an argument: {what}")
+        return arg
+
+    # -- DDL ---------------------------------------------------------------
+    def _create(self, collection: str | None, arg: Any) -> CommandResult:
+        name = collection or self._require_arg(arg, "collection name")
+        opts = arg if isinstance(arg, dict) else {}
+        col = self.db.create_collection(
+            name,
+            dimension=opts.get("dimension"),
+            metric=opts.get("metric", "l2"),
+        )
+        return CommandResult("CREATE", info={"collection": col.name, "path": col.path})
+
+    def _drop(self, collection: str | None, arg: Any) -> CommandResult:
+        name = collection or self._require_arg(arg, "collection name")
+        self.db.drop_collection(name)
+        return CommandResult("DROP", info={"collection": name})
+
+    def _list_collections(self, collection: str | None, arg: Any) -> CommandResult:
+        names = self.db.list_collections()
+        df = self.spark.createDataFrame([(n,) for n in names], "collection string")
+        return CommandResult("LISTCOLLECTIONS", df=df, info={"collections": names})
+
+    def _truncate_wal(self, collection: str | None, arg: Any) -> CommandResult:
+        info = self.db.truncate_wal(collection)
+        return CommandResult("TRUNCATEWAL", info=info)
+
+    # -- DML ---------------------------------------------------------------
+    def _insert(self, collection: str | None, arg: Any) -> CommandResult:
+        col = self._require_collection(collection)
+        arg = self._require_arg(arg, "record(s)")
+        if isinstance(arg, DataFrame):
+            df = arg
+        else:
+            rows = arg if isinstance(arg, list) else [arg]
+            rows = [
+                (
+                    r.get("id"),
+                    [float(x) for x in r["embedding"]] if r.get("embedding") is not None else None,
+                    r.get("payload"),
+                    r.get("meta"),
+                )
+                for r in rows
+            ]
+            df = self.spark.createDataFrame(rows, col.meta["schema"])
+        n = col.insert(df)
+        return CommandResult("INSERT", info={"collection": col.name, "rows": n})
+
+    def _bulkinsert(self, collection: str | None, arg: Any) -> CommandResult:
+        """BULKINSERT <src>: the canonical batch-ingest path
+        (builder.rs:48-52). `arg` is a path (parquet, or the reference's
+        text vector format via sources.vectors_txt) or a DataFrame."""
+        col = self._require_collection(collection)
+        arg = self._require_arg(arg, "source path or DataFrame")
+        if isinstance(arg, DataFrame):
+            df = arg
+        elif isinstance(arg, str) and arg.endswith((".txt", ".vtxt")):
+            from vrod_spark.sources.vectors_txt import read_vectors_txt
+
+            df = read_vectors_txt(self.spark, arg)
+        elif isinstance(arg, str):
+            df = self.spark.read.parquet(arg)
+        else:
+            raise CommandArgError(f"unsupported BULKINSERT source: {type(arg)}")
+        n = col.insert(df)
+        return CommandResult("BULKINSERT", info={"collection": col.name, "rows": n})
+
+    def _update(self, collection: str | None, arg: Any) -> CommandResult:
+        """UPDATE (builder.rs:53-57). `arg`: {"where": <sql-bool>,
+        "set": {col: <sql-expr>}} or a JSON string of the same."""
+        col = self._require_collection(collection)
+        spec = self._require_arg(arg, "update spec")
+        if isinstance(spec, str):
+            spec = json.loads(spec)
+        if "where" not in spec or "set" not in spec:
+            raise CommandArgError("UPDATE spec needs 'where' and 'set'")
+        n = col.update(spec["where"], spec["set"])
+        return CommandResult("UPDATE", info={"collection": col.name, "matched": n})
+
+    def _delete(self, collection: str | None, arg: Any) -> CommandResult:
+        """DELETE (builder.rs:58-62). `arg`: SQL boolean predicate, or
+        {"where": ...}, or an id list."""
+        col = self._require_collection(collection)
+        spec = self._require_arg(arg, "delete predicate")
+        if isinstance(spec, dict):
+            predicate = spec["where"]
+        elif isinstance(spec, list):
+            predicate = f"id in ({','.join(str(int(i)) for i in spec)})"
+        else:
+            predicate = str(spec)
+        n = col.delete(predicate)
+        return CommandResult("DELETE", info={"collection": col.name, "deleted": n})
+
+    # -- queries -----------------------------------------------------------
+    def _search(self, collection: str | None, arg: Any) -> CommandResult:
+        """SEARCH (builder.rs:63-67): predicate/metadata search. `arg`: SQL
+        boolean expression over (id, payload, meta), or {"where": ...,
+        "limit": n}. Runs as filter → (optional) limit with full predicate
+        pushdown to the Parquet scan."""
+        col = self._require_collection(collection)
+        spec = self._require_arg(arg, "search predicate")
+        limit = None
+        if isinstance(spec, dict):
+            predicate, limit = spec.get("where", "true"), spec.get("limit")
+        else:
+            predicate = str(spec)
+        df = col.read().filter(F.expr(predicate)).orderBy("id")
+        if limit is not None:
+            df = df.limit(int(limit))
+        return CommandResult("SEARCH", df=df)
+
+    def _search_similar(self, collection: str | None, arg: Any) -> CommandResult:
+        """SEARCHSIMILAR (builder.rs:68-72): kNN for a query vector.
+        `arg`: {"vector": [...], "k": 10, "where": optional prefilter} or
+        "v1,v2,...;k=5". Exact path scores with codegen'd expressions and
+        plans TakeOrderedAndProject; REINDEXed collections use the
+        LSH-bucketed fast path (operators.ann)."""
+        col = self._require_collection(collection)
+        spec = self._require_arg(arg, "query vector")
+        if isinstance(spec, str):
+            vec_part, _, k_part = spec.partition(";")
+            vector = [float(x) for x in vec_part.split(",") if x.strip()]
+            k = int(k_part.split("=")[1]) if "=" in k_part else 10
+            where = None
+        else:
+            vector = [float(x) for x in spec["vector"]]
+            k = int(spec.get("k", 10))
+            where = spec.get("where")
+        meta = col.meta
+        declared = meta.get("dimension")
+        if declared is not None and len(vector) != declared:
+            raise DimensionMismatchError(
+                f"query vector dimension {len(vector)} != collection dimension {declared}"
+            )
+        df = col.read()
+        if where:
+            df = df.filter(F.expr(where))
+        if meta.get("index"):
+            from vrod_spark.operators.ann import ann_search_bucketed
+
+            result = ann_search_bucketed(col, vector, k, prefilter=where)
+            return CommandResult("SEARCHSIMILAR", df=result)
+        result = knn_exact(
+            df,
+            vector,
+            k,
+            vec_col="embedding",
+            id_col="id",
+            metric=meta.get("metric", "l2"),
+            payload_cols=("payload",),
+        )
+        return CommandResult("SEARCHSIMILAR", df=result)
+
+    def _reindex(self, collection: str | None, arg: Any) -> CommandResult:
+        """REINDEX (builder.rs:73-76): rebuild the ANN index — fit a
+        random-hyperplane LSH, rewrite the snapshot bucket-partitioned,
+        record index params in meta (operators.ann)."""
+        col = self._require_collection(collection)
+        from vrod_spark.operators.ann import reindex_collection
+
+        info = reindex_collection(col, **(arg if isinstance(arg, dict) else {}))
+        return CommandResult("REINDEX", info=info)
