@@ -35,6 +35,20 @@ HEADLINE = [
     "q10_semi_anti",
     "q11_date_buckets",
     "q12_events_hourly",
+    "q13_rollup",
+    "q13b_cube",
+    "q14_stats_aggs",
+    "q15_window_analytics",
+    "q16_set_ops",
+    "q17_range_join_tiers",
+    "q18_asof_click_purchase",
+    "q19_string_funcs",
+    "q20_math_funcs",
+    "q21_array_funcs",
+    "q22_distinct_percentiles",
+    "q23_pivot_status",
+    "q24_subqueries",
+    "q25_distribution_windows",
 ]
 
 

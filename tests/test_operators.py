@@ -1,0 +1,45 @@
+"""Operator-level tests: as-of join semantics, approximate-agg bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vrod_spark.operators.asof import asof_join
+from vrod_spark.queries import QUERIES
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 10, "d")],
+        "key int, t long, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 15, 150.0), (2, 99, 990.0)],
+        "key int, t long, v double",
+    )
+    out = asof_join(
+        left, right, on="key", left_ts="t", right_ts="t", right_cols=["v"], tiebreak="v"
+    )
+    got = {r["name"]: r["asof_v"] for r in out.collect()}
+    # 'a' at t=10: right t=10 matches inclusively; 'b' at t=20 → t=15 row;
+    # 'c' at t=5 → nothing before it; 'd' key=2 t=10 → right is at t=99 (future).
+    assert got == {"a": 100.0, "b": 150.0, "c": None, "d": None}
+
+
+def test_asof_join_tiebreak_deterministic(spark):
+    left = spark.createDataFrame([(1, 10, "x")], "key int, t long, name string")
+    right = spark.createDataFrame(
+        [(1, 10, 1), (1, 10, 3), (1, 10, 2)], "key int, t long, rid int"
+    )
+    out = asof_join(
+        left, right, on="key", left_ts="t", right_ts="t", right_cols=["rid"], tiebreak="rid"
+    )
+    assert out.first()["asof_rid"] == 3  # max tiebreak wins, always
+
+
+def test_approx_count_distinct_within_bounds(spark, sf_dir):
+    rows = QUERIES["q22b_approx_distinct"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        exact, approx = r["exact_parts"], r["approx_parts"]
+        assert abs(approx - exact) / exact < 0.1, f"HLL off by >10%: {approx} vs {exact}"

@@ -477,3 +477,563 @@ def q12_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_start", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rollup with grouping indicators: hierarchical totals in one pass
+# (Expand + single shuffle — no N-pass union of aggregates).
+# ---------------------------------------------------------------------------
+@query(
+    "q13_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_flag,
+           CAST(grouping(l_linestatus) AS INT) AS g_status,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+    """,
+)
+def q13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n")
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q13b_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS INT) AS g_s,
+           CAST(grouping(o_orderpriority) AS INT) AS g_p,
+           round(sum(o_totalprice), 2) AS total,
+           count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY g_s, g_p, o_orderstatus, o_orderpriority
+    """,
+)
+def q13b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_s"),
+            F.grouping("o_orderpriority").cast("int").alias("g_p"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "g_s", "g_p", "total", "n")
+        .orderBy("g_s", "g_p", "o_orderstatus", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates + deterministic argmax + sorted collect_list.
+# ---------------------------------------------------------------------------
+@query(
+    "q14_stats_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4)    AS var_qty,
+           round(min(l_extendedprice), 2)    AS min_price,
+           round(max(l_extendedprice), 2)    AS max_price,
+           (max(struct_pack(p := l_extendedprice, k := l_orderkey))).k AS top_order,
+           list_sort(list(l_linenumber))[1:5] AS first_linenos
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q14_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.max_by(
+                "l_orderkey", F.struct("l_extendedprice", "l_orderkey")
+            ).alias("top_order"),
+            F.slice(F.array_sort(F.collect_list("l_linenumber")), 1, 5).alias(
+                "first_linenos"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window analytics: lag/lead, first/last_value, running sum (ROWS frame),
+# moving average (3-row frame) over each customer's order history.
+# ---------------------------------------------------------------------------
+@query(
+    "q15_window_analytics",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           lag(o_orderkey)  OVER w AS prev_order,
+           lead(o_orderkey) OVER w AS next_order,
+           first_value(o_orderkey) OVER w AS first_order,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+           round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q15_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_mov = w.rowsBetween(-2, Window.currentRow)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.lag("o_orderkey").over(w).alias("prev_order"),
+            F.lead("o_orderkey").over(w).alias("next_order"),
+            F.first("o_orderkey").over(w).alias("first_order"),
+            F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_total"),
+            F.round(F.avg("o_totalprice").over(w_mov), 4).alias("moving_avg3"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations: UNION / INTERSECT / EXCEPT / INTERSECT ALL / EXCEPT ALL
+# over customer key sets from two order years.
+# ---------------------------------------------------------------------------
+@query(
+    "q16_set_ops",
+    oracle="""
+    WITH y95 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+         y96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+    SELECT 'union_distinct' AS op, count(*) AS n FROM (SELECT * FROM y95 UNION SELECT * FROM y96)
+    UNION ALL
+    SELECT 'union_all' AS op, count(*) AS n FROM (SELECT * FROM y95 UNION ALL SELECT * FROM y96)
+    UNION ALL
+    SELECT 'intersect' AS op, count(*) AS n FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+    UNION ALL
+    SELECT 'except' AS op, count(*) AS n FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+    UNION ALL
+    SELECT 'intersect_all' AS op, count(*) AS n FROM (SELECT * FROM y95 INTERSECT ALL SELECT * FROM y96)
+    UNION ALL
+    SELECT 'except_all' AS op, count(*) AS n FROM (SELECT * FROM y95 EXCEPT ALL SELECT * FROM y96)
+    ORDER BY op
+    """,
+)
+def q16_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+
+    def tagged(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(op).alias("op"), "n")
+
+    out = (
+        tagged("union_distinct", y95.union(y96).distinct())
+        .unionByName(tagged("union_all", y95.unionAll(y96)))
+        .unionByName(tagged("intersect", y95.intersect(y96)))
+        .unionByName(tagged("except", y95.subtract(y96)))
+        .unionByName(tagged("intersect_all", y95.intersectAll(y96)))
+        .unionByName(tagged("except_all", y95.exceptAll(y96)))
+    )
+    return out.orderBy("op")
+
+
+# ---------------------------------------------------------------------------
+# Theta (pure non-equi) join: events bucketed into literal value tiers —
+# planned as a BroadcastNestedLoopJoin against the tiny broadcast tier table.
+# ---------------------------------------------------------------------------
+@query(
+    "q17_range_join_tiers",
+    oracle="""
+    SELECT t.tier, count(*) AS n_events, round(sum(e.value), 4) AS total_value
+    FROM events e
+    JOIN (VALUES ('low', 0.0, 10.0), ('mid', 10.0, 100.0), ('high', 100.0, 1e9))
+         AS t(tier, lo, hi)
+      ON e.value >= t.lo AND e.value < t.hi
+    GROUP BY t.tier
+    ORDER BY t.tier
+    """,
+)
+def q17_range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 10.0), ("mid", 10.0, 100.0), ("high", 100.0, 1e9)],
+        "tier string, lo double, hi double",
+    )
+    return (
+        events.join(
+            F.broadcast(tiers),
+            (events.value >= tiers.lo) & (events.value < tiers.hi),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("tier")
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each click event aligned to the user's most recent purchase
+# at-or-before it (union + window fill — one shuffle, no range blowup; see
+# operators/asof.py). Exact ns-timestamp comparison via ts_ns.
+# ---------------------------------------------------------------------------
+@query(
+    "q18_asof_click_purchase",
+    oracle="""
+    SELECT c.event_id, c.user_id,
+           p.event_id AS prev_purchase_id,
+           round(p.value, 4) AS prev_purchase_value
+    FROM events c
+    LEFT JOIN LATERAL (
+      SELECT event_id, value FROM events p
+      WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+        AND epoch_ns(p.ts) <= epoch_ns(c.ts)
+      ORDER BY epoch_ns(p.ts) DESC, event_id DESC LIMIT 1
+    ) p ON true
+    WHERE c.event_type = 'click'
+    ORDER BY c.event_id
+    """,
+)
+def q18_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vrod_spark.operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_ns"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_ns", F.col("event_id").alias("p_event_id"), "value"
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts_ns",
+        right_ts="ts_ns",
+        right_cols=["p_event_id", "value"],
+        tiebreak="p_event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_p_event_id").alias("prev_purchase_id"),
+        F.round("asof_value", 4).alias("prev_purchase_value"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# String function family over part/customer.
+# ---------------------------------------------------------------------------
+@query(
+    "q19_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                              AS uname,
+           lower(p_type)                              AS ltype,
+           substring(p_name, 1, 5)                    AS prefix5,
+           length(p_name)                             AS name_len,
+           regexp_extract(p_brand, '[0-9]+')          AS brand_num,
+           replace(p_name, ' ', '_')                  AS snake,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')      AS padded_size,
+           levenshtein(p_brand, 'Brand#11')           AS lev,
+           md5(p_name)                                AS name_md5,
+           concat_ws('|', p_brand, p_type)            AS brand_type,
+           CASE WHEN p_name LIKE '%widget%' THEN 'widget' ELSE 'other' END AS kind,
+           coalesce(nullif(p_type, 'ECONOMY'), 'CHEAP') AS type_or_cheap
+    FROM part
+    WHERE p_name LIKE '%e%' AND contains(p_name, 'l')
+          AND starts_with(p_brand, 'Brand')
+    ORDER BY p_partkey
+    """,
+)
+def q19_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.filter(
+            F.col("p_name").like("%e%")
+            & F.col("p_name").contains("l")
+            & F.col("p_brand").startswith("Brand")
+        )
+        .select(
+            "p_partkey",
+            F.upper("p_name").alias("uname"),
+            F.lower("p_type").alias("ltype"),
+            F.substring("p_name", 1, 5).alias("prefix5"),
+            F.length("p_name").cast("bigint").alias("name_len"),
+            F.regexp_extract("p_brand", "[0-9]+", 0).alias("brand_num"),
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded_size"),
+            F.levenshtein("p_brand", F.lit("Brand#11")).alias("lev"),
+            F.md5("p_name").alias("name_md5"),
+            F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+            F.when(F.col("p_name").like("%widget%"), "widget")
+            .otherwise("other")
+            .alias("kind"),
+            F.coalesce(F.nullif("p_type", F.lit("ECONOMY")), F.lit("CHEAP")).alias(
+                "type_or_cheap"
+            ),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Math function family over customer balances.
+# ---------------------------------------------------------------------------
+@query(
+    "q20_math_funcs",
+    oracle="""
+    SELECT c_custkey,
+           round(abs(c_acctbal), 2)                   AS abs_bal,
+           round(sqrt(abs(c_acctbal)), 4)             AS sqrt_bal,
+           round(pow(c_acctbal / 1000.0, 2), 4)       AS pow_bal,
+           round(ln(abs(c_acctbal) + 1), 4)           AS ln_bal,
+           round(log10(abs(c_acctbal) + 1), 4)        AS log10_bal,
+           round(exp(c_acctbal / 10000.0), 4)         AS exp_bal,
+           CAST(ceil(c_acctbal) AS BIGINT)            AS ceil_bal,
+           CAST(floor(c_acctbal) AS BIGINT)           AS floor_bal,
+           CAST(sign(c_acctbal) AS INT)               AS sign_bal,
+           round(greatest(c_acctbal, 0.0), 2)         AS pos_part,
+           round(least(c_acctbal, 0.0), 2)            AS neg_part,
+           CAST(c_custkey % 7 AS BIGINT)              AS mod7
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def q20_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return cust.select(
+        "c_custkey",
+        F.round(F.abs(bal), 2).alias("abs_bal"),
+        F.round(F.sqrt(F.abs(bal)), 4).alias("sqrt_bal"),
+        F.round(F.pow(bal / 1000.0, 2), 4).alias("pow_bal"),
+        F.round(F.log(F.abs(bal) + 1), 4).alias("ln_bal"),
+        F.round(F.log10(F.abs(bal) + 1), 4).alias("log10_bal"),
+        F.round(F.exp(bal / 10000.0), 4).alias("exp_bal"),
+        F.ceil(bal).cast("bigint").alias("ceil_bal"),
+        F.floor(bal).cast("bigint").alias("floor_bal"),
+        F.signum(bal).cast("int").alias("sign_bal"),
+        F.round(F.greatest(bal, F.lit(0.0)), 2).alias("pos_part"),
+        F.round(F.least(bal, F.lit(0.0)), 2).alias("neg_part"),
+        (F.col("c_custkey") % 7).cast("bigint").alias("mod7"),
+    ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Array + map function family over embeddings (higher-order functions stay
+# JVM-side: transform/filter/aggregate/slice — no Python boundary).
+# ---------------------------------------------------------------------------
+@query(
+    "q21_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                            AS dim,
+           round(embedding[1]::DOUBLE, 4)                            AS first_elem,
+           round(list_sum(list_transform(embedding[1:8], x -> x::DOUBLE)), 4) AS sum_first8,
+           round(list_max(list_transform(embedding, x -> x::DOUBLE)), 4)     AS max_elem,
+           round(list_min(list_transform(embedding, x -> x::DOUBLE)), 4)     AS min_elem,
+           len(list_filter(embedding, x -> x > 0))                   AS n_positive,
+           round(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), 4) AS sq_norm
+    FROM embeddings
+    WHERE vec_id < 100
+    ORDER BY vec_id
+    """,
+)
+def q21_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return (
+        emb.filter(F.col("vec_id") < 100)
+        .select(
+            "vec_id",
+            F.size("embedding").cast("bigint").alias("dim"),
+            F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_elem"),
+            F.round(
+                F.aggregate(
+                    F.slice(dbl, 1, 8), F.lit(0.0), lambda acc, x: acc + x
+                ),
+                4,
+            ).alias("sum_first8"),
+            F.round(F.array_max(dbl), 4).alias("max_elem"),
+            F.round(F.array_min(dbl), 4).alias("min_elem"),
+            F.size(F.filter(F.col("embedding"), lambda x: x > 0)).cast("bigint").alias(
+                "n_positive"
+            ),
+            F.round(
+                F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x), 4
+            ).alias("sq_norm"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct counting + exact percentiles. (HLL approx_count_distinct has its
+# own rows-only entry — approximate ops are bounds-checked, never hashed.)
+# ---------------------------------------------------------------------------
+@query(
+    "q22_distinct_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey)                       AS nd_parts,
+           count(DISTINCT l_suppkey)                       AS nd_supps,
+           round(quantile_cont(l_extendedprice, 0.5), 4)   AS median_price,
+           round(quantile_cont(l_extendedprice, 0.9), 4)   AS p90_price,
+           round(quantile_cont(l_quantity, 0.25), 4)       AS p25_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q22_distinct_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("nd_parts"),
+            F.countDistinct("l_suppkey").alias("nd_supps"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+            F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query("q22b_approx_distinct")
+def q22b_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — rows-only in the gate; the pytest
+    suite bounds-checks it against the exact count."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot: order counts + value by status, one column per status.
+# ---------------------------------------------------------------------------
+@query(
+    "q23_pivot_status",
+    oracle="""
+    SELECT o_orderpriority,
+           count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_O,
+           count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_F,
+           count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_P,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS val_O,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS val_F,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS val_P
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q23_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 2).alias("val"),
+        )
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce("O_n", F.lit(0)).alias("n_O"),
+        F.coalesce("F_n", F.lit(0)).alias("n_F"),
+        F.coalesce("P_n", F.lit(0)).alias("n_P"),
+        F.coalesce("O_val", F.lit(0.0)).alias("val_O"),
+        F.coalesce("F_val", F.lit(0.0)).alias("val_F"),
+        F.coalesce("P_val", F.lit(0.0)).alias("val_P"),
+    ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# SQL surface + subqueries: scalar subquery, correlated EXISTS, IN — the
+# engine's spark.sql path over registered collection views (Catalyst
+# decorrelates; same plans as the DataFrame API).
+# ---------------------------------------------------------------------------
+@query(
+    "q24_subqueries",
+    oracle="""
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+      AND EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+      AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
+    ORDER BY c_custkey
+    """,
+)
+def q24_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+        FROM customer c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+          AND EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+          AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
+        ORDER BY c_custkey
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution windows: ntile / percent_rank / cume_dist over balances.
+# ---------------------------------------------------------------------------
+@query(
+    "q25_distribution_windows",
+    oracle="""
+    SELECT c_custkey,
+           ntile(4)       OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+           round(percent_rank() OVER (ORDER BY c_acctbal), 6)  AS pct_rank,
+           round(cume_dist()    OVER (ORDER BY c_acctbal), 6)  AS cdist
+    FROM customer
+    ORDER BY c_custkey
+    """,
+)
+def q25_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    w_total = Window.orderBy("c_acctbal", "c_custkey")
+    w_bal = Window.orderBy("c_acctbal")
+    return cust.select(
+        "c_custkey",
+        F.ntile(4).over(w_total).alias("quartile"),
+        F.round(F.percent_rank().over(w_bal), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w_bal), 6).alias("cdist"),
+    ).orderBy("c_custkey")
