@@ -49,6 +49,15 @@ HEADLINE = [
     "q23_pivot_status",
     "q24_subqueries",
     "q25_distribution_windows",
+    "q26_jaccard_top_pairs",
+    "q26b_minhash_lsh_pairs",
+    "q27_simhash_pairs",
+    "q28_embedding_near_dup",
+    "q29_lang_quality",
+    "q30_token_counts",
+    "q31_fingerprint",
+    "q32_embed_pipeline",
+    "q33_multimodal_features",
 ]
 
 

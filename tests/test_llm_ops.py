@@ -1,0 +1,161 @@
+"""LLM-pipeline operator tests: dedup family on synthetic corpora with
+known ground truth, lang-ID on real multilingual text, pipeline, and
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vrod_spark.functions.text import lang_id, quality_score
+from vrod_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Synthetic corpus with planted near-duplicates."""
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    near = base.replace("today", "tonight")  # 1-word edit → high Jaccard
+    far = "completely different words about spark catalyst optimizer plans and shuffles"
+    rows = [
+        (0, base),
+        (1, base),          # exact dup of 0
+        (2, near),          # near dup of 0
+        (3, far),
+        (4, "short text"),
+        (5, base.upper()),  # case-only dup of 0 (exact dedup normalizes)
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup_keeps_first(spark, corpus):
+    kept = exact_dedup(corpus)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [0, 2, 3, 4]  # 1 and 5 (case-normalized) deduped onto 0
+
+
+def test_jaccard_pairs_exact(spark, corpus):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_pairs(corpus).collect()}
+    assert pairs[(0, 1)] == pytest.approx(1.0)
+    assert pairs[(0, 2)] > 0.7
+    assert (0, 3) not in pairs  # no shared 3-shingles with `far`
+
+
+def test_jaccard_hot_shingle_pruning(spark, corpus):
+    # with df-pruning at 1, shingles shared by >1 doc vanish → dup pairs drop
+    pruned = jaccard_pairs(corpus, max_shingle_df=1)
+    assert pruned.count() == 0
+
+
+def test_minhash_lsh_finds_planted_dups(spark, corpus):
+    found = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(corpus, min_jaccard=0.5).collect()
+    }
+    assert (0, 1) in found  # exact dup always collides
+    assert (0, 2) in found  # J≈0.8 with r=2,b=16 → recall ≈ 1-(1-0.64)^16 ≈ 1
+
+
+def test_minhash_lsh_precision_is_exact(spark, corpus):
+    """Verified pairs must carry the true Jaccard (candidates are filtered
+    through the exact computation, so precision can't drop)."""
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_pairs(corpus).collect()}
+    for r in minhash_lsh_pairs(corpus, min_jaccard=0.5).collect():
+        assert exact[(r["id_a"], r["id_b"])] == pytest.approx(r["jaccard"])
+
+
+def test_simhash_near_dups(spark, corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(corpus, max_hamming=8, bands=16).collect()
+    }
+    assert pairs[(0, 1)] == 0  # identical text → identical signature
+    assert (0, 2) in pairs  # 1-word edit → small Hamming distance
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_embedding_near_dup(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0]),  # near-dup of 0
+            (2, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    pairs = embedding_near_dup_pairs(df, min_cosine=0.99).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(0, 1)]
+
+
+def test_lang_id_on_real_text(spark):
+    samples = [
+        (0, "the cat sat on the mat and it was happy that day", "en"),
+        (1, "der hund ist nicht auf der straße und das ist gut", "de"),
+        (2, "el perro está en la casa y es un buen día por la mañana", "es"),
+        (3, "le chat est dans la maison et les oiseaux sont dans le jardin", "fr"),
+        (4, "我 的 朋友 是 好 人 他 在 家 里", "zh"),
+        (5, "xyzzy plugh qwerty", "und"),
+    ]
+    df = spark.createDataFrame(samples, "doc_id bigint, text string, expected string")
+    out = df.select("expected", lang_id("text").alias("got")).collect()
+    for r in out:
+        assert r["got"] == r["expected"], r
+
+
+def test_quality_score_ranks_sanely(spark):
+    df = spark.createDataFrame(
+        [
+            (0, " ".join(["sensible english words appear here repeatedly"] * 20)),
+            (1, "!!! ??? ... ,,, ;;; :::"),
+            (2, "a b c"),
+        ],
+        "doc_id bigint, text string",
+    )
+    scores = {r["doc_id"]: r["q"] for r in df.select("doc_id", quality_score("text").alias("q")).collect()}
+    assert scores[0] > scores[1] and scores[0] > scores[2]
+    assert all(0.0 <= s <= 1.0 for s in scores.values())
+
+
+def test_multimodal_decode_stub_gates(spark):
+    from vrod_spark.operators.multimodal import decode_stub, extract_features, sample_frames
+
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"\x00\x01", "image", fake=False)
+
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"abcdef" * 100), "image/png", 640, 480, 0),
+         (2, "video", bytearray(b"xyz" * 50), "video/mp4", 1920, 1080, 3500)],
+        "media_id bigint, kind string, content binary, mime string, width int, height int, duration_ms int",
+    )
+    feats = extract_features(media, dim=8).collect()
+    assert {r["media_id"]: len(r["feature"]) for r in feats} == {1: 8, 2: 8}
+    assert {r["media_id"]: r["n_bytes"] for r in feats} == {1: 600, 2: 150}
+
+    frames = sample_frames(media, every_ms=1000).collect()
+    assert [r["frame_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_embed_pipeline_roundtrip(spark, tmp_path):
+    from vrod_spark.pipeline import embed_corpus, embedding_stats
+
+    corpus_path = str(tmp_path / "corpus.txt")
+    with open(corpus_path, "w") as f:
+        f.write("alice was beginning to get very tired of sitting by her sister\n")
+        f.write("on the bank and of having nothing to do once or twice she\n")
+    df = embed_corpus(spark, corpus_path, limit=10, dim=16)
+    rows = df.collect()
+    assert len(rows) == 10
+    assert all(len(r["embedding"]) == 16 for r in rows)
+    # determinism: same word → same vector
+    by_word = {}
+    for r in rows:
+        if r["payload"] in by_word:
+            assert by_word[r["payload"]] == r["embedding"]
+        by_word[r["payload"]] = r["embedding"]
+    stats = embedding_stats(df)
+    assert stats["count"] == 10 and stats["dimension"] == 16

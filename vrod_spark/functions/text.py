@@ -1,0 +1,123 @@
+"""Text-analysis functions for the LLM-data-pipeline surface.
+
+Everything here is built-in Catalyst expressions (split / transform /
+filter / aggregate / regexp) — no Python in the hot path, so these run
+inside whole-stage codegen and scale linearly. The reference's only text
+op is whitespace tokenization (extract_words,
+/root/reference/src/utils/embeddings.rs:22-27); the rest is the
+north-star pipeline surface (lang-ID, quality scoring, token counting,
+fingerprinting).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword tables for the n-gram/stopword-hit lang-ID
+# heuristic. Real deployments swap in bigger tables; the mechanism (token
+# overlap scoring, argmax) is what matters and is fully vectorized.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "it", "that", "was", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por", "con", "una"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "que", "est", "dans"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"),
+}
+
+#: BPE-ish tokenizer regex: word pieces, numbers, or single non-space
+#: symbols — a deterministic stand-in for a trained BPE vocabulary.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (embeddings.rs:24 parity), empties removed."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: F.length(t) > 0)
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as strings ("w1 w2 w3"), the dedup unit.
+
+    Built from sequence + transform + slice — one pass, JVM-side.
+    Documents shorter than n words produce their whole text as the only
+    shingle (so no document silently drops out of dedup).
+    """
+    toks = tokens(text)
+    n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n_sh),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def whitespace_token_count(text: Column | str) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Count of BPE-ish regex tokens — the token-budget estimator."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), 0)).cast("bigint")
+
+
+def stopword_hits(text: Column | str, lang: str) -> Column:
+    """How many tokens are stopwords of `lang` (array_intersect-free count,
+    duplicates counted — a better signal than set overlap)."""
+    toks = tokens(F.lower(F.col(text) if isinstance(text, str) else text))
+    table = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(table, t))).cast("bigint")
+
+
+def lang_id(text: Column | str) -> Column:
+    """Argmax-stopword-hits language ID with deterministic tie-break
+    (lexicographically first language wins ties; 'und' when no hits)."""
+    scored = F.array(
+        *[
+            F.struct(
+                (F.lit(0) - stopword_hits(text, lang)).alias("neg_hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang in sorted(STOPWORDS)
+        ]
+    )
+    # Struct sort is lexicographic: (neg_hits asc, lang asc) = most hits
+    # first, ties → lexicographically first language. Fully deterministic.
+    first = F.array_sort(scored).getItem(0)
+    return F.when(first["neg_hits"] < 0, first["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic document quality in [0,1]: blends length adequacy,
+    alphabetic ratio, punctuation restraint, and mean word length sanity —
+    the standard cheap pre-filter signals for LLM training corpora."""
+    col = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(col).cast("double")
+    toks = tokens(col)
+    n_tokens = F.size(toks).cast("double")
+    alpha_ratio = (
+        F.length(F.regexp_replace(col, r"[^A-Za-z]", "")).cast("double")
+        / F.greatest(n_chars, F.lit(1.0))
+    )
+    punct_ratio = (
+        F.length(F.regexp_replace(col, r"[^.,;:!?]", "")).cast("double")
+        / F.greatest(n_chars, F.lit(1.0))
+    )
+    mean_word_len = n_chars / F.greatest(n_tokens, F.lit(1.0))
+    length_term = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    word_len_term = F.when((mean_word_len >= 3) & (mean_word_len <= 12), 1.0).otherwise(0.5)
+    return F.round(
+        F.lit(0.35) * length_term
+        + F.lit(0.35) * alpha_ratio
+        + F.lit(0.15) * (1 - F.least(punct_ratio * 5, F.lit(1.0)))
+        + F.lit(0.15) * word_len_term,
+        6,
+    )
+
+
+def doc_fingerprint(text: Column | str, n: int = 3) -> Column:
+    """Deterministic near-dup-stable fingerprint: the lexicographic min of
+    the md5 digests of a document's shingles (1-permutation MinHash with
+    md5 as the random order — winnowing-lite). Two docs sharing their
+    minimal shingle collide; md5 keeps it oracle-comparable cross-engine."""
+    return F.array_min(F.transform(shingles(text, n), F.md5))

@@ -1,0 +1,388 @@
+"""Deduplication operators for LLM-training-corpus pipelines.
+
+Five dedup strategies, each chosen for a different scale/accuracy point:
+
+- **exact**: sha2 digest of normalized text → keep-first. One shuffle on
+  the digest; the digest is 32 bytes regardless of document size, so the
+  shuffle is O(rows), never O(bytes).
+- **exact Jaccard pairs** (inverted-index join): explode shingles → join
+  docs sharing a shingle → count shared → Jaccard from |A∩B|/(|A|+|B|-|A∩B|).
+  EXACT (any pair with J > 0 shares a shingle) and the standard scalable
+  formulation — with document-frequency pruning of hot shingles, the join
+  stays near-linear at corpus scale.
+- **MinHash-LSH**: k seeded xxhash64 min-hashes per doc (pure built-in
+  expressions — array_min over transform), banded; docs sharing a band
+  bucket are candidates; candidates verified with exact Jaccard.
+  Probabilistic recall, tunable via (k, bands); the only strategy whose
+  candidate generation cost is independent of pairwise similarity
+  structure.
+- **SimHash**: 64-bit weighted-majority signature via an Arrow-batched
+  pandas UDF (64 per-bit counters vectorize in numpy far better than a
+  64-term Catalyst expression tree); near-dups = signatures within
+  Hamming distance d, found by pigeonhole band exact-match.
+- **embedding cosine**: semantic near-dup over the vector column —
+  blocked self-join + codegen'd cosine, or LSH buckets at scale.
+
+All pair outputs are canonical: (id_a < id_b), ordered, hash-checkable.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vrod_spark.functions.text import shingles
+from vrod_spark.functions.vector import cosine_similarity
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the smallest-id document per normalized-text sha2 digest."""
+    fp = F.sha2(F.lower(F.trim(F.col(text_col))), 256)
+    w = Window.partitionBy(fp).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact shingle-Jaccard pairs via inverted-index join
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_jaccard: float = 0.0,
+    max_shingle_df: int | None = None,
+    prune_unique_shingles: bool = False,
+) -> DataFrame:
+    """All document pairs with shingle-set Jaccard ≥ `min_jaccard`, exactly.
+
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    documents before the join — the standard stop-shingle pruning that
+    keeps the inverted index near-linear on real corpora (a shingle shared
+    by half the corpus generates O(N²) candidates and carries ~zero
+    similarity signal). With pruning on, results remain exact for pairs
+    whose similarity rests on informative shingles, which is the curated
+    behavior production dedup uses.
+    """
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.array_distinct(shingles(text_col, n)).alias("sh"))
+        .withColumn("set_size", F.size("sh"))
+    )
+    inv = sh.select("id", "set_size", F.explode("sh").alias("shingle"))
+    if max_shingle_df is not None or prune_unique_shingles:
+        # df=1 shingles join only with themselves (removed by id_a < id_b),
+        # so dropping them from the JOIN INPUT is exactness-preserving
+        # (set_size was computed on the full set, so denominators stay
+        # exact) — worth one extra shuffle on long-tail natural corpora
+        # where ~half the shingles are unique, pure overhead on small-vocab
+        # corpora. Hot-shingle pruning (df > max_shingle_df) additionally
+        # caps the quadratic head, trading exactness for scalability.
+        dfreq = inv.groupBy("shingle").agg(F.countDistinct("id").alias("df"))
+        cond = F.col("df") >= 2 if prune_unique_shingles else F.lit(True)
+        if max_shingle_df is not None:
+            cond = cond & (F.col("df") <= max_shingle_df)
+        inv = inv.join(dfreq.filter(cond).select("shingle"), "shingle", "left_semi")
+    a = inv.select(
+        F.col("id").alias("id_a"), F.col("set_size").alias("size_a"), "shingle"
+    )
+    b = inv.select(
+        F.col("id").alias("id_b"), F.col("set_size").alias("size_b"), "shingle"
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "inter", "jaccard")
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+    n: int = 3,
+) -> DataFrame:
+    """k-permutation MinHash signature as ARRAY<BIGINT>, built entirely
+    from Catalyst expressions: sig[i] = min over shingles of
+    xxhash64(shingle, seed=i). No UDF, no shuffle."""
+    sh = F.array_distinct(shingles(text_col, n))
+    sig = F.array(
+        *[F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i)))) for i in range(k)]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs: banded MinHash-LSH candidates, verified with exact
+    Jaccard (so precision is exact; recall is the LSH probability
+    1-(1-s^r)^b). Candidate generation is groupBy(band, band_hash) —
+    one shuffle of (id, 16-byte band hash), never of document text."""
+    assert k % bands == 0, "k must divide into equal bands"
+    rows_per_band = k // bands
+    sigs = minhash_signature(df, text_col=text_col, id_col=id_col, k=k, n=n)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig").getItem(bi * rows_per_band + ri)
+                                    for ri in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"), F.array_distinct(shingles(text_col, n)).alias("sh")
+    )
+    verified = (
+        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# SimHash (pandas-UDF signature + pigeonhole banding)
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document via an Arrow-batched pandas UDF.
+
+    The per-bit weighted majority (64 counters per doc) is a numpy
+    bit-unpack away in Python but a 64-node expression tree in Catalyst —
+    this is the case where the vectorized-UDF slow path beats built-ins.
+    Token hashing uses a stable FNV-1a in numpy (no Python hash()
+    randomization), so signatures are deterministic across runs/workers.
+    """
+    @F.pandas_udf("long")
+    def simhash64(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        for row_i, text in enumerate(texts):
+            toks = (text or "").lower().split()
+            if not toks:
+                continue
+            hs = np.empty(len(toks), dtype=np.uint64)
+            for ti, t in enumerate(toks):
+                h = np.uint64(0xCBF29CE484222325)  # FNV-1a 64
+                for ch in t.encode("utf-8"):
+                    h = np.uint64((int(h) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+                hs[ti] = h
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).sum(0)
+            sig = np.uint64(0)
+            for bit in range(64):
+                if bits[bit] * 2 >= len(toks):
+                    sig |= np.uint64(1) << np.uint64(bit)
+            out[row_i] = np.int64(sig)
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Pairs within Hamming distance `max_hamming`: pigeonhole — split the
+    64-bit signature into `bands` blocks; any pair within distance d <
+    bands must agree exactly on ≥1 block, so candidates = exact-match join
+    per block (shuffle of 16-bit block values), then verify with popcount."""
+    assert bands > max_hamming, "pigeonhole requires bands > max_hamming"
+    sigs = simhash_signatures(df, text_col=text_col, id_col=id_col)
+    width = 64 // bands
+    blocks = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("block"),
+                        F.shiftrightunsigned(F.col("simhash"), bi * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("val"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.block", "bb.val")
+    cand = (
+        blocks.alias("x")
+        .join(blocks.alias("y"), ["block", "val"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("x.simhash").alias("sig_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("y.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    min_cosine: float = 0.9,
+    top_pairs: int | None = None,
+    n_blocks: int = 16,
+) -> DataFrame:
+    """Semantic near-dup: pairs with cosine ≥ threshold (or global top-N
+    most-similar pairs), EXACT, via a **block-matrix similarity join**:
+
+    hash ids into ``n_blocks`` blocks → pack each block into one row
+    (ids + vectors) → cross-join the O(B²/2) block pairs → per pair, one
+    numpy/BLAS matmul scores every cross pair at memory bandwidth →
+    emit survivors → global top-k/threshold.
+
+    Why not the row-level self-join with a zip_with cosine? Same O(N²)
+    arithmetic, but per-pair array allocation makes it ~50× slower, and
+    at cluster scale the blocked form is how you control task granularity
+    (B² tasks of equal flops) and avoid shuffling each vector N times —
+    each vector moves B times instead. For billion-row corpora, compose
+    with LSH bucketing (operators.ann) to cut the quadratic term first.
+    """
+    import numpy as np  # noqa: F401 (imported for the worker closure)
+
+    blocks = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("b"),
+    )
+    packed = blocks.groupBy("b").agg(F.collect_list(F.struct("id", "v")).alias("rows"))
+    a = packed.select(F.col("b").alias("ba"), F.col("rows").alias("ra"))
+    b = packed.select(F.col("b").alias("bb"), F.col("rows").alias("rb"))
+    block_pairs = a.join(b, F.col("ba") <= F.col("bb"))
+
+    thresh = None if top_pairs is not None else float(min_cosine)
+    per_task_k = top_pairs
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for _, row in pdf.iterrows():
+                ids_a = np.array([r["id"] for r in row["ra"]], dtype=np.int64)
+                mat_a = np.array([r["v"] for r in row["ra"]], dtype=np.float64)
+                ids_b = np.array([r["id"] for r in row["rb"]], dtype=np.int64)
+                mat_b = np.array([r["v"] for r in row["rb"]], dtype=np.float64)
+                na = np.linalg.norm(mat_a, axis=1, keepdims=True)
+                nb = np.linalg.norm(mat_b, axis=1, keepdims=True)
+                cos = (mat_a / np.where(na == 0, 1, na)) @ (
+                    mat_b / np.where(nb == 0, 1, nb)
+                ).T
+                ii, jj = np.meshgrid(ids_a, ids_b, indexing="ij")
+                if row["ba"] == row["bb"]:
+                    mask = ii < jj  # within-block: upper triangle only
+                else:
+                    mask = np.ones_like(ii, dtype=bool)  # cross-block: all pairs
+                if thresh is not None:
+                    mask &= cos >= thresh
+                sel = np.nonzero(mask)
+                # Canonical orientation (id_a < id_b) regardless of which
+                # block held the smaller id.
+                ca = np.minimum(ii[sel], jj[sel])
+                cb = np.maximum(ii[sel], jj[sel])
+                cc = cos[sel]
+                if per_task_k is not None and len(cc) > per_task_k:
+                    top = np.argpartition(-cc, per_task_k)[:per_task_k]
+                    ca, cb, cc = ca[top], cb[top], cc[top]
+                out_a.extend(ca.tolist())
+                out_b.extend(cb.tolist())
+                out_c.extend(cc.tolist())
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+
+    pairs = block_pairs.repartition(max(n_blocks * (n_blocks + 1) // 2, 1)).mapInPandas(
+        score, "id_a bigint, id_b bigint, cosine double"
+    )
+    if top_pairs is not None:
+        return pairs.orderBy(F.col("cosine").desc(), "id_a", "id_b").limit(top_pairs)
+    return pairs.orderBy(F.col("cosine").desc(), "id_a", "id_b")

@@ -1,0 +1,124 @@
+"""Multimodal column plumbing: image/audio/video as opaque BINARY columns
+with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The Spark-side machinery here is real and tested — schema, batching,
+partition sizing, UDF signatures. The actual media decoding is STUBBED
+(this container has no image/audio libraries): ``decode_stub`` raises
+``NotImplementedError`` unless ``fake=True``, in which case it produces a
+deterministic fake derived from the bytes, so pipelines are end-to-end
+testable. Swapping in PIL/torchaudio later changes ONE function body and
+nothing about the distributed plan.
+
+Scale notes: media blobs are large → ``maxRecordsPerBatch`` should be
+lowered for these stages (Arrow batches of ~64 MB, not 10k rows), and
+blob columns kept OUT of shuffle keys — all operators here shuffle only
+ids/metadata, never bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Canonical multimodal record schema: the blob plus typed metadata.
+MEDIA_SCHEMA = (
+    "media_id bigint, kind string, content binary, "
+    "mime string, width int, height int, duration_ms int"
+)
+
+FEATURE_SCHEMA = "media_id bigint, kind string, n_bytes bigint, feature array<float>"
+
+
+def decode_stub(content: bytes, kind: str, *, fake: bool = False) -> dict:
+    """Decode a media blob → {width, height, n_channels, ...}.
+
+    STUB: real decoding needs PIL/ffmpeg/torchaudio (not in this
+    container). With ``fake=True`` returns a deterministic stand-in
+    derived from the byte content, keeping every downstream stage
+    testable."""
+    if not fake:
+        raise NotImplementedError(
+            "media decoding requires image/audio libraries not present in "
+            "this environment; pass fake=True for the deterministic stub"
+        )
+    n = len(content or b"")
+    return {
+        "width": (n % 640) + 1,
+        "height": ((n * 7) % 480) + 1,
+        "n_channels": 3 if kind == "image" else 1,
+    }
+
+
+def extract_features(
+    media: DataFrame, *, dim: int = 8, fake_decode: bool = True
+) -> DataFrame:
+    """Per-blob feature extraction over ``mapInPandas`` — the canonical
+    multimodal stage shape: binary in, fixed-width float vector out,
+    processed in Arrow batches with zero driver involvement."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats, sizes = [], []
+            for content, kind in zip(pdf["content"], pdf["kind"]):
+                meta = decode_stub(content, kind, fake=fake_decode)
+                b = np.frombuffer(content or b"\x00", dtype=np.uint8)
+                # Deterministic per-blob feature: byte-histogram moments.
+                chunks = np.array_split(b.astype(np.float64), dim)
+                feat = np.array(
+                    [c.mean() if len(c) else 0.0 for c in chunks], dtype=np.float32
+                ) / 255.0
+                feat[0] += meta["n_channels"] * 0.0  # metadata is available here
+                feats.append(feat.tolist())
+                sizes.append(len(content or b""))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": sizes,
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+def resize_plan(media: DataFrame, *, max_px: int = 256) -> DataFrame:
+    """Resize planning (metadata-only — no bytes shuffled): compute output
+    dimensions per record with built-in expressions; the byte-level resize
+    itself belongs in the same mapInPandas stage as decode."""
+    scale = F.least(
+        F.lit(max_px) / F.greatest(F.col("width"), F.lit(1)),
+        F.lit(max_px) / F.greatest(F.col("height"), F.lit(1)),
+        F.lit(1.0),
+    )
+    return media.select(
+        "media_id",
+        "kind",
+        "width",
+        "height",
+        F.round(F.col("width") * scale).cast("int").alias("out_width"),
+        F.round(F.col("height") * scale).cast("int").alias("out_height"),
+    )
+
+
+def sample_frames(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video rows: one output row per sampled
+    timestamp (sequence + explode — no Python, no bytes moved)."""
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ).alias("frame_ms"),
+        )
+    )

@@ -1,0 +1,106 @@
+"""The corpus→embeddings pipeline — the reference's one working dataflow
+(process_embeddings, /root/reference/src/utils/embeddings.rs:6-20),
+re-expressed as a Spark pipeline:
+
+    read.text → tokenize (split/posexplode, order-preserving)
+      → limit N  (applied BEFORE the embed stage, preserving the
+                  reference's one optimization: take(n) ahead of the
+                  expensive model call, embeddings.rs:25)
+      → embed    (Arrow-batched pandas UDF — the model-inference boundary,
+                  embeddings.rs:29-31)
+      → stats + sink (parquet canonical; reference text format optional,
+                  embeddings.rs:33-68)
+
+The embedder is pluggable. The default is a deterministic hash-projection
+"model" (no ML deps in this container): token → FNV-1a hash per dimension
+→ unit-normalized vector. Swap in a real sentence-transformer by passing
+any ``pd.Series -> pd.Series[list[float]]`` function — the Spark plumbing
+(Arrow batching, schema, partitioning) is identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def deterministic_embedder(dim: int = 64) -> Callable[[pd.Series], pd.Series]:
+    """Hash-projection embedder: deterministic, dependency-free, unit-norm."""
+
+    def embed(words: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for w in words:
+            b = (w or "").encode("utf-8")
+            h = np.uint64(0xCBF29CE484222325)
+            seeds = np.empty(dim, dtype=np.uint64)
+            for i in range(dim):
+                hh = h
+                for ch in b + bytes([i & 0xFF]):
+                    hh = np.uint64((int(hh) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+                seeds[i] = hh
+            v = (seeds.astype(np.float64) / 2**64) * 2.0 - 1.0
+            norm = np.linalg.norm(v)
+            out.append((v / norm if norm else v).astype(np.float32).tolist())
+        return pd.Series(out)
+
+    return embed
+
+
+def tokenize_corpus(spark: SparkSession, path: str, limit: int | None = None) -> DataFrame:
+    """Stage 1+2: scan a text corpus, whitespace-tokenize order-preserving
+    (posexplode keeps (line, position) so `limit` means "first N words of
+    the corpus", exactly the reference's take(n) semantics)."""
+    lines = spark.read.text(path).select(
+        F.monotonically_increasing_id().alias("line_id"), "value"
+    )
+    words = lines.select(
+        "line_id",
+        F.posexplode(F.filter(F.split("value", r"\s+"), lambda w: F.length(w) > 0)).alias(
+            "pos", "word"
+        ),
+    ).orderBy("line_id", "pos")
+    if limit is not None:
+        words = words.limit(limit)
+    return words.select(
+        F.monotonically_increasing_id().alias("id"), F.col("word").alias("payload")
+    )
+
+
+def embed_corpus(
+    spark: SparkSession,
+    path: str,
+    *,
+    limit: int | None = None,
+    dim: int = 64,
+    embedder: Callable[[pd.Series], pd.Series] | None = None,
+) -> DataFrame:
+    """The full pipeline: returns (id, embedding ARRAY<FLOAT>, payload)."""
+    embed_fn = embedder or deterministic_embedder(dim)
+    embed_udf = F.pandas_udf(embed_fn, "array<float>")
+    words = tokenize_corpus(spark, path, limit)
+    return words.select(
+        "id",
+        embed_udf(F.col("payload")).alias("embedding"),
+        "payload",
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+
+
+def embedding_stats(df: DataFrame) -> dict:
+    """Stage 4 introspection (print_embeddings_info parity,
+    embeddings.rs:33-50): count, dimension, approximate in-memory MB."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.size("embedding")).alias("dim"),
+        F.sum(F.size("embedding")).alias("total_floats"),
+    ).first()
+    return {
+        "count": row["n"],
+        "dimension": row["dim"],
+        "vector_mb": round((row["total_floats"] or 0) * 4 / 1e6, 3),
+    }

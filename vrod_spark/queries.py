@@ -1037,3 +1037,277 @@ def q25_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w_bal), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w_bal), 6).alias("cdist"),
     ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Exact near-dup pairs (inverted-index shingle join): top-20 most similar
+# document pairs by 3-gram Jaccard. EXACT — the oracle for all
+# probabilistic dedup. Shuffles (id, shingle) pairs, never text.
+# ---------------------------------------------------------------------------
+_SHINGLE_CTE = """
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(ws) - 2, 1)),
+               i -> array_to_string(ws[i:i+2], ' '))) AS s
+      FROM toks
+    )
+"""
+
+
+@query(
+    "q26_jaccard_top_pairs",
+    oracle=_SHINGLE_CTE
+    + """
+    , inv AS (SELECT doc_id, len(s) AS set_size, unnest(s) AS shingle FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.set_size AS sa, b.set_size AS sb, count(*) AS inter
+      FROM inv a JOIN inv b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, inter, round(inter / (sa + sb - inter)::DOUBLE, 6) AS jaccard
+    FROM pairs
+    ORDER BY inter / (sa + sb - inter)::DOUBLE DESC, id_a, id_b
+    LIMIT 20
+    """,
+)
+def q26_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vrod_spark.operators.dedup import jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, n=3)
+    return (
+        pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b")
+        .limit(20)
+        .select("id_a", "id_b", "inter", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+@query("q26b_minhash_lsh_pairs")
+def q26b_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup (probabilistic candidates, exact verification)
+    — rows-only in the gate; pytest bounds recall against q26's exact
+    result on synthetic near-dups."""
+    from vrod_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        minhash_lsh_pairs(docs, k=32, bands=16, n=3, min_jaccard=0.2)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
+    )
+
+
+@query("q27_simhash_pairs")
+def q27_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (pandas-UDF signatures + pigeonhole banding)
+    — rows-only (the FNV/numpy signature has no SQL twin)."""
+    from vrod_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, max_hamming=8, bands=16).orderBy(
+        "hamming", "id_a", "id_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup: top-20 most semantically similar vector pairs,
+# exact (codegen'd cosine over the self-join).
+# ---------------------------------------------------------------------------
+@query(
+    "q28_embedding_near_dup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+             a.vec_id, b.vec_id
+    LIMIT 20
+    """,
+)
+def q28_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vrod_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, top_pairs=20).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID + quality scoring: per-document heuristics (pure expressions)
+# aggregated per predicted language.
+# ---------------------------------------------------------------------------
+@query(
+    "q29_lang_quality",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(trim(text)), ' '),
+                 t -> list_contains(['the','and','of','to','in','is','it','that','was','for'], t))) AS h_en,
+             len(list_filter(string_split(lower(trim(text)), ' '),
+                 t -> list_contains(['der','die','das','und','ist','nicht','ein','mit','auf','zu'], t))) AS h_de,
+             len(list_filter(string_split(lower(trim(text)), ' '),
+                 t -> list_contains(['el','la','de','que','y','en','un','por','con','una'], t))) AS h_es,
+             len(list_filter(string_split(lower(trim(text)), ' '),
+                 t -> list_contains(['le','la','et','les','des','un','une','que','est','dans'], t))) AS h_fr,
+             len(list_filter(string_split(lower(trim(text)), ' '),
+                 t -> list_contains(['的','是','了','在','我','有','和','就','不','人'], t))) AS h_zh,
+             length(text)::DOUBLE AS n_chars,
+             len(string_split(trim(text), ' '))::DOUBLE AS n_tokens,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE AS n_alpha,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE AS n_punct
+      FROM documents
+    ),
+    pred AS (
+      SELECT doc_id,
+             CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+                  WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+                  WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+                  WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+                  WHEN h_fr >= h_zh THEN 'fr'
+                  ELSE 'zh' END AS lang_pred,
+             round(0.35 * least(n_tokens / 100.0, 1.0)
+                 + 0.35 * (n_alpha / greatest(n_chars, 1.0))
+                 + 0.15 * (1 - least(n_punct / greatest(n_chars, 1.0) * 5, 1.0))
+                 + 0.15 * (CASE WHEN n_chars / greatest(n_tokens, 1.0) BETWEEN 3 AND 12
+                                THEN 1.0 ELSE 0.5 END), 6) AS q
+      FROM scored
+    )
+    SELECT lang_pred, count(*) AS n_docs, round(avg(q), 6) AS avg_quality
+    FROM pred GROUP BY lang_pred ORDER BY lang_pred
+    """,
+)
+def q29_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vrod_spark.functions.text import lang_id, quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(lang_id("text").alias("lang_pred"), quality_score("text").alias("q"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("q"), 6).alias("avg_quality"))
+        .orderBy("lang_pred")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace + BPE-ish regex token budgets per source.
+# ---------------------------------------------------------------------------
+@query(
+    "q30_token_counts",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(len(string_split(trim(text), ' '))) AS ws_tokens,
+           sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]'))) AS bpe_tokens,
+           sum(n_chars) AS total_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q30_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vrod_spark.functions.text import bpe_token_count, whitespace_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(whitespace_token_count("text")).alias("ws_tokens"),
+            F.sum(bpe_token_count("text")).alias("bpe_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: md5-min-shingle fingerprint (1-perm MinHash);
+# collision groups = near-dup clusters sharing their minimal shingle.
+# ---------------------------------------------------------------------------
+@query(
+    "q31_fingerprint",
+    oracle=_SHINGLE_CTE
+    + """
+    , fp AS (
+      SELECT doc_id, list_sort(list_transform(s, x -> md5(x)))[1] AS fingerprint
+      FROM sh
+    )
+    SELECT count(*) AS n_docs,
+           count(DISTINCT fingerprint) AS n_fingerprints,
+           count(*) - count(DISTINCT fingerprint) AS n_collisions
+    FROM fp
+    """,
+)
+def q31_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vrod_spark.functions.text import doc_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(doc_fingerprint("text", 3).alias("fingerprint")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fingerprint").alias("n_fingerprints"),
+        (F.count(F.lit(1)) - F.countDistinct("fingerprint")).alias("n_collisions"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding pipeline (the reference's §2.2 dataflow): tokenize documents →
+# limit → pandas-UDF embed → stats. Rows-only (model inference ≠ SQL).
+# ---------------------------------------------------------------------------
+@query("q32_embed_pipeline")
+def q32_embed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vrod_spark.pipeline import deterministic_embedder
+
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select("doc_id", F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "word"))
+        .orderBy("doc_id", "pos")
+        .limit(500)
+    )
+    embed_udf = F.pandas_udf(deterministic_embedder(16), "array<float>")
+    embedded = words.select("doc_id", "pos", "word", embed_udf(F.col("word")).alias("emb"))
+    return embedded.agg(
+        F.count(F.lit(1)).alias("n_embedded"),
+        F.min(F.size("emb")).alias("min_dim"),
+        F.max(F.size("emb")).alias("max_dim"),
+        F.countDistinct("word").alias("n_unique_words"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: documents→fake binary blobs → mapInPandas feature
+# extraction → per-kind stats. Rows-only (decode is a container stub).
+# ---------------------------------------------------------------------------
+@query("q33_multimodal_features")
+def q33_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vrod_spark.operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.lit("application/octet-stream").alias("mime"),
+        (F.col("doc_id") % 640).cast("int").alias("width"),
+        (F.col("doc_id") % 480).cast("int").alias("height"),
+        (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+    )
+    feats = extract_features(media, dim=8, fake_decode=True)
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_f0"),
+        )
+        .orderBy("kind")
+    )
