@@ -58,6 +58,10 @@ HEADLINE = [
     "q31_fingerprint",
     "q32_embed_pipeline",
     "q33_multimodal_features",
+    "q34_stream_tumbling",
+    "q35_stream_sliding",
+    "q36_stream_sessions",
+    "q37_stream_dedup",
 ]
 
 

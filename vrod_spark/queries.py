@@ -1311,3 +1311,115 @@ def q33_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming queries (M5): each runs a Structured Streaming plan to
+# completion under trigger(availableNow) and must equal its batch/SQL
+# formulation — the FIXTURES.md batch-equivalence contract, enforced by
+# the same DuckDB oracle as every batch query.
+# ---------------------------------------------------------------------------
+@query(
+    "q34_stream_tumbling",
+    oracle="""
+    SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start_epoch,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY window_start_epoch, event_type
+    ORDER BY window_start_epoch, event_type
+    """,
+)
+def q34_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vrod_spark.streaming.ingest import events_stream, run_to_completion, tumbling_counts
+
+    out = run_to_completion(tumbling_counts(events_stream(spark, sf_dir), duration="1 hour"))
+    return out.orderBy("window_start_epoch", "event_type")
+
+
+@query(
+    "q35_stream_sliding",
+    oracle="""
+    WITH starts AS (
+      SELECT (floor(epoch(ts) / 1800) * 1800)::BIGINT AS w0 FROM events
+    ),
+    expanded AS (
+      SELECT unnest([w0, w0 - 1800]) AS window_start_epoch FROM starts
+    )
+    SELECT window_start_epoch, count(*) AS n_events
+    FROM expanded
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q35_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vrod_spark.streaming.ingest import events_stream, run_to_completion, sliding_counts
+
+    out = run_to_completion(
+        sliding_counts(events_stream(spark, sf_dir), duration="1 hour", slide="30 minutes")
+    )
+    return out.orderBy("window_start_epoch")
+
+
+@query(
+    "q36_stream_sessions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 10 MINUTE OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q36_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window streaming agg, reduced to per-user session counts
+    (start/end instants are micros-truncated in Spark, so the oracle
+    compares the TZ-free session *structure*, which is truncation-safe
+    because gaps are >> 1 microsecond)."""
+    from vrod_spark.streaming.ingest import events_stream, run_to_completion, session_stats
+
+    sessions = run_to_completion(session_stats(events_stream(spark, sf_dir), gap="10 minutes"))
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q37_stream_dedup",
+    oracle="""
+    SELECT event_type, count(DISTINCT event_id) AS n_unique
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q37_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dropDuplicates(event_id); the source re-reads the
+    same file, so duplicate arrivals collapse to the batch distinct count."""
+    from vrod_spark.streaming.ingest import dedup_stream, events_stream, run_to_completion
+
+    deduped = dedup_stream(events_stream(spark, sf_dir))
+    out = run_to_completion(
+        deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique")),
+        output_mode="complete",
+    )
+    return out.orderBy("event_type")

@@ -36,24 +36,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS) — beyond Spark's microsecond
-    timestamp precision. Read nanos as LONG (``nanosAsLong``), then expose
-    both ``ts_ns`` (exact epoch nanos, for oracle-exact comparisons via
-    DuckDB ``epoch_ns``) and ``ts`` (micros-truncated TIMESTAMP, for all
-    window/date logic)."""
+def project_events_raw(raw: DataFrame) -> DataFrame:
+    """Shared events projection (batch + streaming): given the raw frame
+    with ``ts`` as epoch-nanos LONG, expose both ``ts_ns`` (exact, for
+    oracle comparisons via DuckDB ``epoch_ns``) and ``ts`` as a
+    micros-truncated TIMESTAMP_NTZ built with pure integer arithmetic —
+    no session-time-zone dependence (the driver's session may not pin
+    UTC), matching the oracle's TZ-naive TIMESTAMP_NS."""
     from pyspark.sql import functions as F
 
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
-        raw = spark.read.parquet(path)
-    finally:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-    # Build ts as TIMESTAMP_NTZ from epoch nanos with pure integer
-    # arithmetic — no session-time-zone dependence (the driver's session
-    # may not pin UTC), matching the oracle's TZ-naive TIMESTAMP_NS.
-    d = F.date_add(F.lit("1970-01-01").cast("date"), F.expr("cast((ts div 1000) div 86400000000 as int)"))
+    d = F.date_add(
+        F.lit("1970-01-01").cast("date"),
+        F.expr("cast((ts div 1000) div 86400000000 as int)"),
+    )
     rem_us = F.expr("(ts div 1000) % 86400000000")
     ts_ntz = F.make_timestamp_ntz(
         F.year(d),
@@ -72,6 +67,19 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
         "value",
         "props",
     )
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS) — beyond Spark's microsecond
+    timestamp precision. Read nanos as LONG (``nanosAsLong``), then apply
+    the shared projection."""
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        raw = spark.read.parquet(path)
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    return project_events_raw(raw)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

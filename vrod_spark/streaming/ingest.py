@@ -1,0 +1,149 @@
+"""Structured Streaming surface (SURVEY §2.3 Streaming).
+
+The reference's only durability/ingest notion is its WAL
+(/root/reference/src/database/setup.rs:22-23, TRUNCATEWAL
+builder.rs:39-42); Structured Streaming is the Spark-idiomatic home for
+that role: checkpointed, exactly-once micro-batch ingest, with windowed
+aggregations over event time and watermark-bounded state.
+
+Batch-equivalence contract (FIXTURES.md): every streaming query here runs
+under ``trigger(availableNow=True)`` and must produce the same result as
+its batch formulation on the same input — that is what the gate checks.
+
+Scale notes: state stores are keyed by (group keys × window); watermarks
+bound state size; ``foreachBatch`` ingest reuses the collection COW
+commit, so a crashed micro-batch is invisible (the pointer never swapped)
+and the checkpoint replays it.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vrod_spark.sources.tables import project_events_raw
+
+EVENTS_RAW_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source over the events table with the same NTZ ``ts`` /
+    exact ``ts_ns`` columns as the batch reader (sources.tables)."""
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        # File-stream sources require a directory: stream the sf-dir with a
+        # glob filter selecting only the events table.
+        raw = (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    # Watermarks require an instant-typed (TIMESTAMP) event-time column —
+    # TIMESTAMP_NTZ is rejected. ``ts_evt`` is the exact instant from epoch
+    # nanos; since epoch-aligned windows and gap-based sessions are
+    # offset-free, no session-time-zone dependence leaks in as long as
+    # outputs are rendered as epoch numbers (not formatted strings).
+    return project_events_raw(raw).withColumn(
+        "ts_evt", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    )
+
+
+def run_to_completion(
+    stream_df: DataFrame, *, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming DataFrame under availableNow into a memory sink
+    and return the final result as a batch DataFrame. This is the
+    batch-equivalence harness the gate queries use."""
+    name = f"stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def tumbling_counts(events: DataFrame, *, duration: str = "1 hour") -> DataFrame:
+    """Tumbling event-time windows with a watermark bounding state."""
+    return (
+        events.withWatermark("ts_evt", "1 hour")
+        .groupBy(F.window("ts_evt", duration).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, *, duration: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    return (
+        events.withWatermark("ts_evt", "1 hour")
+        .groupBy(F.window("ts_evt", duration, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp("w.start").alias("window_start_epoch"),
+            "n_events",
+        )
+    )
+
+
+def session_stats(events: DataFrame, *, gap: str = "10 minutes") -> DataFrame:
+    """Session windows per user: sessions close after `gap` of inactivity.
+    State is one open session per user, bounded by the watermark."""
+    return (
+        events.withWatermark("ts_evt", "1 hour")
+        .groupBy(F.session_window("ts_evt", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("session_start_epoch"),
+            F.unix_timestamp("w.end").alias("session_end_epoch"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """Stateful exactly-once dedup on event_id within the watermark bound."""
+    return events.withWatermark("ts_evt", "1 hour").dropDuplicates(["event_id"])
+
+
+def stream_ingest_into_collection(
+    collection, src_stream: DataFrame, *, checkpoint_dir: str | None = None
+):
+    """Checkpointed streaming ingest into a COW collection: every
+    micro-batch commits through Collection.insert (new snapshot + atomic
+    pointer swap), so readers never see a torn batch and checkpoint replay
+    after a crash re-runs only uncommitted batches. The checkpoint
+    directory is the streaming analog of vr_wal; clearing it after a
+    terminal batch is the TRUNCATEWAL maintenance op."""
+    checkpoint = checkpoint_dir or os.path.join(collection.path, "_stream_checkpoint")
+
+    def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        collection.insert(batch_df)
+
+    return (
+        src_stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
