@@ -62,6 +62,7 @@ HEADLINE = [
     "q35_stream_sliding",
     "q36_stream_sessions",
     "q37_stream_dedup",
+    "q38_grouped_normalize",
 ]
 
 

@@ -39,16 +39,30 @@ def tokens(text: Column | str) -> Column:
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as strings ("w1 w2 w3"), the dedup unit.
 
-    Built from sequence + transform + slice — one pass, JVM-side.
+    Built by zip_with-ing the token array against its own shifted copies
+    (n-1 zips) — LINEAR in document length. The naive per-index
+    slice+concat form is O(len·n) with an array copy per shingle and was
+    the dominant cost of the whole dedup pipeline at bench scale.
     Documents shorter than n words produce their whole text as the only
     shingle (so no document silently drops out of dedup).
     """
-    toks = tokens(text)
-    n_sh = F.greatest(F.size(toks) - (n - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(1), n_sh),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
+    return shingles_from_tokens(tokens(text), n)
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Shingles from an already-materialized token array column. Callers
+    that also need the token array (or call several shingle-consumers)
+    should project ``tokens(text)`` into a column once and use this —
+    Catalyst does not common-subexpression-eliminate repeated higher-order
+    tokenization, so the one-liner form re-tokenizes per reference."""
+    size = F.size(toks)
+    acc = toks
+    for off in range(1, n):
+        shifted = F.slice(toks, off + 1, F.greatest(size - off, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    # zip_with pads the shorter side with nulls → drop the null-concat tails
+    full = F.filter(acc, lambda s: s.isNotNull())
+    return F.when(size >= n, full).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
 def whitespace_token_count(text: Column | str) -> Column:

