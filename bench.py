@@ -71,8 +71,15 @@ def main() -> None:
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     spark = get_spark("vrod-spark-bench")
 
-    # Warmup: spin up executors + parquet footer reads outside the clock.
+    # Warmup: executors + parquet footers + Python/Arrow UDF workers spin
+    # up outside the clock (worker fork-and-handshake is a per-session,
+    # not per-query, cost and was inflating whichever UDF query ran first).
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
     QUERIES["q03_top_orders"](spark, sf_dir).collect()
+    warm_udf = F.pandas_udf(lambda s: s, "long")
+    spark.range(1000).repartition(8).select(warm_udf("id")).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -1,0 +1,105 @@
+"""CLI parity tests (main.rs dispatch order + error semantics) and
+MLlib-LSH path tests (recall vs the exact brute-force oracle)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from vrod_spark.cli import main as cli_main
+from vrod_spark.operators.knn import knn_exact
+from vrod_spark.operators.mllib_lsh import (
+    brp_approx_knn,
+    brp_similarity_join,
+    minhash_similarity_join,
+)
+from vrod_spark.sources.tables import load_table
+
+
+# -- CLI -------------------------------------------------------------------
+def test_cli_init_requires_name(spark, tmp_path, capsys):
+    rc = cli_main(["--init-database", str(tmp_path)], spark=spark)
+    assert rc == 2  # MissingInitDatabaseNameFlag semantics (main.rs:36-40)
+    assert "init-database-name" in capsys.readouterr().err
+
+
+def test_cli_full_flow(spark, tmp_path, capsys):
+    rc = cli_main(
+        ["--init-database", str(tmp_path), "--init-database-name", "clidb"], spark=spark
+    )
+    assert rc == 0
+    db_path = json.loads(capsys.readouterr().out)["created"]
+
+    assert cli_main(
+        ["--database", db_path, "--collection", "c1", "-e", "CREATE"], spark=spark
+    ) == 0
+    capsys.readouterr()
+    assert cli_main(["--database", db_path, "-e", "LISTCOLLECTIONS"], spark=spark) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["rows"] == [{"collection": "c1"}]
+
+    # duplicate init fails like setup.rs:6-15
+    rc = cli_main(
+        ["--init-database", str(tmp_path), "--init-database-name", "clidb"], spark=spark
+    )
+    assert rc == 1
+    assert "already exists" in capsys.readouterr().err
+
+    # unrecognized verb surfaces the builder error (builder.rs:77-79)
+    rc = cli_main(["--database", db_path, "-e", "BOGUS"], spark=spark)
+    assert rc == 1
+    assert "unrecognized command" in capsys.readouterr().err
+
+
+def test_cli_generate_embeddings(spark, tmp_path, capsys):
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text("tweedledum and tweedledee agreed to have a battle\n")
+    out_path = str(tmp_path / "vecs.txt")
+    rc = cli_main(
+        ["--generate-embeddings", "5", "--corpus", str(corpus), "--output", out_path],
+        spark=spark,
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["embeddings"]["count"] == 5
+    assert stats["embeddings"]["dimension"] == 64
+    with open(out_path + "/" + next(
+        f for f in __import__("os").listdir(out_path) if f.startswith("part-")
+    )) as f:
+        line = f.readline().strip()
+    vec, _, word = line.partition(";")
+    assert word == "tweedledum" and len(vec.split(",")) == 64
+
+
+# -- MLlib LSH -------------------------------------------------------------
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_brp_knn_recall(spark, emb):
+    qv = [float(x) for x in emb.filter("vec_id = 3").first()["embedding"]]
+    exact_ids = {r["vec_id"] for r in knn_exact(emb, qv, 10).collect()}
+    approx = brp_approx_knn(emb, qv, 10, bucket_length=2.0, num_hash_tables=8)
+    approx_ids = {r["vec_id"] for r in approx.collect()}
+    # generous bucket_length → high recall even on uniform-sphere data
+    assert len(exact_ids & approx_ids) / 10 >= 0.5
+    assert 3 in approx_ids  # self always found
+
+
+def test_brp_similarity_join_finds_near_pair(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.01, 0.0]), (2, [5.0, 5.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    pairs = brp_similarity_join(df, df, threshold=0.5, bucket_length=1.0).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(0, 1)]
+
+
+def test_mllib_minhash_join_finds_planted_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [(0, base), (1, base.replace("river", "creek")), (2, "totally unrelated words here")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_similarity_join(df, 0.6).collect()}
+    assert (0, 1) in pairs and (0, 2) not in pairs

@@ -1,0 +1,143 @@
+"""Property-based tests (SURVEY §5.2 item 4): ingest/read roundtrip
+identity, COW snapshot isolation under concurrent mutation, dedup
+idempotence, and vector-kernel metric laws — hypothesis-generated inputs."""
+
+from __future__ import annotations
+
+import math
+import threading
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from vrod_spark.engine import Engine
+from vrod_spark.functions.vector import cosine_similarity, l2_distance
+from vrod_spark.operators.dedup import exact_dedup
+
+finite = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False, width=32
+)
+vec4 = st.lists(finite, min_size=4, max_size=4)
+
+SETTINGS = settings(
+    max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+
+
+_counter = {"n": 0}
+
+
+@pytest.fixture(scope="module")
+def prop_engine(spark, tmp_path_factory):
+    return Engine.create(spark, str(tmp_path_factory.mktemp("prop")), "db")
+
+
+@given(vecs=st.lists(vec4, min_size=1, max_size=6), payloads=st.lists(st.text(max_size=20)))
+@SETTINGS
+def test_ingest_read_roundtrip(spark, prop_engine, vecs, payloads):
+    eng = prop_engine
+    _counter["n"] += 1
+    cname = f"c{_counter['n']}"
+    eng.execute("CREATE", collection=cname)
+    rows = [
+        {
+            "id": i,
+            "embedding": v,
+            "payload": payloads[i] if i < len(payloads) else None,
+            "meta": None,
+        }
+        for i, v in enumerate(vecs)
+    ]
+    eng.execute("INSERT", collection=cname, arg=rows)
+    back = {
+        r["id"]: (r["embedding"], r["payload"])
+        for r in eng.db.collection(cname).read().collect()
+    }
+    assert set(back) == set(range(len(vecs)))
+    for i, v in enumerate(vecs):
+        got_vec, got_payload = back[i]
+        assert got_vec == pytest.approx(np.float32(v).tolist())
+        assert got_payload == rows[i]["payload"]
+
+
+@given(pairs=st.lists(st.tuples(vec4, vec4), min_size=1, max_size=10))
+@SETTINGS
+def test_vector_metric_laws(spark, pairs):
+    df = spark.createDataFrame(pairs, "a array<float>, b array<float>")
+    rows = df.select(
+        l2_distance("a", "b").alias("dab"),
+        l2_distance("b", "a").alias("dba"),
+        l2_distance("a", "a").alias("daa"),
+        cosine_similarity("a", "b").alias("cab"),
+    ).collect()
+    for (a, b), row in zip(pairs, rows):
+        expect = float(np.linalg.norm(np.float64(np.float32(a)) - np.float64(np.float32(b))))
+        assert row["dab"] == pytest.approx(expect, abs=1e-6)
+        assert row["dab"] == pytest.approx(row["dba"])  # symmetry
+        assert row["daa"] == 0.0
+        # norms in float64 over the float32-rounded inputs — matching the
+        # engine's cast-then-accumulate-in-double; float32 accumulation
+        # would underflow on subnormal inputs and miscall zero-norm.
+        na = np.linalg.norm(np.float64(np.float32(a)))
+        nb = np.linalg.norm(np.float64(np.float32(b)))
+        if na == 0 or nb == 0:
+            assert row["cab"] is None  # undefined, never an ANSI error
+        elif not math.isnan(row["cab"]):
+            assert -1.0 - 1e-9 <= row["cab"] <= 1.0 + 1e-9
+
+
+@given(texts=st.lists(st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=8))
+@SETTINGS
+def test_exact_dedup_idempotent(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id bigint, text string")
+    once = exact_dedup(df)
+    twice = exact_dedup(once)
+    got_once = sorted(r["doc_id"] for r in once.collect())
+    got_twice = sorted(r["doc_id"] for r in twice.collect())
+    assert got_once == got_twice
+    # normalized texts are unique after dedup
+    kept = [r["text"].strip().lower() for r in once.collect()]
+    assert len(kept) == len(set(kept))
+
+
+def test_cow_snapshot_isolation_under_concurrent_updates(spark, tmp_path):
+    """Readers racing a writer must only ever observe fully-committed
+    snapshots: every read returns a payload set equal to SOME committed
+    state, never a mix."""
+    eng = Engine.create(spark, str(tmp_path), "racedb")
+    eng.execute("CREATE", collection="c")
+    n = 50
+    eng.execute(
+        "INSERT",
+        collection="c",
+        arg=[{"id": i, "embedding": [1.0], "payload": "v0", "meta": None} for i in range(n)],
+    )
+    col = eng.db.collection("c")
+    valid_states = {("v0",), ("v1",), ("v2",), ("v3",)}
+    errors: list[str] = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            rows = col.read().select("payload").collect()
+            payloads = tuple(sorted({r["payload"] for r in rows}))
+            if len(rows) != n or payloads not in valid_states:
+                errors.append(f"torn read: {len(rows)} rows, states={payloads}")
+                return
+
+    threads = [threading.Thread(target=reader) for _ in range(2)]
+    for t in threads:
+        t.start()
+    try:
+        for gen in (1, 2, 3):
+            eng.execute(
+                "UPDATE", collection="c", arg={"where": "true", "set": {"payload": f"'v{gen}'"}}
+            )
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=30)
+    assert not errors, errors
+    assert {r["payload"] for r in col.read().collect()} == {"v3"}

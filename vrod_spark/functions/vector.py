@@ -48,7 +48,10 @@ def l2_distance(a: Column | str, b: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL (not an error) when either vector has zero norm — cosine is
+    undefined there, and ANSI mode (Spark 4 default) would otherwise
+    raise DIVIDE_BY_ZERO mid-query on a single degenerate row."""
+    return F.try_divide(dot_product(a, b), l2_norm(a) * l2_norm(b))
 
 
 def cosine_distance(a: Column | str, b: Column | str) -> Column:

@@ -33,16 +33,26 @@ def deterministic_embedder(dim: int = 64) -> Callable[[pd.Series], pd.Series]:
     def embed(words: pd.Series) -> pd.Series:
         import numpy as np
 
+        mask = 0xFFFFFFFFFFFFFFFF
+
+        def splitmix64(x: int) -> int:
+            # Finalizer with full avalanche: without it, per-dimension FNV
+            # variants of the same word differ only in low bits and every
+            # normalized component collapses to ±1/sqrt(dim).
+            x = (x + 0x9E3779B97F4A7C15) & mask
+            x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & mask
+            x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & mask
+            return x ^ (x >> 31)
+
         out = []
         for w in words:
-            b = (w or "").encode("utf-8")
-            h = np.uint64(0xCBF29CE484222325)
-            seeds = np.empty(dim, dtype=np.uint64)
-            for i in range(dim):
-                hh = h
-                for ch in b + bytes([i & 0xFF]):
-                    hh = np.uint64((int(hh) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-                seeds[i] = hh
+            h = 0xCBF29CE484222325
+            for ch in (w or "").encode("utf-8"):
+                h = ((h ^ ch) * 0x100000001B3) & mask
+            seeds = np.array(
+                [splitmix64(h ^ (i * 0x9E3779B97F4A7C15)) for i in range(dim)],
+                dtype=np.uint64,
+            )
             v = (seeds.astype(np.float64) / 2**64) * 2.0 - 1.0
             norm = np.linalg.norm(v)
             out.append((v / norm if norm else v).astype(np.float32).tolist())
