@@ -1,0 +1,79 @@
+"""Engine SQL surface + multi-format BULKINSERT tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vrod_spark.engine import Engine
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    e = Engine.create(spark, str(tmp_path), "sqldb")
+    e.execute("CREATE", collection="vecs")
+    e.execute(
+        "INSERT",
+        collection="vecs",
+        arg=[
+            {"id": 1, "embedding": [1.0, 0.0], "payload": "alpha", "meta": {"k": "a"}},
+            {"id": 2, "embedding": [0.0, 1.0], "payload": "beta", "meta": {"k": "b"}},
+            {"id": 3, "embedding": [0.5, 0.5], "payload": "alpha", "meta": None},
+        ],
+    )
+    return e
+
+
+def test_engine_sql_over_collection(eng):
+    rows = eng.sql(
+        "SELECT payload, count(*) AS n, round(sum(size(embedding)), 1) AS dims "
+        "FROM vecs GROUP BY payload ORDER BY payload"
+    ).collect()
+    assert [(r["payload"], r["n"]) for r in rows] == [("alpha", 2), ("beta", 1)]
+
+
+def test_engine_sql_snapshot_stable(eng):
+    df = eng.sql("SELECT count(*) AS n FROM vecs")
+    eng.execute("DELETE", collection="vecs", arg="id = 3")
+    # the view was bound to the pre-delete snapshot
+    assert df.first()["n"] == 3
+    assert eng.sql("SELECT count(*) AS n FROM vecs").first()["n"] == 2
+
+
+def test_bulkinsert_csv(eng, spark, tmp_path):
+    csv = tmp_path / "in.csv"
+    csv.write_text('id,embedding,payload\n10,"0.1,0.2","gamma"\n11,"0.3,0.4","delta"\n')
+    eng.execute("BULKINSERT", collection="vecs", arg=str(csv))
+    col = eng.db.collection("vecs")
+    rows = {r["id"]: r for r in col.read().collect()}
+    assert rows[10]["payload"] == "gamma"
+    assert rows[10]["embedding"] == pytest.approx([0.1, 0.2])
+    assert rows[10]["meta"] is None  # absent nullable column filled
+
+
+def test_bulkinsert_jsonl(eng, spark, tmp_path):
+    j = tmp_path / "in.jsonl"
+    j.write_text(
+        '{"id": 20, "embedding": [0.9, 0.1], "payload": "eps", "meta": {"s": "x"}}\n'
+    )
+    eng.execute("BULKINSERT", collection="vecs", arg=str(j))
+    col = eng.db.collection("vecs")
+    row = col.read().filter("id = 20").first()
+    assert row["payload"] == "eps" and row["meta"] == {"s": "x"}
+
+
+def test_bulkinsert_csv_dimension_still_enforced(eng, tmp_path):
+    from vrod_spark.errors import DimensionMismatchError
+
+    csv = tmp_path / "bad.csv"
+    csv.write_text('id,embedding,payload\n30,"0.1,0.2,0.3","bad"\n')
+    with pytest.raises(DimensionMismatchError):
+        eng.execute("BULKINSERT", collection="vecs", arg=str(csv))
+
+
+def test_ingest_missing_id_rejected(eng, spark):
+    from vrod_spark.errors import CommandArgError
+
+    df = spark.createDataFrame([("x",)], "payload string")
+    with pytest.raises(CommandArgError):
+        eng.execute("BULKINSERT", collection="vecs", arg=df)

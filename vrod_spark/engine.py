@@ -37,12 +37,22 @@ def validate_records(collection: Collection, df: DataFrame) -> DataFrame:
     vector is scoreable. First ingest into a dim-less collection pins the
     dimension (mirroring the reference's observe-at-runtime behavior).
     """
-    expected_cols = [f.name for f in collection.db.spark.createDataFrame(
-        [], collection.meta["schema"]).schema.fields]
-    missing = set(expected_cols) - set(df.columns)
-    if missing:
-        raise CommandArgError(f"ingest missing columns: {sorted(missing)}")
-    df = df.select(*expected_cols)
+    target = collection.db.spark.createDataFrame([], collection.meta["schema"]).schema
+    required = {"id"}
+    missing_required = required - set(df.columns)
+    if missing_required:
+        raise CommandArgError(f"ingest missing columns: {sorted(missing_required)}")
+    # Coerce to the declared schema: absent nullable columns fill with
+    # NULL, present columns cast to the declared type (so CSV/JSON string
+    # ids land as BIGINT). A cast that cannot hold raises at execution —
+    # the ingest boundary fails loudly, never stores mistyped data.
+    cols = []
+    for field in target.fields:
+        if field.name in df.columns:
+            cols.append(F.col(field.name).cast(field.dataType).alias(field.name))
+        else:
+            cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+    df = df.select(*cols)
 
     meta = collection.meta
     if "embedding" in df.columns:
@@ -113,6 +123,19 @@ class Engine:
             raise UnrecognizedCommandError(f"unrecognized command: {verb}")
         return handlers[verb_up](collection, arg)
 
+    # -- SQL surface -------------------------------------------------------
+    def sql(self, query: str, *collections: str) -> DataFrame:
+        """Run SQL over collections: each named collection (or all, when
+        none are given) is registered as a temp view of its CURRENT
+        committed snapshot, then the query runs through spark.sql —
+        Catalyst planning, same as the DataFrame surface. Views are
+        snapshot-stable: a concurrent COW commit does not change what a
+        running query sees."""
+        names = collections or self.db.list_collections()
+        for name in names:
+            self.db.collection(name).read().createOrReplaceTempView(name)
+        return self.spark.sql(query)
+
     def _require_collection(self, collection: str | None) -> Collection:
         if not collection:
             raise CommandArgError("command requires --collection")
@@ -181,6 +204,20 @@ class Engine:
             from vrod_spark.sources.vectors_txt import read_vectors_txt
 
             df = read_vectors_txt(self.spark, arg)
+        elif isinstance(arg, str) and arg.endswith((".csv", ".csv.gz")):
+            # CSV with header; the embedding column arrives as a
+            # "v1,...,vN"-style quoted string → parsed to ARRAY<FLOAT>.
+            raw = self.spark.read.option("header", "true").csv(arg)
+            if "embedding" in raw.columns:
+                raw = raw.withColumn(
+                    "embedding",
+                    F.transform(
+                        F.split(F.col("embedding"), ","), lambda x: x.cast("float")
+                    ),
+                )
+            df = raw
+        elif isinstance(arg, str) and arg.endswith((".json", ".jsonl", ".ndjson")):
+            df = self.spark.read.schema(col.meta["schema"]).json(arg)
         elif isinstance(arg, str):
             df = self.spark.read.parquet(arg)
         else:

@@ -1493,3 +1493,39 @@ def q38_grouped_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(center, "label int, n bigint, total_centered_norm double")
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end ANN through the engine: BULKINSERT embeddings into a scratch
+# collection, REINDEX (LSH bucket-partitioned rewrite), bucketed
+# SEARCHSIMILAR. Rows-only (the whole point is the engine path, not SQL).
+# ---------------------------------------------------------------------------
+@query("q39_ann_engine_roundtrip")
+def q39_ann_engine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from vrod_spark.engine import Engine
+    from vrod_spark.operators.ann import recall_at_k
+    from vrod_spark.operators.knn import knn_exact
+
+    eng = Engine.create(spark, tempfile.mkdtemp(), "anngate")
+    eng.execute("CREATE", collection="emb")
+    emb = _t(spark, sf_dir, "embeddings")
+    records = emb.select(
+        F.col("vec_id").alias("id"),
+        "embedding",
+        F.col("label").cast("string").alias("payload"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    eng.execute("BULKINSERT", collection="emb", arg=records)
+    eng.execute("REINDEX", collection="emb")
+    col = eng.db.collection("emb")
+    qv = [float(x) for x in col.read().filter("id = 0").first()["embedding"]]
+    approx = eng.execute("SEARCHSIMILAR", collection="emb", arg={"vector": qv, "k": 10}).df
+    exact = knn_exact(col.read(), qv, 10, vec_col="embedding", id_col="id")
+    r = recall_at_k(approx, exact, id_col="id")
+    n_buckets = len(col.meta["index"]["histogram"])
+    return spark.createDataFrame(
+        [(int(col.read().count()), n_buckets, float(round(r, 2)), int(approx.count()))],
+        "n_rows bigint, n_buckets bigint, recall_at_10 double, n_results bigint",
+    )
