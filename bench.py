@@ -63,6 +63,8 @@ HEADLINE = [
     "q36_stream_sessions",
     "q37_stream_dedup",
     "q38_grouped_normalize",
+    "q39_ann_engine_roundtrip",
+    "q40_stateful_totals",
 ]
 
 

@@ -200,8 +200,11 @@ class Collection:
         v = self.version if version is None else version
         return os.path.join(self.path, f"v{v}")
 
-    def read(self) -> DataFrame:
-        """Read the committed snapshot (resolves _CURRENT exactly once).
+    def read(self, version: int | None = None) -> DataFrame:
+        """Read a committed snapshot — the CURRENT one by default, or a
+        historical one (time travel): COW versions are immutable until
+        TRUNCATEWAL reclaims them, so any un-reclaimed version is
+        readable forever at zero extra storage cost (appends hard-link).
 
         Indexed snapshots are bucket-partitioned on disk (operators.ann);
         the internal ``bucket`` partition column is projected away here so
@@ -210,9 +213,53 @@ class Collection:
         field_names = [
             f.name for f in self.db.spark.createDataFrame([], meta["schema"]).schema.fields
         ]
+        target = self.version_dir(version)
+        if version is not None:
+            if not os.path.isdir(target):
+                raise CollectionNotFoundError(
+                    f"version {version} of {self.name} does not exist "
+                    "(never committed, or reclaimed by TRUNCATEWAL)"
+                )
+            # A historical snapshot may predate or postdate a REINDEX, so
+            # its on-disk layout (plain vs bucket-partitioned) can differ
+            # from what current meta suggests — sniff instead of trusting.
+            has_buckets = any(e.startswith("bucket=") for e in os.listdir(target))
+            if has_buckets:
+                return self.db.spark.read.parquet(target).select(*field_names)
+            return self.db.spark.read.schema(meta["schema"]).parquet(target)
         if meta.get("index"):
-            return self.db.spark.read.parquet(self.version_dir()).select(*field_names)
-        return self.db.spark.read.schema(meta["schema"]).parquet(self.version_dir())
+            return self.db.spark.read.parquet(target).select(*field_names)
+        return self.db.spark.read.schema(meta["schema"]).parquet(target)
+
+    def compact(self, target_partitions: int | None = None) -> dict:
+        """Maintenance: rewrite the current snapshot with a right-sized
+        file count. Hard-linked incremental appends accumulate one small
+        delta file per INSERT — fine for a while, but small files erode
+        scan throughput at scale (per-file open + footer cost). Compaction
+        is a plain COW commit, so readers are never disturbed; old
+        versions become reclaimable by TRUNCATEWAL."""
+        df = self.read()
+        n_files_before = sum(
+            1 for f in os.listdir(self.version_dir()) if f.endswith(".parquet")
+        )
+        if target_partitions is None:
+            # ~128 MB target files; cheap estimate from current dir size.
+            size = sum(
+                os.path.getsize(os.path.join(self.version_dir(), f))
+                for f in os.listdir(self.version_dir())
+                if f.endswith(".parquet")
+            )
+            target_partitions = max(1, size // (128 * 1024 * 1024))
+        n = self._rewrite(df.coalesce(int(target_partitions)), "COMPACT")
+        n_files_after = sum(
+            1 for f in os.listdir(self.version_dir()) if f.endswith(".parquet")
+        )
+        return {
+            "collection": self.name,
+            "rows": n,
+            "files_before": n_files_before,
+            "files_after": n_files_after,
+        }
 
     def _next_version_dir(self) -> tuple[int, str]:
         nxt = self.version + 1

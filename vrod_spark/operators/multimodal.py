@@ -59,13 +59,32 @@ def extract_features(
     multimodal stage shape: binary in, fixed-width float vector out,
     processed in Arrow batches with zero driver involvement."""
 
+    # The worker closure must be SELF-CONTAINED: calling the module-level
+    # decode_stub would make cloudpickle serialize it by reference and
+    # require vrod_spark on every worker's import path (breaks when the
+    # driver runs outside the repo — caught by a /tmp driver simulation).
+    fake = fake_decode
+
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
+
+        def decode_local(content: bytes, kind: str) -> dict:
+            if not fake:
+                raise NotImplementedError(
+                    "media decoding requires image/audio libraries not present "
+                    "in this environment; pass fake_decode=True for the stub"
+                )
+            m = len(content or b"")
+            return {
+                "width": (m % 640) + 1,
+                "height": ((m * 7) % 480) + 1,
+                "n_channels": 3 if kind == "image" else 1,
+            }
 
         for pdf in batches:
             feats, sizes = [], []
             for content, kind in zip(pdf["content"], pdf["kind"]):
-                meta = decode_stub(content, kind, fake=fake_decode)
+                meta = decode_local(content, kind)
                 b = np.frombuffer(content or b"\x00", dtype=np.uint8)
                 # Deterministic per-blob feature: byte-histogram moments.
                 chunks = np.array_split(b.astype(np.float64), dim)

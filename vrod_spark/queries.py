@@ -1529,3 +1529,36 @@ def q39_ann_engine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(col.read().count()), n_buckets, float(round(r, 2)), int(approx.count()))],
         "n_rows bigint, n_buckets bigint, recall_at_10 double, n_results bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful streaming operator (applyInPandasWithState): running
+# per-user totals; under availableNow the final emitted state per user
+# must equal the batch aggregate — hash-checked like any batch query.
+# ---------------------------------------------------------------------------
+@query(
+    "q40_stateful_totals",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(coalesce(value, 0)), 4) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q40_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vrod_spark.streaming.ingest import events_stream, run_to_completion
+    from vrod_spark.streaming.stateful import stateful_user_totals
+
+    out = run_to_completion(
+        stateful_user_totals(events_stream(spark, sf_dir)), output_mode="update"
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
