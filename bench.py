@@ -63,7 +63,9 @@ HEADLINE = [
     "q36_stream_sessions",
     "q37_stream_dedup",
     "q38_grouped_normalize",
-    "q39_ann_engine_roundtrip",
+    # q39 (engine ANN roundtrip) stays in the GATE but not the bench
+    # headline: it is an index BUILD (BULKINSERT+REINDEX+search), not a
+    # query — there is no DuckDB-side equivalent to compare latency with.
     "q40_stateful_totals",
 ]
 

@@ -276,3 +276,38 @@ def test_missing_args(engine):
         engine.execute("SEARCH")
     with pytest.raises(CommandArgError):
         engine.execute("UPDATE", collection="c", arg={"where": "id=1"})
+
+
+def test_reindex_ivf_and_search(engine, spark, sf_dir):
+    from vrod_spark.operators.ivf import ivf_search
+
+    engine.execute("CREATE", collection="emb")
+    engine.execute("BULKINSERT", collection="emb", arg=records_df(spark, sf_dir))
+    info = engine.execute("REINDEX", collection="emb", arg={"kind": "ivf", "n_centroids": 16}).info
+    assert info["indexed"] and info["kind"] == "ivf" and info["buckets"] > 1
+    col = engine.db.collection("emb")
+    assert col.meta["index"]["kind"] == "ivf"
+    assert col.read().count() == 500
+
+    qv = [float(x) for x in col.read().filter("id = 11").first()["embedding"]]
+    exact = knn_exact(col.read(), qv, 10, vec_col="embedding", id_col="id")
+    approx = engine.execute("SEARCHSIMILAR", collection="emb", arg={"vector": qv, "k": 10}).df
+    r = recall_at_k(approx, exact)
+    assert r >= 0.2, f"IVF recall too low: {r}"
+    assert approx.first()["id"] == 11  # query vector's own row is found
+
+    # recall is monotone in candidate budget and exact in the limit
+    wide = ivf_search(col, qv, 10, candidate_factor=40)
+    assert recall_at_k(wide, exact) >= r
+    full = ivf_search(col, qv, 10, candidate_factor=10**6)
+    assert recall_at_k(full, exact) == 1.0
+
+    # mutations invalidate IVF like any index
+    engine.execute("DELETE", collection="emb", arg="id = 499")
+    assert col.meta["index"] is None
+
+
+def test_reindex_unknown_kind_rejected(engine):
+    engine.execute("CREATE", collection="c")
+    with pytest.raises(CommandArgError):
+        engine.execute("REINDEX", collection="c", arg={"kind": "hnsw"})

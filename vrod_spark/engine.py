@@ -296,9 +296,14 @@ class Engine:
         if where:
             df = df.filter(F.expr(where))
         if meta.get("index"):
-            from vrod_spark.operators.ann import ann_search_bucketed
+            if meta["index"].get("kind") == "ivf":
+                from vrod_spark.operators.ivf import ivf_search
 
-            result = ann_search_bucketed(col, vector, k, prefilter=where)
+                result = ivf_search(col, vector, k, prefilter=where)
+            else:
+                from vrod_spark.operators.ann import ann_search_bucketed
+
+                result = ann_search_bucketed(col, vector, k, prefilter=where)
             return CommandResult("SEARCHSIMILAR", df=result)
         result = knn_exact(
             df,
@@ -312,11 +317,23 @@ class Engine:
         return CommandResult("SEARCHSIMILAR", df=result)
 
     def _reindex(self, collection: str | None, arg: Any) -> CommandResult:
-        """REINDEX (builder.rs:73-76): rebuild the ANN index — fit a
-        random-hyperplane LSH, rewrite the snapshot bucket-partitioned,
-        record index params in meta (operators.ann)."""
+        """REINDEX (builder.rs:73-76): rebuild the ANN index and rewrite
+        the snapshot bucket-partitioned. ``arg={"kind": "ivf", ...}``
+        selects the centroid-partitioned IVF index (operators.ivf);
+        default is data-oblivious sign-LSH (operators.ann)."""
         col = self._require_collection(collection)
-        from vrod_spark.operators.ann import reindex_collection
+        opts = dict(arg) if isinstance(arg, dict) else {}
+        kind = opts.pop("kind", "sign_lsh")
+        if kind == "ivf":
+            from vrod_spark.operators.ivf import reindex_ivf
 
-        info = reindex_collection(col, **(arg if isinstance(arg, dict) else {}))
+            info = reindex_ivf(col, **opts)
+        elif kind == "sign_lsh":
+            from vrod_spark.operators.ann import reindex_collection
+
+            info = reindex_collection(col, **opts)
+        else:
+            raise CommandArgError(
+                f"unknown index kind {kind!r}; expected 'sign_lsh' or 'ivf'"
+            )
         return CommandResult("REINDEX", info=info)
