@@ -43,3 +43,30 @@ def test_approx_count_distinct_within_bounds(spark, sf_dir):
     for r in rows:
         exact, approx = r["exact_parts"], r["approx_parts"]
         assert abs(approx - exact) / exact < 0.1, f"HLL off by >10%: {approx} vs {exact}"
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from vrod_spark.operators.skew import salted_join
+    from vrod_spark.sources.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    plain = events.join(cust, "user_id").groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("v")
+    )
+    salted = salted_join(events, cust, "user_id", factor=8).groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("v")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_outer(spark):
+    from vrod_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([(1, "a"), (2, "b"), (99, "orphan")], "k int, lv string")
+    right = spark.createDataFrame([(1, "x"), (2, "y")], "k int, rv string")
+    out = salted_join(left, right, "k", factor=4, how="left")
+    got = {(r["k"], r["rv"]) for r in out.collect()}
+    assert got == {(1, "x"), (2, "y"), (99, None)}

@@ -77,3 +77,13 @@ def test_ingest_missing_id_rejected(eng, spark):
     df = spark.createDataFrame([("x",)], "payload string")
     with pytest.raises(CommandArgError):
         eng.execute("BULKINSERT", collection="vecs", arg=df)
+
+
+def test_bulkinsert_orc(eng, spark, tmp_path):
+    src = str(tmp_path / "in.orc")
+    spark.createDataFrame(
+        [(40, [0.2, 0.8], "orc row", None)],
+        "id bigint, embedding array<float>, payload string, meta map<string,string>",
+    ).write.orc(src)
+    eng.execute("BULKINSERT", collection="vecs", arg=src)
+    assert eng.db.collection("vecs").read().filter("id = 40").first()["payload"] == "orc row"

@@ -218,6 +218,8 @@ class Engine:
             df = raw
         elif isinstance(arg, str) and arg.endswith((".json", ".jsonl", ".ndjson")):
             df = self.spark.read.schema(col.meta["schema"]).json(arg)
+        elif isinstance(arg, str) and arg.endswith(".orc"):
+            df = self.spark.read.orc(arg)
         elif isinstance(arg, str):
             df = self.spark.read.parquet(arg)
         else:
