@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from vrod_spark.functions.text import shingles, shingles_from_tokens, tokens
 from vrod_spark.functions.vector import cosine_similarity
+from vrod_spark.operators.util import widen
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -79,33 +80,54 @@ def jaccard_pairs(
     behavior production dedup uses.
     """
     sh = (
-        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks"))
+        widen(df)  # shingling is per-row compute; don't let a 1-row-group scan serialize it
+        .select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks"))
         .select("id", F.array_distinct(shingles_from_tokens(F.col("_toks"), n)).alias("sh"))
         .withColumn("set_size", F.size("sh"))
     )
     inv = sh.select("id", "set_size", F.explode("sh").alias("shingle"))
-    if max_shingle_df is not None or prune_unique_shingles:
-        # df=1 shingles join only with themselves (removed by id_a < id_b),
-        # so dropping them from the JOIN INPUT is exactness-preserving
-        # (set_size was computed on the full set, so denominators stay
-        # exact) — worth one extra shuffle on long-tail natural corpora
-        # where ~half the shingles are unique, pure overhead on small-vocab
-        # corpora. Hot-shingle pruning (df > max_shingle_df) additionally
-        # caps the quadratic head, trading exactness for scalability.
-        dfreq = inv.groupBy("shingle").agg(F.countDistinct("id").alias("df"))
-        cond = F.col("df") >= 2 if prune_unique_shingles else F.lit(True)
-        if max_shingle_df is not None:
-            cond = cond & (F.col("df") <= max_shingle_df)
-        inv = inv.join(dfreq.filter(cond).select("shingle"), "shingle", "left_semi")
-    a = inv.select(
-        F.col("id").alias("id_a"), F.col("set_size").alias("size_a"), "shingle"
+    # Posting lists per shingle, then i<j pair generation JVM-side inside
+    # the aggregated row. vs the classic inv⋈inv self-join this is ONE
+    # shuffle of the postings (the self-join shuffles — and recomputes the
+    # shingling pipeline for — BOTH sides), emits each unordered pair once
+    # instead of twice, and makes document-frequency pruning a free
+    # `size(members)` filter instead of a second shuffle. Per-row work is
+    # O(df²), so `max_shingle_df` is the scale contract: at corpus scale a
+    # hot shingle (df ~ corpus size) MUST be capped — it carries no
+    # similarity signal and would otherwise dominate any formulation.
+    members = inv.groupBy("shingle").agg(
+        F.array_sort(F.collect_list(F.struct("id", "set_size"))).alias("ms")
     )
-    b = inv.select(
-        F.col("id").alias("id_b"), F.col("set_size").alias("size_b"), "shingle"
+    # df=1 shingles can't form a pair — structurally free to drop now
+    # (`prune_unique_shingles` kept for API compat; it is always implied).
+    cond = F.size("ms") >= 2
+    if max_shingle_df is not None:
+        # Hot-shingle pruning caps the quadratic head, trading exactness
+        # for scalability; set_size was computed on the full shingle set,
+        # so Jaccard denominators stay exact.
+        cond = cond & (F.size("ms") <= max_shingle_df)
+    members = members.filter(cond)
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("ms"),
+                    i + F.lit(2),
+                    F.greatest(F.size(F.col("ms")) - i - F.lit(1), F.lit(0)),
+                ),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    x["set_size"].alias("size_a"),
+                    y["id"].alias("id_b"),
+                    y["set_size"].alias("size_b"),
+                ),
+            ),
+        )
     )
     pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        members.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.size_a", "p.id_b", "p.size_b")
         .groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("inter"))
         .withColumn(
@@ -143,7 +165,8 @@ def minhash_signature(
         ]
     )
     return (
-        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_sh_toks"))
+        widen(df)  # k×|shingles| hashing per row — parallelize single-split scans
+        .select(F.col(id_col).alias("id"), tokens(text_col).alias("_sh_toks"))
         .select("id", sh.alias("_sh"))
         .select("id", sig.alias("sig"))
     )
@@ -195,7 +218,7 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    sh = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks")).select(
+    sh = widen(df).select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks")).select(
         "id", F.array_distinct(shingles_from_tokens(F.col("_toks"), n)).alias("sh")
     )
     verified = (
@@ -247,7 +270,7 @@ def simhash_signatures(
         return pd.Series(out)
 
     token_hashes = F.transform(tokens(F.lower(F.col(text_col))), lambda t: F.xxhash64(t))
-    return df.select(
+    return widen(df).select(
         F.col(id_col).alias("id"), majority64(token_hashes).alias("simhash")
     )
 

@@ -1352,7 +1352,9 @@ def q33_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q34_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vrod_spark.streaming.ingest import events_stream, run_to_completion, tumbling_counts
 
-    out = run_to_completion(tumbling_counts(events_stream(spark, sf_dir), duration="1 hour"))
+    out = run_to_completion(
+        lambda s: tumbling_counts(events_stream(s, sf_dir), duration="1 hour"), spark
+    )
     return out.orderBy("window_start_epoch", "event_type")
 
 
@@ -1375,7 +1377,8 @@ def q35_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vrod_spark.streaming.ingest import events_stream, run_to_completion, sliding_counts
 
     out = run_to_completion(
-        sliding_counts(events_stream(spark, sf_dir), duration="1 hour", slide="30 minutes")
+        lambda s: sliding_counts(events_stream(s, sf_dir), duration="1 hour", slide="30 minutes"),
+        spark,
     )
     return out.orderBy("window_start_epoch")
 
@@ -1410,7 +1413,9 @@ def q36_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     because gaps are >> 1 microsecond)."""
     from vrod_spark.streaming.ingest import events_stream, run_to_completion, session_stats
 
-    sessions = run_to_completion(session_stats(events_stream(spark, sf_dir), gap="10 minutes"))
+    sessions = run_to_completion(
+        lambda s: session_stats(events_stream(s, sf_dir), gap="10 minutes"), spark
+    )
     return (
         sessions.groupBy("user_id")
         .agg(
@@ -1435,9 +1440,11 @@ def q37_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     same file, so duplicate arrivals collapse to the batch distinct count."""
     from vrod_spark.streaming.ingest import dedup_stream, events_stream, run_to_completion
 
-    deduped = dedup_stream(events_stream(spark, sf_dir))
     out = run_to_completion(
-        deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique")),
+        lambda s: dedup_stream(events_stream(s, sf_dir))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique")),
+        spark,
         output_mode="complete",
     )
     return out.orderBy("event_type")
@@ -1552,7 +1559,9 @@ def q40_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vrod_spark.streaming.stateful import stateful_user_totals
 
     out = run_to_completion(
-        stateful_user_totals(events_stream(spark, sf_dir)), output_mode="update"
+        lambda s: stateful_user_totals(events_stream(s, sf_dir)),
+        spark,
+        output_mode="update",
     )
     return (
         out.groupBy("user_id")

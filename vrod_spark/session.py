@@ -43,6 +43,10 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Fair scheduling across concurrently-submitted jobs (the engine is
+        # multi-tenant: the SQL surface, streams, and bench submit from
+        # many threads; FIFO would head-of-line-block behind big stages).
+        .config("spark.scheduler.mode", "FAIR")
         # Arrow-vectorized transfer for every Python/pandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Deterministic, oracle-comparable timestamps.

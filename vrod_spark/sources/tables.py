@@ -8,6 +8,7 @@ column pruning and (on partitioned layouts) partition pruning for free.
 from __future__ import annotations
 
 import os
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -27,13 +28,27 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
+# Per-session DataFrame catalog: `spark.read.parquet` does driver-side file
+# listing + footer schema read on every call, a fixed ~50 ms tax each query
+# pays again for the same immutable table. DataFrames are immutable logical
+# plans, so reusing one per (session, sf_dir, table) is safe and makes
+# repeated `load_table` calls free — the catalog role a real engine's
+# metastore plays. Keyed weakly on the session so a stopped session's plans
+# are collectable and a fresh session never sees stale entries.
+_CATALOG: WeakKeyDictionary = WeakKeyDictionary()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        return _load_events(spark, path)
-    return spark.read.parquet(path)
+    cache = _CATALOG.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    if key not in cache:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        cache[key] = (
+            _load_events(spark, path) if name == "events" else spark.read.parquet(path)
+        )
+    return cache[key]
 
 
 def project_events_raw(raw: DataFrame) -> DataFrame:

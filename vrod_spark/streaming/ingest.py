@@ -58,11 +58,38 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_to_completion(
-    stream_df: DataFrame, *, output_mode: str = "complete"
+    stream, spark: SparkSession | None = None, *, output_mode: str = "complete",
+    state_partitions: int | None = 8,
 ) -> DataFrame:
-    """Execute a streaming DataFrame under availableNow into a memory sink
-    and return the final result as a batch DataFrame. This is the
-    batch-equivalence harness the gate queries use."""
+    """Execute a streaming plan under availableNow into a memory sink and
+    return the final result as a batch DataFrame. This is the
+    batch-equivalence harness the gate queries use.
+
+    ``stream`` is either a streaming DataFrame or a builder
+    ``Callable[[SparkSession], DataFrame]``. The builder form runs the whole
+    stream on a child ``newSession()`` (shared SparkContext, private
+    SQLConf/temp views), so per-stream knobs never mutate shared session
+    state — multiple streams and batch queries can then run concurrently on
+    one session, the multi-tenant shape a real deployment has.
+
+    ``state_partitions`` pins the stateful-operator partition count for this
+    run (a stream's state layout is fixed at first start from
+    ``spark.sql.shuffle.partitions``). Every state partition pays a
+    per-micro-batch store open/commit/checkpoint cost regardless of data
+    volume, so a run whose whole state fits in memory wants few partitions;
+    a production deployment with large keyspaces raises it — the knob is
+    per-stream, not global. Only applied in the builder form (a ready-made
+    DataFrame is already bound to its session's conf)."""
+    if callable(stream):
+        if spark is None:
+            raise ValueError("builder form requires the parent SparkSession")
+        session = spark.newSession()
+        if state_partitions is not None:
+            session.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        stream_df = stream(session)
+    else:
+        stream_df = stream
+        session = stream_df.sparkSession
     name = f"stream_{uuid.uuid4().hex[:12]}"
     q = (
         stream_df.writeStream.outputMode(output_mode)
@@ -72,7 +99,7 @@ def run_to_completion(
         .start()
     )
     q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    return session.table(name)
 
 
 def tumbling_counts(events: DataFrame, *, duration: str = "1 hour") -> DataFrame:
