@@ -351,9 +351,9 @@ def q08b_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang, source,
            count(*)                                            AS n_docs,
-           sum(n_chars)                                        AS total_chars,
+           sum(n_chars)::BIGINT                                AS total_chars,
            round(avg(n_chars), 4)                              AS avg_chars,
-           sum(length(text) - length(replace(text, ' ', '')) + 1) AS total_tokens
+           sum(length(text) - length(replace(text, ' ', '')) + 1)::BIGINT AS total_tokens
     FROM documents
     GROUP BY lang, source
     ORDER BY lang, source
@@ -453,7 +453,7 @@ def q11_date_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            count(*) AS n_events,
            round(sum(value), 4) AS total_value,
-           sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+           sum(CAST(json_extract_string(props, '$.k') AS INT))::BIGINT AS sum_k
     FROM events
     WHERE event_type IN ('click', 'purchase')
     GROUP BY hour_start, event_type
@@ -551,7 +551,7 @@ def q13b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(min(l_extendedprice), 2)    AS min_price,
            round(max(l_extendedprice), 2)    AS max_price,
            (max(struct_pack(p := l_extendedprice, k := l_orderkey))).k AS top_order,
-           list_sort(list(l_linenumber))[1:5] AS first_linenos
+           array_to_string(list_sort(list(l_linenumber))[1:5], ',') AS first_linenos
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -569,9 +569,9 @@ def q14_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by(
                 "l_orderkey", F.struct("l_extendedprice", "l_orderkey")
             ).alias("top_order"),
-            F.slice(F.array_sort(F.collect_list("l_linenumber")), 1, 5).alias(
-                "first_linenos"
-            ),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("l_linenumber")), 1, 5), ","
+            ).alias("first_linenos"),
         )
         .orderBy("l_returnflag")
     )
@@ -1221,9 +1221,9 @@ def q29_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            count(*) AS n_docs,
-           sum(len(string_split(trim(text), ' '))) AS ws_tokens,
-           sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]'))) AS bpe_tokens,
-           sum(n_chars) AS total_chars
+           sum(len(string_split(trim(text), ' ')))::BIGINT AS ws_tokens,
+           sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')))::BIGINT AS bpe_tokens,
+           sum(n_chars)::BIGINT AS total_chars
     FROM documents
     GROUP BY source
     ORDER BY source
