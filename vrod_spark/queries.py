@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # module-level: pandas_udf type hints resolve via func.__globals__
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -995,9 +997,10 @@ def q23_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SQL surface + subqueries: scalar subquery, correlated EXISTS, IN — the
-# engine's spark.sql path over registered collection views (Catalyst
-# decorrelates; same plans as the DataFrame API).
+# SQL surface + subqueries: scalar subquery, correlated EXISTS, IN (Catalyst
+# decorrelates; same plans as the DataFrame API). Tables are referenced as
+# `parquet.`<file>`` directly — no session-global temp views, so concurrent
+# tenants on a shared session can never clobber each other's names.
 # ---------------------------------------------------------------------------
 @query(
     "q24_subqueries",
@@ -1012,17 +1015,17 @@ def q23_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q24_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    cust = f"parquet.`{sf_dir}/customer.parquet`"
+    orders = f"parquet.`{sf_dir}/orders.parquet`"
+    nation = f"parquet.`{sf_dir}/nation.parquet`"
     return spark.sql(
-        """
+        f"""
         SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
-        FROM customer c
-        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
-          AND EXISTS (SELECT 1 FROM orders o
+        FROM {cust} c
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM {cust})
+          AND EXISTS (SELECT 1 FROM {orders} o
                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
-          AND c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2)
+          AND c_nationkey IN (SELECT n_nationkey FROM {nation} WHERE n_regionkey <= 2)
         ORDER BY c_custkey
         """
     )
@@ -1590,16 +1593,220 @@ def q40_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q13c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(
-        """
+        f"""
         SELECT l_returnflag, l_linestatus,
                CAST(grouping(l_returnflag) AS INT) AS g_flag,
                CAST(grouping(l_linestatus) AS INT) AS g_status,
                count(*) AS n,
                round(sum(l_quantity), 2) AS sum_qty
-        FROM lineitem
+        FROM parquet.`{sf_dir}/lineitem.parquet`
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
         ORDER BY g_flag, g_status, l_returnflag, l_linestatus
         """
+    )
+
+# ---------------------------------------------------------------------------
+# Map functions over a constructed MAP<STRING,STRING> column: create_map,
+# map_concat, map_filter, transform_values, map_keys/map_values, element_at,
+# size. All Catalyst expressions (no Python crossing); the oracle computes
+# the same scalars from the flat columns. SURVEY §2.3 "Map functions" row.
+# ---------------------------------------------------------------------------
+@query(
+    "q41_map_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           upper(o_orderstatus)   AS status,
+           upper(o_orderpriority) AS priority,
+           3 AS n_keys,
+           'priority,status,yr' AS keys_csv,
+           array_to_string(
+               list_sort([upper(o_orderstatus), upper(o_orderpriority),
+                          CAST(year(o_orderdate) AS VARCHAR)]), ',') AS vals_csv
+    FROM orders
+    WHERE o_custkey < 50
+    ORDER BY o_orderkey
+    """,
+)
+def q41_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+        F.lit("custkey"), F.col("o_custkey").cast("string"),
+    )
+    m2 = F.map_concat(m, F.create_map(F.lit("yr"), F.year("o_orderdate").cast("string")))
+    keep = F.map_filter(m2, lambda k, _v: k != F.lit("custkey"))
+    up = F.transform_values(keep, lambda _k, v: F.upper(v))
+    return (
+        orders.filter(F.col("o_custkey") < 50)
+        .select(
+            "o_orderkey",
+            F.element_at(up, "status").alias("status"),
+            F.element_at(up, "priority").alias("priority"),
+            F.size(keep).alias("n_keys"),
+            F.array_join(F.array_sort(F.map_keys(keep)), ",").alias("keys_csv"),
+            F.array_join(F.array_sort(F.map_values(up)), ",").alias("vals_csv"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Right outer equi-join: every customer survives; order columns are NULL for
+# customers with no orders. At scale: shuffle join on the key, AQE handles
+# skew; the small grouped output makes the agg shuffle O(segments).
+# SURVEY §2.3 "Inner / left / right / full equi-join" row (right).
+# ---------------------------------------------------------------------------
+@query(
+    "q42_right_outer_join",
+    oracle="""
+    SELECT c_mktsegment,
+           count(DISTINCT c_custkey) AS n_cust,
+           count(o_orderkey) AS n_orders,
+           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_no_order
+    FROM (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderstatus = 'O') o
+         RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q42_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "right")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_cust"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("n_no_order"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full outer equi-join: per-custkey order rollup ⟗ high-balance customers.
+# Both null sides are non-vacuous (customers with orders but low balance;
+# high-balance customers with no orders). SURVEY §2.3 join row (full).
+# ---------------------------------------------------------------------------
+@query(
+    "q43_full_outer_join",
+    oracle="""
+    WITH l AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+               WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+         r AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 7000)
+    SELECT CASE WHEN l.o_custkey IS NOT NULL AND r.c_custkey IS NOT NULL THEN 'both'
+                WHEN r.c_custkey IS NULL THEN 'orders_only'
+                ELSE 'rich_only' END AS bucket,
+           count(*) AS n,
+           sum(coalesce(l.n_orders, 0))::BIGINT AS total_orders,
+           round(sum(coalesce(r.c_acctbal, 0)), 2) AS total_bal
+    FROM l FULL OUTER JOIN r ON l.o_custkey = r.c_custkey
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def q43_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    left = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    right = cust.filter(F.col("c_acctbal") > 7000).select("c_custkey", "c_acctbal")
+    j = left.join(right, left.o_custkey == right.c_custkey, "full")
+    bucket = (
+        F.when(F.col("o_custkey").isNotNull() & F.col("c_custkey").isNotNull(), "both")
+        .when(F.col("c_custkey").isNull(), "orders_only")
+        .otherwise("rich_only")
+    )
+    return (
+        j.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce("n_orders", F.lit(0))).alias("total_orders"),
+            F.round(F.sum(F.coalesce("c_acctbal", F.lit(0.0))), 2).alias("total_bal"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# UDAF: grouped-aggregate pandas_udf (Arrow-batched, one Python call per
+# group partition — the declared custom-aggregate surface, SURVEY §2.3 UDF
+# table). Weighted mean of document length, weight = (doc_id % 10 + 1).
+# Defined inside the function so it pickles by value (worker-safe without
+# vrod_spark on sys.path).
+# ---------------------------------------------------------------------------
+@query(
+    "q44_udaf_weighted_mean",
+    oracle="""
+    SELECT lang,
+           round(sum(n_chars * (doc_id % 10 + 1)) / sum(doc_id % 10 + 1), 4)
+               AS wmean_chars,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q44_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark disallows mixing grouped-agg pandas UDFs with built-in aggregates
+    # in one .agg(), so both output columns are pandas UDAFs.
+    @F.pandas_udf("double")
+    def wmean(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    @F.pandas_udf("long")
+    def cnt(v: pd.Series) -> int:
+        return len(v)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.col("n_chars").cast("double").alias("v"),
+        ((F.col("doc_id") % 10) + 1).cast("double").alias("w"),
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.round(wmean("v", "w"), 4).alias("wmean_chars"),
+            cnt("v").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar Python UDF escape hatch (SURVEY §2.3): row-at-a-time, deliberately
+# demonstrated on a 25-row dimension, NEVER a hot path — the engine's rule is
+# built-ins first, pandas_udf second, this only for logic neither can express.
+# The oracle computes the same value with pure SQL, proving equivalence.
+# ---------------------------------------------------------------------------
+@query(
+    "q45_scalar_udf",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           CAST(length(n_name)
+                - length(regexp_replace(upper(n_name), '[AEIOU]', '', 'g')) AS INT)
+               AS n_vowels
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def q45_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.udf("int")
+    def vowels(s: str) -> int:
+        return sum(1 for ch in s.upper() if ch in "AEIOU")
+
+    return (
+        _t(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", vowels("n_name").alias("n_vowels"))
+        .orderBy("n_nationkey")
     )
