@@ -76,6 +76,7 @@ HEADLINE = [
     "q26b_minhash_lsh_pairs",
     "q27_simhash_pairs",
     "q28_embedding_near_dup",
+    "q28b_embedding_near_dup_bucketed",
     "q29_lang_quality",
     "q30_token_counts",
     "q31_fingerprint",

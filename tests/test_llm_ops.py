@@ -92,6 +92,41 @@ def test_embedding_near_dup(spark):
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(0, 1)]
 
 
+def test_embedding_near_dup_bucketed_planted(spark):
+    """Scale-path operator: LSH-bucketed + sub-blocked matmul. Planted noisy
+    near-dups must be recovered (recall vs the exact operator ≥ 0.9 at these
+    LSH parameters), with zero false positives (candidates are re-scored
+    exactly). Tiny target_rows_per_block forces multi-sub-block buckets so
+    the cross-sub-block pair path is exercised."""
+    import numpy as np
+
+    from vrod_spark.operators.dedup import embedding_near_dup_bucketed
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((200, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist()) for i in range(200)]
+    for i in range(30):
+        v = base[i] + 0.02 * rng.standard_normal(16)
+        v /= np.linalg.norm(v)
+        rows.append((1000 + i, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_bucketed(
+            df, min_cosine=0.98, n_planes=4, n_tables=6, target_rows_per_block=8
+        ).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(df, min_cosine=0.98).collect()
+    }
+    assert set(got) <= exact  # precision 1.0: exact rescoring of candidates
+    assert len(set(got) & exact) / len(exact) >= 0.9  # LSH recall bound
+    assert all(c >= 0.98 for c in got.values())
+
+
 def test_lang_id_on_real_text(spark):
     samples = [
         (0, "the cat sat on the mat and it was happy that day", "en"),

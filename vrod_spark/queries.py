@@ -1161,6 +1161,44 @@ def q28_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bucketed (LSH + blocked matmul) embedding similarity join — the 100-TB
+# scale path for q28. Hash-checkable despite LSH approximation: the query
+# plants 50 EXACT duplicate vectors (shifted ids), and identical vectors
+# collide in every sign-LSH table with probability 1, so the result is
+# deterministically those 50 pairs at cosine 1.0. Natural uniform-sphere
+# pairs can never reach the 0.9999 threshold.
+# ---------------------------------------------------------------------------
+@query(
+    "q28b_embedding_near_dup_bucketed",
+    oracle="""
+    SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0::DOUBLE AS cosine
+    FROM embeddings
+    WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 50)
+    ORDER BY id_a
+    """,
+)
+def q28b_embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vrod_spark.operators.dedup import embedding_near_dup_bucketed
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = (
+        emb.orderBy("vec_id")
+        .limit(50)
+        .select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    )
+    pairs = embedding_near_dup_bucketed(
+        emb.unionByName(planted),
+        min_cosine=0.9999,
+        n_planes=6,
+        n_tables=2,
+        target_rows_per_block=16,  # small on purpose: exercises sub-blocking
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    ).orderBy("id_a")
+
+
+# ---------------------------------------------------------------------------
 # Language-ID + quality scoring: per-document heuristics (pure expressions)
 # aggregated per predicted language.
 # ---------------------------------------------------------------------------
