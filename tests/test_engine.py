@@ -252,19 +252,51 @@ def test_reindex_and_ann_search(engine, spark, sf_dir):
     assert recall_at_k(full, exact) == 1.0
 
 
-def test_mutation_invalidates_index(engine, spark, sf_dir):
+def test_indexed_insert_is_odelta_and_keeps_index(engine, spark, sf_dir):
+    """INSERT into an indexed collection must NOT rewrite the snapshot or
+    invalidate the index (VERDICT r1 #5): the delta is bucket-assigned with
+    the index's own hash and appended into the existing bucket= dirs; prior
+    data files are hard-linked (same inode), and the histogram grows by the
+    delta count so SEARCHSIMILAR keeps pruning correctly."""
     engine.execute("CREATE", collection="emb")
     engine.execute("BULKINSERT", collection="emb", arg=records_df(spark, sf_dir))
     engine.execute("REINDEX", collection="emb")
     col = engine.db.collection("emb")
-    assert col.meta["index"]
+    idx_before = col.meta["index"]
+    assert idx_before
+    before_dir = col.version_dir()
+    inodes = {}
+    for root, _dirs, files in os.walk(before_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                rel = os.path.relpath(os.path.join(root, f), before_dir)
+                inodes[rel] = os.stat(os.path.join(root, f)).st_ino
+
+    query_vec = [0.25] * 64
     engine.execute(
         "INSERT",
         collection="emb",
-        arg=[{"id": 10_000, "embedding": [0.0] * 64, "payload": "new"}],
+        arg=[{"id": 10_000, "embedding": query_vec, "payload": "new"}],
     )
-    assert col.meta["index"] is None
+    meta = col.meta
+    assert meta["index"] is not None  # index SURVIVES the append
+    assert meta["index"]["kind"] == idx_before.get("kind", "sign_lsh")
+    after_dir = col.version_dir()
+    assert after_dir != before_dir
+    # Every prior data file is the SAME inode (hard-linked, not rewritten).
+    for rel, ino in inodes.items():
+        assert os.stat(os.path.join(after_dir, rel)).st_ino == ino
+    # Histogram accounts for exactly the delta.
+    assert sum(meta["index"]["histogram"].values()) == sum(
+        idx_before["histogram"].values()
+    ) + 1
     assert col.read().count() == 501
+    # The freshly appended vector is findable through the pruned ANN path
+    # (its own bucket is always probed first; distance 0 wins).
+    hit = engine.execute(
+        "SEARCHSIMILAR", collection="emb", arg={"vector": query_vec, "k": 1}
+    ).df.collect()
+    assert [r["id"] for r in hit] == [10_000]
 
 
 # -- arg validation --------------------------------------------------------
@@ -311,3 +343,37 @@ def test_reindex_unknown_kind_rejected(engine):
     engine.execute("CREATE", collection="c")
     with pytest.raises(CommandArgError):
         engine.execute("REINDEX", collection="c", arg={"kind": "hnsw"})
+
+
+def test_single_job_per_mutation_commit(engine, spark):
+    """Each INSERT/UPDATE/DELETE commit runs exactly ONE Spark job: counts
+    and dimension checks ride the write via df.observe (VERDICT r1 #4) —
+    no validation pre-pass, no post-write re-read."""
+    engine.execute("CREATE", collection="vec")
+    sc = spark.sparkContext
+
+    def jobs_for(group: str, fn) -> int:
+        sc.setJobGroup(group, group)
+        try:
+            fn()
+        finally:
+            sc.setJobGroup("outside", "outside")
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    assert jobs_for(
+        "g-ins",
+        lambda: engine.execute(
+            "INSERT",
+            collection="vec",
+            arg=[{"id": 1, "embedding": [1.0, 0.0], "payload": "a"}],
+        ),
+    ) == 1
+    assert jobs_for(
+        "g-upd",
+        lambda: engine.execute(
+            "UPDATE", collection="vec", arg={"where": "id = 1", "set": {"payload": "'b'"}}
+        ),
+    ) == 1
+    assert jobs_for(
+        "g-del", lambda: engine.execute("DELETE", collection="vec", arg="id = 1")
+    ) == 1

@@ -277,85 +277,212 @@ class Collection:
 
     def _link_existing(self, src_dir: str, dst_dir: str) -> int:
         """Hard-link the prior snapshot's data files into the new version —
-        O(1) per file, no data copy. Returns number of linked files."""
+        O(1) per file, no data copy. Recurses into ``bucket=`` partition
+        subdirectories so indexed (bucket-partitioned) snapshots link the
+        same way flat ones do. Returns number of linked files."""
         n = 0
         for fname in os.listdir(src_dir):
             if fname.startswith(("_", ".")):
                 continue
-            os.link(os.path.join(src_dir, fname), os.path.join(dst_dir, fname))
-            n += 1
+            src = os.path.join(src_dir, fname)
+            dst = os.path.join(dst_dir, fname)
+            if os.path.isdir(src):
+                os.makedirs(dst, exist_ok=True)
+                n += self._link_existing(src, dst)
+            else:
+                os.link(src, dst)
+                n += 1
         return n
+
+    def _index_bucket_col(self, idx: dict):
+        """Bucket-assignment column for the CURRENT index — the same
+        function REINDEX used, applied to a delta only."""
+        from pyspark.sql import functions as F
+
+        if idx.get("kind") == "ivf":
+            import numpy as np
+
+            from vrod_spark.operators.ivf import ivf_assign_expr
+
+            return ivf_assign_expr(
+                self.db.spark, np.asarray(idx["centroids"], dtype=np.float64)
+            )
+        import numpy as np
+
+        from vrod_spark.operators.ann import bucket_expr
+
+        return bucket_expr("embedding", np.asarray(idx["planes"], dtype=np.float64))
+
+    @staticmethod
+    def _merge_partitioned_delta(staging: str, nxt_dir: str, nxt: int) -> dict[str, int]:
+        """Move staged ``bucket=K/`` delta files into the new version's
+        matching partition dirs (``d{nxt}-`` prefixed, collision-free) and
+        return per-bucket added-row counts — read driver-side from parquet
+        footers (pyarrow), zero Spark jobs, O(delta files)."""
+        import pyarrow.parquet as pq
+
+        added: dict[str, int] = {}
+        for entry in os.listdir(staging):
+            if not entry.startswith("bucket="):
+                continue
+            bucket = entry.split("=", 1)[1]
+            dst = os.path.join(nxt_dir, entry)
+            os.makedirs(dst, exist_ok=True)
+            for fname in os.listdir(os.path.join(staging, entry)):
+                if fname.startswith(("_", ".")):
+                    continue
+                src = os.path.join(staging, entry, fname)
+                added[bucket] = added.get(bucket, 0) + pq.ParquetFile(src).metadata.num_rows
+                os.rename(src, os.path.join(dst, f"d{nxt}-{fname}"))
+        return added
 
     # -- mutations (each: write new snapshot → atomic pointer swap) --------
     def insert(self, df: DataFrame) -> int:
         """INSERT / BULKINSERT (builder.rs:43-52): append-only commit.
-        Existing files are hard-linked; only the delta is written."""
+        Existing files are hard-linked; only the delta is written — for
+        indexed collections too: the delta is bucket-assigned with the
+        index's own hash function and appended into the existing
+        ``bucket=`` partition dirs, keeping the index VALID (histogram
+        updated from delta parquet footers). A 1 GB append to a 100 TB
+        indexed collection touches 1 GB.
+
+        Exactly ONE Spark job runs per insert: the staging write, which
+        also carries the row count and vector-dimension min/max as
+        ``observe`` metrics. Dimension enforcement happens after staging,
+        before the pointer swap — a bad ingest aborts without committing.
+        """
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
         from vrod_spark.engine import validate_records  # cycle-free at call time
+        from vrod_spark.errors import DimensionMismatchError
 
         df = validate_records(self, df)
-        n_new = df.count()
-        if self.meta.get("index"):
-            # Indexed snapshots are bucket-partitioned; a delta append would
-            # bypass the bucket layout. Union-rewrite and invalidate the
-            # index (caller re-runs REINDEX when ingest settles).
-            merged = self.read().unionByName(df)
-            self.update_meta(index=None)
-            self._rewrite(merged, "INSERT", {"rows": n_new, "index": "invalidated"})
-            return n_new
+        has_vec = "embedding" in df.columns
+        obs = Observation()
+        metrics = [F.count(F.lit(1)).alias("n")]
+        if has_vec:
+            metrics += [
+                F.min(F.size("embedding")).alias("dmin"),
+                F.max(F.size("embedding")).alias("dmax"),
+            ]
+        df = df.observe(obs, *metrics)
+
+        idx = self.meta.get("index")
+        if idx:
+            df = df.withColumn("bucket", self._index_bucket_col(idx))
+
         cur_dir = self.version_dir()
-        nxt, nxt_dir = self._next_version_dir()
         staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(staging)
+        writer = df.write.mode("overwrite")
+        if idx:
+            writer = writer.partitionBy("bucket")
+        try:
+            writer.parquet(staging)  # the ONE job; metrics ride along
+            vals = obs.get
+            n_new = int(vals["n"])
+            if has_vec and n_new and vals.get("dmin") is not None:
+                dmin, dmax = int(vals["dmin"]), int(vals["dmax"])
+                if dmin != dmax:
+                    raise DimensionMismatchError(
+                        f"mixed vector dimensions in ingest: [{dmin}..{dmax}]"
+                    )
+                declared = self.meta.get("dimension")
+                if declared is None:
+                    self.update_meta(dimension=dmin)
+                elif dmin != declared:
+                    raise DimensionMismatchError(
+                        f"vector dimension {dmin} != collection dimension {declared}"
+                    )
+        except Exception:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+
+        nxt, nxt_dir = self._next_version_dir()
         os.makedirs(nxt_dir)
         self._link_existing(cur_dir, nxt_dir)
-        for fname in os.listdir(staging):
-            if fname.startswith(("_", ".")):
-                continue
-            # Prefix delta files so they can never collide with linked ones.
-            os.rename(
-                os.path.join(staging, fname), os.path.join(nxt_dir, f"d{nxt}-{fname}")
-            )
-        shutil.rmtree(staging)
-        self._commit(nxt, "INSERT", {"rows": n_new})
+        if idx:
+            added = self._merge_partitioned_delta(staging, nxt_dir, nxt)
+            hist = {str(k): int(v) for k, v in (idx.get("histogram") or {}).items()}
+            for b, cnt in added.items():
+                hist[b] = hist.get(b, 0) + cnt
+            self.update_meta(index={**idx, "histogram": hist})
+            detail = {"rows": n_new, "index": "maintained", "delta_buckets": len(added)}
+        else:
+            for fname in os.listdir(staging):
+                if fname.startswith(("_", ".")):
+                    continue
+                # Prefix delta files so they can never collide with linked ones.
+                os.rename(
+                    os.path.join(staging, fname),
+                    os.path.join(nxt_dir, f"d{nxt}-{fname}"),
+                )
+            detail = {"rows": n_new}
+        shutil.rmtree(staging, ignore_errors=True)
+        self._commit(nxt, "INSERT", detail)
         return n_new
 
-    def _rewrite(self, df: DataFrame, op: str, detail: dict | None = None) -> int:
+    def _rewrite(self, df: DataFrame, op: str, detail: dict | None = None,
+                 observation=None) -> int:
         """Full-snapshot rewrite commit (UPDATE/DELETE path). Clears any
         LSH index: the rewrite is unpartitioned, so a stale bucket layout
-        must not be trusted afterwards."""
+        must not be trusted afterwards. Single job: the row count (plus any
+        caller-attached metrics) rides the write via ``observe`` — no
+        post-write re-read."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        if observation is None:
+            observation = Observation()
+            df = df.observe(observation, F.count(F.lit(1)).alias("rows"))
         nxt, nxt_dir = self._next_version_dir()
         df.write.mode("overwrite").parquet(nxt_dir)
+        n = int(observation.get["rows"])
         if self.meta.get("index"):
             self.update_meta(index=None)
-        n = self.db.spark.read.schema(self.meta["schema"]).parquet(nxt_dir).count()
         self._commit(nxt, op, {**(detail or {}), "rows": n})
         return n
 
     def update(self, predicate: str, assignments: dict[str, str]) -> int:
         """UPDATE (builder.rs:53-57): copy-on-write rewrite of the snapshot
         with `assignments` (col -> SQL expression) applied where
-        `predicate` (SQL boolean over the record columns) holds."""
+        `predicate` (SQL boolean over the record columns) holds. The
+        matched-row count is an ``observe`` metric on the rewrite job —
+        one job total, not a separate filter().count() pre-pass."""
+        from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
         df = self.read()
         cond = F.expr(predicate)
+        obs = Observation()
+        df = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)).alias("matched"),
+        )
         out = df
         for col_name, expr_str in assignments.items():
             out = out.withColumn(
                 col_name, F.when(cond, F.expr(expr_str)).otherwise(F.col(col_name))
             )
-        n_matched = df.filter(cond).count()
-        self._rewrite(out, "UPDATE", {"predicate": predicate, "matched": n_matched})
-        return n_matched
+        self._rewrite(out, "UPDATE", {"predicate": predicate}, observation=obs)
+        return int(obs.get["matched"])
 
     def delete(self, predicate: str) -> int:
-        """DELETE (builder.rs:58-62): anti-filter rewrite."""
+        """DELETE (builder.rs:58-62): anti-filter rewrite. Matched count is
+        observed on the pre-filter scan of the same single rewrite job."""
+        from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
         df = self.read()
-        n_matched = df.filter(F.expr(predicate)).count()
-        self._rewrite(df.filter(~F.expr(predicate)), "DELETE", {"predicate": predicate})
-        return n_matched
+        pred = F.expr(predicate)
+        obs = Observation()
+        df = df.observe(
+            obs,
+            F.coalesce(F.sum(F.when(pred, 1).otherwise(0)), F.lit(0)).alias("matched"),
+        )
+        self._rewrite(df.filter(~pred), "DELETE", {"predicate": predicate})
+        return int(obs.get["matched"])
 
     # -- maintenance -------------------------------------------------------
     def truncate_wal(self) -> dict:

@@ -50,6 +50,26 @@ def _spherical_kmeans(sample: np.ndarray, k: int, iters: int = 10, seed: int = S
     return centroids
 
 
+def ivf_assign_expr(spark, centroids: np.ndarray, vec_col: str = "embedding"):
+    """Nearest-centroid bucket assignment as an Arrow-batched column
+    expression (broadcast centroid matrix, one matmul per batch). Shared by
+    the REINDEX rewrite and the O(delta) indexed-INSERT path."""
+    cb = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    @F.pandas_udf("int")
+    def assign(vecs):
+        import numpy as np
+        import pandas as pd
+
+        cents = cb.value
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        unit = mat / np.where(norms == 0, 1, norms)
+        return pd.Series(np.argmax(unit @ cents.T, axis=1).astype(np.int32))
+
+    return assign(F.col(vec_col))
+
+
 def reindex_ivf(
     collection,
     *,
@@ -71,20 +91,9 @@ def reindex_ivf(
     )
     sample = np.array([r["embedding"] for r in sample_rows], dtype=np.float64)
     centroids = _spherical_kmeans(sample, n_centroids, seed=seed)
-    cb = df.sparkSession.sparkContext.broadcast(centroids)
-
-    @F.pandas_udf("int")
-    def assign(vecs):
-        import numpy as np
-        import pandas as pd
-
-        cents = cb.value
-        mat = np.array(vecs.tolist(), dtype=np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        unit = mat / np.where(norms == 0, 1, norms)
-        return pd.Series(np.argmax(unit @ cents.T, axis=1).astype(np.int32))
-
-    bucketed = df.withColumn("bucket", assign(F.col("embedding")))
+    bucketed = df.withColumn(
+        "bucket", ivf_assign_expr(df.sparkSession, centroids, "embedding")
+    )
     nxt, nxt_dir = collection._next_version_dir()
     (
         bucketed.repartition("bucket")
