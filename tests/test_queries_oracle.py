@@ -29,3 +29,25 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     assert sorted(sdf.columns) == sorted(dcols)
     assert len(srows) == len(drows)
     assert canon(srows, sdf.columns) == canon(drows, dcols)
+
+
+def test_q24_immune_to_poisoned_temp_view(spark, sf_dir, duck):
+    """SQL-surface gate queries reference parquet files directly — a
+    concurrently-registered temp view with a clashing table name must not
+    change the result (VERDICT r1 #6: shared-session tenant isolation)."""
+    poisoned = spark.createDataFrame(
+        [(999999, "EVIL", 1e9, 0)],
+        "c_custkey bigint, c_name string, c_acctbal double, c_nationkey bigint",
+    )
+    poisoned.createOrReplaceTempView("customer")
+    poisoned.createOrReplaceTempView("orders")
+    try:
+        sdf = QUERIES["q24_subqueries"](spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        rel = duck.execute(ORACLES["q24_subqueries"])
+        drows = rel.fetchall()
+        assert len(srows) == len(drows)
+        assert canon(srows, sdf.columns) == canon(drows, [d[0] for d in rel.description])
+    finally:
+        spark.catalog.dropTempView("customer")
+        spark.catalog.dropTempView("orders")

@@ -34,7 +34,19 @@ def salted_join(
 
     ``salt_by`` names a left column to derive the deterministic salt from
     (defaults to the join key's row spread via xxhash64 over all left
-    columns — deterministic per row content, so results are stable)."""
+    columns — deterministic per row content, so results are stable).
+
+    Only left-preserving joins are valid: the right side is REPLICATED
+    ``factor`` times, so 'right'/'full'/'right_semi' would emit ``factor``
+    duplicate copies of every unmatched right row (ADVICE r1). Flip the
+    operands (salting always salts the LARGE side) instead."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+               "left_anti", "leftanti"}
+    if how.lower().replace("_", "") not in {a.replace("_", "") for a in allowed}:
+        raise ValueError(
+            f"salted_join supports left-preserving joins only ({sorted(allowed)}); "
+            f"got how={how!r} — swap the sides so the replicated side is the small one"
+        )
     if salt_by is None:
         salt_src = F.xxhash64(*[F.col(c) for c in left.columns])
     else:

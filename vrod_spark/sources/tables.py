@@ -8,6 +8,7 @@ column pruning and (on partitioned layouts) partition pruning for free.
 from __future__ import annotations
 
 import os
+import threading
 from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,18 +38,27 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 # are collectable and a fresh session never sees stale entries.
 _CATALOG: WeakKeyDictionary = WeakKeyDictionary()
 
+#: Guards catalog population AND the nanosAsLong conf toggle inside
+#: ``_load_events``: the bench runs queries concurrently on one shared
+#: session, and an unguarded save-toggle-restore of session conf from two
+#: threads can restore mid-toggle state (ADVICE r1). Serializing the (rare,
+#: once-per-table) cache misses removes the race; cache hits stay lock-free
+#: after the dict read barrier.
+_LOCK = threading.RLock()
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    cache = _CATALOG.setdefault(spark, {})
-    key = (os.path.abspath(sf_dir), name)
-    if key not in cache:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        cache[key] = (
-            _load_events(spark, path) if name == "events" else spark.read.parquet(path)
-        )
-    return cache[key]
+    with _LOCK:
+        cache = _CATALOG.setdefault(spark, {})
+        key = (os.path.abspath(sf_dir), name)
+        if key not in cache:
+            path = os.path.join(sf_dir, f"{name}.parquet")
+            cache[key] = (
+                _load_events(spark, path) if name == "events" else spark.read.parquet(path)
+            )
+        return cache[key]
 
 
 def project_events_raw(raw: DataFrame) -> DataFrame:
