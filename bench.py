@@ -99,6 +99,21 @@ HEADLINE = [
 ]
 
 
+#: Queries whose uncontended latency is re-measured serially after the
+#: concurrent suite (see the serial pass in main): the pair-generation and
+#: text-heavy paths where a plan regression actually moves the needle.
+SERIAL_TRACK = [
+    "q26_jaccard_top_pairs",
+    "q26b_minhash_lsh_pairs",
+    "q27_simhash_pairs",
+    "q28_embedding_near_dup",
+    "q28b_embedding_near_dup_bucketed",
+    "q29_lang_quality",
+    "q31_fingerprint",
+    "q22_distinct_percentiles",
+]
+
+
 def _warmup(spark, sf_dir: str) -> None:
     import pandas as pd  # noqa: F401
     from pyspark.sql import functions as F
@@ -168,6 +183,19 @@ def main() -> None:
             list(pool.map(run_one, enumerate(names)))
     wall = round(time.perf_counter() - suite_start, 3)
 
+    # Uncontended per-query latency for the expensive queries — concurrent
+    # timings include scheduler contention, so regressions in a single
+    # query's plan (the q26/q27/q28 pair paths especially) hide inside the
+    # noise. A short serial pass pins them per round.
+    serial_queries: dict[str, float] = {}
+    if not serial:
+        for name in SERIAL_TRACK:
+            if name not in QUERIES:
+                continue
+            start = time.perf_counter()
+            QUERIES[name](spark, sf_dir).collect()
+            serial_queries[name] = round(time.perf_counter() - start, 3)
+
     print(
         json.dumps(
             {
@@ -179,6 +207,7 @@ def main() -> None:
                 "mode": "serial" if serial else "concurrent",
                 "workers": 1 if serial else workers,
                 "serial_sum_sec": round(sum(timings.values()), 3),
+                **({"serial_queries": serial_queries} if serial_queries else {}),
             }
         )
     )

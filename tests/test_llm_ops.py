@@ -194,3 +194,57 @@ def test_embed_pipeline_roundtrip(spark, tmp_path):
         by_word[r["payload"]] = r["embedding"]
     stats = embedding_stats(df)
     assert stats["count"] == 10 and stats["dimension"] == 16
+
+
+def test_model_seam_accepts_real_embedder_shape(spark, tmp_path):
+    """Proves the pluggable-embedder seam (pipeline.py embed_corpus
+    ``embedder=``) accepts a fastembed-class model stand-in — DIFFERENT
+    dimension than the default, NON-unit-norm output — end-to-end:
+    embed_corpus → BULKINSERT → REINDEX → SEARCHSIMILAR. A real
+    sentence-transformer drops in the same way: any
+    ``pd.Series[str] -> pd.Series[list[float]]`` callable
+    (reference embeds via fastembed bge-small-en-v1.5,
+    src/utils/embeddings.rs:7)."""
+    import numpy as np
+    import pandas as pd
+
+    from vrod_spark.engine import Engine
+    from vrod_spark.pipeline import embed_corpus
+
+    DIM = 24  # ≠ default 64: the collection must pin the model's dim
+
+    def fake_model(words):  # (pd.Series[str] -> pd.Series[list[float]])
+        # Deterministic per-word vectors, deliberately NOT unit-norm
+        # (real models emit unnormalized logits/poolings too). zlib.crc32,
+        # not hash(): Python string hashing is per-process seeded, and the
+        # same word must embed identically on workers and driver.
+        import zlib
+
+        out = []
+        for w in words:
+            rng = np.random.default_rng(zlib.crc32(w.encode("utf-8")))
+            out.append((rng.standard_normal(DIM) * 3.0).astype(np.float32).tolist())
+        return pd.Series(out)
+
+    corpus_path = str(tmp_path / "corpus.txt")
+    with open(corpus_path, "w") as f:
+        f.write("alpha beta gamma delta epsilon zeta eta theta iota kappa\n")
+        f.write("lambda mu nu xi omicron pi rho sigma tau upsilon\n")
+
+    df = embed_corpus(spark, corpus_path, embedder=fake_model)
+    eng = Engine.create(spark, str(tmp_path), "seamdb")
+    eng.execute("CREATE", collection="words")
+    eng.execute("BULKINSERT", collection="words", arg=df)
+    col = eng.db.collection("words")
+    assert col.meta["dimension"] == DIM  # dim pinned from the model output
+
+    eng.execute("REINDEX", collection="words", arg={"n_planes": 4})
+    assert col.meta["index"]["kind"] == "sign_lsh"
+
+    # Search with the model's own vector for a stored word: the stored row
+    # must come back first (distance 0 through the pruned ANN path).
+    target = fake_model(pd.Series(["gamma"]))[0]
+    hits = eng.execute(
+        "SEARCHSIMILAR", collection="words", arg={"vector": [float(x) for x in target], "k": 3}
+    ).df.collect()
+    assert hits and hits[0]["payload"] == "gamma"
