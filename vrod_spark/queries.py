@@ -1580,6 +1580,62 @@ def q39_ann_engine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# End-to-end IVF variant of q39 — REINDEX kind=ivf (k-means centroid
+# partitioning), then an O(delta) INSERT into the indexed collection
+# (round-2 capability: the index must SURVIVE the append and the appended
+# vector must be findable through the pruned probe path). Rows-only.
+# ---------------------------------------------------------------------------
+@query("q39b_ivf_engine_roundtrip")
+def q39b_ivf_engine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from vrod_spark.engine import Engine
+    from vrod_spark.operators.ann import recall_at_k
+    from vrod_spark.operators.knn import knn_exact
+
+    eng = Engine.create(spark, tempfile.mkdtemp(), "ivfgate")
+    eng.execute("CREATE", collection="emb")
+    emb = _t(spark, sf_dir, "embeddings")
+    records = emb.select(
+        F.col("vec_id").alias("id"),
+        "embedding",
+        F.col("label").cast("string").alias("payload"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    eng.execute("BULKINSERT", collection="emb", arg=records)
+    eng.execute("REINDEX", collection="emb", arg={"kind": "ivf", "n_centroids": 32})
+    col = eng.db.collection("emb")
+    dim = int(col.meta["dimension"])
+    delta_vec = [1.0 / (dim ** 0.5)] * dim
+    eng.execute(
+        "INSERT",
+        collection="emb",
+        arg=[{"id": 1_000_000, "embedding": delta_vec, "payload": "delta"}],
+    )
+    idx = col.meta["index"]
+    kind_after_insert = idx["kind"] if idx else "INVALIDATED"
+    delta_hit = eng.execute(
+        "SEARCHSIMILAR", collection="emb", arg={"vector": delta_vec, "k": 1}
+    ).df.first()
+    qv = [float(x) for x in col.read().filter("id = 0").first()["embedding"]]
+    approx = eng.execute("SEARCHSIMILAR", collection="emb", arg={"vector": qv, "k": 10}).df
+    exact = knn_exact(col.read(), qv, 10, vec_col="embedding", id_col="id")
+    r = recall_at_k(approx, exact, id_col="id")
+    return spark.createDataFrame(
+        [
+            (
+                int(col.read().count()),
+                len(idx["histogram"]) if idx else 0,
+                kind_after_insert,
+                bool(delta_hit and delta_hit["id"] == 1_000_000),
+                float(round(r, 2)),
+            )
+        ],
+        "n_rows bigint, n_buckets bigint, index_kind string, delta_findable boolean, recall_at_10 double",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Custom stateful streaming operator (applyInPandasWithState): running
 # per-user totals; under availableNow the final emitted state per user
 # must equal the batch aggregate — hash-checked like any batch query.
