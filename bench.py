@@ -91,6 +91,7 @@ HEADLINE = [
     # headline: it is an index BUILD (BULKINSERT+REINDEX+search), not a
     # query — there is no DuckDB-side equivalent to compare latency with.
     "q40_stateful_totals",
+    "q46_stream_interval_join",
     "q41_map_funcs",
     "q42_right_outer_join",
     "q43_full_outer_join",

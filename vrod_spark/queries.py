@@ -1671,6 +1671,43 @@ def q40_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Stream-stream interval join (clicks ⋈ purchases within 30 min per user),
+# run under availableNow and checked against the batch interval self-join.
+# Oracle compares at microsecond precision on both sides (Spark event time
+# is micros; DuckDB ts is nanos → epoch_us).
+# ---------------------------------------------------------------------------
+@query(
+    "q46_stream_interval_join",
+    oracle="""
+    WITH c AS (SELECT user_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id, count(*) AS n_pairs
+    FROM c JOIN p
+      ON c.user_id = p.user_id AND p_us >= c_us AND p_us <= c_us + 1800000000
+    GROUP BY c.user_id
+    ORDER BY c.user_id
+    """,
+)
+def q46_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vrod_spark.streaming.ingest import (
+        click_purchase_join,
+        events_stream,
+        run_to_completion,
+    )
+
+    out = run_to_completion(
+        lambda s: click_purchase_join(events_stream(s, sf_dir), max_delay="30 minutes"),
+        spark,
+        output_mode="append",
+    )
+    return (
+        out.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # GROUPING SETS (explicit, beyond rollup/cube) via the SQL surface.
 # ---------------------------------------------------------------------------
 @query(

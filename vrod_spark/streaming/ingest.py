@@ -174,3 +174,41 @@ def stream_ingest_into_collection(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def click_purchase_join(events: DataFrame, *, max_delay: str = "10 minutes") -> DataFrame:
+    """Stream-stream interval INNER join: every purchase matched to the
+    same user's clicks within the preceding ``max_delay``.
+
+    Both sides carry watermarks and the join condition bounds event time in
+    BOTH directions (p_ts ∈ [c_ts, c_ts + delay] ⇒ c_ts ∈ [p_ts - delay,
+    p_ts]), so each side's buffered state is evictable once the other
+    side's watermark passes — state is O(events within delay+watermark),
+    never O(stream). Under availableNow the appended pairs equal the batch
+    interval self-join on the same input (the gate's oracle)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts_evt").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts_evt").alias("p_ts"),
+            F.col("event_id").alias("p_event_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval {max_delay}"
+        ),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        F.unix_timestamp("c_ts").alias("click_epoch"),
+        F.unix_timestamp("p_ts").alias("purchase_epoch"),
+        "p_event_id",
+    )
