@@ -377,3 +377,54 @@ def test_single_job_per_mutation_commit(engine, spark):
     assert jobs_for(
         "g-del", lambda: engine.execute("DELETE", collection="vec", arg="id = 1")
     ) == 1
+
+
+def test_partitioned_collection_layout_and_pruning(engine, spark):
+    """Meta-key-partitioned collection: inserts land in pk=<val>/ dirs,
+    SEARCH on that key partition-prunes the scan, UPDATE moves rows across
+    partitions, and OR-predicates are never (unsoundly) pruned."""
+    from vrod_spark.plans.inspect import explain_str
+
+    engine.execute("CREATE", collection="parts", arg={"partition_by": "region"})
+    regions = ["EU", "US", "APAC"]
+    rows = [
+        {
+            "id": i,
+            "embedding": [float(i), 1.0],
+            "payload": f"p{i}",
+            "meta": {"region": regions[i % 3]},
+        }
+        for i in range(30)
+    ]
+    engine.execute("INSERT", collection="parts", arg=rows)
+    col = engine.db.collection("parts")
+    assert {e for e in os.listdir(col.version_dir()) if e.startswith("pk=")} == {
+        "pk=EU",
+        "pk=US",
+        "pk=APAC",
+    }
+
+    res = engine.execute("SEARCH", collection="parts", arg="meta['region'] = 'EU'")
+    assert [r["id"] for r in res.df.collect()] == [i for i in range(30) if i % 3 == 0]
+    plan = explain_str(res.df, "formatted")
+    assert "PartitionFilters" in plan and "pk" in plan.split("PartitionFilters")[1][:120]
+
+    # UPDATE that changes the partition key physically moves the row.
+    engine.execute(
+        "UPDATE",
+        collection="parts",
+        arg={"where": "id = 0", "set": {"meta": "map('region', 'US')"}},
+    )
+    ids_eu = {r["id"] for r in
+              engine.execute("SEARCH", collection="parts", arg="meta['region'] = 'EU'").df.collect()}
+    assert 0 not in ids_eu
+
+    # OR predicate: pruning conjunction would be unsound — must NOT apply.
+    ids_or = {r["id"] for r in
+              engine.execute("SEARCH", collection="parts",
+                             arg="meta['region'] = 'EU' OR id = 1").df.collect()}
+    assert 1 in ids_or and ids_eu <= ids_or
+
+    # REINDEX must refuse (one physical clustering per collection).
+    with pytest.raises(CommandArgError):
+        engine.execute("REINDEX", collection="parts")

@@ -116,7 +116,13 @@ class Database:
         dimension: int | None = None,
         metric: str = "l2",
         schema: str = RECORD_SCHEMA,
+        partition_by: str | None = None,
     ) -> "Collection":
+        """``partition_by`` names a META MAP KEY (e.g. "region"): every
+        snapshot is then laid out as ``pk=<meta[key]>/`` Hive partitions,
+        and SEARCH predicates equating that key to a literal are served
+        with partition pruning — at 100 TB a per-tenant/per-region query
+        reads only its directory, not the table."""
         path = self.collection_path(name)
         if os.path.exists(path):
             raise CollectionExistsError(f"collection already exists: {name}")
@@ -127,13 +133,27 @@ class Database:
             "dimension": dimension,
             "metric": metric,
             "index": None,
+            "partition_by": partition_by,
             "created_at": time.time(),
         }
         _atomic_write(os.path.join(path, META), json.dumps(meta))
         _atomic_write(os.path.join(path, CURRENT), "0")
-        # v0 = committed empty snapshot so readers always resolve.
+        # v0 = committed empty snapshot so readers always resolve. For
+        # partitioned collections v0 is written partitioned (only _SUCCESS
+        # materializes) so the layout never mixes root data files with
+        # pk= partition directories — Spark rejects such mixed trees.
         empty = self.spark.createDataFrame([], schema)
-        empty.write.mode("overwrite").parquet(os.path.join(path, "v0"))
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            (
+                empty.withColumn("pk", F.lit(None).cast("string"))
+                .write.partitionBy("pk")
+                .mode("overwrite")
+                .parquet(os.path.join(path, "v0"))
+            )
+        else:
+            empty.write.mode("overwrite").parquet(os.path.join(path, "v0"))
         self._wal_append({"op": "CREATE", "collection": name, "ts": time.time()})
         return Collection(self, name)
 
@@ -220,16 +240,52 @@ class Collection:
                     f"version {version} of {self.name} does not exist "
                     "(never committed, or reclaimed by TRUNCATEWAL)"
                 )
-            # A historical snapshot may predate or postdate a REINDEX, so
-            # its on-disk layout (plain vs bucket-partitioned) can differ
-            # from what current meta suggests — sniff instead of trusting.
-            has_buckets = any(e.startswith("bucket=") for e in os.listdir(target))
-            if has_buckets:
+            # A historical snapshot may predate or postdate a REINDEX /
+            # repartition, so its on-disk layout (plain vs partitioned) can
+            # differ from what current meta suggests — sniff, don't trust.
+            entries = os.listdir(target)
+            if any(e.startswith("bucket=") for e in entries):
                 return self.db.spark.read.parquet(target).select(*field_names)
+            if any(e.startswith("pk=") for e in entries):
+                return (
+                    self.db.spark.read.schema(meta["schema"] + ", pk string")
+                    .parquet(target)
+                    .select(*field_names)
+                )
             return self.db.spark.read.schema(meta["schema"]).parquet(target)
         if meta.get("index"):
             return self.db.spark.read.parquet(target).select(*field_names)
+        if meta.get("partition_by"):
+            return self.read_raw().select(*field_names)
         return self.db.spark.read.schema(meta["schema"]).parquet(target)
+
+    def read_raw(self) -> DataFrame:
+        """CURRENT snapshot INCLUDING the physical ``pk`` partition column
+        (meta-key-partitioned collections) — the handle SEARCH uses to get
+        partition pruning. Explicit schema so an empty partitioned snapshot
+        (v0 is only a _SUCCESS marker) still reads cleanly."""
+        meta = self.meta
+        if meta.get("partition_by") and not meta.get("index"):
+            return (
+                self.db.spark.read.schema(meta["schema"] + ", pk string")
+                .parquet(self.version_dir())
+            )
+        return self.read()
+
+    def partition_literal(self, predicate: str) -> str | None:
+        """If `predicate` pins the partition meta key to a string literal
+        (``meta['<key>'] = '<val>'``) and contains no OR (which would make
+        the conjunction unsound), return the literal for partition-pruned
+        scans; else None."""
+        import re
+
+        key = self.meta.get("partition_by")
+        if not key or re.search(r"\bor\b", predicate, re.IGNORECASE):
+            return None
+        m = re.search(
+            rf"meta\s*\[\s*'{re.escape(key)}'\s*\]\s*==?\s*'([^']*)'", predicate
+        )
+        return m.group(1) if m else None
 
     def compact(self, target_partitions: int | None = None) -> dict:
         """Maintenance: rewrite the current snapshot with a right-sized
@@ -314,16 +370,18 @@ class Collection:
         return bucket_expr("embedding", np.asarray(idx["planes"], dtype=np.float64))
 
     @staticmethod
-    def _merge_partitioned_delta(staging: str, nxt_dir: str, nxt: int) -> dict[str, int]:
-        """Move staged ``bucket=K/`` delta files into the new version's
+    def _merge_partitioned_delta(
+        staging: str, nxt_dir: str, nxt: int, prefix: str = "bucket="
+    ) -> dict[str, int]:
+        """Move staged ``<prefix>K/`` delta files into the new version's
         matching partition dirs (``d{nxt}-`` prefixed, collision-free) and
-        return per-bucket added-row counts — read driver-side from parquet
-        footers (pyarrow), zero Spark jobs, O(delta files)."""
+        return per-partition added-row counts — read driver-side from
+        parquet footers (pyarrow), zero Spark jobs, O(delta files)."""
         import pyarrow.parquet as pq
 
         added: dict[str, int] = {}
         for entry in os.listdir(staging):
-            if not entry.startswith("bucket="):
+            if not entry.startswith(prefix):
                 continue
             bucket = entry.split("=", 1)[1]
             dst = os.path.join(nxt_dir, entry)
@@ -369,14 +427,19 @@ class Collection:
         df = df.observe(obs, *metrics)
 
         idx = self.meta.get("index")
+        part_key = self.meta.get("partition_by")
         if idx:
             df = df.withColumn("bucket", self._index_bucket_col(idx))
+        elif part_key:
+            df = df.withColumn("pk", F.col("meta").getItem(part_key))
 
         cur_dir = self.version_dir()
         staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
         writer = df.write.mode("overwrite")
         if idx:
             writer = writer.partitionBy("bucket")
+        elif part_key:
+            writer = writer.partitionBy("pk")
         try:
             writer.parquet(staging)  # the ONE job; metrics ride along
             vals = obs.get
@@ -408,6 +471,9 @@ class Collection:
                 hist[b] = hist.get(b, 0) + cnt
             self.update_meta(index={**idx, "histogram": hist})
             detail = {"rows": n_new, "index": "maintained", "delta_buckets": len(added)}
+        elif part_key:
+            added = self._merge_partitioned_delta(staging, nxt_dir, nxt, prefix="pk=")
+            detail = {"rows": n_new, "delta_partitions": len(added)}
         else:
             for fname in os.listdir(staging):
                 if fname.startswith(("_", ".")):
@@ -436,7 +502,18 @@ class Collection:
             observation = Observation()
             df = df.observe(observation, F.count(F.lit(1)).alias("rows"))
         nxt, nxt_dir = self._next_version_dir()
-        df.write.mode("overwrite").parquet(nxt_dir)
+        part_key = self.meta.get("partition_by")
+        if part_key:
+            # Preserve the meta-key partition layout across rewrites; pk is
+            # re-derived (an UPDATE may move rows between partitions).
+            (
+                df.withColumn("pk", F.col("meta").getItem(part_key))
+                .write.partitionBy("pk")
+                .mode("overwrite")
+                .parquet(nxt_dir)
+            )
+        else:
+            df.write.mode("overwrite").parquet(nxt_dir)
         n = int(observation.get["rows"])
         if self.meta.get("index"):
             self.update_meta(index=None)

@@ -138,6 +138,7 @@ class Engine:
             name,
             dimension=opts.get("dimension"),
             metric=opts.get("metric", "l2"),
+            partition_by=opts.get("partition_by"),
         )
         return CommandResult("CREATE", info={"collection": col.name, "path": col.path})
 
@@ -250,7 +251,24 @@ class Engine:
             predicate, limit = spec.get("where", "true"), spec.get("limit")
         else:
             predicate = str(spec)
-        df = col.read().filter(F.expr(predicate)).orderBy("id")
+        pk_lit = col.partition_literal(predicate)
+        if pk_lit is not None:
+            # Meta-key-partitioned collection + predicate pinning that key:
+            # conjoin the equivalent pk filter so the scan partition-prunes
+            # (reads only the matching pk=<val>/ directory).
+            fields = [
+                f.name
+                for f in self.spark.createDataFrame([], col.meta["schema"]).schema.fields
+            ]
+            df = (
+                col.read_raw()
+                .filter(F.col("pk") == F.lit(pk_lit))
+                .filter(F.expr(predicate))
+                .select(*fields)
+                .orderBy("id")
+            )
+        else:
+            df = col.read().filter(F.expr(predicate)).orderBy("id")
         if limit is not None:
             df = df.limit(int(limit))
         return CommandResult("SEARCH", df=df)
@@ -308,6 +326,15 @@ class Engine:
         selects the centroid-partitioned IVF index (operators.ivf);
         default is data-oblivious sign-LSH (operators.ann)."""
         col = self._require_collection(collection)
+        if col.meta.get("partition_by"):
+            # An ANN index rewrites the snapshot bucket-partitioned, which
+            # would destroy the meta-key partition layout. One physical
+            # clustering per collection — declared, not silently replaced.
+            raise CommandArgError(
+                "REINDEX is not supported on a partition_by collection: the "
+                "bucket layout would replace the pk= partition layout. "
+                "Create a separate unpartitioned collection for ANN search."
+            )
         opts = dict(arg) if isinstance(arg, dict) else {}
         kind = opts.pop("kind", "sign_lsh")
         if kind == "ivf":
