@@ -103,3 +103,35 @@ def test_mllib_minhash_join_finds_planted_dup(spark):
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
     pairs = {(r["id_a"], r["id_b"]) for r in minhash_similarity_join(df, 0.6).collect()}
     assert (0, 1) in pairs and (0, 2) not in pairs
+
+
+def test_cli_json_args_reach_engine(spark, tmp_path, capsys):
+    """JSON command args parse into dicts/lists: CREATE with partition_by,
+    INSERT with record lists, and SEARCH partition pruning — the whole
+    round-2 arg surface is shell-reachable."""
+    rc = cli_main(
+        ["--init-database", str(tmp_path), "--init-database-name", "jsondb"], spark=spark
+    )
+    assert rc == 0
+    db_path = json.loads(capsys.readouterr().out)["created"]
+
+    assert cli_main(
+        ["--database", db_path, "--collection", "p", "-e", "CREATE",
+         "-a", '{"partition_by": "region"}'],
+        spark=spark,
+    ) == 0
+    capsys.readouterr()
+    assert cli_main(
+        ["--database", db_path, "--collection", "p", "-e", "INSERT",
+         "-a", '[{"id": 1, "embedding": [1.0, 0.0], "payload": "a", "meta": {"region": "EU"}},'
+               ' {"id": 2, "embedding": [0.0, 1.0], "payload": "b", "meta": {"region": "US"}}]'],
+        spark=spark,
+    ) == 0
+    assert json.loads(capsys.readouterr().out)["info"]["rows"] == 2
+    assert cli_main(
+        ["--database", db_path, "--collection", "p", "-e", "SEARCH",
+         "-a", "meta['region'] = 'EU'"],
+        spark=spark,
+    ) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert [r["id"] for r in out["rows"]] == [1]

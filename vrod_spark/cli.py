@@ -91,10 +91,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if args.database and args.execute:
         from vrod_spark.engine import Engine
 
+        # JSON-looking command args parse into dicts/lists so the full
+        # engine arg surface (CREATE {"partition_by": ...}, INSERT
+        # [{record}, ...], UPDATE {"where": ..., "set": ...}) is reachable
+        # from the shell; anything else stays a plain string (predicates,
+        # "v1,v2;k=5" vectors, file paths).
+        arg = args.command_arg
+        if isinstance(arg, str) and arg.lstrip()[:1] in ("{", "["):
+            try:
+                arg = json.loads(arg)
+            except ValueError:
+                pass
         try:
             eng = Engine.load(spark, args.database)
             result = eng.execute(
-                args.execute, collection=args.collection, arg=args.command_arg
+                args.execute, collection=args.collection, arg=arg
             )
         except VrodError as exc:
             print(f"error: {exc}", file=sys.stderr)
