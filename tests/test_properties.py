@@ -141,3 +141,27 @@ def test_cow_snapshot_isolation_under_concurrent_updates(spark, tmp_path):
             t.join(timeout=30)
     assert not errors, errors
     assert {r["payload"] for r in col.read().collect()} == {"v3"}
+
+
+def test_percentile_approx_bounds_exact(spark, sf_dir):
+    """The GK sketch's median must land within the exact 20th–80th
+    percentile band per group (loose but meaningful: a broken sketch or
+    mis-specified accuracy falls outside immediately)."""
+    from pyspark.sql import functions as F
+
+    from vrod_spark.queries import QUERIES
+
+    rows = QUERIES["q22c_percentile_approx"](spark, sf_dir).collect()
+    assert rows
+    cust = None
+    for r in rows:
+        if cust is None:
+            from vrod_spark.sources.tables import load_table
+
+            cust = load_table(spark, sf_dir, "customer")
+        band = (
+            cust.filter(F.col("c_mktsegment") == r["c_mktsegment"])
+            .agg(F.expr("percentile(c_acctbal, array(0.2, 0.8))").alias("b"))
+            .first()["b"]
+        )
+        assert band[0] <= r["approx_median"] <= band[1]

@@ -957,6 +957,31 @@ def q22b_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q22c_percentile_approx")
+def q22c_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (GK sketch) — the documented 100-TB scale path
+    for q22's exact percentiles (exact interpolation buffers every group
+    value; the sketch is O(1/accuracy) memory regardless of rows).
+    Rows-only in the gate (sketch outputs are algorithm-specific); the
+    pytest suite bounds it against the exact percentile."""
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.percentile_approx("c_acctbal", [0.25, 0.5, 0.75], 10_000).alias("approx_q"),
+            F.expr("percentile(c_acctbal, array(0.25, 0.5, 0.75))").alias("exact_q"),
+        )
+        .select(
+            "c_mktsegment",
+            F.round(F.element_at("approx_q", 2), 2).alias("approx_median"),
+            F.round(F.element_at(F.col("exact_q").cast("array<double>"), 2), 2).alias(
+                "exact_median"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Pivot: order counts + value by status, one column per status.
 # ---------------------------------------------------------------------------
