@@ -87,3 +87,28 @@ def test_bulkinsert_orc(eng, spark, tmp_path):
     ).write.orc(src)
     eng.execute("BULKINSERT", collection="vecs", arg=src)
     assert eng.db.collection("vecs").read().filter("id = 40").first()["payload"] == "orc row"
+
+
+def test_engine_sql_isolated_from_shared_session_views(spark, tmp_path):
+    """Engine.sql runs on a private child session: a poisoned temp view
+    with a clashing collection name on the SHARED session must not leak
+    into the query, and Engine.sql's own views must not clobber it."""
+    from vrod_spark.engine import Engine
+
+    eng = Engine.create(spark, str(tmp_path), "sqliso")
+    eng.execute("CREATE", collection="c")
+    eng.execute(
+        "INSERT",
+        collection="c",
+        arg=[{"id": 1, "embedding": [1.0], "payload": "real"}],
+    )
+    spark.createDataFrame([(99, "EVIL")], "id bigint, payload string")\
+        .createOrReplaceTempView("c")
+    try:
+        rows = eng.sql("SELECT id, payload FROM c ORDER BY id").collect()
+        assert [(r["id"], r["payload"]) for r in rows] == [(1, "real")]
+        # shared-session view untouched by Engine.sql's registration
+        shared = spark.sql("SELECT payload FROM c").collect()
+        assert [r["payload"] for r in shared] == ["EVIL"]
+    finally:
+        spark.catalog.dropTempView("c")

@@ -111,3 +111,36 @@ def test_time_travel_across_reindex(spark, tmp_path, sf_dir):
     # both layouts readable with the same logical schema
     assert col.read(version=v_plain).columns == col.read(version=v_indexed).columns
     assert col.read(version=v_indexed).count() == 500
+
+
+def test_compact_preserves_index(spark, tmp_path, sf_dir):
+    """Compaction is maintenance: it must right-size files WITHOUT
+    degrading the read path — the bucket layout, index meta, and histogram
+    all survive, and pruned ANN search still works."""
+    from tests.test_engine import records_df
+
+    engine = Engine.create(spark, str(tmp_path), "compactdb")
+
+    engine.execute("CREATE", collection="emb")
+    engine.execute("BULKINSERT", collection="emb", arg=records_df(spark, sf_dir))
+    engine.execute("REINDEX", collection="emb")
+    col = engine.db.collection("emb")
+    # Fragment: several appends → several delta files per bucket.
+    for i in range(3):
+        engine.execute(
+            "INSERT",
+            collection="emb",
+            arg=[{"id": 20_000 + i, "embedding": [0.1 * (i + 1)] * 64, "payload": "d"}],
+        )
+    hist_before = dict(col.meta["index"]["histogram"])
+    info = col.compact()
+    assert info["files_after"] <= info["files_before"]
+    meta = col.meta
+    assert meta["index"] is not None and meta["index"]["histogram"] == hist_before
+    assert {e for e in os.listdir(col.version_dir()) if e.startswith("bucket=")}
+    qv = [0.1] * 64
+    hit = engine.execute(
+        "SEARCHSIMILAR", collection="emb", arg={"vector": qv, "k": 1}
+    ).df.collect()
+    assert [r["id"] for r in hit] == [20_000]
+    assert col.read().count() == 503

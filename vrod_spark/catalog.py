@@ -220,7 +220,7 @@ class Collection:
         v = self.version if version is None else version
         return os.path.join(self.path, f"v{v}")
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None, *, spark: SparkSession | None = None) -> DataFrame:
         """Read a committed snapshot — the CURRENT one by default, or a
         historical one (time travel): COW versions are immutable until
         TRUNCATEWAL reclaims them, so any un-reclaimed version is
@@ -228,10 +228,14 @@ class Collection:
 
         Indexed snapshots are bucket-partitioned on disk (operators.ann);
         the internal ``bucket`` partition column is projected away here so
-        the logical schema is stable across REINDEX."""
+        the logical schema is stable across REINDEX.
+
+        ``spark`` overrides the session the plan is built on (Engine.sql
+        uses a private child session so its temp views stay isolated)."""
+        s = spark or self.db.spark
         meta = self.meta
         field_names = [
-            f.name for f in self.db.spark.createDataFrame([], meta["schema"]).schema.fields
+            f.name for f in s.createDataFrame([], meta["schema"]).schema.fields
         ]
         target = self.version_dir(version)
         if version is not None:
@@ -245,19 +249,23 @@ class Collection:
             # differ from what current meta suggests — sniff, don't trust.
             entries = os.listdir(target)
             if any(e.startswith("bucket=") for e in entries):
-                return self.db.spark.read.parquet(target).select(*field_names)
+                return s.read.parquet(target).select(*field_names)
             if any(e.startswith("pk=") for e in entries):
                 return (
-                    self.db.spark.read.schema(meta["schema"] + ", pk string")
+                    s.read.schema(meta["schema"] + ", pk string")
                     .parquet(target)
                     .select(*field_names)
                 )
-            return self.db.spark.read.schema(meta["schema"]).parquet(target)
+            return s.read.schema(meta["schema"]).parquet(target)
         if meta.get("index"):
-            return self.db.spark.read.parquet(target).select(*field_names)
+            return s.read.parquet(target).select(*field_names)
         if meta.get("partition_by"):
-            return self.read_raw().select(*field_names)
-        return self.db.spark.read.schema(meta["schema"]).parquet(target)
+            return (
+                s.read.schema(meta["schema"] + ", pk string")
+                .parquet(target)
+                .select(*field_names)
+            )
+        return s.read.schema(meta["schema"]).parquet(target)
 
     def read_raw(self) -> DataFrame:
         """CURRENT snapshot INCLUDING the physical ``pk`` partition column
@@ -287,34 +295,57 @@ class Collection:
         )
         return m.group(1) if m else None
 
+    @staticmethod
+    def _data_files(root: str) -> list[str]:
+        out = []
+        for d, _dirs, files in os.walk(root):
+            out.extend(os.path.join(d, f) for f in files if f.endswith(".parquet"))
+        return out
+
     def compact(self, target_partitions: int | None = None) -> dict:
         """Maintenance: rewrite the current snapshot with a right-sized
         file count. Hard-linked incremental appends accumulate one small
         delta file per INSERT — fine for a while, but small files erode
         scan throughput at scale (per-file open + footer cost). Compaction
         is a plain COW commit, so readers are never disturbed; old
-        versions become reclaimable by TRUNCATEWAL."""
-        df = self.read()
-        n_files_before = sum(
-            1 for f in os.listdir(self.version_dir()) if f.endswith(".parquet")
-        )
+        versions become reclaimable by TRUNCATEWAL.
+
+        LAYOUT-PRESERVING: an indexed snapshot is compacted to one file
+        per bucket REUSING the stored bucket assignments (no re-hash, the
+        index and histogram stay valid — maintenance must never degrade
+        the read path); a meta-key-partitioned snapshot keeps its pk=
+        layout via the ``_rewrite`` partition re-derivation."""
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        cur = self.version_dir()
+        files_before = self._data_files(cur)
         if target_partitions is None:
             # ~128 MB target files; cheap estimate from current dir size.
-            size = sum(
-                os.path.getsize(os.path.join(self.version_dir(), f))
-                for f in os.listdir(self.version_dir())
-                if f.endswith(".parquet")
-            )
+            size = sum(os.path.getsize(f) for f in files_before)
             target_partitions = max(1, size // (128 * 1024 * 1024))
-        n = self._rewrite(df.coalesce(int(target_partitions)), "COMPACT")
-        n_files_after = sum(
-            1 for f in os.listdir(self.version_dir()) if f.endswith(".parquet")
-        )
+        idx = self.meta.get("index")
+        if idx:
+            obs = Observation()
+            df = self.db.spark.read.parquet(cur)  # bucket partition col included
+            df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+            nxt, nxt_dir = self._next_version_dir()
+            (
+                df.repartition("bucket")
+                .sortWithinPartitions("bucket", "id")
+                .write.partitionBy("bucket")
+                .mode("overwrite")
+                .parquet(nxt_dir)
+            )
+            n = int(obs.get["rows"])
+            self._commit(nxt, "COMPACT", {"rows": n, "index": "preserved"})
+        else:
+            n = self._rewrite(self.read().coalesce(int(target_partitions)), "COMPACT")
         return {
             "collection": self.name,
             "rows": n,
-            "files_before": n_files_before,
-            "files_after": n_files_after,
+            "files_before": len(files_before),
+            "files_after": len(self._data_files(self.version_dir())),
         }
 
     def _next_version_dir(self) -> tuple[int, str]:

@@ -114,11 +114,17 @@ class Engine:
         committed snapshot, then the query runs through spark.sql —
         Catalyst planning, same as the DataFrame surface. Views are
         snapshot-stable: a concurrent COW commit does not change what a
-        running query sees."""
+        running query sees. Each call runs on a private child session
+        (``newSession``: shared SparkContext, private temp-view catalog),
+        so collection names can never clobber — or be clobbered by —
+        views other tenants register on the shared session."""
+        session = self.spark.newSession()
         names = collections or self.db.list_collections()
         for name in names:
-            self.db.collection(name).read().createOrReplaceTempView(name)
-        return self.spark.sql(query)
+            # Build the snapshot read ON the child session so the view
+            # registers in (and the query resolves from) its catalog.
+            self.db.collection(name).read(spark=session).createOrReplaceTempView(name)
+        return session.sql(query)
 
     def _require_collection(self, collection: str | None) -> Collection:
         if not collection:
