@@ -92,6 +92,7 @@ HEADLINE = [
     # query — there is no DuckDB-side equivalent to compare latency with.
     "q40_stateful_totals",
     "q46_stream_interval_join",
+    "q47_stream_abandonment",
     "q41_map_funcs",
     "q42_right_outer_join",
     "q43_full_outer_join",

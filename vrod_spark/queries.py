@@ -1733,6 +1733,76 @@ def q46_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Stream-stream LEFT OUTER interval join (funnel abandonment): clicks with
+# no same-user purchase within 30 min. Outer null rows only emit once the
+# watermark passes click_ts + delay, so the gate restricts clicks to the
+# prefix whose windows provably closed before stream end (cutoff =
+# max_ts - delay - watermark - 1s margin; both engines use the identical
+# literal, so the compared sets are identical and deterministic).
+# ---------------------------------------------------------------------------
+@query(
+    "q47_stream_abandonment",
+    oracle="""
+    WITH bound AS (
+      SELECT least(
+               (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'click'),
+               (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'purchase')
+             ) - 5401000000 AS cutoff
+    ),
+         c AS (SELECT user_id, event_id, epoch_us(ts) AS c_us FROM events, bound
+               WHERE event_type = 'click' AND epoch_us(ts) <= cutoff),
+         p AS (SELECT user_id, epoch_us(ts) AS p_us FROM events
+               WHERE event_type = 'purchase')
+    SELECT c.user_id,
+           count(*) AS n_clicks,
+           sum(CASE WHEN EXISTS (SELECT 1 FROM p
+                     WHERE p.user_id = c.user_id AND p_us >= c_us
+                       AND p_us <= c_us + 1800000000) THEN 1 ELSE 0 END)::BIGINT
+               AS n_converted
+    FROM c GROUP BY c.user_id ORDER BY c.user_id
+    """,
+)
+def q47_stream_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vrod_spark.streaming.ingest import (
+        click_abandonment_join,
+        events_stream,
+        run_to_completion,
+    )
+
+    # The query's watermark is min over BOTH inputs' watermarks (Spark's
+    # multipleWatermarkPolicy=min), each = that side's max event time - 1h.
+    # A click's NULL row is only guaranteed once click + 30min < that
+    # global watermark — so the comparable prefix ends at
+    # min(max click, max purchase) - 30min - 1h (-1s margin). The STREAM is
+    # NOT filtered (filtering clicks would lower the clicks-side watermark
+    # and shrink the emitted set); only the OUTPUT is compared on the
+    # prefix, exactly like the oracle.
+    ev = _t(spark, sf_dir, "events")
+    maxes = ev.groupBy("event_type").agg(
+        F.max(F.expr("ts_ns div 1000")).alias("m")
+    )
+    by_type = {r["event_type"]: int(r["m"]) for r in maxes.collect()}
+    cutoff_us = min(by_type["click"], by_type["purchase"]) - 5_401_000_000
+
+    out = run_to_completion(
+        lambda s: click_abandonment_join(events_stream(s, sf_dir), max_delay="30 minutes"),
+        spark,
+        output_mode="append",
+    )
+    return (
+        out.filter(F.col("click_us") <= F.lit(cutoff_us))
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("c_event_id").alias("n_clicks"),
+            F.countDistinct(
+                F.when(F.col("converted"), F.col("c_event_id"))
+            ).alias("n_converted"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # GROUPING SETS (explicit, beyond rollup/cube) via the SQL surface.
 # ---------------------------------------------------------------------------
 @query(

@@ -212,3 +212,42 @@ def click_purchase_join(events: DataFrame, *, max_delay: str = "10 minutes") -> 
         F.unix_timestamp("p_ts").alias("purchase_epoch"),
         "p_event_id",
     )
+
+
+def click_abandonment_join(events: DataFrame, *, max_delay: str = "30 minutes") -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click, with its first
+    matching purchase columns NULL when no same-user purchase followed
+    within ``max_delay`` — the funnel-abandonment shape.
+
+    Outer semantics in streaming are watermark-driven: a click's NULL row
+    can only emit once the watermark passes click_ts + delay, so clicks
+    near the end of a bounded input never resolve (their window is still
+    open at termination). Batch equivalence therefore holds on the prefix
+    of clicks whose windows provably closed — callers (and the gate)
+    restrict both sides to that prefix; see q47."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts_evt").alias("c_ts"),
+            F.col("event_id").alias("c_event_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts_evt").alias("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"c_user = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval {max_delay}"
+        ),
+        "left_outer",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "c_event_id",
+        F.unix_micros("c_ts").alias("click_us"),
+        F.col("p_ts").isNotNull().alias("converted"),
+    )
