@@ -1724,6 +1724,11 @@ def q46_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s: click_purchase_join(events_stream(s, sf_dir), max_delay="30 minutes"),
         spark,
         output_mode="append",
+        # Stream-stream joins open FOUR state stores per partition; with
+        # per-user state this small the per-partition commit cost dominates
+        # (8 partitions: 8.8 s, 2: 2.1 s at sf0.1). Per-stream knob, not
+        # a global conf — a large keyspace deployment raises it.
+        state_partitions=2,
     )
     return (
         out.groupBy("user_id")
@@ -1788,6 +1793,7 @@ def q47_stream_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s: click_abandonment_join(events_stream(s, sf_dir), max_delay="30 minutes"),
         spark,
         output_mode="append",
+        state_partitions=2,  # see q46: 4 stores/partition, commit-bound
     )
     return (
         out.filter(F.col("click_us") <= F.lit(cutoff_us))
