@@ -57,6 +57,7 @@ HEADLINE = [
     "q10_semi_anti",
     "q11_date_buckets",
     "q12_events_hourly",
+    "q12b_json_roundtrip",
     "q13_rollup",
     "q13b_cube",
     "q13c_grouping_sets",

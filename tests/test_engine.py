@@ -428,3 +428,24 @@ def test_partitioned_collection_layout_and_pruning(engine, spark):
     # REINDEX must refuse (one physical clustering per collection).
     with pytest.raises(CommandArgError):
         engine.execute("REINDEX", collection="parts")
+
+
+def test_failed_ingest_leaves_no_residue(engine, spark):
+    """A dimension-violating ingest must abort WITHOUT committing: version
+    pointer unchanged, no staging directory left behind, collection still
+    readable with the old contents."""
+    engine.execute("CREATE", collection="vec")
+    engine.execute(
+        "INSERT", collection="vec", arg=[{"id": 1, "embedding": [1.0, 0.0], "payload": "a"}]
+    )
+    col = engine.db.collection("vec")
+    v_before = col.version
+    with pytest.raises(DimensionMismatchError):
+        engine.execute(
+            "INSERT",
+            collection="vec",
+            arg=[{"id": 2, "embedding": [1.0, 2.0, 3.0], "payload": "bad"}],
+        )
+    assert col.version == v_before
+    assert not [e for e in os.listdir(col.path) if e.startswith(".staging-")]
+    assert [r["id"] for r in col.read().collect()] == [1]

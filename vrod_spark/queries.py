@@ -482,6 +482,38 @@ def q12_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# JSON roundtrip: from_json (string → struct), struct field access, to_json
+# (struct → canonical string) — completes the declared JSON family beyond
+# q12's get_json_object. Canonical form compared as string on both sides.
+# ---------------------------------------------------------------------------
+@query(
+    "q12b_json_roundtrip",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
+           count(*) AS n,
+           '{"k":' || CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS VARCHAR) || '}'
+               AS min_k_json
+    FROM events
+    GROUP BY k_mod
+    ORDER BY k_mod
+    """,
+)
+def q12b_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    parsed = events.select(
+        F.from_json("props", "k INT").alias("p")
+    )
+    return (
+        parsed.groupBy((F.col("p.k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.to_json(F.struct(F.min("p.k").alias("k"))).alias("min_k_json"),
+        )
+        .orderBy("k_mod")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Rollup with grouping indicators: hierarchical totals in one pass
 # (Expand + single shuffle — no N-pass union of aggregates).
 # ---------------------------------------------------------------------------
