@@ -50,3 +50,30 @@ def test_whole_stage_codegen_covers_agg(spark, sf_dir):
 def test_agg_is_partial_then_final(spark, sf_dir):
     plan = explain_str(QUERIES["q01_pricing_summary"](spark, sf_dir), "formatted")
     assert plan.count("HashAggregate") >= 2 and "partial_sum" in plan
+
+
+def test_lang_id_tokenizes_exactly_once(spark, sf_dir):
+    """The let_once binding must keep a SINGLE tokenization in the plan —
+    the r1 form re-tokenized 5× (once per language table) because Catalyst
+    does not CSE higher-order expressions."""
+    from vrod_spark.functions.text import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = explain_str(docs.select(lang_id("text").alias("lp")), "formatted")
+    assert plan.count("split(") == 1
+
+
+def test_right_outer_join_broadcasts_small_side(spark, sf_dir):
+    """q42's filtered orders side is small → BuildLeft broadcast, right
+    outer preserved (no shuffle of the customer side at scale beyond the
+    agg)."""
+    plan = explain_str(QUERIES["q42_right_outer_join"](spark, sf_dir), "formatted")
+    assert "BroadcastHashJoin RightOuter" in plan
+
+
+def test_full_outer_join_is_sort_merge_with_partial_agg(spark, sf_dir):
+    """Full outer cannot broadcast (both sides null-extend) — the correct
+    scale plan is a sort-merge join fed by partially-aggregated sides."""
+    plan = explain_str(QUERIES["q43_full_outer_join"](spark, sf_dir), "formatted")
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    assert "partial_count" in plan
