@@ -449,3 +449,45 @@ def test_failed_ingest_leaves_no_residue(engine, spark):
     assert col.version == v_before
     assert not [e for e in os.listdir(col.path) if e.startswith(".staging-")]
     assert [r["id"] for r in col.read().collect()] == [1]
+
+
+def test_dedup_verb_exact_and_minhash(engine):
+    """DEDUP verb: exact strategy removes byte-identical payloads
+    keep-first; minhash strategy removes planted near-duplicates. Both are
+    COW commits (version bumps, old snapshot intact)."""
+    engine.execute("CREATE", collection="docs")
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [
+        {"id": 1, "embedding": [1.0], "payload": base},
+        {"id": 2, "embedding": [1.0], "payload": base},            # exact dup of 1
+        {"id": 3, "embedding": [1.0], "payload": base + " extra"}, # near-dup of 1
+        {"id": 4, "embedding": [1.0], "payload": "completely different text entirely here"},
+    ]
+    engine.execute("INSERT", collection="docs", arg=rows)
+
+    info = engine.execute("DEDUP", collection="docs").info
+    assert info["strategy"] == "exact" and info["removed"] == 1
+    col = engine.db.collection("docs")
+    assert sorted(r["id"] for r in col.read().collect()) == [1, 3, 4]
+
+    info = engine.execute(
+        "DEDUP", collection="docs", arg={"strategy": "minhash", "threshold": 0.5}
+    ).info
+    assert info["removed"] == 1  # id 3 (near-dup of 1) dropped, 4 kept
+    assert sorted(r["id"] for r in col.read().collect()) == [1, 4]
+
+
+def test_dedup_verb_embedding(engine):
+    engine.execute("CREATE", collection="vecs")
+    rows = [
+        {"id": 1, "embedding": [1.0, 0.0, 0.0], "payload": "a"},
+        {"id": 2, "embedding": [1.0, 0.0, 0.0], "payload": "b"},   # exact vector dup
+        {"id": 3, "embedding": [0.0, 1.0, 0.0], "payload": "c"},
+    ]
+    engine.execute("INSERT", collection="vecs", arg=rows)
+    info = engine.execute(
+        "DEDUP", collection="vecs", arg={"strategy": "embedding", "threshold": 0.999}
+    ).info
+    assert info["removed"] == 1
+    col = engine.db.collection("vecs")
+    assert sorted(r["id"] for r in col.read().collect()) == [1, 3]

@@ -101,6 +101,7 @@ class Engine:
             "SEARCH": self._search,
             "SEARCHSIMILAR": self._search_similar,
             "REINDEX": self._reindex,
+            "DEDUP": self._dedup,
         }
         if verb_up not in handlers:
             # builder.rs:77-79 → UnrecognizedCommand
@@ -325,6 +326,95 @@ class Engine:
             payload_cols=("payload",),
         )
         return CommandResult("SEARCHSIMILAR", df=result)
+
+    def _dedup(self, collection: str | None, arg: Any) -> CommandResult:
+        """DEDUP — [N] extension verb (no reference analog): remove
+        duplicate records from a collection, keep-first by id. The LLM-
+        corpus maintenance op the dedup operator family exists for, wired
+        into the COW lifecycle: survivors are computed distributed, the
+        snapshot is rewritten, the pointer swaps atomically.
+
+        ``arg``: {"strategy": "exact" (default) | "minhash" | "simhash"
+                  | "embedding",
+                  "column": "payload" (text strategies),
+                  "threshold": strategy-specific similarity cutoff}
+        - exact:      sha2 of normalized text, keep min id. Deterministic.
+        - minhash:    MinHash-LSH candidates ≥ threshold Jaccard (default .8)
+        - simhash:    SimHash pairs within Hamming distance (default 3)
+        - embedding:  LSH-bucketed cosine near-dups ≥ threshold (default .99)
+        For the near-dup strategies every pair is exact-verified before a
+        row is dropped; the transitive keep-rule is "drop the larger id of
+        every surviving pair" (union-find-free, deterministic).
+        """
+        from pyspark.sql import functions as F
+
+        col = self._require_collection(collection)
+        opts = dict(arg) if isinstance(arg, dict) else ({"strategy": arg} if arg else {})
+        strategy = (opts.get("strategy") or "exact").lower()
+        text_col = opts.get("column", "payload")
+        df = col.read()
+        before = df.count()
+
+        if strategy == "exact":
+            from vrod_spark.operators.dedup import exact_dedup
+
+            survivors = exact_dedup(df, text_col=text_col, id_col="id")
+            n_after = col._rewrite(survivors, "DEDUP", {"strategy": strategy})
+            return CommandResult(
+                "DEDUP",
+                info={
+                    "collection": col.name,
+                    "strategy": strategy,
+                    "removed": before - n_after,
+                    "rows": n_after,
+                },
+            )
+
+        if strategy == "minhash":
+            from vrod_spark.operators.dedup import minhash_lsh_pairs
+
+            pairs = minhash_lsh_pairs(
+                df,
+                text_col=text_col,
+                id_col="id",
+                min_jaccard=float(opts.get("threshold", 0.8)),
+            )
+        elif strategy == "simhash":
+            from vrod_spark.operators.dedup import simhash_pairs
+
+            pairs = simhash_pairs(
+                df,
+                text_col=text_col,
+                id_col="id",
+                max_hamming=int(opts.get("threshold", 3)),
+            )
+        elif strategy == "embedding":
+            from vrod_spark.operators.dedup import embedding_near_dup_bucketed
+
+            pairs = embedding_near_dup_bucketed(
+                df.select("id", "embedding"),
+                vec_col="embedding",
+                id_col="id",
+                min_cosine=float(opts.get("threshold", 0.99)),
+            )
+        else:
+            raise CommandArgError(
+                f"unknown dedup strategy {strategy!r}; expected exact/minhash/simhash/embedding"
+            )
+
+        # Keep-first: drop the larger id of every duplicate pair.
+        drop_ids = pairs.select(F.col("id_b").alias("id")).distinct()
+        survivors = df.join(drop_ids, "id", "left_anti")
+        n_after = col._rewrite(survivors, "DEDUP", {"strategy": strategy})
+        return CommandResult(
+            "DEDUP",
+            info={
+                "collection": col.name,
+                "strategy": strategy,
+                "removed": before - n_after,
+                "rows": n_after,
+            },
+        )
 
     def _reindex(self, collection: str | None, arg: Any) -> CommandResult:
         """REINDEX (builder.rs:73-76): rebuild the ANN index and rewrite
