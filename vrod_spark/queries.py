@@ -1693,6 +1693,44 @@ def q39b_ivf_engine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Engine DEDUP verb end-to-end, HASH-checked: ingest documents PLUS a
+# shifted-id copy of every document (all planted exact dups), run
+# DEDUP strategy=exact, and the survivors must be exactly the original
+# doc_ids (keep-first = min id). Oracle is plain SQL over documents.
+# ---------------------------------------------------------------------------
+@query(
+    "q48_dedup_engine_roundtrip",
+    oracle="""
+    SELECT count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum
+    FROM (SELECT min(doc_id) AS doc_id FROM documents
+          GROUP BY sha256(lower(trim(text))))
+    """,
+)
+def q48_dedup_engine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from vrod_spark.engine import Engine
+
+    eng = Engine.create(spark, tempfile.mkdtemp(), "dedupgate")
+    eng.execute("CREATE", collection="docs")
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+        F.col("text").alias("payload"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    planted = docs.select(
+        (F.col("id") + 10_000_000).alias("id"), "embedding", "payload", "meta"
+    )
+    eng.execute("BULKINSERT", collection="docs", arg=docs.unionByName(planted))
+    eng.execute("DEDUP", collection="docs")
+    survivors = eng.db.collection("docs").read()
+    return survivors.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("id").alias("id_sum")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Custom stateful streaming operator (applyInPandasWithState): running
 # per-user totals; under availableNow the final emitted state per user
 # must equal the batch aggregate — hash-checked like any batch query.
