@@ -110,3 +110,37 @@ def test_late_data_dropped_beyond_watermark(spark):
     )
     out = run_to_completion(agg, output_mode="complete")
     assert out.agg(F.sum("n")).first()[0] == 5
+
+
+def test_stream_ingest_into_partitioned_collection(spark, tmp_path, sf_dir):
+    """Checkpointed streaming ingest composes with meta-key partitioning:
+    each micro-batch commit lands rows in their pk= dirs and SEARCH on the
+    partition key prunes, exactly as with batch INSERT."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vrod_spark.engine import Engine
+    from vrod_spark.streaming.ingest import stream_ingest_into_collection
+
+    eng = Engine.create(spark, str(tmp_path), "spart")
+    eng.execute("CREATE", collection="ev", arg={"partition_by": "kind"})
+    col = eng.db.collection("ev")
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, [float(i)], f"p{i}", {"kind": "a" if i % 2 == 0 else "b"}) for i in range(10)],
+        "id bigint, embedding array<float>, payload string, meta map<string,string>",
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "id bigint, embedding array<float>, payload string, meta map<string,string>"
+    ).parquet(src)
+    q = stream_ingest_into_collection(col, stream)
+    q.awaitTermination()
+
+    assert {e for e in os.listdir(col.version_dir()) if e.startswith("pk=")} == {
+        "pk=a",
+        "pk=b",
+    }
+    hits = eng.execute("SEARCH", collection="ev", arg="meta['kind'] = 'a'").df.collect()
+    assert [r["id"] for r in hits] == [0, 2, 4, 6, 8]
