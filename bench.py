@@ -99,6 +99,8 @@ HEADLINE = [
     "q43_full_outer_join",
     "q44_udaf_weighted_mean",
     "q45_scalar_udf",
+    "q49_repetition_ratio",
+    "q50_decontamination",
 ]
 
 

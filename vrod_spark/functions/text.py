@@ -167,3 +167,18 @@ def doc_fingerprint(text: Column | str, n: int = 3) -> Column:
     md5 as the random order — winnowing-lite). Two docs sharing their
     minimal shingle collide; md5 keeps it oracle-comparable cross-engine."""
     return F.array_min(F.transform(shingles(text, n), F.md5))
+
+
+def repetition_stats(toks: Column) -> Column:
+    """STRUCT(n_shingles, n_distinct, rep_ratio) of 3-gram repetition
+    within one document — the Gopher/C4-class quality signal: boilerplate
+    and degenerate generations repeat n-grams, natural prose doesn't.
+    Pure expressions over an already-projected token array."""
+    sh = shingles_from_tokens(toks, 3)
+    n = F.size(sh)
+    nd = F.size(F.array_distinct(sh))
+    return F.struct(
+        n.cast("bigint").alias("n_shingles"),
+        nd.cast("bigint").alias("n_distinct"),
+        F.round(F.lit(1.0) - nd / F.greatest(n, F.lit(1)), 6).alias("rep_ratio"),
+    )

@@ -1693,6 +1693,118 @@ def q39b_ivf_engine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Intra-document repetition (Gopher/C4 quality signal): fraction of a
+# document's 3-gram shingles that are repeats. Docs ≥ 3 words only (both
+# engines), top-20 most repetitive. JVM expressions only.
+# ---------------------------------------------------------------------------
+@query(
+    "q49_repetition_ratio",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split(trim(text), ' ')) AS word,
+             generate_subscripts(string_split(trim(text), ' '), 1) AS pos
+      FROM documents WHERE len(string_split(trim(text), ' ')) >= 3
+    ),
+    tri AS (
+      SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS sh
+      FROM w a
+      JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    )
+    SELECT doc_id,
+           count(*) AS n_shingles,
+           count(DISTINCT sh) AS n_distinct,
+           round(1 - count(DISTINCT sh)::DOUBLE / count(*), 6) AS rep_ratio
+    FROM tri
+    GROUP BY doc_id
+    ORDER BY rep_ratio DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q49_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vrod_spark.functions.text import repetition_stats, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") >= 3
+    )
+    return (
+        toked.select("doc_id", repetition_stats(F.col("toks")).alias("r"))
+        .select("doc_id", "r.n_shingles", "r.n_distinct", "r.rep_ratio")
+        .orderBy(F.col("rep_ratio").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: fraction of each corpus document's DISTINCT
+# 3-grams that appear in a benchmark set (docs 0..19) — the eval-leakage
+# check every training pipeline needs. Spark plan: explode distinct
+# shingles, broadcast-semi-join against the (small) benchmark shingle set,
+# one groupBy. Top-20 most contaminated.
+# ---------------------------------------------------------------------------
+@query(
+    "q50_decontamination",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split(trim(text), ' ')) AS word,
+             generate_subscripts(string_split(trim(text), ' '), 1) AS pos
+      FROM documents WHERE len(string_split(trim(text), ' ')) >= 3
+    ),
+    tri AS (
+      SELECT DISTINCT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS sh
+      FROM w a
+      JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ),
+    bench AS (SELECT DISTINCT sh FROM tri WHERE doc_id < 20),
+    corpus AS (SELECT * FROM tri WHERE doc_id >= 20)
+    SELECT corpus.doc_id,
+           count(*) AS n_distinct,
+           sum(CASE WHEN bench.sh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+           round(sum(CASE WHEN bench.sh IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS contamination
+    FROM corpus LEFT JOIN bench ON corpus.sh = bench.sh
+    GROUP BY corpus.doc_id
+    ORDER BY contamination DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q50_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vrod_spark.functions.text import shingles_from_tokens, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tri = (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(shingles_from_tokens(F.col("toks"), 3))).alias("sh"),
+        )
+    )
+    bench = tri.filter(F.col("doc_id") < 20).select("sh").distinct()
+    corpus = tri.filter(F.col("doc_id") >= 20)
+    hit = F.when(F.col("b_sh").isNotNull(), 1).otherwise(0)
+    joined = corpus.join(
+        F.broadcast(bench.withColumnRenamed("sh", "b_sh")),
+        corpus.sh == F.col("b_sh"),
+        "left",
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(hit).alias("n_hit"),
+            F.round(F.sum(hit) / F.count(F.lit(1)), 6).alias("contamination"),
+        )
+        .orderBy(F.col("contamination").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Engine DEDUP verb end-to-end, HASH-checked: ingest documents PLUS a
 # shifted-id copy of every document (all planted exact dups), run
 # DEDUP strategy=exact, and the survivors must be exactly the original
