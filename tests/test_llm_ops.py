@@ -248,3 +248,26 @@ def test_model_seam_accepts_real_embedder_shape(spark, tmp_path):
         "SEARCHSIMILAR", collection="words", arg={"vector": [float(x) for x in target], "k": 3}
     ).df.collect()
     assert hits and hits[0]["payload"] == "gamma"
+
+
+def test_wav_decode_is_real(spark):
+    """Audio decoding is NOT a stub: stdlib wave + numpy parse synthesized
+    PCM tones distributed via mapInPandas, and the spectral band energies
+    discriminate a low tone from a high tone."""
+    import numpy as np
+
+    from vrod_spark.operators.multimodal import decode_wav_features, make_wav_bytes
+
+    rows = [
+        (1, "audio", make_wav_bytes(300.0)),    # low tone → energy in low bands
+        (2, "audio", make_wav_bytes(3500.0)),   # high tone → energy in high bands
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, kind string, content binary")
+    got = {r["media_id"]: r for r in decode_wav_features(df, n_bands=8).collect()}
+    for mid in (1, 2):
+        assert got[mid]["sample_rate"] == 8000
+        assert got[mid]["n_frames"] == 2000
+        assert got[mid]["duration_ms"] == 250
+    low = int(np.argmax(got[1]["band_energy"]))
+    high = int(np.argmax(got[2]["band_energy"]))
+    assert low < high  # 300 Hz peaks in a lower band than 3500 Hz

@@ -2,12 +2,13 @@
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side machinery here is real and tested — schema, batching,
-partition sizing, UDF signatures. The actual media decoding is STUBBED
-(this container has no image/audio libraries): ``decode_stub`` raises
-``NotImplementedError`` unless ``fake=True``, in which case it produces a
-deterministic fake derived from the bytes, so pipelines are end-to-end
-testable. Swapping in PIL/torchaudio later changes ONE function body and
-nothing about the distributed plan.
+partition sizing, UDF signatures. AUDIO decoding is REAL
+(``decode_wav_features``: stdlib ``wave`` + numpy, no external deps).
+Image/video decoding is STUBBED (this container has no codec libraries):
+``decode_stub`` raises ``NotImplementedError`` unless ``fake=True``, in
+which case it produces a deterministic fake derived from the bytes, so
+pipelines are end-to-end testable. Swapping in PIL/ffmpeg later changes
+ONE function body and nothing about the distributed plan.
 
 Scale notes: media blobs are large → ``maxRecordsPerBatch`` should be
 lowered for these stages (Arrow batches of ~64 MB, not 10k rows), and
@@ -141,3 +142,76 @@ def sample_frames(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ms"),
         )
     )
+
+
+AUDIO_SCHEMA = (
+    "media_id bigint, sample_rate int, n_frames bigint, "
+    "duration_ms int, band_energy array<float>"
+)
+
+
+def decode_wav_features(media: DataFrame, *, n_bands: int = 8) -> DataFrame:
+    """REAL audio decoding — no stub: RIFF/WAV PCM blobs are parsed with
+    the stdlib ``wave`` module and numpy (both always present), producing
+    sample rate, frame count, duration, and ``n_bands`` spectral band
+    energies (log-magnitude rFFT averaged into equal bands — the
+    classic cheap audio fingerprint).
+
+    Same scale shape as every multimodal stage: Arrow-batched
+    ``mapInPandas``, bytes never shuffled, one output row per blob. Image
+    and video decoding remain stubbed (their codecs aren't in this
+    container); audio shows the identical plumbing carrying a REAL
+    decoder."""
+    bands = n_bands
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "sample_rate": [], "n_frames": [],
+                "duration_ms": [], "band_energy": [],
+            }
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                with wave.open(io.BytesIO(bytes(content)), "rb") as w:
+                    rate, nframes = w.getframerate(), w.getnframes()
+                    sampwidth, nchan = w.getsampwidth(), w.getnchannels()
+                    raw = w.readframes(nframes)
+                dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[sampwidth]
+                pcm = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+                if nchan > 1:
+                    pcm = pcm.reshape(-1, nchan).mean(axis=1)
+                spec = np.abs(np.fft.rfft(pcm))
+                chunks = np.array_split(np.log1p(spec), bands)
+                energy = np.array([c.mean() if len(c) else 0.0 for c in chunks],
+                                  dtype=np.float32)
+                out["media_id"].append(media_id)
+                out["sample_rate"].append(rate)
+                out["n_frames"].append(nframes)
+                out["duration_ms"].append(int(nframes * 1000 / max(rate, 1)))
+                out["band_energy"].append(energy.tolist())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode, AUDIO_SCHEMA)
+
+
+def make_wav_bytes(freq_hz: float, *, seconds: float = 0.25, rate: int = 8000) -> bytes:
+    """Synthesize a mono 16-bit PCM WAV of a sine tone (test/demo helper —
+    deterministic, stdlib-only)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    t = np.arange(int(rate * seconds)) / rate
+    pcm = (np.sin(2 * np.pi * freq_hz * t) * 20000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()

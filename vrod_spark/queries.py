@@ -1693,6 +1693,40 @@ def q39b_ivf_engine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# REAL audio decode through the multimodal plumbing: synthesized WAV tones
+# decoded distributed (stdlib wave + numpy in mapInPandas). The oracle
+# pins the decode metadata; spectral discrimination is pytest-checked.
+# ---------------------------------------------------------------------------
+@query(
+    "q51_audio_decode",
+    oracle="""
+    SELECT * FROM (VALUES
+        (0, 8000, CAST(2000 AS BIGINT), 250),
+        (1, 8000, CAST(2000 AS BIGINT), 250),
+        (2, 8000, CAST(2000 AS BIGINT), 250),
+        (3, 8000, CAST(2000 AS BIGINT), 250))
+        t(media_id, sample_rate, n_frames, duration_ms)
+    ORDER BY media_id
+    """,
+)
+def q51_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vrod_spark.operators.multimodal import decode_wav_features, make_wav_bytes
+
+    rows = [(i, "audio", make_wav_bytes(200.0 * (i + 1))) for i in range(4)]
+    df = spark.createDataFrame(rows, "media_id bigint, kind string, content binary")
+    return (
+        decode_wav_features(df)
+        .select(
+            F.col("media_id").cast("int").alias("media_id"),
+            "sample_rate",
+            "n_frames",
+            "duration_ms",
+        )
+        .orderBy("media_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Intra-document repetition (Gopher/C4 quality signal): fraction of a
 # document's 3-gram shingles that are repeats. Docs ≥ 3 words only (both
 # engines), top-20 most repetitive. JVM expressions only.
