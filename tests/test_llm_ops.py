@@ -271,3 +271,20 @@ def test_wav_decode_is_real(spark):
     low = int(np.argmax(got[1]["band_energy"]))
     high = int(np.argmax(got[2]["band_energy"]))
     assert low < high  # 300 Hz peaks in a lower band than 3500 Hz
+
+
+def test_ppm_decode_is_real(spark):
+    """Image decoding for PPM is NOT a stub: solid-color images decode to
+    exact dimensions and channel means through mapInPandas."""
+    from vrod_spark.operators.multimodal import decode_ppm_features, make_ppm_bytes
+
+    rows = [
+        (1, "image", make_ppm_bytes(16, 8, (255, 0, 0))),
+        (2, "image", make_ppm_bytes(4, 4, (0, 128, 255))),
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, kind string, content binary")
+    got = {r["media_id"]: r for r in decode_ppm_features(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["n_pixels"]) == (16, 8, 128)
+    assert got[1]["mean_r"] == 1.0 and got[1]["mean_g"] == 0.0
+    assert (got[2]["width"], got[2]["height"]) == (4, 4)
+    assert got[2]["mean_g"] == round(128 / 255, 6) and got[2]["mean_b"] == 1.0

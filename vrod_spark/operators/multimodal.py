@@ -3,12 +3,14 @@ with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side machinery here is real and tested — schema, batching,
 partition sizing, UDF signatures. AUDIO decoding is REAL
-(``decode_wav_features``: stdlib ``wave`` + numpy, no external deps).
-Image/video decoding is STUBBED (this container has no codec libraries):
-``decode_stub`` raises ``NotImplementedError`` unless ``fake=True``, in
-which case it produces a deterministic fake derived from the bytes, so
-pipelines are end-to-end testable. Swapping in PIL/ffmpeg later changes
-ONE function body and nothing about the distributed plan.
+(``decode_wav_features``: stdlib ``wave`` + numpy) and so is IMAGE
+decoding for binary PPM (``decode_ppm_features``: pure numpy) — no
+external deps. Compressed formats (PNG/JPEG/MP4) are STUBBED (their
+codecs aren't in this container): ``decode_stub`` raises
+``NotImplementedError`` unless ``fake=True``, in which case it produces a
+deterministic fake derived from the bytes, so pipelines are end-to-end
+testable. Swapping in PIL/ffmpeg later changes ONE function body and
+nothing about the distributed plan.
 
 Scale notes: media blobs are large → ``maxRecordsPerBatch`` should be
 lowered for these stages (Arrow batches of ~64 MB, not 10k rows), and
@@ -215,3 +217,72 @@ def make_wav_bytes(freq_hz: float, *, seconds: float = 0.25, rate: int = 8000) -
         w.setframerate(rate)
         w.writeframes(pcm.tobytes())
     return buf.getvalue()
+
+
+IMAGE_SCHEMA = (
+    "media_id bigint, width int, height int, n_pixels bigint, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def decode_ppm_features(media: DataFrame) -> DataFrame:
+    """REAL image decoding for binary PPM (P6) blobs — pure numpy header
+    parse + raw RGB plane reads, no codec library. Emits dimensions and
+    per-channel means (the cheap image-statistics stage every multimodal
+    pipeline starts with). PNG/JPEG remain stubbed (their codecs aren't in
+    this container); PPM proves the identical plumbing carries a real
+    image decoder end-to-end."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def parse_ppm(b: bytes):
+            # P6 header: magic, width, height, maxval — whitespace/comment
+            # separated, then one whitespace byte, then raw RGB.
+            tokens, i, n = [], 0, len(b)
+            while len(tokens) < 4 and i < n:
+                while i < n and b[i : i + 1].isspace():
+                    i += 1
+                if b[i : i + 1] == b"#":  # comment to EOL
+                    while i < n and b[i : i + 1] != b"\n":
+                        i += 1
+                    continue
+                j = i
+                while j < n and not b[j : j + 1].isspace():
+                    j += 1
+                tokens.append(b[i:j])
+                i = j
+            if tokens[0] != b"P6":
+                raise ValueError("not a binary PPM (P6) blob")
+            w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+            i += 1  # single whitespace after maxval
+            px = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=i)
+            return w, h, px.reshape(h, w, 3).astype(np.float64) / maxval
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "width": [], "height": [], "n_pixels": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, img = parse_ppm(bytes(content))
+                means = img.mean(axis=(0, 1))
+                out["media_id"].append(media_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["mean_r"].append(round(float(means[0]), 6))
+                out["mean_g"].append(round(float(means[1]), 6))
+                out["mean_b"].append(round(float(means[2]), 6))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode, IMAGE_SCHEMA)
+
+
+def make_ppm_bytes(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """Synthesize a solid-color binary PPM (test/demo helper)."""
+    import numpy as np
+
+    header = f"P6\n{width} {height}\n255\n".encode()
+    px = np.tile(np.array(rgb, dtype=np.uint8), (height, width, 1))
+    return header + px.tobytes()

@@ -1727,6 +1727,40 @@ def q51_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# REAL image decode (binary PPM, pure numpy) through the same plumbing:
+# solid-color images give exact channel means — hash-checkable.
+# ---------------------------------------------------------------------------
+@query(
+    "q51b_image_decode",
+    oracle="""
+    SELECT * FROM (VALUES
+        (0, 16, 8, CAST(128 AS BIGINT), 1.0, 0.0, 0.0),
+        (1, 4, 4, CAST(16 AS BIGINT), 0.0, round(128.0/255, 6), 1.0),
+        (2, 32, 2, CAST(64 AS BIGINT), round(10.0/255, 6), round(20.0/255, 6), round(30.0/255, 6)))
+        t(media_id, width, height, n_pixels, mean_r, mean_g, mean_b)
+    ORDER BY media_id
+    """,
+)
+def q51b_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vrod_spark.operators.multimodal import decode_ppm_features, make_ppm_bytes
+
+    rows = [
+        (0, "image", make_ppm_bytes(16, 8, (255, 0, 0))),
+        (1, "image", make_ppm_bytes(4, 4, (0, 128, 255))),
+        (2, "image", make_ppm_bytes(32, 2, (10, 20, 30))),
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, kind string, content binary")
+    return (
+        decode_ppm_features(df)
+        .select(
+            F.col("media_id").cast("int").alias("media_id"),
+            "width", "height", "n_pixels", "mean_r", "mean_g", "mean_b",
+        )
+        .orderBy("media_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Intra-document repetition (Gopher/C4 quality signal): fraction of a
 # document's 3-gram shingles that are repeats. Docs ≥ 3 words only (both
 # engines), top-20 most repetitive. JVM expressions only.
