@@ -101,6 +101,9 @@ HEADLINE = [
     "q45_scalar_udf",
     "q49_repetition_ratio",
     "q50_decontamination",
+    "q52_clean_corpus_pipeline",
+    "q53_vocab_top_tokens",
+    "q54_mixture_sampling",
 ]
 
 

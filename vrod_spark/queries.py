@@ -1873,6 +1873,147 @@ def q50_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# FLAGSHIP composition — the C4-style corpus-cleaning pipeline as ONE
+# declarative plan: quality filter → exact dedup keep-first → per-language
+# acceptance stats. Catalyst fuses the whole thing; one shuffle for the
+# dedup window, one for the final agg.
+# ---------------------------------------------------------------------------
+@query(
+    "q52_clean_corpus_pipeline",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, text, n_chars,
+             round(0.35 * least(len(string_split(trim(text), ' ')) / 100.0, 1.0)
+                 + 0.35 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                           / greatest(length(text), 1))
+                 + 0.15 * (1 - least(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+                           / greatest(length(text), 1) * 5, 1.0))
+                 + 0.15 * (CASE WHEN length(text)::DOUBLE
+                                     / greatest(len(string_split(trim(text), ' ')), 1)
+                                BETWEEN 3 AND 12 THEN 1.0 ELSE 0.5 END), 6) AS q
+      FROM documents
+    ),
+    passed AS (SELECT * FROM scored WHERE q >= 0.5),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY sha256(lower(trim(text)))
+                                     ORDER BY doc_id) AS rn
+        FROM passed) WHERE rn = 1
+    )
+    SELECT lang,
+           count(*) AS n_kept,
+           round(avg(q), 6) AS avg_quality,
+           sum(n_chars)::BIGINT AS total_chars
+    FROM deduped
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q52_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vrod_spark.functions.text import quality_score
+    from vrod_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", "text", "n_chars", quality_score("text").alias("q")
+    )
+    passed = scored.filter(F.col("q") >= 0.5)
+    deduped = exact_dedup(passed, text_col="text", id_col="doc_id")
+    return (
+        deduped.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary building (tokenizer-training prep): corpus-wide token
+# frequencies, top-50 by count. One explode + one agg; shuffle carries
+# (token, partial count), never documents.
+# ---------------------------------------------------------------------------
+@query(
+    "q53_vocab_top_tokens",
+    oracle="""
+    SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS doc_freq
+    FROM (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+          FROM documents)
+    WHERE length(token) > 0
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 50
+    """,
+)
+def q53_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vrod_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(tokens(F.lower("text"))).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mixture sampling (corpus mixing for training runs): each
+# source gets a hash-derived acceptance fraction — xxhash64(id) % 100 <
+# weight. Fully deterministic (no RNG), identically computable in any
+# engine, and stable under repartitioning — the property that matters for
+# reproducible training mixes at 100 TB.
+# ---------------------------------------------------------------------------
+@query(
+    "q54_mixture_sampling",
+    oracle="""
+    WITH weighted AS (
+      SELECT *, CASE WHEN source IN ('src0','src1','src2') THEN 'cd'
+                     WHEN source IN ('src3','src4','src5') THEN '80'
+                     ELSE '33' END AS thresh
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_total,
+           sum(CASE WHEN substring(md5(doc_id::VARCHAR), 1, 2) < thresh
+                    THEN 1 ELSE 0 END)::BIGINT AS n_sampled
+    FROM weighted
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q54_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Acceptance = md5(doc_id) first byte below a per-source threshold:
+    # hex strings of equal length compare numerically, and md5 is the same
+    # function in every engine — high-weight sources keep ≈ 205/256 of
+    # rows, medium 128/256, the rest ≈ 51/256, decided per row with no RNG
+    # and no partitioning dependence.
+    docs = _t(spark, sf_dir, "documents")
+    thresh = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), "cd")
+        .when(F.col("source").isin("src3", "src4", "src5"), "80")
+        .otherwise("33")
+    )
+    accepted = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < thresh, 1
+    ).otherwise(0)
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(accepted).alias("n_sampled"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Engine DEDUP verb end-to-end, HASH-checked: ingest documents PLUS a
 # shifted-id copy of every document (all planted exact dups), run
 # DEDUP strategy=exact, and the survivors must be exactly the original
