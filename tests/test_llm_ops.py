@@ -288,3 +288,33 @@ def test_ppm_decode_is_real(spark):
     assert got[1]["mean_r"] == 1.0 and got[1]["mean_g"] == 0.0
     assert (got[2]["width"], got[2]["height"]) == (4, 4)
     assert got[2]["mean_g"] == round(128 / 255, 6) and got[2]["mean_b"] == 1.0
+
+
+def test_ppm_resize_is_real(spark):
+    """Byte-level resize: a 64x32 solid image fits into max_px=16 as 16x8,
+    the output blob is a valid PPM that re-decodes to the same channel
+    means, and an already-small image passes through unscaled."""
+    from vrod_spark.operators.multimodal import (
+        decode_ppm_features,
+        make_ppm_bytes,
+        resize_ppm,
+    )
+
+    rows = [
+        (1, "image", make_ppm_bytes(64, 32, (10, 200, 30))),
+        (2, "image", make_ppm_bytes(8, 4, (1, 2, 3))),  # already fits
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, kind string, content binary")
+    resized = {r["media_id"]: r for r in resize_ppm(df, max_px=16).collect()}
+    assert (resized[1]["out_width"], resized[1]["out_height"]) == (16, 8)
+    assert (resized[2]["out_width"], resized[2]["out_height"]) == (8, 4)
+
+    # Re-decode the resized blobs distributed: dims and means must match.
+    back = spark.createDataFrame(
+        [(mid, "image", r["content"]) for mid, r in resized.items()],
+        "media_id bigint, kind string, content binary",
+    )
+    redecoded = {r["media_id"]: r for r in decode_ppm_features(back).collect()}
+    assert (redecoded[1]["width"], redecoded[1]["height"]) == (16, 8)
+    assert redecoded[1]["mean_g"] == round(200 / 255, 6)
+    assert redecoded[2]["mean_b"] == round(3 / 255, 6)

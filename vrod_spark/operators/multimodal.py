@@ -286,3 +286,64 @@ def make_ppm_bytes(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
     header = f"P6\n{width} {height}\n255\n".encode()
     px = np.tile(np.array(rgb, dtype=np.uint8), (height, width, 1))
     return header + px.tobytes()
+
+
+RESIZED_SCHEMA = (
+    "media_id bigint, width int, height int, out_width int, out_height int, "
+    "content binary"
+)
+
+
+def resize_ppm(media: DataFrame, *, max_px: int = 256) -> DataFrame:
+    """REAL byte-level image resize for binary PPM blobs: decode (pure
+    numpy), nearest-neighbor downscale to fit ``max_px``, re-encode PPM.
+    The byte-transform companion to :func:`resize_plan` (which computes
+    target dimensions as metadata-only expressions) — blobs stay inside
+    their mapInPandas task, nothing but ids/metadata ever shuffles."""
+    cap = max_px
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def parse_ppm(b: bytes):
+            tokens, i, n = [], 0, len(b)
+            while len(tokens) < 4 and i < n:
+                while i < n and b[i : i + 1].isspace():
+                    i += 1
+                if b[i : i + 1] == b"#":
+                    while i < n and b[i : i + 1] != b"\n":
+                        i += 1
+                    continue
+                j = i
+                while j < n and not b[j : j + 1].isspace():
+                    j += 1
+                tokens.append(b[i:j])
+                i = j
+            w, h = int(tokens[1]), int(tokens[2])
+            i += 1
+            px = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=i)
+            return w, h, px.reshape(h, w, 3)
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "width": [], "height": [],
+                "out_width": [], "out_height": [], "content": [],
+            }
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, img = parse_ppm(bytes(content))
+                scale = min(cap / max(w, 1), cap / max(h, 1), 1.0)
+                ow, oh = max(int(round(w * scale)), 1), max(int(round(h * scale)), 1)
+                # Nearest-neighbor index maps (deterministic, no filtering).
+                ys = (np.arange(oh) * (h / oh)).astype(int).clip(0, h - 1)
+                xs = (np.arange(ow) * (w / ow)).astype(int).clip(0, w - 1)
+                small = img[ys][:, xs]
+                blob = f"P6\n{ow} {oh}\n255\n".encode() + small.tobytes()
+                out["media_id"].append(media_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["out_width"].append(ow)
+                out["out_height"].append(oh)
+                out["content"].append(bytearray(blob))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(work, RESIZED_SCHEMA)
