@@ -318,3 +318,20 @@ def test_ppm_resize_is_real(spark):
     assert (redecoded[1]["width"], redecoded[1]["height"]) == (16, 8)
     assert redecoded[1]["mean_g"] == round(200 / 255, 6)
     assert redecoded[2]["mean_b"] == round(3 / 255, 6)
+
+
+def test_y4m_frame_extraction_is_real(spark):
+    """Video frame extraction for Y4M is NOT a stub: solid-luma frames
+    decode to exact per-frame means, and every_n sampling keeps every
+    second frame."""
+    from vrod_spark.operators.multimodal import extract_y4m_frames, make_y4m_bytes
+
+    rows = [(1, "video", make_y4m_bytes(16, 8, [0, 51, 102, 153]))]
+    df = spark.createDataFrame(rows, "media_id bigint, kind string, content binary")
+    frames = {r["frame_idx"]: r for r in extract_y4m_frames(df).collect()}
+    assert sorted(frames) == [0, 1, 2, 3]
+    assert frames[1]["mean_luma"] == round(51 / 255, 6)
+    assert (frames[0]["width"], frames[0]["height"]) == (16, 8)
+
+    sampled = extract_y4m_frames(df, every_n=2).collect()
+    assert sorted(r["frame_idx"] for r in sampled) == [0, 2]

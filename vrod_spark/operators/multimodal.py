@@ -2,11 +2,12 @@
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side machinery here is real and tested — schema, batching,
-partition sizing, UDF signatures. AUDIO decoding is REAL
-(``decode_wav_features``: stdlib ``wave`` + numpy) and so is IMAGE
-decoding for binary PPM (``decode_ppm_features``: pure numpy) — no
-external deps. Compressed formats (PNG/JPEG/MP4) are STUBBED (their
-codecs aren't in this container): ``decode_stub`` raises
+partition sizing, UDF signatures. Decoding is REAL for the raw container
+of every modality — AUDIO/WAV (``decode_wav_features``, stdlib ``wave`` +
+numpy), IMAGE/PPM (``decode_ppm_features`` + byte-level ``resize_ppm``,
+pure numpy), VIDEO/Y4M (``extract_y4m_frames``, pure numpy) — no external
+deps. Compressed codecs (PNG/JPEG/MP4) are STUBBED (not in this
+container): ``decode_stub`` raises
 ``NotImplementedError`` unless ``fake=True``, in which case it produces a
 deterministic fake derived from the bytes, so pipelines are end-to-end
 testable. Swapping in PIL/ffmpeg later changes ONE function body and
@@ -347,3 +348,69 @@ def resize_ppm(media: DataFrame, *, max_px: int = 256) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(work, RESIZED_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = (
+    "media_id bigint, frame_idx int, width int, height int, mean_luma double"
+)
+
+
+def extract_y4m_frames(media: DataFrame, *, every_n: int = 1) -> DataFrame:
+    """REAL video frame extraction for Y4M (yuv4mpeg2) blobs — a plain
+    ASCII header (``YUV4MPEG2 W.. H.. F..``) followed by ``FRAME`` records
+    of raw 4:2:0 YUV planes, parseable with pure numpy. Emits every
+    ``every_n``-th frame's dimensions and mean luma (the cheap
+    shot-boundary / brightness signal). One output row per sampled frame,
+    one-to-many via mapInPandas — the UDTF shape; blobs never shuffle.
+
+    Completes the multimodal trifecta: audio (WAV), image (PPM), and
+    video (Y4M) all decode for REAL with stdlib+numpy; only compressed
+    codecs remain stubbed."""
+    step = max(int(every_n), 1)
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "frame_idx": [], "width": [],
+                "height": [], "mean_luma": [],
+            }
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                nl = b.index(b"\n")
+                header = b[:nl].decode("ascii").split()
+                if header[0] != "YUV4MPEG2":
+                    raise ValueError("not a YUV4MPEG2 blob")
+                params = {p[0]: p[1:] for p in header[1:]}
+                w, h = int(params["W"]), int(params["H"])
+                frame_bytes = w * h * 3 // 2  # 4:2:0
+                pos, idx = nl + 1, 0
+                while pos < len(b):
+                    fnl = b.index(b"\n", pos)
+                    if not b[pos:fnl].startswith(b"FRAME"):
+                        raise ValueError("malformed FRAME header")
+                    y = np.frombuffer(b, dtype=np.uint8, count=w * h, offset=fnl + 1)
+                    if idx % step == 0:
+                        out["media_id"].append(media_id)
+                        out["frame_idx"].append(idx)
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        out["mean_luma"].append(round(float(y.mean()) / 255, 6))
+                    pos = fnl + 1 + frame_bytes
+                    idx += 1
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(work, VIDEO_FRAME_SCHEMA)
+
+
+def make_y4m_bytes(width: int, height: int, lumas: list[int]) -> bytes:
+    """Synthesize a Y4M clip of solid-luma frames (test/demo helper)."""
+    import numpy as np
+
+    parts = [f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420\n".encode()]
+    for luma in lumas:
+        y = np.full(width * height, luma, dtype=np.uint8)
+        uv = np.full(width * height // 2, 128, dtype=np.uint8)
+        parts.append(b"FRAME\n" + y.tobytes() + uv.tobytes())
+    return b"".join(parts)

@@ -1761,6 +1761,39 @@ def q51b_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# REAL video frame extraction (Y4M raw-YUV, pure numpy) — one row per
+# sampled frame with exact solid-luma means. Hash-checkable.
+# ---------------------------------------------------------------------------
+@query(
+    "q51c_video_frames",
+    oracle="""
+    SELECT * FROM (VALUES
+        (0, 0, 16, 8, 0.0),
+        (0, 2, 16, 8, round(102.0/255, 6)),
+        (1, 0, 8, 8, round(255.0/255, 6)))
+        t(media_id, frame_idx, width, height, mean_luma)
+    ORDER BY media_id, frame_idx
+    """,
+)
+def q51c_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vrod_spark.operators.multimodal import extract_y4m_frames, make_y4m_bytes
+
+    rows = [
+        (0, "video", make_y4m_bytes(16, 8, [0, 51, 102, 153])),
+        (1, "video", make_y4m_bytes(8, 8, [255])),
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, kind string, content binary")
+    return (
+        extract_y4m_frames(df, every_n=2)
+        .select(
+            F.col("media_id").cast("int").alias("media_id"),
+            "frame_idx", "width", "height", "mean_luma",
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Intra-document repetition (Gopher/C4 quality signal): fraction of a
 # document's 3-gram shingles that are repeats. Docs ≥ 3 words only (both
 # engines), top-20 most repetitive. JVM expressions only.
