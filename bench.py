@@ -119,6 +119,8 @@ SERIAL_TRACK = [
     "q29_lang_quality",
     "q31_fingerprint",
     "q22_distinct_percentiles",
+    "q50_decontamination",
+    "q52_clean_corpus_pipeline",
 ]
 
 
