@@ -491,3 +491,46 @@ def test_dedup_verb_embedding(engine):
     assert info["removed"] == 1
     col = engine.db.collection("vecs")
     assert sorted(r["id"] for r in col.read().collect()) == [1, 3]
+
+
+def test_concurrent_inserts_lose_nothing(engine, spark):
+    """8 threads × 3 appends race on one collection: the commit lock
+    re-resolves CURRENT per commit, so every delta survives (the unlocked
+    design loses whichever linked a stale base)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    engine.execute("CREATE", collection="race")
+    col = engine.db.collection("race")
+
+    def worker(t):
+        for i in range(3):
+            col.insert(
+                spark.createDataFrame(
+                    [(t * 100 + i, [float(t)], f"w{t}", None)], col.meta["schema"]
+                )
+            )
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(worker, range(8)))
+    assert col.read().count() == 24
+    ids = sorted(r["id"] for r in col.read().collect())
+    assert ids == sorted(t * 100 + i for t in range(8) for i in range(3))
+
+
+def test_rewrite_conflict_detected(engine, spark):
+    """A rewrite derived from a superseded snapshot must refuse to commit
+    (CommitConflictError) instead of silently dropping the concurrent
+    append."""
+    from vrod_spark.errors import CommitConflictError
+
+    engine.execute("CREATE", collection="cc")
+    col = engine.db.collection("cc")
+    col.insert(spark.createDataFrame([(1, [1.0], "a", None)], col.meta["schema"]))
+    stale_base = col.version
+    df = col.read()
+    # A concurrent append commits between the read and the rewrite:
+    col.insert(spark.createDataFrame([(2, [2.0], "b", None)], col.meta["schema"]))
+    with pytest.raises(CommitConflictError):
+        col._rewrite(df, "UPDATE", base_version=stale_base)
+    # Nothing lost, no pointer moved by the failed rewrite:
+    assert sorted(r["id"] for r in col.read().collect()) == [1, 2]

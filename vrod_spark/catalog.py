@@ -326,19 +326,34 @@ class Collection:
             target_partitions = max(1, size // (128 * 1024 * 1024))
         idx = self.meta.get("index")
         if idx:
+            from vrod_spark.errors import CommitConflictError
+
+            base_version = self.version
             obs = Observation()
             df = self.db.spark.read.parquet(cur)  # bucket partition col included
             df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-            nxt, nxt_dir = self._next_version_dir()
-            (
-                df.repartition("bucket")
-                .sortWithinPartitions("bucket", "id")
-                .write.partitionBy("bucket")
-                .mode("overwrite")
-                .parquet(nxt_dir)
-            )
-            n = int(obs.get["rows"])
-            self._commit(nxt, "COMPACT", {"rows": n, "index": "preserved"})
+            staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
+            try:
+                (
+                    df.repartition("bucket")
+                    .sortWithinPartitions("bucket", "id")
+                    .write.partitionBy("bucket")
+                    .mode("overwrite")
+                    .parquet(staging)
+                )
+                n = int(obs.get["rows"])
+                with self._commit_lock():
+                    if self.version != base_version:
+                        raise CommitConflictError(
+                            f"COMPACT derived from v{base_version} but CURRENT "
+                            f"is v{self.version}; re-run"
+                        )
+                    nxt, nxt_dir = self._next_version_dir()
+                    os.rename(staging, nxt_dir)
+                    self._commit(nxt, "COMPACT", {"rows": n, "index": "preserved"})
+            except Exception:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise
         else:
             n = self._rewrite(self.read().coalesce(int(target_partitions)), "COMPACT")
         return {
@@ -347,6 +362,39 @@ class Collection:
             "files_before": len(files_before),
             "files_after": len(self._data_files(self.version_dir())),
         }
+
+    def _commit_lock(self, timeout: float = 30.0):
+        """Exclusive commit critical-section: an O_CREAT|O_EXCL lock file.
+        Held only for the cheap link/rename/pointer-swap tail of a commit
+        (never during a Spark write job), it serializes concurrent writers
+        to one collection the way a real table format's commit service
+        does — appends re-resolve CURRENT under the lock so no concurrent
+        delta is ever lost, and rewrites detect a conflicting commit and
+        raise ``CommitConflictError`` instead of silently dropping it.
+        Single-node scope is honest here: the catalog IS a local
+        filesystem; a cluster deployment swaps this one method for a
+        metastore/commit-service call."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def lock():
+            lock_path = os.path.join(self.path, ".commit-lock")
+            deadline = time.time() + timeout
+            while True:
+                try:
+                    fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    break
+                except FileExistsError:
+                    if time.time() > deadline:
+                        raise TimeoutError(f"commit lock busy: {lock_path}")
+                    time.sleep(0.02)
+            try:
+                yield
+            finally:
+                os.close(fd)
+                os.unlink(lock_path)
+
+        return lock()
 
     def _next_version_dir(self) -> tuple[int, str]:
         nxt = self.version + 1
@@ -464,7 +512,6 @@ class Collection:
         elif part_key:
             df = df.withColumn("pk", F.col("meta").getItem(part_key))
 
-        cur_dir = self.version_dir()
         staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
         writer = df.write.mode("overwrite")
         if idx:
@@ -492,35 +539,42 @@ class Collection:
             shutil.rmtree(staging, ignore_errors=True)
             raise
 
-        nxt, nxt_dir = self._next_version_dir()
-        os.makedirs(nxt_dir)
-        self._link_existing(cur_dir, nxt_dir)
-        if idx:
-            added = self._merge_partitioned_delta(staging, nxt_dir, nxt)
-            hist = {str(k): int(v) for k, v in (idx.get("histogram") or {}).items()}
-            for b, cnt in added.items():
-                hist[b] = hist.get(b, 0) + cnt
-            self.update_meta(index={**idx, "histogram": hist})
-            detail = {"rows": n_new, "index": "maintained", "delta_buckets": len(added)}
-        elif part_key:
-            added = self._merge_partitioned_delta(staging, nxt_dir, nxt, prefix="pk=")
-            detail = {"rows": n_new, "delta_partitions": len(added)}
-        else:
-            for fname in os.listdir(staging):
-                if fname.startswith(("_", ".")):
-                    continue
-                # Prefix delta files so they can never collide with linked ones.
-                os.rename(
-                    os.path.join(staging, fname),
-                    os.path.join(nxt_dir, f"d{nxt}-{fname}"),
-                )
-            detail = {"rows": n_new}
+        # Appends commute, so concurrent INSERTs need no conflict check —
+        # but CURRENT must be re-resolved INSIDE the commit lock, else two
+        # racing inserts both link the same base and the later pointer
+        # swap silently drops the earlier delta.
+        with self._commit_lock():
+            cur_dir = self.version_dir()
+            nxt, nxt_dir = self._next_version_dir()
+            os.makedirs(nxt_dir)
+            self._link_existing(cur_dir, nxt_dir)
+            if idx:
+                added = self._merge_partitioned_delta(staging, nxt_dir, nxt)
+                fresh_idx = self.meta.get("index") or idx  # concurrent histogram growth
+                hist = {str(k): int(v) for k, v in (fresh_idx.get("histogram") or {}).items()}
+                for b, cnt in added.items():
+                    hist[b] = hist.get(b, 0) + cnt
+                self.update_meta(index={**fresh_idx, "histogram": hist})
+                detail = {"rows": n_new, "index": "maintained", "delta_buckets": len(added)}
+            elif part_key:
+                added = self._merge_partitioned_delta(staging, nxt_dir, nxt, prefix="pk=")
+                detail = {"rows": n_new, "delta_partitions": len(added)}
+            else:
+                for fname in os.listdir(staging):
+                    if fname.startswith(("_", ".")):
+                        continue
+                    # Prefix delta files so they can never collide with linked ones.
+                    os.rename(
+                        os.path.join(staging, fname),
+                        os.path.join(nxt_dir, f"d{nxt}-{fname}"),
+                    )
+                detail = {"rows": n_new}
+            self._commit(nxt, "INSERT", detail)
         shutil.rmtree(staging, ignore_errors=True)
-        self._commit(nxt, "INSERT", detail)
         return n_new
 
     def _rewrite(self, df: DataFrame, op: str, detail: dict | None = None,
-                 observation=None) -> int:
+                 observation=None, base_version: int | None = None) -> int:
         """Full-snapshot rewrite commit (UPDATE/DELETE path). Clears any
         LSH index: the rewrite is unpartitioned, so a stale bucket layout
         must not be trusted afterwards. Single job: the row count (plus any
@@ -529,27 +583,47 @@ class Collection:
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
+        from vrod_spark.errors import CommitConflictError
+
+        if base_version is None:
+            base_version = self.version
         if observation is None:
             observation = Observation()
             df = df.observe(observation, F.count(F.lit(1)).alias("rows"))
-        nxt, nxt_dir = self._next_version_dir()
         part_key = self.meta.get("partition_by")
-        if part_key:
-            # Preserve the meta-key partition layout across rewrites; pk is
-            # re-derived (an UPDATE may move rows between partitions).
-            (
-                df.withColumn("pk", F.col("meta").getItem(part_key))
-                .write.partitionBy("pk")
-                .mode("overwrite")
-                .parquet(nxt_dir)
-            )
-        else:
-            df.write.mode("overwrite").parquet(nxt_dir)
-        n = int(observation.get["rows"])
-        if self.meta.get("index"):
-            self.update_meta(index=None)
-        self._commit(nxt, op, {**(detail or {}), "rows": n})
-        return n
+        staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
+        try:
+            if part_key:
+                # Preserve the meta-key partition layout across rewrites;
+                # pk is re-derived (UPDATE may move rows across partitions).
+                (
+                    df.withColumn("pk", F.col("meta").getItem(part_key))
+                    .write.partitionBy("pk")
+                    .mode("overwrite")
+                    .parquet(staging)
+                )
+            else:
+                df.write.mode("overwrite").parquet(staging)
+            n = int(observation.get["rows"])
+            # Read-modify-write: the long Spark job above ran unlocked, so
+            # a concurrent commit may have superseded the snapshot this
+            # rewrite derived from. Detect it under the lock and refuse —
+            # silently swapping the pointer would DROP that commit's rows.
+            with self._commit_lock():
+                if self.version != base_version:
+                    raise CommitConflictError(
+                        f"{op} derived from v{base_version} but CURRENT is "
+                        f"v{self.version}; re-read and retry"
+                    )
+                nxt, nxt_dir = self._next_version_dir()
+                os.rename(staging, nxt_dir)
+                if self.meta.get("index"):
+                    self.update_meta(index=None)
+                self._commit(nxt, op, {**(detail or {}), "rows": n})
+            return n
+        except Exception:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
 
     def update(self, predicate: str, assignments: dict[str, str]) -> int:
         """UPDATE (builder.rs:53-57): copy-on-write rewrite of the snapshot

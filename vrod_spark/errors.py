@@ -43,3 +43,8 @@ class DimensionMismatchError(VrodError):
 
 class CommandArgError(VrodError):
     """Missing or malformed command argument."""
+
+
+class CommitConflictError(VrodError):
+    """A copy-on-write rewrite raced a concurrent commit: the snapshot it
+    derived from is no longer CURRENT. Re-read and retry the mutation."""
