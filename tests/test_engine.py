@@ -534,3 +534,33 @@ def test_rewrite_conflict_detected(engine, spark):
         col._rewrite(df, "UPDATE", base_version=stale_base)
     # Nothing lost, no pointer moved by the failed rewrite:
     assert sorted(r["id"] for r in col.read().collect()) == [1, 2]
+
+
+def test_update_retries_through_conflict(engine, spark, monkeypatch):
+    """An UPDATE that loses the race retries from the NEW snapshot: inject
+    a conflicting append into the first rewrite attempt and assert the
+    update both succeeds and sees the appended row untouched."""
+    from vrod_spark.catalog import Collection
+
+    engine.execute("CREATE", collection="ret")
+    col = engine.db.collection("ret")
+    col.insert(spark.createDataFrame([(1, [1.0], "old", None)], col.meta["schema"]))
+
+    real_rewrite = Collection._rewrite
+    state = {"injected": False}
+
+    def racing_rewrite(self, df, op, detail=None, observation=None, base_version=None):
+        if op == "UPDATE" and not state["injected"]:
+            state["injected"] = True
+            # A concurrent append commits AFTER this update read its base.
+            self.insert(
+                spark.createDataFrame([(2, [2.0], "new", None)], self.meta["schema"])
+            )
+        return real_rewrite(self, df, op, detail=detail, observation=observation,
+                            base_version=base_version)
+
+    monkeypatch.setattr(Collection, "_rewrite", racing_rewrite)
+    n = col.update("id = 1", {"payload": "'patched'"})
+    assert n == 1
+    rows = {r["id"]: r["payload"] for r in col.read().collect()}
+    assert rows == {1: "patched", 2: "new"}  # neither side lost

@@ -625,46 +625,70 @@ class Collection:
             shutil.rmtree(staging, ignore_errors=True)
             raise
 
-    def update(self, predicate: str, assignments: dict[str, str]) -> int:
+    def update(self, predicate: str, assignments: dict[str, str],
+               *, retries: int = 3) -> int:
         """UPDATE (builder.rs:53-57): copy-on-write rewrite of the snapshot
         with `assignments` (col -> SQL expression) applied where
         `predicate` (SQL boolean over the record columns) holds. The
         matched-row count is an ``observe`` metric on the rewrite job —
-        one job total, not a separate filter().count() pre-pass."""
+        one job total, not a separate filter().count() pre-pass.
+
+        A racing commit surfaces as ``CommitConflictError`` from the
+        rewrite; the mutation re-derives from the NEW snapshot and retries
+        (bounded) — the standard optimistic-concurrency loop."""
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
-        df = self.read()
-        cond = F.expr(predicate)
-        obs = Observation()
-        df = df.observe(
-            obs,
-            F.count(F.lit(1)).alias("rows"),
-            F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)).alias("matched"),
-        )
-        out = df
-        for col_name, expr_str in assignments.items():
-            out = out.withColumn(
-                col_name, F.when(cond, F.expr(expr_str)).otherwise(F.col(col_name))
+        from vrod_spark.errors import CommitConflictError
+
+        for attempt in range(retries + 1):
+            base = self.version
+            df = self.read()
+            cond = F.expr(predicate)
+            obs = Observation()
+            df = df.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows"),
+                F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)).alias("matched"),
             )
-        self._rewrite(out, "UPDATE", {"predicate": predicate}, observation=obs)
-        return int(obs.get["matched"])
+            out = df
+            for col_name, expr_str in assignments.items():
+                out = out.withColumn(
+                    col_name, F.when(cond, F.expr(expr_str)).otherwise(F.col(col_name))
+                )
+            try:
+                self._rewrite(out, "UPDATE", {"predicate": predicate},
+                              observation=obs, base_version=base)
+                return int(obs.get["matched"])
+            except CommitConflictError:
+                if attempt == retries:
+                    raise
 
-    def delete(self, predicate: str) -> int:
+    def delete(self, predicate: str, *, retries: int = 3) -> int:
         """DELETE (builder.rs:58-62): anti-filter rewrite. Matched count is
-        observed on the pre-filter scan of the same single rewrite job."""
+        observed on the pre-filter scan of the same single rewrite job.
+        Conflicting commits retry like :meth:`update`."""
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
-        df = self.read()
-        pred = F.expr(predicate)
-        obs = Observation()
-        df = df.observe(
-            obs,
-            F.coalesce(F.sum(F.when(pred, 1).otherwise(0)), F.lit(0)).alias("matched"),
-        )
-        self._rewrite(df.filter(~pred), "DELETE", {"predicate": predicate})
-        return int(obs.get["matched"])
+        from vrod_spark.errors import CommitConflictError
+
+        for attempt in range(retries + 1):
+            base = self.version
+            df = self.read()
+            pred = F.expr(predicate)
+            obs = Observation()
+            df = df.observe(
+                obs,
+                F.coalesce(F.sum(F.when(pred, 1).otherwise(0)), F.lit(0)).alias("matched"),
+            )
+            try:
+                self._rewrite(df.filter(~pred), "DELETE", {"predicate": predicate},
+                              base_version=base)
+                return int(obs.get["matched"])
+            except CommitConflictError:
+                if attempt == retries:
+                    raise
 
     # -- maintenance -------------------------------------------------------
     def truncate_wal(self) -> dict:
