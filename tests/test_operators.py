@@ -70,3 +70,30 @@ def test_salted_join_left_outer(spark):
     out = salted_join(left, right, "k", factor=4, how="left")
     got = {(r["k"], r["rv"]) for r in out.collect()}
     assert got == {(1, "x"), (2, "y"), (99, None)}
+
+
+def test_deterministic_sample_is_stable_and_proportional(spark):
+    """The same rows are selected regardless of partitioning, and per-
+    stratum proportions land near their configured rates."""
+    from vrod_spark.operators.sampling import deterministic_sample
+
+    df = spark.range(0, 4000).withColumn(
+        "src", F.when(F.col("id") % 2 == 0, "web").otherwise("books")
+    )
+    picked1 = {r["id"] for r in deterministic_sample(df, "id", 0.3).collect()}
+    picked2 = {
+        r["id"]
+        for r in deterministic_sample(df.repartition(17), "id", 0.3).collect()
+    }
+    assert picked1 == picked2  # physical layout cannot change the sample
+    assert 0.25 < len(picked1) / 4000 < 0.35
+
+    mixed = deterministic_sample(
+        df, "id", {"web": 0.8, "books": 0.2}, strata_col="src"
+    )
+    by_src = {
+        r["src"]: r["n"]
+        for r in mixed.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert 0.74 < by_src["web"] / 2000 < 0.86
+    assert 0.15 < by_src["books"] / 2000 < 0.25
