@@ -2233,6 +2233,51 @@ def q47_stream_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Engine.sql over custom-schema collections, HASH-checked: two collections
+# with non-default schemas (no embedding column), joined through the
+# engine's tenant-isolated SQL surface. Proves schema flexibility + the
+# snapshot-view SQL path end-to-end.
+# ---------------------------------------------------------------------------
+@query(
+    "q55_engine_sql_join",
+    oracle="""
+    SELECT n_name, r_name, count(*) AS n
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_name, r_name
+    ORDER BY n_name
+    """,
+)
+def q55_engine_sql_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from vrod_spark.engine import Engine
+
+    eng = Engine.create(spark, tempfile.mkdtemp(), "sqlgate")
+    eng.db.create_collection(
+        "nat", schema="id bigint, n_name string, n_regionkey bigint"
+    )
+    eng.db.create_collection("reg", schema="id bigint, r_name string")
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("id"), "n_name", "n_regionkey"
+    )
+    region = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("id"), "r_name"
+    )
+    eng.execute("BULKINSERT", collection="nat", arg=nation)
+    eng.execute("BULKINSERT", collection="reg", arg=region)
+    return eng.sql(
+        """
+        SELECT n_name, r_name, count(*) AS n
+        FROM nat JOIN reg ON nat.n_regionkey = reg.id
+        GROUP BY n_name, r_name
+        ORDER BY n_name
+        """,
+        "nat",
+        "reg",
+    )
+
+
+# ---------------------------------------------------------------------------
 # GROUPING SETS (explicit, beyond rollup/cube) via the SQL surface.
 # ---------------------------------------------------------------------------
 @query(
