@@ -77,3 +77,18 @@ def test_full_outer_join_is_sort_merge_with_partial_agg(spark, sf_dir):
     plan = explain_str(QUERIES["q43_full_outer_join"](spark, sf_dir), "formatted")
     assert "SortMergeJoin" in plan and "FullOuter" in plan
     assert "partial_count" in plan
+
+
+def test_decontamination_broadcasts_benchmark_set(spark, sf_dir):
+    """q50's benchmark shingle set is tiny — it must broadcast; shuffling
+    the corpus side against it would move every shingle at scale."""
+    plan = explain_str(QUERIES["q50_decontamination"](spark, sf_dir), "formatted")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_vocab_build_is_partial_agg_topk(spark, sf_dir):
+    """q53: map-side combine (shuffle carries token partial counts, not
+    token instances) and top-k without a global sort."""
+    plan = explain_str(QUERIES["q53_vocab_top_tokens"](spark, sf_dir), "formatted")
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
