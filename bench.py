@@ -46,6 +46,7 @@ from vrod_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "q01_pricing_summary",
     "q02_revenue_by_nation",
+    "q56_local_supplier_volume",
     "q03_top_orders",
     "q04_window_rank",
     "q05_knn_l2",

@@ -92,3 +92,10 @@ def test_vocab_build_is_partial_agg_topk(spark, sf_dir):
     plan = explain_str(QUERIES["q53_vocab_top_tokens"](spark, sf_dir), "formatted")
     assert "partial_count" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_deep_join_broadcasts_all_dims(spark, sf_dir):
+    """q56 (6-table Q5 shape): every dimension side must broadcast; only
+    the two fact tables may meet in a shuffle join."""
+    plan = explain_str(QUERIES["q56_local_supplier_volume"](spark, sf_dir), "formatted")
+    assert plan.count("BroadcastHashJoin") >= 4
