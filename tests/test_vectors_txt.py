@@ -29,3 +29,34 @@ def test_roundtrip(spark, tmp_path):
         "string",
         "map<string,string>",
     ]
+
+
+def test_python_datasource_reads_vector_format(spark, tmp_path):
+    """The registered Spark-4 Python DataSource parses the reference
+    format identically to the expression-based reader, with one partition
+    per file and stable per-line ids."""
+    from vrod_spark.sources.vectors_txt import (
+        read_vectors_txt,
+        register_vector_datasource,
+        write_vectors_txt,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), i + 0.5], f"w{i}", None) for i in range(6)],
+        "id bigint, embedding array<float>, payload string, meta map<string,string>",
+    )
+    out = str(tmp_path / "vecs")
+    write_vectors_txt(df, out, single_file=True)
+
+    register_vector_datasource(spark)
+    via_ds = spark.read.format("vrod_vectors").option("path", out).load()
+    got = sorted(
+        (r["payload"], [round(x, 3) for x in r["embedding"]])
+        for r in via_ds.collect()
+    )
+    want = sorted(
+        (r["payload"], [round(x, 3) for x in r["embedding"]])
+        for r in read_vectors_txt(spark, out).collect()
+    )
+    assert got == want and len(got) == 6
+    assert via_ds.schema.simpleString() == "struct<id:bigint,embedding:array<float>,payload:string>"

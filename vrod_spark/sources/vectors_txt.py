@@ -51,3 +51,76 @@ def write_vectors_txt(df: DataFrame, path: str, *, single_file: bool = False) ->
     if single_file:
         lines = lines.coalesce(1)
     lines.write.mode("overwrite").text(path)
+
+
+def register_vector_datasource(spark: SparkSession) -> None:
+    """Register the reference's vector text format as a first-class
+    PYTHON DATA SOURCE (Spark 4 ``pyspark.sql.datasource`` API):
+
+        spark.read.format("vrod_vectors").load(path)
+
+    One InputPartition per file → parallel scans; each executor parses its
+    own file, no driver involvement. Ids are minted as
+    ``(partition_index << 40) | line_number`` — unique and stable (the
+    format's only identity is ordinal position, SURVEY §1.2), not dense,
+    which is what an id needs to be at scale.
+
+    All classes are defined INSIDE this function on purpose: cloudpickle
+    then serializes them by value, so executors never need vrod_spark on
+    their import path (same worker-closure rule as every UDF here)."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class _Part(InputPartition):
+        def __init__(self, index: int, path: str):
+            self.index = index
+            self.path = path
+
+    class _Reader(DataSourceReader):
+        def __init__(self, options):
+            self.options = options
+
+        def partitions(self):
+            import glob
+            import os
+
+            path = self.options.get("path")
+            if path is None:
+                raise ValueError("vrod_vectors requires a path")
+            if os.path.isdir(path):
+                files = sorted(
+                    os.path.join(path, p)
+                    for p in os.listdir(path)
+                    if not p.startswith(("_", "."))
+                )
+            elif any(ch in path for ch in "*?["):
+                files = sorted(glob.glob(path))
+            else:
+                files = [path]
+            return [_Part(i, p) for i, p in enumerate(files)]
+
+        def read(self, partition):
+            base = partition.index << 40
+            with open(partition.path, encoding="utf-8") as f:
+                for i, line in enumerate(f):
+                    line = line.strip()
+                    if not line:
+                        continue
+                    vec_part, _, payload = line.partition(";")
+                    yield (
+                        base | i,
+                        [float(x) for x in vec_part.split(",") if x],
+                        payload,
+                    )
+
+    class VrodVectorsDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "vrod_vectors"
+
+        def schema(self) -> str:
+            return "id bigint, embedding array<float>, payload string"
+
+        def reader(self, schema):
+            return _Reader(self.options)
+
+    spark.dataSource.register(VrodVectorsDataSource)
