@@ -21,7 +21,7 @@ from vrod_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return QUERIES["q05_knn_l2"](spark, "/root/testdata/sf0.001")
+    return QUERIES["q05_knn_metrics"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -49,62 +49,49 @@ HEADLINE = [
     "q56_local_supplier_volume",
     "q03_top_orders",
     "q04_window_rank",
-    "q05_knn_l2",
-    "q06_knn_cosine",
+    "q05_knn_metrics",
     "q07_knn_per_label",
-    "q08_dedup_exact_summary",
     "q08b_dedup_keep_first",
-    "q09_text_stats",
     "q10_semi_anti",
     "q11_date_buckets",
     "q12_events_hourly",
-    "q12b_json_roundtrip",
-    "q13_rollup",
-    "q13b_cube",
-    "q13c_grouping_sets",
+    "q13_grouping_analytics",
     "q14_stats_aggs",
     "q15_window_analytics",
     "q16_set_ops",
     "q17_range_join_tiers",
     "q18_asof_click_purchase",
-    "q19_string_funcs",
-    "q20_math_funcs",
+    "q19_scalar_funcs",
     "q21_array_funcs",
     "q22_distinct_percentiles",
+    "q22b_approx_aggs",
     "q23_pivot_status",
     "q24_subqueries",
     "q25_distribution_windows",
     "q26_jaccard_top_pairs",
-    "q26b_minhash_lsh_pairs",
-    "q27_simhash_pairs",
+    "q26b_prob_near_dup",
     "q28_embedding_near_dup",
     "q28b_embedding_near_dup_bucketed",
     "q29_lang_quality",
-    "q30_token_counts",
-    "q31_fingerprint",
-    "q32_embed_pipeline",
-    "q33_multimodal_features",
-    "q34_stream_tumbling",
-    "q35_stream_sliding",
+    "q30_text_profile",
+    "q32_python_pipelines",
+    "q34_stream_windows",
     "q36_stream_sessions",
     "q37_stream_dedup",
-    "q38_grouped_normalize",
-    # q39 (engine ANN roundtrip) stays in the GATE but not the bench
+    "q38_pandas_grouped",
+    # q39 (engine index roundtrips) stays in the GATE but not the bench
     # headline: it is an index BUILD (BULKINSERT+REINDEX+search), not a
     # query — there is no DuckDB-side equivalent to compare latency with.
     "q40_stateful_totals",
-    "q46_stream_interval_join",
-    "q47_stream_abandonment",
+    "q46_stream_joins",
     "q41_map_funcs",
-    "q42_right_outer_join",
-    "q43_full_outer_join",
-    "q44_udaf_weighted_mean",
-    "q45_scalar_udf",
+    "q42_outer_joins",
     "q49_repetition_ratio",
     "q50_decontamination",
     "q52_clean_corpus_pipeline",
     "q53_vocab_top_tokens",
     "q54_mixture_sampling",
+    "q57_skew_salted_join",
 ]
 
 
@@ -113,12 +100,11 @@ HEADLINE = [
 #: text-heavy paths where a plan regression actually moves the needle.
 SERIAL_TRACK = [
     "q26_jaccard_top_pairs",
-    "q26b_minhash_lsh_pairs",
-    "q27_simhash_pairs",
+    "q26b_prob_near_dup",
     "q28_embedding_near_dup",
     "q28b_embedding_near_dup_bucketed",
     "q29_lang_quality",
-    "q31_fingerprint",
+    "q30_text_profile",
     "q22_distinct_percentiles",
     "q50_decontamination",
     "q52_clean_corpus_pipeline",
@@ -172,11 +158,11 @@ def main() -> None:
         # from starting last. Static cost classes are enough — exact order
         # within a class doesn't matter.
         heavy = [
-            "q26_jaccard_top_pairs", "q26b_minhash_lsh_pairs", "q27_simhash_pairs",
-            "q29_lang_quality", "q28_embedding_near_dup", "q31_fingerprint",
-            "q34_stream_tumbling", "q36_stream_sessions", "q37_stream_dedup",
-            "q35_stream_sliding", "q40_stateful_totals", "q22_distinct_percentiles",
-            "q32_embed_pipeline", "q15_window_analytics", "q17_range_join_tiers",
+            "q26_jaccard_top_pairs", "q26b_prob_near_dup", "q29_lang_quality",
+            "q28_embedding_near_dup", "q30_text_profile", "q34_stream_windows",
+            "q36_stream_sessions", "q37_stream_dedup", "q46_stream_joins",
+            "q40_stateful_totals", "q22_distinct_percentiles",
+            "q32_python_pipelines", "q15_window_analytics", "q17_range_join_tiers",
         ]
         names = [n for n in heavy if n in names] + [n for n in names if n not in heavy]
     timings: dict[str, float] = {}
@@ -213,22 +199,36 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).collect()
             serial_queries[name] = round(time.perf_counter() - start, 3)
 
+    spark.stop()
+    # Two lines, detail first: the driver's tail capture is ~2 KB, so the
+    # LAST line must be a short standalone summary that always survives
+    # truncation (round 2 lost its official number to a 4 KB single line).
+    # Printing after spark.stop() keeps shutdown warnings from landing
+    # between the JSON and the end of the stream.
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_detail",
+                "queries": {n: timings[n] for n in names},
+                **({"serial_queries": serial_queries} if serial_queries else {}),
+            }
+        )
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_suite_wall_clock",
                 "value": wall,
                 "unit": "sec",
-                "queries": {n: timings[n] for n in names},
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
                 "mode": "serial" if serial else "concurrent",
                 "workers": 1 if serial else workers,
+                "n_queries": len(names),
                 "serial_sum_sec": round(sum(timings.values()), 3),
-                **({"serial_queries": serial_queries} if serial_queries else {}),
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

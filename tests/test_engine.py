@@ -564,3 +564,120 @@ def test_update_retries_through_conflict(engine, spark, monkeypatch):
     assert n == 1
     rows = {r["id"]: r["payload"] for r in col.read().collect()}
     assert rows == {1: "patched", 2: "new"}  # neither side lost
+
+
+def test_partition_pruning_rejects_negated_and_conditional_predicates(engine, spark):
+    """ADVICE r2: a pk-equality embedded under NOT / CASE must NOT trigger
+    partition pruning — conjoining `pk = lit` there silently flips the
+    result. The scan stays unpruned and the predicate evaluates as-is."""
+    engine.execute("CREATE", collection="npr", arg={"partition_by": "region"})
+    rows = [
+        {"id": i, "embedding": [float(i)], "payload": f"p{i}",
+         "meta": {"region": "us" if i % 2 == 0 else "eu"}}
+        for i in range(10)
+    ]
+    engine.execute("INSERT", collection="npr", arg=rows)
+    col = engine.db.collection("npr")
+
+    # Unit: the literal extractor refuses any negated/conditional context.
+    assert col.partition_literal("meta['region'] = 'us'") == "us"
+    assert col.partition_literal("NOT meta['region'] = 'us'") is None
+    assert col.partition_literal("!(meta['region'] = 'us')") is None
+    assert col.partition_literal(
+        "CASE WHEN meta['region'] = 'us' THEN id > 0 ELSE false END"
+    ) is None
+    assert col.partition_literal("if(meta['region'] = 'us', true, false)") is None
+
+    # End-to-end: the NOT query returns the eu rows (the pruned-conjoined
+    # plan would return the empty set).
+    res = engine.execute("SEARCH", collection="npr", arg="NOT meta['region'] = 'us'")
+    assert [r["id"] for r in res.df.collect()] == [1, 3, 5, 7, 9]
+
+
+def test_insert_conflicts_with_concurrent_reindex(engine, spark, sf_dir, monkeypatch):
+    """ADVICE r2: an INSERT staged against one index identity must refuse
+    to commit after a concurrent REINDEX replaced the planes/centroids —
+    its bucket= delta dirs are hashed with the WRONG function. The guard
+    re-reads meta under the commit lock and raises CommitConflictError."""
+    from vrod_spark.catalog import Collection
+    from vrod_spark.errors import CommitConflictError
+
+    engine.execute("CREATE", collection="rix")
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    records = emb.select(
+        F.col("vec_id").alias("id"), "embedding",
+        F.lit("x").alias("payload"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    engine.execute("BULKINSERT", collection="rix", arg=records)
+    engine.execute("REINDEX", collection="rix")
+
+    real_lock = Collection._commit_lock
+    state = {"fired": False}
+
+    def racing_lock(self, timeout: float = 30.0):
+        # Before the INSERT acquires the lock, a concurrent REINDEX swaps
+        # in a different index identity (different planes).
+        if not state["fired"] and self.name == "rix":
+            state["fired"] = True
+            engine.execute("REINDEX", collection="rix", arg={"n_planes": 3})
+        return real_lock(self, timeout)
+
+    monkeypatch.setattr(Collection, "_commit_lock", racing_lock)
+    with pytest.raises(CommitConflictError):
+        engine.execute(
+            "INSERT",
+            collection="rix",
+            arg=[{"id": 10_000, "embedding": [0.1] * 64, "payload": "late"}],
+        )
+    monkeypatch.setattr(Collection, "_commit_lock", real_lock)
+    # The collection is intact under the NEW index; a retried insert lands.
+    engine.execute(
+        "INSERT",
+        collection="rix",
+        arg=[{"id": 10_000, "embedding": [0.1] * 64, "payload": "late"}],
+    )
+    col = engine.db.collection("rix")
+    assert col.read().filter("id = 10000").count() == 1
+    assert col.meta["index"] is not None
+
+
+def test_engine_sql_interleaved_isolation(spark, tmp_path):
+    """Two engines each holding a collection named `t` with different
+    contents: interleaved sql() calls must resolve their OWN snapshot —
+    per-call child sessions mean bare names can never clobber across
+    tenants (VERDICT r2 item 5)."""
+    eng_a = Engine.create(spark, str(tmp_path), "tenant_a")
+    eng_b = Engine.create(spark, str(tmp_path), "tenant_b")
+    for eng, tag in ((eng_a, "a"), (eng_b, "b")):
+        eng.db.create_collection("t", schema="id bigint, who string")
+        eng.execute(
+            "BULKINSERT", collection="t",
+            arg=spark.createDataFrame([(1, tag), (2, tag)], "id bigint, who string"),
+        )
+    df_a = eng_a.sql("SELECT who, count(*) AS n FROM t GROUP BY who", "t")
+    df_b = eng_b.sql("SELECT who, count(*) AS n FROM t GROUP BY who", "t")
+    # Interleaved collection: a's result must be all-'a', b's all-'b'.
+    rows_a, rows_b = df_a.collect(), df_b.collect()
+    assert [(r["who"], r["n"]) for r in rows_a] == [("a", 2)]
+    assert [(r["who"], r["n"]) for r in rows_b] == [("b", 2)]
+
+
+def test_compact_reports_per_partition_file_counts(engine, spark):
+    """Compaction of a pk=-partitioned snapshot reports a per-partition
+    file-count map (VERDICT r2 item 7) and preserves the layout."""
+    engine.execute("CREATE", collection="cpp", arg={"partition_by": "region"})
+    for batch in range(3):  # 3 inserts → 3 delta files per partition
+        rows = [
+            {"id": batch * 10 + i, "embedding": [1.0], "payload": "x",
+             "meta": {"region": reg}}
+            for i, reg in enumerate(["us", "eu"])
+        ]
+        engine.execute("INSERT", collection="cpp", arg=rows)
+    col = engine.db.collection("cpp")
+    report = col.compact(target_partitions=1)
+    per_part = report["files_per_partition"]
+    assert set(per_part) == {"pk=us", "pk=eu"}
+    assert all(v >= 1 for v in per_part.values())
+    assert sum(per_part.values()) == report["files_after"]
+    assert col.read().count() == 6

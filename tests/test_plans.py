@@ -67,14 +67,14 @@ def test_right_outer_join_broadcasts_small_side(spark, sf_dir):
     """q42's filtered orders side is small → BuildLeft broadcast, right
     outer preserved (no shuffle of the customer side at scale beyond the
     agg)."""
-    plan = explain_str(QUERIES["q42_right_outer_join"](spark, sf_dir), "formatted")
+    plan = explain_str(QUERIES["q42_outer_joins"](spark, sf_dir), "formatted")
     assert "BroadcastHashJoin RightOuter" in plan
 
 
 def test_full_outer_join_is_sort_merge_with_partial_agg(spark, sf_dir):
     """Full outer cannot broadcast (both sides null-extend) — the correct
     scale plan is a sort-merge join fed by partially-aggregated sides."""
-    plan = explain_str(QUERIES["q43_full_outer_join"](spark, sf_dir), "formatted")
+    plan = explain_str(QUERIES["q42_outer_joins"](spark, sf_dir), "formatted")
     assert "SortMergeJoin" in plan and "FullOuter" in plan
     assert "partial_count" in plan
 

@@ -58,6 +58,19 @@ WAL = "wal.jsonl"
 RECORD_SCHEMA = "id bigint, embedding array<float>, payload string, meta map<string,string>"
 
 
+def _index_identity(idx: dict | None):
+    """The part of an index that decides bucket assignment — kind plus
+    hyperplanes/centroids, NOT the histogram (which concurrent appends grow
+    commutatively). Two metas with equal identity bucket a delta the same
+    way; unequal identity means staged ``bucket=`` dirs hash wrong."""
+    if not idx:
+        return None
+    return (
+        idx.get("kind", "lsh"),
+        json.dumps(idx.get("planes") if "planes" in idx else idx.get("centroids")),
+    )
+
+
 def _atomic_write(path: str, content: str) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -282,13 +295,21 @@ class Collection:
 
     def partition_literal(self, predicate: str) -> str | None:
         """If `predicate` pins the partition meta key to a string literal
-        (``meta['<key>'] = '<val>'``) and contains no OR (which would make
-        the conjunction unsound), return the literal for partition-pruned
-        scans; else None."""
+        (``meta['<key>'] = '<val>'``) as a top-level AND conjunct, return
+        the literal for partition-pruned scans; else None.
+
+        Pruning is only sound when the equality is a plain conjunct: any
+        OR (the equality may be one alternative), NOT / ``!`` (the match
+        could sit under negation), or CASE/IF/WHEN (the match could be a
+        conditional branch, not a filter) disqualifies the predicate —
+        the scan then stays unpruned and the filter is evaluated as-is,
+        which is always correct, just less fast (ADVICE r2)."""
         import re
 
         key = self.meta.get("partition_by")
-        if not key or re.search(r"\bor\b", predicate, re.IGNORECASE):
+        if not key or re.search(
+            r"\bor\b|\bnot\b|!|\bcase\b|\bwhen\b|\bif\b", predicate, re.IGNORECASE
+        ):
             return None
         m = re.search(
             rf"meta\s*\[\s*'{re.escape(key)}'\s*\]\s*==?\s*'([^']*)'", predicate
@@ -356,12 +377,27 @@ class Collection:
                 raise
         else:
             n = self._rewrite(self.read().coalesce(int(target_partitions)), "COMPACT")
-        return {
+        out = {
             "collection": self.name,
             "rows": n,
             "files_before": len(files_before),
             "files_after": len(self._data_files(self.version_dir())),
         }
+        per_part = self._files_per_partition(self.version_dir())
+        if per_part is not None:
+            out["files_per_partition"] = per_part
+        return out
+
+    @classmethod
+    def _files_per_partition(cls, root: str) -> dict[str, int] | None:
+        """Per-partition data-file counts for a partitioned snapshot
+        (``bucket=``/``pk=`` Hive dirs); None for a flat layout. Lets a
+        compaction report show exactly where small files accumulated."""
+        counts: dict[str, int] = {}
+        for entry in sorted(os.listdir(root)):
+            if "=" in entry and os.path.isdir(os.path.join(root, entry)):
+                counts[entry] = len(cls._data_files(os.path.join(root, entry)))
+        return counts or None
 
     def _commit_lock(self, timeout: float = 30.0):
         """Exclusive commit critical-section: an O_CREAT|O_EXCL lock file.
@@ -522,55 +558,86 @@ class Collection:
             writer.parquet(staging)  # the ONE job; metrics ride along
             vals = obs.get
             n_new = int(vals["n"])
+            dmin = dmax = None
             if has_vec and n_new and vals.get("dmin") is not None:
                 dmin, dmax = int(vals["dmin"]), int(vals["dmax"])
                 if dmin != dmax:
                     raise DimensionMismatchError(
                         f"mixed vector dimensions in ingest: [{dmin}..{dmax}]"
                     )
-                declared = self.meta.get("dimension")
-                if declared is None:
-                    self.update_meta(dimension=dmin)
-                elif dmin != declared:
-                    raise DimensionMismatchError(
-                        f"vector dimension {dmin} != collection dimension {declared}"
-                    )
-        except Exception:
-            shutil.rmtree(staging, ignore_errors=True)
-            raise
 
-        # Appends commute, so concurrent INSERTs need no conflict check —
-        # but CURRENT must be re-resolved INSIDE the commit lock, else two
-        # racing inserts both link the same base and the later pointer
-        # swap silently drops the earlier delta.
-        with self._commit_lock():
-            cur_dir = self.version_dir()
-            nxt, nxt_dir = self._next_version_dir()
-            os.makedirs(nxt_dir)
-            self._link_existing(cur_dir, nxt_dir)
-            if idx:
-                added = self._merge_partitioned_delta(staging, nxt_dir, nxt)
-                fresh_idx = self.meta.get("index") or idx  # concurrent histogram growth
-                hist = {str(k): int(v) for k, v in (fresh_idx.get("histogram") or {}).items()}
-                for b, cnt in added.items():
-                    hist[b] = hist.get(b, 0) + cnt
-                self.update_meta(index={**fresh_idx, "histogram": hist})
-                detail = {"rows": n_new, "index": "maintained", "delta_buckets": len(added)}
-            elif part_key:
-                added = self._merge_partitioned_delta(staging, nxt_dir, nxt, prefix="pk=")
-                detail = {"rows": n_new, "delta_partitions": len(added)}
-            else:
-                for fname in os.listdir(staging):
-                    if fname.startswith(("_", ".")):
-                        continue
-                    # Prefix delta files so they can never collide with linked ones.
-                    os.rename(
-                        os.path.join(staging, fname),
-                        os.path.join(nxt_dir, f"d{nxt}-{fname}"),
+            # Plain appends commute, so concurrent INSERTs need no conflict
+            # check — but everything staged against a SNAPSHOT OF META must
+            # be re-validated INSIDE the commit lock (ADVICE r2):
+            # - CURRENT re-resolves (else two racing inserts link the same
+            #   base and the later swap silently drops the earlier delta);
+            # - the index identity must still be the one the delta was
+            #   bucket-assigned with (a concurrent REINDEX means our bucket=
+            #   dirs hash wrong; a concurrent UPDATE/DELETE/DEDUP cleared
+            #   the index and flattened the layout — merging would resurrect
+            #   it / produce a mixed flat+partitioned tree);
+            # - the declared-dimension check-and-pin is serialized here so
+            #   two racing first-inserts can't both pin different dims.
+            with self._commit_lock():
+                fresh_meta = self.meta
+                if fresh_meta.get("partition_by") != part_key or _index_identity(
+                    fresh_meta.get("index")
+                ) != _index_identity(idx):
+                    from vrod_spark.errors import CommitConflictError
+
+                    raise CommitConflictError(
+                        "collection layout changed during insert (concurrent "
+                        "REINDEX/UPDATE/DELETE); retry the insert against the "
+                        "new snapshot"
                     )
-                detail = {"rows": n_new}
-            self._commit(nxt, "INSERT", detail)
-        shutil.rmtree(staging, ignore_errors=True)
+                if dmin is not None:
+                    declared = fresh_meta.get("dimension")
+                    if declared is None:
+                        self.update_meta(dimension=dmin)
+                    elif dmin != declared:
+                        raise DimensionMismatchError(
+                            f"vector dimension {dmin} != collection dimension {declared}"
+                        )
+                cur_dir = self.version_dir()
+                nxt, nxt_dir = self._next_version_dir()
+                os.makedirs(nxt_dir)
+                self._link_existing(cur_dir, nxt_dir)
+                if idx:
+                    added = self._merge_partitioned_delta(staging, nxt_dir, nxt)
+                    # Identity matched above, so only the histogram can have
+                    # moved (concurrent inserts grow it commutatively).
+                    fresh_idx = fresh_meta.get("index")
+                    hist = {
+                        str(k): int(v)
+                        for k, v in (fresh_idx.get("histogram") or {}).items()
+                    }
+                    for b, cnt in added.items():
+                        hist[b] = hist.get(b, 0) + cnt
+                    self.update_meta(index={**fresh_idx, "histogram": hist})
+                    detail = {
+                        "rows": n_new,
+                        "index": "maintained",
+                        "delta_buckets": len(added),
+                    }
+                elif part_key:
+                    added = self._merge_partitioned_delta(
+                        staging, nxt_dir, nxt, prefix="pk="
+                    )
+                    detail = {"rows": n_new, "delta_partitions": len(added)}
+                else:
+                    for fname in os.listdir(staging):
+                        if fname.startswith(("_", ".")):
+                            continue
+                        # Prefix delta files so they can never collide with
+                        # linked ones.
+                        os.rename(
+                            os.path.join(staging, fname),
+                            os.path.join(nxt_dir, f"d{nxt}-{fname}"),
+                        )
+                    detail = {"rows": n_new}
+                self._commit(nxt, "INSERT", detail)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
         return n_new
 
     def _rewrite(self, df: DataFrame, op: str, detail: dict | None = None,

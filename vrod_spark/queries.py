@@ -196,17 +196,28 @@ def q04_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# kNN exact (the flagship — SEARCHSIMILAR, builder.rs:68-72): L2 distance to
-# the vec_id=0 query vector, top-10. Ordered by unrounded distance with id
-# tiebreak; TakeOrderedAndProject at any scale.
+# kNN exact (the flagship — SEARCHSIMILAR, builder.rs:68-72): top-10 by L2
+# AND by cosine distance to the vec_id=0 query vector, tagged per metric.
+# Ordered by unrounded distance with id tiebreak; each branch is a
+# TakeOrderedAndProject at any scale (k×partitions rows to the driver).
 # ---------------------------------------------------------------------------
-_KNN_ORACLE_L2 = """
-    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
-    SELECT e.vec_id,
-           round(list_distance(e.embedding::DOUBLE[], q.qv), 4) AS dist
-    FROM embeddings e CROSS JOIN q
-    ORDER BY list_distance(e.embedding::DOUBLE[], q.qv), e.vec_id
-    LIMIT 10
+_KNN_ORACLE = """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    l2 AS (
+      SELECT 'l2' AS metric, e.vec_id,
+             round(list_distance(e.embedding::DOUBLE[], q.qv), 4) AS dist
+      FROM embeddings e CROSS JOIN q
+      ORDER BY list_distance(e.embedding::DOUBLE[], q.qv), e.vec_id
+      LIMIT 10
+    ),
+    cos AS (
+      SELECT 'cosine' AS metric, e.vec_id,
+             round(1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS dist
+      FROM embeddings e CROSS JOIN q
+      ORDER BY 1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.qv), e.vec_id
+      LIMIT 10
+    )
+    SELECT * FROM l2 UNION ALL SELECT * FROM cos
 """
 
 
@@ -220,43 +231,25 @@ def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[flo
     return [float(x) for x in row["embedding"]]
 
 
-@query("q05_knn_l2", oracle=_KNN_ORACLE_L2)
-def q05_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vrod_spark.functions.vector import l2_distance
+@query("q05_knn_metrics", oracle=_KNN_ORACLE)
+def q05_knn_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vrod_spark.functions.vector import cosine_distance, l2_distance
 
     emb = _t(spark, sf_dir, "embeddings")
     qv = _query_vector(spark, sf_dir)
-    dist = l2_distance("embedding", vector_lit(qv))
-    return (
-        emb.select("vec_id", dist.alias("_d"))
-        .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
-        .limit(10)
-        .select("vec_id", F.round("_d", 4).alias("dist"))
-    )
 
+    def topk(dist, tag: str) -> DataFrame:
+        return (
+            emb.select("vec_id", dist.alias("_d"))
+            .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
+            .limit(10)
+            .select(
+                F.lit(tag).alias("metric"), "vec_id", F.round("_d", 4).alias("dist")
+            )
+        )
 
-@query(
-    "q06_knn_cosine",
-    oracle="""
-    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
-    SELECT e.vec_id,
-           round(1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 4) AS dist
-    FROM embeddings e CROSS JOIN q
-    ORDER BY 1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.qv), e.vec_id
-    LIMIT 10
-    """,
-)
-def q06_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vrod_spark.functions.vector import cosine_distance
-
-    emb = _t(spark, sf_dir, "embeddings")
-    qv = _query_vector(spark, sf_dir)
-    dist = cosine_distance("embedding", vector_lit(qv))
-    return (
-        emb.select("vec_id", dist.alias("_d"))
-        .orderBy(F.col("_d").asc(), F.col("vec_id").asc())
-        .limit(10)
-        .select("vec_id", F.round("_d", 4).alias("dist"))
+    return topk(l2_distance("embedding", vector_lit(qv)), "l2").unionByName(
+        topk(cosine_distance("embedding", vector_lit(qv)), "cosine")
     )
 
 
@@ -290,39 +283,10 @@ def q07_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Exact dedup (LLM-pipeline): sha2 fingerprint of normalized text, keep-first
-# per fingerprint, count dupes. Map-side hash then one shuffle on the digest.
-# ---------------------------------------------------------------------------
-@query(
-    "q08_dedup_exact_summary",
-    oracle="""
-    SELECT lang,
-           count(*) AS n_docs,
-           count(DISTINCT sha256(lower(trim(text)))) AS n_unique,
-           count(*) - count(DISTINCT sha256(lower(trim(text)))) AS n_dupes
-    FROM documents
-    GROUP BY lang
-    ORDER BY lang
-    """,
-)
-def q08_dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    fp = F.sha2(F.lower(F.trim(F.col("text"))), 256)
-    return (
-        docs.select("lang", fp.alias("fp"))
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("fp").alias("n_unique"),
-            (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_dupes"),
-        )
-        .orderBy("lang")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Keep-first exact dedup: one surviving doc_id per normalized-text
-# fingerprint (the DELETE-dupes mechanism). One shuffle on the digest.
+# Keep-first exact dedup (LLM-pipeline): one surviving doc_id per
+# normalized-text sha2 fingerprint (the DELETE-dupes mechanism). Map-side
+# hash then ONE shuffle on the digest — O(rows), never O(bytes).
+# (The per-lang dupe summary this subsumes lives on in q52's pipeline.)
 # ---------------------------------------------------------------------------
 @query(
     "q08b_dedup_keep_first",
@@ -341,38 +305,6 @@ def q08b_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
         .drop("fp")
         .orderBy("doc_id")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Text analysis: per-(lang, source) corpus stats — doc counts, char totals,
-# whitespace token counts. All JVM-side expressions over documents.
-# ---------------------------------------------------------------------------
-@query(
-    "q09_text_stats",
-    oracle="""
-    SELECT lang, source,
-           count(*)                                            AS n_docs,
-           sum(n_chars)::BIGINT                                AS total_chars,
-           round(avg(n_chars), 4)                              AS avg_chars,
-           sum(length(text) - length(replace(text, ' ', '')) + 1)::BIGINT AS total_tokens
-    FROM documents
-    GROUP BY lang, source
-    ORDER BY lang, source
-    """,
-)
-def q09_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    tokens = F.length("text") - F.length(F.regexp_replace(F.col("text"), " ", "")) + 1
-    return (
-        docs.groupBy("lang", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-            F.sum(tokens).alias("total_tokens"),
-        )
-        .orderBy("lang", "source")
     )
 
 
@@ -445,8 +377,10 @@ def q11_date_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# JSON + events: parse props, filter by event_type, hourly tumbling buckets
-# (batch analog of the streaming window agg).
+# JSON + events: the full declared JSON family in one plan — get_json_object
+# path extraction, from_json (string → struct) + struct field access, and
+# to_json (struct → canonical string) — over hourly tumbling buckets (the
+# batch analog of the streaming window agg).
 # ---------------------------------------------------------------------------
 @query(
     "q12_events_hourly",
@@ -455,7 +389,9 @@ def q11_date_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            count(*) AS n_events,
            round(sum(value), 4) AS total_value,
-           sum(CAST(json_extract_string(props, '$.k') AS INT))::BIGINT AS sum_k
+           sum(CAST(json_extract_string(props, '$.k') AS INT))::BIGINT AS sum_k,
+           '{"k":' || CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS VARCHAR) || '}'
+               AS min_k_json
     FROM events
     WHERE event_type IN ('click', 'purchase')
     GROUP BY hour_start, event_type
@@ -466,6 +402,13 @@ def q12_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     return (
         events.filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "ts",
+            "event_type",
+            "value",
+            "props",
+            F.from_json("props", "k INT").alias("p"),
+        )
         .groupBy(
             F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
                 "hour_start"
@@ -476,100 +419,91 @@ def q12_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("total_value"),
             F.sum(F.get_json_object("props", "$.k").cast("int")).alias("sum_k"),
+            F.to_json(F.struct(F.min("p.k").alias("k"))).alias("min_k_json"),
         )
         .orderBy("hour_start", "event_type")
     )
 
 
 # ---------------------------------------------------------------------------
-# JSON roundtrip: from_json (string → struct), struct field access, to_json
-# (struct → canonical string) — completes the declared JSON family beyond
-# q12's get_json_object. Canonical form compared as string on both sides.
+# Multi-dimensional grouping in one gate: ROLLUP (lineitem hierarchy), CUBE
+# (orders status×priority), and explicit GROUPING SETS via the SQL surface,
+# tagged per kind. Each is one Expand + a single shuffle — never an N-pass
+# union of separate aggregates, which is the property that matters at scale.
 # ---------------------------------------------------------------------------
 @query(
-    "q12b_json_roundtrip",
+    "q13_grouping_analytics",
     oracle="""
-    SELECT CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod,
-           count(*) AS n,
-           '{"k":' || CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS VARCHAR) || '}'
-               AS min_k_json
-    FROM events
-    GROUP BY k_mod
-    ORDER BY k_mod
-    """,
-)
-def q12b_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = _t(spark, sf_dir, "events")
-    parsed = events.select(
-        F.from_json("props", "k INT").alias("p")
-    )
-    return (
-        parsed.groupBy((F.col("p.k") % 10).alias("k_mod"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.to_json(F.struct(F.min("p.k").alias("k"))).alias("min_k_json"),
-        )
-        .orderBy("k_mod")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Rollup with grouping indicators: hierarchical totals in one pass
-# (Expand + single shuffle — no N-pass union of aggregates).
-# ---------------------------------------------------------------------------
-@query(
-    "q13_rollup",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           CAST(grouping(l_returnflag) AS INT) AS g_flag,
-           CAST(grouping(l_linestatus) AS INT) AS g_status,
-           round(sum(l_quantity), 2) AS sum_qty,
-           count(*) AS n
+    SELECT 'rollup' AS gkind, l_returnflag AS k1, l_linestatus AS k2,
+           CAST(grouping(l_returnflag) AS INT) AS g1,
+           CAST(grouping(l_linestatus) AS INT) AS g2,
+           count(*) AS n, round(sum(l_quantity), 2) AS val
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    ORDER BY g_flag, g_status, l_returnflag, l_linestatus
-    """,
-)
-def q13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.grouping("l_returnflag").cast("int").alias("g_flag"),
-            F.grouping("l_linestatus").cast("int").alias("g_status"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .select("l_returnflag", "l_linestatus", "g_flag", "g_status", "sum_qty", "n")
-        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
-    )
-
-
-@query(
-    "q13b_cube",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority,
-           CAST(grouping(o_orderstatus) AS INT) AS g_s,
-           CAST(grouping(o_orderpriority) AS INT) AS g_p,
-           round(sum(o_totalprice), 2) AS total,
-           count(*) AS n
+    UNION ALL
+    SELECT 'cube' AS gkind, o_orderstatus AS k1, o_orderpriority AS k2,
+           CAST(grouping(o_orderstatus) AS INT) AS g1,
+           CAST(grouping(o_orderpriority) AS INT) AS g2,
+           count(*) AS n, round(sum(o_totalprice), 2) AS val
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    ORDER BY g_s, g_p, o_orderstatus, o_orderpriority
+    UNION ALL
+    SELECT 'gsets' AS gkind, l_returnflag AS k1, l_linestatus AS k2,
+           CAST(grouping(l_returnflag) AS INT) AS g1,
+           CAST(grouping(l_linestatus) AS INT) AS g2,
+           count(*) AS n, round(sum(l_quantity), 2) AS val
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    ORDER BY gkind, g1, g2, k1, k2
     """,
 )
-def q13b_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q13_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
-    return (
+    roll = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g1"),
+            F.grouping("l_linestatus").cast("int").alias("g2"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("val"),
+        )
+        .select(
+            F.lit("rollup").alias("gkind"),
+            F.col("l_returnflag").alias("k1"),
+            F.col("l_linestatus").alias("k2"),
+            "g1", "g2", "n", "val",
+        )
+    )
+    cube = (
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
-            F.grouping("o_orderstatus").cast("int").alias("g_s"),
-            F.grouping("o_orderpriority").cast("int").alias("g_p"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.grouping("o_orderstatus").cast("int").alias("g1"),
+            F.grouping("o_orderpriority").cast("int").alias("g2"),
             F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("val"),
         )
-        .select("o_orderstatus", "o_orderpriority", "g_s", "g_p", "total", "n")
-        .orderBy("g_s", "g_p", "o_orderstatus", "o_orderpriority")
+        .select(
+            F.lit("cube").alias("gkind"),
+            F.col("o_orderstatus").alias("k1"),
+            F.col("o_orderpriority").alias("k2"),
+            "g1", "g2", "n", "val",
+        )
+    )
+    gsets = spark.sql(
+        f"""
+        SELECT 'gsets' AS gkind, l_returnflag AS k1, l_linestatus AS k2,
+               CAST(grouping(l_returnflag) AS INT) AS g1,
+               CAST(grouping(l_linestatus) AS INT) AS g2,
+               count(*) AS n, round(sum(l_quantity), 2) AS val
+        FROM parquet.`{sf_dir}/lineitem.parquet`
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )
+    return (
+        roll.unionByName(cube)
+        .unionByName(gsets)
+        .orderBy("gkind", "g1", "g2", "k1", "k2")
     )
 
 
@@ -783,7 +717,7 @@ def q18_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # String function family over part/customer.
 # ---------------------------------------------------------------------------
 @query(
-    "q19_string_funcs",
+    "q19_scalar_funcs",
     oracle="""
     SELECT p_partkey,
            upper(p_name)                              AS uname,
@@ -797,15 +731,30 @@ def q18_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
            md5(p_name)                                AS name_md5,
            concat_ws('|', p_brand, p_type)            AS brand_type,
            CASE WHEN p_name LIKE '%widget%' THEN 'widget' ELSE 'other' END AS kind,
-           coalesce(nullif(p_type, 'ECONOMY'), 'CHEAP') AS type_or_cheap
+           coalesce(nullif(p_type, 'ECONOMY'), 'CHEAP') AS type_or_cheap,
+           round(abs(p_retailprice), 2)                AS abs_price,
+           round(sqrt(abs(p_retailprice)), 4)          AS sqrt_price,
+           round(pow(p_retailprice / 1000.0, 2), 4)    AS pow_price,
+           round(ln(abs(p_retailprice) + 1), 4)        AS ln_price,
+           round(log10(abs(p_retailprice) + 1), 4)     AS log10_price,
+           round(exp(p_retailprice / 10000.0), 4)      AS exp_price,
+           CAST(ceil(p_retailprice) AS BIGINT)         AS ceil_price,
+           CAST(floor(p_retailprice) AS BIGINT)        AS floor_price,
+           CAST(sign(p_size - 25) AS INT)              AS sign_size,
+           round(greatest(p_retailprice, 1500.0), 2)   AS hi_part,
+           round(least(p_retailprice, 1500.0), 2)      AS lo_part,
+           CAST(p_partkey % 7 AS BIGINT)               AS mod7
     FROM part
     WHERE p_name LIKE '%e%' AND contains(p_name, 'l')
           AND starts_with(p_brand, 'Brand')
     ORDER BY p_partkey
     """,
 )
-def q19_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q19_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String + math scalar families in one projection (SURVEY §2.3 scalar
+    rows) — every expression stays inside whole-stage codegen."""
     part = _t(spark, sf_dir, "part")
+    price = F.col("p_retailprice")
     return (
         part.filter(
             F.col("p_name").like("%e%")
@@ -830,52 +779,21 @@ def q19_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.nullif("p_type", F.lit("ECONOMY")), F.lit("CHEAP")).alias(
                 "type_or_cheap"
             ),
+            F.round(F.abs(price), 2).alias("abs_price"),
+            F.round(F.sqrt(F.abs(price)), 4).alias("sqrt_price"),
+            F.round(F.pow(price / 1000.0, 2), 4).alias("pow_price"),
+            F.round(F.log(F.abs(price) + 1), 4).alias("ln_price"),
+            F.round(F.log10(F.abs(price) + 1), 4).alias("log10_price"),
+            F.round(F.exp(price / 10000.0), 4).alias("exp_price"),
+            F.ceil(price).cast("bigint").alias("ceil_price"),
+            F.floor(price).cast("bigint").alias("floor_price"),
+            F.signum(F.col("p_size") - 25).cast("int").alias("sign_size"),
+            F.round(F.greatest(price, F.lit(1500.0)), 2).alias("hi_part"),
+            F.round(F.least(price, F.lit(1500.0)), 2).alias("lo_part"),
+            (F.col("p_partkey") % 7).cast("bigint").alias("mod7"),
         )
         .orderBy("p_partkey")
     )
-
-
-# ---------------------------------------------------------------------------
-# Math function family over customer balances.
-# ---------------------------------------------------------------------------
-@query(
-    "q20_math_funcs",
-    oracle="""
-    SELECT c_custkey,
-           round(abs(c_acctbal), 2)                   AS abs_bal,
-           round(sqrt(abs(c_acctbal)), 4)             AS sqrt_bal,
-           round(pow(c_acctbal / 1000.0, 2), 4)       AS pow_bal,
-           round(ln(abs(c_acctbal) + 1), 4)           AS ln_bal,
-           round(log10(abs(c_acctbal) + 1), 4)        AS log10_bal,
-           round(exp(c_acctbal / 10000.0), 4)         AS exp_bal,
-           CAST(ceil(c_acctbal) AS BIGINT)            AS ceil_bal,
-           CAST(floor(c_acctbal) AS BIGINT)           AS floor_bal,
-           CAST(sign(c_acctbal) AS INT)               AS sign_bal,
-           round(greatest(c_acctbal, 0.0), 2)         AS pos_part,
-           round(least(c_acctbal, 0.0), 2)            AS neg_part,
-           CAST(c_custkey % 7 AS BIGINT)              AS mod7
-    FROM customer
-    ORDER BY c_custkey
-    """,
-)
-def q20_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = _t(spark, sf_dir, "customer")
-    bal = F.col("c_acctbal")
-    return cust.select(
-        "c_custkey",
-        F.round(F.abs(bal), 2).alias("abs_bal"),
-        F.round(F.sqrt(F.abs(bal)), 4).alias("sqrt_bal"),
-        F.round(F.pow(bal / 1000.0, 2), 4).alias("pow_bal"),
-        F.round(F.log(F.abs(bal) + 1), 4).alias("ln_bal"),
-        F.round(F.log10(F.abs(bal) + 1), 4).alias("log10_bal"),
-        F.round(F.exp(bal / 10000.0), 4).alias("exp_bal"),
-        F.ceil(bal).cast("bigint").alias("ceil_bal"),
-        F.floor(bal).cast("bigint").alias("floor_bal"),
-        F.signum(bal).cast("int").alias("sign_bal"),
-        F.round(F.greatest(bal, F.lit(0.0)), 2).alias("pos_part"),
-        F.round(F.least(bal, F.lit(0.0)), 2).alias("neg_part"),
-        (F.col("c_custkey") % 7).cast("bigint").alias("mod7"),
-    ).orderBy("c_custkey")
 
 
 # ---------------------------------------------------------------------------
@@ -974,44 +892,45 @@ def q22_distinct_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q22b_approx_distinct")
-def q22b_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++) — rows-only in the gate; the pytest
-    suite bounds-checks it against the exact count."""
+@query("q22b_approx_aggs")
+def q22b_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two sketch aggregates in one gate, tagged per sketch —
+    approx_count_distinct (HLL++) and percentile_approx (GK), each beside
+    its exact twin. These are the documented 100-TB scale paths for q22's
+    exact forms (exact percentile buffers every group value; the sketches
+    are O(1/accuracy) memory regardless of rows). Rows-only in the gate
+    (sketch outputs are algorithm-specific); pytest bounds both."""
     li = _t(spark, sf_dir, "lineitem")
-    return (
+    hll = (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
-        )
-        .orderBy("l_returnflag")
-    )
-
-
-@query("q22c_percentile_approx")
-def q22c_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percentile_approx (GK sketch) — the documented 100-TB scale path
-    for q22's exact percentiles (exact interpolation buffers every group
-    value; the sketch is O(1/accuracy) memory regardless of rows).
-    Rows-only in the gate (sketch outputs are algorithm-specific); the
-    pytest suite bounds it against the exact percentile."""
-    cust = _t(spark, sf_dir, "customer")
-    return (
-        cust.groupBy("c_mktsegment")
-        .agg(
-            F.percentile_approx("c_acctbal", [0.25, 0.5, 0.75], 10_000).alias("approx_q"),
-            F.expr("percentile(c_acctbal, array(0.25, 0.5, 0.75))").alias("exact_q"),
+            F.approx_count_distinct("l_partkey").cast("double").alias("approx_val"),
+            F.countDistinct("l_partkey").cast("double").alias("exact_val"),
         )
         .select(
-            "c_mktsegment",
-            F.round(F.element_at("approx_q", 2), 2).alias("approx_median"),
-            F.round(F.element_at(F.col("exact_q").cast("array<double>"), 2), 2).alias(
-                "exact_median"
-            ),
+            F.lit("hll_distinct").alias("sketch"),
+            F.col("l_returnflag").alias("grp"),
+            "approx_val",
+            "exact_val",
         )
-        .orderBy("c_mktsegment")
     )
+    cust = _t(spark, sf_dir, "customer")
+    gk = (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.percentile_approx("c_acctbal", [0.25, 0.5, 0.75], 10_000).alias("aq"),
+            F.expr("percentile(c_acctbal, array(0.25, 0.5, 0.75))").alias("eq"),
+        )
+        .select(
+            F.lit("gk_percentile").alias("sketch"),
+            F.col("c_mktsegment").alias("grp"),
+            F.round(F.element_at("aq", 2), 2).alias("approx_val"),
+            F.round(
+                F.element_at(F.col("eq").cast("array<double>"), 2), 2
+            ).alias("exact_val"),
+        )
+    )
+    return hll.unionByName(gk).orderBy("sketch", "grp")
 
 
 # ---------------------------------------------------------------------------
@@ -1138,11 +1057,13 @@ _SHINGLE_CTE = """
     oracle=_SHINGLE_CTE
     + """
     , inv AS (SELECT doc_id, len(s) AS set_size, unnest(s) AS shingle FROM sh),
+    keep AS (SELECT shingle FROM inv GROUP BY shingle
+             HAVING count(*) BETWEEN 2 AND 20),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              a.set_size AS sa, b.set_size AS sb, count(*) AS inter
       FROM inv a JOIN inv b USING (shingle)
-      WHERE a.doc_id < b.doc_id
+      WHERE a.doc_id < b.doc_id AND shingle IN (SELECT shingle FROM keep)
       GROUP BY 1, 2, 3, 4
     )
     SELECT id_a, id_b, inter, round(inter / (sa + sb - inter)::DOUBLE, 6) AS jaccard
@@ -1155,7 +1076,13 @@ def q26_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vrod_spark.operators.dedup import jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, n=3)
+    # max_shingle_df IS the scale contract (dedup.py: per-shingle pair work
+    # is O(df²), so a corpus-frequency shingle must be capped at 100 TB).
+    # The gate runs the capped configuration — the one you'd deploy — and
+    # the oracle applies the identical df-window, so the result is exact.
+    # Set sizes stay full, so pruned Jaccard is a lower bound of the true
+    # value, computed identically on both engines.
+    pairs = jaccard_pairs(docs, n=3, max_shingle_df=20)
     return (
         pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b")
         .limit(20)
@@ -1163,34 +1090,36 @@ def q26_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q26b_minhash_lsh_pairs")
-def q26b_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup (probabilistic candidates, exact verification)
-    — rows-only in the gate; pytest bounds recall against q26's exact
-    result on synthetic near-dups."""
-    from vrod_spark.operators.dedup import minhash_lsh_pairs
+@query("q26b_prob_near_dup")
+def q26b_prob_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both probabilistic near-dup families in one gate, tagged per method:
+    MinHash-LSH (banded signature collision → exact verify) and SimHash
+    (pandas-UDF signatures + pigeonhole banding on Hamming distance).
+    Rows-only (probabilistic candidates / FNV signatures have no SQL
+    twin); pytest bounds recall for both against exact Jaccard on
+    planted near-dups."""
+    from vrod_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return (
+    mh = (
         minhash_lsh_pairs(docs, k=32, bands=16, n=3, min_jaccard=0.2)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-        .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
+        .select(
+            F.lit("minhash").alias("method"),
+            "id_a",
+            "id_b",
+            F.round("jaccard", 6).alias("score"),
+        )
     )
-
-
-@query("q27_simhash_pairs")
-def q27_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (pandas-UDF signatures + pigeonhole banding)
-    — rows-only (the FNV/numpy signature has no SQL twin)."""
-    from vrod_spark.operators.dedup import simhash_pairs
-
-    docs = _t(spark, sf_dir, "documents")
     # bands=8 → 8-bit band values: pigeonhole still guarantees any pair
     # within Hamming 4 < 8 shares a band, while 256-value bands keep the
     # candidate buckets ~16x smaller than 4-bit bands would.
-    return simhash_pairs(docs, max_hamming=4, bands=8).orderBy(
-        "hamming", "id_a", "id_b"
+    sh = simhash_pairs(docs, max_hamming=4, bands=8).select(
+        F.lit("simhash").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("double").alias("score"),
     )
+    return mh.unionByName(sh).orderBy("method", "score", "id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -1312,72 +1241,73 @@ def q29_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Token counting: whitespace + BPE-ish regex token budgets per source.
+# Per-(lang, source) corpus text profile: doc counts, whitespace + BPE-ish
+# regex token budgets, char totals/averages, and distinct md5-min-shingle
+# fingerprints (1-perm MinHash — fewer distinct fingerprints than docs ⇒
+# near-dup clusters share their minimal shingle). One scan, one shuffle on
+# the tiny (lang, source) key; all per-doc work is JVM expressions.
 # ---------------------------------------------------------------------------
 @query(
-    "q30_token_counts",
-    oracle="""
-    SELECT source,
-           count(*) AS n_docs,
-           sum(len(string_split(trim(text), ' ')))::BIGINT AS ws_tokens,
-           sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')))::BIGINT AS bpe_tokens,
-           sum(n_chars)::BIGINT AS total_chars
-    FROM documents
-    GROUP BY source
-    ORDER BY source
-    """,
-)
-def q30_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vrod_spark.functions.text import bpe_token_count, whitespace_token_count
-
-    docs = _t(spark, sf_dir, "documents")
-    return (
-        docs.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(whitespace_token_count("text")).alias("ws_tokens"),
-            F.sum(bpe_token_count("text")).alias("bpe_tokens"),
-            F.sum("n_chars").alias("total_chars"),
-        )
-        .orderBy("source")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Document fingerprinting: md5-min-shingle fingerprint (1-perm MinHash);
-# collision groups = near-dup clusters sharing their minimal shingle.
-# ---------------------------------------------------------------------------
-@query(
-    "q31_fingerprint",
+    "q30_text_profile",
     oracle=_SHINGLE_CTE
     + """
     , fp AS (
       SELECT doc_id, list_sort(list_transform(s, x -> md5(x)))[1] AS fingerprint
       FROM sh
     )
-    SELECT count(*) AS n_docs,
-           count(DISTINCT fingerprint) AS n_fingerprints,
-           count(*) - count(DISTINCT fingerprint) AS n_collisions
-    FROM fp
+    SELECT lang, source,
+           count(*) AS n_docs,
+           sum(len(string_split(trim(text), ' ')))::BIGINT AS ws_tokens,
+           sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')))::BIGINT AS bpe_tokens,
+           sum(n_chars)::BIGINT AS total_chars,
+           round(avg(n_chars), 4) AS avg_chars,
+           count(DISTINCT fingerprint) AS n_fingerprints
+    FROM documents JOIN fp USING (doc_id)
+    GROUP BY lang, source
+    ORDER BY lang, source
     """,
 )
-def q31_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vrod_spark.functions.text import doc_fingerprint
+def q30_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vrod_spark.functions.text import (
+        bpe_token_count,
+        doc_fingerprint,
+        whitespace_token_count,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(doc_fingerprint("text", 3).alias("fingerprint")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("fingerprint").alias("n_fingerprints"),
-        (F.count(F.lit(1)) - F.countDistinct("fingerprint")).alias("n_collisions"),
+    return (
+        docs.select(
+            "lang",
+            "source",
+            "n_chars",
+            whitespace_token_count("text").alias("ws"),
+            bpe_token_count("text").alias("bpe"),
+            doc_fingerprint("text", 3).alias("fp"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.countDistinct("fp").alias("n_fingerprints"),
+        )
+        .orderBy("lang", "source")
     )
 
 
 # ---------------------------------------------------------------------------
-# Embedding pipeline (the reference's §2.2 dataflow): tokenize documents →
-# limit → pandas-UDF embed → stats. Rows-only (model inference ≠ SQL).
+# Python-boundary pipelines in one gate, tagged per stage: (a) the
+# reference's §2.2 embedding dataflow — tokenize documents → limit →
+# pandas-UDF embed → stats; (b) multimodal plumbing — binary blobs →
+# mapInPandas feature extraction → per-kind stats. Rows-only (model
+# inference / synthetic decode ≠ SQL); pytest pins dims and feature
+# determinism.
 # ---------------------------------------------------------------------------
-@query("q32_embed_pipeline")
-def q32_embed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q32_python_pipelines")
+def q32_python_pipelines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vrod_spark.operators.multimodal import extract_features
     from vrod_spark.pipeline import deterministic_embedder
 
     docs = _t(spark, sf_dir, "documents")
@@ -1388,23 +1318,13 @@ def q32_embed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     embed_udf = F.pandas_udf(deterministic_embedder(16), "array<float>")
     embedded = words.select("doc_id", "pos", "word", embed_udf(F.col("word")).alias("emb"))
-    return embedded.agg(
-        F.count(F.lit(1)).alias("n_embedded"),
-        F.min(F.size("emb")).alias("min_dim"),
-        F.max(F.size("emb")).alias("max_dim"),
-        F.countDistinct("word").alias("n_unique_words"),
+    embed_stats = embedded.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.min(F.size("emb")) + F.max(F.size("emb"))).cast("double").alias("metric"),
+    ).select(
+        F.lit("embed").alias("stage"), F.lit("corpus").alias("key"), "n", "metric"
     )
 
-
-# ---------------------------------------------------------------------------
-# Multimodal plumbing: documents→fake binary blobs → mapInPandas feature
-# extraction → per-kind stats. Rows-only (decode is a container stub).
-# ---------------------------------------------------------------------------
-@query("q33_multimodal_features")
-def q33_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vrod_spark.operators.multimodal import extract_features
-
-    docs = _t(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.when(F.col("doc_id") % 3 == 0, "image")
@@ -1418,15 +1338,15 @@ def q33_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
     )
     feats = extract_features(media, dim=8, fake_decode=True)
-    return (
+    mm_stats = (
         feats.groupBy("kind")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("n_bytes").alias("total_bytes"),
-            F.round(F.avg(F.element_at("feature", 1)), 6).alias("avg_f0"),
+            F.round(F.avg(F.element_at("feature", 1)), 6).alias("metric"),
         )
-        .orderBy("kind")
+        .select(F.lit("multimodal").alias("stage"), F.col("kind").alias("key"), "n", "metric")
     )
+    return embed_stats.unionByName(mm_stats).orderBy("stage", "key")
 
 
 # ---------------------------------------------------------------------------
@@ -1436,49 +1356,58 @@ def q33_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same DuckDB oracle as every batch query.
 # ---------------------------------------------------------------------------
 @query(
-    "q34_stream_tumbling",
+    "q34_stream_windows",
     oracle="""
-    SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start_epoch,
+    SELECT 'tumbling' AS wkind,
+           epoch(date_trunc('hour', ts))::BIGINT AS window_start_epoch,
            event_type,
            count(*) AS n_events,
            round(sum(value), 4) AS total_value
     FROM events
     GROUP BY window_start_epoch, event_type
-    ORDER BY window_start_epoch, event_type
+    UNION ALL
+    SELECT 'sliding' AS wkind, window_start_epoch, '*' AS event_type,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM (
+      SELECT unnest([w0, w0 - 1800]) AS window_start_epoch, value
+      FROM (SELECT (floor(epoch(ts) / 1800) * 1800)::BIGINT AS w0, value FROM events)
+    )
+    GROUP BY window_start_epoch
+    ORDER BY wkind, window_start_epoch, event_type
     """,
 )
-def q34_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vrod_spark.streaming.ingest import events_stream, run_to_completion, tumbling_counts
+def q34_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling AND sliding event-time windows, tagged per kind — two
+    Structured Streaming plans run to completion under availableNow, each
+    equal to its batch/SQL formulation (the FIXTURES.md batch-equivalence
+    contract). Watermarks bound state on both."""
+    from vrod_spark.streaming.ingest import (
+        events_stream,
+        run_to_completion,
+        sliding_counts,
+        tumbling_counts,
+    )
 
-    out = run_to_completion(
+    tumb = run_to_completion(
         lambda s: tumbling_counts(events_stream(s, sf_dir), duration="1 hour"), spark
+    ).select(
+        F.lit("tumbling").alias("wkind"),
+        "window_start_epoch",
+        "event_type",
+        "n_events",
+        "total_value",
     )
-    return out.orderBy("window_start_epoch", "event_type")
-
-
-@query(
-    "q35_stream_sliding",
-    oracle="""
-    WITH starts AS (
-      SELECT (floor(epoch(ts) / 1800) * 1800)::BIGINT AS w0 FROM events
-    ),
-    expanded AS (
-      SELECT unnest([w0, w0 - 1800]) AS window_start_epoch FROM starts
-    )
-    SELECT window_start_epoch, count(*) AS n_events
-    FROM expanded
-    GROUP BY 1
-    ORDER BY 1
-    """,
-)
-def q35_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vrod_spark.streaming.ingest import events_stream, run_to_completion, sliding_counts
-
-    out = run_to_completion(
+    slid = run_to_completion(
         lambda s: sliding_counts(events_stream(s, sf_dir), duration="1 hour", slide="30 minutes"),
         spark,
+    ).select(
+        F.lit("sliding").alias("wkind"),
+        "window_start_epoch",
+        F.lit("*").alias("event_type"),
+        "n_events",
+        "total_value",
     )
-    return out.orderBy("window_start_epoch")
+    return tumb.unionByName(slid).orderBy("wkind", "window_start_epoch", "event_type")
 
 
 @query(
@@ -1549,12 +1478,15 @@ def q37_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Grouped-map (applyInPandas): per-label vector centering — the canonical
-# "per-group normalize" stage of an embedding pipeline. Each group lands in
-# one Arrow batch; numpy centers it; only per-group stats come back.
+# Arrow-batched grouped Python in one gate, tagged per kind: (a)
+# grouped-map applyInPandas — per-label vector centering, the canonical
+# "per-group normalize" stage of an embedding pipeline (each group lands in
+# one Arrow batch; numpy centers it; only per-group stats come back); (b)
+# grouped-aggregate pandas UDAF — weighted mean of document length. Both
+# are the declared custom-aggregate surfaces from SURVEY §2.3.
 # ---------------------------------------------------------------------------
 @query(
-    "q38_grouped_normalize",
+    "q38_pandas_grouped",
     oracle="""
     WITH e AS (
       SELECT label, vec_id,
@@ -1568,11 +1500,18 @@ def q37_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e JOIN m ON e.label = m.label AND e.i = m.i
       GROUP BY e.label, e.vec_id
     )
-    SELECT label, count(*) AS n, round(sum(sqrt(sq)), 4) AS total_centered_norm
-    FROM c GROUP BY label ORDER BY label
+    SELECT 'grouped_map' AS kind, CAST(label AS VARCHAR) AS grp,
+           count(*) AS n, round(sum(sqrt(sq)), 4) AS val
+    FROM c GROUP BY label
+    UNION ALL
+    SELECT 'udaf' AS kind, lang AS grp, count(*) AS n,
+           round(sum(n_chars * (doc_id % 10 + 1)) / sum(doc_id % 10 + 1), 4) AS val
+    FROM documents
+    GROUP BY lang
+    ORDER BY kind, grp
     """,
 )
-def q38_grouped_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q38_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -1584,37 +1523,59 @@ def q38_grouped_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         centered = mat - mat.mean(axis=0)
         return pd.DataFrame(
             {
-                "label": [int(pdf["label"].iloc[0])],
+                "grp": [str(int(pdf["label"].iloc[0]))],
                 "n": [len(mat)],
-                "total_centered_norm": [
-                    round(float(np.linalg.norm(centered, axis=1).sum()), 4)
-                ],
+                "val": [round(float(np.linalg.norm(centered, axis=1).sum()), 4)],
             }
         )
 
-    return (
+    grouped_map = (
         emb.select("label", "embedding")
         .groupBy("label")
-        .applyInPandas(center, "label int, n bigint, total_centered_norm double")
-        .orderBy("label")
+        .applyInPandas(center, "grp string, n bigint, val double")
+        .select(F.lit("grouped_map").alias("kind"), "grp", "n", "val")
     )
 
+    # Spark disallows mixing grouped-agg pandas UDFs with built-in
+    # aggregates in one .agg(), so both output columns are pandas UDAFs.
+    @F.pandas_udf("double")
+    def wmean(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    @F.pandas_udf("long")
+    def cnt(v: pd.Series) -> int:
+        return len(v)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.col("n_chars").cast("double").alias("v"),
+        ((F.col("doc_id") % 10) + 1).cast("double").alias("w"),
+    )
+    udaf = (
+        docs.groupBy("lang")
+        .agg(F.round(wmean("v", "w"), 4).alias("val"), cnt("v").alias("n"))
+        .select(F.lit("udaf").alias("kind"), F.col("lang").alias("grp"), "n", "val")
+    )
+    return grouped_map.unionByName(udaf).orderBy("kind", "grp")
+
 
 # ---------------------------------------------------------------------------
-# End-to-end ANN through the engine: BULKINSERT embeddings into a scratch
-# collection, REINDEX (LSH bucket-partitioned rewrite), bucketed
-# SEARCHSIMILAR. Rows-only (the whole point is the engine path, not SQL).
+# End-to-end ANN through the engine, BOTH index kinds in one gate, tagged:
+# BULKINSERT embeddings into a scratch collection, REINDEX (sign-LSH
+# bucket-partitioned rewrite / IVF k-means centroid partitioning), bucketed
+# SEARCHSIMILAR through the pruned probe path. The IVF leg additionally
+# does an O(delta) INSERT into the indexed collection — the index must
+# SURVIVE the append and the appended vector must be findable. Rows-only
+# (the whole point is the engine path, not SQL); pytest bounds recall.
 # ---------------------------------------------------------------------------
-@query("q39_ann_engine_roundtrip")
-def q39_ann_engine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q39_index_roundtrips")
+def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from vrod_spark.engine import Engine
     from vrod_spark.operators.ann import recall_at_k
     from vrod_spark.operators.knn import knn_exact
 
-    eng = Engine.create(spark, tempfile.mkdtemp(), "anngate")
-    eng.execute("CREATE", collection="emb")
     emb = _t(spark, sf_dir, "embeddings")
     records = emb.select(
         F.col("vec_id").alias("id"),
@@ -1622,174 +1583,157 @@ def q39_ann_engine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("string").alias("payload"),
         F.lit(None).cast("map<string,string>").alias("meta"),
     )
+    rows = []
+
+    # --- sign-LSH leg -----------------------------------------------------
+    eng = Engine.create(spark, tempfile.mkdtemp(), "anngate")
+    eng.execute("CREATE", collection="emb")
     eng.execute("BULKINSERT", collection="emb", arg=records)
     eng.execute("REINDEX", collection="emb")
     col = eng.db.collection("emb")
     qv = [float(x) for x in col.read().filter("id = 0").first()["embedding"]]
     approx = eng.execute("SEARCHSIMILAR", collection="emb", arg={"vector": qv, "k": 10}).df
     exact = knn_exact(col.read(), qv, 10, vec_col="embedding", id_col="id")
-    r = recall_at_k(approx, exact, id_col="id")
-    n_buckets = len(col.meta["index"]["histogram"])
-    return spark.createDataFrame(
-        [(int(col.read().count()), n_buckets, float(round(r, 2)), int(approx.count()))],
-        "n_rows bigint, n_buckets bigint, recall_at_10 double, n_results bigint",
+    rows.append(
+        (
+            "lsh",
+            int(col.read().count()),
+            len(col.meta["index"]["histogram"]),
+            "lsh",
+            None,
+            float(round(recall_at_k(approx, exact, id_col="id"), 2)),
+        )
     )
 
-
-# ---------------------------------------------------------------------------
-# End-to-end IVF variant of q39 — REINDEX kind=ivf (k-means centroid
-# partitioning), then an O(delta) INSERT into the indexed collection
-# (round-2 capability: the index must SURVIVE the append and the appended
-# vector must be findable through the pruned probe path). Rows-only.
-# ---------------------------------------------------------------------------
-@query("q39b_ivf_engine_roundtrip")
-def q39b_ivf_engine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
-    from vrod_spark.engine import Engine
-    from vrod_spark.operators.ann import recall_at_k
-    from vrod_spark.operators.knn import knn_exact
-
-    eng = Engine.create(spark, tempfile.mkdtemp(), "ivfgate")
-    eng.execute("CREATE", collection="emb")
-    emb = _t(spark, sf_dir, "embeddings")
-    records = emb.select(
-        F.col("vec_id").alias("id"),
-        "embedding",
-        F.col("label").cast("string").alias("payload"),
-        F.lit(None).cast("map<string,string>").alias("meta"),
-    )
-    eng.execute("BULKINSERT", collection="emb", arg=records)
-    eng.execute("REINDEX", collection="emb", arg={"kind": "ivf", "n_centroids": 32})
-    col = eng.db.collection("emb")
-    dim = int(col.meta["dimension"])
+    # --- IVF leg (with O(delta) indexed append) ---------------------------
+    eng2 = Engine.create(spark, tempfile.mkdtemp(), "ivfgate")
+    eng2.execute("CREATE", collection="emb")
+    eng2.execute("BULKINSERT", collection="emb", arg=records)
+    eng2.execute("REINDEX", collection="emb", arg={"kind": "ivf", "n_centroids": 32})
+    col2 = eng2.db.collection("emb")
+    dim = int(col2.meta["dimension"])
     delta_vec = [1.0 / (dim ** 0.5)] * dim
-    eng.execute(
+    eng2.execute(
         "INSERT",
         collection="emb",
         arg=[{"id": 1_000_000, "embedding": delta_vec, "payload": "delta"}],
     )
-    idx = col.meta["index"]
-    kind_after_insert = idx["kind"] if idx else "INVALIDATED"
-    delta_hit = eng.execute(
+    idx = col2.meta["index"]
+    delta_hit = eng2.execute(
         "SEARCHSIMILAR", collection="emb", arg={"vector": delta_vec, "k": 1}
     ).df.first()
-    qv = [float(x) for x in col.read().filter("id = 0").first()["embedding"]]
-    approx = eng.execute("SEARCHSIMILAR", collection="emb", arg={"vector": qv, "k": 10}).df
-    exact = knn_exact(col.read(), qv, 10, vec_col="embedding", id_col="id")
-    r = recall_at_k(approx, exact, id_col="id")
+    qv2 = [float(x) for x in col2.read().filter("id = 0").first()["embedding"]]
+    approx2 = eng2.execute("SEARCHSIMILAR", collection="emb", arg={"vector": qv2, "k": 10}).df
+    exact2 = knn_exact(col2.read(), qv2, 10, vec_col="embedding", id_col="id")
+    rows.append(
+        (
+            "ivf",
+            int(col2.read().count()),
+            len(idx["histogram"]) if idx else 0,
+            idx["kind"] if idx else "INVALIDATED",
+            bool(delta_hit and delta_hit["id"] == 1_000_000),
+            float(round(recall_at_k(approx2, exact2, id_col="id"), 2)),
+        )
+    )
+
     return spark.createDataFrame(
+        rows,
+        "leg string, n_rows bigint, n_buckets bigint, index_kind string, "
+        "delta_findable boolean, recall_at_10 double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL multimodal decode through the mapInPandas plumbing, all three raw
+# containers in one gate, tagged per modality: WAV audio (stdlib wave +
+# numpy), PPM images (solid colors → exact channel means), Y4M video frame
+# sampling (exact solid-luma means). The oracle pins the decoded metadata
+# and features as literals; spectral discrimination is pytest-checked.
+# Common schema: (modality, media_id, idx, width, height, m1, m2, m3) —
+# audio packs (sample_rate, n_frames, duration_ms) into m1..m3; image
+# packs channel means; video packs (mean_luma, 0, 0) with idx=frame_idx.
+# ---------------------------------------------------------------------------
+@query(
+    "q51_multimodal_decode",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('audio', 0, 0, 0, 0, 8000.0, 2000.0, 250.0),
+        ('audio', 1, 0, 0, 0, 8000.0, 2000.0, 250.0),
+        ('audio', 2, 0, 0, 0, 8000.0, 2000.0, 250.0),
+        ('audio', 3, 0, 0, 0, 8000.0, 2000.0, 250.0),
+        ('image', 0, 0, 16, 8, 1.0, 0.0, 0.0),
+        ('image', 1, 0, 4, 4, 0.0, round(128.0/255, 6), 1.0),
+        ('image', 2, 0, 32, 2, round(10.0/255, 6), round(20.0/255, 6), round(30.0/255, 6)),
+        ('video', 0, 0, 16, 8, 0.0, 0.0, 0.0),
+        ('video', 0, 2, 16, 8, round(102.0/255, 6), 0.0, 0.0),
+        ('video', 1, 0, 8, 8, 1.0, 0.0, 0.0))
+        t(modality, media_id, idx, width, height, m1, m2, m3)
+    ORDER BY modality, media_id, idx
+    """,
+)
+def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vrod_spark.operators.multimodal import (
+        decode_ppm_features,
+        decode_wav_features,
+        extract_y4m_frames,
+        make_ppm_bytes,
+        make_wav_bytes,
+        make_y4m_bytes,
+    )
+
+    schema = "media_id bigint, kind string, content binary"
+    wav = spark.createDataFrame(
+        [(i, "audio", make_wav_bytes(200.0 * (i + 1))) for i in range(4)], schema
+    )
+    audio = decode_wav_features(wav).select(
+        F.lit("audio").alias("modality"),
+        F.col("media_id").cast("int").alias("media_id"),
+        F.lit(0).alias("idx"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        F.col("sample_rate").cast("double").alias("m1"),
+        F.col("n_frames").cast("double").alias("m2"),
+        F.col("duration_ms").cast("double").alias("m3"),
+    )
+    ppm = spark.createDataFrame(
         [
-            (
-                int(col.read().count()),
-                len(idx["histogram"]) if idx else 0,
-                kind_after_insert,
-                bool(delta_hit and delta_hit["id"] == 1_000_000),
-                float(round(r, 2)),
-            )
+            (0, "image", make_ppm_bytes(16, 8, (255, 0, 0))),
+            (1, "image", make_ppm_bytes(4, 4, (0, 128, 255))),
+            (2, "image", make_ppm_bytes(32, 2, (10, 20, 30))),
         ],
-        "n_rows bigint, n_buckets bigint, index_kind string, delta_findable boolean, recall_at_10 double",
+        schema,
     )
-
-
-# ---------------------------------------------------------------------------
-# REAL audio decode through the multimodal plumbing: synthesized WAV tones
-# decoded distributed (stdlib wave + numpy in mapInPandas). The oracle
-# pins the decode metadata; spectral discrimination is pytest-checked.
-# ---------------------------------------------------------------------------
-@query(
-    "q51_audio_decode",
-    oracle="""
-    SELECT * FROM (VALUES
-        (0, 8000, CAST(2000 AS BIGINT), 250),
-        (1, 8000, CAST(2000 AS BIGINT), 250),
-        (2, 8000, CAST(2000 AS BIGINT), 250),
-        (3, 8000, CAST(2000 AS BIGINT), 250))
-        t(media_id, sample_rate, n_frames, duration_ms)
-    ORDER BY media_id
-    """,
-)
-def q51_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vrod_spark.operators.multimodal import decode_wav_features, make_wav_bytes
-
-    rows = [(i, "audio", make_wav_bytes(200.0 * (i + 1))) for i in range(4)]
-    df = spark.createDataFrame(rows, "media_id bigint, kind string, content binary")
-    return (
-        decode_wav_features(df)
-        .select(
-            F.col("media_id").cast("int").alias("media_id"),
-            "sample_rate",
-            "n_frames",
-            "duration_ms",
-        )
-        .orderBy("media_id")
+    image = decode_ppm_features(ppm).select(
+        F.lit("image").alias("modality"),
+        F.col("media_id").cast("int").alias("media_id"),
+        F.lit(0).alias("idx"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("mean_r").alias("m1"),
+        F.col("mean_g").alias("m2"),
+        F.col("mean_b").alias("m3"),
     )
-
-
-# ---------------------------------------------------------------------------
-# REAL image decode (binary PPM, pure numpy) through the same plumbing:
-# solid-color images give exact channel means — hash-checkable.
-# ---------------------------------------------------------------------------
-@query(
-    "q51b_image_decode",
-    oracle="""
-    SELECT * FROM (VALUES
-        (0, 16, 8, CAST(128 AS BIGINT), 1.0, 0.0, 0.0),
-        (1, 4, 4, CAST(16 AS BIGINT), 0.0, round(128.0/255, 6), 1.0),
-        (2, 32, 2, CAST(64 AS BIGINT), round(10.0/255, 6), round(20.0/255, 6), round(30.0/255, 6)))
-        t(media_id, width, height, n_pixels, mean_r, mean_g, mean_b)
-    ORDER BY media_id
-    """,
-)
-def q51b_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vrod_spark.operators.multimodal import decode_ppm_features, make_ppm_bytes
-
-    rows = [
-        (0, "image", make_ppm_bytes(16, 8, (255, 0, 0))),
-        (1, "image", make_ppm_bytes(4, 4, (0, 128, 255))),
-        (2, "image", make_ppm_bytes(32, 2, (10, 20, 30))),
-    ]
-    df = spark.createDataFrame(rows, "media_id bigint, kind string, content binary")
-    return (
-        decode_ppm_features(df)
-        .select(
-            F.col("media_id").cast("int").alias("media_id"),
-            "width", "height", "n_pixels", "mean_r", "mean_g", "mean_b",
-        )
-        .orderBy("media_id")
+    y4m = spark.createDataFrame(
+        [
+            (0, "video", make_y4m_bytes(16, 8, [0, 51, 102, 153])),
+            (1, "video", make_y4m_bytes(8, 8, [255])),
+        ],
+        schema,
     )
-
-
-# ---------------------------------------------------------------------------
-# REAL video frame extraction (Y4M raw-YUV, pure numpy) — one row per
-# sampled frame with exact solid-luma means. Hash-checkable.
-# ---------------------------------------------------------------------------
-@query(
-    "q51c_video_frames",
-    oracle="""
-    SELECT * FROM (VALUES
-        (0, 0, 16, 8, 0.0),
-        (0, 2, 16, 8, round(102.0/255, 6)),
-        (1, 0, 8, 8, round(255.0/255, 6)))
-        t(media_id, frame_idx, width, height, mean_luma)
-    ORDER BY media_id, frame_idx
-    """,
-)
-def q51c_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vrod_spark.operators.multimodal import extract_y4m_frames, make_y4m_bytes
-
-    rows = [
-        (0, "video", make_y4m_bytes(16, 8, [0, 51, 102, 153])),
-        (1, "video", make_y4m_bytes(8, 8, [255])),
-    ]
-    df = spark.createDataFrame(rows, "media_id bigint, kind string, content binary")
+    video = extract_y4m_frames(y4m, every_n=2).select(
+        F.lit("video").alias("modality"),
+        F.col("media_id").cast("int").alias("media_id"),
+        F.col("frame_idx").cast("int").alias("idx"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("mean_luma").alias("m1"),
+        F.lit(0.0).alias("m2"),
+        F.lit(0.0).alias("m3"),
+    )
     return (
-        extract_y4m_frames(df, every_n=2)
-        .select(
-            F.col("media_id").cast("int").alias("media_id"),
-            "frame_idx", "width", "height", "mean_luma",
-        )
-        .orderBy("media_id", "frame_idx")
+        audio.unionByName(image)
+        .unionByName(video)
+        .orderBy("modality", "media_id", "idx")
     )
 
 
@@ -2120,31 +2064,60 @@ def q40_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Stream-stream interval join (clicks ⋈ purchases within 30 min per user),
-# run under availableNow and checked against the batch interval self-join.
-# Oracle compares at microsecond precision on both sides (Spark event time
-# is micros; DuckDB ts is nanos → epoch_us).
+# Stream-stream joins in one gate, tagged per join kind:
+# - 'pairs': INNER interval join (clicks ⋈ purchases within 30 min per
+#   user), run under availableNow and checked against the batch interval
+#   self-join at microsecond precision (Spark event time is micros; DuckDB
+#   ts is nanos → epoch_us).
+# - 'funnel': LEFT OUTER interval join (funnel abandonment — clicks with
+#   no same-user purchase within 30 min). Outer null rows only emit once
+#   the watermark passes click_ts + delay, so the gate restricts clicks to
+#   the prefix whose windows provably closed before stream end (cutoff =
+#   min(max click, max purchase) - delay - watermark - 1s margin; both
+#   engines use the identical literal, so the compared sets are
+#   identical and deterministic).
 # ---------------------------------------------------------------------------
 @query(
-    "q46_stream_interval_join",
+    "q46_stream_joins",
     oracle="""
     WITH c AS (SELECT user_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click'),
          p AS (SELECT user_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase')
-    SELECT c.user_id, count(*) AS n_pairs
+    SELECT 'pairs' AS jkind, c.user_id, count(*) AS n1, 0::BIGINT AS n2
     FROM c JOIN p
       ON c.user_id = p.user_id AND p_us >= c_us AND p_us <= c_us + 1800000000
     GROUP BY c.user_id
-    ORDER BY c.user_id
+    UNION ALL
+    SELECT 'funnel' AS jkind, f.user_id, f.n1, f.n2 FROM (
+      WITH bound AS (
+        SELECT least(
+                 (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'click'),
+                 (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'purchase')
+               ) - 5401000000 AS cutoff
+      ),
+           c2 AS (SELECT user_id, event_id, epoch_us(ts) AS c_us FROM events, bound
+                  WHERE event_type = 'click' AND epoch_us(ts) <= cutoff),
+           p2 AS (SELECT user_id, epoch_us(ts) AS p_us FROM events
+                  WHERE event_type = 'purchase')
+      SELECT c2.user_id,
+             count(*) AS n1,
+             sum(CASE WHEN EXISTS (SELECT 1 FROM p2
+                       WHERE p2.user_id = c2.user_id AND p_us >= c_us
+                         AND p_us <= c_us + 1800000000) THEN 1 ELSE 0 END)::BIGINT
+                 AS n2
+      FROM c2 GROUP BY c2.user_id
+    ) f
+    ORDER BY jkind, user_id
     """,
 )
-def q46_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q46_stream_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vrod_spark.streaming.ingest import (
+        click_abandonment_join,
         click_purchase_join,
         events_stream,
         run_to_completion,
     )
 
-    out = run_to_completion(
+    pairs = run_to_completion(
         lambda s: click_purchase_join(events_stream(s, sf_dir), max_delay="30 minutes"),
         spark,
         output_mode="append",
@@ -2154,82 +2127,43 @@ def q46_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a global conf — a large keyspace deployment raises it.
         state_partitions=2,
     )
-    return (
-        out.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-        .orderBy("user_id")
+    inner = (
+        pairs.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n1"), F.lit(0).cast("bigint").alias("n2"))
+        .select(F.lit("pairs").alias("jkind"), "user_id", "n1", "n2")
     )
 
-
-# ---------------------------------------------------------------------------
-# Stream-stream LEFT OUTER interval join (funnel abandonment): clicks with
-# no same-user purchase within 30 min. Outer null rows only emit once the
-# watermark passes click_ts + delay, so the gate restricts clicks to the
-# prefix whose windows provably closed before stream end (cutoff =
-# max_ts - delay - watermark - 1s margin; both engines use the identical
-# literal, so the compared sets are identical and deterministic).
-# ---------------------------------------------------------------------------
-@query(
-    "q47_stream_abandonment",
-    oracle="""
-    WITH bound AS (
-      SELECT least(
-               (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'click'),
-               (SELECT max(epoch_us(ts)) FROM events WHERE event_type = 'purchase')
-             ) - 5401000000 AS cutoff
-    ),
-         c AS (SELECT user_id, event_id, epoch_us(ts) AS c_us FROM events, bound
-               WHERE event_type = 'click' AND epoch_us(ts) <= cutoff),
-         p AS (SELECT user_id, epoch_us(ts) AS p_us FROM events
-               WHERE event_type = 'purchase')
-    SELECT c.user_id,
-           count(*) AS n_clicks,
-           sum(CASE WHEN EXISTS (SELECT 1 FROM p
-                     WHERE p.user_id = c.user_id AND p_us >= c_us
-                       AND p_us <= c_us + 1800000000) THEN 1 ELSE 0 END)::BIGINT
-               AS n_converted
-    FROM c GROUP BY c.user_id ORDER BY c.user_id
-    """,
-)
-def q47_stream_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vrod_spark.streaming.ingest import (
-        click_abandonment_join,
-        events_stream,
-        run_to_completion,
-    )
-
-    # The query's watermark is min over BOTH inputs' watermarks (Spark's
-    # multipleWatermarkPolicy=min), each = that side's max event time - 1h.
-    # A click's NULL row is only guaranteed once click + 30min < that
-    # global watermark — so the comparable prefix ends at
-    # min(max click, max purchase) - 30min - 1h (-1s margin). The STREAM is
-    # NOT filtered (filtering clicks would lower the clicks-side watermark
-    # and shrink the emitted set); only the OUTPUT is compared on the
-    # prefix, exactly like the oracle.
+    # The outer query's watermark is min over BOTH inputs' watermarks
+    # (Spark's multipleWatermarkPolicy=min), each = that side's max event
+    # time - 1h. A click's NULL row is only guaranteed once click + 30min
+    # < that global watermark — so the comparable prefix ends at
+    # min(max click, max purchase) - 30min - 1h (-1s margin). The STREAM
+    # is NOT filtered (filtering clicks would lower the clicks-side
+    # watermark and shrink the emitted set); only the OUTPUT is compared
+    # on the prefix, exactly like the oracle.
     ev = _t(spark, sf_dir, "events")
-    maxes = ev.groupBy("event_type").agg(
-        F.max(F.expr("ts_ns div 1000")).alias("m")
-    )
+    maxes = ev.groupBy("event_type").agg(F.max(F.expr("ts_ns div 1000")).alias("m"))
     by_type = {r["event_type"]: int(r["m"]) for r in maxes.collect()}
     cutoff_us = min(by_type["click"], by_type["purchase"]) - 5_401_000_000
 
-    out = run_to_completion(
+    outer = run_to_completion(
         lambda s: click_abandonment_join(events_stream(s, sf_dir), max_delay="30 minutes"),
         spark,
         output_mode="append",
-        state_partitions=2,  # see q46: 4 stores/partition, commit-bound
+        state_partitions=2,  # 4 stores/partition, commit-bound (see above)
     )
-    return (
-        out.filter(F.col("click_us") <= F.lit(cutoff_us))
+    funnel = (
+        outer.filter(F.col("click_us") <= F.lit(cutoff_us))
         .groupBy("user_id")
         .agg(
-            F.countDistinct("c_event_id").alias("n_clicks"),
+            F.countDistinct("c_event_id").alias("n1"),
             F.countDistinct(
                 F.when(F.col("converted"), F.col("c_event_id"))
-            ).alias("n_converted"),
+            ).alias("n2"),
         )
-        .orderBy("user_id")
+        .select(F.lit("funnel").alias("jkind"), "user_id", "n1", "n2")
     )
+    return inner.unionByName(funnel).orderBy("jkind", "user_id")
 
 
 # ---------------------------------------------------------------------------
@@ -2329,40 +2263,14 @@ def q55_engine_sql_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# GROUPING SETS (explicit, beyond rollup/cube) via the SQL surface.
-# ---------------------------------------------------------------------------
-@query(
-    "q13c_grouping_sets",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           CAST(grouping(l_returnflag) AS INT) AS g_flag,
-           CAST(grouping(l_linestatus) AS INT) AS g_status,
-           count(*) AS n,
-           round(sum(l_quantity), 2) AS sum_qty
-    FROM lineitem
-    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
-    ORDER BY g_flag, g_status, l_returnflag, l_linestatus
-    """,
-)
-def q13c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.sql(
-        f"""
-        SELECT l_returnflag, l_linestatus,
-               CAST(grouping(l_returnflag) AS INT) AS g_flag,
-               CAST(grouping(l_linestatus) AS INT) AS g_status,
-               count(*) AS n,
-               round(sum(l_quantity), 2) AS sum_qty
-        FROM parquet.`{sf_dir}/lineitem.parquet`
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
-        ORDER BY g_flag, g_status, l_returnflag, l_linestatus
-        """
-    )
-
-# ---------------------------------------------------------------------------
 # Map functions over a constructed MAP<STRING,STRING> column: create_map,
 # map_concat, map_filter, transform_values, map_keys/map_values, element_at,
-# size. All Catalyst expressions (no Python crossing); the oracle computes
-# the same scalars from the flat columns. SURVEY §2.3 "Map functions" row.
+# size — all Catalyst expressions — PLUS the scalar Python UDF escape hatch
+# (SURVEY §2.3): a row-at-a-time vowel counter over the same small slice
+# (o_custkey < 50), deliberately NEVER a hot path — the engine's rule is
+# built-ins first, pandas_udf second, @udf only for logic neither can
+# express. The oracle computes every scalar (including the UDF's value)
+# from the flat columns in pure SQL, proving equivalence.
 # ---------------------------------------------------------------------------
 @query(
     "q41_map_funcs",
@@ -2374,13 +2282,20 @@ def q13c_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
            'priority,status,yr' AS keys_csv,
            array_to_string(
                list_sort([upper(o_orderstatus), upper(o_orderpriority),
-                          CAST(year(o_orderdate) AS VARCHAR)]), ',') AS vals_csv
+                          CAST(year(o_orderdate) AS VARCHAR)]), ',') AS vals_csv,
+           CAST(length(o_orderpriority)
+                - length(regexp_replace(upper(o_orderpriority), '[AEIOU]', '', 'g')) AS INT)
+               AS n_vowels
     FROM orders
     WHERE o_custkey < 50
     ORDER BY o_orderkey
     """,
 )
 def q41_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.udf("int")
+    def vowels(s: str) -> int:
+        return sum(1 for ch in s.upper() if ch in "AEIOU")
+
     orders = _t(spark, sf_dir, "orders")
     m = F.create_map(
         F.lit("status"), F.col("o_orderstatus"),
@@ -2399,166 +2314,161 @@ def q41_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(keep).alias("n_keys"),
             F.array_join(F.array_sort(F.map_keys(keep)), ",").alias("keys_csv"),
             F.array_join(F.array_sort(F.map_values(up)), ",").alias("vals_csv"),
+            vowels("o_orderpriority").alias("n_vowels"),
         )
         .orderBy("o_orderkey")
     )
 
 
 # ---------------------------------------------------------------------------
-# Right outer equi-join: every customer survives; order columns are NULL for
-# customers with no orders. At scale: shuffle join on the key, AQE handles
-# skew; the small grouped output makes the agg shuffle O(segments).
-# SURVEY §2.3 "Inner / left / right / full equi-join" row (right).
+# Outer equi-joins in one gate, tagged per kind (SURVEY §2.3 join row):
+# - 'right': every customer survives; order columns NULL for customers with
+#   no orders. At scale: shuffle join on the key, AQE handles skew.
+# - 'full': per-custkey order rollup ⟗ high-balance customers; both null
+#   sides are non-vacuous (customers with orders but low balance;
+#   high-balance customers with no orders).
+# Common schema: (jkind, bucket, n1, n2, n3, val).
 # ---------------------------------------------------------------------------
 @query(
-    "q42_right_outer_join",
+    "q42_outer_joins",
     oracle="""
-    SELECT c_mktsegment,
-           count(DISTINCT c_custkey) AS n_cust,
-           count(o_orderkey) AS n_orders,
-           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_no_order
+    SELECT 'right' AS jkind, c_mktsegment AS bucket,
+           count(DISTINCT c_custkey) AS n1,
+           count(o_orderkey) AS n2,
+           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n3,
+           0.0::DOUBLE AS val
     FROM (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderstatus = 'O') o
          RIGHT JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment
-    ORDER BY c_mktsegment
+    UNION ALL
+    SELECT 'full' AS jkind, f.bucket, f.n1, f.n2, 0::BIGINT AS n3, f.val FROM (
+      WITH l AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+                 WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+           r AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 7000)
+      SELECT CASE WHEN l.o_custkey IS NOT NULL AND r.c_custkey IS NOT NULL THEN 'both'
+                  WHEN r.c_custkey IS NULL THEN 'orders_only'
+                  ELSE 'rich_only' END AS bucket,
+             count(*) AS n1,
+             sum(coalesce(l.n_orders, 0))::BIGINT AS n2,
+             round(sum(coalesce(r.c_acctbal, 0)), 2) AS val
+      FROM l FULL OUTER JOIN r ON l.o_custkey = r.c_custkey
+      GROUP BY bucket
+    ) f
+    ORDER BY jkind, bucket
     """,
 )
-def q42_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = (
-        _t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderstatus") == "O")
-        .select("o_orderkey", "o_custkey")
-    )
-    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    return (
-        orders.join(cust, orders.o_custkey == cust.c_custkey, "right")
-        .groupBy("c_mktsegment")
-        .agg(
-            F.countDistinct("c_custkey").alias("n_cust"),
-            F.count("o_orderkey").alias("n_orders"),
-            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("n_no_order"),
-        )
-        .orderBy("c_mktsegment")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Full outer equi-join: per-custkey order rollup ⟗ high-balance customers.
-# Both null sides are non-vacuous (customers with orders but low balance;
-# high-balance customers with no orders). SURVEY §2.3 join row (full).
-# ---------------------------------------------------------------------------
-@query(
-    "q43_full_outer_join",
-    oracle="""
-    WITH l AS (SELECT o_custkey, count(*) AS n_orders FROM orders
-               WHERE o_orderstatus = 'F' GROUP BY o_custkey),
-         r AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 7000)
-    SELECT CASE WHEN l.o_custkey IS NOT NULL AND r.c_custkey IS NOT NULL THEN 'both'
-                WHEN r.c_custkey IS NULL THEN 'orders_only'
-                ELSE 'rich_only' END AS bucket,
-           count(*) AS n,
-           sum(coalesce(l.n_orders, 0))::BIGINT AS total_orders,
-           round(sum(coalesce(r.c_acctbal, 0)), 2) AS total_bal
-    FROM l FULL OUTER JOIN r ON l.o_custkey = r.c_custkey
-    GROUP BY bucket
-    ORDER BY bucket
-    """,
-)
-def q43_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q42_outer_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
-    left = (
+
+    open_orders = (
+        orders.filter(F.col("o_orderstatus") == "O").select("o_orderkey", "o_custkey")
+    )
+    seg = cust.select("c_custkey", "c_mktsegment")
+    right = (
+        open_orders.join(seg, open_orders.o_custkey == seg.c_custkey, "right")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("n1"),
+            F.count("o_orderkey").alias("n2"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias("n3"),
+        )
+        .select(
+            F.lit("right").alias("jkind"),
+            F.col("c_mktsegment").alias("bucket"),
+            "n1", "n2", "n3",
+            F.lit(0.0).alias("val"),
+        )
+    )
+
+    left_agg = (
         orders.filter(F.col("o_orderstatus") == "F")
         .groupBy("o_custkey")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
-    right = cust.filter(F.col("c_acctbal") > 7000).select("c_custkey", "c_acctbal")
-    j = left.join(right, left.o_custkey == right.c_custkey, "full")
+    rich = cust.filter(F.col("c_acctbal") > 7000).select("c_custkey", "c_acctbal")
+    j = left_agg.join(rich, left_agg.o_custkey == rich.c_custkey, "full")
     bucket = (
         F.when(F.col("o_custkey").isNotNull() & F.col("c_custkey").isNotNull(), "both")
         .when(F.col("c_custkey").isNull(), "orders_only")
         .otherwise("rich_only")
     )
-    return (
+    full = (
         j.groupBy(bucket.alias("bucket"))
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.coalesce("n_orders", F.lit(0))).alias("total_orders"),
-            F.round(F.sum(F.coalesce("c_acctbal", F.lit(0.0))), 2).alias("total_bal"),
+            F.count(F.lit(1)).alias("n1"),
+            F.sum(F.coalesce("n_orders", F.lit(0))).alias("n2"),
+            F.round(F.sum(F.coalesce("c_acctbal", F.lit(0.0))), 2).alias("val"),
         )
-        .orderBy("bucket")
+        .select(
+            F.lit("full").alias("jkind"),
+            "bucket", "n1", "n2",
+            F.lit(0).cast("bigint").alias("n3"),
+            "val",
+        )
     )
+    return right.unionByName(full).orderBy("jkind", "bucket")
 
 
 # ---------------------------------------------------------------------------
-# UDAF: grouped-aggregate pandas_udf (Arrow-batched, one Python call per
-# group partition — the declared custom-aggregate surface, SURVEY §2.3 UDF
-# table). Weighted mean of document length, weight = (doc_id % 10 + 1).
-# Defined inside the function so it pickles by value (worker-safe without
-# vrod_spark on sys.path).
+# Skew-aware salted join (operators/skew.py), hash-checked: lineitem joined
+# to a tiny returnflag dimension through explicit key salting — the
+# planned-ahead strategy for *known* pathological keys (a 3-value key over
+# the whole fact table is maximal skew: every key is hot). The salt spreads
+# each hot key over `factor` reducers; the oracle is the plain SQL join,
+# proving salting never changes results. (At real scale a 3-row dim would
+# broadcast — the gate forces the shuffle path via salted_join to exercise
+# the operator; broadcast-ineligible skewed dims are where it earns its
+# keep.)
 # ---------------------------------------------------------------------------
 @query(
-    "q44_udaf_weighted_mean",
+    "q57_skew_salted_join",
     oracle="""
-    SELECT lang,
-           round(sum(n_chars * (doc_id % 10 + 1)) / sum(doc_id % 10 + 1), 4)
-               AS wmean_chars,
-           count(*) AS n_docs
-    FROM documents
-    GROUP BY lang
-    ORDER BY lang
+    WITH dim AS (
+      SELECT DISTINCT l_returnflag AS flag,
+             CASE l_returnflag WHEN 'R' THEN 2.0 WHEN 'A' THEN 1.5 ELSE 1.0 END AS weight
+      FROM lineitem
+    )
+    SELECT l_returnflag, count(*) AS n,
+           round(CAST(sum(l_extendedprice::DECIMAL(18,2) * weight::DECIMAL(3,1))
+                      AS DOUBLE), 2) AS weighted_price
+    FROM lineitem JOIN dim ON l_returnflag = flag
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
     """,
 )
-def q44_udaf_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Spark disallows mixing grouped-agg pandas UDFs with built-in aggregates
-    # in one .agg(), so both output columns are pandas UDAFs.
-    @F.pandas_udf("double")
-    def wmean(v: pd.Series, w: pd.Series) -> float:
-        return float((v * w).sum() / w.sum())
+def q57_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vrod_spark.operators.skew import salted_join
 
-    @F.pandas_udf("long")
-    def cnt(v: pd.Series) -> int:
-        return len(v)
-
-    docs = _t(spark, sf_dir, "documents").select(
-        "lang",
-        F.col("n_chars").cast("double").alias("v"),
-        ((F.col("doc_id") % 10) + 1).cast("double").alias("w"),
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        li.select(F.col("l_returnflag").alias("flag"))
+        .distinct()
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            F.when(F.col("flag") == "R", 2.0)
+            .when(F.col("flag") == "A", 1.5)
+            .otherwise(1.0)
+            .alias("weight"),
+        )
+    )
+    joined = salted_join(
+        li.select("l_returnflag", "l_extendedprice"), dim, "l_returnflag", factor=8
     )
     return (
-        docs.groupBy("lang")
+        joined.groupBy("l_returnflag")
         .agg(
-            F.round(wmean("v", "w"), 4).alias("wmean_chars"),
-            cnt("v").alias("n_docs"),
+            F.count(F.lit(1)).alias("n"),
+            # Decimal accumulation: a ~1e9-magnitude double sum is sensitive
+            # to partition order in its 2nd decimal — exact decimal math on
+            # both engines, cast to double only for the final projection.
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * F.col("weight").cast("decimal(3,1)")
+                ).cast("double"),
+                2,
+            ).alias("weighted_price"),
         )
-        .orderBy("lang")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Scalar Python UDF escape hatch (SURVEY §2.3): row-at-a-time, deliberately
-# demonstrated on a 25-row dimension, NEVER a hot path — the engine's rule is
-# built-ins first, pandas_udf second, this only for logic neither can express.
-# The oracle computes the same value with pure SQL, proving equivalence.
-# ---------------------------------------------------------------------------
-@query(
-    "q45_scalar_udf",
-    oracle="""
-    SELECT n_nationkey, n_name,
-           CAST(length(n_name)
-                - length(regexp_replace(upper(n_name), '[AEIOU]', '', 'g')) AS INT)
-               AS n_vowels
-    FROM nation
-    ORDER BY n_nationkey
-    """,
-)
-def q45_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    @F.udf("int")
-    def vowels(s: str) -> int:
-        return sum(1 for ch in s.upper() if ch in "AEIOU")
-
-    return (
-        _t(spark, sf_dir, "nation")
-        .select("n_nationkey", "n_name", vowels("n_name").alias("n_vowels"))
-        .orderBy("n_nationkey")
+        .orderBy("l_returnflag")
     )

@@ -125,10 +125,14 @@ def sliding_counts(
     return (
         events.withWatermark("ts_evt", "1 hour")
         .groupBy(F.window("ts_evt", duration, slide).alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
         .select(
             F.unix_timestamp("w.start").alias("window_start_epoch"),
             "n_events",
+            "total_value",
         )
     )
 
