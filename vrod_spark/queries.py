@@ -1381,6 +1381,8 @@ def q34_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     Structured Streaming plans run to completion under availableNow, each
     equal to its batch/SQL formulation (the FIXTURES.md batch-equivalence
     contract). Watermarks bound state on both."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from vrod_spark.streaming.ingest import (
         events_stream,
         run_to_completion,
@@ -1388,19 +1390,31 @@ def q34_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         tumbling_counts,
     )
 
-    tumb = run_to_completion(
-        lambda s: tumbling_counts(events_stream(s, sf_dir), duration="1 hour"), spark
-    ).select(
+    # The two streaming runs are independent (each on its own child
+    # session + uuid memory sink) — run them concurrently so the gate's
+    # wall time is max(leg), not sum(leg).
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_tumb = pool.submit(
+            run_to_completion,
+            lambda s: tumbling_counts(events_stream(s, sf_dir), duration="1 hour"),
+            spark,
+        )
+        f_slid = pool.submit(
+            run_to_completion,
+            lambda s: sliding_counts(
+                events_stream(s, sf_dir), duration="1 hour", slide="30 minutes"
+            ),
+            spark,
+        )
+        tumb_raw, slid_raw = f_tumb.result(), f_slid.result()
+    tumb = tumb_raw.select(
         F.lit("tumbling").alias("wkind"),
         "window_start_epoch",
         "event_type",
         "n_events",
         "total_value",
     )
-    slid = run_to_completion(
-        lambda s: sliding_counts(events_stream(s, sf_dir), duration="1 hour", slide="30 minutes"),
-        spark,
-    ).select(
+    slid = slid_raw.select(
         F.lit("sliding").alias("wkind"),
         "window_start_epoch",
         F.lit("*").alias("event_type"),
@@ -1576,6 +1590,8 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vrod_spark.operators.ann import recall_at_k
     from vrod_spark.operators.knn import knn_exact
 
+    from concurrent.futures import ThreadPoolExecutor
+
     emb = _t(spark, sf_dir, "embeddings")
     records = emb.select(
         F.col("vec_id").alias("id"),
@@ -1583,19 +1599,19 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("string").alias("payload"),
         F.lit(None).cast("map<string,string>").alias("meta"),
     )
-    rows = []
 
-    # --- sign-LSH leg -----------------------------------------------------
-    eng = Engine.create(spark, tempfile.mkdtemp(), "anngate")
-    eng.execute("CREATE", collection="emb")
-    eng.execute("BULKINSERT", collection="emb", arg=records)
-    eng.execute("REINDEX", collection="emb")
-    col = eng.db.collection("emb")
-    qv = [float(x) for x in col.read().filter("id = 0").first()["embedding"]]
-    approx = eng.execute("SEARCHSIMILAR", collection="emb", arg={"vector": qv, "k": 10}).df
-    exact = knn_exact(col.read(), qv, 10, vec_col="embedding", id_col="id")
-    rows.append(
-        (
+    def lsh_leg():
+        eng = Engine.create(spark, tempfile.mkdtemp(), "anngate")
+        eng.execute("CREATE", collection="emb")
+        eng.execute("BULKINSERT", collection="emb", arg=records)
+        eng.execute("REINDEX", collection="emb")
+        col = eng.db.collection("emb")
+        qv = [float(x) for x in col.read().filter("id = 0").first()["embedding"]]
+        approx = eng.execute(
+            "SEARCHSIMILAR", collection="emb", arg={"vector": qv, "k": 10}
+        ).df
+        exact = knn_exact(col.read(), qv, 10, vec_col="embedding", id_col="id")
+        return (
             "lsh",
             int(col.read().count()),
             len(col.meta["index"]["histogram"]),
@@ -1603,30 +1619,32 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
             None,
             float(round(recall_at_k(approx, exact, id_col="id"), 2)),
         )
-    )
 
-    # --- IVF leg (with O(delta) indexed append) ---------------------------
-    eng2 = Engine.create(spark, tempfile.mkdtemp(), "ivfgate")
-    eng2.execute("CREATE", collection="emb")
-    eng2.execute("BULKINSERT", collection="emb", arg=records)
-    eng2.execute("REINDEX", collection="emb", arg={"kind": "ivf", "n_centroids": 32})
-    col2 = eng2.db.collection("emb")
-    dim = int(col2.meta["dimension"])
-    delta_vec = [1.0 / (dim ** 0.5)] * dim
-    eng2.execute(
-        "INSERT",
-        collection="emb",
-        arg=[{"id": 1_000_000, "embedding": delta_vec, "payload": "delta"}],
-    )
-    idx = col2.meta["index"]
-    delta_hit = eng2.execute(
-        "SEARCHSIMILAR", collection="emb", arg={"vector": delta_vec, "k": 1}
-    ).df.first()
-    qv2 = [float(x) for x in col2.read().filter("id = 0").first()["embedding"]]
-    approx2 = eng2.execute("SEARCHSIMILAR", collection="emb", arg={"vector": qv2, "k": 10}).df
-    exact2 = knn_exact(col2.read(), qv2, 10, vec_col="embedding", id_col="id")
-    rows.append(
-        (
+    def ivf_leg():
+        # IVF with an O(delta) indexed append: the index must SURVIVE the
+        # append and the appended vector must be findable.
+        eng2 = Engine.create(spark, tempfile.mkdtemp(), "ivfgate")
+        eng2.execute("CREATE", collection="emb")
+        eng2.execute("BULKINSERT", collection="emb", arg=records)
+        eng2.execute("REINDEX", collection="emb", arg={"kind": "ivf", "n_centroids": 32})
+        col2 = eng2.db.collection("emb")
+        dim = int(col2.meta["dimension"])
+        delta_vec = [1.0 / (dim ** 0.5)] * dim
+        eng2.execute(
+            "INSERT",
+            collection="emb",
+            arg=[{"id": 1_000_000, "embedding": delta_vec, "payload": "delta"}],
+        )
+        idx = col2.meta["index"]
+        delta_hit = eng2.execute(
+            "SEARCHSIMILAR", collection="emb", arg={"vector": delta_vec, "k": 1}
+        ).df.first()
+        qv2 = [float(x) for x in col2.read().filter("id = 0").first()["embedding"]]
+        approx2 = eng2.execute(
+            "SEARCHSIMILAR", collection="emb", arg={"vector": qv2, "k": 10}
+        ).df
+        exact2 = knn_exact(col2.read(), qv2, 10, vec_col="embedding", id_col="id")
+        return (
             "ivf",
             int(col2.read().count()),
             len(idx["histogram"]) if idx else 0,
@@ -1634,7 +1652,11 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
             bool(delta_hit and delta_hit["id"] == 1_000_000),
             float(round(recall_at_k(approx2, exact2, id_col="id"), 2)),
         )
-    )
+
+    # Independent scratch engines (separate tmpdirs) — build concurrently.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_lsh, f_ivf = pool.submit(lsh_leg), pool.submit(ivf_leg)
+        rows = [f_lsh.result(), f_ivf.result()]
 
     return spark.createDataFrame(
         rows,
@@ -2117,40 +2139,51 @@ def q46_stream_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_to_completion,
     )
 
-    pairs = run_to_completion(
-        lambda s: click_purchase_join(events_stream(s, sf_dir), max_delay="30 minutes"),
-        spark,
-        output_mode="append",
-        # Stream-stream joins open FOUR state stores per partition; with
-        # per-user state this small the per-partition commit cost dominates
-        # (8 partitions: 8.8 s, 2: 2.1 s at sf0.1). Per-stream knob, not
-        # a global conf — a large keyspace deployment raises it.
-        state_partitions=2,
-    )
+    from concurrent.futures import ThreadPoolExecutor
+
+    # The two streaming runs are independent (own child session + uuid
+    # memory sink each) — run them concurrently; this gate's wall time is
+    # max(leg), not sum(leg).
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_pairs = pool.submit(
+            run_to_completion,
+            lambda s: click_purchase_join(events_stream(s, sf_dir), max_delay="30 minutes"),
+            spark,
+            output_mode="append",
+            # Stream-stream joins open FOUR state stores per partition;
+            # with per-user state this small the per-partition commit cost
+            # dominates (8 partitions: 8.8 s, 2: 2.1 s at sf0.1).
+            # Per-stream knob, not a global conf — a large keyspace
+            # deployment raises it.
+            state_partitions=2,
+        )
+        f_outer = pool.submit(
+            run_to_completion,
+            lambda s: click_abandonment_join(
+                events_stream(s, sf_dir), max_delay="30 minutes"
+            ),
+            spark,
+            output_mode="append",
+            state_partitions=2,  # 4 stores/partition, commit-bound
+        )
+        # The outer query's watermark is min over BOTH inputs' watermarks
+        # (Spark's multipleWatermarkPolicy=min), each = that side's max
+        # event time - 1h. A click's NULL row is only guaranteed once
+        # click + 30min < that global watermark — so the comparable prefix
+        # ends at min(max click, max purchase) - 30min - 1h (-1s margin).
+        # The STREAM is NOT filtered (filtering clicks would lower the
+        # clicks-side watermark and shrink the emitted set); only the
+        # OUTPUT is compared on the prefix, exactly like the oracle.
+        ev = _t(spark, sf_dir, "events")
+        maxes = ev.groupBy("event_type").agg(F.max(F.expr("ts_ns div 1000")).alias("m"))
+        by_type = {r["event_type"]: int(r["m"]) for r in maxes.collect()}
+        cutoff_us = min(by_type["click"], by_type["purchase"]) - 5_401_000_000
+        pairs, outer = f_pairs.result(), f_outer.result()
+
     inner = (
         pairs.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n1"), F.lit(0).cast("bigint").alias("n2"))
         .select(F.lit("pairs").alias("jkind"), "user_id", "n1", "n2")
-    )
-
-    # The outer query's watermark is min over BOTH inputs' watermarks
-    # (Spark's multipleWatermarkPolicy=min), each = that side's max event
-    # time - 1h. A click's NULL row is only guaranteed once click + 30min
-    # < that global watermark — so the comparable prefix ends at
-    # min(max click, max purchase) - 30min - 1h (-1s margin). The STREAM
-    # is NOT filtered (filtering clicks would lower the clicks-side
-    # watermark and shrink the emitted set); only the OUTPUT is compared
-    # on the prefix, exactly like the oracle.
-    ev = _t(spark, sf_dir, "events")
-    maxes = ev.groupBy("event_type").agg(F.max(F.expr("ts_ns div 1000")).alias("m"))
-    by_type = {r["event_type"]: int(r["m"]) for r in maxes.collect()}
-    cutoff_us = min(by_type["click"], by_type["purchase"]) - 5_401_000_000
-
-    outer = run_to_completion(
-        lambda s: click_abandonment_join(events_stream(s, sf_dir), max_delay="30 minutes"),
-        spark,
-        output_mode="append",
-        state_partitions=2,  # 4 stores/partition, commit-bound (see above)
     )
     funnel = (
         outer.filter(F.col("click_us") <= F.lit(cutoff_us))
