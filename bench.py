@@ -92,6 +92,7 @@ HEADLINE = [
     "q53_vocab_top_tokens",
     "q54_mixture_sampling",
     "q57_skew_salted_join",
+    "q58_pii_redaction",
 ]
 
 

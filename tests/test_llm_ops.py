@@ -369,3 +369,35 @@ def test_y4m_frame_extraction_is_real(spark):
 
     sampled = extract_y4m_frames(df, every_n=2).collect()
     assert sorted(r["frame_idx"] for r in sampled) == [0, 2]
+
+
+def test_pii_redaction_is_exhaustive_and_idempotent(spark):
+    """redact_pii replaces every pattern type with its tag, leaves clean
+    text untouched, and is idempotent (a second pass is a no-op)."""
+    from vrod_spark.functions.text import pii_counts, redact_pii
+
+    rows = [
+        (1, "reach me at jane.doe+spam@mail.example.org today"),
+        (2, "call 415-555-0123 or 212-555-9876"),
+        (3, "server at 192.168.0.1 and 10.0.255.3"),
+        (4, "card 4111111111111111 acct 123456789012"),
+        (5, "clean text with number 42 and dots. no pii"),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, t string")
+    out = df.select(
+        "id",
+        redact_pii("t").alias("r"),
+        pii_counts(F.col("t")).alias("pre"),
+        pii_counts(redact_pii("t")).alias("post"),
+        redact_pii(redact_pii("t")).alias("rr"),
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[1]["r"] == "reach me at <EMAIL> today"
+    assert by_id[2]["r"] == "call <PHONE> or <PHONE>"
+    assert by_id[3]["r"] == "server at <IP> and <IP>"
+    assert by_id[4]["r"] == "card <NUM> acct <NUM>"
+    assert by_id[5]["r"] == rows[4][1]  # clean text unchanged
+    for r in out:
+        assert r["rr"] == r["r"]  # idempotent
+        assert sum(r["post"]) == 0  # nothing survives redaction
+    assert sum(by_id[2]["pre"]) == 2 and by_id[4]["pre"]["num"] == 2

@@ -182,3 +182,40 @@ def repetition_stats(toks: Column) -> Column:
         nd.cast("bigint").alias("n_distinct"),
         F.round(F.lit(1.0) - nd / F.greatest(n, F.lit(1)), 6).alias("rep_ratio"),
     )
+
+
+#: PII patterns, ordered — redaction applies them in this sequence. Each
+#: is valid and identical in Java regex (Spark codegen) and RE2 (DuckDB),
+#: so redaction is oracle-comparable cross-engine. The digit-run pattern
+#: goes LAST: earlier redactions can never create a 12+ digit run, and
+#: emails/phones/IPs keep their shorter runs protected by their own tags.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{12,19}\b", "<NUM>"),
+)
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails, phone numbers, IPv4 addresses, and long digit runs
+    (card/account numbers) with typed tags — the standard PII-scrubbing
+    pass of a training-data pipeline. A chain of regexp_replace
+    expressions: whole-stage codegen, one pass per pattern, no Python."""
+    col = F.col(text) if isinstance(text, str) else text
+    for pat, tag in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, tag)
+    return col
+
+
+def pii_counts(text: Column | str) -> Column:
+    """STRUCT of per-type PII match counts (emails, phones, ips, longnums)
+    for audit metrics — countable before AND after redaction (after must
+    be zero)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.struct(
+        *[
+            F.regexp_count(col, F.lit(pat)).cast("bigint").alias(tag.strip("<>").lower())
+            for pat, tag in PII_PATTERNS
+        ]
+    )

@@ -2505,3 +2505,127 @@ def q57_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-pipeline scrubbing pass), hash-checked: the
+# documents corpus carries no PII, so the gate grafts DETERMINISTIC
+# synthetic PII (emails / phones / IPv4s / card-length digit runs, keyed
+# off doc_id residues so per-source counts vary) onto the text in both
+# engines, then audits: pre-redaction match counts per type, residual
+# matches after redaction (must be 0), and emitted tag counts. The
+# redaction chain is pure regexp_replace — codegen, no Python — and the
+# patterns are Java-regex/RE2-identical (functions/text.PII_PATTERNS).
+# ---------------------------------------------------------------------------
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_NUM = r"\b\d{12,19}\b"
+
+
+@query(
+    "q58_pii_redaction",
+    oracle=f"""
+    WITH aug AS (
+      SELECT source,
+             text
+             || CASE WHEN doc_id % 2 = 0
+                     THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+                     ELSE '' END
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' tel 212-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' ip 10.0.' || (doc_id % 256)::VARCHAR || '.'
+                          || ((doc_id * 7) % 256)::VARCHAR
+                     ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' card 4111' || lpad((doc_id % 1000000000)::VARCHAR, 9, '0')
+                     ELSE '' END AS t
+      FROM documents
+    ),
+    red AS (
+      SELECT source, t,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IP}', '<IP>', 'g'),
+               '{_PII_NUM}', '<NUM>', 'g') AS r
+      FROM aug
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(len(regexp_extract_all(t, '{_PII_EMAIL}')))::BIGINT AS n_emails,
+           sum(len(regexp_extract_all(t, '{_PII_PHONE}')))::BIGINT AS n_phones,
+           sum(len(regexp_extract_all(t, '{_PII_IP}')))::BIGINT AS n_ips,
+           sum(len(regexp_extract_all(t, '{_PII_NUM}')))::BIGINT AS n_longnums,
+           sum(len(regexp_extract_all(r, '{_PII_EMAIL}'))
+             + len(regexp_extract_all(r, '{_PII_PHONE}'))
+             + len(regexp_extract_all(r, '{_PII_IP}'))
+             + len(regexp_extract_all(r, '{_PII_NUM}')))::BIGINT AS n_residual,
+           sum(len(regexp_extract_all(r, '<EMAIL>|<PHONE>|<IP>|<NUM>')))::BIGINT AS n_tags
+    FROM red
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q58_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vrod_spark.functions.text import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" tel 212-555-"), F.lpad((did % 10000).cast("string"), 4, "0")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" ip 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                ((did * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" card 4111"),
+                F.lpad((did % 1_000_000_000).cast("string"), 9, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    staged = docs.select(
+        "source",
+        pii_counts(aug).alias("pre"),
+        pii_counts(redact_pii(aug)).alias("post"),
+        F.regexp_count(redact_pii(aug), F.lit("<EMAIL>|<PHONE>|<IP>|<NUM>")).alias(
+            "tags"
+        ),
+    )
+    return (
+        staged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("pre.email").alias("n_emails"),
+            F.sum("pre.phone").alias("n_phones"),
+            F.sum("pre.ip").alias("n_ips"),
+            F.sum("pre.num").alias("n_longnums"),
+            F.sum(
+                F.col("post.email")
+                + F.col("post.phone")
+                + F.col("post.ip")
+                + F.col("post.num")
+            ).alias("n_residual"),
+            F.sum("tags").cast("bigint").alias("n_tags"),
+        )
+        .orderBy("source")
+    )
