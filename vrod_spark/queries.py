@@ -803,6 +803,12 @@ def q19_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q21_array_funcs",
     oracle="""
+    WITH qs AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+      FROM embeddings
+      WHERE vec_id < 100
+    )
     SELECT vec_id,
            len(embedding)                                            AS dim,
            round(embedding[1]::DOUBLE, 4)                            AS first_elem,
@@ -810,18 +816,40 @@ def q19_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(list_max(list_transform(embedding, x -> x::DOUBLE)), 4)     AS max_elem,
            round(list_min(list_transform(embedding, x -> x::DOUBLE)), 4)     AS min_elem,
            len(list_filter(embedding, x -> x > 0))                   AS n_positive,
-           round(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), 4) AS sq_norm
-    FROM embeddings
-    WHERE vec_id < 100
+           round(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)), 4) AS sq_norm,
+           round(scale, 6)                                           AS q_scale,
+           CAST(floor(embedding[1]::DOUBLE / scale + 0.5) AS INT)    AS q_first,
+           round(list_max(list_transform(embedding,
+                 x -> abs(floor(x::DOUBLE / scale + 0.5) * scale - x::DOUBLE))), 6)
+               AS recon_err
+    FROM qs
     ORDER BY vec_id
     """,
 )
 def q21_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions + int8 quantization kernels
+    (functions/vector.quantize_int8/dequantize_int8 — the 4× embedding
+    storage shrink), all JVM-side expressions."""
+    from vrod_spark.functions.vector import dequantize_int8, quantize_int8
+
     emb = _t(spark, sf_dir, "embeddings")
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    return (
+    staged = (
         emb.filter(F.col("vec_id") < 100)
+        .select("vec_id", "embedding", quantize_int8("embedding").alias("qs"))
         .select(
+            "vec_id",
+            "embedding",
+            "qs",
+            F.zip_with(
+                dequantize_int8(F.col("qs")),
+                dbl,
+                lambda xq, x: F.abs(xq - x),
+            ).alias("abs_err"),
+        )
+    )
+    return (
+        staged.select(
             "vec_id",
             F.size("embedding").cast("bigint").alias("dim"),
             F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_elem"),
@@ -839,6 +867,9 @@ def q21_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x), 4
             ).alias("sq_norm"),
+            F.round(F.col("qs.scale"), 6).alias("q_scale"),
+            F.element_at("qs.q", 1).alias("q_first"),
+            F.round(F.array_max("abs_err"), 6).alias("recon_err"),
         )
         .orderBy("vec_id")
     )
