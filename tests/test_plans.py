@@ -99,3 +99,33 @@ def test_deep_join_broadcasts_all_dims(spark, sf_dir):
     the two fact tables may meet in a shuffle join."""
     plan = explain_str(QUERIES["q56_local_supplier_volume"](spark, sf_dir), "formatted")
     assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_salted_join_salts_the_join_key(spark, sf_dir):
+    """q57: the physical join condition must include the salt column
+    (key, _salt) — that spread is the whole point; and the replicated
+    3-row dim side must broadcast, never shuffle the fact."""
+    plan = explain_str(QUERIES["q57_skew_salted_join"](spark, sf_dir), "formatted")
+    assert "_salt" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pii_redaction_stays_in_codegen(spark, sf_dir):
+    """q58: the redaction chain is regexp_replace expressions only — no
+    Python evaluation node may appear in the plan (a UDF here would put
+    every corpus byte through Arrow at scale)."""
+    plan = explain_str(QUERIES["q58_pii_redaction"](spark, sf_dir), "formatted")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # One scan, redaction fused into the pre-aggregate Project — the whole
+    # per-document pass is a single map stage. (Formatted explain prints
+    # each scan twice: tree node + detail block.)
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert "regexp_extract_all" in plan
+
+
+def test_quantization_stays_in_codegen(spark, sf_dir):
+    """q21 (incl. int8 quantization columns): pure higher-order
+    expressions, no Python boundary, scan reads only vec_id+embedding."""
+    plan = explain_str(QUERIES["q21_array_funcs"](spark, sf_dir), "formatted")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "PushedFilters" in plan  # vec_id < 100 reaches the scan
