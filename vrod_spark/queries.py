@@ -2634,13 +2634,33 @@ def q58_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.lit("")),
     )
-    staged = docs.select(
-        "source",
-        pii_counts(aug).alias("pre"),
-        pii_counts(redact_pii(aug)).alias("post"),
-        F.regexp_count(redact_pii(aug), F.lit("<EMAIL>|<PHONE>|<IP>|<NUM>")).alias(
-            "tags"
+    # Nested let-bindings (functions/text.let_once pattern): `aug` and the
+    # redacted text each appear ONCE in the expression tree. The naive
+    # form inlines `aug` ~13x (once per regexp_count/replace consumer,
+    # CollapseProject re-inlines projected aliases), which blew the
+    # generated-code size up enough that Janino compilation serialized the
+    # whole concurrent bench suite (+8s wall for this one query).
+    audit = F.get(
+        F.transform(
+            F.array(aug),
+            lambda a: F.get(
+                F.transform(
+                    F.array(redact_pii(a)),
+                    lambda r: F.struct(
+                        pii_counts(a).alias("pre"),
+                        pii_counts(r).alias("post"),
+                        F.regexp_count(
+                            r, F.lit("<EMAIL>|<PHONE>|<IP>|<NUM>")
+                        ).alias("tags"),
+                    ),
+                ),
+                0,
+            ),
         ),
+        0,
+    )
+    staged = docs.select("source", audit.alias("au")).select(
+        "source", "au.pre", "au.post", "au.tags"
     )
     return (
         staged.groupBy("source")
