@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from vrod_spark.operators.asof import asof_join
@@ -98,3 +99,33 @@ def test_deterministic_sample_is_stable_and_proportional(spark):
     }
     assert 0.74 < by_src["web"] / 2000 < 0.86
     assert 0.15 < by_src["books"] / 2000 < 0.25
+
+
+def test_heavy_hitters_matches_exact_counts(spark, sf_dir):
+    """Sketch-then-verify heavy hitters: every token whose exact frequency
+    meets the support threshold appears, with EXACT counts (the sketch
+    bounds state, never the answer)."""
+    from vrod_spark.functions.text import tokens
+    from vrod_spark.operators.sketch import heavy_hitters
+    from vrod_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.lower("text"))).alias("token"))
+    total = toks.count()
+    support = 0.02
+
+    got = {r["item"]: r["n"] for r in heavy_hitters(toks, "token", support=support).collect()}
+    exact = {
+        r["token"]: r["n"]
+        for r in toks.groupBy("token").agg(F.count(F.lit(1)).alias("n")).collect()
+        if r["n"] >= int(support * total)
+    }
+    assert got == exact  # no false negatives, and counts are exact
+
+
+def test_heavy_hitters_rejects_bad_support(spark):
+    from vrod_spark.operators.sketch import heavy_hitters
+
+    df = spark.createDataFrame([(1,)], "x int")
+    with pytest.raises(ValueError):
+        heavy_hitters(df, "x", support=0.0)

@@ -1,0 +1,63 @@
+"""Heavy hitters (frequent items) — the scale path for corpus-wide
+top-k token statistics (the exact form is the q53 vocabulary gate).
+
+The exact top-k over 100 TB of tokens is fine when the token space is
+small, but a web-scale vocabulary (URLs, hashes, typo-space) makes the
+exact groupBy state proportional to DISTINCT tokens. The standard
+two-pass production shape bounds that:
+
+1. **Sketch pass**: ``DataFrame.freqItems`` (Spark's single-pass
+   implementation of the Karp–Shenker–Papadimitriou frequent-items
+   algorithm) over the token column with support ``s`` — one scan, state
+   O(1/s) per partition, returns a superset of every item with true
+   frequency ≥ s·N (false positives possible, false NEGATIVES not).
+2. **Exact pass**: broadcast the (small, ≤ ~1/s) candidate set back over
+   the tokens and count exactly — one scan + a shuffle whose key space
+   is the candidate set, not the vocabulary.
+
+The result carries EXACT counts for every true heavy hitter; the sketch
+only bounded the state. This is also the template for any
+sketch-then-verify operator (the same shape as the MinHash-LSH →
+exact-Jaccard dedup path in operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    *,
+    support: float = 0.01,
+    min_count: int | None = None,
+) -> DataFrame:
+    """Items of ``col`` with exact frequency ≥ ``support`` · count(df)
+    (or ≥ ``min_count`` when given), found with bounded state.
+
+    Returns (item, n) ordered by n desc, item — exact counts, guaranteed
+    to include every item meeting the threshold (KSP sketches have no
+    false negatives at their support level)."""
+    if not 0.0 < support < 1.0:
+        raise ValueError(f"support must be in (0, 1); got {support}")
+    # Pass 1: candidate superset, state O(1/support) per partition.
+    candidates = df.freqItems([col], support).first()[f"{col}_freqItems"]
+    if not candidates:
+        return df.sparkSession.createDataFrame([], f"item string, n bigint")
+    # Pass 2: exact counts for the (small) candidate set only — the
+    # filter prunes before the shuffle, so the agg key space is bounded
+    # by the candidate list, never the full domain.
+    counts = (
+        df.filter(F.col(col).isin(list(candidates)))
+        .groupBy(F.col(col).cast("string").alias("item"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    if min_count is None:
+        total = df.count()
+        min_count = int(support * total)
+    return (
+        counts.filter(F.col("n") >= F.lit(int(min_count)))
+        .orderBy(F.col("n").desc(), "item")
+    )
