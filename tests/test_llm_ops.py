@@ -401,3 +401,40 @@ def test_pii_redaction_is_exhaustive_and_idempotent(spark):
         assert r["rr"] == r["r"]  # idempotent
         assert sum(r["post"]) == 0  # nothing survives redaction
     assert sum(by_id[2]["pre"]) == 2 and by_id[4]["pre"]["num"] == 2
+
+
+def test_png_decode_is_real_all_filters(spark):
+    """PNG decoding is NOT a stub: stdlib zlib inflate + numpy defiltering
+    recover the exact pixels for every PNG scanline filter type (0-4),
+    verified against the known channel means of a deterministic gradient."""
+    import numpy as np
+
+    from vrod_spark.operators.multimodal import decode_png_features, make_png_bytes
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)
+    expected = [round(float(m), 6) for m in (img.astype(np.float64) / 255.0).mean(axis=(0, 1))]
+
+    rows = [
+        (ft, "image", make_png_bytes(0, 0, pixels=img, filter_type=ft))
+        for ft in range(5)
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, kind string, content binary")
+    out = decode_png_features(df).collect()
+    assert len(out) == 5
+    for r in out:
+        assert (r["width"], r["height"], r["n_pixels"]) == (9, 6, 54)
+        assert [r["mean_r"], r["mean_g"], r["mean_b"]] == expected, r["media_id"]
+
+
+def test_png_decode_rejects_unsupported(spark):
+    from vrod_spark.operators.multimodal import decode_png_features
+
+    df = spark.createDataFrame(
+        [(0, "image", b"\x89PNG\r\n\x1a\nnot-a-real-chunk")],
+        "media_id bigint, kind string, content binary",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        decode_png_features(df).collect()

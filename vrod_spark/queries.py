@@ -1697,10 +1697,12 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# REAL multimodal decode through the mapInPandas plumbing, all three raw
-# containers in one gate, tagged per modality: WAV audio (stdlib wave +
-# numpy), PPM images (solid colors → exact channel means), Y4M video frame
-# sampling (exact solid-luma means). The oracle pins the decoded metadata
+# REAL multimodal decode through the mapInPandas plumbing, four container
+# formats in one gate, tagged per modality: WAV audio (stdlib wave +
+# numpy), PPM images (solid colors → exact channel means), PNG images
+# (stdlib-zlib DEFLATE + scanline defiltering — a real compressed codec,
+# one gate file Paeth-filtered), and Y4M video frame sampling (exact
+# solid-luma means). The oracle pins the decoded metadata
 # and features as literals; spectral discrimination is pytest-checked.
 # Common schema: (modality, media_id, idx, width, height, m1, m2, m3) —
 # audio packs (sample_rate, n_frames, duration_ms) into m1..m3; image
@@ -1717,6 +1719,8 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
         ('image', 0, 0, 16, 8, 1.0, 0.0, 0.0),
         ('image', 1, 0, 4, 4, 0.0, round(128.0/255, 6), 1.0),
         ('image', 2, 0, 32, 2, round(10.0/255, 6), round(20.0/255, 6), round(30.0/255, 6)),
+        ('png', 0, 0, 8, 4, 0.0, round(64.0/255, 6), 1.0),
+        ('png', 1, 0, 5, 5, round(200.0/255, 6), round(100.0/255, 6), round(50.0/255, 6)),
         ('video', 0, 0, 16, 8, 0.0, 0.0, 0.0),
         ('video', 0, 2, 16, 8, round(102.0/255, 6), 0.0, 0.0),
         ('video', 1, 0, 8, 8, 1.0, 0.0, 0.0))
@@ -1726,9 +1730,11 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vrod_spark.operators.multimodal import (
+        decode_png_features,
         decode_ppm_features,
         decode_wav_features,
         extract_y4m_frames,
+        make_png_bytes,
         make_ppm_bytes,
         make_wav_bytes,
         make_y4m_bytes,
@@ -1766,6 +1772,25 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mean_g").alias("m2"),
         F.col("mean_b").alias("m3"),
     )
+    # PNG leg: stdlib-zlib DEFLATE codec, one file Paeth-filtered so the
+    # gate hash-checks real defiltering, not just raw-plane reads.
+    png = spark.createDataFrame(
+        [
+            (0, "image", make_png_bytes(8, 4, (0, 64, 255))),
+            (1, "image", make_png_bytes(5, 5, (200, 100, 50), filter_type=4)),
+        ],
+        schema,
+    )
+    png_leg = decode_png_features(png).select(
+        F.lit("png").alias("modality"),
+        F.col("media_id").cast("int").alias("media_id"),
+        F.lit(0).alias("idx"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("mean_r").alias("m1"),
+        F.col("mean_g").alias("m2"),
+        F.col("mean_b").alias("m3"),
+    )
     y4m = spark.createDataFrame(
         [
             (0, "video", make_y4m_bytes(16, 8, [0, 51, 102, 153])),
@@ -1785,6 +1810,7 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         audio.unionByName(image)
+        .unionByName(png_leg)
         .unionByName(video)
         .orderBy("modality", "media_id", "idx")
     )
