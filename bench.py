@@ -192,6 +192,11 @@ def main() -> None:
         # stable; best-of-N restores that stability for the headline
         # number. Per-query timings are taken from the best run.
         repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
+        # If the host is in a severe steal episode a suite run can take
+        # minutes instead of ~15 s; repeating it would risk blowing the
+        # caller's timeout for no signal. Past the cutoff, settle for the
+        # single (degraded, flagged) measurement.
+        cutoff = float(os.environ.get("SPARK_GRAFT_BENCH_REPEAT_CUTOFF", "45"))
         walls = []
         best: dict[str, float] | None = None
         for _ in range(repeats):
@@ -202,6 +207,8 @@ def main() -> None:
             walls.append(round(time.perf_counter() - suite_start, 3))
             if best is None or walls[-1] == min(walls):
                 best = dict(timings)
+            if walls[-1] > cutoff:
+                break
         timings = best or timings
         wall = min(walls)
 
@@ -210,7 +217,7 @@ def main() -> None:
     # query's plan (the q26/q27/q28 pair paths especially) hide inside the
     # noise. A short serial pass pins them per round.
     serial_queries: dict[str, float] = {}
-    if not serial:
+    if not serial and wall <= float(os.environ.get("SPARK_GRAFT_BENCH_REPEAT_CUTOFF", "45")):
         for name in SERIAL_TRACK:
             if name not in QUERIES:
                 continue
