@@ -573,3 +573,79 @@ def decode_png_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(decode, IMAGE_SCHEMA)
+
+
+def make_au_bytes(freq_hz: float, *, sample_rate: int = 8000, n_frames: int = 2000) -> bytes:
+    """Synthesize a Sun AU (.au) file carrying a G.711 μ-law-COMPRESSED
+    sine tone — the companding codec telephony uses (8-bit log-quantized
+    samples for 14-bit dynamic range). Pure numpy; the μ-law encoder is
+    the ITU-T G.711 formula."""
+    import struct
+
+    import numpy as np
+
+    t = np.arange(n_frames, dtype=np.float64) / sample_rate
+    pcm = (np.sin(2 * np.pi * freq_hz * t) * 32000).astype(np.int32)
+    # G.711 μ-law compression: sign + log-segment quantization to 8 bits.
+    MU_BIAS, MU_CLIP = 0x84, 32635
+    sign = np.where(pcm < 0, 0x80, 0)
+    mag = np.minimum(np.abs(pcm), MU_CLIP) + MU_BIAS
+    exp = (np.floor(np.log2(mag)) - 7).clip(0, 7).astype(np.int32)
+    mantissa = (mag >> (exp + 3)) & 0x0F
+    ulaw = (~(sign | (exp << 4) | mantissa)) & 0xFF
+    # AU header: magic, data offset, data size, encoding 1 (μ-law 8-bit),
+    # sample rate, channels — all big-endian.
+    header = struct.pack(">4sIIIII", b".snd", 24, n_frames, 1, sample_rate, 1)
+    return header + ulaw.astype(np.uint8).tobytes()
+
+
+def decode_au_features(media: DataFrame, *, n_bands: int = 8) -> DataFrame:
+    """REAL compressed-audio decoding — Sun AU containers holding G.711
+    μ-law data are expanded back to linear PCM with the ITU-T inverse
+    formula (pure numpy, no codec library) and reduced to the same
+    AUDIO_SCHEMA features as the WAV path (rFFT band energies). MP3/AAC
+    stay stubbed (psychoacoustic codecs aren't in this container); μ-law
+    proves a genuinely lossy-compressed audio format decodes through the
+    identical mapInPandas plumbing."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def parse_au(b: bytes):
+            magic, offset, size, enc, rate, chans = struct.unpack(">4sIIIII", b[:24])
+            if magic != b".snd":
+                raise ValueError("not an AU blob")
+            if enc != 1 or chans != 1:
+                raise ValueError(f"only mono G.711 mu-law AU supported (enc={enc})")
+            u = np.frombuffer(b, dtype=np.uint8, offset=offset, count=size).astype(
+                np.int32  # the expansion shifts exceed uint8 range
+            )
+            # ITU-T G.711 mu-law expansion.
+            u = (~u) & 0xFF
+            sign = u & 0x80
+            exp = (u >> 4) & 0x07
+            mantissa = u & 0x0F
+            mag = (((mantissa << 3) + 0x84) << exp) - 0x84
+            pcm = np.where(sign != 0, -mag, mag).astype(np.float64) / 32768.0
+            return rate, pcm
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "sample_rate": [], "n_frames": [],
+                "duration_ms": [], "band_energy": [],
+            }
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                rate, samples = parse_au(bytes(content))
+                spec = np.abs(np.fft.rfft(samples)) ** 2
+                bands = np.array_split(spec, n_bands)
+                energy = [float(np.sqrt(b.mean())) for b in bands]
+                out["media_id"].append(media_id)
+                out["sample_rate"].append(int(rate))
+                out["n_frames"].append(len(samples))
+                out["duration_ms"].append(int(len(samples) * 1000 / rate))
+                out["band_energy"].append([round(e, 6) for e in energy])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode, AUDIO_SCHEMA)

@@ -1697,12 +1697,13 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# REAL multimodal decode through the mapInPandas plumbing, four container
+# REAL multimodal decode through the mapInPandas plumbing, five container
 # formats in one gate, tagged per modality: WAV audio (stdlib wave +
-# numpy), PPM images (solid colors → exact channel means), PNG images
-# (stdlib-zlib DEFLATE + scanline defiltering — a real compressed codec,
-# one gate file Paeth-filtered), and Y4M video frame sampling (exact
-# solid-luma means). The oracle pins the decoded metadata
+# numpy), AU audio (G.711 mu-law companding — a real lossy audio codec,
+# ITU-T inverse formula), PPM images (solid colors → exact channel
+# means), PNG images (stdlib-zlib DEFLATE + scanline defiltering — a real
+# compressed image codec, one gate file Paeth-filtered), and Y4M video
+# frame sampling (exact solid-luma means). The oracle pins the decoded metadata
 # and features as literals; spectral discrimination is pytest-checked.
 # Common schema: (modality, media_id, idx, width, height, m1, m2, m3) —
 # audio packs (sample_rate, n_frames, duration_ms) into m1..m3; image
@@ -1716,6 +1717,8 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
         ('audio', 1, 0, 0, 0, 8000.0, 2000.0, 250.0),
         ('audio', 2, 0, 0, 0, 8000.0, 2000.0, 250.0),
         ('audio', 3, 0, 0, 0, 8000.0, 2000.0, 250.0),
+        ('au', 0, 0, 0, 0, 8000.0, 2000.0, 250.0),
+        ('au', 1, 0, 0, 0, 8000.0, 2000.0, 250.0),
         ('image', 0, 0, 16, 8, 1.0, 0.0, 0.0),
         ('image', 1, 0, 4, 4, 0.0, round(128.0/255, 6), 1.0),
         ('image', 2, 0, 32, 2, round(10.0/255, 6), round(20.0/255, 6), round(30.0/255, 6)),
@@ -1730,10 +1733,12 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vrod_spark.operators.multimodal import (
+        decode_au_features,
         decode_png_features,
         decode_ppm_features,
         decode_wav_features,
         extract_y4m_frames,
+        make_au_bytes,
         make_png_bytes,
         make_ppm_bytes,
         make_wav_bytes,
@@ -1746,6 +1751,21 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     audio = decode_wav_features(wav).select(
         F.lit("audio").alias("modality"),
+        F.col("media_id").cast("int").alias("media_id"),
+        F.lit(0).alias("idx"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        F.col("sample_rate").cast("double").alias("m1"),
+        F.col("n_frames").cast("double").alias("m2"),
+        F.col("duration_ms").cast("double").alias("m3"),
+    )
+    # AU leg: G.711 mu-law COMPRESSED audio (companding codec), expanded
+    # with the ITU-T inverse formula — metadata hash-checked like WAV.
+    au = spark.createDataFrame(
+        [(i, "audio", make_au_bytes(300.0 * (i + 1))) for i in range(2)], schema
+    )
+    au_leg = decode_au_features(au).select(
+        F.lit("au").alias("modality"),
         F.col("media_id").cast("int").alias("media_id"),
         F.lit(0).alias("idx"),
         F.lit(0).alias("width"),
@@ -1809,7 +1829,8 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("m3"),
     )
     return (
-        audio.unionByName(image)
+        audio.unionByName(au_leg)
+        .unionByName(image)
         .unionByName(png_leg)
         .unionByName(video)
         .orderBy("modality", "media_id", "idx")
