@@ -6,8 +6,9 @@ partition sizing, UDF signatures. Decoding is REAL for the raw container
 of every modality — AUDIO/WAV (``decode_wav_features``, stdlib ``wave`` +
 numpy), IMAGE/PPM (``decode_ppm_features`` + byte-level ``resize_ppm``,
 pure numpy), VIDEO/Y4M (``extract_y4m_frames``, pure numpy) — no external
-deps. PNG is decoded for real too (stdlib zlib DEFLATE + numpy
-defiltering). JPEG/MP3/H.264 codecs are STUBBED (not in this
+deps. Compressed formats decoded for real too: PNG (stdlib zlib DEFLATE
++ numpy defiltering), GIF (full LZW expansion), and G.711 mu-law AU
+audio (ITU-T expansion). JPEG/MP3/H.264 codecs are STUBBED (not in this
 container): ``decode_stub`` raises
 ``NotImplementedError`` unless ``fake=True``, in which case it produces a
 deterministic fake derived from the bytes, so pipelines are end-to-end
@@ -649,3 +650,181 @@ def decode_au_features(media: DataFrame, *, n_bands: int = 8) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(decode, AUDIO_SCHEMA)
+
+
+def make_gif_bytes(
+    width: int, height: int, rgb: tuple[int, int, int] | None = None, *, pixels=None
+) -> bytes:
+    """Synthesize a real GIF89a (LZW-compressed, global palette) — solid
+    ``rgb`` or an explicit ``pixels`` h×w×3 uint8 array (palettized to its
+    distinct colors; ≤256 distinct required). The LZW encoder emits
+    literal codes with periodic CLEARs (valid, modestly-compressed LZW) —
+    the decoder exercises the full growing-dictionary path regardless."""
+    import struct
+
+    import numpy as np
+
+    if pixels is None:
+        pixels = np.tile(np.array(rgb, dtype=np.uint8), (height, width, 1))
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape[0], px.shape[1]
+    flat = px.reshape(-1, 3)
+    palette, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("make_gif_bytes supports ≤256 distinct colors")
+    # Palette size must be a power of two ≥ 2.
+    psize = max(2, 1 << int(np.ceil(np.log2(len(palette)))))
+    table = np.zeros((psize, 3), dtype=np.uint8)
+    table[: len(palette)] = palette
+    pbits = int(np.log2(psize))
+
+    min_code = max(2, pbits)
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+
+    # Literal-code LZW, LSB-first, mirroring the decoder's dictionary
+    # exactly: the decoder appends a table entry per received code EXCEPT
+    # the first after a CLEAR, and widens its read size when the table
+    # fills the current width — so the encoder widens at the same points
+    # and resets well before the 12-bit ceiling.
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width_bits = min_code + 1
+    emit(clear, width_bits)
+    table_size, first = eoi + 1, True
+    for p in idx:
+        emit(int(p), width_bits)
+        if first:
+            first = False
+        else:
+            table_size += 1
+            if table_size == (1 << width_bits) and width_bits < 12:
+                width_bits += 1
+        if table_size >= 4000:
+            emit(clear, width_bits)
+            width_bits, table_size, first = min_code + 1, eoi + 1, True
+    emit(eoi, width_bits)
+    if nbits:
+        out.append(acc & 0xFF)
+
+    data = bytearray()
+    data += b"GIF89a"
+    data += struct.pack("<HHBBB", w, h, 0x80 | (pbits - 1) | ((pbits - 1) << 4), 0, 0)
+    data += table.tobytes()
+    data += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)  # image descriptor
+    data.append(min_code)
+    for i in range(0, len(out), 255):  # data sub-blocks
+        block = out[i : i + 255]
+        data.append(len(block))
+        data += block
+    data += b"\x00\x3b"  # block terminator + trailer
+    return bytes(data)
+
+
+def decode_gif_features(media: DataFrame) -> DataFrame:
+    """REAL GIF decoding — full LZW expansion (growing dictionary, CLEAR/
+    EOI handling, LSB-first variable-width codes) + global-palette lookup,
+    pure Python/numpy. Same IMAGE_SCHEMA/mapInPandas plumbing as PPM/PNG."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def parse_gif(b: bytes):
+            if b[:6] not in (b"GIF89a", b"GIF87a"):
+                raise ValueError("not a GIF blob")
+            w, h, flags, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
+            i = 13
+            palette = None
+            if flags & 0x80:
+                n = 2 << (flags & 0x07)
+                palette = np.frombuffer(b, dtype=np.uint8, count=n * 3, offset=i)
+                palette = palette.reshape(n, 3)
+                i += n * 3
+            # Skip extension blocks until the image descriptor.
+            while b[i] == 0x21:
+                i += 2
+                while b[i]:
+                    i += b[i] + 1
+                i += 1
+            if b[i] != 0x2C:
+                raise ValueError(f"expected image descriptor, got 0x{b[i]:02x}")
+            _x, _y, iw, ih, iflags = struct.unpack("<HHHHB", b[i + 1 : i + 10])
+            i += 10
+            if iflags & 0xC0:
+                raise ValueError("local palettes / interlace not supported")
+            min_code = b[i]
+            i += 1
+            stream = bytearray()
+            while b[i]:
+                stream += b[i + 1 : i + 1 + b[i]]
+                i += b[i] + 1
+
+            clear, eoi = 1 << min_code, (1 << min_code) + 1
+            table = [bytes([c]) for c in range(1 << min_code)] + [b"", b""]
+            width_bits = min_code + 1
+            acc = nbits = pos = 0
+            prev = None
+            out = bytearray()
+            while True:
+                while nbits < width_bits and pos < len(stream):
+                    acc |= stream[pos] << nbits
+                    nbits += 8
+                    pos += 1
+                if nbits < width_bits:
+                    break
+                code = acc & ((1 << width_bits) - 1)
+                acc >>= width_bits
+                nbits -= width_bits
+                if code == clear:
+                    table = table[: (1 << min_code) + 2]
+                    width_bits = min_code + 1
+                    prev = None
+                    continue
+                if code == eoi:
+                    break
+                if code < len(table):
+                    entry = table[code]
+                    if prev is not None:
+                        table.append(prev + entry[:1])
+                elif code == len(table) and prev is not None:
+                    entry = prev + prev[:1]
+                    table.append(entry)
+                else:
+                    raise ValueError(f"corrupt LZW stream (code {code})")
+                out += entry
+                prev = entry
+                if len(table) == (1 << width_bits) and width_bits < 12:
+                    width_bits += 1
+            idx = np.frombuffer(bytes(out[: iw * ih]), dtype=np.uint8)
+            img = palette[idx].reshape(ih, iw, 3).astype(np.float64) / 255.0
+            return iw, ih, img
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "width": [], "height": [], "n_pixels": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, img = parse_gif(bytes(content))
+                means = img.mean(axis=(0, 1))
+                out["media_id"].append(media_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["mean_r"].append(round(float(means[0]), 6))
+                out["mean_g"].append(round(float(means[1]), 6))
+                out["mean_b"].append(round(float(means[2]), 6))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode, IMAGE_SCHEMA)

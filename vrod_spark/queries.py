@@ -1697,13 +1697,14 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# REAL multimodal decode through the mapInPandas plumbing, five container
+# REAL multimodal decode through the mapInPandas plumbing, six container
 # formats in one gate, tagged per modality: WAV audio (stdlib wave +
 # numpy), AU audio (G.711 mu-law companding — a real lossy audio codec,
 # ITU-T inverse formula), PPM images (solid colors → exact channel
-# means), PNG images (stdlib-zlib DEFLATE + scanline defiltering — a real
-# compressed image codec, one gate file Paeth-filtered), and Y4M video
-# frame sampling (exact solid-luma means). The oracle pins the decoded metadata
+# means), GIF images (full LZW expansion), PNG images (stdlib-zlib
+# DEFLATE + scanline defiltering — a real compressed image codec, one
+# gate file Paeth-filtered), and Y4M video frame sampling (exact
+# solid-luma means). The oracle pins the decoded metadata
 # and features as literals; spectral discrimination is pytest-checked.
 # Common schema: (modality, media_id, idx, width, height, m1, m2, m3) —
 # audio packs (sample_rate, n_frames, duration_ms) into m1..m3; image
@@ -1722,6 +1723,7 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
         ('image', 0, 0, 16, 8, 1.0, 0.0, 0.0),
         ('image', 1, 0, 4, 4, 0.0, round(128.0/255, 6), 1.0),
         ('image', 2, 0, 32, 2, round(10.0/255, 6), round(20.0/255, 6), round(30.0/255, 6)),
+        ('gif', 0, 0, 6, 3, round(10.0/255, 6), round(200.0/255, 6), round(30.0/255, 6)),
         ('png', 0, 0, 8, 4, 0.0, round(64.0/255, 6), 1.0),
         ('png', 1, 0, 5, 5, round(200.0/255, 6), round(100.0/255, 6), round(50.0/255, 6)),
         ('video', 0, 0, 16, 8, 0.0, 0.0, 0.0),
@@ -1734,11 +1736,13 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vrod_spark.operators.multimodal import (
         decode_au_features,
+        decode_gif_features,
         decode_png_features,
         decode_ppm_features,
         decode_wav_features,
         extract_y4m_frames,
         make_au_bytes,
+        make_gif_bytes,
         make_png_bytes,
         make_ppm_bytes,
         make_wav_bytes,
@@ -1792,6 +1796,20 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mean_g").alias("m2"),
         F.col("mean_b").alias("m3"),
     )
+    # GIF leg: full LZW expansion, hash-checked.
+    gif = spark.createDataFrame(
+        [(0, "image", make_gif_bytes(6, 3, (10, 200, 30)))], schema
+    )
+    gif_leg = decode_gif_features(gif).select(
+        F.lit("gif").alias("modality"),
+        F.col("media_id").cast("int").alias("media_id"),
+        F.lit(0).alias("idx"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("mean_r").alias("m1"),
+        F.col("mean_g").alias("m2"),
+        F.col("mean_b").alias("m3"),
+    )
     # PNG leg: stdlib-zlib DEFLATE codec, one file Paeth-filtered so the
     # gate hash-checks real defiltering, not just raw-plane reads.
     png = spark.createDataFrame(
@@ -1830,6 +1848,7 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         audio.unionByName(au_leg)
+        .unionByName(gif_leg)
         .unionByName(image)
         .unionByName(png_leg)
         .unionByName(video)
