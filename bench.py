@@ -138,10 +138,58 @@ def _warmup(spark, sf_dir: str) -> None:
     )
 
 
+def _emit(walls, timings, names, sf_val, mode, workers, serial_queries, final):
+    """Print the two evidence lines (detail, then the short headline) and
+    flush. Called after EVERY phase, not only at process exit: rounds 2 and
+    3 both lost their official bench number to the driver killing/truncating
+    the run before the single end-of-run print — evidence must exist on
+    stdout from the first completed suite pass onward. The LAST complete
+    JSON line on the stream is always a valid headline record; ``final``
+    marks whether later phases were still pending when it was printed."""
+    wall = min(walls)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_detail",
+                "queries": {n: timings[n] for n in names if n in timings},
+                "walls": walls,
+                **({"serial_queries": serial_queries} if serial_queries else {}),
+            }
+        ),
+        flush=True,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock",
+                "value": wall,
+                "unit": "sec",
+                "sf": sf_val,
+                "mode": mode,
+                "workers": workers,
+                "n_queries": len(names),
+                "serial_sum_sec": round(sum(timings.values()), 3),
+                "final": final,
+            }
+        ),
+        flush=True,
+    )
+
+
 def main() -> None:
     serial = "--serial" in sys.argv
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Hard global deadline: when the host is in a CPU-steal episode the
+    # refinement phases (best-of-N repeat, serial track) are skipped so a
+    # complete evidence record still reaches stdout before any driver kill.
+    t0 = time.monotonic()
+    deadline = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "300"))
+
+    def over_deadline() -> bool:
+        return time.monotonic() - t0 > deadline
+
     spark = get_spark("vrod-spark-bench")
     _warmup(spark, sf_dir)
 
@@ -175,15 +223,22 @@ def main() -> None:
             # in-flight queries, no head-of-line blocking behind a big stage.
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"bench{idx % workers}")
         start = time.perf_counter()
-        QUERIES[name](spark, sf_dir).collect()
+        try:
+            QUERIES[name](spark, sf_dir).collect()
+        except Exception:
+            # One retry: a host-contention kill of a single micro-batch or
+            # task must not zero out the whole suite's evidence. The timing
+            # keeps the failed attempt's cost — honest, not flattering.
+            QUERIES[name](spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - start, 3)
 
+    mode = "serial" if serial else "concurrent"
+    emit_workers = 1 if serial else workers
     if serial:
         suite_start = time.perf_counter()
         for item in enumerate(names):
             run_one(item)
-        wall = round(time.perf_counter() - suite_start, 3)
-        walls = [wall]
+        walls = [round(time.perf_counter() - suite_start, 3)]
     else:
         # Best-of-N (default 2): the concurrent suite saturates every core
         # for its whole window, so a host-side CPU-steal episode inflates
@@ -199,7 +254,7 @@ def main() -> None:
         cutoff = float(os.environ.get("SPARK_GRAFT_BENCH_REPEAT_CUTOFF", "45"))
         walls = []
         best: dict[str, float] | None = None
-        for _ in range(repeats):
+        for rep in range(repeats):
             timings = {}
             suite_start = time.perf_counter()
             with ThreadPoolExecutor(max_workers=workers) as pool:
@@ -207,55 +262,39 @@ def main() -> None:
             walls.append(round(time.perf_counter() - suite_start, 3))
             if best is None or walls[-1] == min(walls):
                 best = dict(timings)
-            if walls[-1] > cutoff:
+            # Evidence checkpoint: a parseable record exists from the first
+            # completed pass onward, whatever happens later.
+            _emit(walls, best, names, sf_val, mode, workers, {}, final=False)
+            if walls[-1] > cutoff or over_deadline():
                 break
         timings = best or timings
-        wall = min(walls)
 
     # Uncontended per-query latency for the expensive queries — concurrent
     # timings include scheduler contention, so regressions in a single
     # query's plan (the q26/q27/q28 pair paths especially) hide inside the
     # noise. A short serial pass pins them per round.
     serial_queries: dict[str, float] = {}
-    if not serial and wall <= float(os.environ.get("SPARK_GRAFT_BENCH_REPEAT_CUTOFF", "45")):
+    if (
+        not serial
+        and min(walls) <= float(os.environ.get("SPARK_GRAFT_BENCH_REPEAT_CUTOFF", "45"))
+        and not over_deadline()
+    ):
         for name in SERIAL_TRACK:
-            if name not in QUERIES:
+            if name not in QUERIES or over_deadline():
                 continue
             start = time.perf_counter()
-            QUERIES[name](spark, sf_dir).collect()
+            try:
+                QUERIES[name](spark, sf_dir).collect()
+            except Exception:
+                continue
             serial_queries[name] = round(time.perf_counter() - start, 3)
 
     spark.stop()
-    # Two lines, detail first: the driver's tail capture is ~2 KB, so the
-    # LAST line must be a short standalone summary that always survives
-    # truncation (round 2 lost its official number to a 4 KB single line).
-    # Printing after spark.stop() keeps shutdown warnings from landing
-    # between the JSON and the end of the stream.
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_detail",
-                "queries": {n: timings[n] for n in names},
-                "walls": walls,
-                **({"serial_queries": serial_queries} if serial_queries else {}),
-            }
-        )
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_clock",
-                "value": wall,
-                "unit": "sec",
-                "sf": sf_val,
-                "mode": "serial" if serial else "concurrent",
-                "workers": 1 if serial else workers,
-                "n_queries": len(names),
-                "serial_sum_sec": round(sum(timings.values()), 3),
-            }
-        )
-    )
+    # Final authoritative record, printed after spark.stop() so shutdown
+    # warnings cannot land between the JSON and the end of the stream. The
+    # detail line comes first; the LAST line is the short headline summary,
+    # small enough to survive the driver's ~2 KB tail capture.
+    _emit(walls, timings, names, sf_val, mode, emit_workers, serial_queries, final=True)
 
 
 if __name__ == "__main__":
