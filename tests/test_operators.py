@@ -129,3 +129,30 @@ def test_heavy_hitters_rejects_bad_support(spark):
     df = spark.createDataFrame([(1,)], "x int")
     with pytest.raises(ValueError):
         heavy_hitters(df, "x", support=0.0)
+
+
+def test_percentile_profile_strategies_agree(spark, sf_dir):
+    """gather (Arrow per-group) and distributed (count-map + Expand) are the
+    same exact profile — the q22 gate may use either."""
+    from vrod_spark.operators.percentiles import group_percentile_profile
+    from vrod_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    spec = {
+        "l_extendedprice": [("median_price", 0.5), ("p90_price", 0.9)],
+        "l_quantity": [("p25_qty", 0.25)],
+    }
+    nd = {"l_partkey": "nd_parts", "l_suppkey": "nd_supps"}
+    out = {}
+    for strategy in ("gather", "distributed"):
+        rows = group_percentile_profile(
+            li, "l_returnflag", spec, nd, strategy=strategy
+        ).orderBy("l_returnflag").collect()
+        out[strategy] = [
+            tuple(r[c] for c in
+                  ("l_returnflag", "nd_parts", "nd_supps",
+                   "median_price", "p90_price", "p25_qty"))
+            for r in rows
+        ]
+    assert out["gather"] == out["distributed"]
+    assert len(out["gather"]) == 3  # A, N, R
