@@ -828,3 +828,518 @@ def decode_gif_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(decode, IMAGE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline DCT, ITU-T T.81) — REAL codec, pure stdlib + numpy.
+# The reference treats media as opaque payloads; this gives vRod-on-Spark a
+# genuine decode path for the most common image format on the web, the same
+# way PNG (zlib+defilter) and GIF (LZW) were done. Encoder synthesizes
+# spec-valid baseline JFIF files (4:4:4 or 4:2:0, optional restart
+# markers) for fixtures; decoder is a general baseline decoder: marker
+# parse, DQT (8/16-bit), DHT canonical Huffman, SOF0/SOF1, restart
+# intervals, per-component sampling factors, dequant + 8x8 IDCT +
+# upsample + YCbCr->RGB. MP3/H.264 remain the declared stubs.
+# ---------------------------------------------------------------------------
+
+def _jpeg_zigzag() -> list[int]:
+    """Zigzag scan order (T.81 Figure 5): raster index for each of the 64
+    zigzag positions, generated rather than hand-typed."""
+    order = []
+    for d in range(15):
+        cells = [(y, d - y) for y in range(8) if 0 <= d - y < 8]
+        if d % 2 == 0:
+            cells.reverse()
+        order.extend(y * 8 + x for y, x in cells)
+    return order
+
+
+# Standard Huffman tables from T.81 Annex K.3 (public spec): (BITS, HUFFVAL).
+_JPEG_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_JPEG_DC_CHR = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_JPEG_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA],
+)
+_JPEG_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+     0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+     0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+     0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+     0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+     0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+     0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+     0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+     0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+     0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA],
+)
+
+
+def _jpeg_huff_codes(bits: list[int], values: list[int]) -> dict:
+    """Canonical Huffman code assignment (T.81 Annex C): value -> (code, len)."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_dct_matrix():
+    import math
+
+    import numpy as np
+
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    t = 0.5 * np.cos((2 * x + 1) * u * math.pi / 16)
+    t[0, :] *= 1.0 / math.sqrt(2.0)
+    return t  # FDCT: T @ B @ T.T ; IDCT: T.T @ C @ T
+
+
+def make_jpeg_bytes(
+    width: int,
+    height: int,
+    rgb: tuple[int, int, int] | None = None,
+    *,
+    pixels=None,
+    subsampling: str = "444",
+    quant: int = 1,
+    restart_interval: int = 0,
+) -> bytes:
+    """Synthesize a REAL baseline JFIF file (SOI/APP0/DQT/SOF0/DHT/[DRI]/
+    SOS/EOI) — solid ``rgb`` or explicit ``pixels`` (h*w*3 uint8).
+    ``subsampling`` is '444' or '420'; ``quant`` fills both quant tables
+    uniformly (1 = near-lossless, so solid colors roundtrip exactly);
+    ``restart_interval`` emits DRI + RSTn markers so decoders exercise
+    restart resync. Entropy coding uses the Annex K.3 standard tables."""
+    import struct
+
+    import numpy as np
+
+    if pixels is None:
+        pixels = np.tile(np.array(rgb, dtype=np.uint8), (height, width, 1))
+    px = np.asarray(pixels, dtype=np.uint8).astype(np.float64)
+    h, w = px.shape[0], px.shape[1]
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    # JFIF YCbCr (full-range, ITU-R BT.601 coefficients).
+    planes = [
+        np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255),
+        np.clip(np.round(128 - 0.168736 * r - 0.331264 * g + 0.5 * b), 0, 255),
+        np.clip(np.round(128 + 0.5 * r - 0.418688 * g - 0.081312 * b), 0, 255),
+    ]
+    if subsampling == "444":
+        samp = [(1, 1), (1, 1), (1, 1)]
+    elif subsampling == "420":
+        samp = [(2, 2), (1, 1), (1, 1)]
+        for ci in (1, 2):
+            p = planes[ci]
+            ph = (p.shape[0] + 1) // 2 * 2
+            pw = (p.shape[1] + 1) // 2 * 2
+            padded = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
+            planes[ci] = np.round(
+                padded.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            )
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # Pad every component plane to its full MCU-grid extent (edge replicate).
+    comp_planes = []
+    for (sh, sv), p in zip(samp, planes):
+        th, tw = mcus_y * sv * 8, mcus_x * sh * 8
+        comp_planes.append(
+            np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        )
+
+    zz = np.array(_jpeg_zigzag())
+    t_mat = _jpeg_dct_matrix()
+    qtab = np.full(64, int(quant), dtype=np.int32)
+    dc_codes = [_jpeg_huff_codes(*_JPEG_DC_LUM), _jpeg_huff_codes(*_JPEG_DC_CHR)]
+    ac_codes = [_jpeg_huff_codes(*_JPEG_AC_LUM), _jpeg_huff_codes(*_JPEG_AC_CHR)]
+
+    out = bytearray()
+    acc = [0, 0]  # bit accumulator: value, nbits
+
+    def put_bits(value: int, length: int) -> None:
+        if length == 0:
+            return
+        acc[0] = (acc[0] << length) | (value & ((1 << length) - 1))
+        acc[1] += length
+        while acc[1] >= 8:
+            byte = (acc[0] >> (acc[1] - 8)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)  # byte stuffing
+            acc[1] -= 8
+            acc[0] &= (1 << acc[1]) - 1
+
+    def flush_bits() -> None:
+        if acc[1]:
+            put_bits((1 << (8 - acc[1])) - 1, 8 - acc[1])  # pad with 1s
+
+    def encode_block(block, tsel: int, pred: int) -> int:
+        coef = t_mat @ (block - 128.0) @ t_mat.T
+        q = np.round(coef.reshape(64) / qtab.reshape(8, 8).reshape(64)).astype(np.int64)
+        zig = q[zz]
+        dc = int(zig[0])
+        diff = dc - pred
+        s = abs(diff).bit_length()
+        code, ln = dc_codes[tsel][s]
+        put_bits(code, ln)
+        if s:
+            put_bits(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        last_nz = int(np.max(np.nonzero(zig)[0])) if np.any(zig[1:]) else 0
+        for k in range(1, last_nz + 1):
+            v = int(zig[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[tsel][0xF0]
+                put_bits(code, ln)
+                run -= 16
+            s = abs(v).bit_length()
+            code, ln = ac_codes[tsel][(run << 4) | s]
+            put_bits(code, ln)
+            put_bits(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < 63:
+            code, ln = ac_codes[tsel][0x00]
+            put_bits(code, ln)
+        return dc
+
+    # --- headers -----------------------------------------------------------
+    hdr = bytearray(b"\xFF\xD8")  # SOI
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    hdr += b"\xFF\xE0" + struct.pack(">H", 2 + len(app0)) + app0
+    zz_q = bytes(int(qtab[0]) for _ in range(64))  # uniform → zigzag order moot
+    hdr += b"\xFF\xDB" + struct.pack(">H", 2 + 2 * 65) + b"\x00" + zz_q + b"\x01" + zz_q
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for cid, (sh, sv) in zip((1, 2, 3), samp):
+        sof += struct.pack(">BBB", cid, (sh << 4) | sv, 0 if cid == 1 else 1)
+    hdr += b"\xFF\xC0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tclass, tid, (bits, vals) in (
+        (0, 0, _JPEG_DC_LUM), (1, 0, _JPEG_AC_LUM),
+        (0, 1, _JPEG_DC_CHR), (1, 1, _JPEG_AC_CHR),
+    ):
+        body = bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
+        hdr += b"\xFF\xC4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        hdr += b"\xFF\xDD" + struct.pack(">HH", 4, restart_interval)
+    sos = b"\x03" + bytes((1, 0x00, 2, 0x11, 3, 0x11)) + b"\x00\x3F\x00"
+    hdr += b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos
+
+    # --- entropy-coded scan -------------------------------------------------
+    preds = [0, 0, 0]
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            n_mcu = my * mcus_x + mx
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                flush_bits()
+                out.append(0xFF)
+                out.append(0xD0 + (rst % 8))
+                rst += 1
+                preds = [0, 0, 0]
+            for ci, (sh, sv) in enumerate(samp):
+                tsel = 0 if ci == 0 else 1
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        block = comp_planes[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        preds[ci] = encode_block(block, tsel, preds[ci])
+    flush_bits()
+    return bytes(hdr) + bytes(out) + b"\xFF\xD9"
+
+
+def decode_jpeg_features(media: DataFrame) -> DataFrame:
+    """REAL baseline JPEG (ITU-T T.81) decoding — pure stdlib + numpy, the
+    same way PNG (zlib+defilter) and GIF (LZW) are done, closing the last
+    image-format stub the reference's opaque-payload model would hit in
+    practice. General baseline decoder: marker walk (APPn/COM skipped),
+    DQT (8- and 16-bit), DHT canonical Huffman, SOF0/SOF1, DRI + RSTn
+    restart resync, per-component sampling factors (4:4:4 and 4:2:0),
+    byte-unstuffed entropy scan, dequant + orthonormal 8x8 IDCT, nearest
+    chroma upsample, BT.601 full-range YCbCr->RGB. Emits the shared
+    IMAGE_SCHEMA (dims + channel means) so the q51 gate hash-checks it
+    beside PPM/PNG/GIF. MP3/H.264 remain the declared stubs.
+
+    Scale shape is identical to the other decoders: blobs decode where
+    they sit inside Arrow batches; only ids + metadata ever shuffle."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+        import struct
+
+        import numpy as np
+
+        zigzag = []
+        for d in range(15):
+            cells = [(y, d - y) for y in range(8) if 0 <= d - y < 8]
+            if d % 2 == 0:
+                cells.reverse()
+            zigzag.extend(y * 8 + x for y, x in cells)
+        zigzag = np.array(zigzag)
+
+        u = np.arange(8).reshape(8, 1)
+        x = np.arange(8).reshape(1, 8)
+        t_mat = 0.5 * np.cos((2 * x + 1) * u * math.pi / 16)
+        t_mat[0, :] *= 1.0 / math.sqrt(2.0)
+
+        def parse_jpeg(b: bytes):
+            if b[:2] != b"\xFF\xD8":
+                raise ValueError("not a JPEG blob (missing SOI)")
+            qtabs: dict[int, np.ndarray] = {}
+            huff: dict[tuple[int, int], dict] = {}  # (class, id) -> {(len, code): val}
+            comps = []  # [id, sh, sv, qsel] per component
+            w = h = None
+            restart_interval = 0
+            i, n = 2, len(b)
+            scan_comps = None
+            while i + 4 <= n:
+                if b[i] != 0xFF:
+                    raise ValueError(f"marker expected at {i}")
+                marker = b[i + 1]
+                (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
+                data = b[i + 4 : i + 2 + seglen]
+                i += 2 + seglen
+                if marker == 0xDB:  # DQT
+                    j = 0
+                    while j < len(data):
+                        pq, tq = data[j] >> 4, data[j] & 0x0F
+                        j += 1
+                        if pq:
+                            vals = np.frombuffer(
+                                data[j : j + 128], dtype=">u2"
+                            ).astype(np.int32)
+                            j += 128
+                        else:
+                            vals = np.frombuffer(
+                                data[j : j + 64], dtype=np.uint8
+                            ).astype(np.int32)
+                            j += 64
+                        raster = np.zeros(64, dtype=np.int32)
+                        raster[zigzag] = vals  # stored in zigzag order
+                        qtabs[tq] = raster
+                elif marker == 0xC4:  # DHT
+                    j = 0
+                    while j < len(data):
+                        tc, th = data[j] >> 4, data[j] & 0x0F
+                        bits = list(data[j + 1 : j + 17])
+                        j += 17
+                        table, code = {}, 0
+                        for length in range(1, 17):
+                            for _ in range(bits[length - 1]):
+                                table[(length, code)] = data[j]
+                                j += 1
+                                code += 1
+                            code <<= 1
+                        huff[(tc, th)] = table
+                elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+                    prec, h, w, nc = struct.unpack(">BHHB", data[:6])
+                    if prec != 8:
+                        raise ValueError("only 8-bit precision supported")
+                    comps = []
+                    for c in range(nc):
+                        cid, sf, qsel = data[6 + 3 * c : 9 + 3 * c]
+                        comps.append([cid, sf >> 4, sf & 0x0F, qsel])
+                elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                                0xCD, 0xCE, 0xCF):
+                    raise ValueError("only baseline (SOF0/SOF1) JPEG supported")
+                elif marker == 0xDD:  # DRI
+                    (restart_interval,) = struct.unpack(">H", data[:2])
+                elif marker == 0xDA:  # SOS — entropy data follows
+                    ns = data[0]
+                    scan_comps = []
+                    for c in range(ns):
+                        cid, tsel = data[1 + 2 * c], data[2 + 2 * c]
+                        scan_comps.append((cid, tsel >> 4, tsel & 0x0F))
+                    break
+                # APPn / COM / others: skipped via seglen
+            if scan_comps is None or w is None:
+                raise ValueError("truncated JPEG (no SOS/SOF)")
+
+            # Byte-unstuff the entropy scan, split on RSTn, stop at EOI.
+            segments, cur = [], bytearray()
+            while i < n:
+                byte = b[i]
+                if byte == 0xFF:
+                    nxt = b[i + 1] if i + 1 < n else 0xD9
+                    if nxt == 0x00:
+                        cur.append(0xFF)
+                        i += 2
+                    elif 0xD0 <= nxt <= 0xD7:
+                        segments.append(bytes(cur))
+                        cur = bytearray()
+                        i += 2
+                    elif nxt == 0xD9:
+                        break
+                    else:
+                        raise ValueError(f"unexpected marker {nxt:#x} in scan")
+                else:
+                    cur.append(byte)
+                    i += 1
+            segments.append(bytes(cur))
+
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            planes = {
+                c[0]: np.zeros((mcus_y * c[2] * 8, mcus_x * c[1] * 8))
+                for c in comps
+            }
+            by_id = {c[0]: c for c in comps}
+
+            seg_idx = 0
+            bits_data = segments[0]
+            bitpos = 0
+
+            def read_bit() -> int:
+                nonlocal bitpos
+                byte_i, off = bitpos >> 3, bitpos & 7
+                if byte_i >= len(bits_data):
+                    return 0  # T.81: pad past end (trailing 1-fill)
+                bitpos += 1
+                return (bits_data[byte_i] >> (7 - off)) & 1
+
+            def read_huff(table) -> int:
+                code, length = 0, 0
+                while length < 17:
+                    code = (code << 1) | read_bit()
+                    length += 1
+                    v = table.get((length, code))
+                    if v is not None:
+                        return v
+                raise ValueError("invalid Huffman code in scan")
+
+            def receive_extend(s: int) -> int:
+                if s == 0:
+                    return 0
+                v = 0
+                for _ in range(s):
+                    v = (v << 1) | read_bit()
+                return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+            preds = {c[0]: 0 for c in comps}
+            mcu_in_seg = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if (
+                        restart_interval
+                        and mcu_in_seg == restart_interval
+                        and seg_idx + 1 < len(segments)
+                    ):
+                        seg_idx += 1
+                        bits_data = segments[seg_idx]
+                        bitpos = 0
+                        preds = {c[0]: 0 for c in comps}
+                        mcu_in_seg = 0
+                    mcu_in_seg += 1
+                    for cid, dc_sel, ac_sel in scan_comps:
+                        _, sh, sv, qsel = by_id[cid]
+                        qtab = qtabs[qsel]
+                        dc_tab = huff[(0, dc_sel)]
+                        ac_tab = huff[(1, ac_sel)]
+                        for by in range(sv):
+                            for bx in range(sh):
+                                zig = np.zeros(64, dtype=np.int64)
+                                s = read_huff(dc_tab)
+                                preds[cid] += receive_extend(s)
+                                zig[0] = preds[cid]
+                                k = 1
+                                while k < 64:
+                                    rs = read_huff(ac_tab)
+                                    r, s = rs >> 4, rs & 0x0F
+                                    if s == 0:
+                                        if r == 15:
+                                            k += 16  # ZRL
+                                            continue
+                                        break  # EOB
+                                    k += r
+                                    zig[k] = receive_extend(s)
+                                    k += 1
+                                coef = np.zeros(64, dtype=np.float64)
+                                coef[zigzag] = zig * qtab[zigzag]
+                                block = (
+                                    t_mat.T @ coef.reshape(8, 8) @ t_mat + 128.0
+                                )
+                                y0 = (my * sv + by) * 8
+                                x0 = (mx * sh + bx) * 8
+                                planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+
+            # Upsample to full grid (nearest), crop, YCbCr -> RGB.
+            full = []
+            for cid, sh, sv, _ in comps:
+                p = planes[cid]
+                p = np.repeat(np.repeat(p, vmax // sv, axis=0), hmax // sh, axis=1)
+                full.append(p[:h, :w])
+            if len(full) == 3:
+                yy, cb, cr = full
+                r = yy + 1.402 * (cr - 128.0)
+                g = yy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+                bb = yy + 1.772 * (cb - 128.0)
+            else:  # grayscale
+                r = g = bb = full[0]
+            img = np.stack(
+                [np.clip(np.round(ch), 0, 255) for ch in (r, g, bb)], axis=-1
+            ).astype(np.uint8)
+            return w, h, img
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "width": [], "height": [], "n_pixels": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                w, h, img = parse_jpeg(bytes(content))
+                means = img.astype(np.float64).mean(axis=(0, 1)) / 255.0
+                out["media_id"].append(media_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["mean_r"].append(round(float(means[0]), 6))
+                out["mean_g"].append(round(float(means[1]), 6))
+                out["mean_b"].append(round(float(means[2]), 6))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode, IMAGE_SCHEMA)

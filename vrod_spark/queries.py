@@ -1693,14 +1693,16 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# REAL multimodal decode through the mapInPandas plumbing, six container
+# REAL multimodal decode through the mapInPandas plumbing, seven container
 # formats in one gate, tagged per modality: WAV audio (stdlib wave +
 # numpy), AU audio (G.711 mu-law companding — a real lossy audio codec,
 # ITU-T inverse formula), PPM images (solid colors → exact channel
 # means), GIF images (full LZW expansion), PNG images (stdlib-zlib
 # DEFLATE + scanline defiltering — a real compressed image codec, one
-# gate file Paeth-filtered), and Y4M video frame sampling (exact
-# solid-luma means). The oracle pins the decoded metadata
+# gate file Paeth-filtered), baseline JPEG (T.81 Huffman + dequant +
+# IDCT — one 4:4:4 solid, one 4:2:0 gradient, one restart-marker file,
+# all decoded by the pure-numpy T.81 decoder), and Y4M video frame
+# sampling (exact solid-luma means). The oracle pins the decoded metadata
 # and features as literals; spectral discrimination is pytest-checked.
 # Common schema: (modality, media_id, idx, width, height, m1, m2, m3) —
 # audio packs (sample_rate, n_frames, duration_ms) into m1..m3; image
@@ -1720,6 +1722,9 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
         ('image', 1, 0, 4, 4, 0.0, round(128.0/255, 6), 1.0),
         ('image', 2, 0, 32, 2, round(10.0/255, 6), round(20.0/255, 6), round(30.0/255, 6)),
         ('gif', 0, 0, 6, 3, round(10.0/255, 6), round(200.0/255, 6), round(30.0/255, 6)),
+        ('jpeg', 0, 0, 16, 8, round(254.0/255, 6), 0.0, 0.0),
+        ('jpeg', 1, 0, 12, 10, 0.555752, 0.509216, 0.473301),
+        ('jpeg', 2, 0, 24, 8, 0.48029, 0.497304, 0.472876),
         ('png', 0, 0, 8, 4, 0.0, round(64.0/255, 6), 1.0),
         ('png', 1, 0, 5, 5, round(200.0/255, 6), round(100.0/255, 6), round(50.0/255, 6)),
         ('video', 0, 0, 16, 8, 0.0, 0.0, 0.0),
@@ -1730,15 +1735,19 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
     from vrod_spark.operators.multimodal import (
         decode_au_features,
         decode_gif_features,
+        decode_jpeg_features,
         decode_png_features,
         decode_ppm_features,
         decode_wav_features,
         extract_y4m_frames,
         make_au_bytes,
         make_gif_bytes,
+        make_jpeg_bytes,
         make_png_bytes,
         make_ppm_bytes,
         make_wav_bytes,
@@ -1815,6 +1824,31 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         schema,
     )
+    # JPEG legs: the full baseline T.81 path — 4:4:4 solid (near-exact
+    # roundtrip at quant=1), 4:2:0 seeded gradient (exercises chroma
+    # subsample + upsample), and a restart-interval file (RSTn resync,
+    # pytest-checked equal to its non-restart twin).
+    rng = np.random.RandomState(7)
+    grad = rng.randint(0, 256, size=(10, 12, 3)).astype(np.uint8)
+    grad_rst = rng.randint(0, 256, size=(8, 24, 3)).astype(np.uint8)
+    jpg = spark.createDataFrame(
+        [
+            (0, "image", make_jpeg_bytes(16, 8, (255, 0, 0))),
+            (1, "image", make_jpeg_bytes(12, 10, pixels=grad, subsampling="420")),
+            (2, "image", make_jpeg_bytes(24, 8, pixels=grad_rst, restart_interval=2)),
+        ],
+        schema,
+    )
+    jpeg_leg = decode_jpeg_features(jpg).select(
+        F.lit("jpeg").alias("modality"),
+        F.col("media_id").cast("int").alias("media_id"),
+        F.lit(0).alias("idx"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("mean_r").alias("m1"),
+        F.col("mean_g").alias("m2"),
+        F.col("mean_b").alias("m3"),
+    )
     png_leg = decode_png_features(png).select(
         F.lit("png").alias("modality"),
         F.col("media_id").cast("int").alias("media_id"),
@@ -1846,6 +1880,7 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio.unionByName(au_leg)
         .unionByName(gif_leg)
         .unionByName(image)
+        .unionByName(jpeg_leg)
         .unionByName(png_leg)
         .unionByName(video)
         .orderBy("modality", "media_id", "idx")
