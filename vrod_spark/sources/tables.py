@@ -62,31 +62,57 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def project_events_raw(raw: DataFrame) -> DataFrame:
-    """Shared events projection (batch + streaming): given the raw frame
-    with ``ts`` as epoch-nanos LONG, expose both ``ts_ns`` (exact, for
-    oracle comparisons via DuckDB ``epoch_ns``) and ``ts`` as a
-    micros-truncated TIMESTAMP_NTZ built with pure integer arithmetic —
-    no session-time-zone dependence (the driver's session may not pin
-    UTC), matching the oracle's TZ-naive TIMESTAMP_NS."""
+    """Shared events projection (batch + streaming), schema-adaptive: the
+    driver's generated ``events.ts`` has shipped both as parquet
+    TIMESTAMP(NANOS) (read as epoch-nanos LONG via ``nanosAsLong``) and as
+    TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). Either way, expose
+
+    - ``ts``    — micros TIMESTAMP_NTZ wall clock (matches the oracle's
+      TZ-naive rendering), and
+    - ``ts_ns`` — exact epoch nanos LONG (matches DuckDB ``epoch_ns``),
+
+    both via pure wall-clock arithmetic with no session-time-zone
+    dependence (the driver's session may not pin UTC)."""
     from pyspark.sql import functions as F
 
-    d = F.date_add(
-        F.lit("1970-01-01").cast("date"),
-        F.expr("cast((ts div 1000) div 86400000000 as int)"),
-    )
-    rem_us = F.expr("(ts div 1000) % 86400000000")
-    ts_ntz = F.make_timestamp_ntz(
-        F.year(d),
-        F.month(d),
-        F.dayofmonth(d),
-        (rem_us / F.lit(3600000000)).cast("int"),
-        ((rem_us % 3600000000) / F.lit(60000000)).cast("int"),
-        ((rem_us % 60000000) / F.lit(1000000.0)).cast("decimal(16,6)"),
-    )
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":
+        # Legacy layout: ts is epoch nanos.
+        d = F.date_add(
+            F.lit("1970-01-01").cast("date"),
+            F.expr("cast((ts div 1000) div 86400000000 as int)"),
+        )
+        rem_us = F.expr("(ts div 1000) % 86400000000")
+        ts_ntz = F.make_timestamp_ntz(
+            F.year(d),
+            F.month(d),
+            F.dayofmonth(d),
+            (rem_us / F.lit(3600000000)).cast("int"),
+            ((rem_us % 3600000000) / F.lit(60000000)).cast("int"),
+            ((rem_us % 60000000) / F.lit(1000000.0)).cast("decimal(16,6)"),
+        )
+        ts_ns = F.col("ts")
+    else:
+        ts_ntz = F.col("ts")
+        if ts_type == "timestamp":
+            # Instant read (inferTimestampNTZ off): recover the parquet
+            # wall clock — instants render their naive value in UTC.
+            ts_ntz = F.expr(
+                "convert_timezone(current_timezone(), 'UTC', cast(ts as timestamp_ntz))"
+            )
+        # Wall-clock micros since epoch (timestampdiff on NTZ is TZ-free),
+        # widened to nanos so downstream ts_ns consumers and the DuckDB
+        # epoch_ns oracle agree exactly.
+        ts_ns = (
+            F.timestamp_diff(
+                "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), ts_ntz
+            )
+            * F.lit(1000)
+        ).cast("long")
     return raw.select(
         "event_id",
         ts_ntz.alias("ts"),
-        F.col("ts").alias("ts_ns"),
+        ts_ns.alias("ts_ns"),
         "user_id",
         "event_type",
         "value",
@@ -94,10 +120,23 @@ def project_events_raw(raw: DataFrame) -> DataFrame:
     )
 
 
+def events_ts_is_nanos_long(spark: SparkSession, sf_dir: str) -> bool:
+    """True when this sf-dir's events.ts needs the legacy ``nanosAsLong``
+    read (parquet TIMESTAMP(NANOS)); False for the micros/NTZ layout.
+    Footer-only probe, cached with the table catalog."""
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        probed = spark.read.parquet(path)
+    except Exception:
+        return True  # NANOS without the conf fails to resolve
+    return dict(probed.dtypes).get("ts") not in ("timestamp_ntz", "timestamp")
+
+
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS) — beyond Spark's microsecond
-    timestamp precision. Read nanos as LONG (``nanosAsLong``), then apply
-    the shared projection."""
+    """Read events whatever vintage its ts column is (see
+    ``project_events_raw``), then apply the shared projection."""
+    if not events_ts_is_nanos_long(spark, os.path.dirname(path)):
+        return project_events_raw(spark.read.parquet(path))
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:

@@ -24,24 +24,34 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vrod_spark.sources.tables import project_events_raw
+from vrod_spark.sources.tables import events_ts_is_nanos_long, project_events_raw
 
-EVENTS_RAW_SCHEMA = (
+EVENTS_RAW_SCHEMA_NANOS = (
     "event_id bigint, ts bigint, user_id bigint, "
+    "event_type string, value double, props string"
+)
+EVENTS_RAW_SCHEMA_NTZ = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, "
     "event_type string, value double, props string"
 )
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming source over the events table with the same NTZ ``ts`` /
-    exact ``ts_ns`` columns as the batch reader (sources.tables)."""
+    exact ``ts_ns`` columns as the batch reader (sources.tables). The
+    declared schema must match the parquet vintage (nanos-LONG vs
+    micros-NTZ ``ts``) — a footer probe picks the right one; a mismatch
+    here silently yields garbage timestamps, not an error."""
+    nanos = events_ts_is_nanos_long(spark, sf_dir)
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", str(nanos).lower())
     try:
         # File-stream sources require a directory: stream the sf-dir with a
         # glob filter selecting only the events table.
         raw = (
-            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            spark.readStream.schema(
+                EVENTS_RAW_SCHEMA_NANOS if nanos else EVENTS_RAW_SCHEMA_NTZ
+            )
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
         )
