@@ -502,3 +502,110 @@ def test_gif_lzw_decode_is_real(spark):
     r = decode_gif_features(df2).first()
     assert (r["width"], r["height"]) == (90, 80)
     assert [r["mean_r"], r["mean_g"], r["mean_b"]] == want
+
+
+def test_jpeg_decode_is_real(spark):
+    """JPEG decoding is NOT a stub: the baseline T.81 path (canonical
+    Huffman, dequant, orthonormal IDCT, chroma upsample) recovers a solid
+    color near-exactly at quant=1, and a restart-interval file decodes
+    identically to its non-restart twin (DRI/RSTn resync is semantics-
+    neutral) — the q51 gate's claims, pinned here."""
+    import numpy as np
+
+    from vrod_spark.operators.multimodal import decode_jpeg_features, make_jpeg_bytes
+
+    schema = "media_id bigint, kind string, content binary"
+
+    # Solid-color 4:4:4 roundtrip: quant=1 is near-lossless, so channel
+    # means land within one 8-bit step of the source color.
+    sol = spark.createDataFrame(
+        [(0, "image", make_jpeg_bytes(16, 8, (255, 0, 0)))], schema
+    )
+    r = decode_jpeg_features(sol).first()
+    assert (r["width"], r["height"], r["n_pixels"]) == (16, 8, 128)
+    got = np.array([r["mean_r"], r["mean_g"], r["mean_b"]])
+    assert np.abs(got - np.array([1.0, 0.0, 0.0])).max() <= 1.5 / 255
+
+    # Restart/non-restart twin equality on identical pixels.
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(8, 24, 3)).astype(np.uint8)
+    twins = spark.createDataFrame(
+        [
+            (0, "image", make_jpeg_bytes(0, 0, pixels=px)),
+            (1, "image", make_jpeg_bytes(0, 0, pixels=px, restart_interval=2)),
+        ],
+        schema,
+    )
+    out = {r["media_id"]: r for r in decode_jpeg_features(twins).collect()}
+    for col in ("width", "height", "n_pixels", "mean_r", "mean_g", "mean_b"):
+        assert out[0][col] == out[1][col], col
+
+    # 4:2:0 exercises subsample + upsample and still lands near the source
+    # means (chroma averaging moves them, luma dominates).
+    grad = rng.randint(0, 256, size=(10, 12, 3)).astype(np.uint8)
+    want = (grad.astype(np.float64) / 255.0).mean(axis=(0, 1))
+    sub = spark.createDataFrame(
+        [(0, "image", make_jpeg_bytes(0, 0, pixels=grad, subsampling="420"))], schema
+    )
+    r = decode_jpeg_features(sub).first()
+    got = np.array([r["mean_r"], r["mean_g"], r["mean_b"]])
+    assert (r["width"], r["height"]) == (12, 10)
+    assert np.abs(got - want).max() < 0.02
+
+
+def test_jpeg_decoder_robustness(spark):
+    """Spec-valid oddities decode; corruption fails LOUDLY (ADVICE r5):
+    0xFF fill bytes before a header marker are skipped, a truncated
+    entropy stream raises instead of decoding silent garbage, and the
+    sign-matched worst-case block (|AC| = 1020, the 8-bit extremum) stays
+    within the Annex K category range end-to-end."""
+    import math
+
+    import numpy as np
+    import pytest as _pytest
+
+    from vrod_spark.operators.multimodal import decode_jpeg_features, make_jpeg_bytes
+
+    schema = "media_id bigint, kind string, content binary"
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    blob = make_jpeg_bytes(0, 0, pixels=px)
+    base = decode_jpeg_features(
+        spark.createDataFrame([(0, "image", blob)], schema)
+    ).first()
+
+    # Fill bytes before the APP0 marker (T.81 B.1.1.2) decode identically.
+    filled = blob[:2] + b"\xff\xff" + blob[2:]
+    r = decode_jpeg_features(
+        spark.createDataFrame([(0, "image", filled)], schema)
+    ).first()
+    assert [r[c] for c in ("width", "height", "mean_r", "mean_g", "mean_b")] == [
+        base[c] for c in ("width", "height", "mean_r", "mean_g", "mean_b")
+    ]
+
+    # Truncated entropy-coded data raises (bit starvation is loud).
+    truncated = blob[:-12]
+    with _pytest.raises(Exception):
+        decode_jpeg_features(
+            spark.createDataFrame([(0, "image", truncated)], schema)
+        ).collect()
+
+    # Worst-case AC block: luma basis (0,4) sign pattern reaches |coef|
+    # 1020 at quant=1 — the largest any 8-bit block can produce (<= the
+    # 1023 cap, category 10). Encode + decode must survive it.
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    t = 0.5 * np.cos((2 * x + 1) * u * math.pi / 16)
+    t[0, :] *= 1.0 / math.sqrt(2.0)
+    basis = np.outer(t[0], t[4])
+    gray = np.where(basis >= 0, 255, 0).astype(np.uint8)
+    worst = np.repeat(gray[:, :, None], 3, axis=2)
+    r = decode_jpeg_features(
+        spark.createDataFrame(
+            [(0, "image", make_jpeg_bytes(0, 0, pixels=worst))], schema
+        )
+    ).first()
+    want = (worst.astype(np.float64) / 255.0).mean(axis=(0, 1))
+    got = np.array([r["mean_r"], r["mean_g"], r["mean_b"]])
+    assert (r["width"], r["height"]) == (8, 8)
+    assert np.abs(got - want).max() < 0.02

@@ -1018,6 +1018,10 @@ def make_jpeg_bytes(
         coef = t_mat @ (block - 128.0) @ t_mat.T
         q = np.round(coef.reshape(64) / qtab.reshape(8, 8).reshape(64)).astype(np.int64)
         zig = q[zz]
+        # Baseline caps AC magnitude at 1023 (category <= 10; the Annex K AC
+        # tables have no category-11 entries) — worst-case blocks at quant=1
+        # can exceed it, so clamp rather than KeyError.
+        np.clip(zig[1:], -1023, 1023, out=zig[1:])
         dc = int(zig[0])
         diff = dc - pred
         s = abs(diff).bit_length()
@@ -1135,13 +1139,25 @@ def decode_jpeg_features(media: DataFrame) -> DataFrame:
             restart_interval = 0
             i, n = 2, len(b)
             scan_comps = None
-            while i + 4 <= n:
+            while i + 2 <= n:
                 if b[i] != 0xFF:
                     raise ValueError(f"marker expected at {i}")
-                marker = b[i + 1]
-                (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
-                data = b[i + 4 : i + 2 + seglen]
-                i += 2 + seglen
+                # T.81 B.1.1.2: markers may be preceded by any number of
+                # 0xFF fill bytes — skip to the marker byte proper.
+                j = i + 1
+                while j < n and b[j] == 0xFF:
+                    j += 1
+                if j >= n:
+                    break
+                marker = b[j]
+                i = j + 1
+                if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                    continue  # TEM/RSTn/SOI/EOI: standalone, no length field
+                if i + 2 > n:
+                    raise ValueError("truncated JPEG (marker segment length)")
+                (seglen,) = struct.unpack(">H", b[i : i + 2])
+                data = b[i + 2 : i + seglen]
+                i += seglen
                 if marker == 0xDB:  # DQT
                     j = 0
                     while j < len(data):
@@ -1213,6 +1229,8 @@ def decode_jpeg_features(media: DataFrame) -> DataFrame:
                         i += 2
                     elif nxt == 0xD9:
                         break
+                    elif nxt == 0xFF:
+                        i += 1  # fill byte; the next 0xFF starts the marker
                     else:
                         raise ValueError(f"unexpected marker {nxt:#x} in scan")
                 else:
@@ -1238,7 +1256,10 @@ def decode_jpeg_features(media: DataFrame) -> DataFrame:
                 nonlocal bitpos
                 byte_i, off = bitpos >> 3, bitpos & 7
                 if byte_i >= len(bits_data):
-                    return 0  # T.81: pad past end (trailing 1-fill)
+                    # A well-formed scan never reads past its (1-padded)
+                    # final byte; starvation means truncation — fail loudly
+                    # rather than decode silent garbage.
+                    raise ValueError("truncated entropy-coded segment")
                 bitpos += 1
                 return (bits_data[byte_i] >> (7 - off)) & 1
 
@@ -1264,11 +1285,11 @@ def decode_jpeg_features(media: DataFrame) -> DataFrame:
             mcu_in_seg = 0
             for my in range(mcus_y):
                 for mx in range(mcus_x):
-                    if (
-                        restart_interval
-                        and mcu_in_seg == restart_interval
-                        and seg_idx + 1 < len(segments)
-                    ):
+                    if restart_interval and mcu_in_seg == restart_interval:
+                        if seg_idx + 1 >= len(segments):
+                            raise ValueError(
+                                "missing RST marker: entropy segments ran short"
+                            )
                         seg_idx += 1
                         bits_data = segments[seg_idx]
                         bitpos = 0
