@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -779,3 +780,138 @@ class Collection:
             return []
         with open(wal_path) as f:
             return [json.loads(line) for line in f if line.strip()]
+
+    # -- statistics (CBO) --------------------------------------------------
+    # SURVEY §4.2: join reordering is "built-in (CBO with stats); ANALYZE
+    # TABLE after BULKINSERT/REINDEX". Collections are path-based parquet,
+    # so the stats home Catalyst actually reads is the session catalog:
+    # ANALYZE registers the CURRENT snapshot as an external table in a
+    # per-database namespace and runs ANALYZE TABLE ... FOR COLUMNS there.
+    # Engine.sql then resolves fresh analyzed collections from the catalog
+    # (with spark.sql.cbo.enabled), so multi-collection SQL gets
+    # cardinality-aware join ordering and selectivity-aware broadcast
+    # decisions — e.g. a filtered dimension whose raw files exceed
+    # autoBroadcastJoinThreshold still broadcasts when NDV stats prove the
+    # filtered slice is small (plan-pinned in tests/test_engine_stats.py).
+    #
+    # The in-memory catalog is process-local, so registrations die with the
+    # SparkContext; the summary persisted in collection meta survives, and
+    # freshness is re-checked per query (analyzed_table_if_fresh), falling
+    # back to plain temp views when the catalog entry is gone or stale.
+
+    def sql_namespace(self) -> str:
+        """Session-catalog namespace for this collection's database."""
+        db_name = self.db.config.get("name") or os.path.basename(self.db.path)
+        return "vrod_" + re.sub(r"\W", "_", db_name).lower()
+
+    def sql_table(self) -> str:
+        """Qualified catalog name this collection's snapshot registers as."""
+        safe = re.sub(r"\W", "_", self.name).lower()
+        return f"{self.sql_namespace()}.{safe}"
+
+    def _stats_columns(self, spark: SparkSession) -> list[str]:
+        """Schema fields ANALYZE ... FOR COLUMNS supports (no array/map)."""
+        fields = spark.createDataFrame([], self.meta["schema"]).schema.fields
+        return [
+            f.name
+            for f in fields
+            if f.dataType.typeName()
+            not in ("array", "map", "struct", "variant", "udt")
+        ]
+
+    def analyze(self, *, columns: list[str] | None = None) -> dict:
+        """ANALYZE: register the CURRENT snapshot in the session catalog and
+        compute table + column statistics, Spark-side (the stats scan is a
+        distributed aggregate — the same one-pass cost any warehouse's
+        ANALYZE pays, amortized over every CBO-planned query after it).
+        Partitioned layouts (bucket=/pk=) register a partition-recovered
+        ``<name>__data`` table plus a projecting view so the public name
+        keeps the collection's logical schema. Returns the summary that is
+        also persisted under meta['stats'] (rowCount, bytes, per-column
+        NDV/nulls/min/max) tagged with the analyzed version."""
+        s = self.db.spark
+        meta = self.meta
+        v = self.version
+        ns, tbl = self.sql_namespace(), self.sql_table()
+        target = self.version_dir(v)
+        entries = os.listdir(target) if os.path.isdir(target) else []
+        part_col = None
+        if any(e.startswith("bucket=") for e in entries):
+            part_col = ("bucket", "int")
+        elif any(e.startswith("pk=") for e in entries):
+            part_col = ("pk", "string")
+        field_names = [
+            f.name for f in s.createDataFrame([], meta["schema"]).schema.fields
+        ]
+        s.sql(f"CREATE DATABASE IF NOT EXISTS {ns}")
+        # The previous registration (if any) may be either form — a flat
+        # external table, or a view over a __data table (the layout can
+        # change across versions, e.g. REINDEX turns flat into bucketed).
+        # DROP VIEW/TABLE each error on the other object kind, so probe.
+        try:
+            s.sql(f"DROP VIEW IF EXISTS {tbl}")
+        except Exception:
+            s.sql(f"DROP TABLE IF EXISTS {tbl}")
+        s.sql(f"DROP TABLE IF EXISTS {tbl}")
+        if part_col is None:
+            data_tbl = tbl
+            s.sql(f"DROP TABLE IF EXISTS {tbl}__data")
+            s.sql(
+                f"CREATE TABLE {data_tbl} ({meta['schema']}) "
+                f"USING parquet LOCATION '{target}'"
+            )
+        else:
+            data_tbl = f"{tbl}__data"
+            s.sql(f"DROP TABLE IF EXISTS {data_tbl}")
+            s.sql(
+                f"CREATE TABLE {data_tbl} "
+                f"({meta['schema']}, {part_col[0]} {part_col[1]}) "
+                f"USING parquet PARTITIONED BY ({part_col[0]}) "
+                f"LOCATION '{target}'"
+            )
+            s.sql(f"ALTER TABLE {data_tbl} RECOVER PARTITIONS")
+            s.sql(
+                f"CREATE VIEW {tbl} AS "
+                f"SELECT {', '.join(field_names)} FROM {data_tbl}"
+            )
+        cols = columns or self._stats_columns(s)
+        s.sql(f"ANALYZE TABLE {data_tbl} COMPUTE STATISTICS")
+        if cols:
+            s.sql(
+                f"ANALYZE TABLE {data_tbl} COMPUTE STATISTICS "
+                f"FOR COLUMNS {', '.join(cols)}"
+            )
+        summary: dict = {"version": v, "table": tbl, "analyzed_at": time.time()}
+        for row in s.sql(f"DESCRIBE TABLE EXTENDED {data_tbl}").collect():
+            if row["col_name"] == "Statistics":
+                summary["statistics"] = row["data_type"]
+        col_stats: dict = {}
+        for c in cols:
+            info = {
+                r["info_name"]: r["info_value"]
+                for r in s.sql(f"DESCRIBE TABLE EXTENDED {data_tbl} {c}").collect()
+            }
+            col_stats[c] = {
+                k: info.get(k)
+                for k in ("distinct_count", "num_nulls", "min", "max",
+                          "avg_col_len", "max_col_len")
+            }
+        summary["columns"] = col_stats
+        self.update_meta(stats=summary)
+        return summary
+
+    def analyzed_table_if_fresh(self, session: SparkSession) -> str | None:
+        """Qualified catalog name iff stats cover the CURRENT version and
+        the registration still exists in this context's catalog; else None
+        (caller falls back to a snapshot temp view — always correct, just
+        planned without CBO cardinalities)."""
+        stats = self.meta.get("stats")
+        if not stats or stats.get("version") != self.version:
+            return None
+        tbl = self.sql_table()
+        try:
+            if not session.catalog.tableExists(tbl):
+                return None
+        except Exception:
+            return None
+        return tbl

@@ -102,6 +102,7 @@ class Engine:
             "SEARCHSIMILAR": self._search_similar,
             "REINDEX": self._reindex,
             "DEDUP": self._dedup,
+            "ANALYZE": self._analyze,
         }
         if verb_up not in handlers:
             # builder.rs:77-79 → UnrecognizedCommand
@@ -120,11 +121,31 @@ class Engine:
         so collection names can never clobber — or be clobbered by —
         views other tenants register on the shared session."""
         session = self.spark.newSession()
+        # CBO is session-scoped and only bites when catalog stats exist
+        # (ANALYZE/auto-analyze below); with stats it buys join reordering
+        # and filter-selectivity-aware broadcast decisions on the deep-join
+        # shapes that dominate at scale.
+        session.conf.set("spark.sql.cbo.enabled", "true")
+        session.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
         names = collections or self.db.list_collections()
+        analyzed_ns = None
         for name in names:
+            col = self.db.collection(name)
+            tbl = col.analyzed_table_if_fresh(session)
+            if tbl is not None:
+                # Fresh catalog registration: resolve from the catalog so
+                # Catalyst plans with its statistics. The registered
+                # location is an immutable COW version dir, so this is as
+                # snapshot-stable as the temp-view path.
+                analyzed_ns = tbl.rsplit(".", 1)[0]
+                continue
             # Build the snapshot read ON the child session so the view
-            # registers in (and the query resolves from) its catalog.
-            self.db.collection(name).read(spark=session).createOrReplaceTempView(name)
+            # registers in (and the query resolves from) its catalog. Temp
+            # views take precedence over catalog tables, so a stale
+            # registration can never shadow the current snapshot.
+            col.read(spark=session).createOrReplaceTempView(name)
+        if analyzed_ns is not None:
+            session.catalog.setCurrentDatabase(analyzed_ns)
         return session.sql(query)
 
     def _require_collection(self, collection: str | None) -> Collection:
@@ -217,7 +238,14 @@ class Engine:
         else:
             raise CommandArgError(f"unsupported BULKINSERT source: {type(arg)}")
         n = col.insert(df)
-        return CommandResult("BULKINSERT", info={"collection": col.name, "rows": n})
+        # SURVEY §4.2: ANALYZE after BULKINSERT — one distributed stats
+        # pass on freshly-ingested data so every subsequent CBO-planned
+        # query sees real cardinalities.
+        stats = col.analyze()
+        return CommandResult(
+            "BULKINSERT",
+            info={"collection": col.name, "rows": n, "stats_version": stats["version"]},
+        )
 
     def _update(self, collection: str | None, arg: Any) -> CommandResult:
         """UPDATE (builder.rs:53-57). `arg`: {"where": <sql-bool>,
@@ -445,4 +473,16 @@ class Engine:
             raise CommandArgError(
                 f"unknown index kind {kind!r}; expected 'sign_lsh' or 'ivf'"
             )
+        # SURVEY §4.2: ANALYZE after REINDEX — the rewrite changed the
+        # physical layout (and registered any previous stats stale).
+        col.analyze()
         return CommandResult("REINDEX", info=info)
+
+    def _analyze(self, collection: str | None, arg: Any) -> CommandResult:
+        """ANALYZE [--collection c] [{"columns": [...]}]: compute catalog
+        statistics for CBO (Collection.analyze). Extension verb beyond the
+        reference's 11 (its planner has no stats notion to port)."""
+        col = self._require_collection(collection)
+        opts = dict(arg) if isinstance(arg, dict) else {}
+        stats = col.analyze(columns=opts.get("columns"))
+        return CommandResult("ANALYZE", info={"collection": col.name, **stats})
