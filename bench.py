@@ -40,7 +40,7 @@ from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from vrod_spark.queries import QUERIES  # noqa: E402
+from vrod_spark.queries import QUERIES, RAW_QUERIES  # noqa: E402
 from vrod_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
@@ -138,7 +138,8 @@ def _warmup(spark, sf_dir: str) -> None:
     )
 
 
-def _emit(walls, timings, names, sf_val, mode, workers, serial_queries, final):
+def _emit(walls, timings, names, sf_val, mode, workers, serial_queries, final,
+          serial_warm=None):
     """Print the two evidence lines (detail, then the short headline) and
     flush. Called after EVERY phase, not only at process exit: rounds 2 and
     3 both lost their official bench number to the driver killing/truncating
@@ -154,6 +155,7 @@ def _emit(walls, timings, names, sf_val, mode, workers, serial_queries, final):
                 "queries": {n: timings[n] for n in names if n in timings},
                 "walls": walls,
                 **({"serial_queries": serial_queries} if serial_queries else {}),
+                **({"serial_warm": serial_warm} if serial_warm else {}),
             }
         ),
         flush=True,
@@ -224,12 +226,16 @@ def main() -> None:
             spark.sparkContext.setLocalProperty("spark.scheduler.pool", f"bench{idx % workers}")
         start = time.perf_counter()
         try:
-            QUERIES[name](spark, sf_dir).collect()
+            # RAW builders: every measured run builds and compiles a fresh
+            # plan, so suite numbers stay cold-cost measurements even
+            # though the engine's query surface (QUERIES) carries a
+            # prepared-plan cache.
+            RAW_QUERIES[name](spark, sf_dir).collect()
         except Exception:
             # One retry: a host-contention kill of a single micro-batch or
             # task must not zero out the whole suite's evidence. The timing
             # keeps the failed attempt's cost — honest, not flattering.
-            QUERIES[name](spark, sf_dir).collect()
+            RAW_QUERIES[name](spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - start, 3)
 
     mode = "serial" if serial else "concurrent"
@@ -274,6 +280,7 @@ def main() -> None:
     # query's plan (the q26/q27/q28 pair paths especially) hide inside the
     # noise. A short serial pass pins them per round.
     serial_queries: dict[str, float] = {}
+    serial_warm: dict[str, float] = {}
     if (
         not serial
         and min(walls) <= float(os.environ.get("SPARK_GRAFT_BENCH_REPEAT_CUTOFF", "45"))
@@ -284,17 +291,31 @@ def main() -> None:
                 continue
             start = time.perf_counter()
             try:
+                # Cold: fresh plan, full analysis + codegen + execution —
+                # this call also primes the prepared-plan cache.
                 QUERIES[name](spark, sf_dir).collect()
             except Exception:
                 continue
             serial_queries[name] = round(time.perf_counter() - start, 3)
+            # Warm: prepared-plan re-execution (the steady state a
+            # long-lived engine serves repeated queries from). Spark also
+            # reuses materialized shuffle outputs of an identical plan, so
+            # this bounds repeat-latency from below; the cold number above
+            # remains the apples-to-apples one against the DuckDB oracle.
+            start = time.perf_counter()
+            try:
+                QUERIES[name](spark, sf_dir).collect()
+            except Exception:
+                continue
+            serial_warm[name] = round(time.perf_counter() - start, 3)
 
     spark.stop()
     # Final authoritative record, printed after spark.stop() so shutdown
     # warnings cannot land between the JSON and the end of the stream. The
     # detail line comes first; the LAST line is the short headline summary,
     # small enough to survive the driver's ~2 KB tail capture.
-    _emit(walls, timings, names, sf_val, mode, emit_workers, serial_queries, final=True)
+    _emit(walls, timings, names, sf_val, mode, emit_workers, serial_queries,
+          final=True, serial_warm=serial_warm)
 
 
 if __name__ == "__main__":

@@ -16,7 +16,11 @@ Conventions (FIXTURES.md canonicalization):
 
 from __future__ import annotations
 
+import functools
+import os
+import threading
 from collections.abc import Callable
+from weakref import WeakKeyDictionary
 
 import pandas as pd  # module-level: pandas_udf type hints resolve via func.__globals__
 
@@ -28,12 +32,48 @@ from vrod_spark.operators.knn import knn_per_group
 from vrod_spark.sources.tables import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+#: The undecorated builders — always build a FRESH plan. The bench uses
+#: these for its cold measurements so the plan cache cannot silently turn
+#: a compile+execute measurement into a re-execute measurement.
+RAW_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+#: Prepared-plan cache, keyed weakly per session → {(name, sf_dir): DataFrame}.
+#: A query builder is a pure function of (session, sf_dir) over immutable
+#: test tables, and a DataFrame is an immutable logical plan that also owns
+#: its compiled physical plan after first execution — so re-running the
+#: same query on the same session reuses analysis + codegen (prepared-
+#: statement semantics) instead of paying the ~0.3-1.2 s driver-side
+#: compile floor again. Execution itself is unchanged and re-runs fully.
+#: Streaming and engine-roundtrip gates opt out (cache_plan=False): their
+#: builders have side effects (run a stream / create a database) that are
+#: exactly the machinery under test.
+_PLAN_CACHE: WeakKeyDictionary = WeakKeyDictionary()
+_PLAN_LOCK = threading.Lock()
 
-def query(name: str, oracle: str | None = None):
+
+def query(name: str, oracle: str | None = None, *, cache_plan: bool = True):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = fn
+        if cache_plan:
+
+            @functools.wraps(fn)
+            def cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+                key = (name, os.path.abspath(sf_dir))
+                with _PLAN_LOCK:
+                    per = _PLAN_CACHE.setdefault(spark, {})
+                    df = per.get(key)
+                if df is None:
+                    # Build outside the lock (concurrent first-run builds
+                    # stay parallel); first insert wins on a race.
+                    df = fn(spark, sf_dir)
+                    with _PLAN_LOCK:
+                        df = per.setdefault(key, df)
+                return df
+
+            QUERIES[name] = cached
+        else:
+            QUERIES[name] = fn
+        RAW_QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
@@ -1384,6 +1424,7 @@ def q32_python_pipelines(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q34_stream_windows",
+    cache_plan=False,
     oracle="""
     SELECT 'tumbling' AS wkind,
            epoch(date_trunc('hour', ts))::BIGINT AS window_start_epoch,
@@ -1453,6 +1494,7 @@ def q34_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q36_stream_sessions",
+    cache_plan=False,
     oracle="""
     WITH ordered AS (
       SELECT user_id, ts,
@@ -1496,6 +1538,7 @@ def q36_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q37_stream_dedup",
+    cache_plan=False,
     oracle="""
     SELECT event_type, count(DISTINCT event_id) AS n_unique
     FROM events
@@ -1609,7 +1652,7 @@ def q38_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SURVIVE the append and the appended vector must be findable. Rows-only
 # (the whole point is the engine path, not SQL); pytest bounds recall.
 # ---------------------------------------------------------------------------
-@query("q39_index_roundtrips")
+@query("q39_index_roundtrips", cache_plan=False)
 def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
@@ -2058,36 +2101,69 @@ def q52_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Vocabulary building (tokenizer-training prep): corpus-wide token
-# frequencies, top-50 by count. One explode + one agg; shuffle carries
-# (token, partial count), never documents.
+# Vocabulary building (tokenizer-training prep), two tagged legs:
+#   exact — corpus-wide token frequencies, top-50 by count. One explode +
+#     one agg; shuffle carries (token, partial count), never documents.
+#   hh    — the 100-TB path: sketch-then-verify heavy hitters
+#     (operators/sketch.py: KSP freqItems candidates, state O(1/support),
+#     then broadcast exact recount). Counts are EXACT, so the leg hashes
+#     against the plain HAVING-threshold SQL — proving on the gate path
+#     that the bounded-state plan loses nothing vs the exact plan.
 # ---------------------------------------------------------------------------
 @query(
     "q53_vocab_top_tokens",
     oracle="""
-    SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS doc_freq
-    FROM (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
-          FROM documents)
-    WHERE length(token) > 0
-    GROUP BY token
-    ORDER BY freq DESC, token
-    LIMIT 50
+    WITH t AS (
+      SELECT doc_id, token
+      FROM (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
+            FROM documents)
+      WHERE length(token) > 0
+    )
+    SELECT * FROM (
+      SELECT 'exact' AS leg, token, count(*) AS freq,
+             count(DISTINCT doc_id) AS doc_freq
+      FROM t GROUP BY token
+      ORDER BY freq DESC, token
+      LIMIT 50
+    )
+    UNION ALL
+    SELECT 'hh' AS leg, token, count(*) AS freq, -1 AS doc_freq
+    FROM t GROUP BY token
+    HAVING count(*) >= ceil(0.001 * (SELECT count(*) FROM t))
+    ORDER BY leg, freq DESC, token
     """,
 )
 def q53_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     from vrod_spark.functions.text import tokens
+    from vrod_spark.operators.sketch import heavy_hitters
 
     docs = _t(spark, sf_dir, "documents")
-    return (
-        docs.select("doc_id", F.explode(tokens(F.lower("text"))).alias("token"))
-        .groupBy("token")
+    toks = docs.select("doc_id", F.explode(tokens(F.lower("text"))).alias("token"))
+    exact = (
+        toks.groupBy("token")
         .agg(
             F.count(F.lit(1)).alias("freq"),
             F.countDistinct("doc_id").alias("doc_freq"),
         )
         .orderBy(F.col("freq").desc(), "token")
         .limit(50)
+        .select(F.lit("exact").alias("leg"), "token", "freq", "doc_freq")
     )
+    # min_count pinned to ceil(support * N) so the sketch's no-false-
+    # negative guarantee covers exactly the rows the oracle's HAVING keeps.
+    # (The N-count is one extra scan here; a deployment reuses the corpus
+    # stats it already tracks.)
+    support = 0.001
+    mc = math.ceil(support * toks.count())
+    hh = heavy_hitters(toks, "token", support=support, min_count=mc).select(
+        F.lit("hh").alias("leg"),
+        F.col("item").alias("token"),
+        F.col("n").alias("freq"),
+        F.lit(-1).cast("bigint").alias("doc_freq"),
+    )
+    return exact.unionByName(hh).orderBy("leg", F.col("freq").desc(), "token")
 
 
 # ---------------------------------------------------------------------------
@@ -2148,6 +2224,7 @@ def q54_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q48_dedup_engine_roundtrip",
+    cache_plan=False,
     oracle="""
     SELECT count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum
     FROM (SELECT min(doc_id) AS doc_id FROM documents
@@ -2185,6 +2262,7 @@ def q48_dedup_engine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q40_stateful_totals",
+    cache_plan=False,
     oracle="""
     SELECT user_id,
            count(*) AS n_events,
@@ -2229,6 +2307,7 @@ def q40_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q46_stream_joins",
+    cache_plan=False,
     oracle="""
     WITH c AS (SELECT user_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click'),
          p AS (SELECT user_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase')
@@ -2386,6 +2465,7 @@ def q56_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q55_engine_sql_join",
+    cache_plan=False,
     oracle="""
     SELECT n_name, r_name, count(*) AS n
     FROM nation JOIN region ON n_regionkey = r_regionkey
