@@ -609,3 +609,85 @@ def test_jpeg_decoder_robustness(spark):
     got = np.array([r["mean_r"], r["mean_g"], r["mean_b"]])
     assert (r["width"], r["height"]) == (8, 8)
     assert np.abs(got - want).max() < 0.02
+
+
+def test_adpcm_decode_is_real(spark):
+    """IMA-ADPCM decoding is NOT a stub: the 4-bit adaptive-differential
+    nibbles are expanded with the exact IMA recurrence. The decoded
+    waveform stays close to the source sine (ADPCM SNR ~20 dB) and its
+    spectral PEAK lands on the encoded tone for low and high tones —
+    through a 4:1 lossy compression."""
+    import numpy as np
+
+    from vrod_spark.operators.multimodal import (
+        _wav_parser,
+        decode_adpcm_features,
+        make_wav_adpcm_bytes,
+    )
+
+    parse = _wav_parser()
+    for freq in (200.0, 3500.0):
+        rate, n, pcm = parse(make_wav_adpcm_bytes(freq))
+        assert (rate, n) == (8000, 2000)
+        ref = np.sin(2 * np.pi * freq * np.arange(n) / rate) * 20000
+        err = np.sqrt(np.mean((pcm - ref) ** 2))
+        sig = np.sqrt(np.mean(ref**2))
+        assert err < sig / 3, f"{freq}: rms err {err} vs signal {sig}"
+        spec = np.abs(np.fft.rfft(pcm))
+        peak_hz = spec.argmax() * rate / 2 / (len(spec) - 1)
+        assert abs(peak_hz - freq) < 20, f"{freq}: peak at {peak_hz}"
+
+    # The same parser serves plain PCM (one WAV surface, two codecs).
+    from vrod_spark.operators.multimodal import make_wav_bytes
+
+    rate, n, _ = parse(make_wav_bytes(200.0))
+    assert (rate, n) == (8000, 2000)
+
+    rows = decode_adpcm_features(
+        spark.createDataFrame(
+            [(0, "audio", make_wav_adpcm_bytes(200.0))],
+            "media_id bigint, kind string, content binary",
+        )
+    ).collect()
+    assert (rows[0]["sample_rate"], rows[0]["n_frames"], rows[0]["duration_ms"]) == (
+        8000, 2000, 250,
+    )
+    assert len(rows[0]["band_energy"]) == 8
+
+
+def test_avi_mjpeg_extraction_is_real(spark):
+    """AVI/MJPEG is NOT a stub: the RIFF container walk finds the movi
+    00dc chunks and every sampled frame decodes through the baseline T.81
+    JPEG codec — gradient frames land within JPEG tolerance of their
+    source mean luma, and frame sampling honors every_n."""
+    import numpy as np
+
+    from vrod_spark.operators.multimodal import (
+        extract_avi_mjpeg_frames,
+        make_avi_mjpeg_bytes,
+    )
+
+    rng = np.random.RandomState(3)
+    frames = [rng.randint(0, 256, size=(8, 16, 3)).astype(np.uint8) for _ in range(5)]
+    df = spark.createDataFrame(
+        [(0, "video", make_avi_mjpeg_bytes(frames))],
+        "media_id bigint, kind string, content binary",
+    )
+    out = {r["frame_idx"]: r for r in extract_avi_mjpeg_frames(df, every_n=2).collect()}
+    assert sorted(out) == [0, 2, 4]
+    for idx, r in out.items():
+        src = frames[idx].astype(np.float64)
+        want = (
+            0.299 * src[..., 0] + 0.587 * src[..., 1] + 0.114 * src[..., 2]
+        ).mean() / 255
+        assert (r["width"], r["height"]) == (16, 8)
+        assert abs(r["mean_luma"] - want) < 0.02, idx
+
+    # Non-AVI bytes fail loudly.
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(0, "video", b"RIFFxxxxWAVE")], "media_id bigint, kind string, content binary"
+    )
+    with _pytest.raises(Exception):
+        extract_avi_mjpeg_frames(bad).collect()

@@ -7,9 +7,13 @@ of every modality — AUDIO/WAV (``decode_wav_features``, stdlib ``wave`` +
 numpy), IMAGE/PPM (``decode_ppm_features`` + byte-level ``resize_ppm``,
 pure numpy), VIDEO/Y4M (``extract_y4m_frames``, pure numpy) — no external
 deps. Compressed formats decoded for real too: PNG (stdlib zlib DEFLATE
-+ numpy defiltering), GIF (full LZW expansion), and G.711 mu-law AU
-audio (ITU-T expansion). JPEG/MP3/H.264 codecs are STUBBED (not in this
-container): ``decode_stub`` raises
++ numpy defiltering), GIF (full LZW expansion), baseline JPEG (T.81
+Huffman + dequant + IDCT), Motion-JPEG video in RIFF/AVI containers
+(``extract_avi_mjpeg_frames``), G.711 mu-law AU audio (ITU-T expansion),
+and IMA-ADPCM WAV audio (adaptive-differential expansion). MP3/H.264
+codecs are STUBBED (psychoacoustic / motion-compensated codecs are out
+of honest pure-numpy scope and not in this container): ``decode_stub``
+raises
 ``NotImplementedError`` unless ``fake=True``, in which case it produces a
 deterministic fake derived from the bytes, so pipelines are end-to-end
 testable. Swapping in PIL/ffmpeg later changes ONE function body and
@@ -164,9 +168,9 @@ def decode_wav_features(media: DataFrame, *, n_bands: int = 8) -> DataFrame:
 
     Same scale shape as every multimodal stage: Arrow-batched
     ``mapInPandas``, bytes never shuffled, one output row per blob. Image
-    and video decoding remain stubbed (their codecs aren't in this
-    container); audio shows the identical plumbing carrying a REAL
-    decoder."""
+    decoding sits beside this in the same plumbing (PPM/PNG/GIF/JPEG,
+    Y4M/AVI-MJPEG); IMA-ADPCM WAV rides the same parser with a real
+    compressed codec."""
     bands = n_bands
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -232,9 +236,9 @@ def decode_ppm_features(media: DataFrame) -> DataFrame:
     """REAL image decoding for binary PPM (P6) blobs — pure numpy header
     parse + raw RGB plane reads, no codec library. Emits dimensions and
     per-channel means (the cheap image-statistics stage every multimodal
-    pipeline starts with). JPEG remains stubbed (its codec isn't in this
-    container); see decode_png_features for the real compressed-codec
-    path, and PPM proves the identical plumbing carries a raw decoder."""
+    pipeline starts with). See decode_png_features / decode_jpeg_features
+    for the real compressed-codec paths; PPM proves the identical
+    plumbing carries a raw decoder."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -366,8 +370,8 @@ def extract_y4m_frames(media: DataFrame, *, every_n: int = 1) -> DataFrame:
     one-to-many via mapInPandas — the UDTF shape; blobs never shuffle.
 
     Completes the multimodal trifecta: audio (WAV), image (PPM), and
-    video (Y4M) all decode for REAL with stdlib+numpy; only compressed
-    codecs remain stubbed."""
+    video (Y4M) all decode for REAL with stdlib+numpy; see
+    extract_avi_mjpeg_frames for the compressed-video path."""
     step = max(int(every_n), 1)
 
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -484,9 +488,10 @@ def decode_png_features(media: DataFrame) -> DataFrame:
     """REAL PNG decoding for 8-bit RGB non-interlaced blobs — stdlib zlib
     inflate + numpy defiltering (all five scanline filters), no codec
     library. Same mapInPandas plumbing and IMAGE_SCHEMA as the PPM
-    decoder: blobs are decoded where they sit, never shuffled. JPEG/H.264
-    stay stubbed (their codecs genuinely aren't in this container); PNG is
-    pure DEFLATE + per-row prediction, which the stdlib covers."""
+    decoder: blobs are decoded where they sit, never shuffled. PNG is
+    pure DEFLATE + per-row prediction, which the stdlib covers; see
+    decode_jpeg_features for the T.81 path and H.264 for the one
+    remaining (declared) video stub."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -605,7 +610,7 @@ def decode_au_features(media: DataFrame, *, n_bands: int = 8) -> DataFrame:
     μ-law data are expanded back to linear PCM with the ITU-T inverse
     formula (pure numpy, no codec library) and reduced to the same
     AUDIO_SCHEMA features as the WAV path (rFFT band energies). MP3/AAC
-    stay stubbed (psychoacoustic codecs aren't in this container); μ-law
+    stay stubbed (psychoacoustic codecs are out of honest scope); μ-law
     proves a genuinely lossy-compressed audio format decodes through the
     identical mapInPandas plumbing."""
 
@@ -1095,6 +1100,254 @@ def make_jpeg_bytes(
     return bytes(hdr) + bytes(out) + b"\xFF\xD9"
 
 
+def _jpeg_decoder():
+    """Build a self-contained baseline-JPEG parser: marker walk (APPn/COM
+    skipped, 0xFF fill bytes tolerated), DQT (8/16-bit), DHT canonical
+    Huffman, SOF0/SOF1, DRI + RSTn restart resync, 4:4:4 and 4:2:0
+    sampling, byte-unstuffed entropy scan, dequant + orthonormal 8x8 IDCT,
+    nearest chroma upsample, BT.601 YCbCr->RGB. Returned as a NESTED
+    function so consumers (JPEG feature decode, AVI/MJPEG frame extract)
+    capture it in their worker closures and it pickles BY VALUE — workers
+    cannot import vrod_spark (driver sys.path is not inherited)."""
+    import math
+    import struct
+
+    import numpy as np
+
+    zigzag = []
+    for d in range(15):
+        cells = [(y, d - y) for y in range(8) if 0 <= d - y < 8]
+        if d % 2 == 0:
+            cells.reverse()
+        zigzag.extend(y * 8 + x for y, x in cells)
+    zigzag = np.array(zigzag)
+
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    t_mat = 0.5 * np.cos((2 * x + 1) * u * math.pi / 16)
+    t_mat[0, :] *= 1.0 / math.sqrt(2.0)
+
+
+    def parse_jpeg(b: bytes):
+        if b[:2] != b"\xFF\xD8":
+            raise ValueError("not a JPEG blob (missing SOI)")
+        qtabs: dict[int, np.ndarray] = {}
+        huff: dict[tuple[int, int], dict] = {}  # (class, id) -> {(len, code): val}
+        comps = []  # [id, sh, sv, qsel] per component
+        w = h = None
+        restart_interval = 0
+        i, n = 2, len(b)
+        scan_comps = None
+        while i + 2 <= n:
+            if b[i] != 0xFF:
+                raise ValueError(f"marker expected at {i}")
+            # T.81 B.1.1.2: markers may be preceded by any number of
+            # 0xFF fill bytes — skip to the marker byte proper.
+            j = i + 1
+            while j < n and b[j] == 0xFF:
+                j += 1
+            if j >= n:
+                break
+            marker = b[j]
+            i = j + 1
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                continue  # TEM/RSTn/SOI/EOI: standalone, no length field
+            if i + 2 > n:
+                raise ValueError("truncated JPEG (marker segment length)")
+            (seglen,) = struct.unpack(">H", b[i : i + 2])
+            data = b[i + 2 : i + seglen]
+            i += seglen
+            if marker == 0xDB:  # DQT
+                j = 0
+                while j < len(data):
+                    pq, tq = data[j] >> 4, data[j] & 0x0F
+                    j += 1
+                    if pq:
+                        vals = np.frombuffer(
+                            data[j : j + 128], dtype=">u2"
+                        ).astype(np.int32)
+                        j += 128
+                    else:
+                        vals = np.frombuffer(
+                            data[j : j + 64], dtype=np.uint8
+                        ).astype(np.int32)
+                        j += 64
+                    raster = np.zeros(64, dtype=np.int32)
+                    raster[zigzag] = vals  # stored in zigzag order
+                    qtabs[tq] = raster
+            elif marker == 0xC4:  # DHT
+                j = 0
+                while j < len(data):
+                    tc, th = data[j] >> 4, data[j] & 0x0F
+                    bits = list(data[j + 1 : j + 17])
+                    j += 17
+                    table, code = {}, 0
+                    for length in range(1, 17):
+                        for _ in range(bits[length - 1]):
+                            table[(length, code)] = data[j]
+                            j += 1
+                            code += 1
+                        code <<= 1
+                    huff[(tc, th)] = table
+            elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+                prec, h, w, nc = struct.unpack(">BHHB", data[:6])
+                if prec != 8:
+                    raise ValueError("only 8-bit precision supported")
+                comps = []
+                for c in range(nc):
+                    cid, sf, qsel = data[6 + 3 * c : 9 + 3 * c]
+                    comps.append([cid, sf >> 4, sf & 0x0F, qsel])
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                            0xCD, 0xCE, 0xCF):
+                raise ValueError("only baseline (SOF0/SOF1) JPEG supported")
+            elif marker == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack(">H", data[:2])
+            elif marker == 0xDA:  # SOS — entropy data follows
+                ns = data[0]
+                scan_comps = []
+                for c in range(ns):
+                    cid, tsel = data[1 + 2 * c], data[2 + 2 * c]
+                    scan_comps.append((cid, tsel >> 4, tsel & 0x0F))
+                break
+            # APPn / COM / others: skipped via seglen
+        if scan_comps is None or w is None:
+            raise ValueError("truncated JPEG (no SOS/SOF)")
+
+        # Byte-unstuff the entropy scan, split on RSTn, stop at EOI.
+        segments, cur = [], bytearray()
+        while i < n:
+            byte = b[i]
+            if byte == 0xFF:
+                nxt = b[i + 1] if i + 1 < n else 0xD9
+                if nxt == 0x00:
+                    cur.append(0xFF)
+                    i += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    segments.append(bytes(cur))
+                    cur = bytearray()
+                    i += 2
+                elif nxt == 0xD9:
+                    break
+                elif nxt == 0xFF:
+                    i += 1  # fill byte; the next 0xFF starts the marker
+                else:
+                    raise ValueError(f"unexpected marker {nxt:#x} in scan")
+            else:
+                cur.append(byte)
+                i += 1
+        segments.append(bytes(cur))
+
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcus_x = -(-w // (8 * hmax))
+        mcus_y = -(-h // (8 * vmax))
+        planes = {
+            c[0]: np.zeros((mcus_y * c[2] * 8, mcus_x * c[1] * 8))
+            for c in comps
+        }
+        by_id = {c[0]: c for c in comps}
+
+        seg_idx = 0
+        bits_data = segments[0]
+        bitpos = 0
+
+        def read_bit() -> int:
+            nonlocal bitpos
+            byte_i, off = bitpos >> 3, bitpos & 7
+            if byte_i >= len(bits_data):
+                # A well-formed scan never reads past its (1-padded)
+                # final byte; starvation means truncation — fail loudly
+                # rather than decode silent garbage.
+                raise ValueError("truncated entropy-coded segment")
+            bitpos += 1
+            return (bits_data[byte_i] >> (7 - off)) & 1
+
+        def read_huff(table) -> int:
+            code, length = 0, 0
+            while length < 17:
+                code = (code << 1) | read_bit()
+                length += 1
+                v = table.get((length, code))
+                if v is not None:
+                    return v
+            raise ValueError("invalid Huffman code in scan")
+
+        def receive_extend(s: int) -> int:
+            if s == 0:
+                return 0
+            v = 0
+            for _ in range(s):
+                v = (v << 1) | read_bit()
+            return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+        preds = {c[0]: 0 for c in comps}
+        mcu_in_seg = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_in_seg == restart_interval:
+                    if seg_idx + 1 >= len(segments):
+                        raise ValueError(
+                            "missing RST marker: entropy segments ran short"
+                        )
+                    seg_idx += 1
+                    bits_data = segments[seg_idx]
+                    bitpos = 0
+                    preds = {c[0]: 0 for c in comps}
+                    mcu_in_seg = 0
+                mcu_in_seg += 1
+                for cid, dc_sel, ac_sel in scan_comps:
+                    _, sh, sv, qsel = by_id[cid]
+                    qtab = qtabs[qsel]
+                    dc_tab = huff[(0, dc_sel)]
+                    ac_tab = huff[(1, ac_sel)]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            zig = np.zeros(64, dtype=np.int64)
+                            s = read_huff(dc_tab)
+                            preds[cid] += receive_extend(s)
+                            zig[0] = preds[cid]
+                            k = 1
+                            while k < 64:
+                                rs = read_huff(ac_tab)
+                                r, s = rs >> 4, rs & 0x0F
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16  # ZRL
+                                        continue
+                                    break  # EOB
+                                k += r
+                                zig[k] = receive_extend(s)
+                                k += 1
+                            coef = np.zeros(64, dtype=np.float64)
+                            coef[zigzag] = zig * qtab[zigzag]
+                            block = (
+                                t_mat.T @ coef.reshape(8, 8) @ t_mat + 128.0
+                            )
+                            y0 = (my * sv + by) * 8
+                            x0 = (mx * sh + bx) * 8
+                            planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+
+        # Upsample to full grid (nearest), crop, YCbCr -> RGB.
+        full = []
+        for cid, sh, sv, _ in comps:
+            p = planes[cid]
+            p = np.repeat(np.repeat(p, vmax // sv, axis=0), hmax // sh, axis=1)
+            full.append(p[:h, :w])
+        if len(full) == 3:
+            yy, cb, cr = full
+            r = yy + 1.402 * (cr - 128.0)
+            g = yy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            bb = yy + 1.772 * (cb - 128.0)
+        else:  # grayscale
+            r = g = bb = full[0]
+        img = np.stack(
+            [np.clip(np.round(ch), 0, 255) for ch in (r, g, bb)], axis=-1
+        ).astype(np.uint8)
+        return w, h, img
+
+    return parse_jpeg
+
+
 def decode_jpeg_features(media: DataFrame) -> DataFrame:
     """REAL baseline JPEG (ITU-T T.81) decoding — pure stdlib + numpy, the
     same way PNG (zlib+defilter) and GIF (LZW) are done, closing the last
@@ -1110,241 +1363,10 @@ def decode_jpeg_features(media: DataFrame) -> DataFrame:
     Scale shape is identical to the other decoders: blobs decode where
     they sit inside Arrow batches; only ids + metadata ever shuffle."""
 
+    parse_jpeg = _jpeg_decoder()
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import math
-        import struct
-
         import numpy as np
-
-        zigzag = []
-        for d in range(15):
-            cells = [(y, d - y) for y in range(8) if 0 <= d - y < 8]
-            if d % 2 == 0:
-                cells.reverse()
-            zigzag.extend(y * 8 + x for y, x in cells)
-        zigzag = np.array(zigzag)
-
-        u = np.arange(8).reshape(8, 1)
-        x = np.arange(8).reshape(1, 8)
-        t_mat = 0.5 * np.cos((2 * x + 1) * u * math.pi / 16)
-        t_mat[0, :] *= 1.0 / math.sqrt(2.0)
-
-        def parse_jpeg(b: bytes):
-            if b[:2] != b"\xFF\xD8":
-                raise ValueError("not a JPEG blob (missing SOI)")
-            qtabs: dict[int, np.ndarray] = {}
-            huff: dict[tuple[int, int], dict] = {}  # (class, id) -> {(len, code): val}
-            comps = []  # [id, sh, sv, qsel] per component
-            w = h = None
-            restart_interval = 0
-            i, n = 2, len(b)
-            scan_comps = None
-            while i + 2 <= n:
-                if b[i] != 0xFF:
-                    raise ValueError(f"marker expected at {i}")
-                # T.81 B.1.1.2: markers may be preceded by any number of
-                # 0xFF fill bytes — skip to the marker byte proper.
-                j = i + 1
-                while j < n and b[j] == 0xFF:
-                    j += 1
-                if j >= n:
-                    break
-                marker = b[j]
-                i = j + 1
-                if marker == 0x01 or 0xD0 <= marker <= 0xD9:
-                    continue  # TEM/RSTn/SOI/EOI: standalone, no length field
-                if i + 2 > n:
-                    raise ValueError("truncated JPEG (marker segment length)")
-                (seglen,) = struct.unpack(">H", b[i : i + 2])
-                data = b[i + 2 : i + seglen]
-                i += seglen
-                if marker == 0xDB:  # DQT
-                    j = 0
-                    while j < len(data):
-                        pq, tq = data[j] >> 4, data[j] & 0x0F
-                        j += 1
-                        if pq:
-                            vals = np.frombuffer(
-                                data[j : j + 128], dtype=">u2"
-                            ).astype(np.int32)
-                            j += 128
-                        else:
-                            vals = np.frombuffer(
-                                data[j : j + 64], dtype=np.uint8
-                            ).astype(np.int32)
-                            j += 64
-                        raster = np.zeros(64, dtype=np.int32)
-                        raster[zigzag] = vals  # stored in zigzag order
-                        qtabs[tq] = raster
-                elif marker == 0xC4:  # DHT
-                    j = 0
-                    while j < len(data):
-                        tc, th = data[j] >> 4, data[j] & 0x0F
-                        bits = list(data[j + 1 : j + 17])
-                        j += 17
-                        table, code = {}, 0
-                        for length in range(1, 17):
-                            for _ in range(bits[length - 1]):
-                                table[(length, code)] = data[j]
-                                j += 1
-                                code += 1
-                            code <<= 1
-                        huff[(tc, th)] = table
-                elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
-                    prec, h, w, nc = struct.unpack(">BHHB", data[:6])
-                    if prec != 8:
-                        raise ValueError("only 8-bit precision supported")
-                    comps = []
-                    for c in range(nc):
-                        cid, sf, qsel = data[6 + 3 * c : 9 + 3 * c]
-                        comps.append([cid, sf >> 4, sf & 0x0F, qsel])
-                elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                                0xCD, 0xCE, 0xCF):
-                    raise ValueError("only baseline (SOF0/SOF1) JPEG supported")
-                elif marker == 0xDD:  # DRI
-                    (restart_interval,) = struct.unpack(">H", data[:2])
-                elif marker == 0xDA:  # SOS — entropy data follows
-                    ns = data[0]
-                    scan_comps = []
-                    for c in range(ns):
-                        cid, tsel = data[1 + 2 * c], data[2 + 2 * c]
-                        scan_comps.append((cid, tsel >> 4, tsel & 0x0F))
-                    break
-                # APPn / COM / others: skipped via seglen
-            if scan_comps is None or w is None:
-                raise ValueError("truncated JPEG (no SOS/SOF)")
-
-            # Byte-unstuff the entropy scan, split on RSTn, stop at EOI.
-            segments, cur = [], bytearray()
-            while i < n:
-                byte = b[i]
-                if byte == 0xFF:
-                    nxt = b[i + 1] if i + 1 < n else 0xD9
-                    if nxt == 0x00:
-                        cur.append(0xFF)
-                        i += 2
-                    elif 0xD0 <= nxt <= 0xD7:
-                        segments.append(bytes(cur))
-                        cur = bytearray()
-                        i += 2
-                    elif nxt == 0xD9:
-                        break
-                    elif nxt == 0xFF:
-                        i += 1  # fill byte; the next 0xFF starts the marker
-                    else:
-                        raise ValueError(f"unexpected marker {nxt:#x} in scan")
-                else:
-                    cur.append(byte)
-                    i += 1
-            segments.append(bytes(cur))
-
-            hmax = max(c[1] for c in comps)
-            vmax = max(c[2] for c in comps)
-            mcus_x = -(-w // (8 * hmax))
-            mcus_y = -(-h // (8 * vmax))
-            planes = {
-                c[0]: np.zeros((mcus_y * c[2] * 8, mcus_x * c[1] * 8))
-                for c in comps
-            }
-            by_id = {c[0]: c for c in comps}
-
-            seg_idx = 0
-            bits_data = segments[0]
-            bitpos = 0
-
-            def read_bit() -> int:
-                nonlocal bitpos
-                byte_i, off = bitpos >> 3, bitpos & 7
-                if byte_i >= len(bits_data):
-                    # A well-formed scan never reads past its (1-padded)
-                    # final byte; starvation means truncation — fail loudly
-                    # rather than decode silent garbage.
-                    raise ValueError("truncated entropy-coded segment")
-                bitpos += 1
-                return (bits_data[byte_i] >> (7 - off)) & 1
-
-            def read_huff(table) -> int:
-                code, length = 0, 0
-                while length < 17:
-                    code = (code << 1) | read_bit()
-                    length += 1
-                    v = table.get((length, code))
-                    if v is not None:
-                        return v
-                raise ValueError("invalid Huffman code in scan")
-
-            def receive_extend(s: int) -> int:
-                if s == 0:
-                    return 0
-                v = 0
-                for _ in range(s):
-                    v = (v << 1) | read_bit()
-                return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
-
-            preds = {c[0]: 0 for c in comps}
-            mcu_in_seg = 0
-            for my in range(mcus_y):
-                for mx in range(mcus_x):
-                    if restart_interval and mcu_in_seg == restart_interval:
-                        if seg_idx + 1 >= len(segments):
-                            raise ValueError(
-                                "missing RST marker: entropy segments ran short"
-                            )
-                        seg_idx += 1
-                        bits_data = segments[seg_idx]
-                        bitpos = 0
-                        preds = {c[0]: 0 for c in comps}
-                        mcu_in_seg = 0
-                    mcu_in_seg += 1
-                    for cid, dc_sel, ac_sel in scan_comps:
-                        _, sh, sv, qsel = by_id[cid]
-                        qtab = qtabs[qsel]
-                        dc_tab = huff[(0, dc_sel)]
-                        ac_tab = huff[(1, ac_sel)]
-                        for by in range(sv):
-                            for bx in range(sh):
-                                zig = np.zeros(64, dtype=np.int64)
-                                s = read_huff(dc_tab)
-                                preds[cid] += receive_extend(s)
-                                zig[0] = preds[cid]
-                                k = 1
-                                while k < 64:
-                                    rs = read_huff(ac_tab)
-                                    r, s = rs >> 4, rs & 0x0F
-                                    if s == 0:
-                                        if r == 15:
-                                            k += 16  # ZRL
-                                            continue
-                                        break  # EOB
-                                    k += r
-                                    zig[k] = receive_extend(s)
-                                    k += 1
-                                coef = np.zeros(64, dtype=np.float64)
-                                coef[zigzag] = zig * qtab[zigzag]
-                                block = (
-                                    t_mat.T @ coef.reshape(8, 8) @ t_mat + 128.0
-                                )
-                                y0 = (my * sv + by) * 8
-                                x0 = (mx * sh + bx) * 8
-                                planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
-
-            # Upsample to full grid (nearest), crop, YCbCr -> RGB.
-            full = []
-            for cid, sh, sv, _ in comps:
-                p = planes[cid]
-                p = np.repeat(np.repeat(p, vmax // sv, axis=0), hmax // sh, axis=1)
-                full.append(p[:h, :w])
-            if len(full) == 3:
-                yy, cb, cr = full
-                r = yy + 1.402 * (cr - 128.0)
-                g = yy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-                bb = yy + 1.772 * (cb - 128.0)
-            else:  # grayscale
-                r = g = bb = full[0]
-            img = np.stack(
-                [np.clip(np.round(ch), 0, 255) for ch in (r, g, bb)], axis=-1
-            ).astype(np.uint8)
-            return w, h, img
 
         for pdf in batches:
             out = {
@@ -1364,3 +1386,324 @@ def decode_jpeg_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(decode, IMAGE_SCHEMA)
+
+
+# -- IMA ADPCM (DVI4) compressed audio ---------------------------------------
+# A REAL lossy audio codec with an exact public spec (IMA ADPCM, WAV format
+# tag 0x11): 16-bit PCM compressed 4:1 to 4-bit adaptive-differential
+# nibbles. Complements G.711 mu-law (companding) with a predictive codec;
+# MP3 remains the declared stub (its psychoacoustic filterbank is out of
+# honest pure-numpy scope).
+
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def make_wav_adpcm_bytes(
+    freq_hz: float, *, seconds: float = 0.25, rate: int = 8000,
+    block_align: int = 256,
+) -> bytes:
+    """Synthesize a mono IMA-ADPCM WAV (format tag 0x11) of a sine tone —
+    a real 4-bit adaptive-differential encode of the 16-bit PCM, block
+    header (predictor, step index) per ``block_align``-byte block."""
+    import struct
+
+    import numpy as np
+
+    t = np.arange(int(rate * seconds)) / rate
+    pcm = (np.sin(2 * np.pi * freq_hz * t) * 20000).astype(np.int64)
+    spb = (block_align - 4) * 2 + 1  # samples per block (mono)
+    blocks = bytearray()
+    pos = 0
+    while pos < len(pcm):
+        chunk = pcm[pos : pos + spb]
+        pos += spb
+        predictor = int(chunk[0])
+        index = 0
+        blocks += struct.pack("<hBB", predictor, index, 0)
+        nibbles = []
+        for s in chunk[1:]:
+            step = _IMA_STEP_TABLE[index]
+            diff = int(s) - predictor
+            code = 0
+            if diff < 0:
+                code = 8
+                diff = -diff
+            if diff >= step:
+                code |= 4
+                diff -= step
+            if diff >= step // 2:
+                code |= 2
+                diff -= step // 2
+            if diff >= step // 4:
+                code |= 1
+            # reconstruct exactly as the decoder will
+            delta = step // 8
+            if code & 4:
+                delta += step
+            if code & 2:
+                delta += step // 2
+            if code & 1:
+                delta += step // 4
+            predictor += -delta if code & 8 else delta
+            predictor = max(-32768, min(32767, predictor))
+            index = max(0, min(88, index + _IMA_INDEX_TABLE[code]))
+            nibbles.append(code)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        for lo, hi in zip(nibbles[::2], nibbles[1::2]):
+            blocks.append(lo | (hi << 4))
+        # pad the final block to block_align
+        used = 4 + len(nibbles) // 2
+        blocks += b"\x00" * (block_align - used)
+    n_samples = len(pcm)
+    byte_rate = rate * block_align // spb
+    fmt = struct.pack(
+        "<HHIIHHHH", 0x11, 1, rate, byte_rate, block_align, 4, 2, spb
+    )
+    fact = struct.pack("<I", n_samples)
+    data = bytes(blocks)
+    riff = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(riff) - 4 + 4) + riff
+
+
+def _wav_parser():
+    """Self-contained RIFF/WAV parser handling PCM (tags 1 / 0xFFFE) and
+    IMA ADPCM (tag 0x11) — returned as a nested function so worker
+    closures capture it by value (workers cannot import vrod_spark).
+    Yields (rate, n_frames, mono_float_pcm)."""
+    import struct
+
+    import numpy as np
+
+    step_table = np.array(_IMA_STEP_TABLE, dtype=np.int64)
+    index_table = np.array(_IMA_INDEX_TABLE, dtype=np.int64)
+
+    def parse_wav(b: bytes):
+        if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE blob")
+        i, n = 12, len(b)
+        fmt = data = None
+        fact_samples = None
+        while i + 8 <= n:
+            tag = b[i : i + 4]
+            (sz,) = struct.unpack("<I", b[i + 4 : i + 8])
+            body = b[i + 8 : i + 8 + sz]
+            i += 8 + sz + (sz & 1)
+            if tag == b"fmt ":
+                fmt = body
+            elif tag == b"fact" and len(body) >= 4:
+                (fact_samples,) = struct.unpack("<I", body[:4])
+            elif tag == b"data":
+                data = body
+        if fmt is None or data is None:
+            raise ValueError("truncated WAV (missing fmt/data)")
+        wtag, nchan, rate, _brate, balign, bits = struct.unpack("<HHIIHH", fmt[:16])
+        if wtag in (1, 0xFFFE):  # PCM
+            dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
+            pcm = np.frombuffer(data, dtype=dtype).astype(np.float64)
+            if nchan > 1:
+                pcm = pcm.reshape(-1, nchan).mean(axis=1)
+            return rate, len(pcm), pcm
+        if wtag != 0x11:
+            raise ValueError(f"unsupported WAV format tag {wtag:#x}")
+        if nchan != 1:
+            raise ValueError("IMA ADPCM decode: mono only")
+        (spb,) = struct.unpack("<H", fmt[18:20]) if len(fmt) >= 20 else (
+            (balign - 4) * 2 + 1,
+        )
+        out = []
+        for off in range(0, len(data), balign):
+            block = data[off : off + balign]
+            if len(block) < 4:
+                break
+            predictor, index, _ = struct.unpack("<hBB", block[:4])
+            out.append(predictor)
+            packed = np.frombuffer(block[4:], dtype=np.uint8)
+            codes = np.empty(packed.size * 2, dtype=np.int64)
+            codes[0::2] = packed & 0x0F
+            codes[1::2] = packed >> 4
+            produced = 1
+            for code in codes:
+                if produced >= spb:
+                    break
+                step = int(step_table[index])
+                delta = step >> 3
+                if code & 4:
+                    delta += step
+                if code & 2:
+                    delta += step >> 1
+                if code & 1:
+                    delta += step >> 2
+                predictor += -delta if code & 8 else delta
+                predictor = max(-32768, min(32767, predictor))
+                index = max(0, min(88, index + int(index_table[code])))
+                out.append(predictor)
+                produced += 1
+        pcm = np.array(out, dtype=np.float64)
+        if fact_samples is not None:
+            pcm = pcm[:fact_samples]
+        return rate, len(pcm), pcm
+
+    return parse_wav
+
+
+def decode_adpcm_features(media: DataFrame, *, n_bands: int = 8) -> DataFrame:
+    """REAL compressed-audio decoding for IMA-ADPCM WAV blobs (format tag
+    0x11): 4-bit adaptive-differential nibbles expanded with the exact IMA
+    reconstruction recurrence, then the same rFFT band-energy features as
+    the PCM WAV path (AUDIO_SCHEMA). Per-blob work is linear in samples;
+    blobs decode inside their Arrow batch, never shuffled."""
+    bands = n_bands
+    parse_wav = _wav_parser()
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "sample_rate": [], "n_frames": [],
+                "duration_ms": [], "band_energy": [],
+            }
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                rate, nframes, pcm = parse_wav(bytes(content))
+                spec = np.abs(np.fft.rfft(pcm))
+                chunks = np.array_split(np.log1p(spec), bands)
+                energy = np.array(
+                    [c.mean() if len(c) else 0.0 for c in chunks], dtype=np.float32
+                )
+                out["media_id"].append(media_id)
+                out["sample_rate"].append(rate)
+                out["n_frames"].append(nframes)
+                out["duration_ms"].append(int(nframes * 1000 / max(rate, 1)))
+                out["band_energy"].append(energy.tolist())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode, AUDIO_SCHEMA)
+
+
+# -- AVI / Motion-JPEG video -------------------------------------------------
+
+
+def make_avi_mjpeg_bytes(frames, *, fps: int = 25, quant: int = 1) -> bytes:
+    """Synthesize a REAL AVI (RIFF) container carrying a Motion-JPEG video
+    stream: each frame is a baseline JPEG from :func:`make_jpeg_bytes`
+    inside a ``00dc`` movi chunk, with proper avih/strh/strf headers and
+    an idx1 index. ``frames`` is a list of h*w*3 uint8 arrays (equal
+    dims)."""
+    import struct
+
+    import numpy as np
+
+    px = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w = px[0].shape[0], px[0].shape[1]
+    jpegs = [make_jpeg_bytes(0, 0, pixels=f, quant=quant) for f in px]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(listtype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", listtype + body)
+
+    us_per_frame = 1_000_000 // fps
+    max_bytes = max(len(j) for j in jpegs)
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        us_per_frame, max_bytes * fps, 0, 0x10, len(jpegs), 0, 1, max_bytes,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIiI4H", 0, 0, 0, 0, 1, fps, 0, len(jpegs),
+                      max_bytes, -1, 0, 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"".join(chunk(b"00dc", j) for j in jpegs)
+    movi = lst(b"movi", movi_body)
+    idx_entries = []
+    off = 4  # offsets are relative to the start of 'movi' listtype
+    for j in jpegs:
+        idx_entries.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(j)))
+        off += 8 + len(j) + (len(j) & 1)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def extract_avi_mjpeg_frames(media: DataFrame, *, every_n: int = 1) -> DataFrame:
+    """REAL compressed-video frame extraction: parse the AVI RIFF
+    container, pull each ``..dc``/``..db`` Motion-JPEG frame out of the
+    movi list, decode every ``every_n``-th one with the baseline T.81
+    JPEG decoder (:func:`_jpeg_decoder` — the same codec the image path
+    uses), and emit per-frame dimensions + BT.601 mean luma
+    (VIDEO_FRAME_SCHEMA, one-to-many like the Y4M extractor). H.264
+    remains the declared stub; MJPEG is the honest pure-numpy compressed
+    video path since it composes container parsing with the real JPEG
+    codec. Blobs decode where they sit; only ids + per-frame metadata
+    shuffle."""
+    step = max(int(every_n), 1)
+    parse_jpeg = _jpeg_decoder()
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        def mjpeg_frames(b: bytes):
+            if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+                raise ValueError("not a RIFF/AVI blob")
+            frames = []
+            i = 12
+            n = min(len(b), 8 + struct.unpack("<I", b[4:8])[0])
+            while i + 8 <= n:
+                tag = b[i : i + 4]
+                (sz,) = struct.unpack("<I", b[i + 4 : i + 8])
+                if tag == b"LIST" and b[i + 8 : i + 12] == b"movi":
+                    j, end = i + 12, i + 8 + sz
+                    while j + 8 <= end:
+                        ctag = b[j : j + 4]
+                        (csz,) = struct.unpack("<I", b[j + 4 : j + 8])
+                        if ctag[2:4] in (b"dc", b"db") and csz:
+                            frames.append(b[j + 8 : j + 8 + csz])
+                        j += 8 + csz + (csz & 1)
+                i += 8 + sz + (sz & 1)
+            return frames
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "frame_idx": [], "width": [],
+                "height": [], "mean_luma": [],
+            }
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                frames = mjpeg_frames(bytes(content))
+                for idx in range(0, len(frames), step):
+                    w, h, img = parse_jpeg(frames[idx])
+                    rgb = img.astype(np.float64)
+                    luma = (
+                        0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+                    ).mean()
+                    out["media_id"].append(media_id)
+                    out["frame_idx"].append(idx)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_luma"].append(round(float(luma) / 255, 6))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(work, VIDEO_FRAME_SCHEMA)

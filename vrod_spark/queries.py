@@ -1759,8 +1759,12 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
         ('audio', 1, 0, 0, 0, 8000.0, 2000.0, 250.0),
         ('audio', 2, 0, 0, 0, 8000.0, 2000.0, 250.0),
         ('audio', 3, 0, 0, 0, 8000.0, 2000.0, 250.0),
+        ('adpcm', 0, 0, 0, 0, 8000.0, 2000.0, 250.0),
+        ('adpcm', 1, 0, 0, 0, 8000.0, 2000.0, 250.0),
         ('au', 0, 0, 0, 0, 8000.0, 2000.0, 250.0),
         ('au', 1, 0, 0, 0, 8000.0, 2000.0, 250.0),
+        ('avi', 0, 0, 16, 8, 0.0, 0.0, 0.0),
+        ('avi', 0, 2, 16, 8, round(128.0/255, 6), 0.0, 0.0),
         ('image', 0, 0, 16, 8, 1.0, 0.0, 0.0),
         ('image', 1, 0, 4, 4, 0.0, round(128.0/255, 6), 1.0),
         ('image', 2, 0, 32, 2, round(10.0/255, 6), round(20.0/255, 6), round(30.0/255, 6)),
@@ -1781,18 +1785,22 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from vrod_spark.operators.multimodal import (
+        decode_adpcm_features,
         decode_au_features,
         decode_gif_features,
         decode_jpeg_features,
         decode_png_features,
         decode_ppm_features,
         decode_wav_features,
+        extract_avi_mjpeg_frames,
         extract_y4m_frames,
         make_au_bytes,
+        make_avi_mjpeg_bytes,
         make_gif_bytes,
         make_jpeg_bytes,
         make_png_bytes,
         make_ppm_bytes,
+        make_wav_adpcm_bytes,
         make_wav_bytes,
         make_y4m_bytes,
     )
@@ -1803,6 +1811,23 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     audio = decode_wav_features(wav).select(
         F.lit("audio").alias("modality"),
+        F.col("media_id").cast("int").alias("media_id"),
+        F.lit(0).alias("idx"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        F.col("sample_rate").cast("double").alias("m1"),
+        F.col("n_frames").cast("double").alias("m2"),
+        F.col("duration_ms").cast("double").alias("m3"),
+    )
+    # ADPCM leg: IMA-ADPCM COMPRESSED audio (4-bit adaptive-differential
+    # predictive codec, WAV tag 0x11) — a second real lossy audio codec
+    # beside mu-law; spectral-peak fidelity is pytest-checked.
+    adpcm = spark.createDataFrame(
+        [(i, "audio", make_wav_adpcm_bytes(250.0 * (i + 1))) for i in range(2)],
+        schema,
+    )
+    adpcm_leg = decode_adpcm_features(adpcm).select(
+        F.lit("adpcm").alias("modality"),
         F.col("media_id").cast("int").alias("media_id"),
         F.lit(0).alias("idx"),
         F.lit(0).alias("width"),
@@ -1919,8 +1944,35 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("m2"),
         F.lit(0.0).alias("m3"),
     )
+    # AVI leg: Motion-JPEG in a real RIFF/AVI container — container walk +
+    # per-frame T.81 JPEG decode (the compressed-video path; frames solid
+    # so the sampled lumas pin exactly at quant=1).
+    avi = spark.createDataFrame(
+        [
+            (
+                0,
+                "video",
+                make_avi_mjpeg_bytes(
+                    [np.full((8, 16, 3), v, dtype=np.uint8) for v in (0, 64, 128, 192)]
+                ),
+            )
+        ],
+        schema,
+    )
+    avi_leg = extract_avi_mjpeg_frames(avi, every_n=2).select(
+        F.lit("avi").alias("modality"),
+        F.col("media_id").cast("int").alias("media_id"),
+        F.col("frame_idx").cast("int").alias("idx"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("mean_luma").alias("m1"),
+        F.lit(0.0).alias("m2"),
+        F.lit(0.0).alias("m3"),
+    )
     return (
-        audio.unionByName(au_leg)
+        audio.unionByName(adpcm_leg)
+        .unionByName(au_leg)
+        .unionByName(avi_leg)
         .unionByName(gif_leg)
         .unionByName(image)
         .unionByName(jpeg_leg)
