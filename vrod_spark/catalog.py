@@ -897,7 +897,16 @@ class Collection:
                           "avg_col_len", "max_col_len")
             }
         summary["columns"] = col_stats
-        self.update_meta(stats=summary)
+        # Meta is read-modify-write: take the commit lock (the same one
+        # mutations hold for their meta updates) and re-validate that no
+        # commit superseded the analyzed snapshot — otherwise this write
+        # could resurrect a pre-REINDEX meta (lost index) or tag stale
+        # stats as current. A superseded analysis just skips the meta
+        # write: the catalog registration stays but
+        # ``analyzed_table_if_fresh`` rejects it by version.
+        with self._commit_lock():
+            if self.version == v:
+                self.update_meta(stats=summary)
         return summary
 
     def analyzed_table_if_fresh(self, session: SparkSession) -> str | None:
