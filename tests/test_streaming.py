@@ -144,3 +144,73 @@ def test_stream_ingest_into_partitioned_collection(spark, tmp_path, sf_dir):
     }
     hits = eng.execute("SEARCH", collection="ev", arg="meta['kind'] = 'a'").df.collect()
     assert [r["id"] for r in hits] == [0, 2, 4, 6, 8]
+
+
+def test_abandonment_timers_plan_builds(spark, sf_dir):
+    """transformWithStateInPandas operator (Spark 4 arbitrary state v2):
+    the plan must analyze with event-time mode, the state schema, and the
+    watermark in place. (Execution needs google.protobuf — absent here;
+    the roundtrip test below activates when the env gains it.)"""
+    from vrod_spark.streaming.ingest import events_stream
+    from vrod_spark.streaming.stateful import click_abandonment_timers
+
+    child = spark.newSession()
+    df = click_abandonment_timers(events_stream(child, sf_dir))
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        "user_id", "c_event_id", "click_us", "converted",
+    ]
+    plan = df._jdf.queryExecution().logical().toString()
+    assert "TransformWithStateInPySpark" in plan
+    assert "EventTimeWatermark" in plan
+
+
+def test_abandonment_timers_roundtrip_if_protobuf(spark, sf_dir):
+    """Full execution: timer-based abandonment equals the batch interval
+    join on every click whose window provably closed before stream end
+    (converted rows always; abandoned rows once the final watermark
+    passed click + delay)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+
+    from pyspark.sql import functions as F
+
+    from vrod_spark.sources.tables import load_table
+    from vrod_spark.streaming.ingest import events_stream, run_to_completion
+    from vrod_spark.streaming.stateful import click_abandonment_timers
+
+    out = run_to_completion(
+        lambda s: click_abandonment_timers(events_stream(s, sf_dir)),
+        spark,
+        output_mode="append",
+        state_partitions=2,
+    )
+    got = {
+        r["c_event_id"]: (r["user_id"], r["click_us"], r["converted"])
+        for r in out.collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.expr("ts_ns div 1000").alias("c_us")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.expr("ts_ns div 1000").alias("p_us")
+    )
+    delay = 30 * 60 * 1_000_000
+    conv = (
+        c.join(
+            p,
+            (c.user_id == p.pu) & (p.p_us >= c.c_us) & (p.p_us <= c.c_us + delay),
+            "left",
+        )
+        .groupBy("event_id", "user_id", "c_us")
+        .agg(F.max(F.col("p_us").isNotNull()).alias("converted"))
+    )
+    wm_us = ev.agg(F.max(F.expr("ts_ns div 1000"))).first()[0] - 3_600_000_000
+    for r in conv.collect():
+        eid, want = r["event_id"], (r["user_id"], r["c_us"], bool(r["converted"]))
+        if want[2]:
+            assert got.get(eid) == want, eid
+        elif r["c_us"] + delay + 2_000_000 < wm_us:
+            assert got.get(eid) == want, eid

@@ -100,15 +100,25 @@ def project_events_raw(raw: DataFrame) -> DataFrame:
             ts_ntz = F.expr(
                 "convert_timezone(current_timezone(), 'UTC', cast(ts as timestamp_ntz))"
             )
-        # Wall-clock micros since epoch (timestampdiff on NTZ is TZ-free),
-        # widened to nanos so downstream ts_ns consumers and the DuckDB
-        # epoch_ns oracle agree exactly.
+        # Wall-clock micros since epoch from FIELD decomposition — every
+        # piece (to_date/hour/minute/second on NTZ) is wall-clock and
+        # session-TZ-free by construction. timestamp_diff would implicitly
+        # cast NTZ→LTZ through the session zone, which only cancels while
+        # both endpoints share one UTC offset — a DST-era mismatch between
+        # 1970 and the event date would skew every ts_ns. Widened to nanos
+        # so ts_ns consumers and the DuckDB epoch_ns oracle agree exactly.
+        days = F.datediff(F.to_date(ts_ntz), F.lit("1970-01-01").cast("date")).cast(
+            "long"
+        )
+        secs = (
+            days * 86400
+            + F.hour(ts_ntz).cast("long") * 3600
+            + F.minute(ts_ntz).cast("long") * 60
+        )
         ts_ns = (
-            F.timestamp_diff(
-                "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), ts_ntz
-            )
-            * F.lit(1000)
-        ).cast("long")
+            secs * 1_000_000
+            + (F.extract(F.lit("SECOND"), ts_ntz) * 1_000_000).cast("long")
+        ) * 1000
     return raw.select(
         "event_id",
         ts_ntz.alias("ts"),

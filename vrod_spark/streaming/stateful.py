@@ -55,3 +55,148 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+ABANDON_OUTPUT = "user_id bigint, c_event_id bigint, click_us bigint, converted boolean"
+
+
+def click_abandonment_timers(events: DataFrame, *, max_delay_min: int = 30) -> DataFrame:
+    """Funnel abandonment with ``transformWithStateInPandas`` (Spark 4
+    arbitrary state v2): per-user explicit state + event-time TIMERS.
+
+    The left-outer interval join (streaming/ingest.click_abandonment_join)
+    expresses the same question declaratively but needs TWO streams, four
+    state stores per partition, and its negative rows emit only through
+    the join's internal watermark bookkeeping. This operator is the
+    production-native formulation on ONE stream:
+
+    - a click is buffered in ``ListState`` and registers an event-time
+      timer at click + delay;
+    - a purchase converts every buffered click whose window covers it
+      (emitted immediately, state cleared);
+    - when the watermark passes a click's timer, the click emits
+      ``converted=false`` and leaves state — explicit, prompt, and
+      O(open windows) state per user.
+
+    Purchases are buffered too (a same-batch or later click can open a
+    window covering an earlier purchase) and evicted once the watermark
+    proves no future click can reach them. All comparisons are in exact
+    MICROSECONDS (timers are ms-granular, so expiry is rounded up +2 ms —
+    firing strictly after the window closes, never early).
+
+    The processor class is defined in-function so cloudpickle serializes
+    it by value (workers cannot import vrod_spark).
+
+    ENV NOTE: executing this operator requires ``google.protobuf`` (the
+    transformWithState driver-worker protocol) which is absent from this
+    container — plan construction and analysis work everywhere and are
+    plan-tested; the execution roundtrip test auto-activates via
+    ``pytest.importorskip`` the moment the env gains protobuf (same
+    pattern as the fastembed embedding seam)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+
+    delay_us = max_delay_min * 60_000_000
+
+    class Abandonment(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.clicks = handle.getListState("clicks", "c_event_id bigint, c_us bigint")
+            self.purchases = handle.getListState("purchases", "p_us bigint")
+
+        def _pending(self):
+            return (
+                [(int(r[0]), int(r[1])) for r in self.clicks.get()]
+                if self.clicks.exists()
+                else []
+            )
+
+        def _purch(self):
+            return (
+                [int(r[0]) for r in self.purchases.get()]
+                if self.purchases.exists()
+                else []
+            )
+
+        def _store(self, pending, purch):
+            self.clicks.clear()
+            if pending:
+                self.clicks.put(pending)
+            self.purchases.clear()
+            if purch:
+                self.purchases.put([(p,) for p in purch])
+
+        def _frame(self, user, rows):
+            return pd.DataFrame(
+                {
+                    "user_id": [user] * len(rows),
+                    "c_event_id": [r[0] for r in rows],
+                    "click_us": [r[1] for r in rows],
+                    "converted": [r[2] for r in rows],
+                }
+            )
+
+        def handleInputRows(self, key, rows, timerValues: TimerValues):
+            user = int(key[0])
+            wm_ms = timerValues.getCurrentWatermarkInMs()
+            new_clicks, new_purch = [], []
+            for pdf in rows:
+                for et, eid, us in zip(pdf["event_type"], pdf["event_id"], pdf["ev_us"]):
+                    if et == "click":
+                        new_clicks.append((int(eid), int(us)))
+                    else:
+                        new_purch.append(int(us))
+            pending = self._pending() + new_clicks
+            purch = self._purch() + new_purch
+            emitted, still = [], []
+            for cid, cus in pending:
+                if any(cus <= pus <= cus + delay_us for pus in purch):
+                    emitted.append((cid, cus, True))
+                else:
+                    still.append((cid, cus))
+            for cid, cus in new_clicks:
+                # Timer per click; ms granularity rounded up so it can
+                # only fire once the µs window is provably closed.
+                self.handle.registerTimer((cus + delay_us) // 1000 + 2)
+            # A future click arrives with event time ≥ watermark, and can
+            # only convert via a purchase at-or-after it — purchases older
+            # than the watermark are unreachable, evict them.
+            purch = [p for p in purch if wm_ms <= 0 or p >= wm_ms * 1000]
+            self._store(still, purch)
+            yield self._frame(user, emitted)
+
+        def handleExpiredTimer(
+            self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+        ):
+            user = int(key[0])
+            expiry_us = expiredTimerInfo.getExpiryTimeInMs() * 1000
+            expired, still = [], []
+            for cid, cus in self._pending():
+                if cus + delay_us < expiry_us:
+                    expired.append((cid, cus, False))
+                else:
+                    still.append((cid, cus))
+            self._store(still, self._purch())
+            yield self._frame(user, expired)
+
+        def close(self) -> None:
+            pass
+
+    projected = events.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr("ts_ns div 1000").alias("ev_us"),
+        "ts_evt",
+    ).withWatermark("ts_evt", "1 hour")
+    return projected.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Abandonment(),
+        outputStructType=ABANDON_OUTPUT,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
