@@ -339,7 +339,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     min_cosine: float = 0.9,
     top_pairs: int | None = None,
-    n_blocks: int = 16,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Semantic near-dup: pairs with cosine ≥ threshold (or global top-N
     most-similar pairs), EXACT, via a **block-matrix similarity join**:
@@ -358,6 +358,16 @@ def embedding_near_dup_pairs(
     """
     import numpy as np  # noqa: F401 (imported for the worker closure)
 
+    if n_blocks is None:
+        # Adaptive granularity: blocks of ~1500 rows, capped at 16 blocks
+        # (136 block-pair tasks). Small inputs get few, meaty tasks —
+        # per-task scheduling overhead dominates tiny matmuls (measured at
+        # N=2000: 16 blocks = 1.33 s, 4 blocks = 0.33 s warm) — while big
+        # inputs stay bounded in task count; beyond ~25k rows the
+        # LSH-bucketed variant is the scale path anyway (it cuts the
+        # quadratic term, not just the granularity).
+        n = df.count()
+        n_blocks = max(2, min(16, -(-n // 1500)))
     blocks = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
