@@ -163,3 +163,30 @@ def test_analyze_partitioned_layouts(engine, spark):
     assert tblp is not None
     assert spark.sql(f"SELECT count(*) AS n FROM {tblp}").first()["n"] == 200
     assert "pk" not in spark.table(tblp).columns
+
+
+def test_same_named_databases_do_not_collide_in_catalog(spark, tmp_path):
+    """The session catalog is SparkContext-global: two databases that share
+    a NAME must still register disjoint namespaces (path-hashed), or one
+    engine's SQL could silently resolve against the other's files."""
+    e1 = Engine.create(spark, str(tmp_path / "a"), "samedb")
+    e2 = Engine.create(spark, str(tmp_path / "b"), "samedb")
+    for eng, val in ((e1, "one"), (e2, "two")):
+        eng.execute("CREATE", collection="docs")
+        df = spark.range(3).select(
+            F.col("id"),
+            F.array(F.lit(0.5).cast("float")).alias("embedding"),
+            F.lit(val).alias("payload"),
+            F.create_map(F.lit("k"), F.lit("v")).alias("meta"),
+        )
+        eng.execute("BULKINSERT", collection="docs", arg=df)
+    c1, c2 = e1.db.collection("docs"), e2.db.collection("docs")
+    assert c1.sql_namespace() != c2.sql_namespace()
+    t1, t2 = c1.analyzed_table_if_fresh(spark), c2.analyzed_table_if_fresh(spark)
+    assert t1 is not None and t2 is not None and t1 != t2
+    assert spark.table(t1).first()["payload"] == "one"
+    assert spark.table(t2).first()["payload"] == "two"
+    r1 = e1.sql("SELECT DISTINCT payload FROM docs", "docs").collect()
+    r2 = e2.sql("SELECT DISTINCT payload FROM docs", "docs").collect()
+    assert [r["payload"] for r in r1] == ["one"]
+    assert [r["payload"] for r in r2] == ["two"]

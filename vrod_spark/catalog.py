@@ -800,9 +800,18 @@ class Collection:
     # back to plain temp views when the catalog entry is gone or stale.
 
     def sql_namespace(self) -> str:
-        """Session-catalog namespace for this collection's database."""
+        """Session-catalog namespace for this collection's database. The
+        namespace carries a hash of the database PATH, not just its name:
+        the session catalog is SparkContext-global, so two databases named
+        alike (say two test engines called "db") would otherwise register
+        over each other and ``analyzed_table_if_fresh``'s version check —
+        which only knows its own meta — could silently resolve a query
+        against the other database's files."""
+        import hashlib
+
         db_name = self.db.config.get("name") or os.path.basename(self.db.path)
-        return "vrod_" + re.sub(r"\W", "_", db_name).lower()
+        tag = hashlib.sha256(os.path.abspath(self.db.path).encode()).hexdigest()[:8]
+        return "vrod_" + re.sub(r"\W", "_", db_name).lower() + "_" + tag
 
     def sql_table(self) -> str:
         """Qualified catalog name this collection's snapshot registers as."""
