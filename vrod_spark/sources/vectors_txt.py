@@ -65,10 +65,23 @@ def register_vector_datasource(spark: SparkSession) -> None:
     format's only identity is ordinal position, SURVEY §1.2), not dense,
     which is what an id needs to be at scale.
 
+    The source is also a STREAMING source (``spark.readStream.format(
+    "vrod_vectors").load(dir)``): the reference's embedding pipeline
+    appends vector files, and the stream tails the directory — offsets
+    are an index into the lexicographically-sorted file list (files must
+    arrive with ascending names, the part-file convention), one
+    InputPartition per new file, executor-side parsing, exactly-once
+    under checkpointing because the offset log replays file ranges.
+
     All classes are defined INSIDE this function on purpose: cloudpickle
     then serializes them by value, so executors never need vrod_spark on
     their import path (same worker-closure rule as every UDF here)."""
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceStreamReader,
+        InputPartition,
+    )
 
     class _Part(InputPartition):
         def __init__(self, index: int, path: str):
@@ -112,6 +125,56 @@ def register_vector_datasource(spark: SparkSession) -> None:
                         payload,
                     )
 
+    def _list_files(path: str) -> list[str]:
+        import os
+
+        if not os.path.isdir(path):
+            raise ValueError(f"vrod_vectors stream requires a directory: {path}")
+        return sorted(
+            os.path.join(path, p)
+            for p in os.listdir(path)
+            if not p.startswith(("_", "."))
+        )
+
+    class _StreamReader(DataSourceStreamReader):
+        """Offsets are {'idx': N} = the first N files (sorted) consumed.
+        Growth-only and O(1)-sized — the file list itself is re-derived,
+        never embedded in the offset log."""
+
+        def __init__(self, options):
+            self.path = options.get("path")
+            if self.path is None:
+                raise ValueError("vrod_vectors requires a path")
+
+        def initialOffset(self) -> dict:
+            return {"idx": 0}
+
+        def latestOffset(self) -> dict:
+            return {"idx": len(_list_files(self.path))}
+
+        def partitions(self, start: dict, end: dict):
+            files = _list_files(self.path)
+            return [
+                _Part(i, files[i]) for i in range(start["idx"], end["idx"])
+            ]
+
+        def read(self, partition):
+            base = partition.index << 40
+            with open(partition.path, encoding="utf-8") as f:
+                for i, line in enumerate(f):
+                    line = line.strip()
+                    if not line:
+                        continue
+                    vec_part, _, payload = line.partition(";")
+                    yield (
+                        base | i,
+                        [float(x) for x in vec_part.split(",") if x],
+                        payload,
+                    )
+
+        def commit(self, end: dict) -> None:
+            pass  # nothing to clean: files are the durable log
+
     class VrodVectorsDataSource(DataSource):
         @classmethod
         def name(cls) -> str:
@@ -122,5 +185,8 @@ def register_vector_datasource(spark: SparkSession) -> None:
 
         def reader(self, schema):
             return _Reader(self.options)
+
+        def streamReader(self, schema):
+            return _StreamReader(self.options)
 
     spark.dataSource.register(VrodVectorsDataSource)
