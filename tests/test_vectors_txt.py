@@ -111,3 +111,45 @@ def test_vector_datasource_streams_new_files_exactly_once(spark, tmp_path):
     ids = [r["id"] for r in rows2]
     assert len(ids) == len(set(ids))
     assert {r["payload"]: r["id"] for r in rows2}["w2_1"] == (2 << 40) | 1
+
+
+def test_vector_datasource_stream_sink_roundtrip(spark, tmp_path):
+    """The format is a streaming SINK too: stream vector files from one
+    directory INTO another through the Python data source on both ends,
+    and the written lines parse back identically (source → sink → source
+    roundtrip). Batch files land atomically (temp + rename on commit) so
+    a reader of the sink dir never sees a torn file."""
+    from vrod_spark.sources.vectors_txt import register_vector_datasource
+
+    register_vector_datasource(spark)
+    src = tmp_path / "in"
+    src.mkdir()
+    dst = str(tmp_path / "out")
+    (src / "part-00000.txt").write_text("1.5,2.5;alpha\n3.25,4.0;beta\n")
+    (src / "part-00001.txt").write_text("0.5,0.75;gamma\n")
+    q = (
+        spark.readStream.format("vrod_vectors")
+        .option("path", str(src))
+        .load()
+        .writeStream.format("vrod_vectors")
+        .option("path", dst)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    import os
+
+    files = sorted(os.listdir(dst))
+    assert files and all(f.startswith("batch-") for f in files)
+    back = spark.read.format("vrod_vectors").option("path", dst).load()
+    got = sorted(
+        (r["payload"], [round(float(x), 4) for x in r["embedding"]])
+        for r in back.collect()
+    )
+    assert got == [
+        ("alpha", [1.5, 2.5]),
+        ("beta", [3.25, 4.0]),
+        ("gamma", [0.5, 0.75]),
+    ]

@@ -175,6 +175,57 @@ def register_vector_datasource(spark: SparkSession) -> None:
         def commit(self, end: dict) -> None:
             pass  # nothing to clean: files are the durable log
 
+    from pyspark.sql.datasource import DataSourceStreamWriter, WriterCommitMessage
+
+    class _WroteFile(WriterCommitMessage):
+        def __init__(self, tmp_path: str, rows: int):
+            self.tmp_path = tmp_path
+            self.rows = rows
+
+    class _StreamWriter(DataSourceStreamWriter):
+        """Streaming SINK in the reference's own line format. Executors
+        write per-partition temp files; the driver renames them to
+        deterministic ``batch-<id>-<n>.txt`` names on commit — a replayed
+        micro-batch overwrites the same final names, so delivery stays
+        exactly-once without a transaction log."""
+
+        def __init__(self, options):
+            self.path = options.get("path")
+            if self.path is None:
+                raise ValueError("vrod_vectors requires a path")
+
+        def write(self, iterator):
+            import os
+            import uuid
+
+            os.makedirs(self.path, exist_ok=True)
+            tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}.txt")
+            n = 0
+            with open(tmp, "w", encoding="utf-8") as f:
+                for row in iterator:
+                    vec = ",".join(str(float(x)) for x in (row["embedding"] or []))
+                    f.write(f"{vec};{row['payload'] or ''}\n")
+                    n += 1
+            return _WroteFile(tmp, n)
+
+        def commit(self, messages, batchId) -> None:
+            import os
+
+            kept = [m for m in messages if m is not None and m.rows > 0]
+            for i, m in enumerate(sorted(kept, key=lambda m: m.tmp_path)):
+                final = os.path.join(self.path, f"batch-{batchId:010d}-{i:05d}.txt")
+                os.replace(m.tmp_path, final)
+            for m in messages:
+                if m is not None and m.rows == 0 and os.path.exists(m.tmp_path):
+                    os.remove(m.tmp_path)
+
+        def abort(self, messages, batchId) -> None:
+            import os
+
+            for m in messages:
+                if m is not None and os.path.exists(m.tmp_path):
+                    os.remove(m.tmp_path)
+
     class VrodVectorsDataSource(DataSource):
         @classmethod
         def name(cls) -> str:
@@ -188,5 +239,8 @@ def register_vector_datasource(spark: SparkSession) -> None:
 
         def streamReader(self, schema):
             return _StreamReader(self.options)
+
+        def streamWriter(self, schema, overwrite):
+            return _StreamWriter(self.options)
 
     spark.dataSource.register(VrodVectorsDataSource)
