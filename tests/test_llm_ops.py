@@ -691,3 +691,36 @@ def test_avi_mjpeg_extraction_is_real(spark):
     )
     with _pytest.raises(Exception):
         extract_avi_mjpeg_frames(bad).collect()
+
+
+def test_winnowing_fingerprints_share_on_common_substrings(spark):
+    """Winnowing guarantee: documents sharing a substring of length
+    >= window + k - 1 share at least one fingerprint; unrelated random
+    strings share none; density lands near 2/(w+1)."""
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    from vrod_spark.functions.text import winnow_fingerprints
+
+    rng = random.Random(13)
+
+    def rand_s(n):
+        return "".join(rng.choice(string.ascii_lowercase) for _ in range(n))
+
+    common = rand_s(40)  # >> window + k - 1 = 8
+    rows = [
+        (0, rand_s(60) + common + rand_s(60)),
+        (1, rand_s(50) + common + rand_s(70)),
+        (2, rand_s(180)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string").select(
+        "doc_id", winnow_fingerprints("text", k=5, window=4).alias("fp")
+    )
+    got = {r["doc_id"]: set(r["fp"]) for r in df.collect()}
+    assert got[0] & got[1], "shared 40-char substring must share a fingerprint"
+    assert not (got[0] & got[2]) and not (got[1] & got[2])
+    # density ≈ 2/(w+1) = 0.4 of the ~156 k-grams (loose band).
+    n_grams = len(rows[2][1]) - 4
+    assert 0.15 * n_grams < len(got[2]) < 0.65 * n_grams

@@ -221,3 +221,31 @@ def pii_counts(text: Column | str) -> Column:
             for pat, tag in PII_PATTERNS
         ]
     )
+
+
+def winnow_fingerprints(text: Column | str, *, k: int = 5, window: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS rolling-hash scheme): hash every character ``k``-gram, then keep
+    the MINIMUM hash of each sliding ``window`` of consecutive k-gram
+    hashes, deduplicated. Guarantee: any substring match of length
+    ≥ ``window + k - 1`` between two documents contributes at least one
+    SHARED fingerprint — the local-sampling property plain min-hashing
+    lacks. Density is ~2/(window+1) of all k-grams.
+
+    Pure Catalyst expressions (sequence/transform/slice/array_min over
+    xxhash64) — no Python, no shuffle; O(len·k) hashing + O(len·window)
+    min-scans per document, embarrassingly row-parallel. (``xxhash64``
+    replaces the classic Rabin-Karp incremental hash: Spark evaluates
+    per-gram hashes in codegen, so recurrence buys nothing here while the
+    selection semantics stay exactly winnowing's.)"""
+    col = F.col(text) if isinstance(text, str) else text
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(col) - (k - 1), F.lit(0))),
+        lambda i: F.xxhash64(F.substring(col, i, k)),
+    )
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(grams) - (window - 1), F.lit(1))),
+            lambda j: F.array_min(F.slice(grams, j, window)),
+        )
+    )
