@@ -190,3 +190,19 @@ def test_same_named_databases_do_not_collide_in_catalog(spark, tmp_path):
     r2 = e2.sql("SELECT DISTINCT payload FROM docs", "docs").collect()
     assert [r["payload"] for r in r1] == ["one"]
     assert [r["payload"] for r in r2] == ["two"]
+
+
+def test_drop_unregisters_catalog_tables(engine, spark):
+    engine.execute("CREATE", collection="docs")
+    df = spark.range(5).select(
+        F.col("id"),
+        F.array(F.lit(0.5).cast("float")).alias("embedding"),
+        F.lit("p").alias("payload"),
+        F.create_map(F.lit("k"), F.lit("v")).alias("meta"),
+    )
+    engine.execute("BULKINSERT", collection="docs", arg=df)
+    col = engine.db.collection("docs")
+    tbl = col.analyzed_table_if_fresh(spark)
+    assert tbl is not None and spark.catalog.tableExists(tbl)
+    engine.execute("DROP", collection="docs")
+    assert not spark.catalog.tableExists(tbl)

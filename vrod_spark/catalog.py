@@ -175,6 +175,21 @@ class Database:
         path = self.collection_path(name)
         if not os.path.isdir(path):
             raise CollectionNotFoundError(f"no such collection: {name}")
+        # Unregister any ANALYZE catalog tables first — a registration
+        # pointing at deleted files would linger (harmless to queries, the
+        # freshness check rejects it, but DESCRIBE/list surfaces would
+        # still show a corpse) until the name were re-analyzed.
+        col = Collection(self, name)
+        tbl = col.sql_table()
+        for stmt in (
+            f"DROP VIEW IF EXISTS {tbl}",
+            f"DROP TABLE IF EXISTS {tbl}",
+            f"DROP TABLE IF EXISTS {tbl}__data",
+        ):
+            try:
+                self.spark.sql(stmt)
+            except Exception:
+                pass  # DROP VIEW on a table object; nothing registered; etc.
         shutil.rmtree(path)
         self._wal_append({"op": "DROP", "collection": name, "ts": time.time()})
 
