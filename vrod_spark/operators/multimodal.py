@@ -1414,12 +1414,27 @@ def make_wav_adpcm_bytes(
     """Synthesize a mono IMA-ADPCM WAV (format tag 0x11) of a sine tone —
     a real 4-bit adaptive-differential encode of the 16-bit PCM, block
     header (predictor, step index) per ``block_align``-byte block."""
-    import struct
-
     import numpy as np
 
     t = np.arange(int(rate * seconds)) / rate
     pcm = (np.sin(2 * np.pi * freq_hz * t) * 20000).astype(np.int64)
+    return encode_wav_adpcm(pcm, rate=rate, block_align=block_align)
+
+
+def encode_wav_adpcm(
+    pcm, *, rate: int = 8000, block_align: int = 256, with_reconstruction: bool = False
+):
+    """IMA-ADPCM-encode an arbitrary mono int16 waveform into a WAV blob
+    (the quantization loop mirrors the decoder recurrence exactly).
+    ``with_reconstruction=True`` also returns the encoder's own predicted
+    waveform — a spec-conformant decoder must reproduce it EXACTLY, which
+    is the codec-consistency property the tests pin."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(pcm, dtype=np.int64)
+    recon: list[int] = []
     spb = (block_align - 4) * 2 + 1  # samples per block (mono)
     blocks = bytearray()
     pos = 0
@@ -1429,6 +1444,7 @@ def make_wav_adpcm_bytes(
         predictor = int(chunk[0])
         index = 0
         blocks += struct.pack("<hBB", predictor, index, 0)
+        recon.append(predictor)
         nibbles = []
         for s in chunk[1:]:
             step = _IMA_STEP_TABLE[index]
@@ -1456,6 +1472,7 @@ def make_wav_adpcm_bytes(
             predictor += -delta if code & 8 else delta
             predictor = max(-32768, min(32767, predictor))
             index = max(0, min(88, index + _IMA_INDEX_TABLE[code]))
+            recon.append(predictor)
             nibbles.append(code)
         if len(nibbles) % 2:
             nibbles.append(0)
@@ -1477,7 +1494,12 @@ def make_wav_adpcm_bytes(
         + b"fact" + struct.pack("<I", len(fact)) + fact
         + b"data" + struct.pack("<I", len(data)) + data
     )
-    return b"RIFF" + struct.pack("<I", 4 + len(riff) - 4 + 4) + riff
+    blob = b"RIFF" + struct.pack("<I", 4 + len(riff) - 4 + 4) + riff
+    if with_reconstruction:
+        import numpy as _np
+
+        return blob, _np.array(recon[: len(pcm)], dtype=_np.float64)
+    return blob
 
 
 def _wav_parser():
