@@ -724,3 +724,21 @@ def test_winnowing_fingerprints_share_on_common_substrings(spark):
     # density ≈ 2/(w+1) = 0.4 of the ~156 k-grams (loose band).
     n_grams = len(rows[2][1]) - 4
     assert 0.15 * n_grams < len(got[2]) < 0.65 * n_grams
+
+
+def test_winnowing_short_and_empty_docs_have_no_fingerprints(spark):
+    """Documents shorter than k have ZERO k-grams, hence zero fingerprints
+    — Spark's sequence(1, 0) is descending [1, 0], so without the guard
+    every empty/short doc would fabricate colliding fingerprints."""
+    from pyspark.sql import functions as F
+
+    from vrod_spark.functions.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "abcd"), (2, None), (3, "abcde")],
+        "doc_id bigint, text string",
+    ).select("doc_id", winnow_fingerprints("text", k=5, window=4).alias("fp"))
+    got = {r["doc_id"]: r["fp"] for r in df.collect()}
+    assert got[0] == [] and got[1] == []
+    assert got[2] in ([], None)
+    assert len(got[3]) == 1  # exactly one k-gram -> one fingerprint

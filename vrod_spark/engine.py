@@ -132,7 +132,12 @@ class Engine:
         for name in names:
             col = self.db.collection(name)
             tbl = col.analyzed_table_if_fresh(session)
-            if tbl is not None:
+            # Catalog resolution only works when the registered table name
+            # IS the collection name — sanitization maps e.g. "my-col" to
+            # my_col, which SQL referencing `my-col` would never find, so
+            # such names keep the temp-view path (correct, just planned
+            # without CBO stats).
+            if tbl is not None and tbl.rsplit(".", 1)[1] == name:
                 # Fresh catalog registration: resolve from the catalog so
                 # Catalyst plans with its statistics. The registered
                 # location is an immutable COW version dir, so this is as
@@ -240,12 +245,16 @@ class Engine:
         n = col.insert(df)
         # SURVEY §4.2: ANALYZE after BULKINSERT — one distributed stats
         # pass on freshly-ingested data so every subsequent CBO-planned
-        # query sees real cardinalities.
-        stats = col.analyze()
-        return CommandResult(
-            "BULKINSERT",
-            info={"collection": col.name, "rows": n, "stats_version": stats["version"]},
-        )
+        # query sees real cardinalities. BEST-EFFORT: the insert already
+        # committed durably, so a stats failure must not fail the command
+        # (a retry would duplicate rows); queries just plan without stats
+        # until the next ANALYZE succeeds.
+        info: dict[str, Any] = {"collection": col.name, "rows": n}
+        try:
+            info["stats_version"] = col.analyze()["version"]
+        except Exception as exc:  # noqa: BLE001 — post-commit, report not raise
+            info["stats_error"] = f"{type(exc).__name__}: {exc}"
+        return CommandResult("BULKINSERT", info=info)
 
     def _update(self, collection: str | None, arg: Any) -> CommandResult:
         """UPDATE (builder.rs:53-57). `arg`: {"where": <sql-bool>,
@@ -475,7 +484,11 @@ class Engine:
             )
         # SURVEY §4.2: ANALYZE after REINDEX — the rewrite changed the
         # physical layout (and registered any previous stats stale).
-        col.analyze()
+        # Best-effort for the same post-commit reason as BULKINSERT.
+        try:
+            col.analyze()
+        except Exception as exc:  # noqa: BLE001
+            info = {**info, "stats_error": f"{type(exc).__name__}: {exc}"}
         return CommandResult("REINDEX", info=info)
 
     def _analyze(self, collection: str | None, arg: Any) -> CommandResult:

@@ -240,12 +240,19 @@ def winnow_fingerprints(text: Column | str, *, k: int = 5, window: int = 4) -> C
     selection semantics stay exactly winnowing's.)"""
     col = F.col(text) if isinstance(text, str) else text
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(col) - (k - 1), F.lit(0))),
+        F.sequence(F.lit(1), F.length(col) - (k - 1)),
         lambda i: F.xxhash64(F.substring(col, i, k)),
     )
-    return F.array_distinct(
+    winnowed = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(grams) - (window - 1), F.lit(1))),
             lambda j: F.array_min(F.slice(grams, j, window)),
         )
+    )
+    # Documents shorter than k have ZERO k-grams — guard explicitly:
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark (step defaults to -1
+    # when start > stop), which would fabricate fingerprints from
+    # out-of-range substrings and make all short/empty docs collide.
+    return F.when(F.length(col) >= k, winnowed).otherwise(
+        F.array().cast("array<bigint>")
     )

@@ -359,7 +359,11 @@ def embedding_near_dup_pairs(
     import numpy as np  # noqa: F401 (imported for the worker closure)
 
     if n_blocks is None:
-        # Adaptive granularity: blocks of ~1500 rows, capped at 16 blocks
+        # Adaptive granularity: blocks of ~1500 rows, capped at 16 blocks.
+        # NOTE: the count() materializes df's lineage once before the join
+        # re-executes it — nearly free for a parquet scan (metadata count)
+        # but ~2x for an expensive upstream pipeline; such callers should
+        # pass n_blocks explicitly (or persist df first).
         # (136 block-pair tasks). Small inputs get few, meaty tasks —
         # per-task scheduling overhead dominates tiny matmuls (measured at
         # N=2000: 16 blocks = 1.33 s, 4 blocks = 0.33 s warm) — while big

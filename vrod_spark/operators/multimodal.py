@@ -1494,7 +1494,8 @@ def encode_wav_adpcm(
         + b"fact" + struct.pack("<I", len(fact)) + fact
         + b"data" + struct.pack("<I", len(data)) + data
     )
-    blob = b"RIFF" + struct.pack("<I", 4 + len(riff) - 4 + 4) + riff
+    # RIFF chunk size = bytes AFTER the size field = len("WAVE" + chunks).
+    blob = b"RIFF" + struct.pack("<I", len(riff)) + riff
     if with_reconstruction:
         import numpy as _np
 

@@ -42,8 +42,13 @@ def heavy_hitters(
     false negatives at their support level)."""
     if not 0.0 < support < 1.0:
         raise ValueError(f"support must be in (0, 1); got {support}")
-    # Pass 1: candidate superset, state O(1/support) per partition.
-    candidates = df.freqItems([col], support).first()[f"{col}_freqItems"]
+    # Pass 1: candidate superset, state O(1/support) per partition. The
+    # KSP guarantee is strict (no false negatives for frequency > s·N),
+    # but callers threshold with >= min_count — when min_count equals
+    # s·N exactly, an item AT the boundary could legally be dropped. Run
+    # the sketch at 0.8·s (state still O(1/s), a constant factor) so the
+    # >= boundary is safely inside the guarantee.
+    candidates = df.freqItems([col], 0.8 * support).first()[f"{col}_freqItems"]
     if not candidates:
         return df.sparkSession.createDataFrame([], f"item string, n bigint")
     # Pass 2: exact counts for the (small) candidate set only — the

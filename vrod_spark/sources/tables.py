@@ -76,13 +76,22 @@ def project_events_raw(raw: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     ts_type = dict(raw.dtypes)["ts"]
+    ns_col = None
     if ts_type == "bigint":
-        # Legacy layout: ts is epoch nanos.
+        ns_col = "ts"  # legacy layout: ts is epoch nanos already
+    elif ts_type == "timestamp":
+        # Instant read (inferTimestampNTZ off): unix_micros is TZ-free for
+        # instants, so normalize to epoch nanos and rebuild the UTC wall
+        # clock by integer arithmetic below. (Casting instant→NTZ through
+        # the session zone would misrender the repeated DST hour.)
+        raw = raw.withColumn("__ns", F.unix_micros(F.col("ts")) * F.lit(1000))
+        ns_col = "__ns"
+    if ns_col is not None:
         d = F.date_add(
             F.lit("1970-01-01").cast("date"),
-            F.expr("cast((ts div 1000) div 86400000000 as int)"),
+            F.expr(f"cast(({ns_col} div 1000) div 86400000000 as int)"),
         )
-        rem_us = F.expr("(ts div 1000) % 86400000000")
+        rem_us = F.expr(f"({ns_col} div 1000) % 86400000000")
         ts_ntz = F.make_timestamp_ntz(
             F.year(d),
             F.month(d),
@@ -91,15 +100,9 @@ def project_events_raw(raw: DataFrame) -> DataFrame:
             ((rem_us % 3600000000) / F.lit(60000000)).cast("int"),
             ((rem_us % 60000000) / F.lit(1000000.0)).cast("decimal(16,6)"),
         )
-        ts_ns = F.col("ts")
+        ts_ns = F.col(ns_col)
     else:
         ts_ntz = F.col("ts")
-        if ts_type == "timestamp":
-            # Instant read (inferTimestampNTZ off): recover the parquet
-            # wall clock — instants render their naive value in UTC.
-            ts_ntz = F.expr(
-                "convert_timezone(current_timezone(), 'UTC', cast(ts as timestamp_ntz))"
-            )
         # Wall-clock micros since epoch from FIELD decomposition — every
         # piece (to_date/hour/minute/second on NTZ) is wall-clock and
         # session-TZ-free by construction. timestamp_diff would implicitly

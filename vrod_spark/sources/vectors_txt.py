@@ -88,6 +88,23 @@ def register_vector_datasource(spark: SparkSession) -> None:
             self.index = index
             self.path = path
 
+    def _read_file(partition):
+        """Shared per-file parser (batch AND streaming readers): ids are
+        ``file_index << 40 | line_number`` — one format contract, one
+        implementation, so the two paths can never drift."""
+        base = partition.index << 40
+        with open(partition.path, encoding="utf-8") as f:
+            for i, line in enumerate(f):
+                line = line.strip()
+                if not line:
+                    continue
+                vec_part, _, payload = line.partition(";")
+                yield (
+                    base | i,
+                    [float(x) for x in vec_part.split(",") if x],
+                    payload,
+                )
+
     class _Reader(DataSourceReader):
         def __init__(self, options):
             self.options = options
@@ -112,18 +129,7 @@ def register_vector_datasource(spark: SparkSession) -> None:
             return [_Part(i, p) for i, p in enumerate(files)]
 
         def read(self, partition):
-            base = partition.index << 40
-            with open(partition.path, encoding="utf-8") as f:
-                for i, line in enumerate(f):
-                    line = line.strip()
-                    if not line:
-                        continue
-                    vec_part, _, payload = line.partition(";")
-                    yield (
-                        base | i,
-                        [float(x) for x in vec_part.split(",") if x],
-                        payload,
-                    )
+            return _read_file(partition)
 
     def _list_files(path: str) -> list[str]:
         import os
@@ -159,18 +165,7 @@ def register_vector_datasource(spark: SparkSession) -> None:
             ]
 
         def read(self, partition):
-            base = partition.index << 40
-            with open(partition.path, encoding="utf-8") as f:
-                for i, line in enumerate(f):
-                    line = line.strip()
-                    if not line:
-                        continue
-                    vec_part, _, payload = line.partition(";")
-                    yield (
-                        base | i,
-                        [float(x) for x in vec_part.split(",") if x],
-                        payload,
-                    )
+            return _read_file(partition)
 
         def commit(self, end: dict) -> None:
             pass  # nothing to clean: files are the durable log
@@ -209,8 +204,17 @@ def register_vector_datasource(spark: SparkSession) -> None:
             return _WroteFile(tmp, n)
 
         def commit(self, messages, batchId) -> None:
+            import glob
             import os
 
+            # A replayed batch may shuffle into FEWER non-empty partitions
+            # than the attempt that crashed after writing — remove every
+            # existing file of this batch id first, or the tail of the old
+            # attempt would survive beside the new files as duplicates.
+            for stale in glob.glob(
+                os.path.join(self.path, f"batch-{batchId:010d}-*.txt")
+            ):
+                os.remove(stale)
             kept = [m for m in messages if m is not None and m.rows > 0]
             for i, m in enumerate(sorted(kept, key=lambda m: m.tmp_path)):
                 final = os.path.join(self.path, f"batch-{batchId:010d}-{i:05d}.txt")

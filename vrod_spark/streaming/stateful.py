@@ -187,13 +187,20 @@ def click_abandonment_timers(events: DataFrame, *, max_delay_min: int = 30) -> D
         def close(self) -> None:
             pass
 
-    projected = events.select(
-        "user_id",
-        "event_type",
-        "event_id",
-        F.expr("ts_ns div 1000").alias("ev_us"),
-        "ts_evt",
-    ).withWatermark("ts_evt", "1 hour")
+    projected = (
+        # Only the funnel's two event kinds reach the operator — without
+        # this filter every other type (view/signup/error) would land in
+        # the purchases else-branch and falsely convert clicks.
+        events.filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.expr("ts_ns div 1000").alias("ev_us"),
+            "ts_evt",
+        )
+        .withWatermark("ts_evt", "1 hour")
+    )
     return projected.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=Abandonment(),
         outputStructType=ABANDON_OUTPUT,
