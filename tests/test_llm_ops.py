@@ -655,6 +655,33 @@ def test_adpcm_decode_is_real(spark):
     assert len(rows[0]["band_energy"]) == 8
 
 
+def test_wav_8bit_pcm_is_centered():
+    """8-bit WAV is UNSIGNED with midpoint 128 — the parser must center
+    it so silence is 0.0 like the signed 16/32-bit paths (uncentered, a
+    huge spurious DC term lands in band 0 of the features)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from vrod_spark.operators.multimodal import _wav_parser
+
+    rate = 8000
+    t = np.arange(2000) / rate
+    sine = np.sin(2 * np.pi * 300.0 * t)
+    pcm8 = np.clip(np.round(sine * 100 + 128), 0, 255).astype(np.uint8)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(rate)
+        w.writeframes(pcm8.tobytes())
+    got_rate, n, pcm = _wav_parser()(buf.getvalue())
+    assert (got_rate, n) == (rate, 2000)
+    np.testing.assert_allclose(pcm, pcm8.astype(np.float64) - 128.0)
+    assert abs(pcm.mean()) < 1.0  # DC gone up to quantization
+
+
 def test_avi_mjpeg_extraction_is_real(spark):
     """AVI/MJPEG is NOT a stub: the RIFF container walk finds the movi
     00dc chunks and every sampled frame decodes through the baseline T.81

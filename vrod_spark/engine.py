@@ -128,29 +128,30 @@ class Engine:
         session.conf.set("spark.sql.cbo.enabled", "true")
         session.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
         names = collections or self.db.list_collections()
-        analyzed_ns = None
         for name in names:
             col = self.db.collection(name)
             tbl = col.analyzed_table_if_fresh(session)
-            # Catalog resolution only works when the registered table name
-            # IS the collection name — sanitization maps e.g. "my-col" to
-            # my_col, which SQL referencing `my-col` would never find, so
-            # such names keep the temp-view path (correct, just planned
-            # without CBO stats).
-            if tbl is not None and tbl.rsplit(".", 1)[1] == name:
-                # Fresh catalog registration: resolve from the catalog so
-                # Catalyst plans with its statistics. The registered
-                # location is an immutable COW version dir, so this is as
-                # snapshot-stable as the temp-view path.
-                analyzed_ns = tbl.rsplit(".", 1)[0]
+            if tbl is not None:
+                # Fresh catalog registration: bridge it into the session as
+                # a temp view that EXPANDS to the qualified catalog relation
+                # — Catalyst still plans with its CBO statistics, but the
+                # current database (and so resolution of every identifier
+                # the query mentions that is NOT one of these collections)
+                # is untouched. Switching setCurrentDatabase here would make
+                # unrelated-name resolution depend on stats freshness. The
+                # registered location is an immutable COW version dir, so
+                # this is as snapshot-stable as the plain temp-view path.
+                ns, leaf = tbl.rsplit(".", 1)
+                session.sql(
+                    f"CREATE OR REPLACE TEMPORARY VIEW `{name}` "
+                    f"AS SELECT * FROM `{ns}`.`{leaf}`"
+                )
                 continue
             # Build the snapshot read ON the child session so the view
             # registers in (and the query resolves from) its catalog. Temp
             # views take precedence over catalog tables, so a stale
             # registration can never shadow the current snapshot.
             col.read(spark=session).createOrReplaceTempView(name)
-        if analyzed_ns is not None:
-            session.catalog.setCurrentDatabase(analyzed_ns)
         return session.sql(query)
 
     def _require_collection(self, collection: str | None) -> Collection:

@@ -36,6 +36,22 @@ from vrod_spark.functions.text import shingles, shingles_from_tokens, tokens
 from vrod_spark.functions.vector import cosine_similarity
 from vrod_spark.operators.util import widen
 
+
+def _plan_row_count(df: DataFrame) -> int | None:
+    """Exact row count from the optimized plan's statistics when Catalyst
+    already knows it WITHOUT running a job (e.g. a bare parquet scan with
+    CBO/ANALYZE stats, or a local relation). Returns None when the plan
+    can't answer cheaply — callers then decide whether a count() job is
+    worth it. This keeps adaptive-granularity heuristics from silently
+    re-executing an expensive upstream lineage just to pick a task count."""
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+    except Exception:
+        return None
+    return None
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -363,18 +379,32 @@ def embedding_near_dup_pairs(
     import numpy as np  # noqa: F401 (imported for the worker closure)
 
     if n_blocks is None:
-        # Adaptive granularity: blocks of ~1500 rows, capped at 16 blocks.
-        # NOTE: the count() materializes df's lineage once before the join
-        # re-executes it — nearly free for a parquet scan (metadata count)
-        # but ~2x for an expensive upstream pipeline; such callers should
-        # pass n_blocks explicitly (or persist df first).
+        # Adaptive granularity: blocks of ~1500 rows, capped at 16 blocks
         # (136 block-pair tasks). Small inputs get few, meaty tasks —
         # per-task scheduling overhead dominates tiny matmuls (measured at
         # N=2000: 16 blocks = 1.33 s, 4 blocks = 0.33 s warm) — while big
         # inputs stay bounded in task count; beyond ~25k rows the
         # LSH-bucketed variant is the scale path anyway (it cuts the
         # quadratic term, not just the granularity).
-        n = df.count()
+        #
+        # N comes from plan statistics when Catalyst already knows it (no
+        # job); only a bare metadata-count-able scan falls back to
+        # count(). An EXPENSIVE upstream lineage (joins/UDF stages) never
+        # gets re-executed just to size tasks — it gets the 16-block cap,
+        # which is the right granularity for any input large enough to be
+        # expensive. Callers who know better pass n_blocks explicitly.
+        n = _plan_row_count(df)
+        if n is None:
+            try:
+                leaf = df._jdf.queryExecution().optimizedPlan().getClass()
+                cheap = leaf.getSimpleName() in (
+                    "LogicalRelation",
+                    "DataSourceV2Relation",
+                    "LocalRelation",
+                )
+            except Exception:
+                cheap = False
+            n = df.count() if cheap else 16 * 1500
         n_blocks = max(2, min(16, -(-n // 1500)))
     blocks = df.select(
         F.col(id_col).alias("id"),

@@ -1538,6 +1538,12 @@ def _wav_parser():
         if wtag in (1, 0xFFFE):  # PCM
             dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
             pcm = np.frombuffer(data, dtype=dtype).astype(np.float64)
+            if bits == 8:
+                # 8-bit WAV is UNSIGNED with midpoint 128 (RIFF spec);
+                # center it so silence is 0.0 like the signed 16/32-bit
+                # paths — otherwise a large spurious DC term skews band-0
+                # energy relative to the other bit depths.
+                pcm -= 128.0
             if nchan > 1:
                 pcm = pcm.reshape(-1, nchan).mean(axis=1)
             return rate, len(pcm), pcm

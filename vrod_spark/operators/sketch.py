@@ -23,7 +23,7 @@ exact-Jaccard dedup path in operators/dedup.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -47,10 +47,26 @@ def heavy_hitters(
     # but callers threshold with >= min_count — when min_count equals
     # s·N exactly, an item AT the boundary could legally be dropped. Run
     # the sketch at 0.8·s (state still O(1/s), a constant factor) so the
-    # >= boundary is safely inside the guarantee.
-    candidates = df.freqItems([col], 0.8 * support).first()[f"{col}_freqItems"]
+    # >= boundary is safely inside the guarantee. Spark's freqItems
+    # requires support > 1e-4, so clamp the safety margin there — for
+    # caller supports in (1e-4, 1.25e-4] the margin shrinks but the call
+    # stays valid (and the exact pass still filters with >= min_count).
+    sketch_support = max(0.8 * support, 1.000001e-4)
+    # When min_count isn't given we need N = count(df) to pin the
+    # threshold. Piggy-back it on the sketch scan via observe() — the
+    # CollectMetrics node rides the same job, so no second pass over the
+    # corpus (at 100 TB an extra count() is a full re-scan).
+    obs = Observation() if min_count is None else None
+    sketch_input = (
+        df if obs is None else df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
+    )
+    candidates = sketch_input.freqItems([col], sketch_support).first()[
+        f"{col}_freqItems"
+    ]
+    if min_count is None:
+        min_count = int(support * obs.get["n_rows"])
     if not candidates:
-        return df.sparkSession.createDataFrame([], f"item string, n bigint")
+        return df.sparkSession.createDataFrame([], "item string, n bigint")
     # Pass 2: exact counts for the (small) candidate set only — the
     # filter prunes before the shuffle, so the agg key space is bounded
     # by the candidate list, never the full domain.
@@ -59,9 +75,6 @@ def heavy_hitters(
         .groupBy(F.col(col).cast("string").alias("item"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    if min_count is None:
-        total = df.count()
-        min_count = int(support * total)
     return (
         counts.filter(F.col("n") >= F.lit(int(min_count)))
         .orderBy(F.col("n").desc(), "item")

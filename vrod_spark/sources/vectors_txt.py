@@ -173,9 +173,10 @@ def register_vector_datasource(spark: SparkSession) -> None:
     from pyspark.sql.datasource import DataSourceStreamWriter, WriterCommitMessage
 
     class _WroteFile(WriterCommitMessage):
-        def __init__(self, tmp_path: str, rows: int):
+        def __init__(self, tmp_path: str, rows: int, partition_id: int):
             self.tmp_path = tmp_path
             self.rows = rows
+            self.partition_id = partition_id
 
     class _StreamWriter(DataSourceStreamWriter):
         """Streaming SINK in the reference's own line format. Executors
@@ -193,30 +194,45 @@ def register_vector_datasource(spark: SparkSession) -> None:
             import os
             import uuid
 
+            from pyspark import TaskContext
+
             os.makedirs(self.path, exist_ok=True)
             tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}.txt")
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx is not None else 0
             n = 0
             with open(tmp, "w", encoding="utf-8") as f:
                 for row in iterator:
                     vec = ",".join(str(float(x)) for x in (row["embedding"] or []))
                     f.write(f"{vec};{row['payload'] or ''}\n")
                     n += 1
-            return _WroteFile(tmp, n)
+            return _WroteFile(tmp, n, pid)
 
         def commit(self, messages, batchId) -> None:
             import glob
             import os
 
-            # A replayed batch may shuffle into FEWER non-empty partitions
-            # than the attempt that crashed after writing — remove every
-            # existing file of this batch id first, or the tail of the old
-            # attempt would survive beside the new files as duplicates.
+            # Final indices are assigned by PARTITION ID, not temp-file
+            # name: a replayed micro-batch shuffles the same rows into the
+            # same partitions, so every replay produces byte-identical
+            # batch-<id>-<n>.txt assignments and downstream ids
+            # (file_index<<40 | line) are stable across replays.
+            #
+            # A replayed batch may still land in FEWER non-empty partitions
+            # than a crashed attempt wrote — remove every existing file of
+            # this batch id first, or the old attempt's tail would survive
+            # beside the new files as duplicates. NOTE: readers must not
+            # list the sink dir while a batch commit is in flight — between
+            # the deletes and the last rename the batch is partially
+            # visible (same contract as Spark's own _temporary-dir file
+            # sinks without a manifest). A crash inside that window is
+            # repaired by the replay, which re-runs this same commit.
             for stale in glob.glob(
                 os.path.join(self.path, f"batch-{batchId:010d}-*.txt")
             ):
                 os.remove(stale)
             kept = [m for m in messages if m is not None and m.rows > 0]
-            for i, m in enumerate(sorted(kept, key=lambda m: m.tmp_path)):
+            for i, m in enumerate(sorted(kept, key=lambda m: m.partition_id)):
                 final = os.path.join(self.path, f"batch-{batchId:010d}-{i:05d}.txt")
                 os.replace(m.tmp_path, final)
             for m in messages:
