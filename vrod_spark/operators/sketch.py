@@ -23,6 +23,8 @@ exact-Jaccard dedup path in operators/dedup.py).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
@@ -64,7 +66,9 @@ def heavy_hitters(
         f"{col}_freqItems"
     ]
     if min_count is None:
-        min_count = int(support * obs.get["n_rows"])
+        # n >= support*N with integer n is n >= ceil(support*N); floor
+        # would admit items strictly below the documented threshold.
+        min_count = math.ceil(support * obs.get["n_rows"])
     if not candidates:
         return df.sparkSession.createDataFrame([], "item string, n bigint")
     # Pass 2: exact counts for the (small) candidate set only — the

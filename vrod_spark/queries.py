@@ -2186,8 +2186,6 @@ def q52_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q53_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
-
     from vrod_spark.functions.text import tokens
     from vrod_spark.operators.sketch import heavy_hitters
 
@@ -2203,13 +2201,12 @@ def q53_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select(F.lit("exact").alias("leg"), "token", "freq", "doc_freq")
     )
-    # min_count pinned to ceil(support * N) so the sketch's no-false-
-    # negative guarantee covers exactly the rows the oracle's HAVING keeps.
-    # (The N-count is one extra scan here; a deployment reuses the corpus
-    # stats it already tracks.)
+    # min_count defaults to ceil(support * N) inside heavy_hitters, with N
+    # observed on the sketch scan itself (CollectMetrics rides the same
+    # job) — exactly the rows the oracle's HAVING keeps, and no separate
+    # count() pass over the corpus.
     support = 0.001
-    mc = math.ceil(support * toks.count())
-    hh = heavy_hitters(toks, "token", support=support, min_count=mc).select(
+    hh = heavy_hitters(toks, "token", support=support).select(
         F.lit("hh").alias("leg"),
         F.col("item").alias("token"),
         F.col("n").alias("freq"),
