@@ -170,25 +170,31 @@ def minhash_signature(
     k: int = 32,
     n: int = 3,
 ) -> DataFrame:
-    """k-permutation MinHash signature as ARRAY<BIGINT>, built entirely
-    from Catalyst expressions: sig[i] = min over shingles of
-    xxhash64(shingle, i). No UDF, no shuffle.
+    """k-permutation MinHash signature as ARRAY<BIGINT>:
+    sig[i] = min over shingles of xxhash64(shingle, i). No UDF.
 
-    The k permutations are ONE nested transform over a seed sequence —
-    not k unrolled array_min copies, which generate k duplicates of the
-    lambda in codegen and made Janino compilation the dominant cost of
-    the whole near-dup path (measured 3.1 s unrolled vs 0.7 s at k=32 on
-    a cold plan; execution itself is identical)."""
-    sh = F.array_distinct(shingles_from_tokens(F.col("_sh_toks"), n))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.array_min(F.transform(F.col("_sh"), lambda s: F.xxhash64(s, i))),
-    )
-    return (
-        widen(df)  # k×|shingles| hashing per row — parallelize single-split scans
+    Physical shape: explode the shingles, then ONE hash aggregate with k
+    ``min(xxhash64(shingle, i))`` columns. The k hashes are scalar
+    expressions inside whole-stage codegen; the earlier nested-transform
+    form kept the whole k×|shingles| hash loop inside higher-order
+    lambdas, which Catalyst evaluates INTERPRETED (HigherOrderFunction is
+    CodegenFallback) — measured 1.1 s vs ~0.2 s for the same 8.6M hashes
+    at sf0.1. Shingle text never crosses the wire: partial aggregation
+    folds each partition to one row per doc before the shuffle, so the
+    exchange carries O(docs) × k longs — the property that matters at
+    100 TB. Signature values are bit-identical to the transform form
+    (same xxhash64(shingle_string, seed_int) evaluations; duplicate
+    shingles cannot change a min, so no array_distinct is needed)."""
+    exploded = (
+        widen(df)  # shingling+hashing is per-row compute; parallelize single-split scans
         .select(F.col(id_col).alias("id"), tokens(text_col).alias("_sh_toks"))
-        .select("id", sh.alias("_sh"))
-        .select("id", sig.alias("sig"))
+        .select("id", F.explode(shingles_from_tokens(F.col("_sh_toks"), n)).alias("_s"))
+    )
+    mins = [F.min(F.xxhash64("_s", F.lit(i))).alias(f"_m{i}") for i in range(k)]
+    return (
+        exploded.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[f"_m{i}" for i in range(k)]).alias("sig"))
     )
 
 
@@ -209,25 +215,29 @@ def minhash_lsh_pairs(
     assert k % bands == 0, "k must divide into equal bands"
     rows_per_band = k // bands
     sigs = minhash_signature(df, text_col=text_col, id_col=id_col, k=k, n=n)
+    # One nested transform over the band indices, not `bands` unrolled
+    # struct copies: the unrolled form generated a ~6000-bytecode method
+    # (past HotSpot's 8000-byte JIT ceiling) whose Janino compile dominated
+    # the whole near-dup cold path. concat_ws over the band's slice casts
+    # each BIGINT exactly as the per-item getItem form did, so bucket
+    # values — and therefore candidates — are bit-identical.
     banded = sigs.select(
         "id",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig").getItem(bi * rows_per_band + ri)
-                                    for ri in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
@@ -310,20 +320,26 @@ def simhash_pairs(
     assert bands > max_hamming, "pigeonhole requires bands > max_hamming"
     sigs = simhash_signatures(df, text_col=text_col, id_col=id_col)
     width = 64 // bands
+    # Same single-loop treatment as the MinHash banding above: one
+    # transform over block indices instead of `bands` unrolled structs —
+    # identical block values, a fraction of the generated code.
     blocks = sigs.select(
         "id",
         "simhash",
         F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("block"),
-                        F.shiftrightunsigned(F.col("simhash"), bi * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("val"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("block"),
+                    # call_function: the Python shiftrightunsigned wrapper
+                    # only takes an int shift, but the SQL expression takes
+                    # any column — needed since bi is the lambda variable.
+                    F.call_function(
+                        "shiftrightunsigned", F.col("simhash"), bi * F.lit(width)
                     )
-                    for bi in range(bands)
-                ]
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("val"),
+                ),
             )
         ).alias("bb"),
     ).select("id", "simhash", "bb.block", "bb.val")

@@ -53,6 +53,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Small dims (region/nation/supplier) should always broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Generated-class cache sized for the engine's query library. The
+        # default (100 entries) evicts constantly under a ~50-query
+        # workload whose plans compile to several classes each, so every
+        # re-planned query pays Janino again; a long-lived engine keeps
+        # its compiled operators resident (read at first codegen — must be
+        # set at session build, not at runtime).
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
         # Quiet UI/retries for non-interactive runs.
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
