@@ -31,9 +31,19 @@ BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
 
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokenization (embeddings.rs:24 parity), empties removed."""
+    """Whitespace tokenization (embeddings.rs:24 parity), empties removed.
+
+    After ``trim``, a ``\\s+`` split can yield an empty token only for the
+    empty string — handled by the CASE — so the old higher-order
+    ``filter`` lambda (interpreted: HigherOrderFunction is CodegenFallback)
+    is replaced by pure scalar codegen. Same result for every input,
+    including NULL (both forms propagate NULL)."""
     col = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: F.length(t) > 0)
+    trimmed = F.trim(col)
+    return (
+        F.when(trimmed == "", F.array().cast("array<string>"))
+        .otherwise(F.split(trimmed, r"\s+"))
+    )
 
 
 def shingles(text: Column | str, n: int = 3) -> Column:

@@ -1342,7 +1342,16 @@ def q30_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return (
+    # Two-level aggregate instead of countDistinct: mixing a DISTINCT
+    # aggregate with the plain sums makes Catalyst Expand the input ×2,
+    # and CollapseProject inlines the expensive per-doc expressions
+    # (tokenize / regex count / fingerprint) into BOTH Expand copies — so
+    # every document was profiled twice. Grouping by fingerprint first
+    # evaluates each expression once; count(fp) at the outer level is the
+    # distinct count because fp is an inner group key. Both shuffles stay
+    # map-side-combined: the first keys on (lang, source, fp), the second
+    # on (lang, source) — O(groups), never O(docs), at any scale.
+    per_fp = (
         docs.select(
             "lang",
             "source",
@@ -1351,14 +1360,23 @@ def q30_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             bpe_token_count("text").alias("bpe"),
             doc_fingerprint("text", 3).alias("fp"),
         )
-        .groupBy("lang", "source")
+        .groupBy("lang", "source", "fp")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("ws").alias("ws_tokens"),
-            F.sum("bpe").alias("bpe_tokens"),
-            F.sum("n_chars").alias("total_chars"),
-            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-            F.countDistinct("fp").alias("n_fingerprints"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("ws").alias("ws_s"),
+            F.sum("bpe").alias("bpe_s"),
+            F.sum("n_chars").alias("chars_s"),
+        )
+    )
+    return (
+        per_fp.groupBy("lang", "source")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.sum("ws_s").alias("ws_tokens"),
+            F.sum("bpe_s").alias("bpe_tokens"),
+            F.sum("chars_s").alias("total_chars"),
+            F.round(F.sum("chars_s") / F.sum("n"), 4).alias("avg_chars"),
+            F.count("fp").alias("n_fingerprints"),
         )
         .orderBy("lang", "source")
     )
