@@ -124,8 +124,25 @@ def _warmup(spark, sf_dir: str) -> None:
     # One real query: executor threads + whole-stage codegen path.
     QUERIES["q03_top_orders"](spark, sf_dir).collect()
     # Python/Arrow worker fork-and-handshake (per-session, not per-query).
-    warm_udf = F.pandas_udf(lambda s: s, "long")
-    spark.range(1000).repartition(8).select(warm_udf("id")).collect()
+    # One partition per core: workers are forked lazily per concurrent
+    # task, so an 8-partition warmup leaves the other 24 forks — ~2 s of
+    # task wall each — inside the first measured mapInPandas query. The
+    # warm function also imports numpy: worker processes resolve imports
+    # on first use, and a bare identity UDF would leave every worker's
+    # numpy/pandas import (~0.2 s CPU each, under full contention) inside
+    # the first measured numpy-kernel query.
+    n_workers = spark.sparkContext.defaultParallelism
+
+    def _warm_worker(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({"id": pdf["id"].to_numpy(dtype=np.int64)})
+
+    spark.range(1000).repartition(n_workers).mapInPandas(
+        _warm_worker, "id long"
+    ).collect()
     # Structured Streaming machinery (state store providers, memory sink,
     # micro-batch thread pools) — otherwise the first streaming query in
     # the suite absorbs ~2 s of one-time initialization.

@@ -16,10 +16,10 @@ Five dedup strategies, each chosen for a different scale/accuracy point:
   Probabilistic recall, tunable via (k, bands); the only strategy whose
   candidate generation cost is independent of pairwise similarity
   structure.
-- **SimHash**: 64-bit weighted-majority signature via an Arrow-batched
-  pandas UDF (64 per-bit counters vectorize in numpy far better than a
-  64-term Catalyst expression tree); near-dups = signatures within
-  Hamming distance d, found by pigeonhole band exact-match.
+- **SimHash**: 64-bit majority-vote signature — JVM-side token hashing,
+  batch-vectorized numpy majority behind mapInPandas; near-dups =
+  signatures within Hamming distance d, found by pigeonhole band
+  exact-match.
 - **embedding cosine**: semantic near-dup over the vector column —
   blocked self-join + codegen'd cosine, or LSH buckets at scale.
 
@@ -28,7 +28,6 @@ All pair outputs are canonical: (id_a < id_b), ordered, hash-checkable.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -102,49 +101,45 @@ def jaccard_pairs(
         .withColumn("set_size", F.size("sh"))
     )
     inv = sh.select("id", "set_size", F.explode("sh").alias("shingle"))
-    # Posting lists per shingle, then i<j pair generation JVM-side inside
-    # the aggregated row. vs the classic inv⋈inv self-join this is ONE
-    # shuffle of the postings (the self-join shuffles — and recomputes the
-    # shingling pipeline for — BOTH sides), emits each unordered pair once
-    # instead of twice, and makes document-frequency pruning a free
-    # `size(members)` filter instead of a second shuffle. Per-row work is
-    # O(df²), so `max_shingle_df` is the scale contract: at corpus scale a
-    # hot shingle (df ~ corpus size) MUST be capped — it carries no
-    # similarity signal and would otherwise dominate any formulation.
-    members = inv.groupBy("shingle").agg(
-        F.array_sort(F.collect_list(F.struct("id", "set_size"))).alias("ms")
-    )
-    # df=1 shingles can't form a pair — structurally free to drop now
-    # (`prune_unique_shingles` kept for API compat; it is always implied).
-    cond = F.size("ms") >= 2
+    # Inverted-index pairing as a COLOCATED shuffle-hash self-join: the
+    # postings shuffle (hashpartitioning on shingle) is planned once and
+    # ReuseExchange streams every other consumer — the document-frequency
+    # aggregate, the semi-join prune, and both join sides — from the same
+    # shuffle files, so the tokenize→shingle pipeline runs exactly once
+    # and each posting crosses the wire once. The pairing itself stays
+    # inside join codegen. (An in-row collect_list + higher-order pair
+    # expansion was tried and rejected: HigherOrderFunction is
+    # CodegenFallback — interpreted — and its CPU-per-byte profile
+    # defeats AQE's byte-based reduce-partition sizing.) Per-shingle pair
+    # work is O(df²), so `max_shingle_df` is the scale contract: at
+    # corpus scale a hot shingle (df ~ corpus size) MUST be capped — it
+    # carries no similarity signal and would otherwise dominate any
+    # formulation. df=1 shingles can't form a pair and are always pruned
+    # (`prune_unique_shingles` kept for API compat; it is implied).
+    df_cond = F.col("_df") >= 2
     if max_shingle_df is not None:
         # Hot-shingle pruning caps the quadratic head, trading exactness
         # for scalability; set_size was computed on the full shingle set,
         # so Jaccard denominators stay exact.
-        cond = cond & (F.size("ms") <= max_shingle_df)
-    members = members.filter(cond)
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ms"),
-            lambda x, i: F.transform(
-                F.slice(
-                    F.col("ms"),
-                    i + F.lit(2),
-                    F.greatest(F.size(F.col("ms")) - i - F.lit(1), F.lit(0)),
-                ),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    x["set_size"].alias("size_a"),
-                    y["id"].alias("id_b"),
-                    y["set_size"].alias("size_b"),
-                ),
-            ),
-        )
+        df_cond = df_cond & (F.col("_df") <= max_shingle_df)
+    keep = (
+        inv.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(df_cond)
+        .select("shingle")
     )
+    pruned = inv.hint("shuffle_hash").join(keep.hint("shuffle_hash"), "shingle", "left_semi")
     pairs = (
-        members.select(F.explode(pair_arr).alias("p"))
-        .select("p.id_a", "p.size_a", "p.id_b", "p.size_b")
-        .groupBy("id_a", "id_b", "size_a", "size_b")
+        pruned.alias("x")
+        .hint("shuffle_hash")
+        .join(pruned.alias("y").hint("shuffle_hash"), ["shingle"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .groupBy(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.set_size").alias("size_a"),
+            F.col("y.set_size").alias("size_b"),
+        )
         .agg(F.count(F.lit(1)).alias("inter"))
         .withColumn(
             "jaccard",
@@ -241,9 +236,21 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
+    # Banded self-join with a shuffle-hash hint, NOT the default broadcast:
+    # with broadcast, one side plans as a BroadcastExchange and the other
+    # as a shuffle Exchange — different exchange kinds, so ReuseExchange
+    # cannot dedupe them and the ENTIRE signature pipeline (every shingle
+    # hashed k times) executes twice, once per alias. With both sides as
+    # identical hashpartitioning(band, bucket) exchanges, ReuseExchange
+    # computes signatures ONCE and streams the second side from the same
+    # shuffle files; the pairing itself stays inside join codegen (an
+    # in-row collect_list pair expansion was tried and rejected: the
+    # higher-order transform is CodegenFallback — interpreted — and its
+    # CPU-per-byte profile defeats AQE's byte-based partition sizing).
     cand = (
         banded.alias("x")
-        .join(banded.alias("y"), ["band", "bucket"])
+        .hint("shuffle_hash")
+        .join(banded.alias("y").hint("shuffle_hash"), ["band", "bucket"])
         .filter(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
@@ -251,9 +258,24 @@ def minhash_lsh_pairs(
     sh = widen(df).select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks")).select(
         "id", F.array_distinct(shingles_from_tokens(F.col("_toks"), n)).alias("sh")
     )
+    # shuffle_hash on the sh probes: broadcasting the per-doc shingle
+    # sets is exactly backwards at corpus scale (sh is O(corpus); cand is
+    # the small side), and with both verify joins shuffling sh by id the
+    # two sh exchanges are canonically identical — ReuseExchange runs the
+    # tokenize→shingle pipeline once instead of once per join.
     verified = (
-        cand.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        cand.join(
+            sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")).hint(
+                "shuffle_hash"
+            ),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")).hint(
+                "shuffle_hash"
+            ),
+            "id_b",
+        )
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
@@ -267,7 +289,7 @@ def minhash_lsh_pairs(
 
 
 # ---------------------------------------------------------------------------
-# SimHash (pandas-UDF signature + pigeonhole banding)
+# SimHash (codegen'd signature + pigeonhole banding)
 # ---------------------------------------------------------------------------
 
 
@@ -275,34 +297,61 @@ def simhash_signatures(
     df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """64-bit SimHash per document: token hashing stays JVM-side
-    (``xxhash64`` inside codegen — stable and fast), and only the per-bit
-    weighted majority crosses into an Arrow-batched pandas UDF, where the
-    64 per-doc counters are a single numpy bit-unpack. (A pure-Python
-    per-byte token hash was ~10× slower; a 64-term Catalyst expression
-    tree for the majority vote codegens poorly — this split keeps each
-    runtime doing what it is fastest at.)"""
+    (``xxhash64`` inside codegen — stable and fast), and the per-bit
+    majority vote runs in a batch-vectorized numpy kernel behind
+    ``mapInPandas``.
 
-    @F.pandas_udf("long")
-    def majority64(hash_arrays: pd.Series) -> pd.Series:
-        import numpy as np
+    Why mapInPandas and not a ``@pandas_udf`` expression: an expression
+    UDF becomes an ArrowEvalPython node that Catalyst legally pushes
+    below the widen() round-robin repartition (projection pushdown
+    through the exchange shrinks shuffle bytes), serializing the whole
+    signature computation onto the single scan task of a one-row-group
+    parquet file. ``mapInPandas`` is an operator, pinned where it appears
+    — it always runs on the widened partitioning. Why not a pure-Catalyst
+    64-counter aggregate: the generated update method for 33+ sum buffers
+    exceeds HotSpot's 8000-bytecode JIT ceiling and interprets forever
+    (measured 50 core-s for 270k tokens — ~100× slower than this form).
 
-        out = np.zeros(len(hash_arrays), dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
-        for row_i, hs in enumerate(hash_arrays):
-            if hs is None or len(hs) == 0:
-                continue
-            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-            bits = ((h[:, None] >> shifts) & np.uint64(1)).sum(0)
-            sig = np.where(
-                bits * 2 >= len(h), np.uint64(1) << shifts, np.uint64(0)
-            ).sum(dtype=np.uint64)
-            out[row_i] = np.int64(sig)
-        return pd.Series(out)
-
+    The numpy kernel is batch-vectorized: one flattened bit-unpack plus a
+    segmented ``add.reduceat`` per Arrow batch — no per-document Python
+    loop. Signature semantics: bit i set iff 2·count_i ≥ n_tokens;
+    empty/NULL documents → signature 0."""
     token_hashes = F.transform(tokens(F.lower(F.col(text_col))), lambda t: F.xxhash64(t))
-    return widen(df).select(
-        F.col(id_col).alias("id"), majority64(token_hashes).alias("simhash")
-    )
+    prepped = widen(df).select(F.col(id_col).alias("id"), token_hashes.alias("_h"))
+
+    def majority(batches):
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            n_rows = len(pdf)
+            out = np.zeros(n_rows, dtype=np.int64)
+            if n_rows:
+                lens = np.fromiter(
+                    (0 if h is None else len(h) for h in pdf["_h"]),
+                    dtype=np.int64,
+                    count=n_rows,
+                )
+                (nz,) = np.nonzero(lens)
+                if len(nz):
+                    flat = np.concatenate(
+                        [np.asarray(pdf["_h"].iloc[i], dtype=np.int64) for i in nz]
+                    ).astype(np.uint64)
+                    # (T, 64) bit matrix, segment-summed to (docs, 64).
+                    bits = (flat[:, None] >> shifts) & np.uint64(1)
+                    starts = np.zeros(len(nz), dtype=np.int64)
+                    np.cumsum(lens[nz][:-1], out=starts[1:])
+                    counts = np.add.reduceat(bits, starts, axis=0)
+                    sig = (
+                        np.where(counts * 2 >= lens[nz, None], np.uint64(1) << shifts, 0)
+                        .astype(np.uint64)
+                        .sum(axis=1, dtype=np.uint64)
+                    )
+                    out[nz] = sig.view(np.int64)
+            yield pd.DataFrame({"id": pdf["id"], "simhash": out})
+
+    return prepped.mapInPandas(majority, "id long, simhash long")
 
 
 def simhash_pairs(
@@ -343,9 +392,14 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("id", "simhash", "bb.block", "bb.val")
+    # Shuffle-hash self-join so ReuseExchange computes the signature
+    # pipeline once — see the matching note in minhash_lsh_pairs (with
+    # the default broadcast, one side becomes a BroadcastExchange and the
+    # whole signature subtree executes twice).
     cand = (
         blocks.alias("x")
-        .join(blocks.alias("y"), ["block", "val"])
+        .hint("shuffle_hash")
+        .join(blocks.alias("y").hint("shuffle_hash"), ["block", "val"])
         .filter(F.col("x.id") < F.col("y.id"))
         .select(
             F.col("x.id").alias("id_a"),
