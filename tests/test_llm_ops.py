@@ -769,3 +769,41 @@ def test_winnowing_short_and_empty_docs_have_no_fingerprints(spark):
     assert got[0] == [] and got[1] == []
     assert got[2] in ([], None)
     assert len(got[3]) == 1  # exactly one k-gram -> one fingerprint
+
+
+def test_winnowing_md5_variant_same_selection_scheme(spark):
+    """The md5-gram variant (the q59 oracle gate path) applies the same
+    window-min selection: both variants produce identically-SIZED
+    fingerprint sets per document position profile for single-k-gram
+    docs, preserve the shared-substring guarantee, and keep the empty-doc
+    guard with a STRING element type."""
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    from vrod_spark.functions.text import winnow_fingerprints
+
+    rng = random.Random(29)
+
+    def rand_s(n):
+        return "".join(rng.choice(string.ascii_lowercase) for _ in range(n))
+
+    common = rand_s(40)
+    rows = [
+        (0, rand_s(60) + common + rand_s(60)),
+        (1, rand_s(50) + common + rand_s(70)),
+        (2, ""),
+        (3, "abcde"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string").select(
+        "doc_id",
+        winnow_fingerprints("text", k=5, window=4, hash_fn=F.md5).alias("fp"),
+    )
+    got = {r["doc_id"]: r["fp"] for r in df.collect()}
+    assert set(got[0]) & set(got[1]), "shared substring must share an md5 fingerprint"
+    assert got[2] == []
+    assert got[3] == [
+        "ab56b4d92b40713acc5af89985d4b786"
+    ]  # md5("abcde"): one k-gram -> one fingerprint
+    assert all(isinstance(v, str) for v in got[0])

@@ -233,7 +233,9 @@ def pii_counts(text: Column | str) -> Column:
     )
 
 
-def winnow_fingerprints(text: Column | str, *, k: int = 5, window: int = 4) -> Column:
+def winnow_fingerprints(
+    text: Column | str, *, k: int = 5, window: int = 4, hash_fn=None
+) -> Column:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
     MOSS rolling-hash scheme): hash every character ``k``-gram, then keep
     the MINIMUM hash of each sliding ``window`` of consecutive k-gram
@@ -247,11 +249,19 @@ def winnow_fingerprints(text: Column | str, *, k: int = 5, window: int = 4) -> C
     min-scans per document, embarrassingly row-parallel. (``xxhash64``
     replaces the classic Rabin-Karp incremental hash: Spark evaluates
     per-gram hashes in codegen, so recurrence buys nothing here while the
-    selection semantics stay exactly winnowing's.)"""
+    selection semantics stay exactly winnowing's.)
+
+    ``hash_fn`` swaps the k-gram hash (default ``xxhash64`` → BIGINT
+    fingerprints, the fast path). The driver gate passes ``F.md5`` —
+    string fingerprints DuckDB reproduces bit-for-bit, making the
+    selection scheme oracle-checkable; the winnowing logic is the same
+    code path for both."""
     col = F.col(text) if isinstance(text, str) else text
+    hash_fn = hash_fn or F.xxhash64
+    elem_type = "string" if hash_fn is F.md5 else "bigint"
     grams = F.transform(
         F.sequence(F.lit(1), F.length(col) - (k - 1)),
-        lambda i: F.xxhash64(F.substring(col, i, k)),
+        lambda i: hash_fn(F.substring(col, i, k)),
     )
     winnowed = F.array_distinct(
         F.transform(
@@ -264,5 +274,5 @@ def winnow_fingerprints(text: Column | str, *, k: int = 5, window: int = 4) -> C
     # when start > stop), which would fabricate fingerprints from
     # out-of-range substrings and make all short/empty docs collide.
     return F.when(F.length(col) >= k, winnowed).otherwise(
-        F.array().cast("array<bigint>")
+        F.array().cast(f"array<{elem_type}>")
     )

@@ -2924,3 +2924,43 @@ def q58_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer/Wilkerson/Aiken MOSS scheme) as
+# a driver-visible hash gate: per-doc window-min fingerprint sets over md5
+# k-gram hashes, which DuckDB reproduces bit-for-bit (list comprehension +
+# list_aggregate min over the same 1-based inclusive slices). The product
+# fast path is the same code path with xxhash64 grams (functions/text.py:
+# winnow_fingerprints); only the gram hash is swapped, so a regression in
+# the window-min selection logic breaks this gate. Deterministic doc_id
+# subsample keeps the compare at ~50 docs regardless of SF.
+# ---------------------------------------------------------------------------
+@query(
+    "q59_winnow_fingerprints",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             CASE WHEN length(text) >= 5
+                  THEN [md5(substring(text, i, 5)) FOR i IN range(1, length(text) - 3)]
+                  ELSE [] END AS grams
+      FROM documents
+      WHERE doc_id % 100 = 7
+    ), w AS (
+      SELECT doc_id,
+             list_distinct([list_aggregate(grams[j : j + 3], 'min')
+                            FOR j IN range(1, greatest(len(grams) - 3, 1) + 1)]) AS fps
+      FROM g
+      WHERE len(grams) > 0
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM w
+    """,
+)
+def q59_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vrod_spark.functions.text import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 7)
+    return docs.select(
+        "doc_id",
+        F.explode(winnow_fingerprints("text", k=5, window=4, hash_fn=F.md5)).alias("fp"),
+    )
