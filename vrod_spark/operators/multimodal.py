@@ -10,9 +10,11 @@ deps. Compressed formats decoded for real too: PNG (stdlib zlib DEFLATE
 + numpy defiltering), GIF (full LZW expansion), baseline JPEG (T.81
 Huffman + dequant + IDCT), Motion-JPEG video in RIFF/AVI containers
 (``extract_avi_mjpeg_frames``), G.711 mu-law AU audio (ITU-T expansion),
-and IMA-ADPCM WAV audio (adaptive-differential expansion). MP3/H.264
-codecs are STUBBED (psychoacoustic / motion-compensated codecs are out
-of honest pure-numpy scope and not in this container): ``decode_stub``
+IMA-ADPCM WAV audio (adaptive-differential expansion), and MPEG-1 Audio
+Layer I (spec-exact bitstream + PR-MDCT filterbank stand-in — see the
+MP1 section note). MP3-proper (Layer III) and H.264 are STUBBED
+(Huffman-coded psychoacoustic / motion-compensated codecs are out of
+honest pure-numpy scope and not in this container): ``decode_stub``
 raises
 ``NotImplementedError`` unless ``fake=True``, in which case it produces a
 deterministic fake derived from the bytes, so pipelines are end-to-end
@@ -609,8 +611,9 @@ def decode_au_features(media: DataFrame, *, n_bands: int = 8) -> DataFrame:
     """REAL compressed-audio decoding — Sun AU containers holding G.711
     μ-law data are expanded back to linear PCM with the ITU-T inverse
     formula (pure numpy, no codec library) and reduced to the same
-    AUDIO_SCHEMA features as the WAV path (rFFT band energies). MP3/AAC
-    stay stubbed (psychoacoustic codecs are out of honest scope); μ-law
+    AUDIO_SCHEMA features as the WAV path (rFFT band energies). Layer
+    III/AAC stay stubbed (psychoacoustic codecs are out of honest
+    scope; MPEG-1 Layer I is real — see the MP1 section); μ-law
     proves a genuinely lossy-compressed audio format decodes through the
     identical mapInPandas plumbing."""
 
@@ -844,7 +847,8 @@ def decode_gif_features(media: DataFrame) -> DataFrame:
 # markers) for fixtures; decoder is a general baseline decoder: marker
 # parse, DQT (8/16-bit), DHT canonical Huffman, SOF0/SOF1, restart
 # intervals, per-component sampling factors, dequant + 8x8 IDCT +
-# upsample + YCbCr->RGB. MP3/H.264 remain the declared stubs.
+# upsample + YCbCr->RGB. Layer III ("MP3") / H.264 remain the declared
+# stubs.
 # ---------------------------------------------------------------------------
 
 def _jpeg_zigzag() -> list[int]:
@@ -1358,7 +1362,8 @@ def decode_jpeg_features(media: DataFrame) -> DataFrame:
     byte-unstuffed entropy scan, dequant + orthonormal 8x8 IDCT, nearest
     chroma upsample, BT.601 full-range YCbCr->RGB. Emits the shared
     IMAGE_SCHEMA (dims + channel means) so the q51 gate hash-checks it
-    beside PPM/PNG/GIF. MP3/H.264 remain the declared stubs.
+    beside PPM/PNG/GIF. Layer III ("MP3") / H.264 remain the declared
+    stubs.
 
     Scale shape is identical to the other decoders: blobs decode where
     they sit inside Arrow batches; only ids + metadata ever shuffle."""
@@ -1392,8 +1397,9 @@ def decode_jpeg_features(media: DataFrame) -> DataFrame:
 # A REAL lossy audio codec with an exact public spec (IMA ADPCM, WAV format
 # tag 0x11): 16-bit PCM compressed 4:1 to 4-bit adaptive-differential
 # nibbles. Complements G.711 mu-law (companding) with a predictive codec;
-# MP3 remains the declared stub (its psychoacoustic filterbank is out of
-# honest pure-numpy scope).
+# MPEG-1 Layer I adds the subband-coding family (see the MP1 section);
+# Layer III ("MP3" proper) remains the declared stub (its Huffman +
+# psychoacoustic layer is out of honest pure-numpy scope).
 
 _IMA_STEP_TABLE = [
     7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
@@ -1736,3 +1742,246 @@ def extract_avi_mjpeg_frames(media: DataFrame, *, every_n: int = 1) -> DataFrame
             yield pd.DataFrame(out)
 
     return media.mapInPandas(work, VIDEO_FRAME_SCHEMA)
+
+
+# -- MPEG-1 Audio Layer I ("MP1") --------------------------------------------
+# A REAL perceptual-audio-family codec leg: the bitstream layer is exact to
+# ISO/IEC 11172-3 — frame header fields (syncword/ID/layer/bitrate index/
+# sampling index/padding/mode), Layer I bit allocation (4-bit codes, nb =
+# code + 1), the closed-form Table B.1 scalefactors sf[i] = 2^(1 - i/3),
+# and the Layer I requantization  s = sf * (2^nb/(2^nb-1)) * (raw/2^(nb-1)
+# - 1 + 2^(1-nb)).  The 32-band filterbank is a PERFECT-RECONSTRUCTION
+# cosine-modulated (MDCT/Princen-Bradley, closed-form sine window) stand-in
+# for the ISO pseudo-QMF: the spec's 512-tap Table-B.3 window is a numeric
+# table with no closed form, so it cannot be honestly reproduced here; the
+# MDCT bank keeps the exact 12x32-subband-sample frame structure and gives
+# bit-exact roundtrips of our own encoder up to quantization (pytest pins
+# >0.999 tone correlation and exact spectral peaks). Decoding third-party
+# Layer I streams parses bit-exactly but reconstructs through the stand-in
+# window (documented approximation). Layer III (actual "MP3" with Huffman
+# + psychoacoustics) and H.264 remain the declared stubs.
+# Reference parity: vRod stores/streams opaque media blobs; this leg models
+# the decode stage of a multimodal training pipeline over such blobs.
+
+_MP1_BITRATES = [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448]
+_MP1_SRATES = [44100, 48000, 32000]
+
+
+def _mp1_mdct_bank():
+    """(32, 64) windowed MDCT kernel: analysis rows; synthesis is the
+    transpose overlap-add of the same kernel (orthogonal, PR)."""
+    import numpy as np
+
+    n = np.arange(64)
+    h = np.sin(np.pi * (n + 0.5) / 64)
+    k = np.arange(32)[:, None]
+    return (
+        h[None, :]
+        * np.cos(np.pi / 32 * (n[None, :] + 0.5 + 16) * (k + 0.5))
+        * np.sqrt(2.0 / 32)
+    )
+
+
+def make_mp1_bytes(
+    freq_hz: float,
+    *,
+    seconds: float = 0.24,
+    rate: int = 32000,
+    bitrate_kbps: int = 448,
+    nb_bits: int = 10,
+) -> bytes:
+    """Encode a sine tone as an MPEG-1 Layer I mono stream (test/demo
+    helper — deterministic, numpy-only). Frame syntax is spec-exact; the
+    analysis filterbank is the PR MDCT bank (see module note above)."""
+    import numpy as np
+
+    sr_idx = _MP1_SRATES.index(rate)
+    br_idx = _MP1_BITRATES.index(bitrate_kbps)
+    frame_bytes = (12 * bitrate_kbps * 1000 // rate) * 4
+    body_bits = frame_bytes * 8 - 32
+    if 32 * 4 + 32 * 6 + 12 * 32 * nb_bits > body_bits:
+        raise ValueError("nb_bits does not fit the Layer I frame at this bitrate")
+    A = _mp1_mdct_bank()
+    sf_tab = 2.0 ** (1.0 - np.arange(63) / 3.0)
+    n_frames = max(1, int(rate * seconds) // 384)
+    total = n_frames * 384
+    t = np.arange(total + 64) / rate
+    x = 0.3 * np.sin(2 * np.pi * freq_hz * t)
+    nblk = n_frames * 12
+    S = np.empty((nblk, 32))
+    for m in range(nblk):
+        S[m] = A @ x[m * 32 : m * 32 + 64]
+    c = (1 << nb_bits) / ((1 << nb_bits) - 1.0)
+    d = 2.0 ** (1 - nb_bits)
+    half = 1 << (nb_bits - 1)
+    alloc_code = nb_bits - 1
+
+    out = bytearray()
+    for f in range(n_frames):
+        blk = S[f * 12 : (f + 1) * 12]
+        smax = np.abs(blk).max(axis=0)
+        sf_idx = np.clip(np.searchsorted(-sf_tab, -smax), 0, 62)
+        sf = sf_tab[sf_idx]
+        raw = np.clip(
+            np.round((blk / sf[None, :] / c - d + 1.0) * half), 0, (1 << nb_bits) - 1
+        ).astype(np.int64)
+        acc, nacc, buf = 0, 0, bytearray()
+
+        def put(v: int, width: int) -> None:
+            nonlocal acc, nacc
+            acc = (acc << width) | (int(v) & ((1 << width) - 1))
+            nacc += width
+            while nacc >= 8:
+                nacc -= 8
+                buf.append((acc >> nacc) & 0xFF)
+
+        put(0xFFF, 12)      # syncword
+        put(1, 1)           # ID: MPEG-1
+        put(0b11, 2)        # layer I
+        put(1, 1)           # protection bit: no CRC
+        put(br_idx, 4)
+        put(sr_idx, 2)
+        put(0, 1)           # padding
+        put(0, 1)           # private
+        put(0b11, 2)        # mode: single channel
+        put(0, 2)           # mode extension
+        put(0, 1)           # copyright
+        put(1, 1)           # original
+        put(0, 2)           # emphasis
+        for sb in range(32):
+            put(alloc_code, 4)
+        for sb in range(32):
+            put(int(sf_idx[sb]), 6)
+        for s in range(12):
+            for sb in range(32):
+                put(int(raw[s, sb]), nb_bits)
+        if nacc:
+            put(0, 8 - nacc)
+        buf.extend(b"\x00" * (frame_bytes - len(buf)))
+        out.extend(buf)
+    return bytes(out)
+
+
+def _mp1_parser():
+    """Self-contained Layer I parser closure (pickled by value into the
+    Python workers — no vrod_spark import on the worker path). Returns
+    ``parse_mp1(bytes) -> (rate, pcm float64) | (None, None)``."""
+
+    def parse_mp1(b: bytes):
+        import numpy as np
+
+        bitrates = [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448]
+        srates = [44100, 48000, 32000]
+        sf_tab = 2.0 ** (1.0 - np.arange(63) / 3.0)
+        n = np.arange(64)
+        h = np.sin(np.pi * (n + 0.5) / 64)
+        k = np.arange(32)[:, None]
+        A = (
+            h[None, :]
+            * np.cos(np.pi / 32 * (n[None, :] + 0.5 + 16) * (k + 0.5))
+            * np.sqrt(2.0 / 32)
+        )
+        data = np.frombuffer(bytes(b), dtype=np.uint8)
+        pos, rate, frames = 0, None, []
+        while pos + 4 <= len(data):
+            if not (data[pos] == 0xFF and (data[pos + 1] & 0xF0) == 0xF0):
+                pos += 1
+                continue
+            hdr = (
+                (int(data[pos]) << 24)
+                | (int(data[pos + 1]) << 16)
+                | (int(data[pos + 2]) << 8)
+                | int(data[pos + 3])
+            )
+            mpeg1 = (hdr >> 19) & 1
+            layer = (hdr >> 17) & 3
+            protection = (hdr >> 16) & 1
+            br_idx = (hdr >> 12) & 0xF
+            sr_idx = (hdr >> 10) & 3
+            padding = (hdr >> 9) & 1
+            mode = (hdr >> 6) & 3
+            if mpeg1 != 1 or layer != 0b11 or br_idx in (0, 15) or sr_idx == 3:
+                pos += 1
+                continue
+            rate = srates[sr_idx]
+            frame_bytes = (12 * bitrates[br_idx] * 1000 // rate + padding) * 4
+            frame = data[pos : pos + frame_bytes]
+            if len(frame) < frame_bytes:
+                break
+            bits = np.unpackbits(frame)
+            bp = 32 + (16 if protection == 0 else 0)
+            nch = 1 if mode == 0b11 else 2
+
+            def get(width: int) -> int:
+                nonlocal bp
+                v = 0
+                for bit in bits[bp : bp + width]:
+                    v = (v << 1) | int(bit)
+                bp += width
+                return v
+
+            alloc = [[get(4) for _ in range(32)] for _ in range(nch)]
+            nb = [[(a + 1) if 0 < a < 15 else 0 for a in ch] for ch in alloc]
+            sfi = [
+                [get(6) if nb[ch][sb] else 0 for sb in range(32)] for ch in range(nch)
+            ]
+            S = np.zeros((12, 32))
+            for s in range(12):
+                for ch in range(nch):
+                    for sb in range(32):
+                        w = nb[ch][sb]
+                        if w == 0:
+                            continue
+                        raw = get(w)
+                        c = (1 << w) / ((1 << w) - 1.0)
+                        d = 2.0 ** (1 - w)
+                        val = c * (raw / (1 << (w - 1)) - 1.0 + d) * sf_tab[sfi[ch][sb]]
+                        S[s, sb] += val / nch
+            frames.append(S)
+            pos += frame_bytes
+        if not frames:
+            return None, None
+        S = np.concatenate(frames, axis=0)
+        contrib = S @ A
+        y = np.zeros(len(S) * 32 + 64)
+        for m in range(len(S)):
+            y[m * 32 : m * 32 + 64] += contrib[m]
+        return rate, y[: len(S) * 32]
+
+    return parse_mp1
+
+
+def decode_mp1_features(media: DataFrame, *, n_bands: int = 8) -> DataFrame:
+    """REAL MPEG-1 Layer I audio decoding (bitstream exact; PR-MDCT
+    filterbank stand-in — see module note): AUDIO_SCHEMA features exactly
+    like the WAV/AU/ADPCM legs, so the q51 gate hash-checks the
+    header-derived metadata (sample rate, decoded frame count, duration)
+    and pytest pins spectral fidelity."""
+    bands = n_bands
+    parse_mp1 = _mp1_parser()
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "sample_rate": [], "n_frames": [],
+                "duration_ms": [], "band_energy": [],
+            }
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                rate, pcm = parse_mp1(bytes(content))
+                if rate is None:
+                    continue
+                spec = np.abs(np.fft.rfft(pcm))
+                chunks = np.array_split(np.log1p(spec), bands)
+                energy = np.array(
+                    [c.mean() if len(c) else 0.0 for c in chunks], dtype=np.float32
+                )
+                out["media_id"].append(media_id)
+                out["sample_rate"].append(rate)
+                out["n_frames"].append(len(pcm))
+                out["duration_ms"].append(int(len(pcm) * 1000 / max(rate, 1)))
+                out["band_energy"].append(energy.tolist())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode, AUDIO_SCHEMA)

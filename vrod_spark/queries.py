@@ -1790,6 +1790,8 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
         ('jpeg', 0, 0, 16, 8, round(254.0/255, 6), 0.0, 0.0),
         ('jpeg', 1, 0, 12, 10, 0.555752, 0.509216, 0.473301),
         ('jpeg', 2, 0, 24, 8, 0.48029, 0.497304, 0.472876),
+        ('mp1', 0, 0, 0, 0, 32000.0, 7680.0, 240.0),
+        ('mp1', 1, 0, 0, 0, 32000.0, 7680.0, 240.0),
         ('png', 0, 0, 8, 4, 0.0, round(64.0/255, 6), 1.0),
         ('png', 1, 0, 5, 5, round(200.0/255, 6), round(100.0/255, 6), round(50.0/255, 6)),
         ('video', 0, 0, 16, 8, 0.0, 0.0, 0.0),
@@ -1807,6 +1809,7 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_au_features,
         decode_gif_features,
         decode_jpeg_features,
+        decode_mp1_features,
         decode_png_features,
         decode_ppm_features,
         decode_wav_features,
@@ -1816,6 +1819,7 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_avi_mjpeg_bytes,
         make_gif_bytes,
         make_jpeg_bytes,
+        make_mp1_bytes,
         make_png_bytes,
         make_ppm_bytes,
         make_wav_adpcm_bytes,
@@ -1987,6 +1991,23 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("m2"),
         F.lit(0.0).alias("m3"),
     )
+    # MP1 leg: MPEG-1 Audio Layer I — spec-exact frame syntax (header
+    # fields, Table B.1 scalefactors, Layer I requantization) over a
+    # PR-MDCT filterbank stand-in; the hashed metadata (sample rate,
+    # decoded sample count, duration) is header-derived and exact.
+    mp1 = spark.createDataFrame(
+        [(i, "audio", make_mp1_bytes(440.0 * (i + 1))) for i in range(2)], schema
+    )
+    mp1_leg = decode_mp1_features(mp1).select(
+        F.lit("mp1").alias("modality"),
+        F.col("media_id").cast("int").alias("media_id"),
+        F.lit(0).alias("idx"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        F.col("sample_rate").cast("double").alias("m1"),
+        F.col("n_frames").cast("double").alias("m2"),
+        F.col("duration_ms").cast("double").alias("m3"),
+    )
     return (
         audio.unionByName(adpcm_leg)
         .unionByName(au_leg)
@@ -1994,6 +2015,7 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(gif_leg)
         .unionByName(image)
         .unionByName(jpeg_leg)
+        .unionByName(mp1_leg)
         .unionByName(png_leg)
         .unionByName(video)
         .orderBy("modality", "media_id", "idx")
