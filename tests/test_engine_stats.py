@@ -206,3 +206,61 @@ def test_drop_unregisters_catalog_tables(engine, spark):
     assert tbl is not None and spark.catalog.tableExists(tbl)
     engine.execute("DROP", collection="docs")
     assert not spark.catalog.tableExists(tbl)
+
+
+def test_cbo_stats_reorder_multi_join(engine, spark):
+    """The q56 deep-join shape: with ANALYZE stats + CBO joinReorder, the
+    optimizer MOVES the selectively-filtered dimension (NDV proves the
+    equality filter hits ~1 row) ahead of the unfiltered one, shrinking
+    the intermediate fact join; size-only planning keeps the written
+    order. Pinned on the optimized logical plan's join tree: the subtree
+    joined first prints before the later one."""
+    import hashlib
+
+    for name in ("fact", "d1", "d2"):
+        engine.execute("CREATE", collection=name)
+    fact = spark.range(100000).select(
+        F.col("id"),
+        F.array(*[F.rand(i).cast("float") for i in range(8)]).alias("embedding"),
+        (F.col("id") % 8000).cast("string").alias("payload"),
+        F.create_map(F.lit("k"), F.lit("v")).alias("meta"),
+    )
+    d1 = spark.range(20000).select(
+        F.col("id"),
+        F.array(F.rand(2).cast("float")).alias("embedding"),
+        (F.col("id") % 9777).cast("string").alias("payload"),
+        F.create_map(F.lit("k"), F.lit("v")).alias("meta"),
+    )
+    # d2 payload is unique per row (NDV = rows) -> CBO estimates the
+    # equality filter at ~1 row and reorders it in front of d1.
+    d2 = spark.range(30000).select(
+        F.col("id"),
+        F.array(F.rand(3).cast("float")).alias("embedding"),
+        F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        F.create_map(F.lit("k"), F.lit("v")).alias("meta"),
+    )
+    engine.execute("BULKINSERT", collection="fact", arg=fact)
+    engine.execute("BULKINSERT", collection="d1", arg=d1)
+    engine.execute("BULKINSERT", collection="d2", arg=d2)
+
+    key7 = hashlib.sha256(b"7").hexdigest()
+    q = (
+        "SELECT sum(size(f.embedding)) AS n FROM fact f "
+        "JOIN d1 ON f.payload = CAST(d1.id AS string) "
+        f"JOIN d2 ON f.payload = CAST(d2.id AS string) WHERE d2.payload = '{key7}'"
+    )
+
+    def join_order(cbo: bool) -> tuple[int, int]:
+        session = spark.newSession()
+        session.conf.set("spark.sql.cbo.enabled", str(cbo).lower())
+        session.conf.set("spark.sql.cbo.joinReorder.enabled", str(cbo).lower())
+        for name in ("fact", "d1", "d2"):
+            assert engine.db.collection(name).analyzed_table_if_fresh(session) is not None
+        session.catalog.setCurrentDatabase(engine.db.collection("d2").sql_namespace())
+        plan = session.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+        return plan.find(".d1["), plan.find(".d2[")
+
+    i1, i2 = join_order(False)
+    assert 0 <= i1 < i2, "size-only planning keeps the written d1-then-d2 order"
+    i1, i2 = join_order(True)
+    assert 0 <= i2 < i1, "CBO joinReorder moves the filtered dim ahead of d1"

@@ -890,3 +890,28 @@ def test_mp1_bitstream_layer_is_spec_exact():
         raw = np.clip(np.round((x / c - d + 1.0) * half), 0, (1 << nb) - 1)
         back = c * (raw / half - 1.0 + d)
         assert np.abs(back - x).max() <= c / half + 1e-12
+
+
+def test_best_available_embedder_fallback_chain(spark, tmp_path):
+    """The model seam resolves WHATEVER this env offers and the pipeline
+    runs end-to-end with it: fastembed -> sentence-transformers ->
+    deterministic stand-in. In this container that lands on the
+    deterministic backend; on an env with either ML lib the same call
+    auto-activates the real model (and the dedicated importorskip test
+    pins the real dimensions)."""
+    from vrod_spark.pipeline import best_available_embedder, embed_corpus
+
+    embedder, dim, backend = best_available_embedder(dim=32)
+    assert backend in ("fastembed", "sentence-transformers", "deterministic")
+    if backend == "deterministic":
+        assert dim == 32
+    else:
+        assert dim >= 128  # real sentence models are at least this wide
+
+    corpus_path = str(tmp_path / "corpus.txt")
+    with open(corpus_path, "w") as f:
+        f.write("the seam resolves a working embedder everywhere\n")
+    df = embed_corpus(spark, corpus_path, dim=dim, embedder=embedder)
+    rows = df.collect()
+    assert len(rows) == 7
+    assert all(len(r["embedding"]) == dim for r in rows)

@@ -61,6 +61,45 @@ def deterministic_embedder(dim: int = 64) -> Callable[[pd.Series], pd.Series]:
     return embed
 
 
+def best_available_embedder(
+    dim: int = 64, *, model_name: str = "BAAI/bge-small-en-v1.5"
+) -> tuple[Callable[[pd.Series], pd.Series], int, str]:
+    """Resolve the best embedder this environment can offer, with graceful
+    fallback: real fastembed model (the reference's embedder,
+    embeddings.rs:7,29-31) → sentence-transformers → the deterministic
+    hash-projection stand-in. Returns ``(embedder, output_dim, backend)``
+    so callers can pin schema width to whatever actually loaded. Zero
+    hard dependencies: the ML imports are attempted lazily and any
+    failure (missing package, missing model weights, no network) falls
+    through to the next backend. The moment the env gains fastembed or
+    sentence-transformers, every caller — and the auto-skip real-model
+    pytest — picks up the real model with no code change."""
+    try:
+        from fastembed import TextEmbedding  # type: ignore
+
+        model = TextEmbedding(model_name)
+
+        def embed_fast(words: pd.Series) -> pd.Series:
+            return pd.Series([list(map(float, v)) for v in model.embed(list(words))])
+
+        return embed_fast, 384, "fastembed"
+    except Exception:
+        pass
+    try:
+        from sentence_transformers import SentenceTransformer  # type: ignore
+
+        st = SentenceTransformer(model_name)
+
+        def embed_st(words: pd.Series) -> pd.Series:
+            vecs = st.encode(list(words), normalize_embeddings=True)
+            return pd.Series([list(map(float, v)) for v in vecs])
+
+        return embed_st, int(st.get_sentence_embedding_dimension()), "sentence-transformers"
+    except Exception:
+        pass
+    return deterministic_embedder(dim), dim, "deterministic"
+
+
 def tokenize_corpus(spark: SparkSession, path: str, limit: int | None = None) -> DataFrame:
     """Stage 1+2: scan a text corpus, whitespace-tokenize order-preserving
     (posexplode keeps (line, position) so `limit` means "first N words of
