@@ -60,6 +60,13 @@ def get_spark(
         # its compiled operators resident (read at first codegen — must be
         # set at session build, not at runtime).
         .config("spark.sql.codegen.cache.maxEntries", "4096")
+        # Python workers over Unix domain sockets (Spark 4.1+): the local
+        # TCP loopback path pays Nagle/delayed-ACK style stalls on every
+        # JVM->worker task handshake (~60 ms per python-boundary job
+        # measured on this kernel); UDS has no such machinery. Safe on a
+        # single host; on a cluster the sockets are per-executor-local
+        # anyway.
+        .config("spark.python.unix.domain.socket.enabled", "true")
         # Quiet UI/retries for non-interactive runs.
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
