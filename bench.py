@@ -93,7 +93,6 @@ HEADLINE = [
     "q54_mixture_sampling",
     "q57_skew_salted_join",
     "q58_pii_redaction",
-    "q59_winnow_fingerprints",
 ]
 
 

@@ -915,3 +915,40 @@ def test_best_available_embedder_fallback_chain(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == 7
     assert all(len(r["embedding"]) == dim for r in rows)
+
+
+def test_winnowing_relational_equals_array_form(spark):
+    """The q49 gate's relational winnowing pipeline (explode → window-min
+    → distinct, all codegen) selects EXACTLY the same fingerprint sets
+    as the per-row array form (winnow_fingerprints with md5 grams) —
+    same k-gram hashes, same window-min positions, same dedup."""
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    from vrod_spark.functions.text import (
+        winnow_fingerprints,
+        winnow_fingerprints_relational,
+    )
+
+    rng = random.Random(41)
+
+    def rand_s(n):
+        return "".join(rng.choice(string.ascii_lowercase + " ") for _ in range(n))
+
+    rows = [(i, rand_s(rng.randint(0, 300))) for i in range(30)] + [
+        (100, ""), (101, "abcd"), (102, "abcde"), (103, None)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    arr = {
+        r["doc_id"]: set(r["fp"] or [])
+        for r in df.select(
+            "doc_id", winnow_fingerprints("text", k=5, window=4, hash_fn=F.md5).alias("fp")
+        ).collect()
+    }
+    rel: dict[int, set] = {}
+    for r in winnow_fingerprints_relational(df, k=5, window=4).collect():
+        rel.setdefault(r["doc_id"], set()).add(r["fp"])
+    for doc_id, fps in arr.items():
+        assert rel.get(doc_id, set()) == fps, doc_id

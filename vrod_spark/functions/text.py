@@ -276,3 +276,67 @@ def winnow_fingerprints(
     return F.when(F.length(col) >= k, winnowed).otherwise(
         F.array().cast(f"array<{elem_type}>")
     )
+
+
+def winnow_fingerprints_relational(
+    df,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    carry: tuple[str, ...] = (),
+):
+    """Winnowing as a RELATIONAL pipeline — the same window-min selection
+    as :func:`winnow_fingerprints`, but staged as explode → window-min →
+    distinct so every step stays inside whole-stage codegen / the
+    window operator. The array form's higher-order expressions are
+    CodegenFallback (interpreted, measured ~60 µs per gram — 100× the
+    codegen path) and, being a projection, get pushed below repartitions
+    onto a single-file scan task; this form is the one to use when the
+    gram volume matters. md5 gram hashes (strings) keep the output
+    oracle-comparable cross-engine.
+
+    Returns one row per (document, distinct fingerprint):
+    ``id_col, *carry, n_grams, fp`` (``n_grams`` = k-gram count of the
+    document, constant per doc — the winnowing-density denominator).
+    Shuffle cost: one exchange of (doc, md5) gram rows for the
+    per-document window — O(chars sampled), map-side nothing to combine;
+    callers bound the input (sampling / length caps) when winnowing a
+    whole corpus is not the goal.
+    """
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+    grams = (
+        df.filter(F.length(t) >= k)
+        .select(
+            id_col,
+            *carry,
+            (F.length(t) - (k - 1)).alias("_n"),
+            F.explode(F.sequence(F.lit(1), F.length(t) - (k - 1))).alias("_i"),
+            t.alias("_t"),
+        )
+        .select(
+            id_col,
+            *carry,
+            "_n",
+            "_i",
+            F.md5(F.expr(f"substring(_t, _i, {k})")).alias("_g"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("_i").rowsBetween(0, window - 1)
+    return (
+        grams.withColumn("_wmin", F.min("_g").over(w))
+        # winnowing takes windows starting at 1..max(n-(w-1), 1); the
+        # final w-1 positions are partial windows the scheme skips
+        # (except when the doc has fewer grams than one full window).
+        .filter(F.col("_i") <= F.greatest(F.col("_n") - (window - 1), F.lit(1)))
+        .select(
+            id_col,
+            *carry,
+            F.col("_n").cast("bigint").alias("n_grams"),
+            F.col("_wmin").alias("fp"),
+        )
+        .distinct()
+    )

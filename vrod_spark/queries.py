@@ -2041,30 +2041,103 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM w a
       JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
       JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ),
+    rep AS (
+      SELECT doc_id,
+             count(*) AS n_shingles,
+             count(DISTINCT sh) AS n_distinct,
+             round(1 - count(DISTINCT sh)::DOUBLE / count(*), 6) AS rep_ratio
+      FROM tri
+      GROUP BY doc_id
+      ORDER BY rep_ratio DESC, doc_id
+      LIMIT 20
+    ),
+    wg AS (
+      SELECT doc_id,
+             CASE WHEN length(text) >= 5
+                  THEN [md5(substring(text, i, 5)) FOR i IN range(1, length(text) - 3)]
+                  ELSE [] END AS grams
+      FROM documents
+      WHERE doc_id % 100 = 7
+    ),
+    wfp AS (
+      SELECT doc_id,
+             len(grams)::BIGINT AS n_grams,
+             list_distinct([list_aggregate(grams[j : j + 3], 'min')
+                            FOR j IN range(1, greatest(len(grams) - 3, 1) + 1)]) AS fps
+      FROM wg WHERE len(grams) > 0
+    ),
+    win AS (
+      SELECT doc_id,
+             len(fps)::BIGINT AS v1,
+             coalesce(list_sum(list_transform(
+                 fps, f -> ('0x' || substring(f, 1, 15))::BIGINT % 1000003)), 0)::BIGINT AS v2,
+             round(len(fps)::DOUBLE / n_grams, 6) AS v3
+      FROM wfp
     )
-    SELECT doc_id,
-           count(*) AS n_shingles,
-           count(DISTINCT sh) AS n_distinct,
-           round(1 - count(DISTINCT sh)::DOUBLE / count(*), 6) AS rep_ratio
-    FROM tri
-    GROUP BY doc_id
-    ORDER BY rep_ratio DESC, doc_id
-    LIMIT 20
+    SELECT 'repetition' AS metric, doc_id,
+           n_shingles AS v1, n_distinct AS v2, rep_ratio AS v3 FROM rep
+    UNION ALL
+    SELECT 'winnow' AS metric, doc_id, v1, v2, v3 FROM win
+    ORDER BY metric, doc_id
     """,
 )
 def q49_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vrod_spark.functions.text import repetition_stats, tokens
+    """Two per-document text-analysis legs in one tagged gate:
+
+    - ``repetition`` — intra-doc 3-gram repetition (Gopher/C4 signal),
+      top-20 most repetitive documents.
+    - ``winnow`` — winnowing fingerprints (MOSS window-min scheme,
+      SURVEY §2.3) made driver-visible: per sampled document the distinct
+      fingerprint count, a value checksum (sum of 60-bit hex prefixes
+      mod 1e6+3 — any change in the window-min selection moves it and
+      breaks the hash), and the selection density fps/grams (theory:
+      ≈ 2/(window+1)). The relational pipeline keeps every step inside
+      codegen/window operators (functions/text.winnow_fingerprints_
+      relational; the per-row array form's higher-order exprs are
+      interpreted and get projection-pushed onto the single scan task);
+      the doc_id % 100 subsample bounds the per-char gram explosion at
+      any scale factor. md5 grams match the DuckDB twin bit-for-bit, and
+      a pytest pins the relational pipeline equal to the array form.
+    """
+    from vrod_spark.functions.text import (
+        repetition_stats,
+        tokens,
+        winnow_fingerprints_relational,
+    )
 
     docs = _t(spark, sf_dir, "documents")
     toked = docs.select("doc_id", tokens("text").alias("toks")).filter(
         F.size("toks") >= 3
     )
-    return (
+    rep = (
         toked.select("doc_id", repetition_stats(F.col("toks")).alias("r"))
-        .select("doc_id", "r.n_shingles", "r.n_distinct", "r.rep_ratio")
-        .orderBy(F.col("rep_ratio").desc(), "doc_id")
+        .select(
+            F.lit("repetition").alias("metric"),
+            "doc_id",
+            F.col("r.n_shingles").alias("v1"),
+            F.col("r.n_distinct").alias("v2"),
+            F.col("r.rep_ratio").alias("v3"),
+        )
+        .orderBy(F.col("v3").desc(), "doc_id")
         .limit(20)
     )
+    fp60 = F.conv(F.substring(F.col("fp"), 1, 15), 16, 10).cast("long") % 1000003
+    win = (
+        winnow_fingerprints_relational(
+            docs.filter(F.col("doc_id") % 100 == 7), k=5, window=4
+        )
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_fps"), F.sum(fp60).alias("checksum"))
+        .select(
+            F.lit("winnow").alias("metric"),
+            "doc_id",
+            F.col("n_fps").alias("v1"),
+            F.col("checksum").alias("v2"),
+            F.round(F.col("n_fps") / F.col("n_grams").cast("double"), 6).alias("v3"),
+        )
+    )
+    return rep.unionByName(win).orderBy("metric", "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -2948,41 +3021,3 @@ def q58_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# Winnowing document fingerprints (Schleimer/Wilkerson/Aiken MOSS scheme) as
-# a driver-visible hash gate: per-doc window-min fingerprint sets over md5
-# k-gram hashes, which DuckDB reproduces bit-for-bit (list comprehension +
-# list_aggregate min over the same 1-based inclusive slices). The product
-# fast path is the same code path with xxhash64 grams (functions/text.py:
-# winnow_fingerprints); only the gram hash is swapped, so a regression in
-# the window-min selection logic breaks this gate. Deterministic doc_id
-# subsample keeps the compare at ~50 docs regardless of SF.
-# ---------------------------------------------------------------------------
-@query(
-    "q59_winnow_fingerprints",
-    oracle="""
-    WITH g AS (
-      SELECT doc_id,
-             CASE WHEN length(text) >= 5
-                  THEN [md5(substring(text, i, 5)) FOR i IN range(1, length(text) - 3)]
-                  ELSE [] END AS grams
-      FROM documents
-      WHERE doc_id % 100 = 7
-    ), w AS (
-      SELECT doc_id,
-             list_distinct([list_aggregate(grams[j : j + 3], 'min')
-                            FOR j IN range(1, greatest(len(grams) - 3, 1) + 1)]) AS fps
-      FROM g
-      WHERE len(grams) > 0
-    )
-    SELECT doc_id, unnest(fps) AS fp FROM w
-    """,
-)
-def q59_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vrod_spark.functions.text import winnow_fingerprints
-
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 7)
-    return docs.select(
-        "doc_id",
-        F.explode(winnow_fingerprints("text", k=5, window=4, hash_fn=F.md5)).alias("fp"),
-    )
