@@ -150,3 +150,66 @@ def test_events_ts_predicate_pushes_to_scan(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts," in plan
     # Column pruning holds through the projection: no props/user_id read.
     assert "props" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def _executed_plan(df) -> str:
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_near_dup_self_joins_reuse_one_signature_pipeline(spark, sf_dir):
+    """The pair-generating self-joins (MinHash banding, SimHash blocks,
+    Jaccard postings) must plan both sides as IDENTICAL shuffle exchanges
+    so ReuseExchange computes the signature/shingle pipeline once. With
+    the default broadcast strategy one side becomes a BroadcastExchange —
+    a different exchange kind — and the whole upstream pipeline executes
+    twice (the r6 plans did exactly that: every shingle hashed k times
+    per side). Executed-plan check: AQE only materializes reuse at
+    runtime."""
+    from vrod_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    for name, df in (
+        ("minhash", minhash_lsh_pairs(docs, k=32, bands=16, n=3, min_jaccard=0.2)),
+        ("simhash", simhash_pairs(docs, max_hamming=4, bands=8)),
+        ("jaccard", jaccard_pairs(docs, n=3, max_shingle_df=20)),
+    ):
+        plan = _executed_plan(df)
+        assert "ReusedExchange" in plan, f"{name}: signature pipeline not reused"
+        assert "BroadcastExchange" not in plan, (
+            f"{name}: a broadcast side defeats exchange reuse"
+        )
+        assert "ShuffledHashJoin" in plan, name
+
+
+def test_simhash_python_stage_runs_on_widened_partitioning(spark, sf_dir):
+    """The SimHash majority vote is a mapInPandas OPERATOR pinned above
+    the widen() repartition. The earlier pandas_udf expression form was
+    an ArrowEvalPython node that projection-pushdown legally moved BELOW
+    the round-robin exchange — serializing the whole signature
+    computation onto the single scan task of a one-row-group file."""
+    from vrod_spark.operators.dedup import simhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _executed_plan(simhash_signatures(docs))
+    assert "MapInPandas" in plan
+    # the exchange (widen repartition) must sit BELOW the python stage:
+    # in the tree printout the child prints after its parent.
+    assert plan.index("MapInPandas") < plan.index("Exchange RoundRobinPartitioning")
+
+
+def test_winnow_relational_stays_in_codegen_and_window(spark, sf_dir):
+    """The q49 winnow leg's gram hashing must be codegen (a Project of
+    md5 over the exploded positions feeding a window-min), never an
+    interpreted higher-order transform: no ArrowEvalPython / BatchEval
+    node, exactly one Window operator."""
+    from vrod_spark.functions.text import winnow_fingerprints_relational
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 7)
+    plan = _executed_plan(winnow_fingerprints_relational(docs))
+    assert "Window" in plan
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
