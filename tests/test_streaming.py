@@ -214,3 +214,67 @@ def test_abandonment_timers_roundtrip_if_protobuf(spark, sf_dir):
             assert got.get(eid) == want, eid
         elif r["c_us"] + delay + 2_000_000 < wm_us:
             assert got.get(eid) == want, eid
+
+
+def test_streaming_near_dup_suppresses_across_batches(spark, tmp_path):
+    """Streaming near-dup suppression (MinHash-LSH bucket state): exact
+    and near duplicates are flagged against documents admitted in EARLIER
+    micro-batches (state persists across batches), novel documents pass,
+    and per-bucket verdicts consolidate by min(dup_of)."""
+    from pyspark.sql import functions as F
+
+    from vrod_spark.streaming.ingest import run_to_completion
+    from vrod_spark.streaming.stateful import streaming_near_dup
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    near = base.replace("today", "tonight")
+    far = "completely different words about spark catalyst optimizer plans and shuffles"
+    schema = "doc_id bigint, text string"
+    src = tmp_path / "docs"
+    # Two deliveries: the dup/near-dup of doc 0 arrive in the SECOND
+    # micro-batch, so detection must come from persisted bucket state.
+    spark.createDataFrame([(0, base), (1, far)], schema).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    spark.createDataFrame(
+        [(2, base), (3, near), (4, "short text")], schema
+    ).coalesce(1).write.parquet(str(src / "b1"))
+
+    def build(session):
+        stream = (
+            session.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "*"))
+        )
+        return streaming_near_dup(stream, min_sig_agreement=0.5)
+
+    out = run_to_completion(build, spark, output_mode="update", state_partitions=2)
+    flags = {
+        r["doc_id"]: r["dup_of"]
+        for r in out.groupBy("doc_id").agg(F.min("dup_of").alias("dup_of")).collect()
+    }
+    assert flags[0] is None and flags[1] is None and flags[4] is None
+    assert flags[2] == 0  # exact dup, later batch -> identical signature
+    assert flags[3] == 0  # 1-word edit -> high signature agreement
+    # the dup documents never entered state: a third identical doc still
+    # points at the ORIGINAL admit, not at another dup.
+    assert len(flags) == 5
+
+
+def test_minhash_signature_expr_matches_agg_form(spark, sf_dir):
+    """The per-row signature expression (the streaming path's stateless
+    projection) is bit-identical to the batch explode+agg signature."""
+    from vrod_spark.operators.dedup import minhash_signature, minhash_signature_expr
+    from vrod_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 37 == 1)
+    agg = {r["id"]: list(r["sig"]) for r in minhash_signature(docs, k=16, n=3).collect()}
+    expr = {
+        r["doc_id"]: list(r["sig"])
+        for r in docs.select(
+            "doc_id", minhash_signature_expr("text", k=16, n=3).alias("sig")
+        ).collect()
+    }
+    assert len(agg) > 5
+    for doc_id, sig in agg.items():
+        assert expr[doc_id] == sig, doc_id

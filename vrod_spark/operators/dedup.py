@@ -193,6 +193,34 @@ def minhash_signature(
     )
 
 
+def minhash_signature_expr(text_col, *, k: int = 32, n: int = 3):
+    """Per-ROW MinHash signature as a single Column expression — no
+    aggregation, no shuffle. Bit-identical values to
+    :func:`minhash_signature` (same ``xxhash64(shingle, i)``
+    evaluations), but computed inside one row via higher-order
+    transforms, which Catalyst evaluates INTERPRETED (~5× the codegen
+    explode+agg path per hash).
+
+    Use this where a shuffle-free, stateless projection is REQUIRED —
+    the streaming near-dup path (streaming/stateful.streaming_near_dup):
+    a streaming aggregation before a stateful operator would make the
+    query multi-stateful, so the signature must be a per-row expression
+    there. Batch pair generation should keep using
+    :func:`minhash_signature`. ``let_once`` binds the shingle set once
+    so the k min-scans share one tokenization."""
+    from vrod_spark.functions.text import let_once
+
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    sh = F.array_distinct(shingles_from_tokens(tokens(col), n))
+    return let_once(
+        sh,
+        lambda s: F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: F.array_min(F.transform(s, lambda g: F.xxhash64(g, i))),
+        ),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     *,
@@ -247,6 +275,12 @@ def minhash_lsh_pairs(
     # in-row collect_list pair expansion was tried and rejected: the
     # higher-order transform is CodegenFallback — interpreted — and its
     # CPU-per-byte profile defeats AQE's byte-based partition sizing).
+    # Memory contract at scale: SHJ builds one partition of (id, band,
+    # bucket) rows — ~24 bytes each — in memory; AQE sizes post-shuffle
+    # partitions to ~64-200 MB so the build side fits. Deployments that
+    # prefer spill-safe sorting can swap the hint for "merge": sort-merge
+    # shuffles both sides identically too, so the exchange reuse is
+    # preserved — broadcast is the one strategy that breaks it.
     cand = (
         banded.alias("x")
         .hint("shuffle_hash")

@@ -207,3 +207,137 @@ def click_abandonment_timers(events: DataFrame, *, max_delay_min: int = 30) -> D
         outputMode="Append",
         timeMode="EventTime",
     )
+
+
+NEAR_DUP_OUTPUT = "doc_id bigint, band int, bucket bigint, dup_of bigint"
+NEAR_DUP_STATE = "ids array<bigint>, sigs array<array<bigint>>"
+
+
+def streaming_near_dup(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    min_sig_agreement: float = 0.5,
+    max_per_bucket: int | None = None,
+) -> DataFrame:
+    """Streaming near-duplicate SUPPRESSION: as documents arrive, flag
+    each as a near-dup of an earlier document or admit it as novel — the
+    missing streaming member of the dedup family (operators/dedup.py has
+    the batch MinHash/SimHash/Jaccard/embedding paths; streaming/ingest
+    has exact ``dropDuplicates``). The LLM-pipeline use is ingest-time
+    corpus hygiene: suppress near-dups against ALL history without
+    re-running batch dedup per delivery.
+
+    Shape: per-row MinHash signature (``minhash_signature_expr`` — a
+    stateless projection, because an aggregation here would make the
+    query multi-stateful) → explode into ``bands`` LSH band buckets
+    (identical banding to the batch path: xxhash64 over the
+    comma-joined band slice) → ``applyInPandasWithState`` keyed by
+    (band, bucket). Each bucket's state holds the (id, signature) pairs
+    admitted through it; a new document whose signature agrees with a
+    stored one on ≥ ``min_sig_agreement`` of the k components (the
+    unbiased MinHash estimate of Jaccard similarity) emits
+    ``dup_of=<earliest such id>``, else ``dup_of=NULL`` and joins the
+    bucket state.
+
+    A document appears in every band bucket its signature hashes to, so
+    the per-bucket verdicts compose by OR: consolidate downstream with
+    ``groupBy(doc_id).agg(min(dup_of))`` in the sink's ``foreachBatch``
+    (or in batch after an availableNow run) — kept OUT of this operator
+    because chaining a streaming aggregation after a stateful operator
+    is the one shape Structured Streaming restricts.
+
+    State contract at scale: O(admitted docs × k longs) per bucket and
+    only NOVEL documents grow it — duplicates never enter state. History
+    is deliberately unbounded (dedup against everything ever seen);
+    bounded deployments pass ``max_per_bucket`` for FIFO eviction, which
+    trades recall against the oldest history. Determinism: rows are
+    processed in ``doc_id`` order within each micro-batch, so replays
+    of the same batch make identical decisions.
+    """
+    from pyspark.sql import functions as F
+
+    from vrod_spark.operators.dedup import minhash_signature_expr
+
+    assert k % bands == 0, "k must divide into equal bands"
+    rows_per_band = k // bands
+    sig = minhash_signature_expr(text_col, k=k, n=n)
+    banded = docs.select(
+        F.col(id_col).alias("doc_id"), sig.alias("sig")
+    ).select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.cast("int").alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+
+    thresh = float(min_sig_agreement)
+    cap = max_per_bucket
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+
+        band, bucket = int(key[0]), int(key[1])
+        if state.exists:
+            ids, sigs = state.get
+            ids = list(ids)
+            mat = [np.asarray(s, dtype=np.int64) for s in sigs]
+        else:
+            ids, mat = [], []
+        out_id, out_dup = [], []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks).sort_values("doc_id")
+            for doc_id, s in zip(pdf["doc_id"], pdf["sig"]):
+                sv = np.asarray(list(s), dtype=np.int64)
+                dup = None
+                if mat:
+                    agree = (np.stack(mat) == sv).mean(axis=1)
+                    hits = np.nonzero(agree >= thresh)[0]
+                    if len(hits):
+                        # earliest admitted match — ids grow in arrival
+                        # order, so index order IS seniority order.
+                        dup = ids[int(hits[0])]
+                out_id.append(int(doc_id))
+                out_dup.append(dup)
+                if dup is None:
+                    ids.append(int(doc_id))
+                    mat.append(sv)
+            if cap is not None and len(ids) > cap:
+                ids, mat = ids[-cap:], mat[-cap:]
+            state.update((ids, [m.tolist() for m in mat]))
+        yield pd.DataFrame(
+            {
+                "doc_id": out_id,
+                "band": [band] * len(out_id),
+                "bucket": [bucket] * len(out_id),
+                "dup_of": pd.array(out_dup, dtype="Int64"),
+            }
+        )
+
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        update,
+        outputStructType=NEAR_DUP_OUTPUT,
+        stateStructType=NEAR_DUP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
