@@ -107,6 +107,7 @@ SERIAL_TRACK = [
     "q29_lang_quality",
     "q30_text_profile",
     "q22_distinct_percentiles",
+    "q49_repetition_ratio",
     "q50_decontamination",
     "q52_clean_corpus_pipeline",
 ]

@@ -952,3 +952,32 @@ def test_winnowing_relational_equals_array_form(spark):
         rel.setdefault(r["doc_id"], set()).add(r["fp"])
     for doc_id, fps in arr.items():
         assert rel.get(doc_id, set()) == fps, doc_id
+
+
+def test_mp1_parser_never_crashes_on_garbage():
+    """Robustness: the Layer I parser must survive arbitrary bytes —
+    truncated frames, random noise, noise containing fake syncwords,
+    and valid headers with hostile field values — returning (None, None)
+    or a best-effort decode, never raising."""
+    import random
+
+    from vrod_spark.operators.multimodal import _mp1_parser, make_mp1_bytes
+
+    parse = _mp1_parser()
+    rng = random.Random(11)
+    cases = [
+        b"",
+        b"\xff",
+        b"\xff\xf0",
+        bytes(rng.randrange(256) for _ in range(512)),
+        b"\xff\xfe" + bytes(rng.randrange(256) for _ in range(100)),  # sync-ish
+        make_mp1_bytes(440.0)[:100],          # truncated mid-frame
+        make_mp1_bytes(440.0)[7:],            # sync lost, re-acquires later frame
+        b"\x00" * 37 + make_mp1_bytes(880.0), # garbage prefix then valid stream
+    ]
+    for i, blob in enumerate(cases):
+        rate, pcm = parse(blob)  # must not raise
+        assert rate is None or rate in (44100, 48000, 32000), i
+    # the garbage-prefixed stream still decodes fully
+    rate, pcm = parse(cases[-1])
+    assert rate == 32000 and len(pcm) == 7680

@@ -1922,8 +1922,12 @@ def _mp1_parser():
 
             alloc = [[get(4) for _ in range(32)] for _ in range(nch)]
             nb = [[(a + 1) if 0 < a < 15 else 0 for a in ch] for ch in alloc]
+            # Scalefactor index 63 is forbidden by the spec (Table B.1 has
+            # 63 entries, 0..62) but a corrupt/hostile stream can encode
+            # it in the 6-bit field — clamp rather than crash.
             sfi = [
-                [get(6) if nb[ch][sb] else 0 for sb in range(32)] for ch in range(nch)
+                [min(get(6), 62) if nb[ch][sb] else 0 for sb in range(32)]
+                for ch in range(nch)
             ]
             S = np.zeros((12, 32))
             for s in range(12):
