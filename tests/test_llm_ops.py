@@ -981,3 +981,68 @@ def test_mp1_parser_never_crashes_on_garbage():
     # the garbage-prefixed stream still decodes fully
     rate, pcm = parse(cases[-1])
     assert rate == 32000 and len(pcm) == 7680
+
+
+def test_decoders_skip_corrupt_blobs(spark):
+    """on_error="skip": every decoder drops undecodable blobs and decodes
+    the valid ones in the same batch — the corrupt-blob tolerance a
+    web-scale corpus requires — while the strict default still raises."""
+    import random
+
+    import numpy as np
+    from pyspark.sql.utils import PythonException
+
+    from vrod_spark.operators.multimodal import (
+        decode_adpcm_features,
+        decode_au_features,
+        decode_gif_features,
+        decode_jpeg_features,
+        decode_png_features,
+        decode_ppm_features,
+        decode_wav_features,
+        extract_avi_mjpeg_frames,
+        extract_y4m_frames,
+        make_au_bytes,
+        make_avi_mjpeg_bytes,
+        make_gif_bytes,
+        make_jpeg_bytes,
+        make_png_bytes,
+        make_ppm_bytes,
+        make_wav_adpcm_bytes,
+        make_wav_bytes,
+        make_y4m_bytes,
+    )
+
+    rng = random.Random(5)
+    garbage = bytes(rng.randrange(256) for _ in range(200))
+    schema = "media_id bigint, kind string, content binary"
+    cases = [
+        (decode_wav_features, make_wav_bytes(300.0), "audio"),
+        (decode_adpcm_features, make_wav_adpcm_bytes(300.0), "audio"),
+        (decode_au_features, make_au_bytes(300.0), "audio"),
+        (decode_ppm_features, make_ppm_bytes(4, 4, (1, 2, 3)), "image"),
+        (decode_png_features, make_png_bytes(4, 4, (1, 2, 3)), "image"),
+        (decode_gif_features, make_gif_bytes(4, 4, (1, 2, 3)), "image"),
+        (decode_jpeg_features, make_jpeg_bytes(16, 8, (250, 0, 0)), "image"),
+        (extract_y4m_frames, make_y4m_bytes(4, 4, [100, 200]), "video"),
+        (
+            extract_avi_mjpeg_frames,
+            make_avi_mjpeg_bytes(
+                [np.full((8, 16, 3), 250, dtype=np.uint8)]
+            ),
+            "video",
+        ),
+    ]
+    for fn, good_blob, kind in cases:
+        df = spark.createDataFrame(
+            [(0, kind, good_blob), (1, kind, garbage), (2, kind, good_blob[:11])],
+            schema,
+        )
+        rows = fn(df, on_error="skip").collect()
+        got_ids = {r["media_id"] for r in rows}
+        assert got_ids == {0}, f"{fn.__name__}: {got_ids}"
+        try:
+            fn(df).collect()
+            raise AssertionError(f"{fn.__name__}: strict mode must raise")
+        except PythonException:
+            pass

@@ -21,6 +21,13 @@ deterministic fake derived from the bytes, so pipelines are end-to-end
 testable. Swapping in PIL/ffmpeg later changes ONE function body and
 nothing about the distributed plan.
 
+Every decoder takes ``on_error`` ("raise" default / "skip"): a web-scale
+corpus ALWAYS contains corrupt blobs, and one undecodable byte string
+must not fail a 10⁶-task job — skip mode drops the blob (or, for the
+frame extractors, the frames from the corruption point on) instead of
+raising, while the strict default keeps fail-fast semantics for curated
+inputs and for the hash gates.
+
 Scale notes: media blobs are large → ``maxRecordsPerBatch`` should be
 lowered for these stages (Arrow batches of ~64 MB, not 10k rows), and
 blob columns kept OUT of shuffle keys — all operators here shuffle only
@@ -161,7 +168,9 @@ AUDIO_SCHEMA = (
 )
 
 
-def decode_wav_features(media: DataFrame, *, n_bands: int = 8) -> DataFrame:
+def decode_wav_features(
+    media: DataFrame, *, n_bands: int = 8, on_error: str = "raise"
+) -> DataFrame:
     """REAL audio decoding — no stub: RIFF/WAV PCM blobs are parsed with
     the stdlib ``wave`` module and numpy (both always present), producing
     sample rate, frame count, duration, and ``n_bands`` spectral band
@@ -175,6 +184,7 @@ def decode_wav_features(media: DataFrame, *, n_bands: int = 8) -> DataFrame:
     compressed codec."""
     bands = n_bands
 
+    strict = on_error != "skip"
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
         import wave
@@ -187,11 +197,16 @@ def decode_wav_features(media: DataFrame, *, n_bands: int = 8) -> DataFrame:
                 "duration_ms": [], "band_energy": [],
             }
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                with wave.open(io.BytesIO(bytes(content)), "rb") as w:
-                    rate, nframes = w.getframerate(), w.getnframes()
-                    sampwidth, nchan = w.getsampwidth(), w.getnchannels()
-                    raw = w.readframes(nframes)
-                dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[sampwidth]
+                try:
+                    with wave.open(io.BytesIO(bytes(content)), "rb") as w:
+                        rate, nframes = w.getframerate(), w.getnframes()
+                        sampwidth, nchan = w.getsampwidth(), w.getnchannels()
+                        raw = w.readframes(nframes)
+                    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[sampwidth]
+                except Exception:
+                    if strict:
+                        raise
+                    continue
                 pcm = np.frombuffer(raw, dtype=dtype).astype(np.float64)
                 if nchan > 1:
                     pcm = pcm.reshape(-1, nchan).mean(axis=1)
@@ -204,6 +219,10 @@ def decode_wav_features(media: DataFrame, *, n_bands: int = 8) -> DataFrame:
                 out["n_frames"].append(nframes)
                 out["duration_ms"].append(int(nframes * 1000 / max(rate, 1)))
                 out["band_energy"].append(energy.tolist())
+            # An all-skipped/empty batch must still carry a LIST-typed
+            # band_energy column: pandas types an empty [] column float64,
+            # which Arrow cannot convert to array<float>.
+            out["band_energy"] = pd.Series(out["band_energy"], dtype="object")
             yield pd.DataFrame(out)
 
     return media.mapInPandas(decode, AUDIO_SCHEMA)
@@ -234,7 +253,7 @@ IMAGE_SCHEMA = (
 )
 
 
-def decode_ppm_features(media: DataFrame) -> DataFrame:
+def decode_ppm_features(media: DataFrame, *, on_error: str = "raise") -> DataFrame:
     """REAL image decoding for binary PPM (P6) blobs — pure numpy header
     parse + raw RGB plane reads, no codec library. Emits dimensions and
     per-channel means (the cheap image-statistics stage every multimodal
@@ -242,6 +261,7 @@ def decode_ppm_features(media: DataFrame) -> DataFrame:
     for the real compressed-codec paths; PPM proves the identical
     plumbing carries a raw decoder."""
 
+    strict = on_error != "skip"
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
@@ -274,7 +294,12 @@ def decode_ppm_features(media: DataFrame) -> DataFrame:
                 "mean_r": [], "mean_g": [], "mean_b": [],
             }
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                w, h, img = parse_ppm(bytes(content))
+                try:
+                    w, h, img = parse_ppm(bytes(content))
+                except Exception:
+                    if strict:
+                        raise
+                    continue
                 means = img.mean(axis=(0, 1))
                 out["media_id"].append(media_id)
                 out["width"].append(w)
@@ -303,7 +328,9 @@ RESIZED_SCHEMA = (
 )
 
 
-def resize_ppm(media: DataFrame, *, max_px: int = 256) -> DataFrame:
+def resize_ppm(
+    media: DataFrame, *, max_px: int = 256, on_error: str = "raise"
+) -> DataFrame:
     """REAL byte-level image resize for binary PPM blobs: decode (pure
     numpy), nearest-neighbor downscale to fit ``max_px``, re-encode PPM.
     The byte-transform companion to :func:`resize_plan` (which computes
@@ -311,6 +338,7 @@ def resize_ppm(media: DataFrame, *, max_px: int = 256) -> DataFrame:
     their mapInPandas task, nothing but ids/metadata ever shuffles."""
     cap = max_px
 
+    strict = on_error != "skip"
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
@@ -339,7 +367,12 @@ def resize_ppm(media: DataFrame, *, max_px: int = 256) -> DataFrame:
                 "out_width": [], "out_height": [], "content": [],
             }
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                w, h, img = parse_ppm(bytes(content))
+                try:
+                    w, h, img = parse_ppm(bytes(content))
+                except Exception:
+                    if strict:
+                        raise
+                    continue
                 scale = min(cap / max(w, 1), cap / max(h, 1), 1.0)
                 ow, oh = max(int(round(w * scale)), 1), max(int(round(h * scale)), 1)
                 # Nearest-neighbor index maps (deterministic, no filtering).
@@ -363,7 +396,9 @@ VIDEO_FRAME_SCHEMA = (
 )
 
 
-def extract_y4m_frames(media: DataFrame, *, every_n: int = 1) -> DataFrame:
+def extract_y4m_frames(
+    media: DataFrame, *, every_n: int = 1, on_error: str = "raise"
+) -> DataFrame:
     """REAL video frame extraction for Y4M (yuv4mpeg2) blobs — a plain
     ASCII header (``YUV4MPEG2 W.. H.. F..``) followed by ``FRAME`` records
     of raw 4:2:0 YUV planes, parseable with pure numpy. Emits every
@@ -376,6 +411,7 @@ def extract_y4m_frames(media: DataFrame, *, every_n: int = 1) -> DataFrame:
     extract_avi_mjpeg_frames for the compressed-video path."""
     step = max(int(every_n), 1)
 
+    strict = on_error != "skip"
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
@@ -385,28 +421,37 @@ def extract_y4m_frames(media: DataFrame, *, every_n: int = 1) -> DataFrame:
                 "height": [], "mean_luma": [],
             }
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                b = bytes(content)
-                nl = b.index(b"\n")
-                header = b[:nl].decode("ascii").split()
-                if header[0] != "YUV4MPEG2":
-                    raise ValueError("not a YUV4MPEG2 blob")
-                params = {p[0]: p[1:] for p in header[1:]}
-                w, h = int(params["W"]), int(params["H"])
-                frame_bytes = w * h * 3 // 2  # 4:2:0
-                pos, idx = nl + 1, 0
-                while pos < len(b):
-                    fnl = b.index(b"\n", pos)
-                    if not b[pos:fnl].startswith(b"FRAME"):
-                        raise ValueError("malformed FRAME header")
-                    y = np.frombuffer(b, dtype=np.uint8, count=w * h, offset=fnl + 1)
-                    if idx % step == 0:
-                        out["media_id"].append(media_id)
-                        out["frame_idx"].append(idx)
-                        out["width"].append(w)
-                        out["height"].append(h)
-                        out["mean_luma"].append(round(float(y.mean()) / 255, 6))
-                    pos = fnl + 1 + frame_bytes
-                    idx += 1
+                # Frames parsed before a corruption point still emit in
+                # skip mode (appends are whole-frame-atomic: every parse
+                # step of a frame precedes its appends).
+                try:
+                    b = bytes(content)
+                    nl = b.index(b"\n")
+                    header = b[:nl].decode("ascii").split()
+                    if header[0] != "YUV4MPEG2":
+                        raise ValueError("not a YUV4MPEG2 blob")
+                    params = {p[0]: p[1:] for p in header[1:]}
+                    w, h = int(params["W"]), int(params["H"])
+                    frame_bytes = w * h * 3 // 2  # 4:2:0
+                    pos, idx = nl + 1, 0
+                    while pos < len(b):
+                        fnl = b.index(b"\n", pos)
+                        if not b[pos:fnl].startswith(b"FRAME"):
+                            raise ValueError("malformed FRAME header")
+                        y = np.frombuffer(
+                            b, dtype=np.uint8, count=w * h, offset=fnl + 1
+                        )
+                        if idx % step == 0:
+                            out["media_id"].append(media_id)
+                            out["frame_idx"].append(idx)
+                            out["width"].append(w)
+                            out["height"].append(h)
+                            out["mean_luma"].append(round(float(y.mean()) / 255, 6))
+                        pos = fnl + 1 + frame_bytes
+                        idx += 1
+                except Exception:
+                    if strict:
+                        raise
             yield pd.DataFrame(out)
 
     return media.mapInPandas(work, VIDEO_FRAME_SCHEMA)
@@ -486,7 +531,7 @@ def make_png_bytes(
     )
 
 
-def decode_png_features(media: DataFrame) -> DataFrame:
+def decode_png_features(media: DataFrame, *, on_error: str = "raise") -> DataFrame:
     """REAL PNG decoding for 8-bit RGB non-interlaced blobs — stdlib zlib
     inflate + numpy defiltering (all five scanline filters), no codec
     library. Same mapInPandas plumbing and IMAGE_SCHEMA as the PPM
@@ -495,6 +540,7 @@ def decode_png_features(media: DataFrame) -> DataFrame:
     decode_jpeg_features for the T.81 path and H.264 for the one
     remaining (declared) video stub."""
 
+    strict = on_error != "skip"
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
         import zlib
@@ -569,7 +615,12 @@ def decode_png_features(media: DataFrame) -> DataFrame:
                 "mean_r": [], "mean_g": [], "mean_b": [],
             }
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                w, h, img = parse_png(bytes(content))
+                try:
+                    w, h, img = parse_png(bytes(content))
+                except Exception:
+                    if strict:
+                        raise
+                    continue
                 means = img.mean(axis=(0, 1))
                 out["media_id"].append(media_id)
                 out["width"].append(w)
@@ -607,7 +658,9 @@ def make_au_bytes(freq_hz: float, *, sample_rate: int = 8000, n_frames: int = 20
     return header + ulaw.astype(np.uint8).tobytes()
 
 
-def decode_au_features(media: DataFrame, *, n_bands: int = 8) -> DataFrame:
+def decode_au_features(
+    media: DataFrame, *, n_bands: int = 8, on_error: str = "raise"
+) -> DataFrame:
     """REAL compressed-audio decoding — Sun AU containers holding G.711
     μ-law data are expanded back to linear PCM with the ITU-T inverse
     formula (pure numpy, no codec library) and reduced to the same
@@ -617,6 +670,7 @@ def decode_au_features(media: DataFrame, *, n_bands: int = 8) -> DataFrame:
     proves a genuinely lossy-compressed audio format decodes through the
     identical mapInPandas plumbing."""
 
+    strict = on_error != "skip"
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
 
@@ -646,7 +700,12 @@ def decode_au_features(media: DataFrame, *, n_bands: int = 8) -> DataFrame:
                 "duration_ms": [], "band_energy": [],
             }
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                rate, samples = parse_au(bytes(content))
+                try:
+                    rate, samples = parse_au(bytes(content))
+                except Exception:
+                    if strict:
+                        raise
+                    continue
                 spec = np.abs(np.fft.rfft(samples)) ** 2
                 bands = np.array_split(spec, n_bands)
                 energy = [float(np.sqrt(b.mean())) for b in bands]
@@ -655,6 +714,10 @@ def decode_au_features(media: DataFrame, *, n_bands: int = 8) -> DataFrame:
                 out["n_frames"].append(len(samples))
                 out["duration_ms"].append(int(len(samples) * 1000 / rate))
                 out["band_energy"].append([round(e, 6) for e in energy])
+            # An all-skipped/empty batch must still carry a LIST-typed
+            # band_energy column: pandas types an empty [] column float64,
+            # which Arrow cannot convert to array<float>.
+            out["band_energy"] = pd.Series(out["band_energy"], dtype="object")
             yield pd.DataFrame(out)
 
     return media.mapInPandas(decode, AUDIO_SCHEMA)
@@ -738,11 +801,12 @@ def make_gif_bytes(
     return bytes(data)
 
 
-def decode_gif_features(media: DataFrame) -> DataFrame:
+def decode_gif_features(media: DataFrame, *, on_error: str = "raise") -> DataFrame:
     """REAL GIF decoding — full LZW expansion (growing dictionary, CLEAR/
     EOI handling, LSB-first variable-width codes) + global-palette lookup,
     pure Python/numpy. Same IMAGE_SCHEMA/mapInPandas plumbing as PPM/PNG."""
 
+    strict = on_error != "skip"
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
 
@@ -824,7 +888,12 @@ def decode_gif_features(media: DataFrame) -> DataFrame:
                 "mean_r": [], "mean_g": [], "mean_b": [],
             }
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                w, h, img = parse_gif(bytes(content))
+                try:
+                    w, h, img = parse_gif(bytes(content))
+                except Exception:
+                    if strict:
+                        raise
+                    continue
                 means = img.mean(axis=(0, 1))
                 out["media_id"].append(media_id)
                 out["width"].append(w)
@@ -1352,7 +1421,7 @@ def _jpeg_decoder():
     return parse_jpeg
 
 
-def decode_jpeg_features(media: DataFrame) -> DataFrame:
+def decode_jpeg_features(media: DataFrame, *, on_error: str = "raise") -> DataFrame:
     """REAL baseline JPEG (ITU-T T.81) decoding — pure stdlib + numpy, the
     same way PNG (zlib+defilter) and GIF (LZW) are done, closing the last
     image-format stub the reference's opaque-payload model would hit in
@@ -1370,6 +1439,7 @@ def decode_jpeg_features(media: DataFrame) -> DataFrame:
 
     parse_jpeg = _jpeg_decoder()
 
+    strict = on_error != "skip"
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
@@ -1379,7 +1449,12 @@ def decode_jpeg_features(media: DataFrame) -> DataFrame:
                 "mean_r": [], "mean_g": [], "mean_b": [],
             }
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                w, h, img = parse_jpeg(bytes(content))
+                try:
+                    w, h, img = parse_jpeg(bytes(content))
+                except Exception:
+                    if strict:
+                        raise
+                    continue
                 means = img.astype(np.float64).mean(axis=(0, 1)) / 255.0
                 out["media_id"].append(media_id)
                 out["width"].append(w)
@@ -1596,7 +1671,9 @@ def _wav_parser():
     return parse_wav
 
 
-def decode_adpcm_features(media: DataFrame, *, n_bands: int = 8) -> DataFrame:
+def decode_adpcm_features(
+    media: DataFrame, *, n_bands: int = 8, on_error: str = "raise"
+) -> DataFrame:
     """REAL compressed-audio decoding for IMA-ADPCM WAV blobs (format tag
     0x11): 4-bit adaptive-differential nibbles expanded with the exact IMA
     reconstruction recurrence, then the same rFFT band-energy features as
@@ -1605,6 +1682,7 @@ def decode_adpcm_features(media: DataFrame, *, n_bands: int = 8) -> DataFrame:
     bands = n_bands
     parse_wav = _wav_parser()
 
+    strict = on_error != "skip"
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
@@ -1614,7 +1692,12 @@ def decode_adpcm_features(media: DataFrame, *, n_bands: int = 8) -> DataFrame:
                 "duration_ms": [], "band_energy": [],
             }
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                rate, nframes, pcm = parse_wav(bytes(content))
+                try:
+                    rate, nframes, pcm = parse_wav(bytes(content))
+                except Exception:
+                    if strict:
+                        raise
+                    continue
                 spec = np.abs(np.fft.rfft(pcm))
                 chunks = np.array_split(np.log1p(spec), bands)
                 energy = np.array(
@@ -1625,6 +1708,10 @@ def decode_adpcm_features(media: DataFrame, *, n_bands: int = 8) -> DataFrame:
                 out["n_frames"].append(nframes)
                 out["duration_ms"].append(int(nframes * 1000 / max(rate, 1)))
                 out["band_energy"].append(energy.tolist())
+            # An all-skipped/empty batch must still carry a LIST-typed
+            # band_energy column: pandas types an empty [] column float64,
+            # which Arrow cannot convert to array<float>.
+            out["band_energy"] = pd.Series(out["band_energy"], dtype="object")
             yield pd.DataFrame(out)
 
     return media.mapInPandas(decode, AUDIO_SCHEMA)
@@ -1682,7 +1769,9 @@ def make_avi_mjpeg_bytes(frames, *, fps: int = 25, quant: int = 1) -> bytes:
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
-def extract_avi_mjpeg_frames(media: DataFrame, *, every_n: int = 1) -> DataFrame:
+def extract_avi_mjpeg_frames(
+    media: DataFrame, *, every_n: int = 1, on_error: str = "raise"
+) -> DataFrame:
     """REAL compressed-video frame extraction: parse the AVI RIFF
     container, pull each ``..dc``/``..db`` Motion-JPEG frame out of the
     movi list, decode every ``every_n``-th one with the baseline T.81
@@ -1696,6 +1785,7 @@ def extract_avi_mjpeg_frames(media: DataFrame, *, every_n: int = 1) -> DataFrame
     step = max(int(every_n), 1)
     parse_jpeg = _jpeg_decoder()
 
+    strict = on_error != "skip"
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
 
@@ -1727,9 +1817,19 @@ def extract_avi_mjpeg_frames(media: DataFrame, *, every_n: int = 1) -> DataFrame
                 "height": [], "mean_luma": [],
             }
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                frames = mjpeg_frames(bytes(content))
+                try:
+                    frames = mjpeg_frames(bytes(content))
+                except Exception:
+                    if strict:
+                        raise
+                    continue
                 for idx in range(0, len(frames), step):
-                    w, h, img = parse_jpeg(frames[idx])
+                    try:
+                        w, h, img = parse_jpeg(frames[idx])
+                    except Exception:
+                        if strict:
+                            raise
+                        continue
                     rgb = img.astype(np.float64)
                     luma = (
                         0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
@@ -1986,6 +2086,10 @@ def decode_mp1_features(media: DataFrame, *, n_bands: int = 8) -> DataFrame:
                 out["n_frames"].append(len(pcm))
                 out["duration_ms"].append(int(len(pcm) * 1000 / max(rate, 1)))
                 out["band_energy"].append(energy.tolist())
+            # An all-skipped/empty batch must still carry a LIST-typed
+            # band_energy column: pandas types an empty [] column float64,
+            # which Arrow cannot convert to array<float>.
+            out["band_energy"] = pd.Series(out["band_energy"], dtype="object")
             yield pd.DataFrame(out)
 
     return media.mapInPandas(decode, AUDIO_SCHEMA)
