@@ -153,3 +153,37 @@ def test_vector_datasource_stream_sink_roundtrip(spark, tmp_path):
         ("beta", [3.25, 4.0]),
         ("gamma", [0.5, 0.75]),
     ]
+
+
+def test_malformed_lines_degrade_like_the_expression_reader(spark, tmp_path):
+    """A corrupt component in the reference text format must NULL that
+    element (the expression reader's cast('float') semantics), never fail
+    the scan — and both readers must agree on the degraded values. One
+    bad line in a TB-scale corpus must not kill the job."""
+    import pytest
+
+    from vrod_spark.sources.vectors_txt import (
+        read_vectors_txt,
+        register_vector_datasource,
+    )
+
+    path = tmp_path / "vecs"
+    path.mkdir()
+    (path / "part-0.txt").write_text(
+        "1.0,2.0,3.0;good\n"
+        "1.0,notafloat,3.0;bad_component\n"
+        "\n"
+        ";empty_vector\n"
+    )
+    register_vector_datasource(spark)
+    expr = {r["payload"]: r["embedding"] for r in read_vectors_txt(spark, str(path)).collect()}
+    ds = {
+        r["payload"]: r["embedding"]
+        for r in spark.read.format("vrod_vectors").option("path", str(path)).load().collect()
+    }
+    for got in (expr, ds):
+        assert got["good"] == pytest.approx([1.0, 2.0, 3.0])
+        assert got["bad_component"][0] == pytest.approx(1.0)
+        assert got["bad_component"][1] is None
+        assert got["bad_component"][2] == pytest.approx(3.0)
+        assert got["empty_vector"] in ([], None)

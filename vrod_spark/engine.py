@@ -226,12 +226,16 @@ class Engine:
         elif isinstance(arg, str) and arg.endswith((".csv", ".csv.gz")):
             # CSV with header; the embedding column arrives as a
             # "v1,...,vN"-style quoted string → parsed to ARRAY<FLOAT>.
+            # try_cast: under ANSI mode a malformed component would throw
+            # a raw executor NumberFormatException mid-ingest — degrading
+            # to a NULL element lets the collection's dimension/type
+            # validation report the clean engine error instead.
             raw = self.spark.read.option("header", "true").csv(arg)
             if "embedding" in raw.columns:
                 raw = raw.withColumn(
                     "embedding",
                     F.transform(
-                        F.split(F.col("embedding"), ","), lambda x: x.cast("float")
+                        F.split(F.col("embedding"), ","), lambda x: x.try_cast("float")
                     ),
                 )
             df = raw

@@ -27,7 +27,16 @@ def read_vectors_txt(spark: SparkSession, path: str) -> DataFrame:
     raw = spark.read.text(path)
     vec_part = F.split(F.col("value"), ";").getItem(0)
     payload = F.split(F.col("value"), ";").getItem(1)
-    embedding = F.transform(F.split(vec_part, ","), lambda x: x.cast("float"))
+    # try_cast, not cast: under Spark 4's default ANSI mode a malformed
+    # float component would THROW and fail the whole scan — one corrupt
+    # line in a TB-scale corpus must instead degrade to a NULL element.
+    # Empty components (trailing commas, empty vector part) are dropped
+    # before the cast; the Python DataSource reader mirrors both
+    # semantics exactly.
+    embedding = F.transform(
+        F.filter(F.split(vec_part, ","), lambda x: F.length(x) > 0),
+        lambda x: x.try_cast("float"),
+    )
     return (
         raw.filter(F.length(F.trim(F.col("value"))) > 0)
         .select(
@@ -93,7 +102,19 @@ def register_vector_datasource(spark: SparkSession) -> None:
         ``file_index << 40 | line_number`` — one format contract, one
         implementation, so the two paths can never drift."""
         base = partition.index << 40
-        with open(partition.path, encoding="utf-8") as f:
+
+        def _f(x: str):
+            # Match the expression reader's cast('float') semantics: a
+            # malformed component becomes NULL, it does not kill the scan
+            # (one corrupt line in a TB-scale text corpus must not fail
+            # the job). errors='replace' below mirrors the JVM text
+            # reader's U+FFFD substitution for invalid UTF-8.
+            try:
+                return float(x)
+            except ValueError:
+                return None
+
+        with open(partition.path, encoding="utf-8", errors="replace") as f:
             for i, line in enumerate(f):
                 line = line.strip()
                 if not line:
@@ -101,7 +122,7 @@ def register_vector_datasource(spark: SparkSession) -> None:
                 vec_part, _, payload = line.partition(";")
                 yield (
                     base | i,
-                    [float(x) for x in vec_part.split(",") if x],
+                    [_f(x) for x in vec_part.split(",") if x],
                     payload,
                 )
 
