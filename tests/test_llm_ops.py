@@ -983,6 +983,147 @@ def test_mp1_parser_never_crashes_on_garbage():
     assert rate == 32000 and len(pcm) == 7680
 
 
+def test_mp2_decode_is_real(spark):
+    """MPEG-1 Layer II decoding is NOT a stub: the table-driven frame
+    syntax is parsed bit-exactly (B.2a allocation rows, scfsi
+    scalefactor sharing, 12x3-granule sample layout, Layer II
+    requantization) and the PR-MDCT filterbank reconstructs the encoded
+    tone at >0.99 correlation with the exact spectral peak — through
+    real scalefactor + 255-level quantization."""
+    import numpy as np
+
+    from vrod_spark.operators.multimodal import (
+        _mp2_parser,
+        decode_mp2_features,
+        make_mp2_bytes,
+    )
+
+    parse = _mp2_parser()
+    for freq in (440.0, 2500.0, 7000.0):
+        rate, pcm = parse(make_mp2_bytes(freq))
+        assert rate == 48000 and len(pcm) == 11520
+        t = np.arange(len(pcm)) / rate
+        ref = 0.3 * np.sin(2 * np.pi * freq * t)
+        a, b = 64, len(pcm) - 64
+        corr = (pcm[a:b] @ ref[a:b]) / np.sqrt(
+            (pcm[a:b] @ pcm[a:b]) * (ref[a:b] @ ref[a:b])
+        )
+        assert corr > 0.99, f"{freq}: corr {corr}"
+        spec = np.abs(np.fft.rfft(pcm[a:b]))
+        peak_hz = spec.argmax() * rate / (b - a)
+        assert abs(peak_hz - freq) < 20, f"{freq}: peak at {peak_hz}"
+
+    # Garbage in -> graceful None (no frame sync), not an exception.
+    assert parse(b"\x00" * 64) == (None, None)
+
+    rows = decode_mp2_features(
+        spark.createDataFrame(
+            [(0, "audio", make_mp2_bytes(440.0))],
+            "media_id bigint, kind string, content binary",
+        )
+    ).collect()
+    assert (rows[0]["sample_rate"], rows[0]["n_frames"], rows[0]["duration_ms"]) == (
+        48000, 11520, 240,
+    )
+    assert len(rows[0]["band_energy"]) == 8
+
+
+def test_mp2_bitstream_layer_is_spec_exact():
+    """Pin the Layer II spec-visible bitstream invariants independently
+    of the filterbank: header layout (layer=10, Layer II bitrate table,
+    144*bitrate/rate frame length), the Annex B allocation-table
+    selection function, the grouped-codeword packing c = s0 + s1*L +
+    s2*L^2, and the Table B.4 requantization closed form
+    s'' = (2*raw + 1)/L - 1 being symmetric and invertible for every
+    quantizer the tables can select."""
+    import numpy as np
+
+    from vrod_spark.operators.multimodal import (
+        _MP2_QLEVELS,
+        _mp2_table,
+        make_mp2_bytes,
+    )
+
+    blob = make_mp2_bytes(440.0, rate=48000, bitrate_kbps=192)
+    frame_bytes = 144 * 192000 // 48000
+    assert len(blob) % frame_bytes == 0
+    h0, h1, h2, h3 = blob[0], blob[1], blob[2], blob[3]
+    assert h0 == 0xFF and (h1 & 0xF0) == 0xF0   # syncword
+    assert (h1 >> 3) & 1 == 1                   # ID: MPEG-1
+    assert (h1 >> 1) & 3 == 0b10                # layer II
+    assert h1 & 1 == 1                          # protection: no CRC
+    assert (h2 >> 4) == 10                      # 192 kbps index (Layer II table)
+    assert (h2 >> 2) & 3 == 1                   # 48000 Hz index
+    assert (h3 >> 6) == 0b11                    # mono
+
+    # Table selection per ISO 11172-3 2.4.2.3: low bitrate/ch -> B.2c/d
+    # (sblimit 8/12), mid -> B.2a (27), high at 44.1/32 kHz -> B.2b (30).
+    assert _mp2_table(48000, 48, 1)[0] == 8
+    assert _mp2_table(32000, 48, 1)[0] == 12
+    assert _mp2_table(48000, 64, 1)[0] == 27
+    assert _mp2_table(48000, 192, 1)[0] == 27
+    assert _mp2_table(44100, 192, 1)[0] == 30
+    assert _mp2_table(32000, 384, 1)[0] == 30
+    # Selection is per CHANNEL: stereo 192 kbps = 96 kbps/ch -> B.2b at
+    # 44.1 kHz, while stereo 160 kbps = 80 kbps/ch stays on B.2a.
+    assert _mp2_table(44100, 192, 2)[0] == 30
+    assert _mp2_table(44100, 160, 2)[0] == 27
+
+    # Per-subband allocation widths: 4 bits (SB0-10), 3 (SB11-22), 2 (23+).
+    _, rows = _mp2_table(48000, 192, 1)
+    assert [r[0] for r in rows[:3]] == [4, 4, 4]
+    assert rows[3][0] == 4 and rows[11][0] == 3 and rows[23][0] == 2
+    # Every table row indexes only spec quantizer step counts.
+    for nbal, levels in rows:
+        assert len(levels) == 1 << nbal
+        assert all(v in _MP2_QLEVELS for v in levels[1:])
+
+    # Grouped packing roundtrip for L in {3,5,9}.
+    for L in (3, 5, 9):
+        for triple in [(0, 0, 0), (1, 0, 2), (L - 1, L - 1, L - 1)]:
+            c = triple[0] + triple[1] * L + triple[2] * L * L
+            assert (c % L, (c // L) % L, c // (L * L)) == triple
+
+    # Requantization s'' = (2*raw+1)/L - 1: symmetric around 0 and
+    # within one step of identity under encode->decode for every L.
+    for L in _MP2_QLEVELS:
+        raws = np.arange(L)
+        s = (2 * raws + 1) / L - 1.0
+        assert abs(s[0] + s[-1]) < 1e-12           # symmetric
+        x = np.linspace(-0.95, 0.95, 41)
+        raw = np.clip(np.round(((x + 1.0) * L - 1) / 2), 0, L - 1)
+        back = (2 * raw + 1) / L - 1.0
+        assert np.abs(back - x).max() <= 1.0 / L + 1e-12
+
+
+def test_mp2_parser_never_crashes_on_garbage():
+    """Robustness: the Layer II parser must survive arbitrary bytes —
+    truncated frames, random noise, fake syncwords, hostile field values
+    — returning (None, None) or a best-effort decode, never raising."""
+    import random
+
+    from vrod_spark.operators.multimodal import _mp2_parser, make_mp2_bytes
+
+    parse = _mp2_parser()
+    rng = random.Random(13)
+    cases = [
+        b"",
+        b"\xff",
+        b"\xff\xf4",
+        bytes(rng.randrange(256) for _ in range(512)),
+        b"\xff\xf5" + bytes(rng.randrange(256) for _ in range(200)),  # sync-ish
+        make_mp2_bytes(440.0)[:100],          # truncated mid-frame
+        make_mp2_bytes(440.0)[7:],            # sync lost, re-acquires later frame
+        b"\x00" * 37 + make_mp2_bytes(880.0), # garbage prefix then valid stream
+    ]
+    for i, blob in enumerate(cases):
+        rate, pcm = parse(blob)  # must not raise
+        assert rate is None or rate in (44100, 48000, 32000), i
+    # the garbage-prefixed stream still decodes fully
+    rate, pcm = parse(cases[-1])
+    assert rate == 48000 and len(pcm) == 11520
+
+
 def test_decoders_skip_corrupt_blobs(spark):
     """on_error="skip": every decoder drops undecodable blobs and decodes
     the valid ones in the same batch — the corrupt-blob tolerance a

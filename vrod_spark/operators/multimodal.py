@@ -11,8 +11,8 @@ deps. Compressed formats decoded for real too: PNG (stdlib zlib DEFLATE
 Huffman + dequant + IDCT), Motion-JPEG video in RIFF/AVI containers
 (``extract_avi_mjpeg_frames``), G.711 mu-law AU audio (ITU-T expansion),
 IMA-ADPCM WAV audio (adaptive-differential expansion), and MPEG-1 Audio
-Layer I (spec-exact bitstream + PR-MDCT filterbank stand-in — see the
-MP1 section note). MP3-proper (Layer III) and H.264 are STUBBED
+Layers I and II (spec-exact bitstreams + PR-MDCT filterbank stand-in —
+see the MP1/MP2 section notes). MP3-proper (Layer III) and H.264 are STUBBED
 (Huffman-coded psychoacoustic / motion-compensated codecs are out of
 honest pure-numpy scope and not in this container): ``decode_stub``
 raises
@@ -26,7 +26,10 @@ corpus ALWAYS contains corrupt blobs, and one undecodable byte string
 must not fail a 10⁶-task job — skip mode drops the blob (or, for the
 frame extractors, the frames from the corruption point on) instead of
 raising, while the strict default keeps fail-fast semantics for curated
-inputs and for the hash gates.
+inputs and for the hash gates. Exception: the MPEG audio legs (MP1/MP2)
+are self-synchronizing sync-scan parsers — undecodable bytes simply
+yield no frames and the row is dropped, the codec family's native skip
+semantics (a garbage prefix before a valid stream still decodes).
 
 Scale notes: media blobs are large → ``maxRecordsPerBatch`` should be
 lowered for these stages (Arrow batches of ~64 MB, not 10k rows), and
@@ -2089,6 +2092,345 @@ def decode_mp1_features(media: DataFrame, *, n_bands: int = 8) -> DataFrame:
             # An all-skipped/empty batch must still carry a LIST-typed
             # band_energy column: pandas types an empty [] column float64,
             # which Arrow cannot convert to array<float>.
+            out["band_energy"] = pd.Series(out["band_energy"], dtype="object")
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(decode, AUDIO_SCHEMA)
+
+
+# -- MPEG-1 Audio Layer II ("MP2") -------------------------------------------
+# The second REAL MPEG-1 audio layer (ISO/IEC 11172-3), completing the
+# "Layer I/II feasible pure-numpy" plan. Relative to Layer I the frame
+# carries 36 subband samples (12 granules x 3) instead of 12, and the
+# bit allocation is TABLE-DRIVEN: Annex B Tables B.2a-d give, per
+# subband, an allocation-field width (4/3/2 bits) and the list of
+# quantizer step counts it indexes (3,5,7,9,15,...,65535); which table
+# applies is a function of (sampling rate, bitrate per channel) per
+# ISO 11172-3 2.4.2.3. Grouped quantizers (3/5/9 levels) pack 3
+# consecutive samples into one 5/7/10-bit codeword (2.4.3.3.4:
+# c = s0 + s1*L + s2*L^2). Scalefactors are the same closed-form Table
+# B.1 as Layer I, but each subband carries up to three of them (one per
+# 12-sample third) selected by a 2-bit scfsi field. Requantization per
+# Table B.4 reduces to the closed form s'' = (2*raw + 1)/L - 1 (the
+# spec's C*(s''' + D) with C = 2^g/L and D = 1 - (L-1)/2^g cancels to
+# exactly this), then s = sf * s''. The synthesis filterbank is the same
+# documented PR-MDCT stand-in as Layer I (the 512-tap Table-B.3 window
+# has no closed form). Intensity joint-stereo frames (mode 01) are
+# skipped as unsupported; mono, stereo and dual-channel decode. Layer
+# III ("MP3" proper) stays the declared stub.
+# Reference parity: vRod stores/streams opaque media blobs
+# (src/utils/embeddings.rs models the payload side); this leg models the
+# decode stage of a multimodal training pipeline over such blobs.
+
+#: Layer II bitrate table (kbps), index 1..14; 0 = free format (skipped).
+_MP2_BITRATES = [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384]
+
+#: Quantizer step counts, Annex B (grouped: 3, 5, 9).
+_MP2_QLEVELS = [3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+                8191, 16383, 32767, 65535]
+
+
+def _mp2_alloc_rows():
+    """The distinct per-subband allocation rows of Tables B.2a-d:
+    (nbal, tuple of step counts per allocation code; code 0 = silent).
+    Rows a0-a3 appear in the high-rate tables (B.2a sblimit 27 / B.2b
+    sblimit 30), rows c0-c1 in the low-rate tables (B.2c sblimit 8 /
+    B.2d sblimit 12)."""
+    q = _MP2_QLEVELS
+    row_a0 = (4, (0, q[0], q[2], q[4], q[5], q[6], q[7], q[8], q[9], q[10],
+                  q[11], q[12], q[13], q[14], q[15], q[16]))   # SB 0-2
+    row_a1 = (4, (0, q[0], q[1], q[2], q[3], q[4], q[5], q[6], q[7], q[8],
+                  q[9], q[10], q[11], q[12], q[13], q[16]))    # SB 3-10
+    row_a2 = (3, (0, q[0], q[1], q[2], q[3], q[4], q[5], q[16]))  # SB 11-22
+    row_a3 = (2, (0, q[0], q[1], q[16]))                          # SB 23+
+    row_c0 = (4, (0, q[0], q[1], q[3], q[4], q[5], q[6], q[7], q[8], q[9],
+                  q[10], q[11], q[12], q[13], q[14], q[16]))   # SB 0-1 low-rate
+    row_c1 = (3, (0, q[0], q[1], q[3], q[4], q[5], q[6], q[7]))  # SB 2+ low-rate
+    return row_a0, row_a1, row_a2, row_a3, row_c0, row_c1
+
+
+def _mp2_table(rate: int, bitrate_kbps: int, nch: int):
+    """Resolve the Annex B allocation table per 2.4.2.3: returns
+    (sblimit, [(nbal, levels) per subband]). Low bitrates per channel
+    use B.2c (44.1/48 kHz) or B.2d (32 kHz); 56-80 kbps/ch always B.2a;
+    96+ kbps/ch B.2b at 44.1/32 kHz and B.2a at 48 kHz."""
+    a0, a1, a2, a3, c0, c1 = _mp2_alloc_rows()
+    per_ch = bitrate_kbps // nch
+    if per_ch <= 48:
+        sblimit = 12 if rate == 32000 else 8
+        rows = [c0] * 2 + [c1] * (sblimit - 2)
+    else:
+        sblimit = 27 if (per_ch <= 80 or rate == 48000) else 30
+        rows = [a0] * 3 + [a1] * 8 + [a2] * 12 + [a3] * (sblimit - 23)
+    return sblimit, rows
+
+
+def make_mp2_bytes(
+    freq_hz: float,
+    *,
+    seconds: float = 0.24,
+    rate: int = 48000,
+    bitrate_kbps: int = 192,
+    coded_subbands: int = 11,
+) -> bytes:
+    """Encode a sine tone as an MPEG-1 Layer II mono stream (test/demo
+    helper — deterministic, numpy-only). Frame syntax is spec-exact
+    (Table B.2a allocation at these defaults, scfsi=0, 255-level 8-bit
+    quantizers in the coded subbands); the analysis filterbank is the PR
+    MDCT bank (see the MP1 section note)."""
+    import numpy as np
+
+    sr_idx = _MP1_SRATES.index(rate)
+    br_idx = _MP2_BITRATES.index(bitrate_kbps)
+    sblimit, rows = _mp2_table(rate, bitrate_kbps, 1)
+    coded = min(coded_subbands, sblimit)
+    # 255-level ungrouped quantizer (8-bit codes) in every coded subband.
+    alloc_codes = [rows[sb][1].index(255) for sb in range(coded)]
+    frame_bytes = 144 * bitrate_kbps * 1000 // rate
+    body_bits = frame_bytes * 8 - 32
+    need = (sum(rows[sb][0] for sb in range(sblimit))
+            + coded * (2 + 18) + coded * 36 * 8)
+    if need > body_bits:
+        raise ValueError("coded_subbands does not fit the frame at this bitrate")
+    A = _mp1_mdct_bank()
+    sf_tab = 2.0 ** (1.0 - np.arange(63) / 3.0)
+    n_frames = max(1, int(rate * seconds) // 1152)
+    nblk = n_frames * 36
+    t = np.arange(nblk * 32 + 64) / rate
+    x = 0.3 * np.sin(2 * np.pi * freq_hz * t)
+    S = np.empty((nblk, 32))
+    for m in range(nblk):
+        S[m] = A @ x[m * 32 : m * 32 + 64]
+
+    out = bytearray()
+    for f in range(n_frames):
+        blk = S[f * 36 : (f + 1) * 36]
+        acc, nacc, buf = 0, 0, bytearray()
+
+        def put(v: int, width: int) -> None:
+            nonlocal acc, nacc
+            acc = (acc << width) | (int(v) & ((1 << width) - 1))
+            nacc += width
+            while nacc >= 8:
+                nacc -= 8
+                buf.append((acc >> nacc) & 0xFF)
+
+        put(0xFFF, 12)      # syncword
+        put(1, 1)           # ID: MPEG-1
+        put(0b10, 2)        # layer II
+        put(1, 1)           # protection bit: no CRC
+        put(br_idx, 4)
+        put(sr_idx, 2)
+        put(0, 1)           # padding
+        put(0, 1)           # private
+        put(0b11, 2)        # mode: single channel
+        put(0, 2)           # mode extension
+        put(0, 1)           # copyright
+        put(1, 1)           # original
+        put(0, 2)           # emphasis
+        for sb in range(sblimit):
+            put(alloc_codes[sb] if sb < coded else 0, rows[sb][0])
+        for _ in range(coded):
+            put(0, 2)       # scfsi = 0: three scalefactors per subband
+        # Three scalefactors per coded subband, one per 12-sample third.
+        sf_idx = np.zeros((3, coded), dtype=np.int64)
+        for p in range(3):
+            smax = np.abs(blk[p * 12 : (p + 1) * 12, :coded]).max(axis=0)
+            sf_idx[p] = np.clip(np.searchsorted(-sf_tab, -smax), 0, 62)
+        for sb in range(coded):
+            for p in range(3):
+                put(int(sf_idx[p, sb]), 6)
+        for gr in range(12):
+            for sb in range(coded):
+                sf = sf_tab[sf_idx[gr // 4, sb]]
+                for s in range(3):
+                    val = blk[gr * 3 + s, sb] / sf
+                    # Invert s'' = (2*raw + 1)/L - 1.
+                    raw = int(np.clip(round(((val + 1.0) * 255 - 1) / 2), 0, 254))
+                    put(raw, 8)
+        if nacc:
+            put(0, 8 - nacc)
+        buf.extend(b"\x00" * (frame_bytes - len(buf)))
+        out.extend(buf)
+    return bytes(out)
+
+
+def _mp2_parser():
+    """Self-contained Layer II parser closure (pickled by value into the
+    Python workers — no vrod_spark import on the worker path). Returns
+    ``parse_mp2(bytes) -> (rate, pcm float64) | (None, None)``."""
+
+    def parse_mp2(b: bytes):
+        import numpy as np
+
+        bitrates = [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+                    320, 384]
+        srates = [44100, 48000, 32000]
+        q = [3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191,
+             16383, 32767, 65535]
+        row_a0 = (4, (0, q[0], q[2], q[4], q[5], q[6], q[7], q[8], q[9],
+                      q[10], q[11], q[12], q[13], q[14], q[15], q[16]))
+        row_a1 = (4, (0, q[0], q[1], q[2], q[3], q[4], q[5], q[6], q[7],
+                      q[8], q[9], q[10], q[11], q[12], q[13], q[16]))
+        row_a2 = (3, (0, q[0], q[1], q[2], q[3], q[4], q[5], q[16]))
+        row_a3 = (2, (0, q[0], q[1], q[16]))
+        row_c0 = (4, (0, q[0], q[1], q[3], q[4], q[5], q[6], q[7], q[8],
+                      q[9], q[10], q[11], q[12], q[13], q[14], q[16]))
+        row_c1 = (3, (0, q[0], q[1], q[3], q[4], q[5], q[6], q[7]))
+
+        def table_for(rate, kbps, nch):
+            per_ch = kbps // nch
+            if per_ch <= 48:
+                sblimit = 12 if rate == 32000 else 8
+                return sblimit, [row_c0] * 2 + [row_c1] * (sblimit - 2)
+            sblimit = 27 if (per_ch <= 80 or rate == 48000) else 30
+            return sblimit, ([row_a0] * 3 + [row_a1] * 8 + [row_a2] * 12
+                             + [row_a3] * (sblimit - 23))
+
+        sf_tab = 2.0 ** (1.0 - np.arange(63) / 3.0)
+        n = np.arange(64)
+        h = np.sin(np.pi * (n + 0.5) / 64)
+        k = np.arange(32)[:, None]
+        A = (
+            h[None, :]
+            * np.cos(np.pi / 32 * (n[None, :] + 0.5 + 16) * (k + 0.5))
+            * np.sqrt(2.0 / 32)
+        )
+        data = np.frombuffer(bytes(b), dtype=np.uint8)
+        pos, rate, frames = 0, None, []
+        while pos + 4 <= len(data):
+            if not (data[pos] == 0xFF and (data[pos + 1] & 0xF0) == 0xF0):
+                pos += 1
+                continue
+            hdr = (
+                (int(data[pos]) << 24)
+                | (int(data[pos + 1]) << 16)
+                | (int(data[pos + 2]) << 8)
+                | int(data[pos + 3])
+            )
+            mpeg1 = (hdr >> 19) & 1
+            layer = (hdr >> 17) & 3
+            protection = (hdr >> 16) & 1
+            br_idx = (hdr >> 12) & 0xF
+            sr_idx = (hdr >> 10) & 3
+            padding = (hdr >> 9) & 1
+            mode = (hdr >> 6) & 3
+            # Layer II only; intensity joint stereo (mode 01) unsupported.
+            if (mpeg1 != 1 or layer != 0b10 or br_idx in (0, 15)
+                    or sr_idx == 3 or mode == 0b01):
+                pos += 1
+                continue
+            rate = srates[sr_idx]
+            kbps = bitrates[br_idx]
+            frame_bytes = 144 * kbps * 1000 // rate + padding
+            frame = data[pos : pos + frame_bytes]
+            if len(frame) < frame_bytes:
+                break
+            nch = 1 if mode == 0b11 else 2
+            sblimit, rows = table_for(rate, kbps, nch)
+            bits = np.unpackbits(frame)
+            bp = 32 + (16 if protection == 0 else 0)
+
+            def get(width: int) -> int:
+                nonlocal bp
+                v = 0
+                for bit in bits[bp : bp + width]:
+                    v = (v << 1) | int(bit)
+                bp += width
+                return v
+
+            levels = [[0] * sblimit for _ in range(nch)]
+            for sb in range(sblimit):
+                nbal, row = rows[sb]
+                for ch in range(nch):
+                    levels[ch][sb] = row[get(nbal)]
+            scfsi = [[get(2) if levels[ch][sb] else 0 for sb in range(sblimit)]
+                     for ch in range(nch)]
+            # Per-third scalefactors resolved through scfsi (2.4.2.7:
+            # 0 -> abc, 1 -> aab, 2 -> aaa, 3 -> abb). Index 63 is
+            # forbidden by Table B.1 — clamp, don't crash, on hostile
+            # streams (same policy as the Layer I parser).
+            sf = [[(1.0, 1.0, 1.0)] * sblimit for _ in range(nch)]
+            for ch in range(nch):
+                for sb in range(sblimit):
+                    if not levels[ch][sb]:
+                        continue
+                    mode_sf = scfsi[ch][sb]
+                    if mode_sf == 0:
+                        a, b2, c = get(6), get(6), get(6)
+                    elif mode_sf == 1:
+                        a = get(6); b2 = a; c = get(6)
+                    elif mode_sf == 2:
+                        a = get(6); b2 = a; c = a
+                    else:
+                        a = get(6); b2 = get(6); c = b2
+                    sf[ch][sb] = tuple(
+                        sf_tab[min(i, 62)] for i in (a, b2, c)
+                    )
+            S = np.zeros((36, 32))
+            for gr in range(12):
+                for sb in range(sblimit):
+                    for ch in range(nch):
+                        L = levels[ch][sb]
+                        if L == 0:
+                            continue
+                        scale = sf[ch][sb][gr // 4]
+                        if L in (3, 5, 9):       # grouped codeword
+                            width = {3: 5, 5: 7, 9: 10}[L]
+                            c = get(width)
+                            triple = (c % L, (c // L) % L, c // (L * L))
+                        else:
+                            nb = L.bit_length()
+                            triple = (get(nb), get(nb), get(nb))
+                        for s, raw in enumerate(triple):
+                            val = ((2 * min(raw, L - 1) + 1) / L - 1.0) * scale
+                            S[gr * 3 + s, sb] += val / nch
+            frames.append(S)
+            pos += frame_bytes
+        if not frames:
+            return None, None
+        S = np.concatenate(frames, axis=0)
+        contrib = S @ A
+        y = np.zeros(len(S) * 32 + 64)
+        for m in range(len(S)):
+            y[m * 32 : m * 32 + 64] += contrib[m]
+        return rate, y[: len(S) * 32]
+
+    return parse_mp2
+
+
+def decode_mp2_features(media: DataFrame, *, n_bands: int = 8) -> DataFrame:
+    """REAL MPEG-1 Layer II audio decoding (bitstream exact — table-driven
+    B.2a-d allocation, scfsi scalefactor sharing, grouped quantizers;
+    PR-MDCT filterbank stand-in, see the MP1 section note): AUDIO_SCHEMA
+    features exactly like the WAV/AU/ADPCM/MP1 legs, so the q51 gate
+    hash-checks the header-derived metadata and pytest pins spectral
+    fidelity. Undecodable blobs are skipped, never raised."""
+    bands = n_bands
+    parse_mp2 = _mp2_parser()
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "media_id": [], "sample_rate": [], "n_frames": [],
+                "duration_ms": [], "band_energy": [],
+            }
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                rate, pcm = parse_mp2(bytes(content))
+                if rate is None:
+                    continue
+                spec = np.abs(np.fft.rfft(pcm))
+                chunks = np.array_split(np.log1p(spec), bands)
+                energy = np.array(
+                    [c.mean() if len(c) else 0.0 for c in chunks], dtype=np.float32
+                )
+                out["media_id"].append(media_id)
+                out["sample_rate"].append(rate)
+                out["n_frames"].append(len(pcm))
+                out["duration_ms"].append(int(len(pcm) * 1000 / max(rate, 1)))
+                out["band_energy"].append(energy.tolist())
             out["band_energy"] = pd.Series(out["band_energy"], dtype="object")
             yield pd.DataFrame(out)
 

@@ -1792,6 +1792,8 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
         ('jpeg', 2, 0, 24, 8, 0.48029, 0.497304, 0.472876),
         ('mp1', 0, 0, 0, 0, 32000.0, 7680.0, 240.0),
         ('mp1', 1, 0, 0, 0, 32000.0, 7680.0, 240.0),
+        ('mp2', 0, 0, 0, 0, 48000.0, 11520.0, 240.0),
+        ('mp2', 1, 0, 0, 0, 48000.0, 11520.0, 240.0),
         ('png', 0, 0, 8, 4, 0.0, round(64.0/255, 6), 1.0),
         ('png', 1, 0, 5, 5, round(200.0/255, 6), round(100.0/255, 6), round(50.0/255, 6)),
         ('video', 0, 0, 16, 8, 0.0, 0.0, 0.0),
@@ -1810,6 +1812,7 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_gif_features,
         decode_jpeg_features,
         decode_mp1_features,
+        decode_mp2_features,
         decode_png_features,
         decode_ppm_features,
         decode_wav_features,
@@ -1820,6 +1823,7 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_gif_bytes,
         make_jpeg_bytes,
         make_mp1_bytes,
+        make_mp2_bytes,
         make_png_bytes,
         make_ppm_bytes,
         make_wav_adpcm_bytes,
@@ -2008,6 +2012,22 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_frames").cast("double").alias("m2"),
         F.col("duration_ms").cast("double").alias("m3"),
     )
+    # MP2 leg: MPEG-1 Audio Layer II — table-driven B.2a allocation,
+    # scfsi scalefactor sharing, 12x3-granule sample layout; metadata
+    # (rate, decoded sample count, duration) is header-derived and exact.
+    mp2 = spark.createDataFrame(
+        [(i, "audio", make_mp2_bytes(440.0 * (i + 1))) for i in range(2)], schema
+    )
+    mp2_leg = decode_mp2_features(mp2).select(
+        F.lit("mp2").alias("modality"),
+        F.col("media_id").cast("int").alias("media_id"),
+        F.lit(0).alias("idx"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        F.col("sample_rate").cast("double").alias("m1"),
+        F.col("n_frames").cast("double").alias("m2"),
+        F.col("duration_ms").cast("double").alias("m3"),
+    )
     return (
         audio.unionByName(adpcm_leg)
         .unionByName(au_leg)
@@ -2016,6 +2036,7 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(image)
         .unionByName(jpeg_leg)
         .unionByName(mp1_leg)
+        .unionByName(mp2_leg)
         .unionByName(png_leg)
         .unionByName(video)
         .orderBy("modality", "media_id", "idx")
