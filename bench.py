@@ -93,6 +93,7 @@ HEADLINE = [
     "q54_mixture_sampling",
     "q57_skew_salted_join",
     "q58_pii_redaction",
+    "q59_near_dup_components",
 ]
 
 
@@ -110,6 +111,7 @@ SERIAL_TRACK = [
     "q49_repetition_ratio",
     "q50_decontamination",
     "q52_clean_corpus_pipeline",
+    "q59_near_dup_components",
 ]
 
 

@@ -53,6 +53,66 @@ def test_jaccard_hot_shingle_pruning(spark, corpus):
     assert pruned.count() == 0
 
 
+def test_connected_components_match_union_find(spark):
+    """Both CC paths — the bounded driver union-find finish AND the
+    distributed large-star/small-star loop (forced via
+    small_graph_threshold=0) — agree with a reference union-find on
+    adversarial graphs: transitive chains (the case pairwise dedup logic
+    gets wrong), cycles, a star rooted at the LARGEST id, random sparse
+    graphs, self-loops and duplicate/reversed edges."""
+    import random
+
+    from vrod_spark.operators.dedup import connected_components
+
+    def uf(edges):
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            if a == b:
+                continue
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comps = {}
+        for x in parent:
+            comps.setdefault(find(x), []).append(x)
+        return {x: min(m) for m in comps.values() for x in m}
+
+    rng = random.Random(42)
+    cases = {
+        "chain": [(i, i + 1) for i in range(20)],
+        "cycle": [(i, (i + 1) % 15) for i in range(15)],
+        "star_high_root": [(100, i) for i in range(30)],
+        "random_sparse": [
+            (rng.randrange(200), rng.randrange(200)) for _ in range(150)
+        ],
+        "self_loops_dups": [(3, 3), (1, 2), (2, 1), (1, 2), (7, 9)],
+    }
+    # The distributed loop pays several driver round-trips per graph, so
+    # the forced-distributed sweep keeps the three structurally distinct
+    # cases (deep chain = log-round doubling, high-rooted star = skew,
+    # degenerate edges); the cheap driver path sweeps everything.
+    distributed_cases = {"chain", "star_high_root", "self_loops_dups"}
+    for thr in (65536, 0):
+        for name, edges in cases.items():
+            if thr == 0 and name not in distributed_cases:
+                continue
+            df = spark.createDataFrame(edges, "id_a long, id_b long")
+            got = {
+                r["id"]: r["component"]
+                for r in connected_components(
+                    df, small_graph_threshold=thr
+                ).collect()
+            }
+            assert got == uf(edges), f"threshold={thr} case={name}"
+
+
 def test_minhash_lsh_finds_planted_dups(spark, corpus):
     found = {
         (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(corpus, min_jaccard=0.5).collect()

@@ -24,6 +24,10 @@ Five dedup strategies, each chosen for a different scale/accuracy point:
   blocked self-join + codegen'd cosine, or LSH buckets at scale.
 
 All pair outputs are canonical: (id_a < id_b), ordered, hash-checkable.
+
+Pairs are only half of dedup: ``connected_components`` (alternating
+large-star/small-star) turns any of the pair outputs into transitive
+keep-one-per-cluster components.
 """
 
 from __future__ import annotations
@@ -698,4 +702,168 @@ def embedding_near_dup_bucketed(
         pairs.groupBy("id_a", "id_b")
         .agg(F.max("cosine").alias("cosine"))
         .orderBy(F.col("cosine").desc(), "id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Connected components over near-dup pair graphs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+    small_graph_threshold: int = 65536,
+) -> DataFrame:
+    """``(id, component)`` for every node in ``edges``, where ``component``
+    is the smallest node id in the node's connected component.
+
+    Near-dup pair generators (exact Jaccard, MinHash-LSH, SimHash,
+    embedding-cosine) emit EDGES; corpus dedup needs COMPONENTS — the
+    keep-one-per-cluster decision is transitive (A~B, B~C must collapse
+    A,B,C together even when A~C was never emitted). This is the
+    alternating large-star/small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): each round
+    is two shuffle-join/aggregate passes over the edge set, converging to
+    min-rooted stars in O(log n) rounds w.h.p.
+
+    Scale design (the reason the distributed path is NOT label
+    propagation or collect-everything):
+    - no driver-side graph state and no ``collect_list`` adjacency — a
+      web-scale near-dup graph has power-law degrees, and materializing a
+      hot node's neighbor list in one row is the classic skew bomb. Both
+      stars are expressed as groupBy-min + shuffle-join, so a hot node's
+      edges stay spread across tasks;
+    - rounds shrink the edge set monotonically toward one edge per
+      non-root node, so later rounds are cheaper, not costlier;
+    - ``localCheckpoint(eager=True)`` after every round truncates the
+      iterative lineage (on a cluster, swap for ``checkpoint()`` against
+      a fault-tolerant dir — the knob is isolated here);
+    - convergence is detected by a one-job (count, hash-sum) signature,
+      CONFIRMED by exact ``exceptAll`` equality before declaring
+      convergence; ``max_iter`` (default 25 ≈ log-rounds for far beyond
+      10^15 nodes) only guards a pathological non-termination bug, loudly;
+    - a graph whose ENTIRE edge set is tiny (≤ ``small_graph_threshold``
+      edges ≈ ≤1 MB of id pairs — a BOUNDED collect, same class as the
+      4-row/64-bucket collects elsewhere in this repo) skips the loop and
+      union-finds on the driver: each distributed round costs 3-4 fixed
+      job latencies regardless of data size, so for sliver graphs the
+      loop is pure overhead. Near-dup graphs at 100 TB are NOT slivers —
+      they take the distributed path (threshold compares against the
+      actual edge count, not a guess); set ``small_graph_threshold=0``
+      to force the distributed path (the property tests do).
+
+    vRod parity: the reference's DEDUP-adjacent surface stops at pairwise
+    stubs (src/command/types.rs:82-106 UPDATE/DELETE are the only
+    mutators); component formation is the [N] north-star layer that makes
+    near-dedup a deployable corpus operation.
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(
+            F.greatest(F.col(src_col), F.col(dst_col)).cast("long").alias("u"),
+            F.least(F.col(src_col), F.col(dst_col)).cast("long").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if e.count() <= small_graph_threshold:
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        pairs = [(r["u"], r["v"]) for r in e.collect()]
+        for u, v in pairs:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        rows = [(x, find(x)) for x in parent]
+        if not rows:
+            return spark.createDataFrame([], "id long, component long")
+        return spark.createDataFrame(rows, "id long, component long")
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def sig_of(df: DataFrame):
+        """One-job convergence signature: (count, 64-bit content hash sum).
+        Candidate equality by signature, CONFIRMED by an exact exceptAll
+        before declaring convergence — the exact check runs once, at the
+        end, instead of every round."""
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) sum: exact, and cannot overflow under ANSI
+            # mode the way a long sum of 64-bit hashes can.
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return int(row["n"] or 0), row["h"]
+
+    n_edges, prev_hash = sig_of(e)
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        # A near-dup graph is usually a sliver of the corpus: once the
+        # edge set is known small, run the loop's shuffles single-task —
+        # the rounds are driver-latency-bound, not data-bound, and 32-way
+        # exchanges of a few hundred rows are pure scheduling overhead.
+        # Large graphs keep their parallelism (AQE also re-coalesces).
+        if n_edges < 1_000_000 and e.rdd.getNumPartitions() > 1:
+            e = e.coalesce(1)
+        # Large-star: every node u connects its strictly-larger neighbors
+        # to m(u) = min(N(u) ∪ {u}). Output edges (v, m) keep the
+        # canonical first-greater orientation because m <= u < v.
+        # (Duplicate emissions are harmless to the min-aggregates and are
+        # collapsed by the end-of-round distinct, so no mid-round
+        # distinct shuffle.)
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # Small-star: every node u (edges oriented u > v) connects its
+        # smaller neighborhood ∪ itself to its minimum neighbor.
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n_new, new_hash = sig_of(small)
+        if (
+            n_new == n_edges
+            and new_hash == prev_hash
+            and small.exceptAll(e).isEmpty()
+        ):
+            e = small
+            break
+        e, n_edges, prev_hash = small, n_new, new_hash
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({n_edges} edges remain) — this indicates a bug, not a big graph: "
+            "the algorithm converges in O(log n) rounds."
+        )
+    stars = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    return nodes.join(stars, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
     )

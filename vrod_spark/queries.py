@@ -3042,3 +3042,63 @@ def q58_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------------------
+# Near-dup graph -> connected components: pair emission is only HALF of
+# corpus dedup — the keep-one-per-cluster decision is transitive (A~B,
+# B~C collapses A,B,C even when A~C was never emitted). The operator is
+# the alternating large-star/small-star MapReduce algorithm (shuffle-only,
+# no driver-side graph state); the oracle computes the same components via
+# a recursive-CTE transitive closure over the identical exact-Jaccard edge
+# set. The sf0.01 graph is non-vacuous: ~47 nodes, 23 components, and at
+# least one 3-node transitive chain that pairwise logic would get wrong.
+# ---------------------------------------------------------------------------
+@query(
+    "q59_near_dup_components",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(ws) - 2, 1)),
+               i -> array_to_string(ws[i:i+2], ' '))) AS s
+      FROM toks
+    ),
+    inv AS (SELECT doc_id, len(s) AS set_size, unnest(s) AS shingle FROM sh),
+    keep AS (SELECT shingle FROM inv GROUP BY shingle
+             HAVING count(*) BETWEEN 2 AND 20),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.set_size AS sa, b.set_size AS sb, count(*) AS inter
+      FROM inv a JOIN inv b USING (shingle)
+      WHERE a.doc_id < b.doc_id AND shingle IN (SELECT shingle FROM keep)
+      GROUP BY 1, 2, 3, 4
+    ),
+    e AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      WHERE inter / (sa + sb - inter)::DOUBLE >= 0.05
+    ),
+    edges AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+    reach(u, v) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.u, e2.b FROM reach r JOIN edges e2 ON r.v = e2.a
+    )
+    SELECT u AS doc_id, least(u, min(v)) AS component
+    FROM reach GROUP BY u ORDER BY doc_id
+    """,
+)
+def q59_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vrod_spark.operators.dedup import connected_components, jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    # Same capped-df configuration as q26 (the deployable one); 0.05
+    # keeps every informative edge so the component graph has depth.
+    pairs = jaccard_pairs(docs, n=3, max_shingle_df=20, min_jaccard=0.05)
+    return (
+        connected_components(pairs, src_col="id_a", dst_col="id_b")
+        .select(F.col("id").alias("doc_id"), "component")
+        .orderBy("doc_id")
+    )
