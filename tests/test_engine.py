@@ -477,6 +477,31 @@ def test_dedup_verb_exact_and_minhash(engine):
     assert sorted(r["id"] for r in col.read().collect()) == [1, 4]
 
 
+def test_dedup_verb_is_transitive(engine):
+    """The near-dup keep-rule closes pairs into components: a chain
+    1 ~ 3 ~ 2 (bridge doc 3 has the LARGEST id; 1 and 2 are NOT a pair
+    themselves) must collapse to just {1}. The old pairwise rule "drop
+    the larger id of each pair" would only drop 3 and leave both 1 and 2
+    alive — the transitivity gap this test pins shut."""
+    import math
+
+    engine.execute("CREATE", collection="vecs")
+    a = math.radians(2.5)   # cos(a) ≈ 0.99905 ≥ 0.999; cos(2a) ≈ 0.99619 < 0.999
+    rows = [
+        {"id": 1, "embedding": [1.0, 0.0, 0.0], "payload": "a"},
+        {"id": 2, "embedding": [math.cos(2 * a), math.sin(2 * a), 0.0], "payload": "b"},
+        {"id": 3, "embedding": [math.cos(a), math.sin(a), 0.0], "payload": "bridge"},
+        {"id": 4, "embedding": [0.0, 0.0, 1.0], "payload": "far"},
+    ]
+    engine.execute("INSERT", collection="vecs", arg=rows)
+    info = engine.execute(
+        "DEDUP", collection="vecs", arg={"strategy": "embedding", "threshold": 0.999}
+    ).info
+    assert info["removed"] == 2
+    col = engine.db.collection("vecs")
+    assert sorted(r["id"] for r in col.read().collect()) == [1, 4]
+
+
 def test_dedup_verb_embedding(engine):
     engine.execute("CREATE", collection="vecs")
     rows = [

@@ -385,8 +385,13 @@ class Engine:
         - simhash:    SimHash pairs within Hamming distance (default 3)
         - embedding:  LSH-bucketed cosine near-dups ≥ threshold (default .99)
         For the near-dup strategies every pair is exact-verified before a
-        row is dropped; the transitive keep-rule is "drop the larger id of
-        every surviving pair" (union-find-free, deterministic).
+        row is dropped, and the keep-rule is TRANSITIVE: pairs are closed
+        into connected components (operators.dedup.connected_components,
+        large-star/small-star) and only the smallest id of each component
+        survives. Pairwise "drop the larger id of each pair" would leave
+        a local-minimum id alive when its only links run through larger
+        intermediaries (B-C-A with C largest keeps both A and B) — the
+        exact transitivity gap component closure exists to fix.
         """
         from pyspark.sql import functions as F
 
@@ -444,8 +449,12 @@ class Engine:
                 f"unknown dedup strategy {strategy!r}; expected exact/minhash/simhash/embedding"
             )
 
-        # Keep-first: drop the larger id of every duplicate pair.
-        drop_ids = pairs.select(F.col("id_b").alias("id")).distinct()
+        # Keep-first, transitively: close the verified pairs into
+        # connected components and keep only each component's minimum id.
+        from vrod_spark.operators.dedup import connected_components
+
+        comps = connected_components(pairs, src_col="id_a", dst_col="id_b")
+        drop_ids = comps.filter(F.col("component") != F.col("id")).select("id")
         survivors = df.join(drop_ids, "id", "left_anti")
         n_after = col._rewrite(survivors, "DEDUP", {"strategy": strategy})
         return CommandResult(
