@@ -94,6 +94,7 @@ HEADLINE = [
     "q57_skew_salted_join",
     "q58_pii_redaction",
     "q59_near_dup_components",
+    "q60_sequence_packing",
 ]
 
 

@@ -101,6 +101,57 @@ def test_deterministic_sample_is_stable_and_proportional(spark):
     assert 0.15 < by_src["books"] / 2000 < 0.25
 
 
+def test_pack_sequences_first_fit_invariants(spark):
+    """pack_sequences == the reference first-fit fold on every group, and
+    the assignment is invariant under physical repartitioning. Edge
+    cases: zero-token docs, docs longer than the budget (capped, own
+    sequence start), exact-fill boundaries."""
+    import random
+
+    from vrod_spark.operators.sampling import pack_sequences
+
+    rng = random.Random(7)
+    rows = [(i, i % 3, rng.choice([0, 1, 5, 17, 63, 64, 100, 200])) for i in range(300)]
+    rows += [(1000, 0, 500), (1001, 0, 3), (1002, 1, 64)]  # long doc + tail
+    df = spark.createDataFrame(rows, "doc_id long, pack_group long, n_tokens long")
+
+    budget = 64
+    got = {
+        r["doc_id"]: (r["pack_group"], r["n_tokens"], r["seq_idx"], r["offset"])
+        for r in pack_sequences(df, budget=budget).collect()
+    }
+    # Reference fold.
+    want = {}
+    by_grp: dict = {}
+    for i, g, t in sorted(rows):
+        by_grp.setdefault(g, []).append((i, min(t, budget)))
+    for g, docs in by_grp.items():
+        seq, fill = 0, 0
+        for i, t in docs:
+            if fill + t > budget:
+                seq, fill = seq + 1, 0
+            want[i] = (g, t, seq, fill)
+            fill += t
+    assert got == want
+
+    # Physical layout cannot change the packing.
+    got2 = {
+        r["doc_id"]: (r["pack_group"], r["n_tokens"], r["seq_idx"], r["offset"])
+        for r in pack_sequences(df.repartition(13), budget=budget).collect()
+    }
+    assert got2 == got
+
+    # Every sequence respects the budget.
+    fills: dict = {}
+    for _, (g, t, s, o) in got.items():
+        key = (g, s)
+        fills[key] = max(fills.get(key, 0), o + t)
+        assert o + t <= budget
+    # First-fit leaves no sequence empty.
+    for g, s in fills:
+        assert fills[(g, s)] > 0 or s == 0
+
+
 def test_heavy_hitters_matches_exact_counts(spark, sf_dir):
     """Sketch-then-verify heavy hitters: every token whose exact frequency
     meets the support threshold appears, with EXACT counts (the sketch

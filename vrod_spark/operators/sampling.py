@@ -43,3 +43,81 @@ def deterministic_sample(
     else:
         rate = F.lit(float(fraction))
     return df.filter(coord < rate)
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    budget: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    group_col: str = "pack_group",
+) -> DataFrame:
+    """Assign every document to a fixed-token-budget training sequence:
+    first-fit in ``id_col`` order WITHIN each pack group.
+
+    Output columns: ``(group_col, id_col, n_tokens, seq_idx, offset)`` —
+    ``seq_idx`` is the sequence number within the group, ``offset`` the
+    document's start position inside that sequence. ``n_tokens`` is
+    capped at ``budget`` (truncation is the packing contract here; the
+    alternative — splitting one document across sequences — changes row
+    identity and belongs to the tokenizer stage).
+
+    Sequence packing is the corpus-assembly step between cleaning and
+    training: LLM trainers consume fixed-length token streams, and
+    packing short documents together (instead of padding each to the
+    context length) is what keeps effective batch utilization high.
+
+    Scale design: packing is inherently sequential WITHIN a sequence
+    stream but embarrassingly parallel ACROSS streams — exactly how
+    production pipelines shard. Each group packs independently
+    (``applyInPandas``; one shuffle on the group key), carrying O(1)
+    running-fill state; groups map 1:1 onto output shards, so
+    parallelism = number of groups regardless of corpus size. The
+    (group, id-order) contract makes the assignment a pure function of
+    the data — independent of partitioning, AQE re-plans, and task
+    retries — the same determinism property as ``deterministic_sample``.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    capped = df.select(
+        F.col(group_col).cast("long").alias("grp"),
+        F.col(id_col).cast("long").alias("id"),
+        F.least(F.col(token_col).cast("long"), F.lit(budget)).alias("ntok"),
+    )
+    cap = budget
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+        seqs, offs = [], []
+        seq, fill = 0, 0
+        for t in pdf["ntok"]:
+            t = int(t)
+            if fill + t > cap:
+                seq += 1
+                fill = 0
+            offs.append(fill)
+            seqs.append(seq)
+            fill += t
+        return pd.DataFrame(
+            {
+                "grp": pdf["grp"],
+                "id": pdf["id"],
+                "ntok": pdf["ntok"],
+                "seq_idx": seqs,
+                "offset": offs,
+            }
+        )
+
+    out = capped.groupBy("grp").applyInPandas(
+        pack, "grp long, id long, ntok long, seq_idx long, offset long"
+    )
+    return out.select(
+        F.col("grp").alias(group_col),
+        F.col("id").alias(id_col),
+        F.col("ntok").alias("n_tokens"),
+        "seq_idx",
+        "offset",
+    )

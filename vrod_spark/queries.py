@@ -3066,10 +3066,15 @@ def q58_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> array_to_string(ws[i:i+2], ' '))) AS s
       FROM toks
     ),
-    inv AS (SELECT doc_id, len(s) AS set_size, unnest(s) AS shingle FROM sh),
+    -- MATERIALIZED: inside WITH RECURSIVE, DuckDB re-evaluates inlined
+    -- CTEs on every recursion step — without the hint the shingle
+    -- pipeline re-runs ~10x and the oracle measures CTE inlining, not
+    -- the closure (15s -> 0.9s at sf0.1).
+    inv AS MATERIALIZED (
+      SELECT doc_id, len(s) AS set_size, unnest(s) AS shingle FROM sh),
     keep AS (SELECT shingle FROM inv GROUP BY shingle
              HAVING count(*) BETWEEN 2 AND 20),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              a.set_size AS sa, b.set_size AS sb, count(*) AS inter
       FROM inv a JOIN inv b USING (shingle)
@@ -3080,7 +3085,7 @@ def q58_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT id_a AS a, id_b AS b FROM pairs
       WHERE inter / (sa + sb - inter)::DOUBLE >= 0.05
     ),
-    edges AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+    edges AS MATERIALIZED (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
     reach(u, v) AS (
       SELECT a, b FROM edges
       UNION
@@ -3102,3 +3107,52 @@ def q59_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id").alias("doc_id"), "component")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing: the corpus-assembly step between cleaning and training.
+# First-fit in doc-id order within hash groups (groups = output shards =
+# the parallelism unit; the in-group order is the determinism contract).
+# The oracle replays the identical fold as a recursive CTE — packing is
+# cumulative-sum-with-reset, which plain window functions cannot express.
+# ---------------------------------------------------------------------------
+@query(
+    "q60_sequence_packing",
+    oracle="""
+    WITH RECURSIVE d AS MATERIALIZED (
+      -- MATERIALIZED: without it DuckDB re-tokenizes the corpus on every
+      -- recursion step (9.3s -> 0.6s at sf0.1).
+      SELECT doc_id,
+             doc_id % 8 AS pack_group,
+             least(len(string_split(trim(text), ' ')), 512)::BIGINT AS ntok,
+             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    packed(pack_group, rn, doc_id, ntok, seq_idx, fill) AS (
+      SELECT pack_group, rn, doc_id, ntok, 0::BIGINT, ntok
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.pack_group, d.rn, d.doc_id, d.ntok,
+             CASE WHEN p.fill + d.ntok <= 512 THEN p.seq_idx ELSE p.seq_idx + 1 END,
+             CASE WHEN p.fill + d.ntok <= 512 THEN p.fill + d.ntok ELSE d.ntok END
+      FROM packed p JOIN d ON d.pack_group = p.pack_group AND d.rn = p.rn + 1
+    )
+    SELECT pack_group, doc_id, ntok AS n_tokens, seq_idx,
+           (fill - ntok) AS offset
+    FROM packed
+    ORDER BY doc_id
+    """,
+)
+def q60_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vrod_spark.operators.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    prepped = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("pack_group"),
+        # Single-space split on both engines (Spark's pattern arg treats
+        # " " as a regex that matches exactly one space, like
+        # string_split) so empty tokens from double spaces agree too.
+        F.size(F.split(F.trim("text"), " ")).alias("n_tokens"),
+    )
+    return pack_sequences(prepped, budget=512).orderBy("doc_id")
