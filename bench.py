@@ -64,7 +64,6 @@ HEADLINE = [
     "q19_scalar_funcs",
     "q21_array_funcs",
     "q22_distinct_percentiles",
-    "q22b_approx_aggs",
     "q23_pivot_status",
     "q24_subqueries",
     "q25_distribution_windows",
@@ -93,8 +92,7 @@ HEADLINE = [
     "q54_mixture_sampling",
     "q57_skew_salted_join",
     "q58_pii_redaction",
-    "q59_near_dup_components",
-    "q60_sequence_packing",
+    "q59_corpus_assembly",
 ]
 
 
@@ -112,7 +110,7 @@ SERIAL_TRACK = [
     "q49_repetition_ratio",
     "q50_decontamination",
     "q52_clean_corpus_pipeline",
-    "q59_near_dup_components",
+    "q59_corpus_assembly",
 ]
 
 

