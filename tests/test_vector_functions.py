@@ -157,3 +157,49 @@ def test_pq_compression_recall_and_determinism(spark, sf_dir):
 
     # The query's own (quantized) vector must be the nearest code.
     assert got[0] == rows[0]["vec_id"]
+
+
+def test_ivfpq_search_prune_scan_rescore(spark, sf_dir):
+    """IVF x PQ composition: bucket pruning (driver centroid probe) ->
+    ADC scan -> bounded exact rescore. The rescored top-k must carry
+    EXACT distances (equal to brute-force kNN's for the same ids) and
+    recall vs full exact kNN >= 0.6 at nprobe=4/64 buckets — pruning
+    plus quantization loses some neighbors by design; the knobs
+    (nprobe, rescore_factor) buy recall back."""
+    import numpy as np
+
+    from vrod_spark.operators.ivf import _spherical_kmeans, ivf_assign_expr
+    from vrod_spark.operators.knn import knn_exact
+    from vrod_spark.operators.pq import ivfpq_search, pq_encode, pq_train
+    from vrod_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = np.asarray(
+        [r["embedding"] for r in emb.limit(2000).collect()], dtype=np.float64
+    )
+    centroids = _spherical_kmeans(sample, 64)
+    cb = pq_train(emb, m=8, nbits=8, sample_size=4096)
+    codes = pq_encode(emb, cb).join(
+        emb.select(
+            "vec_id", ivf_assign_expr(spark, centroids, "embedding").alias("bucket")
+        ),
+        "vec_id",
+    )
+
+    q = [float(v) for v in emb.first()["embedding"]]
+    got = ivfpq_search(
+        codes, centroids, cb, q, 10, nprobe=4, rescore=emb, rescore_factor=4
+    ).collect()
+    assert len(got) == 10
+    exact = knn_exact(emb, q, 10).collect()
+    exact_ids = [r["vec_id"] for r in exact]
+    exact_dist = {r["vec_id"]: r["dist"] for r in exact}
+    got_ids = [r["vec_id"] for r in got]
+    recall = len(set(got_ids) & set(exact_ids)) / 10
+    assert recall >= 0.6, f"ivfpq recall {recall}"
+    # Rescored distances are EXACT for every id both rankings share.
+    for r in got:
+        if r["vec_id"] in exact_dist:
+            assert abs(r["dist"] - exact_dist[r["vec_id"]]) < 1e-6
+    # The query's own vector survives prune+quantize+rescore at rank 1.
+    assert got_ids[0] == exact_ids[0]

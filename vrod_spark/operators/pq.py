@@ -181,3 +181,52 @@ def pq_search(
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(top_k)
     )
+
+
+def ivfpq_search(
+    codes: DataFrame,
+    centroids,
+    codebooks,
+    query,
+    top_k: int,
+    *,
+    bucket_col: str = "bucket",
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    rescore: DataFrame | None = None,
+    rescore_factor: int = 4,
+) -> DataFrame:
+    """IVF × PQ — the standard large-scale ANN pairing, composed from the
+    two operators this module and operators/ivf.py already provide:
+
+    1. **prune**: probe the ``nprobe`` IVF centroids nearest the query
+       (driver-side argsort over the centroid matrix) and keep only codes
+       in those buckets — when ``codes`` is read from a
+       ``bucket=``-partitioned layout (the REINDEX ivf layout), this
+       filter is partition-PRUNED at the scan, so the 100 TB corpus is
+       never touched outside the probed buckets;
+    2. **scan**: ADC over the surviving m-byte codes (``pq_search``) —
+       decompression-free table lookups;
+    3. **rescore** (optional): join the top ``top_k * rescore_factor``
+       ADC survivors — a BOUNDED broadcast — back to the raw vectors in
+       ``rescore`` and return the exact-distance top ``top_k``
+       (TakeOrderedAndProject, same plan as exact kNN). Without
+       ``rescore`` the ADC ranking is returned as-is.
+    """
+    import numpy as np
+
+    q = np.asarray(query, dtype=np.float64)
+    nq = np.linalg.norm(q)
+    qu = q / nq if nq else q
+    cents = np.asarray(centroids, dtype=np.float64)
+    probes = [int(b) for b in np.argsort(-(cents @ qu))[:nprobe]]
+    cand = codes.filter(F.col(bucket_col).isin(probes))
+    n_adc = top_k * rescore_factor if rescore is not None else top_k
+    adc = pq_search(cand, codebooks, query, n_adc, id_col=id_col)
+    if rescore is None:
+        return adc
+    from vrod_spark.operators.knn import knn_exact
+
+    survivors = adc.select(id_col)
+    exact_pool = rescore.join(F.broadcast(survivors), id_col)
+    return knn_exact(exact_pool, [float(v) for v in q], top_k, id_col=id_col)
