@@ -213,3 +213,20 @@ def test_winnow_relational_stays_in_codegen_and_window(spark, sf_dir):
     plan = _executed_plan(winnow_fingerprints_relational(docs))
     assert "Window" in plan
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_pq_search_is_take_ordered_over_python_scan(spark, sf_dir):
+    """PQ ADC top-k must plan as TakeOrderedAndProject (heap, no global
+    sort) above the single mapInPandas scan stage — the same pinned
+    shape as exact kNN, which is what keeps ADC search one pass at any
+    corpus size."""
+    from vrod_spark.operators.pq import pq_encode, pq_search, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, m=8, nbits=4, sample_size=512)
+    codes = pq_encode(emb, cb)
+    q = [0.0] * 64
+    plan = explain_str(pq_search(codes, cb, q, 10), "formatted")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("MapInPandas") >= 1
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
