@@ -117,7 +117,8 @@ def pq_encode(
 
         for pdf in batches:
             if not len(pdf):
-                yield pd.DataFrame({"id": [], "code": []})
+                # Yield nothing: an empty pandas frame types its []
+                # columns float64, which Arrow can't cast to binary.
                 continue
             x = np.asarray(list(pdf["v"]), dtype=np.float64)
             codes = np.empty((len(x), m), dtype=np.uint8)
@@ -168,8 +169,7 @@ def pq_search(
 
         for pdf in batches:
             if not len(pdf):
-                yield pd.DataFrame({"id": [], "adc_dist": []})
-                continue
+                continue  # see encode(): empty [] columns mistype under Arrow
             c = np.frombuffer(b"".join(pdf["code"]), dtype=np.uint8).reshape(-1, m)
             dist = table[np.arange(m)[None, :], c].sum(axis=1)
             yield pd.DataFrame({"id": pdf["id"], "adc_dist": dist})
