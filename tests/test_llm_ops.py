@@ -1156,6 +1156,29 @@ def test_mp2_bitstream_layer_is_spec_exact():
         assert np.abs(back - x).max() <= 1.0 / L + 1e-12
 
 
+def test_mp2_stereo_interleaving_is_subband_major(spark):
+    """A 2-channel Layer II frame interleaves allocation/scfsi/
+    scalefactors/samples SUBBAND-major (ISO 11172-3 2.4.1.6). A
+    channel-major reader desynchronizes the bit cursor (scalefactor
+    counts depend on scfsi), so this stereo roundtrip — same tone in
+    both channels, decoder mixes to mono — fails loudly under any
+    interleaving mistake while mono streams would hide it."""
+    import numpy as np
+
+    from vrod_spark.operators.multimodal import _mp2_parser, make_mp2_bytes
+
+    parse = _mp2_parser()
+    rate, pcm = parse(make_mp2_bytes(440.0, bitrate_kbps=384, channels=2))
+    assert rate == 48000 and len(pcm) == 11520
+    t = np.arange(len(pcm)) / rate
+    ref = 0.3 * np.sin(2 * np.pi * 440.0 * t)
+    a, b = 64, len(pcm) - 64
+    corr = (pcm[a:b] @ ref[a:b]) / np.sqrt(
+        (pcm[a:b] @ pcm[a:b]) * (ref[a:b] @ ref[a:b])
+    )
+    assert corr > 0.99, f"stereo corr {corr}"
+
+
 def test_mp2_parser_never_crashes_on_garbage():
     """Robustness: the Layer II parser must survive arbitrary bytes —
     truncated frames, random noise, fake syncwords, hostile field values

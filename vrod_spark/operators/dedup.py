@@ -762,6 +762,18 @@ def connected_components(
     near-dedup a deployable corpus operation.
     """
     spark = edges.sparkSession
+    # Long-castability is required, loudly: casting a non-numeric id
+    # column would NULL every edge and make downstream dedup a silent
+    # no-op ("0 duplicates removed") instead of a type error.
+    integral = {"byte", "short", "int", "bigint", "long"}
+    for c in (src_col, dst_col):
+        dtype = dict(edges.dtypes).get(c)
+        if dtype not in integral:
+            raise TypeError(
+                f"connected_components: column {c!r} has type {dtype!r}; "
+                "node ids must be integral (map string ids to longs — e.g. "
+                "xxhash64 — before clustering)"
+            )
     e = (
         edges.select(
             F.greatest(F.col(src_col), F.col(dst_col)).cast("long").alias("u"),

@@ -1923,7 +1923,10 @@ def make_mp1_bytes(
     for f in range(n_frames):
         blk = S[f * 12 : (f + 1) * 12]
         smax = np.abs(blk).max(axis=0)
-        sf_idx = np.clip(np.searchsorted(-sf_tab, -smax), 0, 62)
+        # Smallest scalefactor >= the peak (side="right" - 1): picking the
+        # first sf <= peak instead would make |sample/sf| reach 2^(1/3)
+        # and clip the loudest samples of every frame at the quantizer.
+        sf_idx = np.clip(np.searchsorted(-sf_tab, -smax, side="right") - 1, 0, 62)
         sf = sf_tab[sf_idx]
         raw = np.clip(
             np.round((blk / sf[None, :] / c - d + 1.0) * half), 0, (1 << nb_bits) - 1
@@ -2023,19 +2026,27 @@ def _mp1_parser():
                 bp += width
                 return v
 
-            alloc = [[get(4) for _ in range(32)] for _ in range(nch)]
-            nb = [[(a + 1) if 0 < a < 15 else 0 for a in ch] for ch in alloc]
+            # Allocation, scalefactors and samples are SUBBAND-major in
+            # the bitstream (ISO 11172-3 2.4.1.5: ``for sb: for ch:``) —
+            # channel-major reading desynchronizes 2-channel frames
+            # because scalefactor presence depends on the allocation.
+            nb = [[0] * 32 for _ in range(nch)]
+            for sb in range(32):
+                for ch in range(nch):
+                    a = get(4)
+                    nb[ch][sb] = (a + 1) if 0 < a < 15 else 0
             # Scalefactor index 63 is forbidden by the spec (Table B.1 has
             # 63 entries, 0..62) but a corrupt/hostile stream can encode
             # it in the 6-bit field — clamp rather than crash.
-            sfi = [
-                [min(get(6), 62) if nb[ch][sb] else 0 for sb in range(32)]
-                for ch in range(nch)
-            ]
+            sfi = [[0] * 32 for _ in range(nch)]
+            for sb in range(32):
+                for ch in range(nch):
+                    if nb[ch][sb]:
+                        sfi[ch][sb] = min(get(6), 62)
             S = np.zeros((12, 32))
             for s in range(12):
-                for ch in range(nch):
-                    for sb in range(32):
+                for sb in range(32):
+                    for ch in range(nch):
                         w = nb[ch][sb]
                         if w == 0:
                             continue
@@ -2172,24 +2183,29 @@ def make_mp2_bytes(
     rate: int = 48000,
     bitrate_kbps: int = 192,
     coded_subbands: int = 11,
+    channels: int = 1,
 ) -> bytes:
-    """Encode a sine tone as an MPEG-1 Layer II mono stream (test/demo
-    helper — deterministic, numpy-only). Frame syntax is spec-exact
-    (Table B.2a allocation at these defaults, scfsi=0, 255-level 8-bit
-    quantizers in the coded subbands); the analysis filterbank is the PR
-    MDCT bank (see the MP1 section note)."""
+    """Encode a sine tone as an MPEG-1 Layer II stream (test/demo helper
+    — deterministic, numpy-only; mono by default, ``channels=2`` writes
+    a stereo frame with the tone duplicated in both channels, which pins
+    the spec's subband-major field interleaving). Frame syntax is
+    spec-exact (Table B.2a allocation at these defaults, scfsi=0,
+    255-level 8-bit quantizers in the coded subbands); the analysis
+    filterbank is the PR MDCT bank (see the MP1 section note)."""
     import numpy as np
 
+    if channels not in (1, 2):
+        raise ValueError("channels must be 1 or 2")
     sr_idx = _MP1_SRATES.index(rate)
     br_idx = _MP2_BITRATES.index(bitrate_kbps)
-    sblimit, rows = _mp2_table(rate, bitrate_kbps, 1)
+    sblimit, rows = _mp2_table(rate, bitrate_kbps, channels)
     coded = min(coded_subbands, sblimit)
     # 255-level ungrouped quantizer (8-bit codes) in every coded subband.
     alloc_codes = [rows[sb][1].index(255) for sb in range(coded)]
     frame_bytes = 144 * bitrate_kbps * 1000 // rate
     body_bits = frame_bytes * 8 - 32
-    need = (sum(rows[sb][0] for sb in range(sblimit))
-            + coded * (2 + 18) + coded * 36 * 8)
+    need = channels * (sum(rows[sb][0] for sb in range(sblimit))
+                       + coded * (2 + 18) + coded * 36 * 8)
     if need > body_bits:
         raise ValueError("coded_subbands does not fit the frame at this bitrate")
     A = _mp1_mdct_bank()
@@ -2223,31 +2239,40 @@ def make_mp2_bytes(
         put(sr_idx, 2)
         put(0, 1)           # padding
         put(0, 1)           # private
-        put(0b11, 2)        # mode: single channel
+        put(0b11 if channels == 1 else 0b00, 2)  # single channel / stereo
         put(0, 2)           # mode extension
         put(0, 1)           # copyright
         put(1, 1)           # original
         put(0, 2)           # emphasis
+        # All multi-channel fields are SUBBAND-major (2.4.1.6).
         for sb in range(sblimit):
-            put(alloc_codes[sb] if sb < coded else 0, rows[sb][0])
-        for _ in range(coded):
-            put(0, 2)       # scfsi = 0: three scalefactors per subband
-        # Three scalefactors per coded subband, one per 12-sample third.
+            for _ch in range(channels):
+                put(alloc_codes[sb] if sb < coded else 0, rows[sb][0])
+        for _sb in range(coded):
+            for _ch in range(channels):
+                put(0, 2)   # scfsi = 0: three scalefactors per subband
+        # Three scalefactors per coded subband, one per 12-sample third
+        # (both channels carry the same signal, so the same indices).
         sf_idx = np.zeros((3, coded), dtype=np.int64)
         for p in range(3):
             smax = np.abs(blk[p * 12 : (p + 1) * 12, :coded]).max(axis=0)
-            sf_idx[p] = np.clip(np.searchsorted(-sf_tab, -smax), 0, 62)
+            # Smallest scalefactor >= the peak — see the MP1 encoder note.
+            sf_idx[p] = np.clip(
+                np.searchsorted(-sf_tab, -smax, side="right") - 1, 0, 62
+            )
         for sb in range(coded):
-            for p in range(3):
-                put(int(sf_idx[p, sb]), 6)
+            for _ch in range(channels):
+                for p in range(3):
+                    put(int(sf_idx[p, sb]), 6)
         for gr in range(12):
             for sb in range(coded):
-                sf = sf_tab[sf_idx[gr // 4, sb]]
-                for s in range(3):
-                    val = blk[gr * 3 + s, sb] / sf
-                    # Invert s'' = (2*raw + 1)/L - 1.
-                    raw = int(np.clip(round(((val + 1.0) * 255 - 1) / 2), 0, 254))
-                    put(raw, 8)
+                for _ch in range(channels):
+                    sf = sf_tab[sf_idx[gr // 4, sb]]
+                    for s in range(3):
+                        val = blk[gr * 3 + s, sb] / sf
+                        # Invert s'' = (2*raw + 1)/L - 1.
+                        raw = int(np.clip(round(((val + 1.0) * 255 - 1) / 2), 0, 254))
+                        put(raw, 8)
         if nacc:
             put(0, 8 - nacc)
         buf.extend(b"\x00" * (frame_bytes - len(buf)))
@@ -2344,15 +2369,23 @@ def _mp2_parser():
                 nbal, row = rows[sb]
                 for ch in range(nch):
                     levels[ch][sb] = row[get(nbal)]
-            scfsi = [[get(2) if levels[ch][sb] else 0 for sb in range(sblimit)]
-                     for ch in range(nch)]
+            # scfsi and scalefactors are SUBBAND-major in the bitstream
+            # (ISO 11172-3 2.4.1.6: ``for sb: for ch:``) — channel-major
+            # reading would desynchronize the bit cursor for every
+            # 2-channel frame because the scalefactor count per (ch,sb)
+            # depends on its scfsi value.
+            scfsi = [[0] * sblimit for _ in range(nch)]
+            for sb in range(sblimit):
+                for ch in range(nch):
+                    if levels[ch][sb]:
+                        scfsi[ch][sb] = get(2)
             # Per-third scalefactors resolved through scfsi (2.4.2.7:
             # 0 -> abc, 1 -> aab, 2 -> aaa, 3 -> abb). Index 63 is
             # forbidden by Table B.1 — clamp, don't crash, on hostile
             # streams (same policy as the Layer I parser).
             sf = [[(1.0, 1.0, 1.0)] * sblimit for _ in range(nch)]
-            for ch in range(nch):
-                for sb in range(sblimit):
+            for sb in range(sblimit):
+                for ch in range(nch):
                     if not levels[ch][sb]:
                         continue
                     mode_sf = scfsi[ch][sb]

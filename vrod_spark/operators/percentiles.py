@@ -20,7 +20,7 @@ counts), chosen by the caller's knowledge of group sizes:
   Expand, percentiles via Spark's count-map ``percentile`` aggregate
   (array form = one buffer per column), broadcast-joined. Nothing gathers
   a raw group anywhere, so it survives groups of any size; this is the
-  100-TB default, and the q22b sketches (HLL / GK) are the cheaper
+  100-TB default, and the q26b sketch legs (HLL / GK) are the cheaper
   approximate tier above it.
 
 Both strategies are pytest-pinned equal (tests/test_llm_ops.py) and either

@@ -82,8 +82,12 @@ def pq_train(
         cent = sub[idx]
         if len(cent) < k:
             cent = np.vstack([cent, cent[rng.integers(0, len(cent), k - len(cent))]])
+        x2 = (sub * sub).sum(axis=1)[:, None]
         for _ in range(iters):
-            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            # ||x-c||^2 = ||x||^2 - 2x.c + ||c||^2 via one matmul — the
+            # broadcasted (n, k, dsub) difference tensor would be ~1 GB
+            # of transients per iteration at default sample_size.
+            d2 = x2 - 2.0 * (sub @ cent.T) + (cent * cent).sum(axis=1)[None, :]
             assign = d2.argmin(axis=1)
             for c in range(k):
                 pts = sub[assign == c]
@@ -124,7 +128,12 @@ def pq_encode(
             codes = np.empty((len(x), m), dtype=np.uint8)
             for j in range(m):
                 sub = x[:, j * dsub : (j + 1) * dsub]
-                d2 = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(axis=2)
+                # Same matmul expansion as pq_train: no 3D temporaries.
+                d2 = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    - 2.0 * (sub @ cb[j].T)
+                    + (cb[j] * cb[j]).sum(axis=1)[None, :]
+                )
                 codes[:, j] = d2.argmin(axis=1)
             yield pd.DataFrame(
                 {"id": pdf["id"], "code": [c.tobytes() for c in codes]}
