@@ -345,6 +345,119 @@ def test_reindex_unknown_kind_rejected(engine):
         engine.execute("REINDEX", collection="c", arg={"kind": "hnsw"})
 
 
+def test_reindex_pq_and_search(engine, spark, sf_dir):
+    """REINDEX {"kind": "pq"} through the verb surface (VERDICT r7 #1):
+    the snapshot is rewritten FLAT with an m-byte pq_code column, the
+    logical schema is unchanged, and SEARCHSIMILAR routes through the
+    ADC-scan → bounded-exact-rescore path with the same result schema as
+    exact kNN."""
+    engine.execute("CREATE", collection="emb")
+    engine.execute("BULKINSERT", collection="emb", arg=records_df(spark, sf_dir))
+    info = engine.execute("REINDEX", collection="emb", arg={"kind": "pq"}).info
+    assert info["indexed"] and info["kind"] == "pq"
+    col = engine.db.collection("emb")
+    assert col.meta["index"]["kind"] == "pq"
+    assert col.meta["index"]["m"] == 8
+    assert col.read().count() == 500
+    assert "pq_code" not in col.read().columns  # logical schema unchanged
+    raw = spark.read.parquet(col.version_dir())
+    assert "pq_code" in raw.columns
+    assert len(bytes(raw.first()["pq_code"])) == 8  # 256 B float32 → 8 B
+
+    qv = [float(x) for x in col.read().filter("id = 3").first()["embedding"]]
+    approx = engine.execute(
+        "SEARCHSIMILAR", collection="emb", arg={"vector": qv, "k": 10}
+    ).df
+    rows = approx.collect()
+    assert rows[0]["id"] == 3 and rows[0]["dist"] == 0.0  # exact rescore
+    exact = knn_exact(col.read(), qv, 10, vec_col="embedding", id_col="id")
+    r = recall_at_k(approx, exact)
+    assert r >= 0.5, f"PQ recall too low: {r}"
+
+    # prefilter applies BEFORE candidate selection: every hit satisfies it
+    filt = engine.execute(
+        "SEARCHSIMILAR",
+        collection="emb",
+        arg={"vector": qv, "k": 5, "where": "id % 2 = 0"},
+    ).df.collect()
+    assert len(filt) == 5 and all(r["id"] % 2 == 0 for r in filt)
+
+    # mutations invalidate PQ like any index
+    engine.execute("DELETE", collection="emb", arg="id = 499")
+    assert col.meta["index"] is None
+
+
+def test_reindex_ivfpq_delta_insert_and_search(engine, spark, sf_dir):
+    """REINDEX {"kind": "ivfpq"}: bucket-partitioned layout × pq_code
+    column; O(delta) INSERT survives (bucket-assigned AND pq-encoded with
+    the stored codebooks, histogram grows by the delta) and the appended
+    vector is findable through the pruned ADC path."""
+    engine.execute("CREATE", collection="emb")
+    engine.execute("BULKINSERT", collection="emb", arg=records_df(spark, sf_dir))
+    info = engine.execute(
+        "REINDEX", collection="emb", arg={"kind": "ivfpq", "n_centroids": 16}
+    ).info
+    assert info["indexed"] and info["kind"] == "ivfpq" and info["buckets"] > 1
+    col = engine.db.collection("emb")
+    idx_before = col.meta["index"]
+    assert idx_before["kind"] == "ivfpq" and "codebooks" in idx_before
+
+    dim = int(col.meta["dimension"])
+    delta_vec = [1.0 / (dim ** 0.5)] * dim
+    engine.execute(
+        "INSERT",
+        collection="emb",
+        arg=[{"id": 77_000, "embedding": delta_vec, "payload": "delta"}],
+    )
+    meta = col.meta
+    assert meta["index"] is not None and meta["index"]["kind"] == "ivfpq"
+    assert sum(meta["index"]["histogram"].values()) == sum(
+        idx_before["histogram"].values()
+    ) + 1
+    # the delta row carries a code encoded with the SAME codebooks
+    raw = spark.read.parquet(col.version_dir())
+    drow = raw.filter("id = 77000").first()
+    assert len(bytes(drow["pq_code"])) == 8
+    hit = engine.execute(
+        "SEARCHSIMILAR", collection="emb", arg={"vector": delta_vec, "k": 1}
+    ).df.collect()
+    assert [r["id"] for r in hit] == [77_000] and hit[0]["dist"] == 0.0
+
+    qv = [float(x) for x in col.read().filter("id = 11").first()["embedding"]]
+    approx = engine.execute(
+        "SEARCHSIMILAR", collection="emb", arg={"vector": qv, "k": 10}
+    ).df
+    assert approx.first()["id"] == 11
+    exact = knn_exact(col.read(), qv, 10, vec_col="embedding", id_col="id")
+    r = recall_at_k(approx, exact)
+    assert r >= 0.2, f"IVF-PQ recall too low: {r}"
+
+
+def test_compact_preserves_pq_layout(engine, spark, sf_dir):
+    """Compaction of a pq-indexed (flat + code column) snapshot keeps the
+    stored codes — maintenance must never degrade the search path."""
+    engine.execute("CREATE", collection="emb")
+    engine.execute("BULKINSERT", collection="emb", arg=records_df(spark, sf_dir))
+    engine.execute("REINDEX", collection="emb", arg={"kind": "pq"})
+    col = engine.db.collection("emb")
+    codes_before = {
+        r["id"]: bytes(r["pq_code"])
+        for r in spark.read.parquet(col.version_dir()).select("id", "pq_code").collect()
+    }
+    out = col.compact(target_partitions=1)
+    assert out["rows"] == 500
+    after = spark.read.parquet(col.version_dir())
+    codes_after = {
+        r["id"]: bytes(r["pq_code"]) for r in after.select("id", "pq_code").collect()
+    }
+    assert codes_after == codes_before
+    qv = [float(x) for x in col.read().filter("id = 0").first()["embedding"]]
+    hit = engine.execute(
+        "SEARCHSIMILAR", collection="emb", arg={"vector": qv, "k": 1}
+    ).df.first()
+    assert hit["id"] == 0
+
+
 def test_single_job_per_mutation_commit(engine, spark):
     """Each INSERT/UPDATE/DELETE commit runs exactly ONE Spark job: counts
     and dimension checks ride the write via df.observe (VERDICT r1 #4) —

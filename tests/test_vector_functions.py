@@ -203,3 +203,98 @@ def test_ivfpq_search_prune_scan_rescore(spark, sf_dir):
             assert abs(r["dist"] - exact_dist[r["vec_id"]]) < 1e-6
     # The query's own vector survives prune+quantize+rescore at rank 1.
     assert got_ids[0] == exact_ids[0]
+
+
+def test_pq_boundary_conditions(spark):
+    """PQ edges (VERDICT r7 #6): tiny corpus with k=2^nbits far above the
+    distinct-point count (empty-cluster reseed must NOT collapse the
+    codebook — ADVICE r7: distinct farthest points per empty slot),
+    top_k > corpus size, nbits < 8 code range, dim % m != 0 rejection,
+    and empty-input rejection."""
+    from vrod_spark.operators.pq import pq_encode, pq_search, pq_train
+
+    rng = np.random.default_rng(3)
+    n, dim = 40, 8
+    vecs = rng.normal(size=(n, dim)).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<float>",
+    )
+
+    # k=256 centroids over 40 distinct points: with per-slot distinct
+    # reseeding every distinct training point ends up exactly on a
+    # centroid, so each training vector's ADC distance to itself is ~0
+    # and self-retrieval is exact.
+    cb = pq_train(df, m=4, nbits=8, sample_size=64, iters=12, seed=5)
+    assert cb.shape == (4, 256, 2)
+    codes = pq_encode(df, cb)
+    for probe in (0, 17, 39):
+        got = pq_search(codes, cb, [float(x) for x in vecs[probe]], 1).first()
+        assert got["vec_id"] == probe and got["adc_dist"] < 1e-9
+    # no codebook collapse: each subspace keeps >= n distinct centroids
+    for j in range(4):
+        assert len({tuple(c) for c in cb[j]}) >= n
+
+    # top_k > corpus: all rows come back, ranked, no error
+    all_rows = pq_search(codes, cb, [0.0] * dim, 10_000).collect()
+    assert len(all_rows) == n
+
+    # nbits < 8: codes stay one byte per subspace, every index < 2^nbits
+    cb4 = pq_train(df, m=4, nbits=4, sample_size=64, iters=6, seed=5)
+    assert cb4.shape == (4, 16, 2)
+    for r in pq_encode(df, cb4).collect():
+        assert all(b < 16 for b in bytes(r["code"]))
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(df, m=3, nbits=4, sample_size=64)
+    with pytest.raises(ValueError, match="empty input"):
+        pq_train(df.filter("vec_id < 0"), m=4, nbits=4)
+    with pytest.raises(ValueError, match="nbits"):
+        pq_train(df, m=4, nbits=9)
+
+
+def test_ivfpq_occupancy_aware_probing(spark):
+    """Skewed IVF layout (ADVICE r7): the query's nearest centroid bucket
+    holds fewer rows than top_k. A fixed nprobe=1 silently returns short;
+    passing the layout histogram makes probing expand until the candidate
+    budget is covered."""
+    from vrod_spark.operators.pq import ivfpq_search, pq_encode, pq_train
+
+    rng = np.random.default_rng(11)
+    # bucket 0: 2 vectors near +e0; bucket 1: 50 vectors near -e0
+    dim = 8
+    near = np.array([[1.0] + [0.0] * 7, [0.99] + [0.01] * 7])
+    far = rng.normal(loc=-1.0, scale=0.05, size=(50, dim))
+    far[:, 0] = -np.abs(far[:, 0]) - 1.0
+    vecs = np.vstack([near, far])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id bigint, embedding array<float>",
+    )
+    centroids = np.zeros((2, dim))
+    centroids[0, 0] = 1.0
+    centroids[1, 0] = -1.0
+    cb = pq_train(df, m=4, nbits=4, sample_size=64, iters=6, seed=2)
+    codes = pq_encode(df, cb).withColumn(
+        "bucket", (F.col("vec_id") >= 2).cast("int")
+    )
+    query = [1.0] + [0.0] * 7
+
+    short = ivfpq_search(codes, centroids, cb, query, 10, nprobe=1).collect()
+    assert len(short) == 2  # the silent-short failure mode, now opt-out
+
+    hist = {"0": 2, "1": 50}
+    full = ivfpq_search(
+        codes, centroids, cb, query, 10, nprobe=1, histogram=hist
+    ).collect()
+    assert len(full) == 10
+    # nearest-bucket rows still rank first
+    assert {r["vec_id"] for r in full[:2]} == {0, 1}
+
+    # an EMPTY nearest bucket is skipped entirely under the histogram
+    hist_empty = {"0": 0, "1": 50}
+    no0 = ivfpq_search(
+        codes.filter("bucket = 1"), centroids, cb, query, 5, nprobe=1,
+        histogram=hist_empty,
+    ).collect()
+    assert len(no0) == 5 and all(r["vec_id"] >= 2 for r in no0)

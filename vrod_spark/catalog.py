@@ -69,6 +69,10 @@ def _index_identity(idx: dict | None):
     return (
         idx.get("kind", "lsh"),
         json.dumps(idx.get("planes") if "planes" in idx else idx.get("centroids")),
+        # PQ kinds: the codebooks decide the delta's pq_code encoding the
+        # same way planes/centroids decide its bucket — a concurrent
+        # re-train means staged codes decode wrong.
+        json.dumps(idx["codebooks"]) if "codebooks" in idx else None,
     )
 
 
@@ -367,17 +371,27 @@ class Collection:
 
             base_version = self.version
             obs = Observation()
-            df = self.db.spark.read.parquet(cur)  # bucket partition col included
+            df = self.db.spark.read.parquet(cur)  # bucket/pq_code cols included
             df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
             staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
             try:
-                (
-                    df.repartition("bucket")
-                    .sortWithinPartitions("bucket", "id")
-                    .write.partitionBy("bucket")
-                    .mode("overwrite")
-                    .parquet(staging)
-                )
+                if idx.get("kind") == "pq":
+                    # Flat PQ layout: compact file count, keep the stored
+                    # pq_code column (no re-encode — maintenance must never
+                    # degrade the read path).
+                    (
+                        df.coalesce(int(target_partitions))
+                        .write.mode("overwrite")
+                        .parquet(staging)
+                    )
+                else:
+                    (
+                        df.repartition("bucket")
+                        .sortWithinPartitions("bucket", "id")
+                        .write.partitionBy("bucket")
+                        .mode("overwrite")
+                        .parquet(staging)
+                    )
                 n = int(obs.get["rows"])
                 with self._commit_lock():
                     if self.version != base_version:
@@ -486,7 +500,7 @@ class Collection:
         function REINDEX used, applied to a delta only."""
         from pyspark.sql import functions as F
 
-        if idx.get("kind") == "ivf":
+        if idx.get("kind") in ("ivf", "ivfpq"):
             import numpy as np
 
             from vrod_spark.operators.ivf import ivf_assign_expr
@@ -559,14 +573,31 @@ class Collection:
 
         idx = self.meta.get("index")
         part_key = self.meta.get("partition_by")
-        if idx:
+        if idx and idx.get("kind") in ("pq", "ivfpq"):
+            # PQ-indexed: encode the delta with the STORED codebooks so
+            # appended rows are ADC-scannable — same O(delta) contract as
+            # the bucket assignment below.
+            import numpy as np
+
+            from vrod_spark.operators.pq import pq_code_expr
+
+            df = df.withColumn(
+                "pq_code",
+                pq_code_expr(
+                    self.db.spark, np.asarray(idx["codebooks"], dtype=np.float64)
+                ),
+            )
+        # Plain "pq" is a FLAT layout (codes are a data column, no bucket
+        # dirs) — its delta takes the unpartitioned append path.
+        bucketed = idx is not None and idx.get("kind") != "pq"
+        if bucketed:
             df = df.withColumn("bucket", self._index_bucket_col(idx))
         elif part_key:
             df = df.withColumn("pk", F.col("meta").getItem(part_key))
 
         staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
         writer = df.write.mode("overwrite")
-        if idx:
+        if bucketed:
             writer = writer.partitionBy("bucket")
         elif part_key:
             writer = writer.partitionBy("pk")
@@ -618,7 +649,7 @@ class Collection:
                 nxt, nxt_dir = self._next_version_dir()
                 os.makedirs(nxt_dir)
                 self._link_existing(cur_dir, nxt_dir)
-                if idx:
+                if bucketed:
                     added = self._merge_partitioned_delta(staging, nxt_dir, nxt)
                     # Identity matched above, so only the histogram can have
                     # moved (concurrent inserts grow it commutatively).

@@ -349,10 +349,15 @@ class Engine:
         if where:
             df = df.filter(F.expr(where))
         if meta.get("index"):
-            if meta["index"].get("kind") == "ivf":
+            kind = meta["index"].get("kind")
+            if kind == "ivf":
                 from vrod_spark.operators.ivf import ivf_search
 
                 result = ivf_search(col, vector, k, prefilter=where)
+            elif kind in ("pq", "ivfpq"):
+                from vrod_spark.operators.pq import pq_collection_search
+
+                result = pq_collection_search(col, vector, k, prefilter=where)
             else:
                 from vrod_spark.operators.ann import ann_search_bucketed
 
@@ -488,13 +493,22 @@ class Engine:
             from vrod_spark.operators.ivf import reindex_ivf
 
             info = reindex_ivf(col, **opts)
+        elif kind == "pq":
+            from vrod_spark.operators.pq import reindex_pq
+
+            info = reindex_pq(col, **opts)
+        elif kind == "ivfpq":
+            from vrod_spark.operators.pq import reindex_ivfpq
+
+            info = reindex_ivfpq(col, **opts)
         elif kind == "sign_lsh":
             from vrod_spark.operators.ann import reindex_collection
 
             info = reindex_collection(col, **opts)
         else:
             raise CommandArgError(
-                f"unknown index kind {kind!r}; expected 'sign_lsh' or 'ivf'"
+                f"unknown index kind {kind!r}; expected "
+                "'sign_lsh', 'ivf', 'pq' or 'ivfpq'"
             )
         # SURVEY §4.2: ANALYZE after REINDEX — the rewrite changed the
         # physical layout (and registered any previous stats stale).

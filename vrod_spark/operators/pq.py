@@ -89,14 +89,22 @@ def pq_train(
             # of transients per iteration at default sample_size.
             d2 = x2 - 2.0 * (sub @ cent.T) + (cent * cent).sum(axis=1)[None, :]
             assign = d2.argmin(axis=1)
+            empties = []
             for c in range(k):
                 pts = sub[assign == c]
                 if len(pts):
                     cent[c] = pts.mean(axis=0)
                 else:
-                    # Deterministic reseed: the point farthest from its
-                    # centroid claims the empty slot.
-                    cent[c] = sub[d2.min(axis=1).argmax()]
+                    empties.append(c)
+            if empties:
+                # Deterministic reseed: the i-th empty slot claims the i-th
+                # FARTHEST point (distance to its assigned centroid), each
+                # point used at most once — reseeding every empty cluster
+                # to the same argmax would collapse them into duplicate
+                # centroids and silently shrink the codebook (ADVICE r7).
+                far = np.argsort(-d2.min(axis=1), kind="stable")
+                for i, c in enumerate(empties):
+                    cent[c] = sub[far[i % len(far)]]
         codebooks[j] = cent
     return codebooks
 
@@ -204,6 +212,7 @@ def ivfpq_search(
     id_col: str = "vec_id",
     rescore: DataFrame | None = None,
     rescore_factor: int = 4,
+    histogram: dict | None = None,
 ) -> DataFrame:
     """IVF × PQ — the standard large-scale ANN pairing, composed from the
     two operators this module and operators/ivf.py already provide:
@@ -221,6 +230,13 @@ def ivfpq_search(
        ``rescore`` and return the exact-distance top ``top_k``
        (TakeOrderedAndProject, same plan as exact kNN). Without
        ``rescore`` the ADC ranking is returned as-is.
+
+    Pass ``histogram`` ({bucket: row count}, the REINDEX layout records
+    one) to make probing OCCUPANCY-AWARE: empty buckets are skipped and
+    probing expands past ``nprobe`` until the probed buckets cover the
+    ADC candidate budget (``top_k * rescore_factor``) — a fixed nprobe
+    on a skewed layout can cover fewer than ``top_k`` codes and silently
+    return short results (ADVICE r7).
     """
     import numpy as np
 
@@ -228,7 +244,22 @@ def ivfpq_search(
     nq = np.linalg.norm(q)
     qu = q / nq if nq else q
     cents = np.asarray(centroids, dtype=np.float64)
-    probes = [int(b) for b in np.argsort(-(cents @ qu))[:nprobe]]
+    order = np.argsort(-(cents @ qu))
+    if histogram is None:
+        probes = [int(b) for b in order[:nprobe]]
+    else:
+        hist = {int(b): int(n) for b, n in histogram.items()}
+        want = max(top_k * (rescore_factor if rescore is not None else 1), 1)
+        probes, have = [], 0
+        for ci in order:
+            occ = hist.get(int(ci), 0)
+            if occ == 0:
+                continue
+            probes.append(int(ci))
+            have += occ
+            if len(probes) >= nprobe and have >= want:
+                break
+        probes = probes or [int(order[0])]
     cand = codes.filter(F.col(bucket_col).isin(probes))
     n_adc = top_k * rescore_factor if rescore is not None else top_k
     adc = pq_search(cand, codebooks, query, n_adc, id_col=id_col)
@@ -239,3 +270,224 @@ def ivfpq_search(
     survivors = adc.select(id_col)
     exact_pool = rescore.join(F.broadcast(survivors), id_col)
     return knn_exact(exact_pool, [float(v) for v in q], top_k, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# Engine verb surface: REINDEX {"kind": "pq"/"ivfpq"} + SEARCHSIMILAR
+# routing (vRod src/command/builder.rs:68-76 — SEARCHSIMILAR/REINDEX over
+# stored vectors is the reference's core intent; PQ is the [N] memory-axis
+# scale path beside the sign-LSH/IVF recall-axis indexes).
+# ---------------------------------------------------------------------------
+
+
+def pq_code_expr(spark, codebooks, vec_col: str = "embedding"):
+    """PQ encoding as an Arrow-batched column expression (broadcast
+    codebooks, one matmul per subspace per batch) — shared by the REINDEX
+    snapshot rewrite and the O(delta) indexed-INSERT path
+    (``Collection.insert``), exactly like ``ivf_assign_expr``: a delta
+    appended to a PQ-indexed collection is encoded with the SAME stored
+    codebooks, so the index stays valid without touching old data."""
+    import numpy as np
+
+    cbb = spark.sparkContext.broadcast(
+        np.ascontiguousarray(codebooks, dtype=np.float64)
+    )
+
+    @F.pandas_udf("binary")
+    def encode(vecs):
+        import numpy as np
+        import pandas as pd
+
+        cb = cbb.value
+        m, k, dsub = cb.shape
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        x = np.asarray(vecs.tolist(), dtype=np.float64)
+        codes = np.empty((len(x), m), dtype=np.uint8)
+        for j in range(m):
+            sub = x[:, j * dsub : (j + 1) * dsub]
+            d2 = (
+                (sub * sub).sum(axis=1)[:, None]
+                - 2.0 * (sub @ cb[j].T)
+                + (cb[j] * cb[j]).sum(axis=1)[None, :]
+            )
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series([c.tobytes() for c in codes])
+
+    return encode(F.col(vec_col))
+
+
+def _codebooks_meta(codebooks) -> list:
+    return [[[float(x) for x in cent] for cent in book] for book in codebooks]
+
+
+def reindex_pq(
+    collection,
+    *,
+    m: int = 8,
+    nbits: int = 8,
+    sample_size: int = 65536,
+    iters: int = 12,
+    seed: int = 7,
+) -> dict:
+    """REINDEX {"kind": "pq"}: train codebooks on a bounded sample,
+    rewrite the snapshot FLAT with an extra ``pq_code`` binary column
+    (m bytes per vector), record the codebooks in collection meta. The
+    read surface (``Collection.read``) keeps projecting the declared
+    schema, so the code column is invisible outside the search path —
+    and because it is a COLUMN of the same parquet files, the ADC scan
+    reads (id, pq_code) only: at 100 TB the float vectors are never
+    touched until the bounded exact rescore."""
+    meta = collection.meta
+    if meta.get("dimension") is None:
+        collection.update_meta(index=None)
+        return {"collection": collection.name, "indexed": False, "reason": "no vectors"}
+    df = collection.read()
+    codebooks = pq_train(
+        df, vec_col="embedding", m=m, nbits=nbits,
+        sample_size=sample_size, iters=iters, seed=seed,
+    )
+    encoded = df.withColumn(
+        "pq_code", pq_code_expr(collection.db.spark, codebooks, "embedding")
+    )
+    nxt, nxt_dir = collection._next_version_dir()
+    encoded.write.mode("overwrite").parquet(nxt_dir)
+    collection.update_meta(
+        index={
+            "kind": "pq",
+            "m": int(m),
+            "nbits": int(nbits),
+            "seed": int(seed),
+            "codebooks": _codebooks_meta(codebooks),
+        }
+    )
+    collection._commit(nxt, "REINDEX", {"kind": "pq"})
+    return {"collection": collection.name, "indexed": True, "kind": "pq"}
+
+
+def reindex_ivfpq(
+    collection,
+    *,
+    n_centroids: int = 64,
+    m: int = 8,
+    nbits: int = 8,
+    train_sample: int = 10_000,
+    sample_size: int = 65536,
+    iters: int = 12,
+    seed: int = 42,
+) -> dict:
+    """REINDEX {"kind": "ivfpq"}: the standard 100 TB ANN pairing as a
+    collection layout — IVF centroid bucketing (``bucket=`` partition
+    dirs → partition-pruned probes) × PQ codes (m-byte ADC scan inside
+    the probed buckets). One rewrite produces both."""
+    import numpy as np
+
+    from vrod_spark.operators.ivf import _spherical_kmeans, ivf_assign_expr
+
+    meta = collection.meta
+    if meta.get("dimension") is None:
+        collection.update_meta(index=None)
+        return {"collection": collection.name, "indexed": False, "reason": "no vectors"}
+    df = collection.read()
+    n_rows = df.count()
+    fraction = min(1.0, train_sample / max(n_rows, 1))
+    sample = np.asarray(
+        [
+            r["embedding"]
+            for r in df.select("embedding").sample(fraction=fraction, seed=seed).collect()
+        ],
+        dtype=np.float64,
+    )
+    centroids = _spherical_kmeans(sample, n_centroids, seed=seed)
+    codebooks = pq_train(
+        df, vec_col="embedding", m=m, nbits=nbits,
+        sample_size=sample_size, iters=iters, seed=seed,
+    )
+    spark = collection.db.spark
+    enc = df.withColumn(
+        "bucket", ivf_assign_expr(spark, centroids, "embedding")
+    ).withColumn("pq_code", pq_code_expr(spark, codebooks, "embedding"))
+    nxt, nxt_dir = collection._next_version_dir()
+    (
+        enc.repartition("bucket")
+        .sortWithinPartitions("bucket", "id")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(nxt_dir)
+    )
+    hist_rows = spark.read.parquet(nxt_dir).groupBy("bucket").count().collect()
+    histogram = {str(r["bucket"]): r["count"] for r in hist_rows}
+    collection.update_meta(
+        index={
+            "kind": "ivfpq",
+            "n_centroids": int(len(centroids)),
+            "m": int(m),
+            "nbits": int(nbits),
+            "seed": int(seed),
+            "centroids": [[float(x) for x in c] for c in centroids],
+            "histogram": histogram,
+            "codebooks": _codebooks_meta(codebooks),
+        }
+    )
+    collection._commit(nxt, "REINDEX", {"kind": "ivfpq", "buckets": len(histogram)})
+    return {
+        "collection": collection.name,
+        "indexed": True,
+        "kind": "ivfpq",
+        "buckets": len(histogram),
+    }
+
+
+def pq_collection_search(
+    collection,
+    vector: list[float],
+    k: int,
+    *,
+    prefilter: str | None = None,
+    rescore_factor: int = 4,
+) -> DataFrame:
+    """SEARCHSIMILAR over a pq/ivfpq-REINDEXed collection:
+
+    1. ivfpq only — occupancy-aware bucket probing (reuses
+       ``ivf_candidate_buckets``: skips empty buckets, expands until the
+       probed buckets cover the ADC candidate budget) over the
+       ``bucket=`` partition layout → the scan is partition-PRUNED;
+    2. ADC over (id, pq_code) — parquet column pruning means the float
+       vectors are NOT read in this phase;
+    3. bounded exact rescore: broadcast-join the ``k * rescore_factor``
+       ADC survivors back to the raw rows, exact-score with the
+       collection metric (TakeOrderedAndProject, same plan/schema as the
+       exact kNN and LSH/IVF search paths).
+
+    ``prefilter`` is applied on the candidate scan (before ADC top-k),
+    so filtered-out rows never consume candidate budget."""
+    import numpy as np
+
+    from vrod_spark.operators.knn import knn_exact
+
+    idx = collection.meta["index"]
+    cb = np.asarray(idx["codebooks"], dtype=np.float64)
+    spark = collection.db.spark
+    raw = spark.read.parquet(collection.version_dir())
+    cand = raw
+    if idx["kind"] == "ivfpq":
+        from vrod_spark.operators.ivf import ivf_candidate_buckets
+
+        buckets = ivf_candidate_buckets(
+            idx, vector, k, candidate_factor=max(rescore_factor, 4)
+        )
+        cand = cand.filter(F.col("bucket").isin(buckets))
+    if prefilter:
+        cand = cand.filter(F.expr(prefilter))
+    codes = cand.select(F.col("id"), F.col("pq_code").alias("code"))
+    adc = pq_search(codes, cb, vector, max(k * rescore_factor, k), id_col="id")
+    pool = raw.join(F.broadcast(adc.select("id")), "id")
+    return knn_exact(
+        pool,
+        [float(v) for v in vector],
+        k,
+        vec_col="embedding",
+        id_col="id",
+        metric=collection.meta.get("metric", "l2"),
+        payload_cols=("payload",),
+    )

@@ -1670,13 +1670,16 @@ def q38_pandas_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# End-to-end ANN through the engine, BOTH index kinds in one gate, tagged:
-# BULKINSERT embeddings into a scratch collection, REINDEX (sign-LSH
-# bucket-partitioned rewrite / IVF k-means centroid partitioning), bucketed
-# SEARCHSIMILAR through the pruned probe path. The IVF leg additionally
-# does an O(delta) INSERT into the indexed collection — the index must
-# SURVIVE the append and the appended vector must be findable. Rows-only
-# (the whole point is the engine path, not SQL); pytest bounds recall.
+# End-to-end ANN through the engine, ALL FOUR index kinds in one gate,
+# tagged: BULKINSERT embeddings into a scratch collection, REINDEX
+# (sign-LSH bucket-partitioned rewrite / IVF k-means centroid
+# partitioning / PQ flat code column / IVF-PQ bucketed codes), then
+# SEARCHSIMILAR through each kind's pruned/compressed probe path. The IVF
+# and IVF-PQ legs additionally do an O(delta) INSERT into the indexed
+# collection — the index must SURVIVE the append (bucket assignment +
+# code encoding with the STORED codebooks) and the appended vector must
+# be findable. Rows-only (the whole point is the engine path, not SQL);
+# pytest bounds recall per kind (test_engine.py).
 # ---------------------------------------------------------------------------
 @query("q39_index_roundtrips", cache_plan=False)
 def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1749,10 +1752,70 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
             float(round(recall_at_k(approx2, exact2, id_col="id"), 2)),
         )
 
+    def pq_leg():
+        # Flat PQ: codes are a DATA column, search is ADC over
+        # (id, pq_code) → bounded exact rescore. No buckets.
+        eng3 = Engine.create(spark, tempfile.mkdtemp(), "pqgate")
+        eng3.execute("CREATE", collection="emb")
+        eng3.execute("BULKINSERT", collection="emb", arg=records)
+        eng3.execute("REINDEX", collection="emb", arg={"kind": "pq"})
+        col3 = eng3.db.collection("emb")
+        qv3 = [float(x) for x in col3.read().filter("id = 0").first()["embedding"]]
+        approx3 = eng3.execute(
+            "SEARCHSIMILAR", collection="emb", arg={"vector": qv3, "k": 10}
+        ).df
+        exact3 = knn_exact(col3.read(), qv3, 10, vec_col="embedding", id_col="id")
+        return (
+            "pq",
+            int(col3.read().count()),
+            0,
+            col3.meta["index"]["kind"],
+            None,
+            float(round(recall_at_k(approx3, exact3, id_col="id"), 2)),
+        )
+
+    def ivfpq_leg():
+        # IVF-PQ compose + O(delta) append: the delta must be bucket-
+        # assigned AND pq-encoded with the stored codebooks, and findable
+        # through the pruned ADC path afterwards.
+        eng4 = Engine.create(spark, tempfile.mkdtemp(), "ivfpqgate")
+        eng4.execute("CREATE", collection="emb")
+        eng4.execute("BULKINSERT", collection="emb", arg=records)
+        eng4.execute(
+            "REINDEX", collection="emb", arg={"kind": "ivfpq", "n_centroids": 32}
+        )
+        col4 = eng4.db.collection("emb")
+        dim4 = int(col4.meta["dimension"])
+        delta4 = [1.0 / (dim4 ** 0.5)] * dim4
+        eng4.execute(
+            "INSERT",
+            collection="emb",
+            arg=[{"id": 2_000_000, "embedding": delta4, "payload": "delta"}],
+        )
+        idx4 = col4.meta["index"]
+        hit4 = eng4.execute(
+            "SEARCHSIMILAR", collection="emb", arg={"vector": delta4, "k": 1}
+        ).df.first()
+        qv4 = [float(x) for x in col4.read().filter("id = 0").first()["embedding"]]
+        approx4 = eng4.execute(
+            "SEARCHSIMILAR", collection="emb", arg={"vector": qv4, "k": 10}
+        ).df
+        exact4 = knn_exact(col4.read(), qv4, 10, vec_col="embedding", id_col="id")
+        return (
+            "ivfpq",
+            int(col4.read().count()),
+            len(idx4["histogram"]) if idx4 else 0,
+            idx4["kind"] if idx4 else "INVALIDATED",
+            bool(hit4 and hit4["id"] == 2_000_000),
+            float(round(recall_at_k(approx4, exact4, id_col="id"), 2)),
+        )
+
     # Independent scratch engines (separate tmpdirs) — build concurrently.
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_lsh, f_ivf = pool.submit(lsh_leg), pool.submit(ivf_leg)
-        rows = [f_lsh.result(), f_ivf.result()]
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futures = [
+            pool.submit(leg) for leg in (lsh_leg, ivf_leg, pq_leg, ivfpq_leg)
+        ]
+        rows = [f.result() for f in futures]
 
     return spark.createDataFrame(
         rows,
