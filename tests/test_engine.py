@@ -615,6 +615,33 @@ def test_dedup_verb_is_transitive(engine):
     assert sorted(r["id"] for r in col.read().collect()) == [1, 4]
 
 
+def test_dedup_verb_string_ids_transitive(engine):
+    """Near-dup DEDUP on a custom string-id schema (ADVICE r7): component
+    closure runs on hashed longs, but the keep-rule stays min ORIGINAL id
+    (lexicographic) per component — a chain doc-a ~ doc-m ~ doc-z must
+    collapse to just doc-a regardless of hash order."""
+    import math
+
+    engine.db.create_collection(
+        "svecs",
+        schema="id string, embedding array<float>, payload string, meta map<string,string>",
+    )
+    a = math.radians(2.5)
+    rows = [
+        {"id": "doc-z", "embedding": [1.0, 0.0, 0.0], "payload": "z"},
+        {"id": "doc-a", "embedding": [math.cos(2 * a), math.sin(2 * a), 0.0], "payload": "a"},
+        {"id": "doc-m", "embedding": [math.cos(a), math.sin(a), 0.0], "payload": "bridge"},
+        {"id": "doc-q", "embedding": [0.0, 0.0, 1.0], "payload": "far"},
+    ]
+    engine.execute("INSERT", collection="svecs", arg=rows)
+    info = engine.execute(
+        "DEDUP", collection="svecs", arg={"strategy": "embedding", "threshold": 0.999}
+    ).info
+    assert info["removed"] == 2
+    col = engine.db.collection("svecs")
+    assert sorted(r["id"] for r in col.read().collect()) == ["doc-a", "doc-q"]
+
+
 def test_dedup_verb_embedding(engine):
     engine.execute("CREATE", collection="vecs")
     rows = [

@@ -407,6 +407,38 @@ class Engine:
         df = col.read()
         before = df.count()
 
+        # Non-integral id schema (ADVICE r7): the near-dup pair generators
+        # and component closure run on xxhash64(id) longs; the KEEP
+        # decision happens on ORIGINAL ids (min over the native type, so
+        # lexicographic for strings — hash order never leaks into
+        # semantics). The mapping is collision-CHECKED first: a 64-bit
+        # collision would silently fuse two distinct documents.
+        integral = {"byte", "short", "int", "bigint", "long"}
+        hashed_ids = (
+            strategy != "exact"
+            and df.schema["id"].dataType.simpleString() not in integral
+        )
+        if hashed_ids:
+            mapping = (
+                df.select("id")
+                .distinct()
+                .withColumn("hid", F.xxhash64(F.col("id").cast("string")))
+            )
+            chk = mapping.agg(
+                F.count(F.lit(1)).alias("a"), F.countDistinct("hid").alias("b")
+            ).first()
+            if chk["a"] != chk["b"]:
+                raise CommandArgError(
+                    "xxhash64 collision among collection ids; DEDUP needs an "
+                    "injective id mapping — use an integral id schema"
+                )
+            work = df.select(
+                F.xxhash64(F.col("id").cast("string")).alias("id"),
+                *[c for c in df.columns if c != "id"],
+            )
+        else:
+            work = df
+
         if strategy == "exact":
             from vrod_spark.operators.dedup import exact_dedup
 
@@ -426,7 +458,7 @@ class Engine:
             from vrod_spark.operators.dedup import minhash_lsh_pairs
 
             pairs = minhash_lsh_pairs(
-                df,
+                work,
                 text_col=text_col,
                 id_col="id",
                 min_jaccard=float(opts.get("threshold", 0.8)),
@@ -435,7 +467,7 @@ class Engine:
             from vrod_spark.operators.dedup import simhash_pairs
 
             pairs = simhash_pairs(
-                df,
+                work,
                 text_col=text_col,
                 id_col="id",
                 max_hamming=int(opts.get("threshold", 3)),
@@ -444,7 +476,7 @@ class Engine:
             from vrod_spark.operators.dedup import embedding_near_dup_bucketed
 
             pairs = embedding_near_dup_bucketed(
-                df.select("id", "embedding"),
+                work.select("id", "embedding"),
                 vec_col="embedding",
                 id_col="id",
                 min_cosine=float(opts.get("threshold", 0.99)),
@@ -459,7 +491,20 @@ class Engine:
         from vrod_spark.operators.dedup import connected_components
 
         comps = connected_components(pairs, src_col="id_a", dst_col="id_b")
-        drop_ids = comps.filter(F.col("component") != F.col("id")).select("id")
+        if hashed_ids:
+            # Translate components back to original ids and keep the min
+            # ORIGINAL id per component (NOT the min hash).
+            labeled = mapping.join(
+                comps, mapping["hid"] == comps["id"], "inner"
+            ).select(mapping["id"].alias("oid"), "component")
+            keep = labeled.groupBy("component").agg(F.min("oid").alias("keep_id"))
+            drop_ids = (
+                labeled.join(keep, "component")
+                .filter(F.col("oid") != F.col("keep_id"))
+                .select(F.col("oid").alias("id"))
+            )
+        else:
+            drop_ids = comps.filter(F.col("component") != F.col("id")).select("id")
         survivors = df.join(drop_ids, "id", "left_anti")
         n_after = col._rewrite(survivors, "DEDUP", {"strategy": strategy})
         return CommandResult(
