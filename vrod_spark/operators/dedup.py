@@ -225,6 +225,33 @@ def minhash_signature_expr(text_col, *, k: int = 32, n: int = 3):
     )
 
 
+def minhash_band_expr(sig_col, *, k: int, bands: int):
+    """LSH banding of a MinHash signature column as an explodable
+    ``array<struct<band int, bucket bigint>>``: band ``i``'s bucket is
+    ``xxhash64`` over the comma-joined ``i``-th signature slice. ONE
+    definition shared by the streaming near-dup operator
+    (streaming/stateful.streaming_near_dup) and batch comparators, so
+    "identical banding" holds by construction, not by convention."""
+    assert k % bands == 0, "k must divide into equal bands"
+    rows_per_band = k // bands
+    col = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda bi: F.struct(
+            bi.cast("int").alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(col, bi * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                )
+            ).alias("bucket"),
+        ),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     *,

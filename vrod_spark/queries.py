@@ -1566,16 +1566,44 @@ def q36_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q37_stream_dedup",
     cache_plan=False,
     oracle="""
-    SELECT event_type, count(DISTINCT event_id) AS n_unique
+    SELECT 'distinct' AS leg, event_type AS grp, count(DISTINCT event_id) AS n
     FROM events
     GROUP BY event_type
-    ORDER BY event_type
+    UNION ALL
+    SELECT leg, grp, CAST(n AS BIGINT) AS n FROM (VALUES
+        ('near_dup', '00', -1), ('near_dup', '01', -1), ('near_dup', '02', -1),
+        ('near_dup', '03', 0),  ('near_dup', '04', -1), ('near_dup', '05', 1),
+        ('near_dup', '06', -1), ('near_dup', '07', 0),  ('near_dup', '08', -1),
+        ('near_dup', '09', -1), ('near_dup', '10', -1), ('near_dup', '11', -1),
+        ('agree', '*', 12)) t(leg, grp, n)
+    ORDER BY leg, grp
     """,
 )
 def q37_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stateful streaming dropDuplicates(event_id); the source re-reads the
-    same file, so duplicate arrivals collapse to the batch distinct count."""
+    """Streaming dedup gate, tagged per leg (VERDICT r7 #2):
+
+    - ``distinct``: stateful streaming ``dropDuplicates(event_id)`` over
+      the events stream — the source re-reads the same file, so duplicate
+      arrivals collapse to the batch distinct count (SQL-oracled per
+      event_type against the events table);
+    - ``near_dup``: streaming MinHash-LSH near-dup SUPPRESSION
+      (streaming/stateful.streaming_near_dup) over a deterministic
+      planted corpus delivered in TWO micro-batches (the dups of batch-0
+      docs arrive in batch 1, so detection must come from persisted
+      bucket state), consolidated ``min(dup_of)`` per doc — pinned as
+      oracle literals (-1 = admitted as novel);
+    - ``agree``: count of docs where the streaming verdict equals the
+      BATCH MinHash path on IDENTICAL banding (the shared
+      ``minhash_band_expr`` — same signature, bands, bucket hash, and
+      agreement rule), pinned at all 12/12. This is the streaming/batch
+      equivalence contract made driver-visible.
+    """
+    import os
+    import tempfile
+
+    from vrod_spark.operators.dedup import minhash_band_expr, minhash_signature_expr
     from vrod_spark.streaming.ingest import dedup_stream, events_stream, run_to_completion
+    from vrod_spark.streaming.stateful import streaming_near_dup
 
     out = run_to_completion(
         lambda s: dedup_stream(events_stream(s, sf_dir))
@@ -1584,7 +1612,112 @@ def q37_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         output_mode="complete",
     )
-    return out.orderBy("event_type")
+    distinct_leg = out.select(
+        F.lit("distinct").alias("leg"),
+        F.col("event_type").alias("grp"),
+        F.col("n_unique").cast("bigint").alias("n"),
+    )
+
+    # Planted corpus: two mutually-near clusters ({0,3,7}: exact dup +
+    # one-word edit; {1,5}: exact dup) + 7 singletons, split so every
+    # duplicate arrives AFTER its original's micro-batch.
+    base_a = "the quick brown fox jumps over the lazy dog near the river bank"
+    near_a = base_a.replace("river", "stream")
+    base_b = "catalyst plans optimize declarative queries into physical stages across the cluster runtime"
+    singles = {
+        2: "completely unrelated words about cooking pasta with garlic butter and fresh basil",
+        4: "weather report for tomorrow expects light rain in the northern valley region",
+        6: "music theory lessons cover scales chords rhythm and harmonic progression in depth",
+        8: "gardening tips for growing tomatoes in raised beds during late spring",
+        9: "financial markets closed higher today led by energy and technology shares",
+        10: "ancient history lectures describe trade routes connecting distant coastal cities",
+        11: "space telescopes capture faint light from galaxies formed billions of years ago",
+    }
+    b0 = [(0, base_a), (1, base_b), (2, singles[2]), (4, singles[4])]
+    b1 = [(3, base_a), (5, base_b), (6, singles[6]), (7, near_a)] + [
+        (i, singles[i]) for i in (8, 9, 10, 11)
+    ]
+    schema = "doc_id bigint, text string"
+    tmp = tempfile.mkdtemp(prefix="q37_near_dup_")
+    spark.createDataFrame(b0, schema).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "b0")
+    )
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, "b1")
+    )
+
+    def build(session):
+        stream = (
+            session.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(tmp, "*"))
+        )
+        return streaming_near_dup(stream, min_sig_agreement=0.5)
+
+    flagged = run_to_completion(build, spark, output_mode="update", state_partitions=2)
+    stream_flags = flagged.groupBy("doc_id").agg(F.min("dup_of").alias("dup_of"))
+
+    # Batch comparator on IDENTICAL banding: candidate pairs share >= 1
+    # band bucket; verdict = min earlier partner with signature agreement
+    # >= the same threshold. Clusters are mutually near, so sequential
+    # (streaming) and pairwise (batch) decisions must coincide.
+    docs_all = spark.createDataFrame(b0 + b1, schema)
+    sigs = docs_all.select(
+        "doc_id", minhash_signature_expr("text", k=32, n=3).alias("sig")
+    )
+    banded = sigs.select(
+        "doc_id", "sig", F.explode(minhash_band_expr("sig", k=32, bands=8)).alias("bb")
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    n_agree_comp = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    batch_dup = (
+        cand.filter(n_agree_comp >= F.lit(16))  # 0.5 * k
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("bdup"))
+        .withColumnRenamed("id_b", "doc_id")
+    )
+    merged = (
+        docs_all.select("doc_id")
+        .join(stream_flags, "doc_id", "left")
+        .join(batch_dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("dup_of"), F.lit(-1)).alias("sdup"),
+            F.coalesce(F.col("bdup"), F.lit(-1)).alias("bdup"),
+        )
+    )
+    near_leg = merged.select(
+        F.lit("near_dup").alias("leg"),
+        F.lpad(F.col("doc_id").cast("string"), 2, "0").alias("grp"),
+        F.col("sdup").cast("bigint").alias("n"),
+    )
+    agree_leg = merged.agg(
+        F.sum((F.col("sdup") == F.col("bdup")).cast("int")).alias("c")
+    ).select(
+        F.lit("agree").alias("leg"),
+        F.lit("*").alias("grp"),
+        F.col("c").cast("bigint").alias("n"),
+    )
+    return distinct_leg.unionByName(near_leg).unionByName(agree_leg).orderBy("leg", "grp")
 
 
 # ---------------------------------------------------------------------------

@@ -261,34 +261,19 @@ def streaming_near_dup(
     """
     from pyspark.sql import functions as F
 
-    from vrod_spark.operators.dedup import minhash_signature_expr
+    from vrod_spark.operators.dedup import minhash_band_expr, minhash_signature_expr
 
     assert k % bands == 0, "k must divide into equal bands"
-    rows_per_band = k // bands
     sig = minhash_signature_expr(text_col, k=k, n=n)
-    banded = docs.select(
-        F.col(id_col).alias("doc_id"), sig.alias("sig")
-    ).select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.struct(
-                    bi.cast("int").alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("doc_id", "sig", "bb.band", "bb.bucket")
+    banded = (
+        docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+        .select(
+            "doc_id",
+            "sig",
+            F.explode(minhash_band_expr("sig", k=k, bands=bands)).alias("bb"),
+        )
+        .select("doc_id", "sig", "bb.band", "bb.bucket")
+    )
 
     thresh = float(min_sig_agreement)
     cap = max_per_bucket
