@@ -1270,3 +1270,165 @@ def test_decoders_skip_corrupt_blobs(spark):
             raise AssertionError(f"{fn.__name__}: strict mode must raise")
         except PythonException:
             pass
+
+
+def test_mp3_decode_is_real(spark):
+    """MPEG-1 Layer III decoding is NOT a stub: side info + count1
+    Huffman + requantization + alias reduction + IMDCT run end-to-end,
+    the decoded waveform's dominant frequency sits on the PLANTED
+    spectral line (alias-safe bin of its subband), and two different
+    planted tones land in different, correct places."""
+    import numpy as np
+
+    from vrod_spark.operators.multimodal import (
+        _mp3_parser,
+        decode_mp3_features,
+        make_mp3_bytes,
+    )
+
+    parse = _mp3_parser()
+    rate = 32000
+    for freq in (2236.0, 5000.0, 9000.0):
+        blob = make_mp3_bytes(freq, rate=rate)
+        got_rate, pcm = parse(blob)
+        assert got_rate == rate and len(pcm) == 6912
+        # Expected line: the encoder's own snapping (nearest line, bin
+        # forced into the alias-safe middle {8, 9} of its subband).
+        l_raw = int(round(freq * 1152.0 / rate - 0.5))
+        sb, k = l_raw // 18, l_raw % 18
+        k = 8 if k < 8 else (9 if k > 9 else k)
+        line = sb * 18 + k
+        spec = np.abs(np.fft.rfft(pcm))
+        peak_hz = spec.argmax() * rate / len(pcm)
+        assert abs(peak_hz - line * rate / 1152.0) < 30, (freq, peak_hz)
+        assert float(np.sqrt((pcm ** 2).mean())) > 0.01  # not silence
+        # Deterministic end to end.
+        assert make_mp3_bytes(freq, rate=rate) == blob
+        again = parse(blob)[1]
+        assert np.array_equal(again, pcm)
+
+    rows = decode_mp3_features(
+        spark.createDataFrame(
+            [(0, "audio", make_mp3_bytes(2236.0))],
+            "media_id bigint, kind string, content binary",
+        )
+    ).collect()
+    assert (rows[0]["sample_rate"], rows[0]["n_frames"], rows[0]["duration_ms"]) == (
+        32000, 6912, 216,
+    )
+    assert len(rows[0]["band_energy"]) == 8
+
+
+def test_mp3_bitstream_layer_is_spec_exact():
+    """Pin the Layer III spec-visible bitstream invariants with an
+    INDEPENDENT bit reader (not the module's parser): header layout
+    (layer=01, Layer III bitrate table, 144*bitrate/rate frames), the
+    17-byte mono side-info field layout down to the bit, the count1
+    table-1 coding (4-bit bitwise-complement codewords + one sign bit
+    per nonzero), part2_3_length accounting, and the requantization
+    closed form 2^((global_gain-210)/4)."""
+    from vrod_spark.operators.multimodal import make_mp3_bytes
+
+    freq, rate = 2236.0, 32000
+    blob = make_mp3_bytes(freq, rate=rate, bitrate_kbps=96)
+    frame_bytes = 144 * 96000 // rate
+    assert len(blob) == 6 * frame_bytes
+
+    h0, h1, h2, h3 = blob[0], blob[1], blob[2], blob[3]
+    assert h0 == 0xFF and (h1 & 0xF0) == 0xF0   # syncword
+    assert (h1 >> 3) & 1 == 1                   # ID: MPEG-1
+    assert (h1 >> 1) & 3 == 0b01                # layer III
+    assert h1 & 1 == 1                          # protection: no CRC
+    assert (h2 >> 4) == 7                       # 96 kbps (Layer III table)
+    assert (h2 >> 2) & 3 == 2                   # 32000 Hz
+    assert (h3 >> 6) == 0b11                    # mono
+
+    bits = []
+    for byte in blob[:frame_bytes]:
+        for j in range(7, -1, -1):
+            bits.append((byte >> j) & 1)
+    pos = 32
+
+    def get(width):
+        nonlocal pos
+        v = 0
+        for b in bits[pos : pos + width]:
+            v = (v << 1) | b
+        pos += width
+        return v
+
+    l_raw = int(round(freq * 1152.0 / rate - 0.5))
+    sb, k = l_raw // 18, l_raw % 18
+    k = 8 if k < 8 else (9 if k > 9 else k)
+    line = sb * 18 + k
+    quad, pos_in_quad = line // 4, line % 4
+    want_part23 = 4 * quad + 5
+
+    assert get(9) == 0          # main_data_begin
+    assert get(5) == 0          # private bits
+    assert get(4) == 0          # scfsi
+    for _gr in range(2):
+        assert get(12) == want_part23
+        assert get(9) == 0      # big_values
+        assert get(8) == 210    # global_gain -> gain 2^0 = 1 exactly
+        assert get(4) == 0      # scalefac_compress
+        assert get(1) == 0      # window_switching: long blocks
+        assert get(15) == 0     # table_select x3: table 0
+        assert get(4) == 0 and get(3) == 0  # region counts
+        assert get(1) == 0      # preflag
+        assert get(1) == 0      # scalefac_scale
+        assert get(1) == 1      # count1table_select: table 1
+    assert pos == 32 + 17 * 8   # side info is exactly 17 bytes (mono)
+
+    # Main data: hand-decode granule 0's count1 stream with table 1
+    # semantics (quadruple = bitwise complement of the 4-bit codeword;
+    # one sign bit per nonzero, 0 = positive).
+    consumed, lines = 0, {}
+    base = 0
+    while consumed < want_part23:
+        code = get(4)
+        consumed += 4
+        vwxy = (~code) & 0xF
+        for j in range(4):
+            if (vwxy >> (3 - j)) & 1:
+                sign = get(1)
+                consumed += 1
+                lines[base + j] = -1 if sign else 1
+        base += 4
+    assert lines == {line: 1}
+    assert consumed == want_part23
+
+    # Requantization closed form: planted |is| = 1 lines carry exactly
+    # 2^((g-210)/4).
+    for g, scale in ((210, 1.0), (214, 2.0), (206, 0.5)):
+        assert abs(2.0 ** ((g - 210) / 4.0) - scale) < 1e-12
+
+
+def test_mp3_parser_never_crashes_on_garbage():
+    """Robustness: truncated frames, random noise, hostile side info
+    (reservoir pointer before available data, out-of-subset Huffman
+    selections) return (None, None) or best-effort decode, never raise."""
+    import random
+
+    from vrod_spark.operators.multimodal import _mp3_parser, make_mp3_bytes
+
+    parse = _mp3_parser()
+    rng = random.Random(29)
+    good = make_mp3_bytes(2236.0)
+    hostile = bytearray(good)
+    hostile[4] = 0xFF  # main_data_begin != 0: reservoir points before data
+    cases = [
+        b"",
+        b"\xff",
+        b"\xff\xfb",
+        bytes(rng.randrange(256) for _ in range(512)),
+        good[:50],                  # truncated mid-frame
+        good[5:],                   # sync lost, re-acquires later frame
+        bytes(hostile),             # broken reservoir pointer in frame 0
+        b"\x00" * 23 + good,        # garbage prefix then valid stream
+    ]
+    for i, blob in enumerate(cases):
+        rate, pcm = parse(blob)  # must not raise
+        assert rate is None or rate in (44100, 48000, 32000), i
+    rate, pcm = parse(cases[-1])
+    assert rate == 32000 and len(pcm) == 6912

@@ -2045,6 +2045,8 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
         ('mp1', 1, 0, 0, 0, 32000.0, 7680.0, 240.0),
         ('mp2', 0, 0, 0, 0, 48000.0, 11520.0, 240.0),
         ('mp2', 1, 0, 0, 0, 48000.0, 11520.0, 240.0),
+        ('mp3', 0, 0, 0, 0, 32000.0, 6912.0, 216.0),
+        ('mp3', 1, 0, 0, 0, 32000.0, 6912.0, 216.0),
         ('png', 0, 0, 8, 4, 0.0, round(64.0/255, 6), 1.0),
         ('png', 1, 0, 5, 5, round(200.0/255, 6), round(100.0/255, 6), round(50.0/255, 6)),
         ('video', 0, 0, 16, 8, 0.0, 0.0, 0.0),
@@ -2064,6 +2066,7 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_jpeg_features,
         decode_mp1_features,
         decode_mp2_features,
+        decode_mp3_features,
         decode_png_features,
         decode_ppm_features,
         decode_wav_features,
@@ -2075,6 +2078,7 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_jpeg_bytes,
         make_mp1_bytes,
         make_mp2_bytes,
+        make_mp3_bytes,
         make_png_bytes,
         make_ppm_bytes,
         make_wav_adpcm_bytes,
@@ -2279,6 +2283,24 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_frames").cast("double").alias("m2"),
         F.col("duration_ms").cast("double").alias("m3"),
     )
+    # MP3 leg: MPEG-1 Audio Layer III — full side-info syntax + bit
+    # reservoir + count1 Huffman + requantization + alias reduction +
+    # IMDCT (the conforming subset the encoder emits; see
+    # operators/multimodal.py section note); metadata is header-derived
+    # and exact (6 frames x 1152 samples at 32 kHz = 216 ms).
+    mp3 = spark.createDataFrame(
+        [(i, "audio", make_mp3_bytes(2000.0 * (i + 1))) for i in range(2)], schema
+    )
+    mp3_leg = decode_mp3_features(mp3).select(
+        F.lit("mp3").alias("modality"),
+        F.col("media_id").cast("int").alias("media_id"),
+        F.lit(0).alias("idx"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        F.col("sample_rate").cast("double").alias("m1"),
+        F.col("n_frames").cast("double").alias("m2"),
+        F.col("duration_ms").cast("double").alias("m3"),
+    )
     return (
         audio.unionByName(adpcm_leg)
         .unionByName(au_leg)
@@ -2288,6 +2310,7 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(jpeg_leg)
         .unionByName(mp1_leg)
         .unionByName(mp2_leg)
+        .unionByName(mp3_leg)
         .unionByName(png_leg)
         .unionByName(video)
         .orderBy("modality", "media_id", "idx")
