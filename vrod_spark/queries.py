@@ -1647,23 +1647,11 @@ def q37_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
     import tempfile
+    from concurrent.futures import ThreadPoolExecutor
 
     from vrod_spark.operators.dedup import minhash_band_expr, minhash_signature_expr
     from vrod_spark.streaming.ingest import dedup_stream, events_stream, run_to_completion
     from vrod_spark.streaming.stateful import streaming_near_dup
-
-    out = run_to_completion(
-        lambda s: dedup_stream(events_stream(s, sf_dir))
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_unique")),
-        spark,
-        output_mode="complete",
-    )
-    distinct_leg = out.select(
-        F.lit("distinct").alias("leg"),
-        F.col("event_type").alias("grp"),
-        F.col("n_unique").cast("bigint").alias("n"),
-    )
 
     # Planted corpus: two mutually-near clusters ({0,3,7}: exact dup +
     # one-word edit; {1,5}: exact dup) + 7 singletons, split so every
@@ -1685,23 +1673,62 @@ def q37_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (i, singles[i]) for i in (8, 9, 10, 11)
     ]
     schema = "doc_id bigint, text string"
-    tmp = tempfile.mkdtemp(prefix="q37_near_dup_")
-    spark.createDataFrame(b0, schema).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(tmp, "b0")
-    )
-    spark.createDataFrame(b1, schema).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(tmp, "b1")
-    )
 
-    def build(session):
-        stream = (
-            session.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(os.path.join(tmp, "*"))
+    def distinct_leg_run():
+        return run_to_completion(
+            lambda s: dedup_stream(events_stream(s, sf_dir))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_unique")),
+            spark,
+            output_mode="complete",
         )
-        return streaming_near_dup(stream, min_sig_agreement=0.5)
 
-    flagged = run_to_completion(build, spark, output_mode="update", state_partitions=2)
+    def near_dup_run():
+        # Fixture files are written DRIVER-SIDE with pyarrow: a Spark
+        # write job for a 4-row file costs 1-4 s of commit-protocol
+        # overhead per file on this fs; pyarrow is milliseconds. Explicit
+        # mtimes pin the file-source delivery order (FileStreamSource
+        # orders by timestamp), so batch b0 always precedes b1.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tmp = tempfile.mkdtemp(prefix="q37_near_dup_")
+        now = os.path.getmtime(tmp)
+        for name, rows, age in (("b0.parquet", b0, 20.0), ("b1.parquet", b1, 10.0)):
+            path = os.path.join(tmp, name)
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                        "text": pa.array([r[1] for r in rows], pa.string()),
+                    }
+                ),
+                path,
+            )
+            os.utime(path, (now - age, now - age))
+
+        def build(session):
+            stream = (
+                session.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(os.path.join(tmp, "*"))
+            )
+            return streaming_near_dup(stream, min_sig_agreement=0.5)
+
+        return run_to_completion(build, spark, output_mode="update", state_partitions=2)
+
+    # The two availableNow runs are independent streams on independent
+    # child sessions — run them CONCURRENTLY (the q34 pattern) so the
+    # gate's latency is max(leg), not sum(leg): each stream idles on
+    # micro-batch machinery, not cores.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_distinct, f_near = pool.submit(distinct_leg_run), pool.submit(near_dup_run)
+        out, flagged = f_distinct.result(), f_near.result()
+    distinct_leg = out.select(
+        F.lit("distinct").alias("leg"),
+        F.col("event_type").alias("grp"),
+        F.col("n_unique").cast("bigint").alias("n"),
+    )
     stream_flags = flagged.groupBy("doc_id").agg(F.min("dup_of").alias("dup_of"))
 
     # Batch comparator on IDENTICAL banding: candidate pairs share >= 1
