@@ -5,7 +5,14 @@ multimodal plumbing."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
+
+SETTINGS = settings(
+    max_examples=5, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
 
 from vrod_spark.functions.text import lang_id, quality_score
 from vrod_spark.operators.dedup import (
@@ -1432,3 +1439,65 @@ def test_mp3_parser_never_crashes_on_garbage():
         assert rate is None or rate in (44100, 48000, 32000), i
     rate, pcm = parse(cases[-1])
     assert rate == 32000 and len(pcm) == 6912
+
+
+def test_mp3_bit_reservoir_layout_decodes_identically():
+    """The bit reservoir is REAL: a stream whose every frame stores its
+    granule data in the PREVIOUS frame's main-data tail (nonzero
+    main_data_begin) must decode to the bit-identical waveform of the
+    linear layout — and the two byte streams genuinely differ."""
+    import numpy as np
+
+    from vrod_spark.operators.multimodal import _mp3_parser, make_mp3_bytes
+
+    parse = _mp3_parser()
+    lin = make_mp3_bytes(2236.0)
+    res = make_mp3_bytes(2236.0, reservoir=True)
+    assert lin != res
+    assert res[4] != 0 or res[len(res) // 2 + 4] != 0  # main_data_begin used
+    r1, p1 = parse(lin)
+    r2, p2 = parse(res)
+    assert r1 == r2 == 32000
+    assert np.array_equal(p1, p2)
+
+    ls = [(80, 1), (81, -1), (170, -1), (369, 1)]
+    _, pm1 = parse(make_mp3_bytes(lines=ls))
+    _, pm2 = parse(make_mp3_bytes(lines=ls, reservoir=True))
+    assert np.array_equal(pm1, pm2)
+
+
+@given(
+    picks=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=30),   # subband (interior)
+            st.sampled_from([8, 9]),                  # alias-safe bin
+            st.sampled_from([1, -1]),                 # sign
+        ),
+        min_size=1,
+        max_size=5,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+@SETTINGS
+def test_mp3_planted_spectrum_property(picks):
+    """Arbitrary planted ±1 spectra (alias-safe bins) roundtrip through
+    the full Layer III chain: every planted line produces a spectral
+    peak ≥ 10x the median magnitude near its bin, the count1 coder
+    handles multi-nonzero quads and per-nonzero sign bits, and decode is
+    deterministic."""
+    import numpy as np
+
+    from vrod_spark.operators.multimodal import _mp3_parser, make_mp3_bytes
+
+    lines = [(sb * 18 + k, sign) for sb, k, sign in picks]
+    parse = _mp3_parser()
+    blob = make_mp3_bytes(lines=lines)
+    rate, pcm = parse(blob)
+    assert rate == 32000 and len(pcm) == 6912
+    spec = np.abs(np.fft.rfft(pcm))
+    med = float(np.median(spec)) or 1e-12
+    for li, _sign in lines:
+        b = int(round(li * len(pcm) / 1152))
+        peak = spec[max(0, b - 2) : b + 3].max()
+        assert peak / med >= 10, (li, peak / med)
+    assert np.array_equal(parse(blob)[1], pcm)

@@ -2455,88 +2455,137 @@ _MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 32
 
 
 def make_mp3_bytes(
-    freq_hz: float,
+    freq_hz: float | None = None,
     *,
     seconds: float = 0.24,
     rate: int = 32000,
     bitrate_kbps: int = 96,
     global_gain: int = 210,
+    lines: list[tuple[int, int]] | None = None,
+    reservoir: bool = False,
 ) -> bytes:
-    """Encode a tone as an MPEG-1 Layer III mono stream (test/demo helper
-    — deterministic, numpy-only). The tone is planted as a single
-    spectral impulse: the line nearest ``freq_hz`` (snapped to an
-    alias-safe bin, k ∈ {8, 9} of its subband, untouched by the
-    boundary butterflies) carries +1 in every granule, encoded entirely
+    """Encode a spectrum as an MPEG-1 Layer III mono stream (test/demo
+    helper — deterministic, numpy-only). The content is a set of planted
+    spectral impulses, each carried in every granule and encoded entirely
     through the count1 region with table 1 (big_values = 0 — a legal
-    conforming stream; table choice is the encoder's). After IMDCT +
-    synthesis the decoder reconstructs a steady waveform whose dominant
-    frequency is the planted line's bin center ≈ (l + 0.5)·rate/1152."""
+    conforming stream; table choice is the encoder's):
+
+    - default: the single line nearest ``freq_hz``, snapped to an
+      alias-safe bin (k ∈ {8, 9} of its subband, untouched by the
+      boundary butterflies), sign +1 — after IMDCT + synthesis the
+      dominant output frequency is that line's bin ≈ l·rate/1152;
+    - ``lines=[(line_idx, ±1), ...]`` plants an arbitrary ±1 spectrum
+      (0 ≤ line_idx < 576), exercising multi-nonzero quads and the
+      per-nonzero sign-bit order of the count1 syntax.
+
+    ``reservoir=True`` exercises the BIT RESERVOIR honestly: each
+    frame's granule data is stored in the TAIL of the previous frame's
+    main-data area and referenced via ``main_data_begin`` (frame 0 keeps
+    its own at offset 0 and additionally hosts frame 1's). A conforming
+    decoder must produce the identical waveform for both layouts."""
     sr_idx = _MP1_SRATES.index(rate)
     br_idx = _MP3_BITRATES.index(bitrate_kbps)
     frame_bytes = 144 * bitrate_kbps * 1000 // rate
-    # Nearest spectral line, snapped into the alias-safe middle of its
-    # subband (bins 8/9 of 18) so decode needs no butterfly pre-compensation.
-    l_raw = int(round(freq_hz * 1152.0 / rate - 0.5))
-    sb, k = max(0, min(31, l_raw // 18)), l_raw % 18
-    k = 8 if k < 8 else (9 if k > 9 else k)
-    line = sb * 18 + k
-    quad = line // 4
-    pos_in_quad = line % 4
-    part23 = 4 * quad + 5  # all-zero quads, then 4-bit hcod + 1 sign bit
-    n_frames = max(1, int(rate * seconds) // 1152)
+    if lines is None:
+        if freq_hz is None:
+            raise ValueError("pass freq_hz or lines")
+        # Nearest spectral line, snapped into the alias-safe middle of its
+        # subband (bins 8/9 of 18): no butterfly pre-compensation needed.
+        l_raw = int(round(freq_hz * 1152.0 / rate - 0.5))
+        sb, k = max(0, min(31, l_raw // 18)), l_raw % 18
+        k = 8 if k < 8 else (9 if k > 9 else k)
+        lines = [(sb * 18 + k, 1)]
+    line_map: dict[int, int] = {}
+    for li, sign in lines:
+        if not 0 <= int(li) < 576:
+            raise ValueError(f"spectral line {li} out of range 0..575")
+        line_map[int(li)] = 1 if sign >= 0 else -1
+    if not line_map:
+        raise ValueError("at least one spectral line is required")
+    n_quads = max(line_map) // 4 + 1
 
-    out = bytearray()
-    for _f in range(n_frames):
-        acc, nacc, buf = 0, 0, bytearray()
+    # Granule payload as (value, width) ops: per quad a 4-bit
+    # bitwise-complement codeword, then one sign bit per nonzero
+    # (v,w,x,y order; 1 = negative).
+    gran_ops: list[tuple[int, int]] = []
+    for q in range(n_quads):
+        pattern, signs = 0, []
+        for j in range(4):
+            s = line_map.get(q * 4 + j)
+            if s:
+                pattern |= 1 << (3 - j)
+                signs.append(0 if s > 0 else 1)
+        gran_ops.append(((~pattern) & 0xF, 4))
+        gran_ops.extend((sgn, 1) for sgn in signs)
+    part23 = sum(w for _v, w in gran_ops)
 
-        def put(v: int, width: int) -> None:
-            nonlocal acc, nacc
+    def pack(ops: list[tuple[int, int]]) -> bytes:
+        acc = nacc = 0
+        buf = bytearray()
+        for v, width in ops:
             acc = (acc << width) | (int(v) & ((1 << width) - 1))
             nacc += width
             while nacc >= 8:
                 nacc -= 8
                 buf.append((acc >> nacc) & 0xFF)
-
-        put(0xFFF, 12)      # syncword
-        put(1, 1)           # ID: MPEG-1
-        put(0b01, 2)        # layer III
-        put(1, 1)           # protection bit: no CRC
-        put(br_idx, 4)
-        put(sr_idx, 2)
-        put(0, 1)           # padding
-        put(0, 1)           # private
-        put(0b11, 2)        # mode: single channel
-        put(0, 2)           # mode extension
-        put(0, 1)           # copyright
-        put(1, 1)           # original
-        put(0, 2)           # emphasis
-        # Side info (mono: 17 bytes).
-        put(0, 9)           # main_data_begin: no reservoir use
-        put(0, 5)           # private bits
-        put(0, 4)           # scfsi: scalefactors never shared
-        for _gr in range(2):
-            put(part23, 12)     # part2_3_length
-            put(0, 9)           # big_values
-            put(int(global_gain), 8)
-            put(0, 4)           # scalefac_compress: slen1 = slen2 = 0
-            put(0, 1)           # window_switching: long blocks
-            put(0, 15)          # table_select x3 (table 0: all-zero regions)
-            put(0, 4)           # region0_count
-            put(0, 3)           # region1_count
-            put(0, 1)           # preflag
-            put(0, 1)           # scalefac_scale
-            put(1, 1)           # count1table_select: table 1 (4-bit codes)
-        # Main data, both granules back to back (bit-packed, unaligned).
-        for _gr in range(2):
-            for _q in range(quad):
-                put(0xF, 4)     # (0,0,0,0): hcod = bitwise complement
-            vwxy = 1 << (3 - pos_in_quad)
-            put((~vwxy) & 0xF, 4)
-            put(0, 1)           # sign: positive
         if nacc:
-            put(0, 8 - nacc)
-        buf.extend(b"\x00" * (frame_bytes - len(buf)))
-        out.extend(buf[:frame_bytes])
+            buf.append((acc << (8 - nacc)) & 0xFF)
+        return bytes(buf)
+
+    payload = pack(gran_ops * 2)  # both granules, back to back, unaligned
+    n_frames = max(1, int(rate * seconds) // 1152)
+    area_len = frame_bytes - 4 - 17  # header + mono side info
+    if len(payload) > area_len or (reservoir and 2 * len(payload) > area_len):
+        raise ValueError("planted spectrum does not fit the frame at this bitrate")
+
+    out = bytearray()
+    for f in range(n_frames):
+        ops: list[tuple[int, int]] = [
+            (0xFFF, 12),   # syncword
+            (1, 1),        # ID: MPEG-1
+            (0b01, 2),     # layer III
+            (1, 1),        # protection bit: no CRC
+            (br_idx, 4),
+            (sr_idx, 2),
+            (0, 1),        # padding
+            (0, 1),        # private
+            (0b11, 2),     # mode: single channel
+            (0, 2),        # mode extension
+            (0, 1),        # copyright
+            (1, 1),        # original
+            (0, 2),        # emphasis
+            # Side info (mono: 17 bytes).
+            (len(payload) if (reservoir and f > 0) else 0, 9),  # main_data_begin
+            (0, 5),        # private bits
+            (0, 4),        # scfsi: scalefactors never shared
+        ]
+        for _gr in range(2):
+            ops += [
+                (part23, 12),          # part2_3_length
+                (0, 9),                # big_values
+                (int(global_gain), 8),
+                (0, 4),                # scalefac_compress: slen1 = slen2 = 0
+                (0, 1),                # window_switching: long blocks
+                (0, 15),               # table_select x3 (table 0: zeros)
+                (0, 4),                # region0_count
+                (0, 3),                # region1_count
+                (0, 1),                # preflag
+                (0, 1),                # scalefac_scale
+                (1, 1),                # count1table_select: table 1
+            ]
+        head = pack(ops)
+        area = bytearray(area_len)
+        if reservoir:
+            # This frame's data lives in the PREVIOUS frame's tail; this
+            # frame hosts the NEXT frame's data in its own tail. Frame 0
+            # additionally keeps its own payload at offset 0.
+            if f == 0:
+                area[: len(payload)] = payload
+            if f < n_frames - 1:
+                area[area_len - len(payload) :] = payload
+        else:
+            area[: len(payload)] = payload
+        out.extend(head + bytes(area))
     return bytes(out)
 
 
