@@ -1501,3 +1501,25 @@ def test_mp3_planted_spectrum_property(picks):
         peak = spec[max(0, b - 2) : b + 3].max()
         assert peak / med >= 10, (li, peak / med)
     assert np.array_equal(parse(blob)[1], pcm)
+
+
+def test_mp3_stereo_interleaving_is_granule_major():
+    """Stereo (mode 00) Layer III: 32-byte side info with per-(gr,ch)
+    blocks in gr-major order and gr0ch0/gr0ch1/gr1ch0/gr1ch1 main data.
+    Two identical channels must downmix to the EXACT mono waveform —
+    any interleaving slip desynchronizes the bit cursor and breaks
+    equality immediately. Composes with the bit reservoir."""
+    import numpy as np
+
+    from vrod_spark.operators.multimodal import _mp3_parser, make_mp3_bytes
+
+    parse = _mp3_parser()
+    mono = make_mp3_bytes(2236.0)
+    stereo = make_mp3_bytes(2236.0, channels=2)
+    assert (stereo[3] >> 6) == 0b00  # stereo mode in the header
+    rm, pm = parse(mono)
+    rs, ps = parse(stereo)
+    assert rm == rs == 32000
+    assert np.allclose(pm, ps)
+    _, ps2 = parse(make_mp3_bytes(2236.0, channels=2, reservoir=True))
+    assert np.allclose(ps, ps2)

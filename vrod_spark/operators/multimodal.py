@@ -2463,6 +2463,7 @@ def make_mp3_bytes(
     global_gain: int = 210,
     lines: list[tuple[int, int]] | None = None,
     reservoir: bool = False,
+    channels: int = 1,
 ) -> bytes:
     """Encode a spectrum as an MPEG-1 Layer III mono stream (test/demo
     helper — deterministic, numpy-only). The content is a set of planted
@@ -2482,7 +2483,15 @@ def make_mp3_bytes(
     frame's granule data is stored in the TAIL of the previous frame's
     main-data area and referenced via ``main_data_begin`` (frame 0 keeps
     its own at offset 0 and additionally hosts frame 1's). A conforming
-    decoder must produce the identical waveform for both layouts."""
+    decoder must produce the identical waveform for both layouts.
+
+    ``channels=2`` writes a stereo (mode 00) frame with the spectrum
+    duplicated in both channels — 32-byte side info with the per-granule
+    blocks in ``for gr: for ch:`` order and main data in
+    gr0ch0/gr0ch1/gr1ch0/gr1ch1 order, pinning the spec's multichannel
+    field interleaving (2.4.1.7)."""
+    if channels not in (1, 2):
+        raise ValueError("channels must be 1 or 2")
     sr_idx = _MP1_SRATES.index(rate)
     br_idx = _MP3_BITRATES.index(bitrate_kbps)
     frame_bytes = 144 * bitrate_kbps * 1000 // rate
@@ -2532,9 +2541,12 @@ def make_mp3_bytes(
             buf.append((acc << (8 - nacc)) & 0xFF)
         return bytes(buf)
 
-    payload = pack(gran_ops * 2)  # both granules, back to back, unaligned
+    # All channels carry the same spectrum: the payload is the granule
+    # bits repeated per (gr, ch) in gr-major order (2.4.1.7).
+    payload = pack(gran_ops * (2 * channels))
     n_frames = max(1, int(rate * seconds) // 1152)
-    area_len = frame_bytes - 4 - 17  # header + mono side info
+    si_bytes = 17 if channels == 1 else 32
+    area_len = frame_bytes - 4 - si_bytes
     if len(payload) > area_len or (reservoir and 2 * len(payload) > area_len):
         raise ValueError("planted spectrum does not fit the frame at this bitrate")
 
@@ -2549,30 +2561,31 @@ def make_mp3_bytes(
             (sr_idx, 2),
             (0, 1),        # padding
             (0, 1),        # private
-            (0b11, 2),     # mode: single channel
+            (0b11 if channels == 1 else 0b00, 2),  # single channel / stereo
             (0, 2),        # mode extension
             (0, 1),        # copyright
             (1, 1),        # original
             (0, 2),        # emphasis
-            # Side info (mono: 17 bytes).
+            # Side info (mono: 17 bytes; stereo: 32).
             (len(payload) if (reservoir and f > 0) else 0, 9),  # main_data_begin
-            (0, 5),        # private bits
-            (0, 4),        # scfsi: scalefactors never shared
+            (0, 5 if channels == 1 else 3),        # private bits
+            (0, 4 * channels),                     # scfsi: never shared
         ]
         for _gr in range(2):
-            ops += [
-                (part23, 12),          # part2_3_length
-                (0, 9),                # big_values
-                (int(global_gain), 8),
-                (0, 4),                # scalefac_compress: slen1 = slen2 = 0
-                (0, 1),                # window_switching: long blocks
-                (0, 15),               # table_select x3 (table 0: zeros)
-                (0, 4),                # region0_count
-                (0, 3),                # region1_count
-                (0, 1),                # preflag
-                (0, 1),                # scalefac_scale
-                (1, 1),                # count1table_select: table 1
-            ]
+            for _ch in range(channels):
+                ops += [
+                    (part23, 12),          # part2_3_length
+                    (0, 9),                # big_values
+                    (int(global_gain), 8),
+                    (0, 4),                # scalefac_compress: slen1 = slen2 = 0
+                    (0, 1),                # window_switching: long blocks
+                    (0, 15),               # table_select x3 (table 0: zeros)
+                    (0, 4),                # region0_count
+                    (0, 3),                # region1_count
+                    (0, 1),                # preflag
+                    (0, 1),                # scalefac_scale
+                    (1, 1),                # count1table_select: table 1
+                ]
         head = pack(ops)
         area = bytearray(area_len)
         if reservoir:
