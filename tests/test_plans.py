@@ -230,3 +230,21 @@ def test_pq_search_is_take_ordered_over_python_scan(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert plan.count("MapInPandas") >= 1
     assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
+
+
+def test_shared_jaccard_edges_is_one_materialization(spark, sf_dir):
+    """q26 and q59 consume ONE session-scoped materialized candidate
+    graph: same (session, sf_dir) returns the identical DataFrame object
+    (so all consumers read the same localCheckpoint partitions), and a
+    different sf_dir key builds its own."""
+    from vrod_spark.queries import shared_jaccard_edges
+
+    a = shared_jaccard_edges(spark, sf_dir)
+    b = shared_jaccard_edges(spark, sf_dir)
+    assert a is b
+    # Materialized: the plan is a checkpoint scan, not the inverted-index
+    # join — re-collecting runs no shuffle of the corpus.
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan or "Checkpoint" in plan
+    other = shared_jaccard_edges(spark, sf_dir.rstrip("/"))
+    assert other is a  # path normalization: same snapshot, same entry

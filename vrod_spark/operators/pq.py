@@ -460,7 +460,14 @@ def pq_collection_search(
        exact kNN and LSH/IVF search paths).
 
     ``prefilter`` is applied on the candidate scan (before ADC top-k),
-    so filtered-out rows never consume candidate budget."""
+    so filtered-out rows never consume candidate budget.
+
+    Metric note: ADC candidate scoring is L2 over the stored codes; the
+    exact rescore applies the collection's declared metric, so for a
+    cosine-metric collection the candidate set is L2-chosen and the
+    ranking cosine-corrected. With unit-normalized embeddings the two
+    orders coincide exactly (||a-b||² = 2 - 2·cosθ); for unnormalized
+    cosine corpora, normalize at ingest or raise ``rescore_factor``."""
     import numpy as np
 
     from vrod_spark.operators.knn import knn_exact
