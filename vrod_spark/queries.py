@@ -1486,7 +1486,32 @@ def q32_python_pipelines(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit("multimodal").alias("stage"), F.col("kind").alias("key"), "n", "metric")
     )
-    return embed_stats.unionByName(mm_stats).orderBy("stage", "key")
+
+    # BPE leg: bounded-sample merge training (driver, deterministic) +
+    # distributed Arrow apply; SELF-VERIFYING — `metric` is the fraction
+    # of slice documents whose detokenization reproduces the
+    # space-normalized text exactly (must be 1.0), `n` the total subword
+    # count (pins tokenizer determinism run over run).
+    from vrod_spark.operators.bpe import bpe_detokenize_expr, bpe_tokens_udf, bpe_train
+
+    merges = bpe_train(docs, n_merges=150, sample_docs=1024)
+    bpe_slice = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    toked = bpe_slice.select(
+        "text", bpe_tokens_udf(merges, "text").alias("toks")
+    ).withColumn("detok", bpe_detokenize_expr("toks"))
+    bpe_stats = toked.agg(
+        F.sum(F.size("toks")).alias("n"),
+        F.round(
+            F.avg(
+                (
+                    F.col("detok")
+                    == F.concat_ws(" ", F.split(F.trim("text"), r"\s+"))
+                ).cast("double")
+            ),
+            6,
+        ).alias("metric"),
+    ).select(F.lit("bpe").alias("stage"), F.lit("corpus").alias("key"), "n", "metric")
+    return embed_stats.unionByName(mm_stats).unionByName(bpe_stats).orderBy("stage", "key")
 
 
 # ---------------------------------------------------------------------------
