@@ -248,3 +248,32 @@ def test_shared_jaccard_edges_is_one_materialization(spark, sf_dir):
     assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan or "Checkpoint" in plan
     other = shared_jaccard_edges(spark, sf_dir.rstrip("/"))
     assert other is a  # path normalization: same snapshot, same entry
+
+
+def test_ivfpq_engine_search_partition_prunes(spark, sf_dir, tmp_path):
+    """SEARCHSIMILAR over an ivfpq collection must PARTITION-PRUNE the
+    code scan (PartitionFilters on the probed bucket= dirs — the 100 TB
+    contract: unprobed buckets are never read) and rescore through the
+    pinned TakeOrderedAndProject top-k, with the ADC phase reading codes
+    through mapInPandas."""
+    from vrod_spark.engine import Engine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    records = emb.select(
+        F.col("vec_id").alias("id"),
+        "embedding",
+        F.lit("p").alias("payload"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    eng = Engine.create(spark, str(tmp_path), "pqplan")
+    eng.execute("CREATE", collection="emb")
+    eng.execute("BULKINSERT", collection="emb", arg=records)
+    eng.execute("REINDEX", collection="emb", arg={"kind": "ivfpq", "n_centroids": 8})
+    qv = [0.125] * 64
+    df = eng.execute("SEARCHSIMILAR", collection="emb", arg={"vector": qv, "k": 5}).df
+    plan = explain_str(df, "formatted")
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # the pruned filter actually references probed bucket values
+    assert "bucket#" in plan or "bucket IN" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "MapInPandas" in plan

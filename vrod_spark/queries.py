@@ -1494,7 +1494,7 @@ def q32_python_pipelines(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count (pins tokenizer determinism run over run).
     from vrod_spark.operators.bpe import bpe_detokenize_expr, bpe_tokens_udf, bpe_train
 
-    merges = bpe_train(docs, n_merges=150, sample_docs=1024)
+    merges = bpe_train(docs, n_merges=120, sample_docs=512)
     bpe_slice = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
     toked = bpe_slice.select(
         "text", bpe_tokens_udf(merges, "text").alias("toks")
