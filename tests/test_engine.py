@@ -433,6 +433,35 @@ def test_reindex_ivfpq_delta_insert_and_search(engine, spark, sf_dir):
     assert r >= 0.2, f"IVF-PQ recall too low: {r}"
 
 
+def test_searchsimilar_recall_knobs_exact_in_the_limit(engine, spark, sf_dir):
+    """The verb surface exposes the monotone recall knobs: SEARCHSIMILAR
+    arg {"candidate_factor"} (sign-LSH/IVF bucket probing) and
+    {"rescore_factor"} (PQ ADC survivor budget). Pushed to the limit,
+    every index kind must reproduce EXACT kNN through the verb."""
+    engine.execute("CREATE", collection="emb")
+    engine.execute("BULKINSERT", collection="emb", arg=records_df(spark, sf_dir))
+    col = engine.db.collection("emb")
+    qv = [float(x) for x in col.read().filter("id = 5").first()["embedding"]]
+    exact = knn_exact(col.read(), qv, 10, vec_col="embedding", id_col="id")
+
+    engine.execute("REINDEX", collection="emb", arg={"kind": "ivf", "n_centroids": 16})
+    full_ivf = engine.execute(
+        "SEARCHSIMILAR",
+        collection="emb",
+        arg={"vector": qv, "k": 10, "candidate_factor": 10**6},
+    ).df
+    assert recall_at_k(full_ivf, exact) == 1.0
+
+    engine.execute("REINDEX", collection="emb", arg={"kind": "ivfpq", "n_centroids": 16})
+    # rescore budget >= corpus: ADC passes everything to the exact rescore
+    full_pq = engine.execute(
+        "SEARCHSIMILAR",
+        collection="emb",
+        arg={"vector": qv, "k": 10, "rescore_factor": 1000},
+    ).df
+    assert recall_at_k(full_pq, exact) == 1.0
+
+
 def test_compact_preserves_pq_layout(engine, spark, sf_dir):
     """Compaction of a pq-indexed (flat + code column) snapshot keeps the
     stored codes — maintenance must never degrade the search path."""

@@ -330,6 +330,7 @@ class Engine:
         LSH-bucketed fast path (operators.ann)."""
         col = self._require_collection(collection)
         spec = self._require_arg(arg, "query vector")
+        tuning: dict[str, int] = {}
         if isinstance(spec, str):
             vec_part, _, k_part = spec.partition(";")
             vector = [float(x) for x in vec_part.split(",") if x.strip()]
@@ -339,6 +340,12 @@ class Engine:
             vector = [float(x) for x in spec["vector"]]
             k = int(spec.get("k", 10))
             where = spec.get("where")
+            # Recall knobs, monotone and exact in the limit: probe more
+            # buckets (sign-LSH/IVF) / rescore more ADC survivors
+            # (pq/ivfpq). Each index kind consumes the knob it has.
+            for knob in ("candidate_factor", "rescore_factor"):
+                if spec.get(knob) is not None:
+                    tuning[knob] = int(spec[knob])
         meta = col.meta
         declared = meta.get("dimension")
         if declared is not None and len(vector) != declared:
@@ -353,15 +360,18 @@ class Engine:
             if kind == "ivf":
                 from vrod_spark.operators.ivf import ivf_search
 
-                result = ivf_search(col, vector, k, prefilter=where)
+                opts = {"candidate_factor": tuning["candidate_factor"]} if "candidate_factor" in tuning else {}
+                result = ivf_search(col, vector, k, prefilter=where, **opts)
             elif kind in ("pq", "ivfpq"):
                 from vrod_spark.operators.pq import pq_collection_search
 
-                result = pq_collection_search(col, vector, k, prefilter=where)
+                opts = {"rescore_factor": tuning["rescore_factor"]} if "rescore_factor" in tuning else {}
+                result = pq_collection_search(col, vector, k, prefilter=where, **opts)
             else:
                 from vrod_spark.operators.ann import ann_search_bucketed
 
-                result = ann_search_bucketed(col, vector, k, prefilter=where)
+                opts = {"candidate_factor": tuning["candidate_factor"]} if "candidate_factor" in tuning else {}
+                result = ann_search_bucketed(col, vector, k, prefilter=where, **opts)
             return CommandResult("SEARCHSIMILAR", df=result)
         result = knn_exact(
             df,

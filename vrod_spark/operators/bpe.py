@@ -1,7 +1,8 @@
 """Byte-pair-encoding subword tokenization: bounded-sample training +
 distributed Arrow-batched apply — the vocabulary-construction stage of
 an LLM data pipeline (the reference's embedding pipeline tokenizes by
-whitespace only, src/utils/embeddings.rs:16-23; BPE is the [N] subword
+whitespace only, src/utils/embeddings.rs:22-27 ``extract_words``; BPE is
+the [N] subword
 path every modern tokenizer uses, per Sennrich et al., "Neural Machine
 Translation of Rare Words with Subword Units", ACL 2016).
 
