@@ -1,0 +1,154 @@
+"""Differential fuzzing vs DuckDB: hypothesis-generated relational
+queries executed by BOTH engines on the same parquet, compared
+value-for-value. The per-round oracle gate checks 50 FIXED queries;
+this extends the same contract to randomly-shaped plans, so a
+regression in filter pushdown, null handling, aggregate semantics, or
+join planning surfaces on shapes nobody hand-wrote (SURVEY §5's
+oracle-differential strategy, generalized)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+GROUP_COLS = ["l_returnflag", "l_linestatus", "l_linenumber"]
+MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+AGGS = ["sum", "avg", "min", "max", "count"]
+
+
+def _close(a, b, tol=1e-6):
+    if a is None or b is None:
+        return a == b
+    fa, fb = float(a), float(b)
+    return abs(fa - fb) <= max(tol, tol * max(abs(fa), abs(fb)))
+
+
+@given(
+    group_col=st.sampled_from(GROUP_COLS),
+    agg=st.sampled_from(AGGS),
+    measure=st.sampled_from(MEASURES),
+    qty_max=st.integers(min_value=1, max_value=50),
+    disc_max=st.integers(min_value=0, max_value=10),
+)
+@SETTINGS
+def test_differential_filtered_agg(spark, sf_dir, group_col, agg, measure, qty_max, disc_max):
+    """filter → groupBy → agg, arbitrary column/function/threshold
+    combinations: per-group values must match DuckDB within float
+    tolerance, group sets exactly."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cond = (F.col("l_quantity") <= qty_max) & (F.col("l_discount") <= disc_max / 100.0)
+    fn = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
+          "count": lambda c: F.count(F.lit(1))}[agg]
+    got = {
+        r[group_col]: r["v"]
+        for r in li.filter(cond).groupBy(group_col).agg(fn(measure).alias("v")).collect()
+    }
+    sql_fn = f"{agg}({measure})" if agg != "count" else "count(*)"
+    want = dict(
+        duckdb.sql(
+            f"SELECT {group_col}, {sql_fn} FROM '{sf_dir}/lineitem.parquet' "
+            f"WHERE l_quantity <= {qty_max} AND l_discount <= {disc_max / 100.0} "
+            f"GROUP BY {group_col}"
+        ).fetchall()
+    )
+    assert set(got) == set(want)
+    for k in want:
+        assert _close(got[k], want[k]), (k, got[k], want[k])
+
+
+@given(
+    prio_like=st.sampled_from(["1%", "2%", "3%", "%URGENT%", "%LOW%"]),
+    status=st.sampled_from(["O", "F", "P"]),
+    agg=st.sampled_from(["sum", "count", "max"]),
+)
+@SETTINGS
+def test_differential_join_agg(spark, sf_dir, prio_like, status, agg):
+    """orders ⋈ lineitem with random predicates on BOTH sides, grouped
+    on the probe side — exercises join planning + pushdown through the
+    differential oracle."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    joined = (
+        orders.filter(
+            F.col("o_orderpriority").like(prio_like)
+            & (F.col("o_orderstatus") == status)
+        )
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+    )
+    fn = {"sum": F.sum("l_quantity"), "count": F.count(F.lit(1)),
+          "max": F.max("l_extendedprice")}[agg]
+    got = {r["o_orderpriority"]: r["v"] for r in joined.agg(fn.alias("v")).collect()}
+    sql_fn = {"sum": "sum(l_quantity)", "count": "count(*)",
+              "max": "max(l_extendedprice)"}[agg]
+    want = dict(
+        duckdb.sql(
+            f"SELECT o_orderpriority, {sql_fn} "
+            f"FROM '{sf_dir}/orders.parquet' o JOIN '{sf_dir}/lineitem.parquet' l "
+            f"ON o.o_orderkey = l.l_orderkey "
+            f"WHERE o.o_orderpriority LIKE '{prio_like}' AND o.o_orderstatus = '{status}' "
+            f"GROUP BY o_orderpriority"
+        ).fetchall()
+    )
+    assert set(got) == set(want)
+    for k in want:
+        assert _close(got[k], want[k]), (k, got[k], want[k])
+
+
+@given(
+    n=st.integers(min_value=1, max_value=30),
+    order_col=st.sampled_from(["l_extendedprice", "l_quantity", "l_shipdate"]),
+    asc=st.booleans(),
+)
+@SETTINGS
+def test_differential_topk(spark, sf_dir, n, order_col, asc):
+    """Top-k with arbitrary sort column/direction/limit: the
+    TakeOrderedAndProject path must return the exact DuckDB rows (keyed
+    by a unique tiebreaker so ordering is total)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    oc = F.col(order_col).asc() if asc else F.col(order_col).desc()
+    got = [
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in li.orderBy(oc, "l_orderkey", "l_linenumber").limit(n).collect()
+    ]
+    direction = "ASC" if asc else "DESC"
+    want = duckdb.sql(
+        f"SELECT l_orderkey, l_linenumber FROM '{sf_dir}/lineitem.parquet' "
+        f"ORDER BY {order_col} {direction}, l_orderkey, l_linenumber LIMIT {n}"
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
+
+
+@pytest.mark.parametrize("seed", [0])
+def test_differential_null_semantics(spark, sf_dir, seed):
+    """Aggregates over columns WITH nulls: Spark and DuckDB must agree
+    on count/sum/avg null-skipping and on grouping the NULL key."""
+    rows = [(None, 1.0), ("a", None), ("a", 2.0), (None, None), ("b", 3.0)]
+    sdf = spark.createDataFrame(rows, "k string, v double")
+    got = {
+        r["k"]: (r["n"], r["s"], r["m"])
+        for r in sdf.groupBy("k")
+        .agg(F.count("v").alias("n"), F.sum("v").alias("s"), F.avg("v").alias("m"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(k VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = {
+        k: (n, s, m)
+        for k, n, s, m in con.execute(
+            "SELECT k, count(v), sum(v), avg(v) FROM t GROUP BY k"
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        for g, w in zip(got[k], want[k]):
+            assert (g is None and w is None) or _close(g, w), (k, got[k], want[k])
