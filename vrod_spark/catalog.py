@@ -573,27 +573,41 @@ class Collection:
 
         idx = self.meta.get("index")
         part_key = self.meta.get("partition_by")
-        if idx and idx.get("kind") in ("pq", "ivfpq"):
-            # PQ-indexed: encode the delta with the STORED codebooks so
-            # appended rows are ADC-scannable — same O(delta) contract as
-            # the bucket assignment below.
-            import numpy as np
-
-            from vrod_spark.operators.pq import pq_code_expr
-
-            df = df.withColumn(
-                "pq_code",
-                pq_code_expr(
-                    self.db.spark, np.asarray(idx["codebooks"], dtype=np.float64)
-                ),
-            )
         # Plain "pq" is a FLAT layout (codes are a data column, no bucket
-        # dirs) — its delta takes the unpartitioned append path.
+        # dirs) — its delta takes the unpartitioned append path. Bucket
+        # assignment comes FIRST: residual ivfpq codes encode against the
+        # delta row's own bucket centroid.
         bucketed = idx is not None and idx.get("kind") != "pq"
         if bucketed:
             df = df.withColumn("bucket", self._index_bucket_col(idx))
         elif part_key:
             df = df.withColumn("pk", F.col("meta").getItem(part_key))
+        if idx and idx.get("kind") in ("pq", "ivfpq"):
+            # PQ-indexed: encode the delta with the STORED codebooks so
+            # appended rows are ADC-scannable — same O(delta) contract as
+            # the bucket assignment above.
+            import numpy as np
+
+            if idx.get("kind") == "ivfpq" and idx.get("residual"):
+                from vrod_spark.operators.pq import pq_residual_code_expr
+
+                df = df.withColumn(
+                    "pq_code",
+                    pq_residual_code_expr(
+                        self.db.spark,
+                        np.asarray(idx["codebooks"], dtype=np.float64),
+                        np.asarray(idx["centroids"], dtype=np.float64),
+                    ),
+                )
+            else:
+                from vrod_spark.operators.pq import pq_code_expr
+
+                df = df.withColumn(
+                    "pq_code",
+                    pq_code_expr(
+                        self.db.spark, np.asarray(idx["codebooks"], dtype=np.float64)
+                    ),
+                )
 
         staging = os.path.join(self.path, f".staging-{uuid.uuid4().hex}")
         writer = df.write.mode("overwrite")

@@ -38,36 +38,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def pq_train(
-    df: DataFrame,
-    *,
-    vec_col: str = "embedding",
-    m: int = 8,
-    nbits: int = 8,
-    sample_size: int = 65536,
-    iters: int = 12,
-    seed: int = 7,
-):
-    """Fit PQ codebooks: returns a numpy array of shape (m, k, dim/m)
-    with k = 2^nbits. Deterministic: the training subset is the
-    ``sample_size`` rows with the smallest xxhash64(vector) — a pure
-    function of the data, independent of partitioning — and k-means
-    init/empty-cluster reseeding derive from ``seed``.
-    """
+def pq_fit(x, *, m: int = 8, nbits: int = 8, iters: int = 12, seed: int = 7):
+    """Numpy k-means core shared by raw and residual training: fit PQ
+    codebooks on an (n, dim) sample, returning (m, k, dim/m) with
+    k = 2^nbits. Deterministic for a fixed sample and seed."""
     import numpy as np
 
     if nbits < 1 or nbits > 8:
         raise ValueError("nbits must be in 1..8 (codes are stored as bytes)")
     k = 1 << nbits
-    rows = (
-        df.select(F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col("v").cast("array<float>")))
-        .limit(sample_size)
-        .collect()
-    )
-    if not rows:
-        raise ValueError("pq_train: empty input")
-    x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
+    if not len(x):
+        raise ValueError("pq_fit: empty sample")
     dim = x.shape[1]
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
@@ -107,6 +89,33 @@ def pq_train(
                     cent[c] = sub[far[i % len(far)]]
         codebooks[j] = cent
     return codebooks
+
+
+def pq_train(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    m: int = 8,
+    nbits: int = 8,
+    sample_size: int = 65536,
+    iters: int = 12,
+    seed: int = 7,
+):
+    """Fit PQ codebooks from a DataFrame: bounded deterministic sample
+    (the ``sample_size`` rows with the smallest xxhash64(vector) — a
+    pure function of the data, independent of partitioning) fed to
+    :func:`pq_fit`."""
+    rows = (
+        df.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("v").cast("array<float>")))
+        .limit(sample_size)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_train: empty input")
+    return pq_fit(
+        [r["v"] for r in rows], m=m, nbits=nbits, iters=iters, seed=seed
+    )
 
 
 def pq_encode(
@@ -193,6 +202,62 @@ def pq_search(
 
     return (
         codes.select(F.col(id_col).alias("id"), "code")
+        .mapInPandas(scan, "id long, adc_dist double")
+        .select(F.col("id").alias(id_col), "adc_dist")
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(top_k)
+    )
+
+
+def pq_search_residual(
+    codes: DataFrame,
+    codebooks,
+    centroids,
+    query,
+    top_k: int,
+    *,
+    id_col: str = "vec_id",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """ADC top-k over RESIDUAL codes: per bucket ``b`` the distance
+    table is built from ``q - centroid[b]`` (the IVFADC lookup of Jégou
+    et al.) — the full (n_buckets × m × k) table tensor is computed ONCE
+    driver-side (~1 MB at defaults) and each stored code still costs m
+    lookups + adds. Same pinned TakeOrderedAndProject plan as
+    :func:`pq_search`."""
+    import numpy as np
+
+    cb = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, k, dsub = cb.shape
+    cents = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query, dtype=np.float64)
+    if q.shape[0] != m * dsub:
+        raise ValueError(f"query dim {q.shape[0]} != codebook dim {m * dsub}")
+    # tables[b, j, c] = ||(q - centroid_b)_j - cb[j, c]||^2
+    rq = q[None, :] - cents  # (B, dim)
+    tables = np.stack(
+        [
+            ((cb[j][None, :, :] - rq[:, j * dsub : (j + 1) * dsub][:, None, :]) ** 2).sum(
+                axis=2
+            )
+            for j in range(m)
+        ],
+        axis=1,
+    )  # (B, m, k)
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = np.frombuffer(b"".join(pdf["code"]), dtype=np.uint8).reshape(-1, m)
+            b = pdf["bucket"].to_numpy(dtype=np.int64)
+            dist = tables[b[:, None], np.arange(m)[None, :], c].sum(axis=1)
+            yield pd.DataFrame({"id": pdf["id"], "adc_dist": dist})
+
+    return (
+        codes.select(F.col(id_col).alias("id"), "code", F.col(bucket_col).alias("bucket"))
         .mapInPandas(scan, "id long, adc_dist double")
         .select(F.col("id").alias(id_col), "adc_dist")
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
@@ -317,6 +382,54 @@ def pq_code_expr(spark, codebooks, vec_col: str = "embedding"):
     return encode(F.col(vec_col))
 
 
+def pq_residual_code_expr(
+    spark,
+    codebooks,
+    centroids,
+    *,
+    vec_col: str = "embedding",
+    bucket_col: str = "bucket",
+):
+    """RESIDUAL PQ encoding (Jégou et al. §IV: IVFADC quantizes
+    ``x - centroid[bucket]``, not x): the coarse quantizer explains the
+    vector's position, so the codebook spends its 2^nbits levels on the
+    much-smaller residual — better ADC accuracy at identical code size.
+    Arrow-batched over (vector, bucket); shares the O(delta) indexed-
+    INSERT contract with :func:`pq_code_expr`."""
+    import numpy as np
+
+    cbb = spark.sparkContext.broadcast(
+        (
+            np.ascontiguousarray(codebooks, dtype=np.float64),
+            np.ascontiguousarray(centroids, dtype=np.float64),
+        )
+    )
+
+    @F.pandas_udf("binary")
+    def encode(vecs, buckets):
+        import numpy as np
+        import pandas as pd
+
+        cb, cents = cbb.value
+        m, k, dsub = cb.shape
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        x = np.asarray(vecs.tolist(), dtype=np.float64)
+        x = x - cents[np.asarray(buckets, dtype=np.int64)]
+        codes = np.empty((len(x), m), dtype=np.uint8)
+        for j in range(m):
+            sub = x[:, j * dsub : (j + 1) * dsub]
+            d2 = (
+                (sub * sub).sum(axis=1)[:, None]
+                - 2.0 * (sub @ cb[j].T)
+                + (cb[j] * cb[j]).sum(axis=1)[None, :]
+            )
+            codes[:, j] = d2.argmin(axis=1)
+        return pd.Series([c.tobytes() for c in codes])
+
+    return encode(F.col(vec_col), F.col(bucket_col))
+
+
 def _codebooks_meta(codebooks) -> list:
     return [[[float(x) for x in cent] for cent in book] for book in codebooks]
 
@@ -375,11 +488,19 @@ def reindex_ivfpq(
     sample_size: int = 65536,
     iters: int = 12,
     seed: int = 42,
+    residual: bool = True,
 ) -> dict:
     """REINDEX {"kind": "ivfpq"}: the standard 100 TB ANN pairing as a
     collection layout — IVF centroid bucketing (``bucket=`` partition
     dirs → partition-pruned probes) × PQ codes (m-byte ADC scan inside
-    the probed buckets). One rewrite produces both."""
+    the probed buckets). One rewrite produces both.
+
+    ``residual=True`` (default — the IVFADC design of Jégou et al.)
+    quantizes ``x - centroid[bucket]``: the codebook models only the
+    within-bucket displacement, so ADC accuracy improves at identical
+    code size; search then computes one small (m × k) table per probed
+    bucket from ``q - centroid[b]``. ``residual=False`` keeps the
+    bucket-independent raw-vector codes (one global table per query)."""
     import numpy as np
 
     from vrod_spark.operators.ivf import _spherical_kmeans, ivf_assign_expr
@@ -399,14 +520,36 @@ def reindex_ivfpq(
         dtype=np.float64,
     )
     centroids = _spherical_kmeans(sample, n_centroids, seed=seed)
-    codebooks = pq_train(
-        df, vec_col="embedding", m=m, nbits=nbits,
-        sample_size=sample_size, iters=iters, seed=seed,
-    )
+    if residual:
+        # Codebooks fit on RESIDUALS of the bounded deterministic sample
+        # (same xxhash64 subset rule as pq_train), assigned driver-side
+        # with the identical nearest-centroid rule as ivf_assign_expr.
+        rows = (
+            df.select(F.col("embedding").alias("v"))
+            .orderBy(F.xxhash64(F.col("v").cast("array<float>")))
+            .limit(sample_size)
+            .collect()
+        )
+        xs = np.asarray([r["v"] for r in rows], dtype=np.float64)
+        norms = np.linalg.norm(xs, axis=1, keepdims=True)
+        unit = xs / np.where(norms == 0, 1, norms)
+        assign = np.argmax(unit @ centroids.T, axis=1)
+        codebooks = pq_fit(
+            xs - centroids[assign], m=m, nbits=nbits, iters=iters, seed=seed
+        )
+    else:
+        codebooks = pq_train(
+            df, vec_col="embedding", m=m, nbits=nbits,
+            sample_size=sample_size, iters=iters, seed=seed,
+        )
     spark = collection.db.spark
-    enc = df.withColumn(
-        "bucket", ivf_assign_expr(spark, centroids, "embedding")
-    ).withColumn("pq_code", pq_code_expr(spark, codebooks, "embedding"))
+    enc = df.withColumn("bucket", ivf_assign_expr(spark, centroids, "embedding"))
+    if residual:
+        enc = enc.withColumn(
+            "pq_code", pq_residual_code_expr(spark, codebooks, centroids)
+        )
+    else:
+        enc = enc.withColumn("pq_code", pq_code_expr(spark, codebooks, "embedding"))
     nxt, nxt_dir = collection._next_version_dir()
     (
         enc.repartition("bucket")
@@ -424,6 +567,7 @@ def reindex_ivfpq(
             "m": int(m),
             "nbits": int(nbits),
             "seed": int(seed),
+            "residual": bool(residual),
             "centroids": [[float(x) for x in c] for c in centroids],
             "histogram": histogram,
             "codebooks": _codebooks_meta(codebooks),
@@ -434,6 +578,7 @@ def reindex_ivfpq(
         "collection": collection.name,
         "indexed": True,
         "kind": "ivfpq",
+        "residual": bool(residual),
         "buckets": len(histogram),
     }
 
@@ -486,8 +631,23 @@ def pq_collection_search(
         cand = cand.filter(F.col("bucket").isin(buckets))
     if prefilter:
         cand = cand.filter(F.expr(prefilter))
-    codes = cand.select(F.col("id"), F.col("pq_code").alias("code"))
-    adc = pq_search(codes, cb, vector, max(k * rescore_factor, k), id_col="id")
+    n_adc = max(k * rescore_factor, k)
+    if idx.get("residual"):
+        codes = cand.select(
+            F.col("id"), F.col("pq_code").alias("code"), F.col("bucket")
+        )
+        adc = pq_search_residual(
+            codes,
+            cb,
+            np.asarray(idx["centroids"], dtype=np.float64),
+            vector,
+            n_adc,
+            id_col="id",
+            bucket_col="bucket",
+        )
+    else:
+        codes = cand.select(F.col("id"), F.col("pq_code").alias("code"))
+        adc = pq_search(codes, cb, vector, n_adc, id_col="id")
     pool = raw.join(F.broadcast(adc.select("id")), "id")
     return knn_exact(
         pool,
