@@ -152,3 +152,69 @@ def test_differential_null_semantics(spark, sf_dir, seed):
     for k in want:
         for g, w in zip(got[k], want[k]):
             assert (g is None and w is None) or _close(g, w), (k, got[k], want[k])
+
+
+@given(
+    part_col=st.sampled_from(["l_returnflag", "l_linestatus"]),
+    order_col=st.sampled_from(["l_extendedprice", "l_quantity"]),
+    rank_cut=st.integers(min_value=1, max_value=5),
+)
+@SETTINGS
+def test_differential_window_rank(spark, sf_dir, part_col, order_col, rank_cut):
+    """Window ranking with arbitrary partition/order columns and cutoff:
+    the per-partition top-rank row sets must match DuckDB's (total order
+    via unique tiebreakers, so ranks are deterministic)."""
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    w = Window.partitionBy(part_col).orderBy(
+        F.col(order_col).desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    got = sorted(
+        (r[part_col], r["l_orderkey"], r["l_linenumber"], r["rk"])
+        for r in li.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= rank_cut)
+        .collect()
+    )
+    want = sorted(
+        tuple(t)
+        for t in duckdb.sql(
+            f"SELECT {part_col}, l_orderkey, l_linenumber, rk FROM ("
+            f"  SELECT *, row_number() OVER (PARTITION BY {part_col} "
+            f"    ORDER BY {order_col} DESC, l_orderkey, l_linenumber) AS rk "
+            f"  FROM '{sf_dir}/lineitem.parquet') WHERE rk <= {rank_cut}"
+        ).fetchall()
+    )
+    assert got == want
+
+
+@given(
+    op=st.sampled_from(["intersect", "except_", "union"]),
+    qty_a=st.integers(min_value=5, max_value=45),
+    qty_b=st.integers(min_value=5, max_value=45),
+)
+@SETTINGS
+def test_differential_set_ops(spark, sf_dir, op, qty_a, qty_b):
+    """Set operations between two arbitrary filtered projections: the
+    distinct result sets must match DuckDB exactly."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    a = li.filter(F.col("l_quantity") <= qty_a).select("l_returnflag", "l_linestatus")
+    b = li.filter(F.col("l_quantity") >= qty_b).select("l_returnflag", "l_linestatus")
+    got = sorted(
+        (r["l_returnflag"], r["l_linestatus"])
+        for r in {
+            "intersect": a.intersect(b),
+            "except_": a.distinct().exceptAll(b.distinct()),
+            "union": a.union(b).distinct(),
+        }[op].collect()
+    )
+    sql_op = {"intersect": "INTERSECT", "except_": "EXCEPT", "union": "UNION"}[op]
+    want = sorted(
+        tuple(t)
+        for t in duckdb.sql(
+            f"SELECT DISTINCT l_returnflag, l_linestatus FROM '{sf_dir}/lineitem.parquet' WHERE l_quantity <= {qty_a} "
+            f"{sql_op} "
+            f"SELECT DISTINCT l_returnflag, l_linestatus FROM '{sf_dir}/lineitem.parquet' WHERE l_quantity >= {qty_b}"
+        ).fetchall()
+    )
+    assert got == want
