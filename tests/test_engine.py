@@ -950,3 +950,62 @@ def test_ivfpq_residual_beats_raw_on_clustered_data(spark, tmp_path):
     # dist is float32-storage epsilon, not exactly 0 (the raw components
     # are not float32-representable, unlike the 1/8-valued delta above).
     assert hit["id"] == 9_999 and hit["dist"] < 1e-5
+
+
+def test_lsh_margin_probing_beats_hamming_at_equal_budget(spark, tmp_path, monkeypatch):
+    """Query-directed multi-probe (margin-ordered bucket probing) vs
+    plain Hamming shells at the IDENTICAL candidate budget: on clustered
+    data the barely-decided hyperplane flips recall more true neighbors
+    per scanned row. Also pins that the exact-in-the-limit contract
+    survived the reorder."""
+    import numpy as np
+
+    import vrod_spark.operators.ann as ann
+    from vrod_spark.operators.ann import ann_search_bucketed
+
+    rng = np.random.default_rng(3)
+    dim, ncl, per = 16, 10, 60
+    centers = rng.normal(size=(ncl, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = []
+    for c in range(ncl):
+        p = centers[c] + 0.25 * rng.normal(size=(per, dim))
+        p /= np.linalg.norm(p, axis=1, keepdims=True)
+        pts.append(p)
+    x = np.vstack(pts)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in x[i]], "p", None) for i in range(len(x))],
+        "id bigint, embedding array<float>, payload string, meta map<string,string>",
+    )
+    eng = Engine.create(spark, str(tmp_path), "mprobe")
+    eng.execute("CREATE", collection="emb")
+    eng.execute("BULKINSERT", collection="emb", arg=df)
+    eng.execute("REINDEX", collection="emb")
+    col = eng.db.collection("emb")
+
+    def mean_recall():
+        recs = []
+        for qid in (0, 111, 222, 333, 444, 555):
+            qv = [float(v) for v in x[qid]]
+            approx = ann_search_bucketed(col, qv, 10, candidate_factor=3)
+            exact = knn_exact(col.read(), qv, 10, vec_col="embedding", id_col="id")
+            recs.append(recall_at_k(approx, exact, id_col="id"))
+        return sum(recs) / len(recs)
+
+    margin = mean_recall()
+    monkeypatch.setattr(
+        ann,
+        "_buckets_by_margin",
+        lambda center, margins: (
+            b for b, _d in ann._buckets_by_hamming(center, len(margins))
+        ),
+    )
+    hamming = mean_recall()
+    assert margin > hamming, (margin, hamming)
+    monkeypatch.undo()
+
+    # exact in the limit: probing everything reproduces brute force
+    qv = [float(v) for v in x[42]]
+    full = ann_search_bucketed(col, qv, 10, candidate_factor=10**6)
+    exact = knn_exact(col.read(), qv, 10, vec_col="embedding", id_col="id")
+    assert recall_at_k(full, exact, id_col="id") == 1.0
