@@ -1627,3 +1627,38 @@ def test_bpe_roundtrip_property(texts):
             toks.extend(word_tokens(w))
         detok = "".join(toks).replace(END, " ").rstrip()
         assert detok == " ".join(t.split())
+
+
+def test_winnow_overlap_pairs_catches_copied_passages(spark):
+    """MOSS guarantee, end to end: documents sharing a contiguous
+    passage >= window+k-1 chars produce a shared-fingerprint pair, even
+    though their word-level Jaccard is low; unrelated docs produce none;
+    results are symmetric-free (id_a < id_b) and deterministic."""
+    from vrod_spark.operators.dedup import jaccard_pairs, winnow_overlap_pairs
+
+    passage = "the quick brown fox jumps over the lazy dog by the river"
+    rows = [
+        (1, "alpha beta gamma delta " + passage + " epsilon zeta"),
+        (2, "one two three four five six seven " + passage + " eight"),
+        (3, "completely different text with no overlap whatsoever here"),
+        (4, "yet another unrelated document about database engines"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = winnow_overlap_pairs(docs, k=5, window=4, min_shared=3).collect()
+    got = {(r["id_a"], r["id_b"]): r for r in pairs}
+    assert (1, 2) in got
+    assert all(a < b for a, b in got)
+    assert got[(1, 2)]["shared"] >= 3 and 0 < got[(1, 2)]["overlap"] <= 1.0
+    assert not any(3 in p or 4 in p for p in got)
+    # the copied-passage pair is INVISIBLE to 3-gram set Jaccard at a
+    # threshold the near-dup path would use — the complementary signal
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, n=3, min_jaccard=0.0).collect()
+    }
+    assert jac.get((1, 2), 0.0) < 0.5
+    again = {
+        (r["id_a"], r["id_b"]): r["shared"]
+        for r in winnow_overlap_pairs(docs, k=5, window=4, min_shared=3).collect()
+    }
+    assert again == {k: v["shared"] for k, v in got.items()}

@@ -225,6 +225,73 @@ def minhash_signature_expr(text_col, *, k: int = 32, n: int = 3):
     )
 
 
+def winnow_overlap_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """Contiguous-overlap candidate pairs from WINNOWING fingerprints —
+    the MOSS scheme (Schleimer/Wilkerson/Aiken, SIGMOD'03) as a corpus
+    pair generator: any shared substring of length ≥ ``window + k - 1``
+    characters between two documents contributes at least one SHARED
+    fingerprint (the local-sampling guarantee), so copied passages and
+    boilerplate are caught even when bag-of-shingles Jaccard is low —
+    the long-tail failure mode the MinHash candidates share with exact
+    Jaccard. Complements, not replaces, the set-similarity family.
+
+    Returns ``(id_a, id_b, shared, overlap)`` with ``id_a < id_b``,
+    ``shared`` = matching distinct fingerprints and ``overlap`` =
+    shared / min(|fp_a|, |fp_b|), filtered to ``shared >= min_shared``.
+
+    Scale shape mirrors :func:`jaccard_pairs`: inverted index on the
+    fingerprint, colocated shuffle-hash self-join with ReuseExchange
+    (the winnow pipeline runs once), and ``max_fp_df`` caps
+    corpus-frequency fingerprints (a boilerplate gram shared by half the
+    corpus is O(df²) pair work and zero plagiarism signal). df=1
+    fingerprints cannot pair and are always pruned."""
+    from vrod_spark.functions.text import winnow_fingerprints_relational
+
+    fps = winnow_fingerprints_relational(
+        df, text_col=text_col, id_col=id_col, k=k, window=window
+    ).select(F.col(id_col).alias("id"), "fp")
+    counts = fps.groupBy("id").agg(F.count(F.lit(1)).alias("nfp"))
+    inv = fps.hint("shuffle_hash").join(counts.hint("shuffle_hash"), "id")
+    df_cond = F.col("_df") >= 2
+    if max_fp_df is not None:
+        df_cond = df_cond & (F.col("_df") <= max_fp_df)
+    keep = (
+        inv.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(df_cond)
+        .select("fp")
+    )
+    pruned = inv.hint("shuffle_hash").join(keep.hint("shuffle_hash"), "fp", "left_semi")
+    return (
+        pruned.alias("x")
+        .hint("shuffle_hash")
+        .join(pruned.alias("y").hint("shuffle_hash"), ["fp"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .groupBy(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.col("x.nfp").alias("nfp_a"),
+            F.col("y.nfp").alias("nfp_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+        .withColumn(
+            "overlap",
+            F.col("shared") / F.least("nfp_a", "nfp_b").cast("double"),
+        )
+        .select("id_a", "id_b", "shared", "overlap")
+    )
+
+
 def minhash_band_expr(sig_col, *, k: int, bands: int):
     """LSH banding of a MinHash signature column as an explodable
     ``array<struct<band int, bucket bigint>>``: band ``i``'s bucket is

@@ -2421,12 +2421,25 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                  fps, f -> ('0x' || substring(f, 1, 15))::BIGINT % 1000003)), 0)::BIGINT AS v2,
              round(len(fps)::DOUBLE / n_grams, 6) AS v3
       FROM wfp
+    ),
+    winv AS (SELECT doc_id, len(fps) AS nfp, unnest(fps) AS fp FROM wfp),
+    wkeep AS (SELECT fp FROM winv GROUP BY fp HAVING count(*) >= 2),
+    wpairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared,
+             least(a.nfp, b.nfp) AS mn
+      FROM winv a JOIN winv b USING (fp)
+      WHERE a.doc_id < b.doc_id AND fp IN (SELECT fp FROM wkeep)
+      GROUP BY 1, 2, 4
     )
     SELECT 'repetition' AS metric, doc_id,
            n_shingles AS v1, n_distinct AS v2, rep_ratio AS v3 FROM rep
     UNION ALL
     SELECT 'winnow' AS metric, doc_id, v1, v2, v3 FROM win
-    ORDER BY metric, doc_id
+    UNION ALL
+    SELECT 'winnow_pairs' AS metric, id_a AS doc_id, id_b AS v1,
+           shared AS v2, round(shared::DOUBLE / mn, 6) AS v3
+    FROM wpairs WHERE shared >= 5
+    ORDER BY metric, doc_id, v1
     """,
 )
 def q49_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2484,7 +2497,22 @@ def q49_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_fps") / F.col("n_grams").cast("double"), 6).alias("v3"),
         )
     )
-    return rep.unionByName(win).orderBy("metric", "doc_id")
+    # winnow_pairs leg: MOSS contiguous-overlap candidates over the same
+    # sampled slice — docs sharing >= 5 window-min fingerprints, with
+    # overlap = shared / min(|fp|) (operators/dedup.winnow_overlap_pairs;
+    # catches copied PASSAGES that bag-of-shingles similarity misses).
+    from vrod_spark.operators.dedup import winnow_overlap_pairs
+
+    wpairs = winnow_overlap_pairs(
+        docs.filter(F.col("doc_id") % 100 == 7), k=5, window=4, min_shared=5
+    ).select(
+        F.lit("winnow_pairs").alias("metric"),
+        F.col("id_a").alias("doc_id"),
+        F.col("id_b").alias("v1"),
+        F.col("shared").alias("v2"),
+        F.round("overlap", 6).alias("v3"),
+    )
+    return rep.unionByName(win).unionByName(wpairs).orderBy("metric", "doc_id", "v1")
 
 
 # ---------------------------------------------------------------------------
