@@ -1009,3 +1009,24 @@ def test_lsh_margin_probing_beats_hamming_at_equal_budget(spark, tmp_path, monke
     full = ann_search_bucketed(col, qv, 10, candidate_factor=10**6)
     exact = knn_exact(col.read(), qv, 10, vec_col="embedding", id_col="id")
     assert recall_at_k(full, exact, id_col="id") == 1.0
+
+
+def test_dedup_verb_winnow_strategy(engine):
+    """DEDUP strategy "winnow": documents sharing a contiguous passage
+    (low set-Jaccard — invisible to the minhash strategy at its default
+    threshold) collapse keep-first through the MOSS fingerprint-overlap
+    candidates + transitive component closure."""
+    passage = "the quick brown fox jumps over the lazy dog by the river"
+    rows = [
+        {"id": 1, "embedding": [1.0], "payload": "alpha beta gamma delta " + passage},
+        {"id": 2, "embedding": [1.0], "payload": "one two three four five " + passage},
+        {"id": 3, "embedding": [1.0], "payload": "completely different text with no overlap whatsoever"},
+    ]
+    engine.execute("CREATE", collection="docs")
+    engine.execute("INSERT", collection="docs", arg=rows)
+    info = engine.execute(
+        "DEDUP", collection="docs", arg={"strategy": "winnow", "threshold": 0.3}
+    ).info
+    assert info["strategy"] == "winnow" and info["removed"] == 1
+    col = engine.db.collection("docs")
+    assert sorted(r["id"] for r in col.read().collect()) == [1, 3]

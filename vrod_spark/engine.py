@@ -392,13 +392,19 @@ class Engine:
         snapshot is rewritten, the pointer swaps atomically.
 
         ``arg``: {"strategy": "exact" (default) | "minhash" | "simhash"
-                  | "embedding",
+                  | "embedding" | "winnow",
                   "column": "payload" (text strategies),
                   "threshold": strategy-specific similarity cutoff}
         - exact:      sha2 of normalized text, keep min id. Deterministic.
         - minhash:    MinHash-LSH candidates ≥ threshold Jaccard (default .8)
         - simhash:    SimHash pairs within Hamming distance (default 3)
         - embedding:  LSH-bucketed cosine near-dups ≥ threshold (default .99)
+        - winnow:     MOSS winnowing-fingerprint overlap ≥ threshold
+                      (default .5 of the smaller doc's fingerprints) —
+                      the contiguous-passage/boilerplate signal that
+                      set-similarity misses; fingerprint matches ARE
+                      shared substrings, so no post-verification pass
+                      is needed (md5-collision odds aside)
         For the near-dup strategies every pair is exact-verified before a
         row is dropped, and the keep-rule is TRANSITIVE: pairs are closed
         into connected components (operators.dedup.connected_components,
@@ -491,9 +497,21 @@ class Engine:
                 id_col="id",
                 min_cosine=float(opts.get("threshold", 0.99)),
             )
+        elif strategy == "winnow":
+            from vrod_spark.operators.dedup import winnow_overlap_pairs
+
+            pairs = winnow_overlap_pairs(
+                work,
+                text_col=text_col,
+                id_col="id",
+                min_shared=int(opts.get("min_shared", 3)),
+            ).filter(F.col("overlap") >= float(opts.get("threshold", 0.5))).select(
+                "id_a", "id_b"
+            )
         else:
             raise CommandArgError(
-                f"unknown dedup strategy {strategy!r}; expected exact/minhash/simhash/embedding"
+                f"unknown dedup strategy {strategy!r}; expected "
+                "exact/minhash/simhash/embedding/winnow"
             )
 
         # Keep-first, transitively: close the verified pairs into
