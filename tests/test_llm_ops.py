@@ -1662,3 +1662,34 @@ def test_winnow_overlap_pairs_catches_copied_passages(spark):
         for r in winnow_overlap_pairs(docs, k=5, window=4, min_shared=3).collect()
     }
     assert again == {k: v["shared"] for k, v in got.items()}
+
+
+def test_ngram_lm_perplexity_flags_surprising_text(spark):
+    """The declarative trigram LM ranks text by surprise under its
+    language's training slice: gibberish scores strictly higher than
+    every in-distribution document, scores are deterministic, and docs
+    shorter than one gram are excluded rather than scored."""
+    from vrod_spark.functions.text import ngram_lm_perplexity
+
+    natural = [
+        "the cat sat on the mat and watched the birds in the garden",
+        "she walked to the market in the morning to buy fresh bread",
+        "the children played in the park until the sun went down",
+        "he read the newspaper with his coffee at the kitchen table",
+        "the train arrived at the station exactly on time today",
+        "they planted tomatoes and herbs in the garden last spring",
+        "the teacher explained the lesson slowly to the whole class",
+        "a gentle rain fell on the roof throughout the quiet night",
+        "the old dog slept by the fire while the wind blew outside",
+        "we watched the stars come out from the porch after dinner",
+    ]
+    rows = [(i, "en", t) for i, t in enumerate(natural)]
+    rows.append((105, "en", "zxq jwv qkz xvj wqz jxk vqz kjx wzq xqj kvw zjq"))
+    rows.append((106, "en", "a"))  # shorter than one trigram
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    got = {r["doc_id"]: r["ppx"] for r in ngram_lm_perplexity(docs).collect()}
+    assert 106 not in got
+    natural_scores = [got[i] for i in range(10)]
+    assert got[105] > max(natural_scores), (got[105], max(natural_scores))
+    again = {r["doc_id"]: r["ppx"] for r in ngram_lm_perplexity(docs).collect()}
+    assert again == got

@@ -340,3 +340,74 @@ def winnow_fingerprints_relational(
         )
         .distinct()
     )
+
+
+def ngram_lm_perplexity(
+    df,
+    *,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    train_pred: str = "doc_id % 10 < 3",
+    n: int = 3,
+    oov_mass: float = 0.5,
+):
+    """Character n-gram language-model quality scoring (the CCNet /
+    perplexity-filtering signal: Wenzek et al., "CCNet", LREC 2020 —
+    there a KenLM; here the same shape as a declarative plan): per
+    language, gram frequencies of a deterministic TRAINING slice define
+    ``logp(g) = ln(count / total)``; each document scores the mean
+    negative log-likelihood of its own gram occurrences under its
+    language's model, with the deterministic OOV floor
+    ``ln(oov_mass / total)``. High score = surprising text (noise,
+    boilerplate, wrong-language) — the standard filter axis beside
+    heuristic quality_score.
+
+    Returns ``(id_col, ppx)`` for every doc with ≥ 1 gram whose language
+    has training data. FULLY DECLARATIVE — no driver-side model, no UDF:
+    the model is a groupBy aggregation (map-side combined), the scoring
+    join BROADCASTS it (vocabulary is charset^n-bounded per language, a
+    few MB at worst), so the gram stream is never shuffled — at 100 TB
+    the only exchange is the per-document aggregation.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    t = F.lower(F.trim(F.col(text_col)))
+    base = df.filter(F.length(t) >= n).select(
+        F.col(id_col).alias("_id"),
+        F.col(lang_col).alias("_lang"),
+        F.expr(train_pred).alias("_train"),
+        t.alias("_t"),
+    )
+    grams = base.select(
+        "_id",
+        "_lang",
+        "_train",
+        F.explode(F.sequence(F.lit(1), F.length("_t") - (n - 1))).alias("_i"),
+        F.col("_t"),
+    ).select("_id", "_lang", "_train", F.expr(f"substring(_t, _i, {n})").alias("_g"))
+    counts = (
+        grams.filter("_train")
+        .groupBy("_lang", "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    totals = counts.groupBy("_lang").agg(F.sum("_c").alias("_tot"))
+    model = counts.join(totals, "_lang").select(
+        "_lang", "_g", F.log(F.col("_c") / F.col("_tot")).alias("_logp")
+    )
+    scored = (
+        grams.join(F.broadcast(model), ["_lang", "_g"], "left")
+        .join(F.broadcast(totals), "_lang")  # inner: langs with a model
+        .groupBy("_id")
+        .agg(
+            (
+                -F.avg(
+                    F.coalesce(
+                        F.col("_logp"),
+                        F.log(F.lit(float(oov_mass)) / F.col("_tot")),
+                    )
+                )
+            ).alias("ppx")
+        )
+    )
+    return scored.select(F.col("_id").alias(id_col), "ppx")

@@ -1345,19 +1345,53 @@ def q28b_embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFr
                  + 0.15 * (CASE WHEN n_chars / greatest(n_tokens, 1.0) BETWEEN 3 AND 12
                                 THEN 1.0 ELSE 0.5 END), 6) AS q
       FROM scored
+    ),
+    base2 AS (
+      SELECT doc_id, lang, lower(trim(text)) AS t FROM documents
+      WHERE length(lower(trim(text))) >= 3
+    ),
+    gr AS (
+      SELECT doc_id, lang, (doc_id % 10 < 3) AS train,
+             unnest(range(1, length(t) - 1)) AS i, t
+      FROM base2
+    ),
+    gr2 AS (SELECT doc_id, lang, train, substring(t, i, 3) AS g FROM gr),
+    cnt AS (SELECT lang, g, count(*) AS c FROM gr2 WHERE train GROUP BY 1, 2),
+    tot AS (SELECT lang, sum(c) AS tot FROM cnt GROUP BY 1),
+    mdl AS (SELECT lang, g, ln(c / tot) AS logp FROM cnt JOIN tot USING (lang)),
+    ppx AS (
+      SELECT doc_id, -avg(coalesce(m.logp, ln(0.5 / t2.tot))) AS ppx
+      FROM gr2 LEFT JOIN mdl m USING (lang, g) JOIN tot t2 USING (lang)
+      GROUP BY doc_id
     )
-    SELECT lang_pred, count(*) AS n_docs, round(avg(q), 6) AS avg_quality
-    FROM pred GROUP BY lang_pred ORDER BY lang_pred
+    SELECT p.lang_pred, count(*) AS n_docs, round(avg(p.q), 6) AS avg_quality,
+           round(avg(x.ppx), 6) AS avg_ppx
+    FROM pred p LEFT JOIN ppx x USING (doc_id)
+    GROUP BY p.lang_pred ORDER BY p.lang_pred
     """,
 )
 def q29_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vrod_spark.functions.text import lang_id, quality_score
+    """Language ID + heuristic quality + n-gram LM perplexity in one
+    hash-checked scan group: `avg_ppx` is the CCNet-style perplexity
+    signal (functions/text.ngram_lm_perplexity — declarative trigram
+    model over a deterministic training slice, broadcast-joined, so the
+    gram stream never shuffles), averaged per predicted language beside
+    the heuristic quality score."""
+    from vrod_spark.functions.text import lang_id, ngram_lm_perplexity, quality_score
 
     docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        lang_id("text").alias("lang_pred"),
+        quality_score("text").alias("q"),
+    ).join(ngram_lm_perplexity(docs), "doc_id", "left")
     return (
-        docs.select(lang_id("text").alias("lang_pred"), quality_score("text").alias("q"))
-        .groupBy("lang_pred")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("q"), 6).alias("avg_quality"))
+        per_doc.groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+            F.round(F.avg("ppx"), 6).alias("avg_ppx"),
+        )
         .orderBy("lang_pred")
     )
 
