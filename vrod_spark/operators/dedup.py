@@ -150,8 +150,16 @@ def jaccard_pairs(
             F.col("inter")
             / (F.col("size_a") + F.col("size_b") - F.col("inter")).cast("double"),
         )
+        # Min-containment: the fraction of the SMALLER shingle set the
+        # overlap covers — the asymmetric-duplication signal (a short doc
+        # embedded in a long one scores near 1.0 here while its Jaccard
+        # stays low, because the union is dominated by the long doc).
+        .withColumn(
+            "containment",
+            F.col("inter") / F.least("size_a", "size_b").cast("double"),
+        )
         .filter(F.col("jaccard") >= min_jaccard)
-        .select("id_a", "id_b", "inter", "jaccard")
+        .select("id_a", "id_b", "inter", "jaccard", "containment")
     )
     return pairs
 

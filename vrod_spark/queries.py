@@ -1140,7 +1140,9 @@ _SHINGLE_CTE = """
       WHERE a.doc_id < b.doc_id AND shingle IN (SELECT shingle FROM keep)
       GROUP BY 1, 2, 3, 4
     )
-    SELECT id_a, id_b, inter, round(inter / (sa + sb - inter)::DOUBLE, 6) AS jaccard
+    SELECT id_a, id_b, inter,
+           round(inter / (sa + sb - inter)::DOUBLE, 6) AS jaccard,
+           round(inter / least(sa, sb)::DOUBLE, 6) AS containment
     FROM pairs
     ORDER BY inter / (sa + sb - inter)::DOUBLE DESC, id_a, id_b
     LIMIT 20
@@ -1159,7 +1161,13 @@ def q26_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b")
         .limit(20)
-        .select("id_a", "id_b", "inter", F.round("jaccard", 6).alias("jaccard"))
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            F.round("jaccard", 6).alias("jaccard"),
+            F.round("containment", 6).alias("containment"),
+        )
     )
 
 
