@@ -218,3 +218,37 @@ def test_differential_set_ops(spark, sf_dir, op, qty_a, qty_b):
         ).fetchall()
     )
     assert got == want
+
+
+def test_differential_unicode_normalization(spark, sf_dir):
+    """The NFC stage of text normalization must agree with DuckDB's
+    nfc_normalize on planted non-NFC inputs (decomposed accents,
+    precomposed forms, Hangul jamo, mixed scripts) — representation-only
+    differences collapse identically in both engines, so cross-engine
+    fingerprints/dedup stay comparable."""
+    import unicodedata
+
+    from vrod_spark.functions.text import normalize_text_udf
+
+    planted = [
+        "café au lait",            # decomposed acute
+        "café au lait",             # precomposed — same NFC form
+        "Ångström",          # ring + diaeresis
+        "각 test",       # Hangul jamo -> syllable
+        "no change needed here",
+        "À́ stacked",    # stacked combining marks
+    ]
+    rows = [(i, t) for i, t in enumerate(planted)]
+    sdf = spark.createDataFrame(rows, "id bigint, text string")
+    got = {
+        r["id"]: r["norm"]
+        for r in sdf.select("id", normalize_text_udf("text").alias("norm")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    want = dict(con.execute("SELECT id, nfc_normalize(text) FROM t").fetchall())
+    for i, t in rows:
+        assert got[i] == want[i] == unicodedata.normalize("NFC", t), i
+    # the two accent representations now fingerprint identically
+    assert got[0] == got[1]

@@ -411,3 +411,38 @@ def ngram_lm_perplexity(
         )
     )
     return scored.select(F.col("_id").alias(id_col), "ppx")
+
+
+def normalize_text_udf(text_col) -> Column:
+    """Unicode cleanup for corpus ingestion — NFC normalization (stdlib
+    ``unicodedata``), control-character stripping (C0/C1 minus
+    tab/newline), and whitespace collapsing — as one Arrow-batched
+    pandas UDF. The canonical first stage of a cleaning pipeline: text
+    that differs only by combining-character representation ("é" vs
+    "e\\u0301") must dedup/fingerprint identically, and stray control
+    bytes poison tokenizers downstream. Python is unavoidable here
+    (Spark has no built-in NFC); Arrow batching + the stdlib C
+    implementation keep it at memory bandwidth. Per-batch memoization is
+    deliberately omitted — full texts rarely repeat (that is what the
+    dedup stage is for)."""
+    import re as _re
+
+    ctrl = _re.compile(r"[\x00-\x08\x0b-\x1f\x7f-\x9f]")
+    ws = _re.compile(r"\s+")
+
+    @F.pandas_udf("string")
+    def norm(texts):
+        import unicodedata
+
+        import pandas as pd
+
+        def one(t):
+            if t is None:
+                return None
+            t = unicodedata.normalize("NFC", t)
+            t = ctrl.sub("", t)
+            return ws.sub(" ", t).strip()
+
+        return pd.Series([one(t) for t in texts])
+
+    return norm(F.col(text_col) if isinstance(text_col, str) else text_col)
