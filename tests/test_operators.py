@@ -207,3 +207,37 @@ def test_percentile_profile_strategies_agree(spark, sf_dir):
         ]
     assert out["gather"] == out["distributed"]
     assert len(out["gather"]) == 3  # A, N, R
+
+
+def test_stratified_split_disjoint_exhaustive_stable(spark, sf_dir):
+    """stratified_split: every row gets exactly one label, fractions
+    land near target, assignment is identical under repartitioning (the
+    determinism contract df.sample cannot give), and composing with
+    deterministic_sample keeps each surviving row's original split."""
+    import pytest as _pytest
+
+    from vrod_spark.operators.sampling import deterministic_sample, stratified_split
+    from vrod_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = stratified_split(docs, "doc_id", splits)
+    n = docs.count()
+    counts = {r["split"]: r["c"] for r in got.groupBy("split").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert sum(counts.values()) == n  # exhaustive, disjoint
+    assert counts["train"] > counts.get("val", 0) and counts["train"] > counts.get("test", 0)
+    # stable under physical execution changes
+    a = {r["doc_id"]: r["split"] for r in got.select("doc_id", "split").collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in stratified_split(docs.repartition(13), "doc_id", splits)
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a == b
+    # downsampling preserves split membership (same md5 coordinate)
+    kept = deterministic_sample(docs, "doc_id", 0.5)
+    for r in stratified_split(kept, "doc_id", splits).select("doc_id", "split").collect():
+        assert a[r["doc_id"]] == r["split"]
+    with _pytest.raises(ValueError, match="sum to 1"):
+        stratified_split(docs, "doc_id", {"train": 0.5, "val": 0.1})

@@ -45,6 +45,39 @@ def deterministic_sample(
     return df.filter(coord < rate)
 
 
+def stratified_split(
+    df: DataFrame,
+    key: str,
+    splits: dict[str, float],
+    *,
+    out_col: str = "split",
+) -> DataFrame:
+    """Disjoint, exhaustive train/val/test assignment, decided per row
+    from ``hash_fraction(key)`` against cumulative split boundaries —
+    the evaluation-hygiene primitive: a document's split NEVER changes
+    under repartitioning, retries, engine swaps, or re-runs months
+    later, so eval contamination can't creep in through physical
+    execution. Fractions must sum to 1 (±1e-9); split names are assigned
+    in sorted-name order so the boundary layout itself is deterministic.
+    Composes with ``deterministic_sample``: because both derive from the
+    SAME md5 coordinate, a downsampled corpus keeps each row in its
+    original split."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    coord = hash_fraction(key)
+    cum = 0.0
+    expr = None
+    names = sorted(splits)
+    for name in names[:-1]:
+        cum += float(splits[name])
+        cond = coord < F.lit(cum)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    label = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, label)
+
+
 def pack_sequences(
     df: DataFrame,
     *,

@@ -2761,11 +2761,19 @@ def q53_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ELSE '33' END AS thresh
       FROM documents
     )
+    , coords AS (
+      SELECT *, ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                / 4294967296.0 AS coord
+      FROM weighted
+    )
     SELECT source,
            count(*) AS n_total,
            sum(CASE WHEN substring(md5(doc_id::VARCHAR), 1, 2) < thresh
-                    THEN 1 ELSE 0 END)::BIGINT AS n_sampled
-    FROM weighted
+                    THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+           sum(CASE WHEN coord < 0.1 THEN 1 ELSE 0 END)::BIGINT AS n_test,
+           sum(CASE WHEN coord >= 0.1 AND coord < 0.9 THEN 1 ELSE 0 END)::BIGINT AS n_train,
+           sum(CASE WHEN coord >= 0.9 THEN 1 ELSE 0 END)::BIGINT AS n_val
+    FROM coords
     GROUP BY source
     ORDER BY source
     """,
@@ -2785,11 +2793,22 @@ def q54_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     accepted = F.when(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < thresh, 1
     ).otherwise(0)
+    # Stratified split columns (operators/sampling.stratified_split):
+    # disjoint, exhaustive train/val/test from the SAME md5 coordinate —
+    # names sorted, so boundaries are test < 0.1 <= train < 0.9 <= val.
+    from vrod_spark.operators.sampling import stratified_split
+
+    split_docs = stratified_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
     return (
-        docs.groupBy("source")
+        split_docs.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_total"),
             F.sum(accepted).alias("n_sampled"),
+            F.sum((F.col("split") == "test").cast("int")).alias("n_test"),
+            F.sum((F.col("split") == "train").cast("int")).alias("n_train"),
+            F.sum((F.col("split") == "val").cast("int")).alias("n_val"),
         )
         .orderBy("source")
     )
