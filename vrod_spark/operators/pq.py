@@ -278,6 +278,7 @@ def ivfpq_search(
     rescore: DataFrame | None = None,
     rescore_factor: int = 4,
     histogram: dict | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF × PQ — the standard large-scale ANN pairing, composed from the
     two operators this module and operators/ivf.py already provide:
@@ -302,6 +303,11 @@ def ivfpq_search(
     ADC candidate budget (``top_k * rescore_factor``) — a fixed nprobe
     on a skewed layout can cover fewer than ``top_k`` codes and silently
     return short results (ADVICE r7).
+
+    ``residual=True`` declares the codes were produced by
+    :func:`pq_residual_code_expr` (the IVFADC layout the engine's
+    ``REINDEX {"kind": "ivfpq"}`` builds by default): the ADC phase then
+    uses per-bucket tables from ``q - centroid[b]``.
     """
     import numpy as np
 
@@ -327,7 +333,15 @@ def ivfpq_search(
         probes = probes or [int(order[0])]
     cand = codes.filter(F.col(bucket_col).isin(probes))
     n_adc = top_k * rescore_factor if rescore is not None else top_k
-    adc = pq_search(cand, codebooks, query, n_adc, id_col=id_col)
+    if residual:
+        # Codes were produced by pq_residual_code_expr: ADC needs the
+        # per-bucket tables from q - centroid[b] (IVFADC).
+        adc = pq_search_residual(
+            cand, codebooks, cents, query, n_adc,
+            id_col=id_col, bucket_col=bucket_col,
+        )
+    else:
+        adc = pq_search(cand, codebooks, query, n_adc, id_col=id_col)
     if rescore is None:
         return adc
     from vrod_spark.operators.knn import knn_exact
