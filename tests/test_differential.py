@@ -252,3 +252,64 @@ def test_differential_unicode_normalization(spark, sf_dir):
         assert got[i] == want[i] == unicodedata.normalize("NFC", t), i
     # the two accent representations now fingerprint identically
     assert got[0] == got[1]
+
+
+@given(
+    n_keys=st.integers(min_value=1, max_value=4),
+    n_left=st.integers(min_value=1, max_value=25),
+    n_right=st.integers(min_value=0, max_value=25),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@SETTINGS
+def test_differential_asof_join(spark, n_keys, n_left, n_right, seed):
+    """The custom as-of join (union + window fill, O(L+R)) vs DuckDB's
+    native ASOF JOIN on random keyed event streams — including duplicate
+    timestamps, keys with no right rows, and left rows preceding every
+    right row (must yield NULL, not a wrap-around match)."""
+    import random
+
+    rng = random.Random(seed)
+    left_rows = [
+        (i, rng.randrange(n_keys), rng.randrange(0, 50)) for i in range(n_left)
+    ]
+    right_rows = [
+        (100 + j, rng.randrange(n_keys), rng.randrange(0, 50), float(j))
+        for j in range(n_right)
+    ]
+    from vrod_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame(left_rows, "lid bigint, k bigint, lt bigint")
+    r = spark.createDataFrame(right_rows, "rid bigint, k bigint, rt bigint, v double")
+    got = {
+        row["lid"]: row["asof_v"]
+        for row in asof_join(
+            l, r, on="k", left_ts="lt", right_ts="rt",
+            right_cols=["v"], tiebreak="rid",
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l(lid BIGINT, k BIGINT, lt BIGINT)")
+    con.execute("CREATE TABLE r(rid BIGINT, k BIGINT, rt BIGINT, v DOUBLE)")
+    con.executemany("INSERT INTO l VALUES (?, ?, ?)", left_rows)
+    if right_rows:
+        con.executemany("INSERT INTO r VALUES (?, ?, ?, ?)", right_rows)
+    # DuckDB ASOF JOIN picks the greatest rt <= lt per key; break rt ties
+    # by max rid like the operator's tiebreak — expressed via argmax over
+    # the qualifying rows (ASOF itself leaves duplicate-ts choice
+    # unspecified, so the oracle states the rule explicitly).
+    want = dict(
+        con.execute(
+            """
+            SELECT l.lid,
+                   (SELECT v FROM r
+                    WHERE r.k = l.k AND r.rt <= l.lt
+                    ORDER BY rt DESC, rid DESC LIMIT 1) AS v
+            FROM l
+            """
+        ).fetchall()
+    )
+    assert set(got) == set(want)
+    for k in want:
+        assert (got[k] is None and want[k] is None) or _close(got[k], want[k]), (
+            k, got[k], want[k],
+        )
