@@ -277,3 +277,31 @@ def test_ivfpq_engine_search_partition_prunes(spark, sf_dir, tmp_path):
     assert "bucket#" in plan or "bucket IN" in plan
     assert "TakeOrderedAndProject" in plan
     assert "MapInPandas" in plan
+
+
+def test_ngram_lm_model_join_broadcasts(spark, sf_dir):
+    """The perplexity scorer's model join must be a BROADCAST hash join
+    — the gram stream (O(corpus chars)) is never sort-merge-shuffled;
+    the only exchanges are the model-building aggregations and the
+    per-document aggregation."""
+    from vrod_spark.functions.text import ngram_lm_perplexity
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _executed_plan(ngram_lm_perplexity(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_winnow_overlap_pairs_reuses_fingerprint_pipeline(spark, sf_dir):
+    """The MOSS pair generator's self-join must plan as colocated
+    shuffle-hash joins with the winnowing pipeline executed ONCE
+    (ReuseExchange streams the second side and the df-cap prune from the
+    same shuffle files) — the same canonical-exchange shape pinned for
+    jaccard_pairs."""
+    from vrod_spark.operators.dedup import winnow_overlap_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 7)
+    plan = _executed_plan(winnow_overlap_pairs(docs, min_shared=2))
+    assert "ShuffledHashJoin" in plan
+    assert "ReusedExchange" in plan
+    assert "SortMergeJoin" not in plan
