@@ -84,12 +84,17 @@ def reindex_ivf(
         return {"collection": collection.name, "indexed": False, "reason": "no vectors"}
 
     df = collection.read()
-    n_rows = df.count()
-    fraction = min(1.0, train_sample / max(n_rows, 1))
+    # Deterministic bounded sample (xxhash64-smallest rows — a pure
+    # function of the data): ``df.sample`` seeds per PARTITION, so the
+    # trained centroids — and search recall — would vary with the
+    # snapshot's file listing order across otherwise-identical builds.
     sample_rows = (
-        df.select("embedding").sample(fraction=fraction, seed=seed).collect()
+        df.select(F.col("embedding").alias("v"))
+        .orderBy(F.xxhash64(F.col("v").cast("array<float>")))
+        .limit(train_sample)
+        .collect()
     )
-    sample = np.array([r["embedding"] for r in sample_rows], dtype=np.float64)
+    sample = np.array([r["v"] for r in sample_rows], dtype=np.float64)
     centroids = _spherical_kmeans(sample, n_centroids, seed=seed)
     bucketed = df.withColumn(
         "bucket", ivf_assign_expr(df.sparkSession, centroids, "embedding")

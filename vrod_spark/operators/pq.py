@@ -524,27 +524,22 @@ def reindex_ivfpq(
         collection.update_meta(index=None)
         return {"collection": collection.name, "indexed": False, "reason": "no vectors"}
     df = collection.read()
-    n_rows = df.count()
-    fraction = min(1.0, train_sample / max(n_rows, 1))
-    sample = np.asarray(
-        [
-            r["embedding"]
-            for r in df.select("embedding").sample(fraction=fraction, seed=seed).collect()
-        ],
-        dtype=np.float64,
+    # ONE bounded DETERMINISTIC sample (the xxhash64 subset rule of
+    # pq_train — a pure function of the data, independent of file order
+    # and partitioning) trains BOTH quantizers. ``df.sample`` would seed
+    # per partition, so the trained index — and therefore recall — would
+    # silently vary with the snapshot's file listing order.
+    rows = (
+        df.select(F.col("embedding").alias("v"))
+        .orderBy(F.xxhash64(F.col("v").cast("array<float>")))
+        .limit(max(sample_size, train_sample))
+        .collect()
     )
-    centroids = _spherical_kmeans(sample, n_centroids, seed=seed)
+    xs = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    centroids = _spherical_kmeans(xs[:train_sample], n_centroids, seed=seed)
     if residual:
-        # Codebooks fit on RESIDUALS of the bounded deterministic sample
-        # (same xxhash64 subset rule as pq_train), assigned driver-side
-        # with the identical nearest-centroid rule as ivf_assign_expr.
-        rows = (
-            df.select(F.col("embedding").alias("v"))
-            .orderBy(F.xxhash64(F.col("v").cast("array<float>")))
-            .limit(sample_size)
-            .collect()
-        )
-        xs = np.asarray([r["v"] for r in rows], dtype=np.float64)
+        # Codebooks fit on RESIDUALS, assigned driver-side with the
+        # identical nearest-centroid rule as ivf_assign_expr.
         norms = np.linalg.norm(xs, axis=1, keepdims=True)
         unit = xs / np.where(norms == 0, 1, norms)
         assign = np.argmax(unit @ centroids.T, axis=1)
@@ -552,10 +547,7 @@ def reindex_ivfpq(
             xs - centroids[assign], m=m, nbits=nbits, iters=iters, seed=seed
         )
     else:
-        codebooks = pq_train(
-            df, vec_col="embedding", m=m, nbits=nbits,
-            sample_size=sample_size, iters=iters, seed=seed,
-        )
+        codebooks = pq_fit(xs, m=m, nbits=nbits, iters=iters, seed=seed)
     spark = collection.db.spark
     enc = df.withColumn("bucket", ivf_assign_expr(spark, centroids, "embedding"))
     if residual:
