@@ -1140,12 +1140,21 @@ _SHINGLE_CTE = """
       WHERE a.doc_id < b.doc_id AND shingle IN (SELECT shingle FROM keep)
       GROUP BY 1, 2, 3, 4
     )
-    SELECT id_a, id_b, inter,
-           round(inter / (sa + sb - inter)::DOUBLE, 6) AS jaccard,
-           round(inter / least(sa, sb)::DOUBLE, 6) AS containment
-    FROM pairs
-    ORDER BY inter / (sa + sb - inter)::DOUBLE DESC, id_a, id_b
-    LIMIT 20
+    , top AS (
+      SELECT id_a, id_b, inter,
+             round(inter / (sa + sb - inter)::DOUBLE, 6) AS jaccard,
+             round(inter / least(sa, sb)::DOUBLE, 6) AS containment
+      FROM pairs
+      ORDER BY inter / (sa + sb - inter)::DOUBLE DESC, id_a, id_b
+      LIMIT 20
+    )
+    SELECT t.id_a, t.id_b, t.inter, t.jaccard, t.containment,
+           round(1.0 - levenshtein(da.text, db.text)::DOUBLE
+                 / greatest(length(da.text), length(db.text), 1), 6) AS edit_sim
+    FROM top t
+    JOIN documents da ON da.doc_id = t.id_a
+    JOIN documents db ON db.doc_id = t.id_b
+    ORDER BY t.jaccard DESC, t.id_a, t.id_b
     """,
 )
 def q26_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1158,7 +1167,7 @@ def q26_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session-shared materialization (see shared_jaccard_edges): q26 and
     # q59 are two consumers of ONE candidate-graph build.
     pairs = shared_jaccard_edges(spark, sf_dir)
-    return (
+    top = (
         pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b")
         .limit(20)
         .select(
@@ -1168,6 +1177,34 @@ def q26_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("jaccard", 6).alias("jaccard"),
             F.round("containment", 6).alias("containment"),
         )
+    )
+    # Exact edit-distance VERIFICATION of the reported pairs: character-
+    # level normalized similarity 1 - lev/max(len) over the top pairs
+    # only (Levenshtein is O(len²) per pair — affordable for a bounded
+    # report, never for candidate generation; both engines implement the
+    # identical metric, so it hash-checks). The broadcast joins fetch
+    # exactly the 2x20 texts.
+    docs = _t(spark, sf_dir, "documents")
+    da = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"))
+    db = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))
+    return (
+        F.broadcast(top)
+        .join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "jaccard",
+            "containment",
+            F.round(
+                F.lit(1.0)
+                - F.levenshtein("_ta", "_tb")
+                / F.greatest(F.length("_ta"), F.length("_tb"), F.lit(1)).cast("double"),
+                6,
+            ).alias("edit_sim"),
+        )
+        .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
     )
 
 
