@@ -313,3 +313,37 @@ def test_differential_asof_join(spark, n_keys, n_left, n_right, seed):
         assert (got[k] is None and want[k] is None) or _close(got[k], want[k]), (
             k, got[k], want[k],
         )
+@pytest.mark.parametrize("seed", [0])
+def test_differential_levenshtein_unicode(spark, seed):
+    """Levenshtein cross-engine semantics, CODIFIED: Spark counts
+    CODEPOINTS while DuckDB 1.x counts BYTES, so the two agree on ASCII
+    and DIVERGE on any multibyte text — which is exactly why q26's
+    edit_sim column is ASCII-guarded (NULL for multibyte pairs). This
+    test pins both halves: exact agreement on the ASCII subset, and the
+    documented divergence direction on multibyte inputs (if DuckDB ever
+    switches to codepoints, this fails and the guard can be dropped)."""
+    ascii_pairs = [("kitten", "sitting"), ("", "abc"), ("", ""), ("same", "same")]
+    multibyte_pairs = [
+        ("\u7684\u662f\u4e86\u5728\u6211", "\u7684\u662f\u5728\u4e86\u6211"),
+        ("caf\u00e9", "cafe"),
+    ]
+    pairs = ascii_pairs + multibyte_pairs
+    sdf = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)], "id bigint, a string, b string"
+    )
+    got = {
+        r["id"]: r["d"]
+        for r in sdf.select("id", F.levenshtein("a", "b").alias("d")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, a VARCHAR, b VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?)", [(i, a, b) for i, (a, b) in enumerate(pairs)]
+    )
+    want = dict(con.execute("SELECT id, levenshtein(a, b) FROM t").fetchall())
+    for i in range(len(ascii_pairs)):
+        assert got[i] == want[i], (i, got[i], want[i])
+    # codepoint distance <= byte distance; strict on these planted cases
+    for i in range(len(ascii_pairs), len(pairs)):
+        assert got[i] < want[i], (i, got[i], want[i])
+    assert got[len(ascii_pairs)] == 2  # adjacent CJK swap = 2 codepoint edits

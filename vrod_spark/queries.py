@@ -1149,8 +1149,11 @@ _SHINGLE_CTE = """
       LIMIT 20
     )
     SELECT t.id_a, t.id_b, t.inter, t.jaccard, t.containment,
-           round(1.0 - levenshtein(da.text, db.text)::DOUBLE
-                 / greatest(length(da.text), length(db.text), 1), 6) AS edit_sim
+           CASE WHEN regexp_matches(da.text, '^[\x00-\x7f]*$')
+                 AND regexp_matches(db.text, '^[\x00-\x7f]*$')
+                THEN round(1.0 - levenshtein(da.text, db.text)::DOUBLE
+                     / greatest(length(da.text), length(db.text), 1), 6)
+                ELSE NULL END AS edit_sim
     FROM top t
     JOIN documents da ON da.doc_id = t.id_a
     JOIN documents db ON db.doc_id = t.id_b
@@ -1197,11 +1200,22 @@ def q26_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inter",
             "jaccard",
             "containment",
-            F.round(
-                F.lit(1.0)
-                - F.levenshtein("_ta", "_tb")
-                / F.greatest(F.length("_ta"), F.length("_tb"), F.lit(1)).cast("double"),
-                6,
+            # ASCII-guarded: Spark's levenshtein counts CODEPOINTS,
+            # DuckDB 1.x's counts BYTES — they only coincide on ASCII
+            # (pinned by test_differential_levenshtein_unicode), so
+            # multibyte pairs report NULL instead of an engine-dependent
+            # number.
+            F.when(
+                F.col("_ta").rlike("^[\x00-\x7f]*$")
+                & F.col("_tb").rlike("^[\x00-\x7f]*$"),
+                F.round(
+                    F.lit(1.0)
+                    - F.levenshtein("_ta", "_tb")
+                    / F.greatest(
+                        F.length("_ta"), F.length("_tb"), F.lit(1)
+                    ).cast("double"),
+                    6,
+                ),
             ).alias("edit_sim"),
         )
         .orderBy(F.col("jaccard").desc(), "id_a", "id_b")
