@@ -69,10 +69,12 @@ def _index_identity(idx: dict | None):
     return (
         idx.get("kind", "lsh"),
         json.dumps(idx.get("planes") if "planes" in idx else idx.get("centroids")),
-        # PQ kinds: the codebooks decide the delta's pq_code encoding the
-        # same way planes/centroids decide its bucket — a concurrent
-        # re-train means staged codes decode wrong.
+        # PQ kinds: the codebooks (and OPQ rotation, when present) decide
+        # the delta's pq_code encoding the same way planes/centroids
+        # decide its bucket — a concurrent re-train means staged codes
+        # decode wrong.
         json.dumps(idx["codebooks"]) if "codebooks" in idx else None,
+        json.dumps(idx["rotation"]) if "rotation" in idx else None,
     )
 
 
@@ -588,6 +590,11 @@ class Collection:
             # the bucket assignment above.
             import numpy as np
 
+            rotation = (
+                np.asarray(idx["rotation"], dtype=np.float64)
+                if idx.get("rotation")
+                else None
+            )
             if idx.get("kind") == "ivfpq" and idx.get("residual"):
                 from vrod_spark.operators.pq import pq_residual_code_expr
 
@@ -597,6 +604,7 @@ class Collection:
                         self.db.spark,
                         np.asarray(idx["codebooks"], dtype=np.float64),
                         np.asarray(idx["centroids"], dtype=np.float64),
+                        rotation=rotation,
                     ),
                 )
             else:
@@ -605,7 +613,9 @@ class Collection:
                 df = df.withColumn(
                     "pq_code",
                     pq_code_expr(
-                        self.db.spark, np.asarray(idx["codebooks"], dtype=np.float64)
+                        self.db.spark,
+                        np.asarray(idx["codebooks"], dtype=np.float64),
+                        rotation=rotation,
                     ),
                 )
 
