@@ -1149,8 +1149,8 @@ _SHINGLE_CTE = """
       LIMIT 20
     )
     SELECT t.id_a, t.id_b, t.inter, t.jaccard, t.containment,
-           CASE WHEN regexp_matches(da.text, '^[\x00-\x7f]*$')
-                 AND regexp_matches(db.text, '^[\x00-\x7f]*$')
+           CASE WHEN regexp_matches(da.text, '^[\\x00-\\x7f]*$')
+                 AND regexp_matches(db.text, '^[\\x00-\\x7f]*$')
                 THEN round(1.0 - levenshtein(da.text, db.text)::DOUBLE
                      / greatest(length(da.text), length(db.text), 1), 6)
                 ELSE NULL END AS edit_sim
@@ -1206,8 +1206,8 @@ def q26_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             # multibyte pairs report NULL instead of an engine-dependent
             # number.
             F.when(
-                F.col("_ta").rlike("^[\x00-\x7f]*$")
-                & F.col("_tb").rlike("^[\x00-\x7f]*$"),
+                F.col("_ta").rlike("^[\\x00-\\x7f]*$")
+                & F.col("_tb").rlike("^[\\x00-\\x7f]*$"),
                 F.round(
                     F.lit(1.0)
                     - F.levenshtein("_ta", "_tb")
