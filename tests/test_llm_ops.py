@@ -1693,3 +1693,65 @@ def test_ngram_lm_perplexity_flags_surprising_text(spark):
     assert got[105] > max(natural_scores), (got[105], max(natural_scores))
     again = {r["doc_id"]: r["ppx"] for r in ngram_lm_perplexity(docs).collect()}
     assert again == got
+
+
+def test_kmeans_train_deterministic_and_assignment_is_argmax(spark):
+    """The trained-centroid path (bounded xxhash sample + Lloyd): training
+    twice yields bit-identical centroids, and every row's cluster is the
+    argmax-cosine centroid (verified against a local numpy recompute)."""
+    import numpy as np
+
+    from vrod_spark.operators.cluster import kmeans_assign, kmeans_train
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c1 = kmeans_train(emb, 4, vec_col="embedding")
+    c2 = kmeans_train(emb, 4, vec_col="embedding")
+    assert np.array_equal(c1, c2)
+    assert c1.shape[0] == 4
+    # Unit centroids.
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+    rows = kmeans_assign(emb, c1).select("vec_id", "embedding", "cluster").collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    expect = np.argmax(unit @ c1.T, axis=1)
+    got = np.array([r["cluster"] for r in rows])
+    assert np.array_equal(got, expect)
+
+
+def test_semantic_dedup_drops_planted_dups_under_trained_centroids(spark):
+    """SemDeDup with REAL trained centroids: exact planted copies are
+    dropped (identical vectors share a cluster), every original survives,
+    and the profile's kept-counts reconcile."""
+    from pyspark.sql import functions as F
+
+    from vrod_spark.operators.cluster import (
+        cluster_profile,
+        kmeans_train,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    planted = (
+        emb.orderBy("vec_id")
+        .limit(30)
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    uni = emb.unionByName(planted)
+    cents = kmeans_train(emb, 8, vec_col="embedding")
+    sd = semantic_dedup(uni, cents, min_cosine=0.99)
+    rows = {r["id"]: r for r in sd.collect()}
+    n_src = emb.count()
+    assert len(rows) == n_src + 30
+    for i in range(30):
+        orig, copy = rows[i], rows[i + 1_000_000]
+        assert orig["kept"], i
+        assert not copy["kept"], i
+        assert orig["cluster"] == copy["cluster"], i
+    # Nothing else dropped: natural cosines top out ~0.6 on this fixture.
+    assert sum(0 if r["kept"] else 1 for r in rows.values()) == 30
+    prof = cluster_profile(sd).collect()
+    assert sum(r["n_members"] for r in prof) == n_src + 30
+    assert sum(r["n_members"] - r["n_kept"] for r in prof) == 30

@@ -1,0 +1,196 @@
+"""Semantic clustering + cluster-scoped semantic dedup (SemDeDup).
+
+The curation pattern from SemDeDup (Abbas et al. 2023, arXiv:2303.09540,
+public paper): embed the corpus, k-means-cluster the embeddings, then
+look for semantic duplicates only WITHIN each cluster — the cluster
+assignment turns the O(N^2) all-pairs semantic-similarity join into
+O(sum n_c^2) with n_c ~ N/k, the same blocking idea sign-LSH uses but
+data-adaptive. At 100 TB the cluster column is also the natural
+partition key for downstream curation (per-cluster sampling, pruning,
+inspection).
+
+Reference provenance: the reference stores embeddings per record and
+builds similarity search over them (`src/command/builder.rs:68-76`
+SEARCHSIMILAR / REINDEX; `src/utils/embeddings.rs:29-31` embed); the
+LLM-curation surface itself is the BASELINE.json north-star extension —
+the reference has no clustering code to mirror.
+
+Scale notes:
+- Training is the bounded-sample spherical k-means shared with the IVF
+  index (operators/ivf.py): one deterministic xxhash64-ordered sample
+  to the driver, Lloyd on numpy, centroids broadcast back. Driver state
+  is O(k * dim), never O(rows).
+- Assignment is one Arrow-batched matmul per batch (pandas_udf) — no
+  shuffle; the cluster column is computed map-side.
+- The within-cluster pairwise join shuffles on the cluster id only, and
+  both self-join sides carry the `shuffle_hash` hint so ReuseExchange
+  computes the assignment pipeline once (same treatment as the
+  banded/blocked joins in operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vrod_spark.functions.vector import cosine_similarity
+from vrod_spark.operators.ivf import _spherical_kmeans
+
+SEED = 42
+
+
+def kmeans_train(
+    df: DataFrame,
+    k: int,
+    *,
+    vec_col: str = "embedding",
+    train_sample: int = 10_000,
+    iters: int = 10,
+    seed: int = SEED,
+) -> np.ndarray:
+    """Deterministic spherical k-means over a bounded sample.
+
+    Sampling is by smallest xxhash64 of the vector (a pure function of
+    the data), not ``df.sample`` — the latter seeds per partition, so
+    the trained centroids would vary with file listing order.
+    Returns a (k, dim) float64 array of unit centroids.
+    """
+    rows = (
+        df.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("v").cast("array<float>")))
+        .limit(train_sample)
+        .collect()
+    )
+    sample = np.array([r["v"] for r in rows], dtype=np.float64)
+    return _spherical_kmeans(sample, k, iters=iters, seed=seed)
+
+
+def seed_centroids(df: DataFrame, k: int, *, vec_col: str = "embedding", id_col: str = "vec_id") -> np.ndarray:
+    """The k vectors with the smallest ids, unit-normalized — the
+    trainless deterministic centroid rule the hash-checked gate uses
+    (SQL-expressible, so DuckDB derives the identical centroids)."""
+    rows = df.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v")).orderBy("i").limit(k).collect()
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    return mat / np.where(norms == 0, 1, norms)
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    ccos_col: str = "ccos",
+) -> DataFrame:
+    """Nearest-centroid assignment by cosine, plus the cosine itself.
+
+    One broadcast + one Arrow-batched matmul per batch; ties go to the
+    lowest centroid id (np.argmax takes the first maximum), matching
+    the oracle's ``ORDER BY cos DESC, cid`` tie-break.
+    """
+    cb = df.sparkSession.sparkContext.broadcast(
+        np.asarray(centroids, dtype=np.float64)
+    )
+
+    @F.pandas_udf("struct<cluster:int,ccos:double>")
+    def assign(vecs):
+        import numpy as np
+        import pandas as pd
+
+        cents = cb.value
+        cn = np.linalg.norm(cents, axis=1, keepdims=True)
+        cu = cents / np.where(cn == 0, 1, cn)
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        unit = mat / np.where(norms == 0, 1, norms)
+        # Per-centroid multiply+sum, NOT a batch matmul: BLAS dgemm
+        # blocking can change the accumulation order with the batch's
+        # row count, giving ulp-different cosines for the SAME vector in
+        # different Arrow batches — which breaks the (ccos, id) rank
+        # tie between a vector and its exact duplicate downstream.
+        # elementwise-multiply + axis-sum is a fixed pairwise reduction
+        # per row, batch-size-independent.
+        sims = np.empty((len(unit), len(cu)), dtype=np.float64)
+        for j in range(len(cu)):
+            sims[:, j] = (unit * cu[j]).sum(axis=1)
+        best = np.argmax(sims, axis=1)
+        return pd.DataFrame(
+            {
+                "cluster": best.astype(np.int32),
+                "ccos": sims[np.arange(len(best)), best],
+            }
+        )
+
+    out = df.withColumn("_a", assign(F.col(vec_col)))
+    return out.select(
+        *[c for c in df.columns],
+        F.col("_a.cluster").alias(cluster_col),
+        F.col("_a.ccos").alias(ccos_col),
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    min_cosine: float = 0.99,
+) -> DataFrame:
+    """SemDeDup: mark within-cluster semantic duplicates.
+
+    Rank cluster members by (cosine-to-centroid DESC, id); a row is
+    ``kept = false`` when an earlier-ranked member of the SAME cluster
+    is within ``min_cosine`` of it. Only within-cluster pairs are ever
+    scored — the SemDeDup blocking contract.
+
+    Returns (id, cluster, ccos, rank, kept). The pairwise cosine runs
+    as a codegen'd zip_with/aggregate expression on the JVM; the join
+    shuffles cluster ids only.
+    """
+    assigned = kmeans_assign(df, centroids, vec_col=vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "cluster", "ccos"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster").orderBy(F.col("ccos").desc(), "id")
+    ranked = assigned.withColumn("rank", F.row_number().over(w))
+    a = ranked.alias("a").hint("shuffle_hash")
+    b = ranked.alias("b").hint("shuffle_hash")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.rank") < F.col("b.rank")),
+        )
+        .where(cosine_similarity(F.col("a.v"), F.col("b.v")) >= F.lit(min_cosine))
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        ranked.join(dropped, "id", "left")
+        .select(
+            "id",
+            "cluster",
+            "ccos",
+            "rank",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+def cluster_profile(dedup: DataFrame) -> DataFrame:
+    """Per-cluster curation summary over semantic_dedup output:
+    (cluster, n_members, n_kept, avg_ccos)."""
+    return (
+        dedup.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.round(F.avg("ccos"), 6).alias("avg_ccos"),
+        )
+        .orderBy("cluster")
+    )

@@ -1038,11 +1038,16 @@ def make_jpeg_bytes(
     px = np.asarray(pixels, dtype=np.uint8).astype(np.float64)
     h, w = px.shape[0], px.shape[1]
     r, g, b = px[..., 0], px[..., 1], px[..., 2]
-    # JFIF YCbCr (full-range, ITU-R BT.601 coefficients).
+    # JFIF YCbCr (full-range, ITU-R BT.601 coefficients). The inner
+    # round-to-6-decimals snap (here and at the quantizer below) makes
+    # the integer rounding immune to ulp-level float drift across
+    # numpy/BLAS/libm versions: a coefficient that lands within 1e-7 of
+    # an X.5 boundary would otherwise flip the quantized value — and the
+    # gate's pinned channel means — when the library stack changes.
     planes = [
-        np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255),
-        np.clip(np.round(128 - 0.168736 * r - 0.331264 * g + 0.5 * b), 0, 255),
-        np.clip(np.round(128 + 0.5 * r - 0.418688 * g - 0.081312 * b), 0, 255),
+        np.clip(np.round(np.round(0.299 * r + 0.587 * g + 0.114 * b, 6)), 0, 255),
+        np.clip(np.round(np.round(128 - 0.168736 * r - 0.331264 * g + 0.5 * b, 6)), 0, 255),
+        np.clip(np.round(np.round(128 + 0.5 * r - 0.418688 * g - 0.081312 * b, 6)), 0, 255),
     ]
     if subsampling == "444":
         samp = [(1, 1), (1, 1), (1, 1)]
@@ -1098,7 +1103,10 @@ def make_jpeg_bytes(
 
     def encode_block(block, tsel: int, pred: int) -> int:
         coef = t_mat @ (block - 128.0) @ t_mat.T
-        q = np.round(coef.reshape(64) / qtab.reshape(8, 8).reshape(64)).astype(np.int64)
+        # Snap before the quantizer's round — see the YCbCr note above.
+        q = np.round(
+            np.round(coef.reshape(64) / qtab.reshape(8, 8).reshape(64), 6)
+        ).astype(np.int64)
         zig = q[zz]
         # Baseline caps AC magnitude at 1023 (category <= 10; the Annex K AC
         # tables have no category-11 entries) — worst-case blocks at quant=1
@@ -1418,7 +1426,12 @@ def _jpeg_decoder():
         else:  # grayscale
             r = g = bb = full[0]
         img = np.stack(
-            [np.clip(np.round(ch), 0, 255) for ch in (r, g, bb)], axis=-1
+            # Snap to 6 decimals before the integer round: IDCT/IEEE noise
+            # is ~1e-12, so a pixel within ulps of an X.5 boundary rounds
+            # identically across numpy/BLAS versions (same guard as the
+            # encoder's quantizer).
+            [np.clip(np.round(np.round(ch, 6)), 0, 255) for ch in (r, g, bb)],
+            axis=-1,
         ).astype(np.uint8)
         return w, h, img
 

@@ -1328,23 +1328,84 @@ def q28_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Bucketed (LSH + blocked matmul) embedding similarity join — the 100-TB
-# scale path for q28. Hash-checkable despite LSH approximation: the query
-# plants 50 EXACT duplicate vectors (shifted ids), and identical vectors
-# collide in every sign-LSH table with probability 1, so the result is
-# deterministically those 50 pairs at cosine 1.0. Natural uniform-sphere
-# pairs can never reach the 0.9999 threshold.
+# Embedding-curation-at-scale gate, two tagged legs (both fully
+# hash-checked; planted EXACT duplicates make the approximate machinery
+# deterministic — identical vectors collide in every sign-LSH table and
+# land in the same k-means cluster with probability 1, while natural
+# pairs top out near cosine 0.60 (measured), far below the thresholds):
+#
+# - leg 'pairs' — bucketed (sign-LSH x blocked matmul) similarity join,
+#   the 100-TB scale path for q28: 50 planted duplicate vectors, found
+#   at cosine 1.0, never any natural pair at the 0.9999 threshold.
+# - leg 'semdedup' — SemDeDup (Abbas et al. 2023): k-means cluster
+#   assignment (8 deterministic unit seed centroids = the 8 smallest
+#   vec_ids, so the oracle derives identical centroids), then semantic
+#   dedup WITHIN clusters only — rank members by cosine-to-centroid,
+#   drop any row within 0.99 of an earlier-ranked clustermate. Reported
+#   per cluster: members / kept / avg centroid cosine. The trained-
+#   centroid path (kmeans_train, bounded xxhash sample + Lloyd) is
+#   pytest-verified; the gate pins the assignment + cluster-scoped
+#   pruning machinery on SQL-derivable centroids.
+#
+# Generic columns (leg, k1, k2, k3, v): pairs rows carry
+# (id_a, id_b, 0, cosine); semdedup rows (cluster, n_members, n_kept,
+# avg_ccos).
 # ---------------------------------------------------------------------------
 @query(
     "q28b_embedding_near_dup_bucketed",
     oracle="""
-    SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, 1.0::DOUBLE AS cosine
+    WITH uni AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding FROM embeddings
+      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 40)
+    ),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+             embedding::DOUBLE[] AS cv
+      FROM embeddings
+      WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+    ),
+    asg AS MATERIALIZED (
+      SELECT vec_id, cid, ccos, v FROM (
+        SELECT u.vec_id, s.cid,
+               list_cosine_similarity(u.embedding::DOUBLE[], s.cv) AS ccos,
+               u.embedding::DOUBLE[] AS v,
+               row_number() OVER (
+                 PARTITION BY u.vec_id
+                 ORDER BY list_cosine_similarity(u.embedding::DOUBLE[], s.cv) DESC,
+                          s.cid) AS rn
+        FROM uni u CROSS JOIN seeds s)
+      WHERE rn = 1
+    ),
+    rk AS MATERIALIZED (
+      SELECT vec_id, cid, ccos, v,
+             row_number() OVER (PARTITION BY cid ORDER BY ccos DESC, vec_id) AS rnk
+      FROM asg
+    ),
+    drp AS (
+      SELECT DISTINCT b.vec_id
+      FROM rk a JOIN rk b ON a.cid = b.cid AND a.rnk < b.rnk
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+    )
+    SELECT 'pairs' AS leg, vec_id AS k1, vec_id + 1000000 AS k2,
+           0::BIGINT AS k3, 1.0::DOUBLE AS v
     FROM embeddings
     WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 50)
-    ORDER BY id_a
+    UNION ALL
+    SELECT 'semdedup', cid, count(*),
+           sum(CASE WHEN vec_id IN (SELECT vec_id FROM drp) THEN 0 ELSE 1 END),
+           round(avg(ccos), 6)
+    FROM rk GROUP BY cid
+    ORDER BY leg, k1
     """,
 )
 def q28b_embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vrod_spark.operators.cluster import (
+        cluster_profile,
+        seed_centroids,
+        semantic_dedup,
+    )
     from vrod_spark.operators.dedup import embedding_near_dup_bucketed
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -1359,10 +1420,32 @@ def q28b_embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFr
         n_planes=6,
         n_tables=2,
         target_rows_per_block=16,  # small on purpose: exercises sub-blocking
+    ).select(
+        F.lit("pairs").alias("leg"),
+        F.col("id_a").alias("k1"),
+        F.col("id_b").alias("k2"),
+        F.lit(0).cast("long").alias("k3"),
+        F.round("cosine", 4).alias("v"),
     )
-    return pairs.select(
-        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
-    ).orderBy("id_a")
+
+    planted40 = (
+        emb.orderBy("vec_id")
+        .limit(40)
+        .select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    )
+    uni = emb.unionByName(planted40)
+    cents = seed_centroids(emb, 8, vec_col="embedding", id_col="vec_id")
+    sd = semantic_dedup(
+        uni, cents, vec_col="embedding", id_col="vec_id", min_cosine=0.99
+    )
+    semdedup = cluster_profile(sd).select(
+        F.lit("semdedup").alias("leg"),
+        F.col("cluster").cast("long").alias("k1"),
+        F.col("n_members").alias("k2"),
+        F.col("n_kept").alias("k3"),
+        F.col("avg_ccos").alias("v"),
+    )
+    return pairs.unionByName(semdedup).orderBy("leg", "k1")
 
 
 # ---------------------------------------------------------------------------
@@ -2184,8 +2267,8 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
         ('image', 2, 0, 32, 2, round(10.0/255, 6), round(20.0/255, 6), round(30.0/255, 6)),
         ('gif', 0, 0, 6, 3, round(10.0/255, 6), round(200.0/255, 6), round(30.0/255, 6)),
         ('jpeg', 0, 0, 16, 8, round(254.0/255, 6), 0.0, 0.0),
-        ('jpeg', 1, 0, 12, 10, 0.555752, 0.509216, 0.473301),
-        ('jpeg', 2, 0, 24, 8, 0.48029, 0.497304, 0.472876),
+        ('jpeg', 1, 0, 12, 10, 0.555719, 0.509281, 0.473399),
+        ('jpeg', 2, 0, 24, 8, 0.48029, 0.497345, 0.472569),
         ('mp1', 0, 0, 0, 0, 32000.0, 7680.0, 240.0),
         ('mp1', 1, 0, 0, 0, 32000.0, 7680.0, 240.0),
         ('mp2', 0, 0, 0, 0, 48000.0, 11520.0, 240.0),
