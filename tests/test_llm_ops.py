@@ -1755,3 +1755,90 @@ def test_semantic_dedup_drops_planted_dups_under_trained_centroids(spark):
     prof = cluster_profile(sd).collect()
     assert sum(r["n_members"] for r in prof) == n_src + 30
     assert sum(r["n_members"] - r["n_kept"] for r in prof) == 30
+
+
+def test_bm25_rank_matches_local_recompute(spark):
+    """bm25_rank reproduces a plain-Python Okapi BM25 (Lucene idf form)
+    on a tiny corpus, including doc-length normalization and ranking."""
+    import math
+
+    from vrod_spark.operators.retrieval import bm25_rank
+
+    texts = {
+        0: "spark shuffle join hash join",
+        1: "hash hash hash table build",
+        2: "sort merge join large tables",
+        3: "broadcast join small dimension",
+        4: "scan filter project scan scan",
+        5: "unrelated words entirely here",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id bigint, text string"
+    )
+    terms = ["join", "hash"]
+    got = {r["id"]: r for r in bm25_rank(docs, terms, top_k=10).collect()}
+
+    tok = {i: t.split() for i, t in texts.items()}
+    n = len(texts)
+    avgdl = sum(len(v) for v in tok.values()) / n
+    k1, b = 1.2, 0.75
+    expect = {}
+    for i, toks in tok.items():
+        s, matched = 0.0, 0
+        for t in terms:
+            tf = toks.count(t)
+            if not tf:
+                continue
+            df = sum(1 for v in tok.values() if t in v)
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+            matched += 1
+        if matched:
+            expect[i] = (round(s, 4), matched)
+    assert set(got) == set(expect)
+    for i, (s, m) in expect.items():
+        assert abs(got[i]["score"] - s) < 1e-9, i
+        assert got[i]["n_matched"] == m, i
+    # Ranks follow (score DESC, id).
+    order = sorted(expect, key=lambda i: (-expect[i][0], i))
+    assert [got[i]["rank"] for i in order] == list(range(1, len(order) + 1))
+
+
+def test_chunk_documents_boundaries_and_content(spark):
+    """Token-window chunking: starts step by stride while < n_tokens, the
+    tail chunk is short but never empty, overlap reproduces the source,
+    and empty/whitespace docs yield exactly one empty-token chunk (the
+    single-space-split parity contract with SQL engines)."""
+    from vrod_spark.operators.sampling import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),
+            (2, "only three tokens"),
+            (3, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = chunk_documents(docs, size=4, stride=3).orderBy("doc_id", "chunk_idx").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts 0,3,6,9; last chunk 1 token.
+    assert [r["start"] for r in by_doc[1]] == [0, 3, 6, 9]
+    assert [r["chunk_tokens"] for r in by_doc[1]] == [4, 4, 4, 1]
+    assert by_doc[1][0]["chunk_text"] == "t0 t1 t2 t3"
+    assert by_doc[1][1]["chunk_text"] == "t3 t4 t5 t6"
+    assert by_doc[1][3]["chunk_text"] == "t9"
+    # Reconstructing from stride-strided chunks covers every token.
+    seen = set()
+    for r in by_doc[1]:
+        seen.update(range(r["start"], r["start"] + r["chunk_tokens"]))
+    assert seen == set(range(10))
+    # doc 2: one chunk, whole doc.
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "only three tokens"
+    # doc 3: split('', ' ') == [''] on Spark AND DuckDB — one empty chunk.
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_tokens"] == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, size=0, stride=3)

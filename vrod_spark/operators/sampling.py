@@ -154,3 +154,51 @@ def pack_sequences(
         "seq_idx",
         "offset",
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    size: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking — the context-window prep step
+    of a training/RAG pipeline (cleaned corpus -> fixed-size overlapping
+    chunks). Chunk i covers tokens [i*stride, i*stride + size); starts
+    run 0, stride, 2*stride, ... while start < n_tokens, so the final
+    chunk may be short but no chunk is ever empty.
+
+    Pure Catalyst: a step-``stride`` ``sequence`` of starts (its end
+    bound is the largest multiple of stride <= n-1, closed-form — no
+    interpreted higher-order ``filter``), ``posexplode``, then
+    ``slice`` + ``concat_ws``. Tokenization is the q59-parity
+    single-space split so any SQL engine derives identical chunks.
+    Scale shape: per-row expression work only — chunking shuffles
+    nothing; output rows ~ n_tokens/stride per doc.
+
+    Appends (chunk_idx, start, chunk_tokens, chunk_text) to every input
+    column except ``text_col``.
+    """
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    n = F.size(toks)
+    last_start = (n - 1) - ((n - 1) % F.lit(stride))
+    starts = F.when(n > 0, F.sequence(F.lit(0), last_start, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    keep = [c for c in df.columns if c != text_col]
+    exploded = df.select(
+        *keep,
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_idx", "start"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("start") + 1, size)
+    return exploded.select(
+        *keep,
+        "chunk_idx",
+        "start",
+        F.size(chunk).alias("chunk_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )

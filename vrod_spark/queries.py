@@ -2759,10 +2759,20 @@ def q50_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# FLAGSHIP composition — the C4-style corpus-cleaning pipeline as ONE
-# declarative plan: quality filter → exact dedup keep-first → per-language
-# acceptance stats. Catalyst fuses the whole thing; one shuffle for the
-# dedup window, one for the final agg.
+# FLAGSHIP composition — the C4-style corpus pipeline as ONE declarative
+# plan, two tagged legs over the SAME cleaned corpus:
+#   clean — quality filter → exact dedup keep-first → per-language
+#     acceptance stats. Catalyst fuses the whole thing; one shuffle for
+#     the dedup window, one for the final agg.
+#   chunk — the cleaned survivors chunked into overlapping 64-token
+#     windows (stride 48; operators/sampling.py chunk_documents), the
+#     context-window prep step: per language, chunk counts + token
+#     sums + boundary checksum (sum of starts) + min/max chunk-text md5
+#     (pins the chunk CONTENT, not just the boundary math, across
+#     engines).
+# Generic columns (leg, key, k1, k2, k3, v, lo, hi): clean rows carry
+# (lang, n_kept, total_chars, 0, avg_quality, '', ''); chunk rows
+# (lang, n_chunks, sum_tokens, sum_starts, 0.0, min_md5, max_md5).
 # ---------------------------------------------------------------------------
 @query(
     "q52_clean_corpus_pipeline",
@@ -2780,24 +2790,41 @@ def q50_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     passed AS (SELECT * FROM scored WHERE q >= 0.5),
-    deduped AS (
+    deduped AS MATERIALIZED (
       SELECT * FROM (
         SELECT *, row_number() OVER (PARTITION BY sha256(lower(trim(text)))
                                      ORDER BY doc_id) AS rn
         FROM passed) WHERE rn = 1
+    ),
+    ck AS (
+      SELECT lang, string_split(trim(text), ' ') AS ws FROM deduped
+    ),
+    chunks AS (
+      SELECT ck.lang, s.g AS start,
+             array_to_string(ck.ws[s.g+1 : s.g+64], ' ') AS ctext,
+             len(ck.ws[s.g+1 : s.g+64]) AS ctok
+      FROM ck, unnest(generate_series(0, len(ck.ws) - 1, 48)) AS s(g)
     )
-    SELECT lang,
-           count(*) AS n_kept,
-           round(avg(q), 6) AS avg_quality,
-           sum(n_chars)::BIGINT AS total_chars
+    SELECT 'clean' AS leg, lang AS key,
+           count(*) AS k1,
+           sum(n_chars)::BIGINT AS k2,
+           0::BIGINT AS k3,
+           round(avg(q), 6) AS v,
+           '' AS lo, '' AS hi
     FROM deduped
     GROUP BY lang
-    ORDER BY lang
+    UNION ALL
+    SELECT 'chunk', lang, count(*), sum(ctok)::BIGINT, sum(start)::BIGINT,
+           0.0::DOUBLE, min(md5(ctext)), max(md5(ctext))
+    FROM chunks
+    GROUP BY lang
+    ORDER BY leg, key
     """,
 )
 def q52_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vrod_spark.functions.text import quality_score
     from vrod_spark.operators.dedup import exact_dedup
+    from vrod_spark.operators.sampling import chunk_documents
 
     docs = _t(spark, sf_dir, "documents")
     scored = docs.select(
@@ -2805,19 +2832,53 @@ def q52_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     passed = scored.filter(F.col("q") >= 0.5)
     deduped = exact_dedup(passed, text_col="text", id_col="doc_id")
-    return (
+    clean = (
         deduped.groupBy("lang")
         .agg(
-            F.count(F.lit(1)).alias("n_kept"),
-            F.round(F.avg("q"), 6).alias("avg_quality"),
-            F.sum("n_chars").alias("total_chars"),
+            F.count(F.lit(1)).alias("k1"),
+            F.sum("n_chars").alias("k2"),
+            F.round(F.avg("q"), 6).alias("v"),
         )
-        .orderBy("lang")
+        .select(
+            F.lit("clean").alias("leg"),
+            F.col("lang").alias("key"),
+            "k1",
+            "k2",
+            F.lit(0).cast("long").alias("k3"),
+            "v",
+            F.lit("").alias("lo"),
+            F.lit("").alias("hi"),
+        )
     )
+    chunked = chunk_documents(
+        deduped.select("lang", "text"), size=64, stride=48
+    )
+    chunk = (
+        chunked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("k1"),
+            F.sum("chunk_tokens").alias("k2"),
+            F.sum("start").cast("long").alias("k3"),
+            F.min(F.md5("chunk_text")).alias("lo"),
+            F.max(F.md5("chunk_text")).alias("hi"),
+        )
+        .select(
+            F.lit("chunk").alias("leg"),
+            F.col("lang").alias("key"),
+            "k1",
+            "k2",
+            "k3",
+            F.lit(0.0).alias("v"),
+            "lo",
+            "hi",
+        )
+    )
+    return clean.unionByName(chunk).orderBy("leg", "key")
 
 
 # ---------------------------------------------------------------------------
-# Vocabulary building (tokenizer-training prep), two tagged legs:
+# Vocabulary building (tokenizer-training prep) + corpus retrieval, three
+# tagged legs:
 #   exact — corpus-wide token frequencies, top-50 by count. One explode +
 #     one agg; shuffle carries (token, partial count), never documents.
 #   hh    — the 100-TB path: sketch-then-verify heavy hitters
@@ -2825,6 +2886,11 @@ def q52_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     then broadcast exact recount). Counts are EXACT, so the leg hashes
 #     against the plain HAVING-threshold SQL — proving on the gate path
 #     that the bounded-state plan loses nothing vs the exact plan.
+#   bm25  — Okapi BM25 ranking (operators/retrieval.py), the standard
+#     first-stage lexical retriever: top-20 docs for a 3-term query,
+#     scores rounded to 4 decimals so the ulp-order of per-term float
+#     sums can't flip the cut. Rows: token=doc_id, freq=rank,
+#     doc_freq=matched terms, score=BM25.
 # ---------------------------------------------------------------------------
 @query(
     "q53_vocab_top_tokens",
@@ -2834,23 +2900,58 @@ def q52_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS token
             FROM documents)
       WHERE length(token) > 0
+    ),
+    dl AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(trim(text)), ' '),
+                             x -> length(x) > 0)) AS dl
+      FROM documents
+    ),
+    st AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+    hits AS (
+      SELECT doc_id, token, count(*)::DOUBLE AS tf FROM t
+      WHERE token IN ('hash', 'join', 'scan') GROUP BY doc_id, token
+    ),
+    dfs AS (SELECT token, count(DISTINCT doc_id)::DOUBLE AS df
+            FROM hits GROUP BY token),
+    idf AS (SELECT token, ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf,
+                   avgdl
+            FROM dfs CROSS JOIN st),
+    sc AS (
+      SELECT h.doc_id,
+             round(sum(i.idf * (h.tf * 2.2)
+                       / (h.tf + 1.2 * (0.25 + 0.75 * d.dl / i.avgdl))), 4)
+               AS score,
+             count(*) AS n_matched
+      FROM hits h JOIN idf i USING (token) JOIN dl d USING (doc_id)
+      GROUP BY h.doc_id
+    ),
+    top AS (
+      SELECT doc_id, score, n_matched,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+      FROM sc
     )
     SELECT * FROM (
       SELECT 'exact' AS leg, token, count(*) AS freq,
-             count(DISTINCT doc_id) AS doc_freq
+             count(DISTINCT doc_id) AS doc_freq, 0.0::DOUBLE AS score
       FROM t GROUP BY token
       ORDER BY freq DESC, token
       LIMIT 50
     )
     UNION ALL
-    SELECT 'hh' AS leg, token, count(*) AS freq, -1 AS doc_freq
+    SELECT 'hh' AS leg, token, count(*) AS freq, -1 AS doc_freq,
+           0.0::DOUBLE AS score
     FROM t GROUP BY token
     HAVING count(*) >= ceil(0.001 * (SELECT count(*) FROM t))
+    UNION ALL
+    SELECT 'bm25', doc_id::VARCHAR, rnk, n_matched, score
+    FROM top WHERE rnk <= 20
     ORDER BY leg, freq DESC, token
     """,
 )
 def q53_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vrod_spark.functions.text import tokens
+    from vrod_spark.operators.retrieval import bm25_rank
     from vrod_spark.operators.sketch import heavy_hitters
 
     docs = _t(spark, sf_dir, "documents")
@@ -2863,7 +2964,13 @@ def q53_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("freq").desc(), "token")
         .limit(50)
-        .select(F.lit("exact").alias("leg"), "token", "freq", "doc_freq")
+        .select(
+            F.lit("exact").alias("leg"),
+            "token",
+            "freq",
+            "doc_freq",
+            F.lit(0.0).alias("score"),
+        )
     )
     # min_count defaults to ceil(support * N) inside heavy_hitters, with N
     # observed on the sketch scan itself (CollectMetrics rides the same
@@ -2875,8 +2982,20 @@ def q53_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("item").alias("token"),
         F.col("n").alias("freq"),
         F.lit(-1).cast("bigint").alias("doc_freq"),
+        F.lit(0.0).alias("score"),
     )
-    return exact.unionByName(hh).orderBy("leg", F.col("freq").desc(), "token")
+    bm25 = bm25_rank(docs, ["hash", "join", "scan"], top_k=20).select(
+        F.lit("bm25").alias("leg"),
+        F.col("id").cast("string").alias("token"),
+        F.col("rank").cast("bigint").alias("freq"),
+        F.col("n_matched").alias("doc_freq"),
+        "score",
+    )
+    return (
+        exact.unionByName(hh)
+        .unionByName(bm25)
+        .orderBy("leg", F.col("freq").desc(), "token")
+    )
 
 
 # ---------------------------------------------------------------------------
