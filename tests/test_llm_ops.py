@@ -1842,3 +1842,92 @@ def test_chunk_documents_boundaries_and_content(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(docs, size=0, stride=3)
+
+
+def test_h264_ipcm_roundtrip_is_bit_exact(spark):
+    """H.264 I_PCM carries raw samples, so encode->decode is lossless —
+    verified per pixel on gradient frames, through cropping (20x12 in a
+    32x16 MB grid), and through emulation-prevention territory (all-zero
+    frames put 00 00 00 runs in the RBSP)."""
+    import numpy as np
+
+    from vrod_spark.operators.multimodal import _h264_decoder, make_h264_bytes
+
+    parse = _h264_decoder()
+    g = (np.arange(16 * 32) % 256).astype(np.uint8).reshape(16, 32)
+    z = np.zeros((16, 32), dtype=np.uint8)
+    b = make_h264_bytes([g, z], width=32, height=16)
+    w, h, planes = parse(b)
+    assert (w, h, len(planes)) == (32, 16, 2)
+    assert np.array_equal(planes[0], g)
+    assert np.array_equal(planes[1], z)
+    # Every 3-byte start-code pattern in the stream belongs to a real
+    # 4-byte start code — emulation prevention left no 00 00 01 inside
+    # any NAL payload.
+    assert b.count(b"\x00\x00\x01") == b.count(b"\x00\x00\x00\x01")
+
+    gc = (np.arange(12 * 20) % 251).astype(np.uint8).reshape(12, 20)
+    wc, hc, pc = parse(make_h264_bytes([gc], width=20, height=12))
+    assert (wc, hc) == (20, 12)
+    assert np.array_equal(pc[0], gc)
+
+
+def test_h264_bitstream_is_spec_exact():
+    """Pin the exact SPS/PPS/slice-header bytes of a minimal one-MB
+    stream, hand-derived from ITU-T H.264 clauses 7.3.2.1 (SPS),
+    7.3.2.2 (PPS) and 7.3.3 (slice header): profile 66/level 10,
+    poc_type 2, 1x1 MB grid, CAVLC, deblocking disabled, I_PCM mb_type
+    25 + alignment. Any drift in exp-Golomb coding or field order
+    breaks these literals."""
+    from vrod_spark.operators.multimodal import make_h264_bytes
+
+    b = make_h264_bytes([128], width=16, height=16)
+    # SPS: 67 | 42 C0 0A | ue(0) ue(0) ue(2) ue(0) 0 ue(0) ue(0) 1 1 0 0 stop+pad
+    assert b[:10] == bytes.fromhex("00000001" "67" "42c00a" "dde4")
+    # PPS: 68 | CE 3C 80
+    assert b[10:18] == bytes.fromhex("00000001" "68" "ce3c80")
+    # IDR: 65 | first_mb=0, slice_type=7, pps=0, frame_num(4b)=0,
+    # idr_pic_id=0, marking 00, qp_delta=0, deblock_idc=1, mb_type 25,
+    # align -> 88 84 A0 D0, then 256 luma bytes of 0x80.
+    assert b[18:27] == bytes.fromhex("00000001" "65" "8884a0d0")
+    assert b[27 : 27 + 256] == b"\x80" * 256
+
+
+def test_h264_rejects_outside_subset_and_skips_on_error(spark):
+    """Streams outside the declared I_PCM subset raise loudly (never
+    mis-decode); on_error='skip' drops corrupt blobs instead of failing
+    the batch; the Spark extractor matches the local parse."""
+    import pytest as _pytest
+
+    from vrod_spark.operators.multimodal import (
+        _h264_decoder,
+        extract_h264_frames,
+        make_h264_bytes,
+    )
+
+    parse = _h264_decoder()
+    good = make_h264_bytes([40, 200], width=20, height=12)
+    with _pytest.raises(ValueError):
+        parse(b"not an annexb stream")
+    # Flip the PPS entropy_coding_mode bit (CABAC) — loud rejection.
+    cabac = bytearray(good)
+    # PPS payload starts after its start code + header byte (offset 15).
+    cabac[15] ^= 0x20  # ue(0) ue(0) take bits 11; flag is bit 3 of 0xCE
+    with _pytest.raises(ValueError):
+        parse(bytes(cabac))
+
+    media = spark.createDataFrame(
+        [(0, "video", good), (1, "video", b"\x00\x00\x00\x01garbage")],
+        "media_id bigint, kind string, content binary",
+    )
+    with _pytest.raises(Exception):
+        extract_h264_frames(media).collect()
+    rows = extract_h264_frames(media, on_error="skip").orderBy("frame_idx").collect()
+    assert [(r["media_id"], r["frame_idx"], r["width"], r["height"]) for r in rows] == [
+        (0, 0, 20, 12),
+        (0, 1, 20, 12),
+    ]
+    assert [round(r["mean_luma"], 6) for r in rows] == [
+        round(40 / 255, 6),
+        round(200 / 255, 6),
+    ]

@@ -14,14 +14,15 @@ IMA-ADPCM WAV audio (adaptive-differential expansion), and MPEG-1 Audio
 Layers I, II and III (spec-exact bitstreams + PR-MDCT filterbank
 stand-in — see the MP1/MP2/MP3 section notes; the Layer III decoder
 covers the conforming subset its encoder emits and loudly rejects the
-big-value Huffman tables / short blocks). H.264 is STUBBED
-(motion-compensated video is out of honest pure-numpy scope and the
-codec libs are not in this container): ``decode_stub``
-raises
-``NotImplementedError`` unless ``fake=True``, in which case it produces a
-deterministic fake derived from the bytes, so pipelines are end-to-end
-testable. Swapping in PIL/ffmpeg later changes ONE function body and
-nothing about the distributed plan.
+big-value Huffman tables / short blocks), and H.264/AVC for a declared
+Constrained-Baseline I_PCM subset (real Annex-B NAL / exp-Golomb /
+SPS-PPS-slice machinery, bit-exact sample reconstruction; CAVLC-coded
+predicted macroblocks are loudly rejected — see the H.264 section
+note). The generic ``decode_stub`` remains for codecs with NO
+implementation (it raises ``NotImplementedError`` unless ``fake=True``,
+which produces a deterministic fake derived from the bytes, keeping
+pipelines end-to-end testable); swapping in PIL/ffmpeg later changes
+ONE function body and nothing about the distributed plan.
 
 Every decoder takes ``on_error`` ("raise" default / "skip"): a web-scale
 corpus ALWAYS contains corrupt blobs, and one undecodable byte string
@@ -542,8 +543,8 @@ def decode_png_features(media: DataFrame, *, on_error: str = "raise") -> DataFra
     library. Same mapInPandas plumbing and IMAGE_SCHEMA as the PPM
     decoder: blobs are decoded where they sit, never shuffled. PNG is
     pure DEFLATE + per-row prediction, which the stdlib covers; see
-    decode_jpeg_features for the T.81 path and H.264 for the one
-    remaining (declared) video stub."""
+    decode_jpeg_features for the T.81 path and extract_h264_frames for
+    the H.264 I_PCM subset."""
 
     strict = on_error != "skip"
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -921,7 +922,7 @@ def decode_gif_features(media: DataFrame, *, on_error: str = "raise") -> DataFra
 # markers) for fixtures; decoder is a general baseline decoder: marker
 # parse, DQT (8/16-bit), DHT canonical Huffman, SOF0/SOF1, restart
 # intervals, per-component sampling factors, dequant + 8x8 IDCT +
-# upsample + YCbCr->RGB. H.264 remains the declared stub.
+# upsample + YCbCr->RGB. H.264 is covered by its own I_PCM-subset leg.
 # ---------------------------------------------------------------------------
 
 def _jpeg_zigzag() -> list[int]:
@@ -1448,7 +1449,7 @@ def decode_jpeg_features(media: DataFrame, *, on_error: str = "raise") -> DataFr
     byte-unstuffed entropy scan, dequant + orthonormal 8x8 IDCT, nearest
     chroma upsample, BT.601 full-range YCbCr->RGB. Emits the shared
     IMAGE_SCHEMA (dims + channel means) so the q51 gate hash-checks it
-    beside PPM/PNG/GIF. H.264 remains the declared stub.
+    beside PPM/PNG/GIF. H.264 has its own declared-subset decoder.
 
     Scale shape is identical to the other decoders: blobs decode where
     they sit inside Arrow batches; only ids + metadata ever shuffle."""
@@ -1792,10 +1793,10 @@ def extract_avi_mjpeg_frames(
     movi list, decode every ``every_n``-th one with the baseline T.81
     JPEG decoder (:func:`_jpeg_decoder` — the same codec the image path
     uses), and emit per-frame dimensions + BT.601 mean luma
-    (VIDEO_FRAME_SCHEMA, one-to-many like the Y4M extractor). H.264
-    remains the declared stub; MJPEG is the honest pure-numpy compressed
-    video path since it composes container parsing with the real JPEG
-    codec. Blobs decode where they sit; only ids + per-frame metadata
+    (VIDEO_FRAME_SCHEMA, one-to-many like the Y4M extractor). MJPEG is
+    the pure-numpy compressed video path composing container parsing
+    with the real JPEG codec; extract_h264_frames covers the H.264
+    I_PCM subset. Blobs decode where they sit; only ids + per-frame metadata
     shuffle."""
     step = max(int(every_n), 1)
     parse_jpeg = _jpeg_decoder()
@@ -1859,6 +1860,401 @@ def extract_avi_mjpeg_frames(
     return media.mapInPandas(work, VIDEO_FRAME_SCHEMA)
 
 
+# -- H.264 / AVC (ITU-T H.264, Constrained Baseline, I_PCM subset) -----------
+# The last video codec, implemented for a DECLARED CONFORMING SUBSET the
+# same way the MPEG-audio legs declare theirs: Annex-B byte streams of
+# SPS / PPS / IDR slices whose macroblocks are all I_PCM (mb_type 25 —
+# raw 4:2:0 samples carried in the bitstream; clause 7.3.5 / 8.3.5 makes
+# I_PCM reconstruction bit-exact, and clause 7.4.3 lets a slice disable
+# the deblocking filter, so skipping it here is conformant, not a
+# shortcut). Everything AROUND the samples is the real spec machinery and
+# is parsed exactly: start-code scan, emulation-prevention (00 00 03)
+# escaping/unescaping, exp-Golomb ue(v)/se(v), SPS (profile/level,
+# pic-order-cnt, MB grid, frame cropping), PPS (CAVLC flag, QP inits,
+# deblock-control flag), IDR slice headers (frame_num, idr_pic_id,
+# dec_ref_pic_marking), MB raster placement across multiple slices.
+# Streams produced by make_h264_bytes decode bit-exactly in any
+# conformant decoder; third-party streams using CAVLC-coded predicted
+# macroblocks are LOUDLY rejected (ValueError), never mis-decoded.
+# Reference parity: vRod stores opaque media payloads; this leg models
+# the video-decode stage of a multimodal pipeline over such blobs
+# (BASELINE.json north star; no reference codec code exists).
+
+
+def make_h264_bytes(frames, *, width: int, height: int, chroma=(128, 128)) -> bytes:
+    """Encode luma frames as an Annex-B H.264 stream of I_PCM IDR
+    pictures (Constrained Baseline). ``frames`` is a list of either
+    scalar luma values (solid frames) or (height, width) uint8 planes;
+    chroma is solid ``(cb, cr)``. Dimensions need not be multiples of 16
+    — the SPS carries frame cropping exactly as the spec prescribes."""
+    import numpy as np
+
+    if width <= 0 or height <= 0:
+        raise ValueError("width/height must be positive")
+    mbs_w = -(-width // 16)
+    mbs_h = -(-height // 16)
+    pad_w, pad_h = mbs_w * 16, mbs_h * 16
+
+    class W:
+        def __init__(self):
+            self.bits = []
+
+        def u(self, value: int, n: int):
+            for i in range(n - 1, -1, -1):
+                self.bits.append((value >> i) & 1)
+
+        def ue(self, v: int):
+            code = v + 1
+            n = code.bit_length()
+            self.u(0, n - 1)
+            self.u(code, n)
+
+        def se(self, v: int):
+            self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+        def align_zero(self):
+            while len(self.bits) % 8:
+                self.bits.append(0)
+
+        def trailing(self):
+            self.bits.append(1)  # rbsp_stop_one_bit
+            self.align_zero()
+
+        def bytes(self) -> bytes:
+            assert len(self.bits) % 8 == 0
+            out = bytearray()
+            for i in range(0, len(self.bits), 8):
+                byte = 0
+                for b in self.bits[i : i + 8]:
+                    byte = (byte << 1) | b
+                out.append(byte)
+            return bytes(out)
+
+    def nal(nal_type: int, ref_idc: int, rbsp: bytes) -> bytes:
+        # Emulation prevention: 00 00 -> insert 03 before any next byte
+        # <= 03 (clause 7.4.1.1).
+        ebsp = bytearray()
+        zeros = 0
+        for byte in rbsp:
+            if zeros >= 2 and byte <= 3:
+                ebsp.append(3)
+                zeros = 0
+            ebsp.append(byte)
+            zeros = zeros + 1 if byte == 0 else 0
+        return b"\x00\x00\x00\x01" + bytes([(ref_idc << 5) | nal_type]) + bytes(ebsp)
+
+    # --- SPS (nal 7) ---
+    w = W()
+    w.u(66, 8)  # profile_idc: Baseline
+    w.u(0b11000000, 8)  # constraint_set0/1, reserved zeros
+    w.u(10, 8)  # level_idc 1.0
+    w.ue(0)  # seq_parameter_set_id
+    w.ue(0)  # log2_max_frame_num_minus4 -> 4 bits
+    w.ue(2)  # pic_order_cnt_type: 2 (display order == decode order)
+    w.ue(0)  # max_num_ref_frames
+    w.u(0, 1)  # gaps_in_frame_num_value_allowed_flag
+    w.ue(mbs_w - 1)
+    w.ue(mbs_h - 1)
+    w.u(1, 1)  # frame_mbs_only_flag
+    w.u(1, 1)  # direct_8x8_inference_flag
+    crop = pad_w != width or pad_h != height
+    w.u(1 if crop else 0, 1)
+    if crop:
+        # 4:2:0 frame coding: CropUnitX = CropUnitY = 2.
+        w.ue(0)
+        w.ue((pad_w - width) // 2)
+        w.ue(0)
+        w.ue((pad_h - height) // 2)
+    w.u(0, 1)  # vui_parameters_present_flag
+    w.trailing()
+    out = bytearray(nal(7, 3, w.bytes()))
+
+    # --- PPS (nal 8) ---
+    w = W()
+    w.ue(0)  # pic_parameter_set_id
+    w.ue(0)  # seq_parameter_set_id
+    w.u(0, 1)  # entropy_coding_mode_flag: CAVLC
+    w.u(0, 1)  # bottom_field_pic_order_in_frame_present_flag
+    w.ue(0)  # num_slice_groups_minus1
+    w.ue(0)  # num_ref_idx_l0_default_active_minus1
+    w.ue(0)  # num_ref_idx_l1_default_active_minus1
+    w.u(0, 1)  # weighted_pred_flag
+    w.u(0, 2)  # weighted_bipred_idc
+    w.se(0)  # pic_init_qp_minus26
+    w.se(0)  # pic_init_qs_minus26
+    w.se(0)  # chroma_qp_index_offset
+    w.u(1, 1)  # deblocking_filter_control_present_flag
+    w.u(0, 1)  # constrained_intra_pred_flag
+    w.u(0, 1)  # redundant_pic_cnt_present_flag
+    w.trailing()
+    out += nal(8, 3, w.bytes())
+
+    cb_v, cr_v = int(chroma[0]) & 0xFF, int(chroma[1]) & 0xFF
+    for f_idx, frame in enumerate(frames):
+        if np.isscalar(frame):
+            y = np.full((pad_h, pad_w), int(frame) & 0xFF, dtype=np.uint8)
+        else:
+            y = np.asarray(frame, dtype=np.uint8)
+            if y.shape != (height, width):
+                raise ValueError(f"frame {f_idx}: shape {y.shape} != ({height}, {width})")
+            y = np.pad(y, ((0, pad_h - height), (0, pad_w - width)), mode="edge")
+        # --- IDR slice (nal 5) ---
+        w = W()
+        w.ue(0)  # first_mb_in_slice
+        w.ue(7)  # slice_type: I (all slices in picture)
+        w.ue(0)  # pic_parameter_set_id
+        w.u(0, 4)  # frame_num (log2_max_frame_num = 4); 0 for every IDR
+        w.ue(f_idx % 2)  # idr_pic_id (must differ between consecutive IDRs)
+        w.u(0, 1)  # no_output_of_prior_pics_flag
+        w.u(0, 1)  # long_term_reference_flag
+        w.se(0)  # slice_qp_delta
+        w.ue(1)  # disable_deblocking_filter_idc: 1 (filter off, conformant)
+        for mb in range(mbs_w * mbs_h):
+            my, mx = (mb // mbs_w) * 16, (mb % mbs_w) * 16
+            w.ue(25)  # mb_type: I_PCM
+            w.align_zero()  # pcm_alignment_zero_bit
+            for v in y[my : my + 16, mx : mx + 16].reshape(256):
+                w.u(int(v), 8)
+            for v in [cb_v] * 64 + [cr_v] * 64:
+                w.u(v, 8)
+        w.trailing()
+        out += nal(5, 3, w.bytes())
+    return bytes(out)
+
+
+def _h264_decoder():
+    """Self-contained parser factory (same pickling contract as
+    ``_jpeg_decoder``): returns ``parse(b) -> (width, height, [y_plane])``
+    for Annex-B I_PCM streams; raises ValueError on anything outside the
+    declared subset."""
+
+    def parse(b: bytes):
+        import numpy as np
+
+        # Split on 3- or 4-byte start codes.
+        nals = []
+        i, n = 0, len(b)
+        starts = []
+        while i + 3 <= n:
+            if b[i] == 0 and b[i + 1] == 0 and b[i + 2] == 1:
+                starts.append(i + 3)
+                i += 3
+            else:
+                i += 1
+        if not starts:
+            raise ValueError("no H.264 start codes")
+        for k, s in enumerate(starts):
+            end = starts[k + 1] - 3 if k + 1 < len(starts) else n
+            while end > s and b[end - 1] == 0:  # trailing zero bytes of next start code
+                end -= 1
+            nals.append(b[s:end])
+
+        def unescape(ebsp: bytes) -> bytes:
+            out = bytearray()
+            zeros = 0
+            i = 0
+            while i < len(ebsp):
+                byte = ebsp[i]
+                if zeros >= 2 and byte == 3:
+                    zeros = 0
+                    i += 1
+                    continue
+                out.append(byte)
+                zeros = zeros + 1 if byte == 0 else 0
+                i += 1
+            return bytes(out)
+
+        class R:
+            def __init__(self, data: bytes):
+                self.d = data
+                self.pos = 0  # bit position
+
+            def u(self, n: int) -> int:
+                v = 0
+                for _ in range(n):
+                    byte = self.d[self.pos >> 3]
+                    v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+                    self.pos += 1
+                return v
+
+            def ue(self) -> int:
+                zeros = 0
+                while self.u(1) == 0:
+                    zeros += 1
+                    if zeros > 31:
+                        raise ValueError("bad exp-Golomb code")
+                return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+            def se(self) -> int:
+                k = self.ue()
+                return (k + 1) // 2 if k % 2 else -(k // 2)
+
+            def align(self):
+                while self.pos & 7:
+                    if self.u(1):
+                        raise ValueError("nonzero pcm alignment bit")
+
+        sps = pps = None
+        frames = []
+        cur = None
+        for nalu in nals:
+            if not nalu:
+                continue
+            hdr = nalu[0]
+            if hdr & 0x80:
+                raise ValueError("forbidden_zero_bit set")
+            ntype = hdr & 0x1F
+            r = R(unescape(nalu[1:]))
+            if ntype == 7:  # SPS
+                profile = r.u(8)
+                r.u(8)  # constraint flags + reserved
+                r.u(8)  # level_idc
+                r.ue()  # seq_parameter_set_id
+                if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+                    raise ValueError("high-profile SPS outside declared subset")
+                log2_mfn = r.ue() + 4
+                poc_type = r.ue()
+                if poc_type not in (0, 2):
+                    raise ValueError("unsupported pic_order_cnt_type")
+                if poc_type == 0:
+                    r.ue()  # log2_max_pic_order_cnt_lsb_minus4
+                r.ue()  # max_num_ref_frames
+                r.u(1)
+                mbs_w = r.ue() + 1
+                mbs_h = r.ue() + 1
+                if r.u(1) != 1:
+                    raise ValueError("interlaced streams outside declared subset")
+                r.u(1)  # direct_8x8_inference_flag
+                crop = [0, 0, 0, 0]
+                if r.u(1):
+                    crop = [r.ue(), r.ue(), r.ue(), r.ue()]
+                sps = {
+                    "log2_mfn": log2_mfn,
+                    "poc_type": poc_type,
+                    "mbs_w": mbs_w,
+                    "mbs_h": mbs_h,
+                    "crop": crop,
+                }
+            elif ntype == 8:  # PPS
+                r.ue()  # pic_parameter_set_id
+                r.ue()  # seq_parameter_set_id
+                if r.u(1):
+                    raise ValueError("CABAC streams outside declared subset")
+                r.u(1)
+                if r.ue() != 0:
+                    raise ValueError("slice groups outside declared subset")
+                r.ue()
+                r.ue()
+                r.u(1)
+                r.u(2)
+                r.se()
+                r.se()
+                r.se()
+                pps = {"deblock_ctl": r.u(1)}
+                # constrained_intra_pred / redundant_pic_cnt flags ignored.
+            elif ntype in (1, 5):  # slice (IDR or non-IDR)
+                if sps is None or pps is None:
+                    raise ValueError("slice before SPS/PPS")
+                first_mb = r.ue()
+                slice_type = r.ue()
+                if slice_type not in (2, 7):
+                    raise ValueError("non-I slice outside declared subset")
+                r.ue()  # pic_parameter_set_id
+                r.u(sps["log2_mfn"])  # frame_num
+                if ntype == 5:
+                    r.ue()  # idr_pic_id
+                if sps["poc_type"] == 0:
+                    raise ValueError("poc_type 0 slice header outside subset")
+                if ntype == 5:
+                    r.u(1)  # no_output_of_prior_pics_flag
+                    r.u(1)  # long_term_reference_flag
+                elif r.u(1):  # adaptive_ref_pic_marking_mode_flag
+                    raise ValueError("adaptive ref marking outside subset")
+                r.se()  # slice_qp_delta
+                if pps["deblock_ctl"]:
+                    if r.ue() != 1:
+                        raise ValueError(
+                            "deblocking enabled — outside declared I_PCM subset"
+                        )
+                mbs_w, mbs_h = sps["mbs_w"], sps["mbs_h"]
+                if first_mb == 0 or cur is None:
+                    cur = np.zeros((mbs_h * 16, mbs_w * 16), dtype=np.uint8)
+                    frames.append(cur)
+                n_mbs = mbs_w * mbs_h
+                mb = first_mb
+                while mb < n_mbs:
+                    if r.ue() != 25:
+                        raise ValueError(
+                            "CAVLC-coded macroblock — outside declared I_PCM subset"
+                        )
+                    r.align()
+                    my, mx = (mb // mbs_w) * 16, (mb % mbs_w) * 16
+                    block = np.array(
+                        [r.u(8) for _ in range(256)], dtype=np.uint8
+                    ).reshape(16, 16)
+                    cur[my : my + 16, mx : mx + 16] = block
+                    for _ in range(128):  # Cb + Cr samples (kept out of means)
+                        r.u(8)
+                    mb += 1
+                    # One slice may end before the picture does; the stop
+                    # bit after the last MB is consumed by the next loop's
+                    # ue() failing byte bounds — so peek: if fewer than 9
+                    # bits remain, the slice is over.
+                    if (len(r.d) * 8 - r.pos) < 9:
+                        break
+            # other NAL types (SEI, AUD, filler) are legal — skipped.
+        if sps is None or not frames:
+            raise ValueError("no decodable picture")
+        cl, cr_, ct, cb = sps["crop"]
+        w = sps["mbs_w"] * 16 - 2 * (cl + cr_)
+        h = sps["mbs_h"] * 16 - 2 * (ct + cb)
+        planes = [
+            f[2 * ct : 2 * ct + h, 2 * cl : 2 * cl + w] for f in frames
+        ]
+        return w, h, planes
+
+    return parse
+
+
+def extract_h264_frames(
+    media: DataFrame, *, every_n: int = 1, on_error: str = "raise"
+) -> DataFrame:
+    """REAL H.264 frame extraction for the declared I_PCM Constrained
+    Baseline subset (see section note): per-frame dimensions + mean luma,
+    the same VIDEO_FRAME_SCHEMA as the Y4M and AVI/MJPEG extractors.
+    Blobs decode where they sit inside Arrow batches; only ids and
+    per-frame metadata ever shuffle."""
+    step = max(int(every_n), 1)
+    parse_h264 = _h264_decoder()
+
+    strict = on_error != "skip"
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "frame_idx": [], "width": [],
+                "height": [], "mean_luma": [],
+            }
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    w, h, planes = parse_h264(bytes(content))
+                except Exception:
+                    if strict:
+                        raise
+                    continue
+                for idx in range(0, len(planes), step):
+                    out["media_id"].append(media_id)
+                    out["frame_idx"].append(idx)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_luma"].append(
+                        round(float(planes[idx].mean()) / 255, 6)
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(work, VIDEO_FRAME_SCHEMA)
+
+
 # -- MPEG-1 Audio Layer I ("MP1") --------------------------------------------
 # A REAL perceptual-audio-family codec leg: the bitstream layer is exact to
 # ISO/IEC 11172-3 — frame header fields (syncword/ID/layer/bitrate index/
@@ -1874,8 +2270,8 @@ def extract_avi_mjpeg_frames(
 # >0.999 tone correlation and exact spectral peaks). Decoding third-party
 # Layer I streams parses bit-exactly but reconstructs through the stand-in
 # window (documented approximation). Layer III is implemented for a
-# declared conforming subset (see the MP3 section); H.264 remains the
-# declared stub.
+# declared conforming subset (see the MP3 section), as is H.264 (the
+# I_PCM Constrained-Baseline subset, see its section above).
 # Reference parity: vRod stores/streams opaque media blobs; this leg models
 # the decode stage of a multimodal training pipeline over such blobs.
 

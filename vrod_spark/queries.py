@@ -2266,6 +2266,8 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
         ('image', 1, 0, 4, 4, 0.0, round(128.0/255, 6), 1.0),
         ('image', 2, 0, 32, 2, round(10.0/255, 6), round(20.0/255, 6), round(30.0/255, 6)),
         ('gif', 0, 0, 6, 3, round(10.0/255, 6), round(200.0/255, 6), round(30.0/255, 6)),
+        ('h264', 0, 0, 20, 12, round(40.0/255, 6), 0.0, 0.0),
+        ('h264', 0, 1, 20, 12, round(200.0/255, 6), 0.0, 0.0),
         ('jpeg', 0, 0, 16, 8, round(254.0/255, 6), 0.0, 0.0),
         ('jpeg', 1, 0, 12, 10, 0.555719, 0.509281, 0.473399),
         ('jpeg', 2, 0, 24, 8, 0.48029, 0.497345, 0.472569),
@@ -2299,9 +2301,11 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_ppm_features,
         decode_wav_features,
         extract_avi_mjpeg_frames,
+        extract_h264_frames,
         extract_y4m_frames,
         make_au_bytes,
         make_avi_mjpeg_bytes,
+        make_h264_bytes,
         make_gif_bytes,
         make_jpeg_bytes,
         make_mp1_bytes,
@@ -2478,6 +2482,22 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("m2"),
         F.lit(0.0).alias("m3"),
     )
+    # H.264 leg: Annex-B Constrained-Baseline I_PCM subset — real NAL /
+    # exp-Golomb / SPS-PPS-slice machinery with bit-exact reconstruction;
+    # 20x12 exercises the SPS frame-cropping path (2x1 MB grid cropped).
+    h264 = spark.createDataFrame(
+        [(0, "video", make_h264_bytes([40, 200], width=20, height=12))], schema
+    )
+    h264_leg = extract_h264_frames(h264).select(
+        F.lit("h264").alias("modality"),
+        F.col("media_id").cast("int").alias("media_id"),
+        F.col("frame_idx").cast("int").alias("idx"),
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("mean_luma").alias("m1"),
+        F.lit(0.0).alias("m2"),
+        F.lit(0.0).alias("m3"),
+    )
     # MP1 leg: MPEG-1 Audio Layer I — spec-exact frame syntax (header
     # fields, Table B.1 scalefactors, Layer I requantization) over a
     # PR-MDCT filterbank stand-in; the hashed metadata (sample rate,
@@ -2533,6 +2553,7 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio.unionByName(adpcm_leg)
         .unionByName(au_leg)
         .unionByName(avi_leg)
+        .unionByName(h264_leg)
         .unionByName(gif_leg)
         .unionByName(image)
         .unionByName(jpeg_leg)
