@@ -1931,3 +1931,52 @@ def test_h264_rejects_outside_subset_and_skips_on_error(spark):
         round(40 / 255, 6),
         round(200 / 255, 6),
     ]
+
+
+def test_mel_spectrogram_is_a_real_filterbank(spark):
+    """Log-mel features: tone frequency maps monotonically onto the mel
+    axis, the dominant band's energy dominates by orders of magnitude,
+    the frame count follows 1 + (n - n_fft)//hop, the flattened matrix
+    has exactly n_stft_frames*n_mels finite entries, and ADPCM blobs ride
+    the same parser. on_error='skip' drops undecodable blobs."""
+    import math
+
+    from vrod_spark.operators.multimodal import (
+        make_wav_adpcm_bytes,
+        make_wav_bytes,
+        mel_spectrogram_features,
+    )
+
+    media = spark.createDataFrame(
+        [(i, "audio", make_wav_bytes(200.0 * (i + 1))) for i in range(4)]
+        + [(10, "audio", make_wav_adpcm_bytes(1500.0))],
+        "media_id bigint, kind string, content binary",
+    )
+    rows = {r["media_id"]: r for r in mel_spectrogram_features(media).collect()}
+    assert len(rows) == 5
+    bands = [rows[i]["dominant_band"] for i in range(4)]
+    assert bands == sorted(bands)  # monotone in frequency
+    assert rows[10]["dominant_band"] > bands[-1]  # 1500 Hz > 800 Hz band
+    for r in rows.values():
+        # 0.25 s @ 8 kHz = 2000 samples, n_fft 256, hop 128 -> 14 frames.
+        assert r["n_stft_frames"] == 1 + (2000 - 256) // 128 == 14
+        assert len(r["log_mel"]) == r["n_stft_frames"] * r["n_mels"]
+        assert all(math.isfinite(v) and v >= 0 for v in r["log_mel"])
+        # Dominance: summed energy in the argmax band crushes the median.
+        per_band = [0.0] * r["n_mels"]
+        for f in range(r["n_stft_frames"]):
+            for m in range(r["n_mels"]):
+                per_band[m] += math.expm1(r["log_mel"][f * r["n_mels"] + m])
+        top = sorted(per_band)
+        assert top[-1] > 50 * top[r["n_mels"] // 2]
+
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(0, "audio", b"junk")], "media_id bigint, kind string, content binary"
+    )
+    with _pytest.raises(Exception):
+        mel_spectrogram_features(bad).collect()
+    assert mel_spectrogram_features(bad, on_error="skip").count() == 0
+    with _pytest.raises(ValueError):
+        mel_spectrogram_features(media, fmin=100.0, fmax=50.0)

@@ -1860,6 +1860,102 @@ def extract_avi_mjpeg_frames(
     return media.mapInPandas(work, VIDEO_FRAME_SCHEMA)
 
 
+MEL_SCHEMA = (
+    "media_id bigint, sample_rate int, n_stft_frames int, n_mels int, "
+    "dominant_band int, log_mel array<float>"
+)
+
+
+def mel_spectrogram_features(
+    media: DataFrame,
+    *,
+    n_fft: int = 256,
+    hop: int = 128,
+    n_mels: int = 8,
+    fmin: float = 0.0,
+    fmax: float | None = None,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Log-mel spectrograms — THE input transform of audio models
+    (wav2vec/Whisper-class pipelines train on exactly this): Hann-windowed
+    STFT frames -> power spectrum -> triangular mel filterbank (HTK
+    mel(f) = 2595 log10(1 + f/700)) -> log. Everything is closed-form
+    numpy over the same ``_wav_parser`` the codec legs use (PCM and
+    IMA-ADPCM blobs both work), emitted as one row per blob with the
+    (n_stft_frames x n_mels) matrix flattened row-major — the shape a
+    downstream training batch assembles without another shuffle.
+
+    ``dominant_band`` (argmax of per-band energy summed over frames) is
+    the integer summary the q51 gate pins: for a pure tone it is
+    separated from the runner-up by orders of magnitude, so it is stable
+    across numpy/FFT library versions, unlike raw float literals.
+
+    Scale shape: Arrow-batched ``mapInPandas``; audio bytes never
+    shuffle, only ids + the fixed-width feature rows."""
+    if fmax is not None and fmax <= fmin:
+        raise ValueError("fmax must exceed fmin")
+    parse_wav = _wav_parser()
+    nf, hp, nm, f_lo, f_hi = int(n_fft), int(hop), int(n_mels), float(fmin), fmax
+
+    strict = on_error != "skip"
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def mel_bank(rate: int) -> np.ndarray:
+            hi = min(f_hi, rate / 2.0) if f_hi is not None else rate / 2.0
+
+            def to_mel(f):
+                return 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
+
+            def from_mel(m):
+                return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+
+            pts = from_mel(np.linspace(to_mel(f_lo), to_mel(hi), nm + 2))
+            bins = np.fft.rfftfreq(nf, d=1.0 / rate)
+            bank = np.zeros((nm, len(bins)))
+            for m in range(nm):
+                left, center, right = pts[m], pts[m + 1], pts[m + 2]
+                up = (bins - left) / max(center - left, 1e-12)
+                down = (right - bins) / max(right - center, 1e-12)
+                bank[m] = np.clip(np.minimum(up, down), 0.0, None)
+            return bank
+
+        window = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(nf) / nf)
+        for pdf in batches:
+            out = {
+                "media_id": [], "sample_rate": [], "n_stft_frames": [],
+                "n_mels": [], "dominant_band": [], "log_mel": [],
+            }
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    rate, _n, pcm = parse_wav(bytes(content))
+                except Exception:
+                    if strict:
+                        raise
+                    continue
+                if len(pcm) < nf:
+                    pcm = np.pad(pcm, (0, nf - len(pcm)))
+                n_frames = 1 + (len(pcm) - nf) // hp
+                idx = np.arange(nf)[None, :] + hp * np.arange(n_frames)[:, None]
+                frames = pcm[idx] * window[None, :]
+                power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+                mel = power @ mel_bank(rate).T
+                log_mel = np.log1p(mel)
+                out["media_id"].append(media_id)
+                out["sample_rate"].append(rate)
+                out["n_stft_frames"].append(n_frames)
+                out["n_mels"].append(nm)
+                out["dominant_band"].append(int(np.argmax(mel.sum(axis=0))))
+                out["log_mel"].append(
+                    log_mel.astype(np.float32).reshape(-1).tolist()
+                )
+            out["log_mel"] = pd.Series(out["log_mel"], dtype="object")
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(work, MEL_SCHEMA)
+
+
 # -- H.264 / AVC (ITU-T H.264, Constrained Baseline, I_PCM subset) -----------
 # The last video codec, implemented for a DECLARED CONFORMING SUBSET the
 # same way the MPEG-audio legs declare theirs: Annex-B byte streams of

@@ -2271,6 +2271,10 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
         ('jpeg', 0, 0, 16, 8, round(254.0/255, 6), 0.0, 0.0),
         ('jpeg', 1, 0, 12, 10, 0.555719, 0.509281, 0.473399),
         ('jpeg', 2, 0, 24, 8, 0.48029, 0.497345, 0.472569),
+        ('mel', 0, 0, 0, 0, 0.0, 14.0, 0.0),
+        ('mel', 1, 0, 0, 0, 1.0, 14.0, 0.0),
+        ('mel', 2, 0, 0, 0, 2.0, 14.0, 0.0),
+        ('mel', 3, 0, 0, 0, 3.0, 14.0, 0.0),
         ('mp1', 0, 0, 0, 0, 32000.0, 7680.0, 240.0),
         ('mp1', 1, 0, 0, 0, 32000.0, 7680.0, 240.0),
         ('mp2', 0, 0, 0, 0, 48000.0, 11520.0, 240.0),
@@ -2316,6 +2320,7 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_wav_adpcm_bytes,
         make_wav_bytes,
         make_y4m_bytes,
+        mel_spectrogram_features,
     )
 
     schema = "media_id bigint, kind string, content binary"
@@ -2482,6 +2487,22 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("m2"),
         F.lit(0.0).alias("m3"),
     )
+    # Mel leg: log-mel spectrograms over the SAME four WAV tone blobs —
+    # the audio-model input transform (STFT + triangular mel filterbank).
+    # The gate pins the integer summary (dominant mel band, frame count):
+    # tone frequency maps monotonically onto the mel axis, and a pure
+    # tone's argmax band is orders of magnitude above the runner-up, so
+    # the pin is stable across FFT library versions.
+    mel_leg = mel_spectrogram_features(wav).select(
+        F.lit("mel").alias("modality"),
+        F.col("media_id").cast("int").alias("media_id"),
+        F.lit(0).alias("idx"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        F.col("dominant_band").cast("double").alias("m1"),
+        F.col("n_stft_frames").cast("double").alias("m2"),
+        F.lit(0.0).alias("m3"),
+    )
     # H.264 leg: Annex-B Constrained-Baseline I_PCM subset — real NAL /
     # exp-Golomb / SPS-PPS-slice machinery with bit-exact reconstruction;
     # 20x12 exercises the SPS frame-cropping path (2x1 MB grid cropped).
@@ -2554,6 +2575,7 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(au_leg)
         .unionByName(avi_leg)
         .unionByName(h264_leg)
+        .unionByName(mel_leg)
         .unionByName(gif_leg)
         .unionByName(image)
         .unionByName(jpeg_leg)
