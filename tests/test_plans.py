@@ -305,3 +305,37 @@ def test_winnow_overlap_pairs_reuses_fingerprint_pipeline(spark, sf_dir):
     assert "ShuffledHashJoin" in plan
     assert "ReusedExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bm25_broadcasts_stats_and_takes_ordered(spark, sf_dir):
+    """BM25: the per-term idf stats (a |query|-row frame) must broadcast —
+    never shuffle the postings against them — and the top-k cut must plan
+    as TakeOrderedAndProject, not a global sort."""
+    from vrod_spark.operators.retrieval import bm25_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = explain_str(bm25_rank(docs, ["hash", "join", "scan"], top_k=20), "formatted")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_semantic_dedup_reuses_assignment_pipeline(spark, sf_dir):
+    """SemDeDup's within-cluster self-join must plan both sides as
+    identical shuffle exchanges (shuffle_hash hints) so ReuseExchange
+    computes the k-means assignment + ranking pipeline ONCE — the same
+    contract as the near-dup signature pipelines."""
+    from vrod_spark.operators.cluster import seed_centroids, semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # Plant exact duplicates: with no pair above the threshold the dropped
+    # side is EMPTY and AQE prunes the self-join away entirely (no
+    # exchange left to reuse) — the planted copies keep the join live.
+    planted = emb.limit(20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    cents = seed_centroids(emb, 8)
+    plan = _executed_plan(
+        semantic_dedup(emb.unionByName(planted), cents, min_cosine=0.99)
+    )
+    assert "ReusedExchange" in plan, "assignment pipeline not reused"
+    assert "ShuffledHashJoin" in plan
