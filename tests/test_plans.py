@@ -319,23 +319,22 @@ def test_bm25_broadcasts_stats_and_takes_ordered(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
-def test_semantic_dedup_reuses_assignment_pipeline(spark, sf_dir):
-    """SemDeDup's within-cluster self-join must plan both sides as
-    identical shuffle exchanges (shuffle_hash hints) so ReuseExchange
-    computes the k-means assignment + ranking pipeline ONCE — the same
-    contract as the near-dup signature pipelines."""
+def test_semantic_dedup_is_one_shuffle_then_grouped_numpy(spark, sf_dir):
+    """SemDeDup's within-cluster pairwise pass must be ONE exchange on the
+    cluster id feeding a grouped numpy stage (FlatMapGroupsInPandas) —
+    never a join: a zip_with/aggregate cosine self-join is interpreted
+    (HigherOrderFunction is CodegenFallback) and was ~20x slower at
+    sum(n_c^2) pair volume. The assignment pipeline (scan + ArrowEval
+    assign UDF) must appear exactly once."""
     from vrod_spark.operators.cluster import seed_centroids, semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # Plant exact duplicates: with no pair above the threshold the dropped
-    # side is EMPTY and AQE prunes the self-join away entirely (no
-    # exchange left to reuse) — the planted copies keep the join live.
-    planted = emb.limit(20).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
-    )
     cents = seed_centroids(emb, 8)
-    plan = _executed_plan(
-        semantic_dedup(emb.unionByName(planted), cents, min_cosine=0.99)
-    )
-    assert "ReusedExchange" in plan, "assignment pipeline not reused"
-    assert "ShuffledHashJoin" in plan
+    plan = _executed_plan(semantic_dedup(emb, cents, min_cosine=0.99))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan, "pairwise pass must not plan as a join"
+    # AQE's toString repeats nodes across the Initial Plan and per-stage
+    # sections — count only the final executed section.
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("ArrowEvalPython") == 1, "assignment must run once"
+    assert final.count("Exchange hashpartitioning") == 1, "one shuffle only"

@@ -34,7 +34,6 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from vrod_spark.functions.vector import cosine_similarity
 from vrod_spark.operators.ivf import _spherical_kmeans
 
 SEED = 42
@@ -157,28 +156,39 @@ def semantic_dedup(
 
     w = Window.partitionBy("cluster").orderBy(F.col("ccos").desc(), "id")
     ranked = assigned.withColumn("rank", F.row_number().over(w))
-    a = ranked.alias("a").hint("shuffle_hash")
-    b = ranked.alias("b").hint("shuffle_hash")
-    dropped = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("a.rank") < F.col("b.rank")),
-        )
-        .where(cosine_similarity(F.col("a.v"), F.col("b.v")) >= F.lit(min_cosine))
-        .select(F.col("b.id").alias("id"))
-        .distinct()
-        .withColumn("_dropped", F.lit(True))
-    )
-    return (
-        ranked.join(dropped, "id", "left")
-        .select(
-            "id",
-            "cluster",
-            "ccos",
-            "rank",
-            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
-        )
+    tau = float(min_cosine)
+
+    # Within-cluster pairwise scoring as ONE BLAS matmul per cluster
+    # (applyInPandas — clusters are the blocks, the SemDeDup contract).
+    # A zip_with/aggregate cosine join was tried first and rejected:
+    # HigherOrderFunction is CodegenFallback (interpreted), and at
+    # sum(n_c^2) pair volume it was ~20x slower than the matmul. Row
+    # blocks bound the sims buffer for large clusters.
+    def mark(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("rank").reset_index(drop=True)
+        n = len(pdf)
+        if n <= 1:
+            return pdf.assign(kept=True)[["id", "cluster", "ccos", "rank", "kept"]]
+        mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        unit = mat / np.where(norms == 0, 1, norms)
+        dropped = np.zeros(n, dtype=bool)
+        block = 2048
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            sims = unit[lo:hi] @ unit.T  # rows lo..hi vs ALL cluster members
+            for j in range(lo, hi):
+                row = sims[j - lo]
+                # Earlier-ranked member within tau -> j is a duplicate.
+                if np.any(row[:j] >= tau):
+                    dropped[j] = True
+        return pdf.assign(kept=~dropped)[["id", "cluster", "ccos", "rank", "kept"]]
+
+    return ranked.groupBy("cluster").applyInPandas(
+        mark, "id long, cluster int, ccos double, rank int, kept boolean"
     )
 
 
