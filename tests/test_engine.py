@@ -1098,3 +1098,75 @@ def test_opq_rotation_improves_anisotropic_recall(spark, tmp_path):
         "SEARCHSIMILAR", collection="emb", arg={"vector": dvec, "k": 1}
     ).df.first()
     assert hit["id"] == 7_777 and hit["dist"] < 1e-5
+
+
+def test_dedup_verb_semdedup_strategy(engine):
+    """DEDUP strategy "semdedup": k-means cluster + within-cluster
+    semantic pruning. Exact vector copies are dropped keeping the
+    smallest id; orthogonal vectors survive; works without an integral
+    id hash mapping."""
+    engine.execute("CREATE", collection="vecs")
+    rows = [
+        {"id": 1, "embedding": [1.0, 0.0, 0.0, 0.0], "payload": "a"},
+        {"id": 2, "embedding": [1.0, 0.0, 0.0, 0.0], "payload": "b"},  # dup of 1
+        {"id": 3, "embedding": [0.0, 1.0, 0.0, 0.0], "payload": "c"},
+        {"id": 4, "embedding": [0.0, 0.0, 1.0, 0.0], "payload": "d"},
+        {"id": 5, "embedding": [0.0, 0.0, 1.0, 0.0], "payload": "e"},  # dup of 4
+        {"id": 6, "embedding": [0.0, 0.0, 0.0, 1.0], "payload": "f"},
+    ]
+    engine.execute("INSERT", collection="vecs", arg=rows)
+    info = engine.execute(
+        "DEDUP",
+        collection="vecs",
+        arg={"strategy": "semdedup", "threshold": 0.99, "k": 3},
+    ).info
+    assert info["removed"] == 2
+    assert info["clusters"] == 3
+    col = engine.db.collection("vecs")
+    assert sorted(r["id"] for r in col.read().collect()) == [1, 3, 4, 6]
+
+
+def test_search_verb_bm25_ranking(engine, spark, sf_dir):
+    """SEARCH with rank={"bm25": ...}: returns the BM25-ranked row set
+    (rank 1..limit, matched-term counts, payload) and composes with a
+    WHERE prefilter. Scores agree with the library operator run on the
+    same slice."""
+    from vrod_spark.operators.retrieval import bm25_rank
+
+    engine.execute("CREATE", collection="docs")
+    engine.execute("BULKINSERT", collection="docs", arg=records_df(spark, sf_dir))
+    res = engine.execute(
+        "SEARCH",
+        collection="docs",
+        arg={"rank": {"bm25": "hash join"}, "limit": 5},
+    )
+    rows = res.df.collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    assert all(r["n_matched"] >= 1 and r["payload"] for r in rows)
+    assert all(rows[i]["score"] >= rows[i + 1]["score"] for i in range(4))
+
+    base = engine.db.collection("docs").read()
+    expect = {
+        r["id"]: (r["rank"], r["score"])
+        for r in bm25_rank(
+            base, ["hash", "join"], text_col="payload", id_col="id", top_k=5
+        ).collect()
+    }
+    assert {r["id"]: (r["rank"], r["score"]) for r in rows} == expect
+
+    # Prefilter composes: restrict to even ids, ranking reflows.
+    res2 = engine.execute(
+        "SEARCH",
+        collection="docs",
+        arg={"where": "id % 2 = 0", "rank": {"bm25": "hash join"}, "limit": 3},
+    )
+    rows2 = res2.df.collect()
+    assert all(r["id"] % 2 == 0 for r in rows2)
+    assert [r["rank"] for r in rows2] == [1, 2, 3]
+
+    import pytest as _pytest
+
+    from vrod_spark.errors import CommandArgError
+
+    with _pytest.raises(CommandArgError):
+        engine.execute("SEARCH", collection="docs", arg={"rank": {"bm25": "  "}})

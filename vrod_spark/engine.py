@@ -291,15 +291,46 @@ class Engine:
     def _search(self, collection: str | None, arg: Any) -> CommandResult:
         """SEARCH (builder.rs:63-67): predicate/metadata search. `arg`: SQL
         boolean expression over (id, payload, meta), or {"where": ...,
-        "limit": n}. Runs as filter → (optional) limit with full predicate
-        pushdown to the Parquet scan."""
+        "limit": n, "rank": {"bm25": "query terms"}}. Runs as filter →
+        (optional) limit with full predicate pushdown to the Parquet scan.
+
+        With ``rank``, the filtered rows are scored by BM25 over the
+        payload (operators.retrieval.bm25_rank — Okapi/Lucene idf; only
+        query-term postings shuffle, corpus stats broadcast, top-k plans
+        as TakeOrderedAndProject) and the result is the ranked row set
+        (id, rank, n_matched, score, payload) instead of the id-ordered
+        filter output — the full-text face of the reference's SEARCH
+        intent."""
         col = self._require_collection(collection)
         spec = self._require_arg(arg, "search predicate")
         limit = None
+        rank = None
         if isinstance(spec, dict):
             predicate, limit = spec.get("where", "true"), spec.get("limit")
+            rank = spec.get("rank")
         else:
             predicate = str(spec)
+        if rank is not None:
+            from vrod_spark.operators.retrieval import bm25_rank
+
+            query = rank.get("bm25") if isinstance(rank, dict) else rank
+            terms = [t for t in str(query).lower().split() if t]
+            if not terms:
+                raise CommandArgError("rank.bm25 needs at least one query term")
+            base = col.read().filter(F.expr(predicate))
+            ranked = bm25_rank(
+                base,
+                terms,
+                text_col="payload",
+                id_col="id",
+                top_k=int(limit or 10),
+            )
+            df = (
+                ranked.join(base.select("id", "payload"), "id")
+                .select("id", "rank", "n_matched", "score", "payload")
+                .orderBy("rank")
+            )
+            return CommandResult("SEARCH", df=df)
         pk_lit = col.partition_literal(predicate)
         if pk_lit is not None:
             # Meta-key-partitioned collection + predicate pinning that key:
@@ -392,13 +423,23 @@ class Engine:
         snapshot is rewritten, the pointer swaps atomically.
 
         ``arg``: {"strategy": "exact" (default) | "minhash" | "simhash"
-                  | "embedding" | "winnow",
+                  | "embedding" | "semdedup" | "winnow",
                   "column": "payload" (text strategies),
-                  "threshold": strategy-specific similarity cutoff}
+                  "threshold": strategy-specific similarity cutoff,
+                  "k": cluster count (semdedup, default 8)}
         - exact:      sha2 of normalized text, keep min id. Deterministic.
         - minhash:    MinHash-LSH candidates ≥ threshold Jaccard (default .8)
         - simhash:    SimHash pairs within Hamming distance (default 3)
         - embedding:  LSH-bucketed cosine near-dups ≥ threshold (default .99)
+        - semdedup:   SemDeDup (Abbas et al. 2023): k-means cluster the
+                      embeddings (deterministic bounded-sample training),
+                      then drop rows within threshold cosine (default
+                      .99) of an earlier-ranked member of the SAME
+                      cluster (rank = centroid cosine desc, id) — the
+                      data-adaptive blocking for semantic dedup. Drop
+                      decisions use exact float64 cosines; clustering
+                      only scopes the candidates. Works on any orderable
+                      id type directly (no hash mapping needed).
         - winnow:     MOSS winnowing-fingerprint overlap ≥ threshold
                       (default .5 of the smaller doc's fingerprints) —
                       the contiguous-passage/boilerplate signal that
@@ -470,6 +511,35 @@ class Engine:
                 },
             )
 
+        if strategy == "semdedup":
+            from vrod_spark.operators.cluster import kmeans_train, semantic_dedup
+
+            vecs = df.select("id", "embedding")
+            k = int(opts.get("k", 8))
+            cents = kmeans_train(vecs, k, vec_col="embedding")
+            marked = semantic_dedup(
+                vecs,
+                cents,
+                vec_col="embedding",
+                id_col="id",
+                min_cosine=float(opts.get("threshold", 0.99)),
+            )
+            drop_ids = marked.filter(~F.col("kept")).select("id")
+            survivors = df.join(drop_ids, "id", "left_anti")
+            n_after = col._rewrite(
+                survivors, "DEDUP", {"strategy": strategy, "k": k}
+            )
+            return CommandResult(
+                "DEDUP",
+                info={
+                    "collection": col.name,
+                    "strategy": strategy,
+                    "clusters": k,
+                    "removed": before - n_after,
+                    "rows": n_after,
+                },
+            )
+
         if strategy == "minhash":
             from vrod_spark.operators.dedup import minhash_lsh_pairs
 
@@ -511,7 +581,7 @@ class Engine:
         else:
             raise CommandArgError(
                 f"unknown dedup strategy {strategy!r}; expected "
-                "exact/minhash/simhash/embedding/winnow"
+                "exact/minhash/simhash/embedding/semdedup/winnow"
             )
 
         # Keep-first, transitively: close the verified pairs into
