@@ -1980,3 +1980,88 @@ def test_mel_spectrogram_is_a_real_filterbank(spark):
     assert mel_spectrogram_features(bad, on_error="skip").count() == 0
     with _pytest.raises(ValueError):
         mel_spectrogram_features(media, fmin=100.0, fmax=50.0)
+
+
+def test_media_sniffer_identifies_all_formats():
+    """Magic-byte sniffing: every synthesized format identifies as its
+    own tag (including WAV PCM vs ADPCM via the fmt chunk and the three
+    MPEG audio layers via sync-header layer bits); garbage raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    import vrod_spark.operators.multimodal as M
+
+    cases = {
+        "wav": M.make_wav_bytes(200.0),
+        "adpcm": M.make_wav_adpcm_bytes(250.0),
+        "au": M.make_au_bytes(300.0),
+        "ppm": M.make_ppm_bytes(4, 4, (1, 2, 3)),
+        "png": M.make_png_bytes(4, 4, (1, 2, 3)),
+        "gif": M.make_gif_bytes(4, 4, (1, 2, 3)),
+        "jpeg": M.make_jpeg_bytes(16, 8, (9, 9, 9)),
+        "y4m": M.make_y4m_bytes(8, 8, [7]),
+        "avi": M.make_avi_mjpeg_bytes([np.full((8, 16, 3), 5, dtype=np.uint8)]),
+        "h264": M.make_h264_bytes([50], width=16, height=16),
+        "mp1": M.make_mp1_bytes(440.0),
+        "mp2": M.make_mp2_bytes(440.0),
+        "mp3": M.make_mp3_bytes(2000.0),
+    }
+    for fmt, blob in cases.items():
+        assert M.sniff_media_format(blob) == fmt, fmt
+    for junk in (b"", b"hello world", b"\x00" * 16):
+        with _pytest.raises(ValueError):
+            M.sniff_media_format(junk)
+
+
+def test_decode_media_matches_dedicated_decoders(spark):
+    """The universal decoder's per-format summaries equal the dedicated
+    operators' outputs on the same blobs, and skip mode drops only the
+    undecodable row."""
+    import numpy as np
+
+    import vrod_spark.operators.multimodal as M
+
+    schema = "media_id bigint, kind string, content binary"
+    blobs = [
+        (0, "a", M.make_wav_bytes(200.0)),
+        (1, "a", M.make_au_bytes(300.0)),
+        (2, "i", M.make_png_bytes(8, 4, (0, 64, 255))),
+        (3, "i", M.make_jpeg_bytes(16, 8, (255, 0, 0))),
+        (4, "v", M.make_y4m_bytes(16, 8, [0, 102])),
+        (5, "v", M.make_h264_bytes([40, 200], width=20, height=12)),
+    ]
+    media = spark.createDataFrame(blobs, schema)
+    got = {
+        (r["format"], r["media_id"], r["idx"]): r
+        for r in M.decode_media(media).collect()
+    }
+    wav = M.decode_wav_features(media.filter("media_id = 0")).first()
+    assert got[("wav", 0, 0)]["m1"] == float(wav["sample_rate"])
+    assert got[("wav", 0, 0)]["m2"] == float(wav["n_frames"])
+    png = M.decode_png_features(media.filter("media_id = 2")).first()
+    assert (
+        got[("png", 2, 0)]["m1"],
+        got[("png", 2, 0)]["m2"],
+        got[("png", 2, 0)]["m3"],
+    ) == (png["mean_r"], png["mean_g"], png["mean_b"])
+    jpg = M.decode_jpeg_features(media.filter("media_id = 3")).first()
+    assert got[("jpeg", 3, 0)]["m1"] == jpg["mean_r"]
+    y4m = {
+        r["frame_idx"]: r
+        for r in M.extract_y4m_frames(media.filter("media_id = 4")).collect()
+    }
+    assert got[("y4m", 4, 1)]["m1"] == y4m[1]["mean_luma"]
+    h264 = {
+        r["frame_idx"]: r
+        for r in M.extract_h264_frames(media.filter("media_id = 5")).collect()
+    }
+    assert got[("h264", 5, 0)]["m1"] == h264[0]["mean_luma"]
+    assert got[("h264", 5, 1)]["width"] == 20
+
+    import pytest as _pytest
+
+    poisoned = spark.createDataFrame(blobs + [(9, "x", b"junkjunk")], schema)
+    with _pytest.raises(Exception):
+        M.decode_media(poisoned).collect()
+    rows = M.decode_media(poisoned, on_error="skip").collect()
+    assert {r["media_id"] for r in rows} == {0, 1, 2, 3, 4, 5}

@@ -259,6 +259,39 @@ IMAGE_SCHEMA = (
 )
 
 
+def _ppm_parser():
+    """Self-contained P6 parser closure (pickled by value, like
+    ``_jpeg_decoder``): ``parse_ppm(bytes) -> (w, h, float64 img in
+    [0,1])``."""
+
+    def parse_ppm(b: bytes):
+        import numpy as np
+
+        # P6 header: magic, width, height, maxval — whitespace/comment
+        # separated, then one whitespace byte, then raw RGB.
+        tokens, i, n = [], 0, len(b)
+        while len(tokens) < 4 and i < n:
+            while i < n and b[i : i + 1].isspace():
+                i += 1
+            if b[i : i + 1] == b"#":  # comment to EOL
+                while i < n and b[i : i + 1] != b"\n":
+                    i += 1
+                continue
+            j = i
+            while j < n and not b[j : j + 1].isspace():
+                j += 1
+            tokens.append(b[i:j])
+            i = j
+        if not tokens or tokens[0] != b"P6":
+            raise ValueError("not a binary PPM (P6) blob")
+        w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+        i += 1  # single whitespace after maxval
+        px = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=i)
+        return w, h, px.reshape(h, w, 3).astype(np.float64) / maxval
+
+    return parse_ppm
+
+
 def decode_ppm_features(media: DataFrame, *, on_error: str = "raise") -> DataFrame:
     """REAL image decoding for binary PPM (P6) blobs — pure numpy header
     parse + raw RGB plane reads, no codec library. Emits dimensions and
@@ -266,34 +299,10 @@ def decode_ppm_features(media: DataFrame, *, on_error: str = "raise") -> DataFra
     pipeline starts with). See decode_png_features / decode_jpeg_features
     for the real compressed-codec paths; PPM proves the identical
     plumbing carries a raw decoder."""
+    parse_ppm = _ppm_parser()
 
     strict = on_error != "skip"
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        def parse_ppm(b: bytes):
-            # P6 header: magic, width, height, maxval — whitespace/comment
-            # separated, then one whitespace byte, then raw RGB.
-            tokens, i, n = [], 0, len(b)
-            while len(tokens) < 4 and i < n:
-                while i < n and b[i : i + 1].isspace():
-                    i += 1
-                if b[i : i + 1] == b"#":  # comment to EOL
-                    while i < n and b[i : i + 1] != b"\n":
-                        i += 1
-                    continue
-                j = i
-                while j < n and not b[j : j + 1].isspace():
-                    j += 1
-                tokens.append(b[i:j])
-                i = j
-            if tokens[0] != b"P6":
-                raise ValueError("not a binary PPM (P6) blob")
-            w, h, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
-            i += 1  # single whitespace after maxval
-            px = np.frombuffer(b, dtype=np.uint8, count=w * h * 3, offset=i)
-            return w, h, px.reshape(h, w, 3).astype(np.float64) / maxval
-
         for pdf in batches:
             out = {
                 "media_id": [], "width": [], "height": [], "n_pixels": [],
@@ -416,11 +425,10 @@ def extract_y4m_frames(
     video (Y4M) all decode for REAL with stdlib+numpy; see
     extract_avi_mjpeg_frames for the compressed-video path."""
     step = max(int(every_n), 1)
+    parse_y4m = _y4m_parser()
 
     strict = on_error != "skip"
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
             out = {
                 "media_id": [], "frame_idx": [], "width": [],
@@ -428,39 +436,50 @@ def extract_y4m_frames(
             }
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 # Frames parsed before a corruption point still emit in
-                # skip mode (appends are whole-frame-atomic: every parse
-                # step of a frame precedes its appends).
+                # skip mode (the parser is a generator — every yielded
+                # frame precedes the corruption raise).
                 try:
-                    b = bytes(content)
-                    nl = b.index(b"\n")
-                    header = b[:nl].decode("ascii").split()
-                    if header[0] != "YUV4MPEG2":
-                        raise ValueError("not a YUV4MPEG2 blob")
-                    params = {p[0]: p[1:] for p in header[1:]}
-                    w, h = int(params["W"]), int(params["H"])
-                    frame_bytes = w * h * 3 // 2  # 4:2:0
-                    pos, idx = nl + 1, 0
-                    while pos < len(b):
-                        fnl = b.index(b"\n", pos)
-                        if not b[pos:fnl].startswith(b"FRAME"):
-                            raise ValueError("malformed FRAME header")
-                        y = np.frombuffer(
-                            b, dtype=np.uint8, count=w * h, offset=fnl + 1
-                        )
+                    for idx, w, h, luma in parse_y4m(bytes(content)):
                         if idx % step == 0:
                             out["media_id"].append(media_id)
                             out["frame_idx"].append(idx)
                             out["width"].append(w)
                             out["height"].append(h)
-                            out["mean_luma"].append(round(float(y.mean()) / 255, 6))
-                        pos = fnl + 1 + frame_bytes
-                        idx += 1
+                            out["mean_luma"].append(luma)
                 except Exception:
                     if strict:
                         raise
             yield pd.DataFrame(out)
 
     return media.mapInPandas(work, VIDEO_FRAME_SCHEMA)
+
+
+def _y4m_parser():
+    """Self-contained Y4M parser closure — a GENERATOR yielding
+    ``(frame_idx, w, h, mean_luma)`` per frame, raising at the corruption
+    point (frames yielded before it stand, the skip-mode contract)."""
+
+    def parse_y4m(b: bytes):
+        import numpy as np
+
+        nl = b.index(b"\n")
+        header = b[:nl].decode("ascii").split()
+        if header[0] != "YUV4MPEG2":
+            raise ValueError("not a YUV4MPEG2 blob")
+        params = {p[0]: p[1:] for p in header[1:]}
+        w, h = int(params["W"]), int(params["H"])
+        frame_bytes = w * h * 3 // 2  # 4:2:0
+        pos, idx = nl + 1, 0
+        while pos < len(b):
+            fnl = b.index(b"\n", pos)
+            if not b[pos:fnl].startswith(b"FRAME"):
+                raise ValueError("malformed FRAME header")
+            y = np.frombuffer(b, dtype=np.uint8, count=w * h, offset=fnl + 1)
+            yield idx, w, h, round(float(y.mean()) / 255, 6)
+            pos = fnl + 1 + frame_bytes
+            idx += 1
+
+    return parse_y4m
 
 
 def make_y4m_bytes(width: int, height: int, lumas: list[int]) -> bytes:
@@ -546,75 +565,10 @@ def decode_png_features(media: DataFrame, *, on_error: str = "raise") -> DataFra
     decode_jpeg_features for the T.81 path and extract_h264_frames for
     the H.264 I_PCM subset."""
 
+    parse_png = _png_parser()
+
     strict = on_error != "skip"
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-        import zlib
-
-        import numpy as np
-
-        def parse_png(b: bytes):
-            if b[:8] != b"\x89PNG\r\n\x1a\n":
-                raise ValueError("not a PNG blob")
-            i, n = 8, len(b)
-            w = h = None
-            idat = bytearray()
-            while i + 8 <= n:
-                (length,) = struct.unpack(">I", b[i : i + 4])
-                tag = b[i + 4 : i + 8]
-                data = b[i + 8 : i + 8 + length]
-                i += 12 + length  # len + tag + data + crc
-                if tag == b"IHDR":
-                    w, h, depth, ctype, comp, filt, interlace = struct.unpack(
-                        ">IIBBBBB", data
-                    )
-                    if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
-                        raise ValueError(
-                            "only 8-bit RGB non-interlaced PNGs are supported "
-                            f"(got depth={depth} color={ctype} interlace={interlace})"
-                        )
-                elif tag == b"IDAT":
-                    idat.extend(data)
-                elif tag == b"IEND":
-                    break
-            raw = zlib.decompress(bytes(idat))
-            stride = w * 3
-            px = np.zeros((h, stride), dtype=np.uint8)
-            prior = np.zeros(stride, dtype=np.int32)
-            for y in range(h):
-                ft = raw[y * (stride + 1)]
-                line = np.frombuffer(
-                    raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-                ).astype(np.int32)
-                if ft == 0:
-                    rec = line
-                elif ft == 2:
-                    rec = (line + prior) % 256
-                elif ft in (1, 3, 4):
-                    # Left-dependent filters are sequential in x; process
-                    # pixel-by-pixel (3-byte steps) with vectorized channels.
-                    rec = np.zeros(stride, dtype=np.int32)
-                    for x in range(0, stride, 3):
-                        left = rec[x - 3 : x] if x else np.zeros(3, dtype=np.int32)
-                        up = prior[x : x + 3]
-                        ul = prior[x - 3 : x] if x else np.zeros(3, dtype=np.int32)
-                        if ft == 1:
-                            pred = left
-                        elif ft == 3:
-                            pred = (left + up) // 2
-                        else:
-                            p = left + up - ul
-                            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
-                            pred = np.where(
-                                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
-                            )
-                        rec[x : x + 3] = (line[x : x + 3] + pred) % 256
-                else:
-                    raise ValueError(f"unknown PNG filter byte {ft}")
-                px[y] = rec.astype(np.uint8)
-                prior = rec
-            return w, h, px.reshape(h, w, 3).astype(np.float64) / 255.0
-
         for pdf in batches:
             out = {
                 "media_id": [], "width": [], "height": [], "n_pixels": [],
@@ -638,6 +592,80 @@ def decode_png_features(media: DataFrame, *, on_error: str = "raise") -> DataFra
             yield pd.DataFrame(out)
 
     return media.mapInPandas(decode, IMAGE_SCHEMA)
+
+
+def _png_parser():
+    """Self-contained PNG (8-bit RGB, non-interlaced) parser closure:
+    ``parse_png(bytes) -> (w, h, float64 img in [0,1])``."""
+
+    def parse_png(b: bytes):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        if b[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("not a PNG blob")
+        i, n = 8, len(b)
+        w = h = None
+        idat = bytearray()
+        while i + 8 <= n:
+            (length,) = struct.unpack(">I", b[i : i + 4])
+            tag = b[i + 4 : i + 8]
+            data = b[i + 8 : i + 8 + length]
+            i += 12 + length  # len + tag + data + crc
+            if tag == b"IHDR":
+                w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                    raise ValueError(
+                        "only 8-bit RGB non-interlaced PNGs are supported "
+                        f"(got depth={depth} color={ctype} interlace={interlace})"
+                    )
+            elif tag == b"IDAT":
+                idat.extend(data)
+            elif tag == b"IEND":
+                break
+        raw = zlib.decompress(bytes(idat))
+        stride = w * 3
+        px = np.zeros((h, stride), dtype=np.uint8)
+        prior = np.zeros(stride, dtype=np.int32)
+        for y in range(h):
+            ft = raw[y * (stride + 1)]
+            line = np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+            ).astype(np.int32)
+            if ft == 0:
+                rec = line
+            elif ft == 2:
+                rec = (line + prior) % 256
+            elif ft in (1, 3, 4):
+                # Left-dependent filters are sequential in x; process
+                # pixel-by-pixel (3-byte steps) with vectorized channels.
+                rec = np.zeros(stride, dtype=np.int32)
+                for x in range(0, stride, 3):
+                    left = rec[x - 3 : x] if x else np.zeros(3, dtype=np.int32)
+                    up = prior[x : x + 3]
+                    ul = prior[x - 3 : x] if x else np.zeros(3, dtype=np.int32)
+                    if ft == 1:
+                        pred = left
+                    elif ft == 3:
+                        pred = (left + up) // 2
+                    else:
+                        p = left + up - ul
+                        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                        pred = np.where(
+                            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+                        )
+                    rec[x : x + 3] = (line[x : x + 3] + pred) % 256
+            else:
+                raise ValueError(f"unknown PNG filter byte {ft}")
+            px[y] = rec.astype(np.uint8)
+            prior = rec
+        return w, h, px.reshape(h, w, 3).astype(np.float64) / 255.0
+
+    return parse_png
 
 
 def make_au_bytes(freq_hz: float, *, sample_rate: int = 8000, n_frames: int = 2000) -> bytes:
@@ -676,29 +704,11 @@ def decode_au_features(
     proves a genuinely lossy-compressed audio format decodes through the
     identical mapInPandas plumbing."""
 
+    parse_au = _au_parser()
+
     strict = on_error != "skip"
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-
         import numpy as np
-
-        def parse_au(b: bytes):
-            magic, offset, size, enc, rate, chans = struct.unpack(">4sIIIII", b[:24])
-            if magic != b".snd":
-                raise ValueError("not an AU blob")
-            if enc != 1 or chans != 1:
-                raise ValueError(f"only mono G.711 mu-law AU supported (enc={enc})")
-            u = np.frombuffer(b, dtype=np.uint8, offset=offset, count=size).astype(
-                np.int32  # the expansion shifts exceed uint8 range
-            )
-            # ITU-T G.711 mu-law expansion.
-            u = (~u) & 0xFF
-            sign = u & 0x80
-            exp = (u >> 4) & 0x07
-            mantissa = u & 0x0F
-            mag = (((mantissa << 3) + 0x84) << exp) - 0x84
-            pcm = np.where(sign != 0, -mag, mag).astype(np.float64) / 32768.0
-            return rate, pcm
 
         for pdf in batches:
             out = {
@@ -727,6 +737,35 @@ def decode_au_features(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(decode, AUDIO_SCHEMA)
+
+
+def _au_parser():
+    """Self-contained Sun AU / G.711 mu-law parser closure:
+    ``parse_au(bytes) -> (rate, float64 pcm in [-1,1])``."""
+
+    def parse_au(b: bytes):
+        import struct
+
+        import numpy as np
+
+        magic, offset, size, enc, rate, chans = struct.unpack(">4sIIIII", b[:24])
+        if magic != b".snd":
+            raise ValueError("not an AU blob")
+        if enc != 1 or chans != 1:
+            raise ValueError(f"only mono G.711 mu-law AU supported (enc={enc})")
+        u = np.frombuffer(b, dtype=np.uint8, offset=offset, count=size).astype(
+            np.int32  # the expansion shifts exceed uint8 range
+        )
+        # ITU-T G.711 mu-law expansion.
+        u = (~u) & 0xFF
+        sign = u & 0x80
+        exp = (u >> 4) & 0x07
+        mantissa = u & 0x0F
+        mag = (((mantissa << 3) + 0x84) << exp) - 0x84
+        pcm = np.where(sign != 0, -mag, mag).astype(np.float64) / 32768.0
+        return rate, pcm
+
+    return parse_au
 
 
 def make_gif_bytes(
@@ -812,82 +851,10 @@ def decode_gif_features(media: DataFrame, *, on_error: str = "raise") -> DataFra
     EOI handling, LSB-first variable-width codes) + global-palette lookup,
     pure Python/numpy. Same IMAGE_SCHEMA/mapInPandas plumbing as PPM/PNG."""
 
+    parse_gif = _gif_parser()
+
     strict = on_error != "skip"
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-
-        import numpy as np
-
-        def parse_gif(b: bytes):
-            if b[:6] not in (b"GIF89a", b"GIF87a"):
-                raise ValueError("not a GIF blob")
-            w, h, flags, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
-            i = 13
-            palette = None
-            if flags & 0x80:
-                n = 2 << (flags & 0x07)
-                palette = np.frombuffer(b, dtype=np.uint8, count=n * 3, offset=i)
-                palette = palette.reshape(n, 3)
-                i += n * 3
-            # Skip extension blocks until the image descriptor.
-            while b[i] == 0x21:
-                i += 2
-                while b[i]:
-                    i += b[i] + 1
-                i += 1
-            if b[i] != 0x2C:
-                raise ValueError(f"expected image descriptor, got 0x{b[i]:02x}")
-            _x, _y, iw, ih, iflags = struct.unpack("<HHHHB", b[i + 1 : i + 10])
-            i += 10
-            if iflags & 0xC0:
-                raise ValueError("local palettes / interlace not supported")
-            min_code = b[i]
-            i += 1
-            stream = bytearray()
-            while b[i]:
-                stream += b[i + 1 : i + 1 + b[i]]
-                i += b[i] + 1
-
-            clear, eoi = 1 << min_code, (1 << min_code) + 1
-            table = [bytes([c]) for c in range(1 << min_code)] + [b"", b""]
-            width_bits = min_code + 1
-            acc = nbits = pos = 0
-            prev = None
-            out = bytearray()
-            while True:
-                while nbits < width_bits and pos < len(stream):
-                    acc |= stream[pos] << nbits
-                    nbits += 8
-                    pos += 1
-                if nbits < width_bits:
-                    break
-                code = acc & ((1 << width_bits) - 1)
-                acc >>= width_bits
-                nbits -= width_bits
-                if code == clear:
-                    table = table[: (1 << min_code) + 2]
-                    width_bits = min_code + 1
-                    prev = None
-                    continue
-                if code == eoi:
-                    break
-                if code < len(table):
-                    entry = table[code]
-                    if prev is not None:
-                        table.append(prev + entry[:1])
-                elif code == len(table) and prev is not None:
-                    entry = prev + prev[:1]
-                    table.append(entry)
-                else:
-                    raise ValueError(f"corrupt LZW stream (code {code})")
-                out += entry
-                prev = entry
-                if len(table) == (1 << width_bits) and width_bits < 12:
-                    width_bits += 1
-            idx = np.frombuffer(bytes(out[: iw * ih]), dtype=np.uint8)
-            img = palette[idx].reshape(ih, iw, 3).astype(np.float64) / 255.0
-            return iw, ih, img
-
         for pdf in batches:
             out = {
                 "media_id": [], "width": [], "height": [], "n_pixels": [],
@@ -911,6 +878,88 @@ def decode_gif_features(media: DataFrame, *, on_error: str = "raise") -> DataFra
             yield pd.DataFrame(out)
 
     return media.mapInPandas(decode, IMAGE_SCHEMA)
+
+
+def _gif_parser():
+    """Self-contained GIF (global palette, non-interlaced) parser closure:
+    ``parse_gif(bytes) -> (w, h, float64 img in [0,1])`` — full LZW
+    expansion."""
+
+    def parse_gif(b: bytes):
+        import struct
+
+        import numpy as np
+
+        if b[:6] not in (b"GIF89a", b"GIF87a"):
+            raise ValueError("not a GIF blob")
+        w, h, flags, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
+        i = 13
+        palette = None
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            palette = np.frombuffer(b, dtype=np.uint8, count=n * 3, offset=i)
+            palette = palette.reshape(n, 3)
+            i += n * 3
+        # Skip extension blocks until the image descriptor.
+        while b[i] == 0x21:
+            i += 2
+            while b[i]:
+                i += b[i] + 1
+            i += 1
+        if b[i] != 0x2C:
+            raise ValueError(f"expected image descriptor, got 0x{b[i]:02x}")
+        _x, _y, iw, ih, iflags = struct.unpack("<HHHHB", b[i + 1 : i + 10])
+        i += 10
+        if iflags & 0xC0:
+            raise ValueError("local palettes / interlace not supported")
+        min_code = b[i]
+        i += 1
+        stream = bytearray()
+        while b[i]:
+            stream += b[i + 1 : i + 1 + b[i]]
+            i += b[i] + 1
+
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        table = [bytes([c]) for c in range(1 << min_code)] + [b"", b""]
+        width_bits = min_code + 1
+        acc = nbits = pos = 0
+        prev = None
+        out = bytearray()
+        while True:
+            while nbits < width_bits and pos < len(stream):
+                acc |= stream[pos] << nbits
+                nbits += 8
+                pos += 1
+            if nbits < width_bits:
+                break
+            code = acc & ((1 << width_bits) - 1)
+            acc >>= width_bits
+            nbits -= width_bits
+            if code == clear:
+                table = table[: (1 << min_code) + 2]
+                width_bits = min_code + 1
+                prev = None
+                continue
+            if code == eoi:
+                break
+            if code < len(table):
+                entry = table[code]
+                if prev is not None:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"corrupt LZW stream (code {code})")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width_bits) and width_bits < 12:
+                width_bits += 1
+        idx = np.frombuffer(bytes(out[: iw * ih]), dtype=np.uint8)
+        img = palette[idx].reshape(ih, iw, 3).astype(np.float64) / 255.0
+        return iw, ih, img
+
+    return parse_gif
 
 
 # ---------------------------------------------------------------------------
@@ -1800,32 +1849,11 @@ def extract_avi_mjpeg_frames(
     shuffle."""
     step = max(int(every_n), 1)
     parse_jpeg = _jpeg_decoder()
+    mjpeg_frames = _avi_mjpeg_container()
 
     strict = on_error != "skip"
     def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
-
         import numpy as np
-
-        def mjpeg_frames(b: bytes):
-            if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
-                raise ValueError("not a RIFF/AVI blob")
-            frames = []
-            i = 12
-            n = min(len(b), 8 + struct.unpack("<I", b[4:8])[0])
-            while i + 8 <= n:
-                tag = b[i : i + 4]
-                (sz,) = struct.unpack("<I", b[i + 4 : i + 8])
-                if tag == b"LIST" and b[i + 8 : i + 12] == b"movi":
-                    j, end = i + 12, i + 8 + sz
-                    while j + 8 <= end:
-                        ctag = b[j : j + 4]
-                        (csz,) = struct.unpack("<I", b[j + 4 : j + 8])
-                        if ctag[2:4] in (b"dc", b"db") and csz:
-                            frames.append(b[j + 8 : j + 8 + csz])
-                        j += 8 + csz + (csz & 1)
-                i += 8 + sz + (sz & 1)
-            return frames
 
         for pdf in batches:
             out = {
@@ -2349,6 +2377,211 @@ def extract_h264_frames(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(work, VIDEO_FRAME_SCHEMA)
+
+
+def _media_sniffer():
+    """Self-contained magic-byte format sniffer closure:
+    ``sniff(bytes) -> format tag`` in {ppm, png, gif, jpeg, wav, adpcm,
+    au, y4m, avi, h264, mp1, mp2, mp3}; raises ValueError on anything
+    unrecognized. WAV PCM vs IMA-ADPCM is told apart by walking to the
+    fmt chunk's format tag; the MPEG audio layer comes from the sync
+    header's layer bits."""
+
+    def sniff(b: bytes) -> str:
+        import struct
+
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            return "png"
+        if b[:6] in (b"GIF89a", b"GIF87a"):
+            return "gif"
+        if b[:2] == b"\xff\xd8":
+            return "jpeg"
+        if b[:4] == b".snd":
+            return "au"
+        if b[:9] == b"YUV4MPEG2":
+            return "y4m"
+        if b[:2] == b"P6" and (len(b) < 3 or b[2:3].isspace()):
+            return "ppm"
+        if b[:4] == b"RIFF":
+            if b[8:12] == b"AVI ":
+                return "avi"
+            if b[8:12] == b"WAVE":
+                i = 12
+                while i + 10 <= len(b):
+                    tag = b[i : i + 4]
+                    (sz,) = struct.unpack("<I", b[i + 4 : i + 8])
+                    if tag == b"fmt ":
+                        (wtag,) = struct.unpack("<H", b[i + 8 : i + 10])
+                        return "adpcm" if wtag == 0x11 else "wav"
+                    i += 8 + sz + (sz & 1)
+                return "wav"
+        if b[:4] == b"\x00\x00\x00\x01" or b[:3] == b"\x00\x00\x01":
+            return "h264"
+        if len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xF0) == 0xF0:
+            layer = (b[1] >> 1) & 0x03
+            if layer == 3:
+                return "mp1"
+            if layer == 2:
+                return "mp2"
+            if layer == 1:
+                return "mp3"
+        raise ValueError("unrecognized media format")
+
+    return sniff
+
+
+def sniff_media_format(b: bytes) -> str:
+    """Driver-side convenience wrapper over :func:`_media_sniffer`."""
+    return _media_sniffer()(b)
+
+
+MEDIA_SUMMARY_SCHEMA = (
+    "media_id bigint, format string, idx int, width int, height int, "
+    "m1 double, m2 double, m3 double"
+)
+
+
+def decode_media(
+    media: DataFrame, *, every_n: int = 1, on_error: str = "raise"
+) -> DataFrame:
+    """UNIVERSAL media decode — the operator a real mixed corpus needs:
+    one binary column holding whatever formats the crawl produced, ONE
+    Arrow-batched python stage that sniffs each blob's format from magic
+    bytes and dispatches to the matching real decoder (the same parser
+    closures the per-format operators use). A 13-format corpus decodes
+    in one stage instead of 13 filtered passes — at 100 TB that is one
+    scan and one python-stage setup instead of 13 of each, and no
+    format column is required up front.
+
+    Output (MEDIA_SUMMARY_SCHEMA): one row per blob — or per sampled
+    frame for the video formats (``every_n``) — with the same summary
+    semantics as the dedicated operators: audio rows carry
+    (sample_rate, n_frames, duration_ms) in m1..m3, image rows channel
+    means, video rows mean luma.
+
+    ``on_error="skip"`` drops undecodable/unrecognized blobs whole; the
+    dedicated frame extractors additionally keep frames parsed before a
+    corruption point when that matters."""
+    step = max(int(every_n), 1)
+    sniff = _media_sniffer()
+    parsers = {
+        "ppm": _ppm_parser(),
+        "png": _png_parser(),
+        "gif": _gif_parser(),
+        "jpeg": _jpeg_decoder(),
+        "wav": _wav_parser(),
+        "au": _au_parser(),
+        "y4m": _y4m_parser(),
+        "avi": _avi_mjpeg_container(),
+        "h264": _h264_decoder(),
+        "mp1": _mp1_parser(),
+        "mp2": _mp2_parser(),
+        "mp3": _mp3_parser(),
+    }
+    strict = on_error != "skip"
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
+        cols = ["media_id", "format", "idx", "width", "height", "m1", "m2", "m3"]
+
+        def rows_for(media_id, b):
+            fmt = sniff(b)
+            rows = []
+            if fmt in ("ppm", "png", "gif"):
+                w, h, img = parsers[fmt](b)
+                m = img.mean(axis=(0, 1))
+                rows.append((media_id, fmt, 0, w, h,
+                             round(float(m[0]), 6), round(float(m[1]), 6),
+                             round(float(m[2]), 6)))
+            elif fmt == "jpeg":
+                w, h, img = parsers["jpeg"](b)
+                m = img.astype(np.float64).mean(axis=(0, 1)) / 255.0
+                rows.append((media_id, fmt, 0, w, h,
+                             round(float(m[0]), 6), round(float(m[1]), 6),
+                             round(float(m[2]), 6)))
+            elif fmt in ("wav", "adpcm"):
+                rate, nframes, _pcm = parsers["wav"](b)
+                rows.append((media_id, fmt, 0, 0, 0, float(rate),
+                             float(nframes),
+                             float(int(nframes * 1000 / max(rate, 1)))))
+            elif fmt == "au":
+                rate, pcm = parsers["au"](b)
+                rows.append((media_id, fmt, 0, 0, 0, float(rate),
+                             float(len(pcm)),
+                             float(int(len(pcm) * 1000 / max(rate, 1)))))
+            elif fmt in ("mp1", "mp2", "mp3"):
+                rate, pcm = parsers[fmt](b)
+                if rate is None:
+                    raise ValueError(f"no decodable {fmt} frames")
+                rows.append((media_id, fmt, 0, 0, 0, float(rate),
+                             float(len(pcm)),
+                             float(int(len(pcm) * 1000 / max(rate, 1)))))
+            elif fmt == "y4m":
+                for idx, w, h, luma in parsers["y4m"](b):
+                    if idx % step == 0:
+                        rows.append((media_id, fmt, idx, w, h, luma, 0.0, 0.0))
+            elif fmt == "avi":
+                frames = parsers["avi"](b)
+                for idx in range(0, len(frames), step):
+                    w, h, img = parsers["jpeg"](frames[idx])
+                    rgb = img.astype(np.float64)
+                    luma = (
+                        0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+                        + 0.114 * rgb[..., 2]
+                    ).mean()
+                    rows.append((media_id, fmt, idx, w, h,
+                                 round(float(luma) / 255, 6), 0.0, 0.0))
+            else:  # h264
+                w, h, planes = parsers["h264"](b)
+                for idx in range(0, len(planes), step):
+                    rows.append((media_id, fmt, idx, w, h,
+                                 round(float(planes[idx].mean()) / 255, 6),
+                                 0.0, 0.0))
+            return rows
+
+        for pdf in batches:
+            collected = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    collected.extend(rows_for(media_id, bytes(content)))
+                except Exception:
+                    if strict:
+                        raise
+                    continue
+            yield pd.DataFrame(collected, columns=cols)
+
+    return media.mapInPandas(work, MEDIA_SUMMARY_SCHEMA)
+
+
+def _avi_mjpeg_container():
+    """Self-contained RIFF/AVI movi-chunk splitter closure:
+    ``mjpeg_frames(bytes) -> [jpeg frame bytes]``."""
+
+    def mjpeg_frames(b: bytes):
+        import struct
+
+        if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+            raise ValueError("not a RIFF/AVI blob")
+        frames = []
+        i = 12
+        n = min(len(b), 8 + struct.unpack("<I", b[4:8])[0])
+        while i + 8 <= n:
+            tag = b[i : i + 4]
+            (sz,) = struct.unpack("<I", b[i + 4 : i + 8])
+            if tag == b"LIST" and b[i + 8 : i + 12] == b"movi":
+                j, end = i + 12, i + 8 + sz
+                while j + 8 <= end:
+                    ctag = b[j : j + 4]
+                    (csz,) = struct.unpack("<I", b[j + 4 : j + 8])
+                    if ctag[2:4] in (b"dc", b"db") and csz:
+                        frames.append(b[j + 8 : j + 8 + csz])
+                    j += 8 + csz + (csz & 1)
+            i += 8 + sz + (sz & 1)
+        return frames
+
+    return mjpeg_frames
 
 
 # -- MPEG-1 Audio Layer I ("MP1") --------------------------------------------

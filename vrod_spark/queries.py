@@ -2233,20 +2233,23 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# REAL multimodal decode through the mapInPandas plumbing, seven container
-# formats in one gate, tagged per modality: WAV audio (stdlib wave +
-# numpy), AU audio (G.711 mu-law companding — a real lossy audio codec,
-# ITU-T inverse formula), PPM images (solid colors → exact channel
-# means), GIF images (full LZW expansion), PNG images (stdlib-zlib
-# DEFLATE + scanline defiltering — a real compressed image codec, one
-# gate file Paeth-filtered), baseline JPEG (T.81 Huffman + dequant +
-# IDCT — one 4:4:4 solid, one 4:2:0 gradient, one restart-marker file,
-# all decoded by the pure-numpy T.81 decoder), and Y4M video frame
-# sampling (exact solid-luma means). The oracle pins the decoded metadata
-# and features as literals; spectral discrimination is pytest-checked.
+# REAL multimodal decode: ONE mixed-format corpus of 13 real codecs —
+# WAV PCM, IMA-ADPCM, G.711 mu-law AU, MPEG-1 Audio Layers I/II/III
+# (spec-exact bitstreams), PPM, PNG (DEFLATE+defilter, one Paeth file),
+# GIF (full LZW), baseline JPEG (T.81: 4:4:4 solid + 4:2:0 gradient +
+# restart-marker file), Y4M raw video, AVI/Motion-JPEG, and H.264
+# (Annex-B I_PCM Constrained-Baseline subset, cropped) — decoded by the
+# UNIVERSAL decode_media operator: magic-byte format sniffing + per-row
+# dispatch to the real parsers inside ONE Arrow python stage (13 formats
+# = one scan + one stage, the mixed-crawl production shape). A second
+# stage adds log-mel spectrogram features over the WAV tones. The oracle
+# pins every decoded metadata/feature row as literals; codec internals
+# (spectral fidelity, bit-exact roundtrips, corrupt-blob tolerance) are
+# pytest-checked per format.
 # Common schema: (modality, media_id, idx, width, height, m1, m2, m3) —
 # audio packs (sample_rate, n_frames, duration_ms) into m1..m3; image
-# packs channel means; video packs (mean_luma, 0, 0) with idx=frame_idx.
+# packs channel means; video packs (mean_luma, 0, 0) with idx=frame_idx;
+# mel packs (dominant_band, n_stft_frames, 0).
 # ---------------------------------------------------------------------------
 @query(
     "q51_multimodal_decode",
@@ -2261,7 +2264,9 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
         ('au', 0, 0, 0, 0, 8000.0, 2000.0, 250.0),
         ('au', 1, 0, 0, 0, 8000.0, 2000.0, 250.0),
         ('avi', 0, 0, 16, 8, 0.0, 0.0, 0.0),
+        ('avi', 0, 1, 16, 8, round(64.0/255, 6), 0.0, 0.0),
         ('avi', 0, 2, 16, 8, round(128.0/255, 6), 0.0, 0.0),
+        ('avi', 0, 3, 16, 8, round(192.0/255, 6), 0.0, 0.0),
         ('image', 0, 0, 16, 8, 1.0, 0.0, 0.0),
         ('image', 1, 0, 4, 4, 0.0, round(128.0/255, 6), 1.0),
         ('image', 2, 0, 32, 2, round(10.0/255, 6), round(20.0/255, 6), round(30.0/255, 6)),
@@ -2284,7 +2289,9 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
         ('png', 0, 0, 8, 4, 0.0, round(64.0/255, 6), 1.0),
         ('png', 1, 0, 5, 5, round(200.0/255, 6), round(100.0/255, 6), round(50.0/255, 6)),
         ('video', 0, 0, 16, 8, 0.0, 0.0, 0.0),
+        ('video', 0, 1, 16, 8, round(51.0/255, 6), 0.0, 0.0),
         ('video', 0, 2, 16, 8, round(102.0/255, 6), 0.0, 0.0),
+        ('video', 0, 3, 16, 8, round(153.0/255, 6), 0.0, 0.0),
         ('video', 1, 0, 8, 8, 1.0, 0.0, 0.0))
         t(modality, media_id, idx, width, height, m1, m2, m3)
     ORDER BY modality, media_id, idx
@@ -2294,23 +2301,11 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from vrod_spark.operators.multimodal import (
-        decode_adpcm_features,
-        decode_au_features,
-        decode_gif_features,
-        decode_jpeg_features,
-        decode_mp1_features,
-        decode_mp2_features,
-        decode_mp3_features,
-        decode_png_features,
-        decode_ppm_features,
-        decode_wav_features,
-        extract_avi_mjpeg_frames,
-        extract_h264_frames,
-        extract_y4m_frames,
+        decode_media,
         make_au_bytes,
         make_avi_mjpeg_bytes,
-        make_h264_bytes,
         make_gif_bytes,
+        make_h264_bytes,
         make_jpeg_bytes,
         make_mp1_bytes,
         make_mp2_bytes,
@@ -2324,149 +2319,51 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     schema = "media_id bigint, kind string, content binary"
-    wav = spark.createDataFrame(
-        [(i, "audio", make_wav_bytes(200.0 * (i + 1))) for i in range(4)], schema
-    )
-    audio = decode_wav_features(wav).select(
-        F.lit("audio").alias("modality"),
-        F.col("media_id").cast("int").alias("media_id"),
-        F.lit(0).alias("idx"),
-        F.lit(0).alias("width"),
-        F.lit(0).alias("height"),
-        F.col("sample_rate").cast("double").alias("m1"),
-        F.col("n_frames").cast("double").alias("m2"),
-        F.col("duration_ms").cast("double").alias("m3"),
-    )
-    # ADPCM leg: IMA-ADPCM COMPRESSED audio (4-bit adaptive-differential
-    # predictive codec, WAV tag 0x11) — a second real lossy audio codec
-    # beside mu-law; spectral-peak fidelity is pytest-checked.
-    adpcm = spark.createDataFrame(
-        [(i, "audio", make_wav_adpcm_bytes(250.0 * (i + 1))) for i in range(2)],
-        schema,
-    )
-    adpcm_leg = decode_adpcm_features(adpcm).select(
-        F.lit("adpcm").alias("modality"),
-        F.col("media_id").cast("int").alias("media_id"),
-        F.lit(0).alias("idx"),
-        F.lit(0).alias("width"),
-        F.lit(0).alias("height"),
-        F.col("sample_rate").cast("double").alias("m1"),
-        F.col("n_frames").cast("double").alias("m2"),
-        F.col("duration_ms").cast("double").alias("m3"),
-    )
-    # AU leg: G.711 mu-law COMPRESSED audio (companding codec), expanded
-    # with the ITU-T inverse formula — metadata hash-checked like WAV.
-    au = spark.createDataFrame(
-        [(i, "audio", make_au_bytes(300.0 * (i + 1))) for i in range(2)], schema
-    )
-    au_leg = decode_au_features(au).select(
-        F.lit("au").alias("modality"),
-        F.col("media_id").cast("int").alias("media_id"),
-        F.lit(0).alias("idx"),
-        F.lit(0).alias("width"),
-        F.lit(0).alias("height"),
-        F.col("sample_rate").cast("double").alias("m1"),
-        F.col("n_frames").cast("double").alias("m2"),
-        F.col("duration_ms").cast("double").alias("m3"),
-    )
-    ppm = spark.createDataFrame(
-        [
-            (0, "image", make_ppm_bytes(16, 8, (255, 0, 0))),
-            (1, "image", make_ppm_bytes(4, 4, (0, 128, 255))),
-            (2, "image", make_ppm_bytes(32, 2, (10, 20, 30))),
-        ],
-        schema,
-    )
-    image = decode_ppm_features(ppm).select(
-        F.lit("image").alias("modality"),
-        F.col("media_id").cast("int").alias("media_id"),
-        F.lit(0).alias("idx"),
-        F.col("width").cast("int").alias("width"),
-        F.col("height").cast("int").alias("height"),
-        F.col("mean_r").alias("m1"),
-        F.col("mean_g").alias("m2"),
-        F.col("mean_b").alias("m3"),
-    )
-    # GIF leg: full LZW expansion, hash-checked.
-    gif = spark.createDataFrame(
-        [(0, "image", make_gif_bytes(6, 3, (10, 200, 30)))], schema
-    )
-    gif_leg = decode_gif_features(gif).select(
-        F.lit("gif").alias("modality"),
-        F.col("media_id").cast("int").alias("media_id"),
-        F.lit(0).alias("idx"),
-        F.col("width").cast("int").alias("width"),
-        F.col("height").cast("int").alias("height"),
-        F.col("mean_r").alias("m1"),
-        F.col("mean_g").alias("m2"),
-        F.col("mean_b").alias("m3"),
-    )
-    # PNG leg: stdlib-zlib DEFLATE codec, one file Paeth-filtered so the
-    # gate hash-checks real defiltering, not just raw-plane reads.
-    png = spark.createDataFrame(
-        [
-            (0, "image", make_png_bytes(8, 4, (0, 64, 255))),
-            (1, "image", make_png_bytes(5, 5, (200, 100, 50), filter_type=4)),
-        ],
-        schema,
-    )
-    # JPEG legs: the full baseline T.81 path — 4:4:4 solid (near-exact
-    # roundtrip at quant=1), 4:2:0 seeded gradient (exercises chroma
-    # subsample + upsample), and a restart-interval file (RSTn resync,
-    # pytest-checked equal to its non-restart twin).
+    # One mixed-format corpus, decoded by ONE universal python stage
+    # (decode_media sniffs each blob's format from magic bytes and
+    # dispatches to the real per-format parser) — 13 formats, one scan,
+    # one stage setup instead of thirteen. media_id spaces are per
+    # format (rows are keyed by (modality, media_id, idx)).
     rng = np.random.RandomState(7)
     grad = rng.randint(0, 256, size=(10, 12, 3)).astype(np.uint8)
     grad_rst = rng.randint(0, 256, size=(8, 24, 3)).astype(np.uint8)
-    jpg = spark.createDataFrame(
-        [
+    blobs = (
+        # WAV PCM tones (also the mel leg's input below).
+        [(i, "audio", make_wav_bytes(200.0 * (i + 1))) for i in range(4)]
+        # IMA-ADPCM (4-bit adaptive-differential codec, WAV tag 0x11).
+        + [(i, "audio", make_wav_adpcm_bytes(250.0 * (i + 1))) for i in range(2)]
+        # G.711 mu-law AU (ITU-T companding codec).
+        + [(i, "audio", make_au_bytes(300.0 * (i + 1))) for i in range(2)]
+        # PPM raw images (exact channel means).
+        + [
+            (0, "image", make_ppm_bytes(16, 8, (255, 0, 0))),
+            (1, "image", make_ppm_bytes(4, 4, (0, 128, 255))),
+            (2, "image", make_ppm_bytes(32, 2, (10, 20, 30))),
+        ]
+        # GIF (full LZW expansion).
+        + [(0, "image", make_gif_bytes(6, 3, (10, 200, 30)))]
+        # PNG (DEFLATE + defilter; one file Paeth-filtered).
+        + [
+            (0, "image", make_png_bytes(8, 4, (0, 64, 255))),
+            (1, "image", make_png_bytes(5, 5, (200, 100, 50), filter_type=4)),
+        ]
+        # Baseline JPEG (T.81): 4:4:4 solid, 4:2:0 gradient, restart file.
+        + [
             (0, "image", make_jpeg_bytes(16, 8, (255, 0, 0))),
             (1, "image", make_jpeg_bytes(12, 10, pixels=grad, subsampling="420")),
             (2, "image", make_jpeg_bytes(24, 8, pixels=grad_rst, restart_interval=2)),
-        ],
-        schema,
-    )
-    jpeg_leg = decode_jpeg_features(jpg).select(
-        F.lit("jpeg").alias("modality"),
-        F.col("media_id").cast("int").alias("media_id"),
-        F.lit(0).alias("idx"),
-        F.col("width").cast("int").alias("width"),
-        F.col("height").cast("int").alias("height"),
-        F.col("mean_r").alias("m1"),
-        F.col("mean_g").alias("m2"),
-        F.col("mean_b").alias("m3"),
-    )
-    png_leg = decode_png_features(png).select(
-        F.lit("png").alias("modality"),
-        F.col("media_id").cast("int").alias("media_id"),
-        F.lit(0).alias("idx"),
-        F.col("width").cast("int").alias("width"),
-        F.col("height").cast("int").alias("height"),
-        F.col("mean_r").alias("m1"),
-        F.col("mean_g").alias("m2"),
-        F.col("mean_b").alias("m3"),
-    )
-    y4m = spark.createDataFrame(
-        [
+        ]
+        # MPEG-1 Audio Layers I, II, III (spec-exact bitstreams).
+        + [(i, "audio", make_mp1_bytes(440.0 * (i + 1))) for i in range(2)]
+        + [(i, "audio", make_mp2_bytes(440.0 * (i + 1))) for i in range(2)]
+        + [(i, "audio", make_mp3_bytes(2000.0 * (i + 1))) for i in range(2)]
+        # Y4M raw video (exact solid-luma frame means).
+        + [
             (0, "video", make_y4m_bytes(16, 8, [0, 51, 102, 153])),
             (1, "video", make_y4m_bytes(8, 8, [255])),
-        ],
-        schema,
-    )
-    video = extract_y4m_frames(y4m, every_n=2).select(
-        F.lit("video").alias("modality"),
-        F.col("media_id").cast("int").alias("media_id"),
-        F.col("frame_idx").cast("int").alias("idx"),
-        F.col("width").cast("int").alias("width"),
-        F.col("height").cast("int").alias("height"),
-        F.col("mean_luma").alias("m1"),
-        F.lit(0.0).alias("m2"),
-        F.lit(0.0).alias("m3"),
-    )
-    # AVI leg: Motion-JPEG in a real RIFF/AVI container — container walk +
-    # per-frame T.81 JPEG decode (the compressed-video path; frames solid
-    # so the sampled lumas pin exactly at quant=1).
-    avi = spark.createDataFrame(
-        [
+        ]
+        # AVI/Motion-JPEG (container parse x per-frame T.81 decode).
+        + [
             (
                 0,
                 "video",
@@ -2474,25 +2371,33 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                     [np.full((8, 16, 3), v, dtype=np.uint8) for v in (0, 64, 128, 192)]
                 ),
             )
-        ],
-        schema,
+        ]
+        # H.264 Annex-B I_PCM subset (two frames, cropped 20x12).
+        + [(0, "video", make_h264_bytes([40, 200], width=20, height=12))]
     )
-    avi_leg = extract_avi_mjpeg_frames(avi, every_n=2).select(
-        F.lit("avi").alias("modality"),
+    media = spark.createDataFrame(blobs, schema)
+    decoded = decode_media(media).select(
+        # Legacy leg tags: wav -> audio, ppm -> image, y4m -> video (the
+        # sniffer names formats precisely; the gate keeps its historical
+        # modality labels).
+        F.when(F.col("format") == "wav", F.lit("audio"))
+        .when(F.col("format") == "ppm", F.lit("image"))
+        .when(F.col("format") == "y4m", F.lit("video"))
+        .otherwise(F.col("format"))
+        .alias("modality"),
         F.col("media_id").cast("int").alias("media_id"),
-        F.col("frame_idx").cast("int").alias("idx"),
-        F.col("width").cast("int").alias("width"),
-        F.col("height").cast("int").alias("height"),
-        F.col("mean_luma").alias("m1"),
-        F.lit(0.0).alias("m2"),
-        F.lit(0.0).alias("m3"),
+        "idx",
+        "width",
+        "height",
+        "m1",
+        "m2",
+        "m3",
     )
     # Mel leg: log-mel spectrograms over the SAME four WAV tone blobs —
     # the audio-model input transform (STFT + triangular mel filterbank).
-    # The gate pins the integer summary (dominant mel band, frame count):
-    # tone frequency maps monotonically onto the mel axis, and a pure
-    # tone's argmax band is orders of magnitude above the runner-up, so
-    # the pin is stable across FFT library versions.
+    # Integer pins (dominant band, frame count) survive FFT library
+    # version changes.
+    wav = spark.createDataFrame(blobs[:4], schema)
     mel_leg = mel_spectrogram_features(wav).select(
         F.lit("mel").alias("modality"),
         F.col("media_id").cast("int").alias("media_id"),
@@ -2503,89 +2408,7 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_stft_frames").cast("double").alias("m2"),
         F.lit(0.0).alias("m3"),
     )
-    # H.264 leg: Annex-B Constrained-Baseline I_PCM subset — real NAL /
-    # exp-Golomb / SPS-PPS-slice machinery with bit-exact reconstruction;
-    # 20x12 exercises the SPS frame-cropping path (2x1 MB grid cropped).
-    h264 = spark.createDataFrame(
-        [(0, "video", make_h264_bytes([40, 200], width=20, height=12))], schema
-    )
-    h264_leg = extract_h264_frames(h264).select(
-        F.lit("h264").alias("modality"),
-        F.col("media_id").cast("int").alias("media_id"),
-        F.col("frame_idx").cast("int").alias("idx"),
-        F.col("width").cast("int").alias("width"),
-        F.col("height").cast("int").alias("height"),
-        F.col("mean_luma").alias("m1"),
-        F.lit(0.0).alias("m2"),
-        F.lit(0.0).alias("m3"),
-    )
-    # MP1 leg: MPEG-1 Audio Layer I — spec-exact frame syntax (header
-    # fields, Table B.1 scalefactors, Layer I requantization) over a
-    # PR-MDCT filterbank stand-in; the hashed metadata (sample rate,
-    # decoded sample count, duration) is header-derived and exact.
-    mp1 = spark.createDataFrame(
-        [(i, "audio", make_mp1_bytes(440.0 * (i + 1))) for i in range(2)], schema
-    )
-    mp1_leg = decode_mp1_features(mp1).select(
-        F.lit("mp1").alias("modality"),
-        F.col("media_id").cast("int").alias("media_id"),
-        F.lit(0).alias("idx"),
-        F.lit(0).alias("width"),
-        F.lit(0).alias("height"),
-        F.col("sample_rate").cast("double").alias("m1"),
-        F.col("n_frames").cast("double").alias("m2"),
-        F.col("duration_ms").cast("double").alias("m3"),
-    )
-    # MP2 leg: MPEG-1 Audio Layer II — table-driven B.2a allocation,
-    # scfsi scalefactor sharing, 12x3-granule sample layout; metadata
-    # (rate, decoded sample count, duration) is header-derived and exact.
-    mp2 = spark.createDataFrame(
-        [(i, "audio", make_mp2_bytes(440.0 * (i + 1))) for i in range(2)], schema
-    )
-    mp2_leg = decode_mp2_features(mp2).select(
-        F.lit("mp2").alias("modality"),
-        F.col("media_id").cast("int").alias("media_id"),
-        F.lit(0).alias("idx"),
-        F.lit(0).alias("width"),
-        F.lit(0).alias("height"),
-        F.col("sample_rate").cast("double").alias("m1"),
-        F.col("n_frames").cast("double").alias("m2"),
-        F.col("duration_ms").cast("double").alias("m3"),
-    )
-    # MP3 leg: MPEG-1 Audio Layer III — full side-info syntax + bit
-    # reservoir + count1 Huffman + requantization + alias reduction +
-    # IMDCT (the conforming subset the encoder emits; see
-    # operators/multimodal.py section note); metadata is header-derived
-    # and exact (6 frames x 1152 samples at 32 kHz = 216 ms).
-    mp3 = spark.createDataFrame(
-        [(i, "audio", make_mp3_bytes(2000.0 * (i + 1))) for i in range(2)], schema
-    )
-    mp3_leg = decode_mp3_features(mp3).select(
-        F.lit("mp3").alias("modality"),
-        F.col("media_id").cast("int").alias("media_id"),
-        F.lit(0).alias("idx"),
-        F.lit(0).alias("width"),
-        F.lit(0).alias("height"),
-        F.col("sample_rate").cast("double").alias("m1"),
-        F.col("n_frames").cast("double").alias("m2"),
-        F.col("duration_ms").cast("double").alias("m3"),
-    )
-    return (
-        audio.unionByName(adpcm_leg)
-        .unionByName(au_leg)
-        .unionByName(avi_leg)
-        .unionByName(h264_leg)
-        .unionByName(mel_leg)
-        .unionByName(gif_leg)
-        .unionByName(image)
-        .unionByName(jpeg_leg)
-        .unionByName(mp1_leg)
-        .unionByName(mp2_leg)
-        .unionByName(mp3_leg)
-        .unionByName(png_leg)
-        .unionByName(video)
-        .orderBy("modality", "media_id", "idx")
-    )
+    return decoded.unionByName(mel_leg).orderBy("modality", "media_id", "idx")
 
 
 # ---------------------------------------------------------------------------
