@@ -100,6 +100,8 @@ HEADLINE = [
 #: concurrent suite (see the serial pass in main): the pair-generation and
 #: text-heavy paths where a plan regression actually moves the needle.
 SERIAL_TRACK = [
+    "q51_multimodal_decode",
+    "q53_vocab_top_tokens",
     "q26_jaccard_top_pairs",
     "q26b_prob_near_dup",
     "q28_embedding_near_dup",

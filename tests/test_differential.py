@@ -347,3 +347,45 @@ def test_differential_levenshtein_unicode(spark, seed):
     for i in range(len(ascii_pairs), len(pairs)):
         assert got[i] < want[i], (i, got[i], want[i])
     assert got[len(ascii_pairs)] == 2  # adjacent CJK swap = 2 codepoint edits
+
+
+@given(
+    size=st.integers(min_value=1, max_value=12),
+    stride=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@SETTINGS
+def test_differential_chunking(spark, size, stride, seed):
+    """chunk_documents vs a DuckDB generate_series/list-slice twin on
+    random (size, stride) and random token-count docs (incl. empty and
+    whitespace-edge texts): identical chunk boundaries, token counts,
+    and chunk text on both engines."""
+    import random
+
+    from vrod_spark.operators.sampling import chunk_documents
+
+    rng = random.Random(seed)
+    texts = []
+    for i in range(8):
+        n = rng.randint(0, 30)
+        texts.append((i, " ".join(f"w{rng.randint(0, 9)}" for _ in range(n))))
+    docs = spark.createDataFrame(texts, "doc_id bigint, text string")
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["start"], r["chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(docs, size=size, stride=stride).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", texts)
+    want = sorted(
+        con.execute(
+            f"""
+            SELECT t.doc_id, (s.g / {stride})::INT, s.g::INT,
+                   len(t.ws[s.g+1 : s.g+{size}])::INT,
+                   array_to_string(t.ws[s.g+1 : s.g+{size}], ' ')
+            FROM (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM d) t,
+                 unnest(generate_series(0, len(t.ws) - 1, {stride})) AS s(g)
+            """
+        ).fetchall()
+    )
+    assert got == want, (size, stride, seed)
