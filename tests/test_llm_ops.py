@@ -2065,3 +2065,36 @@ def test_decode_media_matches_dedicated_decoders(spark):
         M.decode_media(poisoned).collect()
     rows = M.decode_media(poisoned, on_error="skip").collect()
     assert {r["media_id"] for r in rows} == {0, 1, 2, 3, 4, 5}
+
+
+def test_semantic_dedup_multiblock_cluster_and_repartition_stability(spark):
+    """Clusters larger than the scoring block (2048 rows) take the
+    multi-block matmul path; results are identical under input
+    repartitioning (the rank order, not physical layout, decides)."""
+    import numpy as np
+
+    from vrod_spark.operators.cluster import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    # 2600 rows in ONE cluster direction (+x), tiny orthogonal noise so
+    # pairwise cosines are high but distinct; 40 exact planted dups.
+    base = rng.normal(0, 0.01, size=(2600, 8))
+    base[:, 0] = 1.0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(2600)]
+    rows += [(10_000 + i, rows[i][1]) for i in range(40)]  # exact copies
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = np.eye(2, 8)  # everything lands in cluster 0
+    out1 = {
+        r["id"]: r["kept"]
+        for r in semantic_dedup(df, cents, min_cosine=0.999999).collect()
+    }
+    out2 = {
+        r["id"]: r["kept"]
+        for r in semantic_dedup(
+            df.repartition(7), cents, min_cosine=0.999999
+        ).collect()
+    }
+    assert out1 == out2
+    assert len(out1) == 2640
+    for i in range(40):
+        assert out1[i] and not out1[10_000 + i], i
