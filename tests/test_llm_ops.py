@@ -2098,3 +2098,111 @@ def test_semantic_dedup_multiblock_cluster_and_repartition_stability(spark):
     assert len(out1) == 2640
     for i in range(40):
         assert out1[i] and not out1[10_000 + i], i
+
+
+def test_h264_cavlc_intra16_reconstruction():
+    """CAVLC Intra_16x16 path: solid frames reconstruct EXACTLY through
+    the full chain (DC prediction -> integer transform -> quant -> CAVLC
+    -> dequant -> Hadamard -> inverse transform), multi-frame + cropping
+    compose, streams are a fraction of the I_PCM size, and the gain
+    identity holds (uniform residual res quantizes to level == res and
+    scales back to res)."""
+    import numpy as np
+
+    from vrod_spark.operators.multimodal import (
+        _h264_decoder,
+        _h264_transform_math,
+        make_h264_bytes,
+    )
+
+    parse = _h264_decoder()
+    for v in (0, 40, 128, 200, 255):
+        b = make_h264_bytes([v], width=32, height=16, mode="cavlc", qp=28)
+        w, h, p = parse(b)
+        assert (w, h) == (32, 16)
+        assert p[0].min() == p[0].max() == v, v
+        # Real compression: far below the 1536-byte PCM sample payload.
+        assert len(b) < 100, (v, len(b))
+
+    g0 = np.full((12, 20), 64, dtype=np.uint8)
+    g1 = np.full((12, 20), 192, dtype=np.uint8)
+    w2, h2, p2 = parse(
+        make_h264_bytes([g0, g1], width=20, height=12, mode="cavlc", qp=30)
+    )
+    assert (w2, h2) == (20, 12)
+    assert np.array_equal(p2[0], g0) and np.array_equal(p2[1], g1)
+
+    # Gain identity (the scaling relationships of 8.5.12 / 8.6.2): a
+    # DC-only level L reconstructs the uniform residual L at qp 28.
+    math = _h264_transform_math()
+    dc = [72] + [0] * 15
+    out = math["recon_i16"](dc, {}, 28, 0)
+    assert out.min() == out.max() == 72
+
+
+def test_h264_cavlc_bitstream_spot_pins():
+    """Pin hand-derived CAVLC codewords (ITU-T H.264 clause 9.2 tables):
+    coeff_token (Table 9-5, nC<2), trailing-one signs, level codes,
+    total_zeros (Table 9-7) and run_before (Table 9-10) compose into the
+    exact bitstrings for known blocks."""
+    from vrod_spark.operators.multimodal import _cavlc_encode_block
+
+    # Empty block: coeff_token(0,0) = '1'.
+    assert _cavlc_encode_block([0] * 16, 16, 0) == ("1", 0)
+    # One trailing one (+1) at zigzag 0 of a 16-coeff block:
+    # coeff_token(1,1)='01', sign '0', total_zeros(tc1, tz0)='1'.
+    assert _cavlc_encode_block([1] + [0] * 15, 16, 0) == ("01" "0" "1", 1)
+    # -1 at zigzag 2: '01' + sign '1' + total_zeros(tc1, tz=2)='010'.
+    assert _cavlc_encode_block([0, 0, -1] + [0] * 13, 16, 0) == ("011010", 1)
+    # Level +2 (not a trailing one) at zigzag 0: coeff_token(1,0)='000101',
+    # levelCode = 2*2-2-2 = 0 -> '1', total_zeros(tc1,tz0)='1'.
+    assert _cavlc_encode_block([2] + [0] * 15, 16, 0) == ("000101" "1" "1", 1)
+    # Two coefficients [+1 at 0, +1 at 1]: coeff_token(2,2)='001', signs
+    # '00', total_zeros(tc2, tz0)='111', run_before skipped (zerosLeft 0).
+    assert _cavlc_encode_block([1, 1] + [0] * 14, 16, 0) == ("001" "00" "111", 2)
+    # [+3 at 0, -1 at 2] (one T1): coeff_token(2,1)='000100', T1 sign '1',
+    # level +3 first non-T1 with t1<3: code = 2*3-2-2 = 2 -> '001';
+    # total_zeros(tc2, tz=1)='110'; run_before zerosLeft=1 run=1 -> '0'.
+    assert _cavlc_encode_block([3, 0, -1] + [0] * 13, 16, 0) == (
+        "000100" "1" "001" "110" "0",
+        2,
+    )
+    # Escape: first level +9 -> code 14 -> '0'*14 + '1' + '0000'.
+    assert _cavlc_encode_block([9] + [0] * 15, 16, 0) == (
+        "000101" + "0" * 14 + "1" + "0000" + "1",
+        1,
+    )
+    # Out of the declared subset: 3 coefficients, or nC >= 2.
+    assert _cavlc_encode_block([1, 1, 1] + [0] * 13, 16, 0) is None
+    assert _cavlc_encode_block([1] + [0] * 15, 16, 2) is None
+
+
+def test_h264_cavlc_mixed_mode_and_lossy_bound(spark):
+    """Per-MB mode selection: a noisy macroblock falls back to I_PCM
+    (bit-exact there) inside an otherwise-CAVLC frame; smooth regions
+    stay within a small quantization error; the Spark extractor decodes
+    the stream."""
+    import numpy as np
+
+    from vrod_spark.operators.multimodal import (
+        _h264_decoder,
+        extract_h264_frames,
+        make_h264_bytes,
+    )
+
+    rng = np.random.RandomState(3)
+    img = np.full((32, 48), 90, dtype=np.uint8)
+    img[8:24, 16:32] = rng.randint(0, 256, (16, 16))
+    b = make_h264_bytes([img], width=48, height=32, mode="cavlc", qp=38)
+    pcm_len = len(make_h264_bytes([img], width=48, height=32))
+    assert len(b) < 0.8 * pcm_len
+    w, h, p = _h264_decoder()(b)
+    assert np.array_equal(p[0][8:24, 16:32], img[8:24, 16:32])  # PCM block exact
+    assert np.abs(p[0].astype(int) - img.astype(int)).max() <= 4
+
+    media = spark.createDataFrame(
+        [(0, "video", b)], "media_id bigint, kind string, content binary"
+    )
+    row = extract_h264_frames(media).first()
+    assert (row["width"], row["height"]) == (48, 32)
+    assert abs(row["mean_luma"] - float(p[0].mean()) / 255) < 1e-6

@@ -2273,6 +2273,7 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
         ('gif', 0, 0, 6, 3, round(10.0/255, 6), round(200.0/255, 6), round(30.0/255, 6)),
         ('h264', 0, 0, 20, 12, round(40.0/255, 6), 0.0, 0.0),
         ('h264', 0, 1, 20, 12, round(200.0/255, 6), 0.0, 0.0),
+        ('h264', 1, 0, 32, 32, 0.578431, 0.0, 0.0),
         ('jpeg', 0, 0, 16, 8, round(254.0/255, 6), 0.0, 0.0),
         ('jpeg', 1, 0, 12, 10, 0.555719, 0.509281, 0.473399),
         ('jpeg', 2, 0, 24, 8, 0.48029, 0.497345, 0.472569),
@@ -2372,8 +2373,33 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         ]
-        # H.264 Annex-B I_PCM subset (two frames, cropped 20x12).
-        + [(0, "video", make_h264_bytes([40, 200], width=20, height=12))]
+        # H.264 Annex-B: one I_PCM stream (two frames, cropped 20x12) and
+        # one CAVLC Intra_16x16 stream (DC prediction + entropy-coded
+        # quantized integer-transform residuals at qp 38 over a
+        # deterministic gradient — pure integer math end to end, so the
+        # pinned decoded mean is environment-immune).
+        + [
+            (0, "video", make_h264_bytes([40, 200], width=20, height=12)),
+            (
+                1,
+                "video",
+                make_h264_bytes(
+                    [
+                        np.clip(
+                            128
+                            + np.arange(32)[None, :] * 0.8
+                            + np.arange(32)[:, None] * 0.5,
+                            0,
+                            255,
+                        ).astype(np.uint8)
+                    ],
+                    width=32,
+                    height=32,
+                    mode="cavlc",
+                    qp=38,
+                ),
+            ),
+        ]
     )
     media = spark.createDataFrame(blobs, schema)
     decoded = decode_media(media).select(
