@@ -232,3 +232,35 @@ def test_avi_mjpeg_roundtrip_property(spark, w, h, n_frames, step, seed):
         want = (0.299 * src[..., 0] + 0.587 * src[..., 1] + 0.114 * src[..., 2]).mean() / 255
         assert (r["width"], r["height"]) == (w, h)
         assert abs(r["mean_luma"] - want) < 0.04, idx
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    qp=st.integers(min_value=24, max_value=46),
+    smooth=st.integers(min_value=1, max_value=6),
+)
+def test_h264_cavlc_roundtrip_property(seed, qp, smooth):
+    """Property: any frame encodes to a conformant stream (per-MB I_PCM
+    fallback) and decodes with bounded error — I_PCM macroblocks exactly,
+    CAVLC macroblocks within a qp-scaled quantization bound; the stream
+    never exceeds the all-PCM size by more than the per-MB mode overhead."""
+    import numpy as np
+
+    from vrod_spark.operators.multimodal import _h264_decoder, make_h264_bytes
+
+    rng = np.random.RandomState(seed)
+    base = rng.randint(30, 220)
+    noise = rng.randn(32, 32) * smooth
+    img = np.clip(base + noise.cumsum(axis=0).cumsum(axis=1) / 8, 0, 255).astype(
+        np.uint8
+    )
+    b = make_h264_bytes([img], width=32, height=32, mode="cavlc", qp=qp)
+    w, h, p = _h264_decoder()(b)
+    assert (w, h) == (32, 32)
+    err = np.abs(p[0].astype(int) - img.astype(int))
+    # Reconstruction error is bounded by the quantization step of the
+    # coarsest path (DC step ~ 2^(qp/6) scaled); generous envelope.
+    assert err.max() <= 2 ** (qp // 6 + 1), (seed, qp, err.max())
+    pcm_len = len(make_h264_bytes([img], width=32, height=32))
+    assert len(b) <= pcm_len + 8
