@@ -2206,3 +2206,108 @@ def test_h264_cavlc_mixed_mode_and_lossy_bound(spark):
     row = extract_h264_frames(media).first()
     assert (row["width"], row["height"]) == (48, 32)
     assert abs(row["mean_luma"] - float(p[0].mean()) / 255) < 1e-6
+
+
+def test_duplicate_spans_finds_planted_exact_substring(spark):
+    """Exact-substring axis (Lee et al. 2022): a passage copied verbatim
+    into two otherwise-unrelated documents is reported in BOTH, with the
+    span covering exactly the copied token range; unique documents emit
+    no span; results are deterministic."""
+    from vrod_spark.operators.dedup import duplicate_spans
+
+    passage = " ".join(f"boiler{i}" for i in range(12))  # 12 tokens
+    rows = [
+        (1, "alpha beta gamma " + passage + " omega"),
+        (2, "one two three four five " + passage),
+        (3, "entirely unique words " + " ".join(f"u{i}" for i in range(20))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_tokens"])
+        for r in duplicate_spans(docs, min_tokens=8).collect()
+    }
+    # doc 1: passage occupies token positions 3..14; doc 2: 5..16.
+    assert spans[1] == (3, 14, 12)
+    assert spans[2] == (5, 16, 12)
+    assert 3 not in spans
+    again = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_tokens"])
+        for r in duplicate_spans(docs, min_tokens=8).collect()
+    }
+    assert again == spans
+
+
+def test_duplicate_spans_scope_any_catches_within_doc_repeat(spark):
+    """scope='any' additionally flags a passage repeated INSIDE one
+    document (both occurrences are covered); cross_doc stays silent on
+    the same corpus."""
+    from vrod_spark.operators.dedup import duplicate_spans
+
+    passage = " ".join(f"rep{i}" for i in range(9))  # 9 tokens
+    rows = [
+        (1, passage + " filler middle words here " + passage),
+        (2, "other document with its own unique vocabulary entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    assert duplicate_spans(docs, min_tokens=8, scope="cross_doc").count() == 0
+    got = sorted(
+        (r["span_start"], r["span_end"])
+        for r in duplicate_spans(docs, min_tokens=8, scope="any")
+        .filter("doc_id = 1")
+        .collect()
+    )
+    # occurrences at positions 0..8 and 13..21 (4 filler tokens between)
+    assert got == [(0, 8), (13, 21)]
+
+
+def test_duplicate_spans_merges_adjacent_and_validates_args(spark):
+    """Touching gram intervals merge: with passages a and b CONTIGUOUS in
+    doc 1, its marked gram positions are 0 and 8 (diff == k) -> one
+    covered range over both; in doc 2, where three unique tokens separate
+    them, the positions differ by > k -> two separate spans. Bad
+    arguments raise."""
+    import pytest as _pytest
+
+    from vrod_spark.operators.dedup import duplicate_spans
+
+    a = " ".join(f"a{i}" for i in range(8))
+    b = " ".join(f"b{i}" for i in range(8))
+    rows = [
+        (1, a + " " + b),
+        (2, a + " x y z " + b),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_tokens"])
+        for r in duplicate_spans(docs, min_tokens=8).collect()
+    )
+    assert spans == [(1, 0, 15, 16), (2, 0, 7, 8), (2, 11, 18, 8)]
+    with _pytest.raises(ValueError):
+        duplicate_spans(docs, min_tokens=1)
+    with _pytest.raises(ValueError):
+        duplicate_spans(docs, scope="bogus")
+
+
+def test_remove_duplicate_spans_cuts_every_occurrence(spark):
+    """The apply phase: duplicated passages disappear from every carrier,
+    unique text survives untouched, n_cut_tokens accounts exactly, and
+    re-running on the cleaned corpus is a no-op (idempotence)."""
+    from vrod_spark.operators.dedup import duplicate_spans, remove_duplicate_spans
+
+    passage = " ".join(f"dup{i}" for i in range(10))
+    rows = [
+        (1, "keep one two " + passage + " keep three"),
+        (2, passage + " tail words here"),
+        (3, "nothing shared in this document at all whatsoever"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    cleaned = remove_duplicate_spans(docs, min_tokens=8)
+    got = {r["doc_id"]: (r["text"], r["n_cut_tokens"]) for r in cleaned.collect()}
+    assert got[1] == ("keep one two keep three", 10)
+    assert got[2] == ("tail words here", 10)
+    assert got[3] == ("nothing shared in this document at all whatsoever", 0)
+    assert set(cleaned.columns) == {"doc_id", "text", "n_cut_tokens"}
+    # idempotent: no duplicated k-gram survives the cut
+    assert duplicate_spans(
+        cleaned.select("doc_id", "text"), min_tokens=8
+    ).count() == 0

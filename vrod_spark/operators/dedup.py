@@ -981,3 +981,147 @@ def connected_components(
     return nodes.join(stars, "id", "left").select(
         "id", F.coalesce("component", F.col("id")).alias("component")
     )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 8,
+    scope: str = "cross_doc",
+) -> DataFrame:
+    """EXACT-SUBSTRING duplication spans (the axis of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL 2022:
+    document-level MinHash misses the boilerplate/licence/quote passages
+    that repeat INSIDE otherwise-unique documents): per document, the
+    maximal contiguous token ranges covered by ``min_tokens``-grams that
+    also occur elsewhere in the corpus.
+
+    ``scope="cross_doc"`` marks a gram duplicated when it appears in at
+    least two distinct documents; ``scope="any"`` additionally catches
+    within-document repeats (two or more occurrences anywhere).
+
+    The paper's suffix array is a single-node design; the Spark-first
+    equivalence used here is that a substring of t >= k tokens is
+    duplicated iff all of its t-k+1 overlapping k-grams are duplicated:
+
+    1. posexplode each document's k-grams keyed by md5 (128-bit, so
+       cross-gram collisions are negligible and the gram TEXT never
+       shuffles — the shuffled key is 32 hex chars regardless of k);
+    2. find duplicated grams with ONE groupBy (count / count-distinct-doc
+       aggregation rows — no pair generation, so a boilerplate gram shared
+       by a million documents costs one aggregation row, never O(df²));
+    3. left-semi the marks back onto (doc, pos) and merge the covered
+       intervals per document with a lag + running-sum window: every
+       interval is [pos, pos+k-1], so the union stays contiguous exactly
+       while consecutive marked positions differ by <= k.
+
+    Every stage is codegen (no Python); the shuffles are the gram groupBy,
+    the semi-join, and the per-document window sort. Returns
+    ``(id_col, span_start, span_end, n_tokens)`` with inclusive 0-based
+    token ranges; a document with no duplicated substring emits no row.
+
+    vRod parity: the DEDUP verb family (src/command/builder.rs:52-55);
+    this is the sub-document complement of the document-level strategies.
+    """
+    if scope not in ("cross_doc", "any"):
+        raise ValueError(f"scope must be 'cross_doc' or 'any', got {scope!r}")
+    k = int(min_tokens)
+    if k < 2:
+        raise ValueError("min_tokens must be >= 2 (1 would flag every repeated word)")
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("toks")
+    ).filter(F.size("toks") >= k)
+    grams = toked.select(
+        "id",
+        F.posexplode(shingles_from_tokens(F.col("toks"), k)).alias("pos", "gram"),
+    ).select("id", "pos", F.md5("gram").alias("g"))
+    if scope == "cross_doc":
+        dup = (
+            grams.groupBy("g")
+            .agg(F.count_distinct("id").alias("n"))
+            .filter(F.col("n") >= 2)
+        )
+    else:
+        dup = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n")).filter(
+            F.col("n") >= 2
+        )
+    marked = grams.join(dup.select("g"), "g", "left_semi")
+    w = Window.partitionBy("id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    brk = F.when(prev.isNull() | (F.col("pos") - prev > k), 1).otherwise(0)
+    return (
+        marked.withColumn("brk", brk)
+        .withColumn("grp", F.sum("brk").over(w))
+        .groupBy("id", "grp")
+        .agg(F.min("pos").alias("p0"), F.max("pos").alias("p1"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("p0").alias("span_start"),
+            (F.col("p1") + F.lit(k - 1)).alias("span_end"),
+            (F.col("p1") - F.col("p0") + F.lit(k)).alias("n_tokens"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 8,
+    scope: str = "cross_doc",
+) -> DataFrame:
+    """Cut the :func:`duplicate_spans` ranges out of each document — the
+    apply phase of exact-substring dedup (Lee et al. cut EVERY occurrence
+    of a duplicated span, the released tool's default; keep-one semantics
+    would need a global span-ownership rule the paper itself forgoes).
+
+    The span list joins back per document (bounded: spans per doc, not
+    grams) and tokens are dropped by position with higher-order array
+    expressions — the blob of text is rebuilt once, single-space joined
+    (``tokens`` is whitespace tokenization, so intra-document whitespace
+    is normalized; byte-exact text around the cuts is out of scope for a
+    whitespace-token pipeline and documented here).
+
+    Returns the input schema with ``text_col`` rewritten and an
+    ``n_cut_tokens`` accounting column appended.
+    """
+    spans = duplicate_spans(
+        df,
+        text_col=text_col,
+        id_col=id_col,
+        min_tokens=min_tokens,
+        scope=scope,
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans"),
+        F.sum("n_tokens").alias("__cut"),
+    )
+    toked = df.withColumn("__toks", tokens(text_col))
+    joined = toked.join(per_doc, id_col, "left")
+    indexed = F.zip_with(
+        F.col("__toks"),
+        F.sequence(F.lit(0), F.greatest(F.size("__toks") - 1, F.lit(0))),
+        lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+    )
+    keep = F.filter(
+        indexed,
+        lambda s: ~F.coalesce(
+            F.exists(
+                "__spans",
+                lambda sp: (s["i"] >= sp["span_start"]) & (s["i"] <= sp["span_end"]),
+            ),
+            F.lit(False),
+        ),
+    )
+    out_cols = [
+        F.concat_ws(" ", F.transform(keep, lambda s: s["t"])).alias(c)
+        if c == text_col
+        else F.col(c)
+        for c in df.columns
+    ]
+    return joined.select(
+        *out_cols, F.coalesce(F.col("__cut"), F.lit(0)).cast("bigint").alias("n_cut_tokens")
+    )

@@ -2498,6 +2498,44 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM winv a JOIN winv b USING (fp)
       WHERE a.doc_id < b.doc_id AND fp IN (SELECT fp FROM wkeep)
       GROUP BY 1, 2, 4
+    ),
+    dg AS (
+      SELECT doc_id, len(toks)::BIGINT AS n_toks,
+             [md5(array_to_string(toks[i : i + 7], ' '))
+              FOR i IN range(1, len(toks) - 6)] AS grams
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+      WHERE len(toks) >= 8
+    ),
+    dgu AS (
+      SELECT doc_id, n_toks, unnest(grams) AS g,
+             generate_subscripts(grams, 1) - 1 AS pos
+      FROM dg
+    ),
+    dkeep AS (SELECT g FROM dgu GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+    dbrk AS (
+      SELECT doc_id, n_toks, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                       OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM dgu WHERE g IN (SELECT g FROM dkeep)
+    ),
+    dgrp AS (
+      SELECT doc_id, n_toks, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM dbrk
+    ),
+    dspan AS (
+      SELECT doc_id, n_toks, min(pos) AS p0, max(pos) AS p1
+      FROM dgrp GROUP BY doc_id, n_toks, grp
+    ),
+    dper AS (
+      SELECT doc_id,
+             count(*)::BIGINT AS n_spans,
+             sum(p1 - p0 + 8)::BIGINT AS dup_toks,
+             round(sum(p1 - p0 + 8)::DOUBLE / any_value(n_toks), 6) AS frac
+      FROM dspan GROUP BY doc_id
+      ORDER BY frac DESC, doc_id
+      LIMIT 20
     )
     SELECT 'repetition' AS metric, doc_id,
            n_shingles AS v1, n_distinct AS v2, rep_ratio AS v3 FROM rep
@@ -2507,6 +2545,10 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'winnow_pairs' AS metric, id_a AS doc_id, id_b AS v1,
            shared AS v2, round(shared::DOUBLE / mn, 6) AS v3
     FROM wpairs WHERE shared >= 5
+    UNION ALL
+    SELECT 'dup_spans' AS metric, doc_id, n_spans AS v1, dup_toks AS v2,
+           frac AS v3
+    FROM dper
     ORDER BY metric, doc_id, v1
     """,
 )
@@ -2580,7 +2622,41 @@ def q49_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shared").alias("v2"),
         F.round("overlap", 6).alias("v3"),
     )
-    return rep.unionByName(win).unionByName(wpairs).orderBy("metric", "doc_id", "v1")
+    # dup_spans leg: EXACT-SUBSTRING duplication (Lee et al. 2022, the
+    # sub-document axis winnowing samples and bag-of-shingles misses
+    # entirely) over the FULL corpus — top-20 documents by fraction of
+    # tokens covered by duplicated 8-gram spans
+    # (operators/dedup.duplicate_spans: md5-keyed gram groupBy + window
+    # interval-merge, all codegen).
+    from vrod_spark.operators.dedup import duplicate_spans
+
+    n_toks = docs.select(
+        "doc_id", F.size(tokens("text")).alias("n_toks")
+    )
+    dspans = (
+        duplicate_spans(docs, min_tokens=8)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("n_tokens").alias("dup_toks"),
+        )
+        .join(n_toks, "doc_id")
+        .select(
+            F.lit("dup_spans").alias("metric"),
+            "doc_id",
+            F.col("n_spans").cast("bigint").alias("v1"),
+            F.col("dup_toks").cast("bigint").alias("v2"),
+            F.round(F.col("dup_toks") / F.col("n_toks"), 6).alias("v3"),
+        )
+        .orderBy(F.col("v3").desc(), "doc_id")
+        .limit(20)
+    )
+    return (
+        rep.unionByName(win)
+        .unionByName(wpairs)
+        .unionByName(dspans)
+        .orderBy("metric", "doc_id", "v1")
+    )
 
 
 # ---------------------------------------------------------------------------
