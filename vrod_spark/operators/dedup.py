@@ -983,7 +983,7 @@ def connected_components(
     )
 
 
-def duplicate_spans(
+def duplicate_span_arrays(
     df: DataFrame,
     *,
     text_col: str = "text",
@@ -1006,21 +1006,47 @@ def duplicate_spans(
     equivalence used here is that a substring of t >= k tokens is
     duplicated iff all of its t-k+1 overlapping k-grams are duplicated:
 
-    1. posexplode each document's k-grams keyed by md5 (128-bit, so
-       cross-gram collisions are negligible and the gram TEXT never
-       shuffles — the shuffled key is 32 hex chars regardless of k);
-    2. find duplicated grams with ONE groupBy (count / count-distinct-doc
-       aggregation rows — no pair generation, so a boilerplate gram shared
-       by a million documents costs one aggregation row, never O(df²));
-    3. left-semi the marks back onto (doc, pos) and merge the covered
-       intervals per document with a lag + running-sum window: every
-       interval is [pos, pos+k-1], so the union stays contiguous exactly
-       while consecutive marked positions differ by <= k.
+    1. posexplode tokens and build each position's k-gram key with
+       ``lead`` over a per-document window — ``md5(concat_ws(' ', tok,
+       lead(tok,1) … lead(tok,k-1)))`` — so gram construction is pure
+       JVM window/codegen work. The earlier in-array ``zip_with`` chain
+       avoided this shuffle but its k-1 interpreted higher-order passes
+       (O(k²) char copying per gram) cost ~6× more CPU at bench scale;
+       the window's (id, pos, tok) exchange is the same order of volume
+       as the gram exchange the groupBy needs anyway, so at 100 TB this
+       trades ≤2× shuffle volume for removing the interpreted hot loop.
+       md5 is 128-bit, so cross-gram collisions are negligible and the
+       gram TEXT never shuffles — the shuffled key is 16 bytes
+       regardless of k;
+    2. mark duplicated grams with ONE window over ``g`` —
+       ``min(id) != max(id)`` for the cross-document test (no
+       count-distinct expansion), a plain windowed count for
+       ``scope="any"``. A window, not a groupBy + semi-join: the
+       aggregate's partial-agg exchange and the join's raw-gram
+       exchange are different subtrees, so ReuseExchange cannot dedupe
+       them and the whole tokenize→window→hash pipeline would execute
+       TWICE (measured: 2 scans). The window keeps it at exactly one
+       scan/one gram exchange for a per-partition sort on the 16-byte
+       key — and a boilerplate gram shared by a million documents is
+       still just rows under one window group, never O(df²) pairs and
+       never a collect_list skew bomb;
+    3. ONE groupBy collects each document's sorted marked positions and
+       the interval merge runs in-array: a marked position is a span
+       START iff the gap to its predecessor exceeds k (END
+       symmetrically), and the i-th start pairs with the i-th end — two
+       linear ``filter`` passes + one ``zip_with``, O(marked positions)
+       per document with no quadratic array rebuilding. (Marked
+       positions per document are bounded by its token count, so the
+       collected array is NOT an unbounded-state risk at scale.)
 
-    Every stage is codegen (no Python); the shuffles are the gram groupBy,
-    the semi-join, and the per-document window sort. Returns
-    ``(id_col, span_start, span_end, n_tokens)`` with inclusive 0-based
-    token ranges; a document with no duplicated substring emits no row.
+    The gram/window stages are all codegen (no Python); the shuffles
+    are the token window, the gram window, and the per-document
+    collect. Returns one row per document that HAS
+    duplicated substrings: ``(id_col, doc_tokens, spans)`` where
+    ``spans`` is an ``array<struct<span_start, span_end, n_tokens>>``
+    of inclusive 0-based token ranges and ``doc_tokens`` the document's
+    token count (carried through so consumers computing coverage
+    fractions need no second tokenization scan).
 
     vRod parity: the DEDUP verb family (src/command/builder.rs:52-55);
     this is the sub-document complement of the document-level strategies.
@@ -1033,35 +1059,75 @@ def duplicate_spans(
     toked = df.select(
         F.col(id_col).alias("id"), tokens(text_col).alias("toks")
     ).filter(F.size("toks") >= k)
-    grams = toked.select(
-        "id",
-        F.posexplode(shingles_from_tokens(F.col("toks"), k)).alias("pos", "gram"),
-    ).select("id", "pos", F.md5("gram").alias("g"))
+    wtok = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(wtok) for i in range(1, k)]
+    grams = (
+        toked.select(
+            "id", F.size("toks").alias("n"), F.posexplode("toks").alias("pos", "tok")
+        )
+        .withColumn("g", F.md5(F.concat_ws(" ", *parts)))
+        .filter(F.col("pos") <= F.col("n") - k)
+        .select("id", "n", "pos", "g")
+    )
+    wg = Window.partitionBy("g")
     if scope == "cross_doc":
-        dup = (
-            grams.groupBy("g")
-            .agg(F.count_distinct("id").alias("n"))
-            .filter(F.col("n") >= 2)
-        )
+        # min != max over the ids ⟺ "appears in >= 2 distinct
+        # documents" without the count-distinct expand/dedup machinery
+        # (one WindowExec evaluates both aggregates in a single pass).
+        dup_mark = F.min("id").over(wg) != F.max("id").over(wg)
     else:
-        dup = grams.groupBy("g").agg(F.count(F.lit(1)).alias("n")).filter(
-            F.col("n") >= 2
-        )
-    marked = grams.join(dup.select("g"), "g", "left_semi")
-    w = Window.partitionBy("id").orderBy("pos")
-    prev = F.lag("pos").over(w)
-    brk = F.when(prev.isNull() | (F.col("pos") - prev > k), 1).otherwise(0)
-    return (
-        marked.withColumn("brk", brk)
-        .withColumn("grp", F.sum("brk").over(w))
-        .groupBy("id", "grp")
-        .agg(F.min("pos").alias("p0"), F.max("pos").alias("p1"))
-        .select(
-            F.col("id").alias(id_col),
-            F.col("p0").alias("span_start"),
-            (F.col("p1") + F.lit(k - 1)).alias("span_end"),
-            (F.col("p1") - F.col("p0") + F.lit(k)).alias("n_tokens"),
-        )
+        dup_mark = F.count(F.lit(1)).over(wg) >= 2
+    marked = grams.withColumn("_dup", dup_mark).filter("_dup")
+    perdoc = marked.groupBy("id").agg(
+        F.first("n").alias("doc_tokens"),
+        F.sort_array(F.collect_list("pos")).alias("ps"),
+    )
+    ps = F.col("ps")
+    # when-guards keep element_at in range (ANSI mode throws on 0 / out
+    # of bounds; CaseWhen branches evaluate lazily).
+    starts = F.filter(
+        ps,
+        lambda p, i: F.when(i == 0, F.lit(True)).otherwise(
+            (p - F.element_at(ps, i)) > k
+        ),
+    )
+    ends = F.filter(
+        ps,
+        lambda p, i: F.when(i == F.size(ps) - 1, F.lit(True)).otherwise(
+            (F.element_at(ps, i + 2) - p) > k
+        ),
+    )
+    spans = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.struct(
+            s.alias("span_start"),
+            (e + F.lit(k - 1)).alias("span_end"),
+            (e - s + F.lit(k)).alias("n_tokens"),
+        ),
+    )
+    return perdoc.select(
+        F.col("id").alias(id_col), "doc_tokens", spans.alias("spans")
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 8,
+    scope: str = "cross_doc",
+) -> DataFrame:
+    """Per-span row view of :func:`duplicate_span_arrays`: one
+    ``(id_col, span_start, span_end, n_tokens)`` row per maximal
+    duplicated token range (inclusive 0-based); a document with no
+    duplicated substring emits no row."""
+    arrays = duplicate_span_arrays(
+        df, text_col=text_col, id_col=id_col, min_tokens=min_tokens, scope=scope
+    )
+    return arrays.select(id_col, F.explode("spans").alias("s")).select(
+        id_col, "s.span_start", "s.span_end", "s.n_tokens"
     )
 
 
@@ -1088,16 +1154,18 @@ def remove_duplicate_spans(
     Returns the input schema with ``text_col`` rewritten and an
     ``n_cut_tokens`` accounting column appended.
     """
-    spans = duplicate_spans(
+    per_doc = duplicate_span_arrays(
         df,
         text_col=text_col,
         id_col=id_col,
         min_tokens=min_tokens,
         scope=scope,
-    )
-    per_doc = spans.groupBy(id_col).agg(
-        F.collect_list(F.struct("span_start", "span_end")).alias("__spans"),
-        F.sum("n_tokens").alias("__cut"),
+    ).select(
+        id_col,
+        F.col("spans").alias("__spans"),
+        F.aggregate(
+            "spans", F.lit(0), lambda a, s: a + s["n_tokens"]
+        ).alias("__cut"),
     )
     toked = df.withColumn("__toks", tokens(text_col))
     joined = toked.join(per_doc, id_col, "left")

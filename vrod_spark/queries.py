@@ -2626,27 +2626,20 @@ def q49_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sub-document axis winnowing samples and bag-of-shingles misses
     # entirely) over the FULL corpus — top-20 documents by fraction of
     # tokens covered by duplicated 8-gram spans
-    # (operators/dedup.duplicate_spans: md5-keyed gram groupBy + window
-    # interval-merge, all codegen).
-    from vrod_spark.operators.dedup import duplicate_spans
+    # (operators/dedup.duplicate_span_arrays: lead-window gram keys +
+    # md5 groupBy + in-array interval merge; doc_tokens rides along, so
+    # no second tokenization scan/join).
+    from vrod_spark.operators.dedup import duplicate_span_arrays
 
-    n_toks = docs.select(
-        "doc_id", F.size(tokens("text")).alias("n_toks")
-    )
+    dup_toks = F.aggregate("spans", F.lit(0), lambda a, s: a + s["n_tokens"])
     dspans = (
-        duplicate_spans(docs, min_tokens=8)
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum("n_tokens").alias("dup_toks"),
-        )
-        .join(n_toks, "doc_id")
+        duplicate_span_arrays(docs, min_tokens=8)
         .select(
             F.lit("dup_spans").alias("metric"),
             "doc_id",
-            F.col("n_spans").cast("bigint").alias("v1"),
-            F.col("dup_toks").cast("bigint").alias("v2"),
-            F.round(F.col("dup_toks") / F.col("n_toks"), 6).alias("v3"),
+            F.size("spans").cast("bigint").alias("v1"),
+            dup_toks.cast("bigint").alias("v2"),
+            F.round(dup_toks / F.col("doc_tokens"), 6).alias("v3"),
         )
         .orderBy(F.col("v3").desc(), "doc_id")
         .limit(20)
