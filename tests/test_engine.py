@@ -1126,6 +1126,58 @@ def test_dedup_verb_semdedup_strategy(engine):
     assert sorted(r["id"] for r in col.read().collect()) == [1, 3, 4, 6]
 
 
+def test_dedup_verb_semdedup_string_ids(engine):
+    """semdedup on a string-id collection (ADVICE r8): the applyInPandas
+    schema must carry the id's real type — a hard-coded `id long` dies
+    with an Arrow type error. Keep-rule stays min ORIGINAL id
+    (lexicographic) among within-threshold clustermates."""
+    engine.db.create_collection(
+        "ssem",
+        schema="id string, embedding array<float>, payload string, meta map<string,string>",
+    )
+    rows = [
+        {"id": "doc-z", "embedding": [1.0, 0.0, 0.0, 0.0], "payload": "z"},
+        {"id": "doc-a", "embedding": [1.0, 0.0, 0.0, 0.0], "payload": "a"},  # dup, kept (min id)
+        {"id": "doc-b", "embedding": [0.0, 1.0, 0.0, 0.0], "payload": "b"},
+        {"id": "doc-c", "embedding": [0.0, 0.0, 1.0, 0.0], "payload": "c"},
+    ]
+    engine.execute("INSERT", collection="ssem", arg=rows)
+    info = engine.execute(
+        "DEDUP",
+        collection="ssem",
+        arg={"strategy": "semdedup", "threshold": 0.99, "k": 3},
+    ).info
+    assert info["removed"] == 1
+    col = engine.db.collection("ssem")
+    assert sorted(r["id"] for r in col.read().collect()) == ["doc-a", "doc-b", "doc-c"]
+
+
+def test_dedup_verb_spans_strategy(engine):
+    """DEDUP strategy "spans" (Lee et al. exact-substring apply phase
+    through the verb surface): a boilerplate passage planted in two
+    otherwise-unique documents is cut from BOTH by the COW rewrite; no
+    rows are removed and n_cut_tokens is accounted."""
+    engine.execute("CREATE", collection="docs")
+    boiler = "this license text is identical boilerplate repeated verbatim across documents"
+    uniq_a = "alpha bravo charlie delta echo foxtrot golf hotel"
+    uniq_b = "india juliett kilo lima mike november oscar papa"
+    rows = [
+        {"id": 1, "payload": f"{uniq_a} {boiler}"},
+        {"id": 2, "payload": f"{boiler} {uniq_b}"},
+        {"id": 3, "payload": "quebec romeo sierra tango uniform victor whiskey xray"},
+    ]
+    engine.execute("INSERT", collection="docs", arg=rows)
+    info = engine.execute(
+        "DEDUP", collection="docs", arg={"strategy": "spans", "min_tokens": 8}
+    ).info
+    assert info["removed"] == 0 and info["rows"] == 3
+    assert info["n_cut_tokens"] == 2 * len(boiler.split())
+    got = {r["id"]: r["payload"] for r in engine.db.collection("docs").read().collect()}
+    assert got[1] == uniq_a
+    assert got[2] == uniq_b
+    assert got[3] == rows[2]["payload"]
+
+
 def test_search_verb_bm25_ranking(engine, spark, sf_dir):
     """SEARCH with rank={"bm25": ...}: returns the BM25-ranked row set
     (rank 1..limit, matched-term counts, payload) and composes with a
@@ -1170,3 +1222,21 @@ def test_search_verb_bm25_ranking(engine, spark, sf_dir):
 
     with _pytest.raises(CommandArgError):
         engine.execute("SEARCH", collection="docs", arg={"rank": {"bm25": "  "}})
+
+    # ADVICE r8: explicit limit 0 must error, not silently become 10.
+    with _pytest.raises(CommandArgError):
+        engine.execute(
+            "SEARCH",
+            collection="docs",
+            arg={"rank": {"bm25": "hash join"}, "limit": 0},
+        )
+
+    # ADVICE r8: bm25_rank is case-safe standalone — uppercase query
+    # terms rank identically to the engine's pre-lowered path.
+    upper = {
+        r["id"]: (r["rank"], r["score"])
+        for r in bm25_rank(
+            base, ["Hash", "JOIN"], text_col="payload", id_col="id", top_k=5
+        ).collect()
+    }
+    assert upper == expect

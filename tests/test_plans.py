@@ -319,6 +319,24 @@ def test_bm25_broadcasts_stats_and_takes_ordered(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_duplicate_spans_dup_mark_is_partial_agg_broadcast_semi(spark, sf_dir):
+    """The exact-substring dup-gram test must plan as a partial-aggregable
+    groupBy (map-side partial_min/partial_max pre-combines a hot gram per
+    task — the skew fix a Window.partitionBy(g) lacks: one boilerplate
+    gram in 10^8 documents would otherwise be ONE window task) feeding a
+    broadcast LEFT SEMI probe, with the token-window exchange computed
+    once (ReuseExchange) so the probe costs no second scan."""
+    from vrod_spark.operators.dedup import duplicate_span_arrays
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _executed_plan(duplicate_span_arrays(docs, min_tokens=8))
+    final = plan.split("== Initial Plan ==")[0]
+    assert "partial_min" in final and "partial_max" in final
+    assert "LeftSemi" in final and "BroadcastHashJoin" in final
+    assert final.count("FileScan parquet") == 1, "probe must reuse the token exchange"
+    assert final.count("ReusedExchange") >= 1
+
+
 def test_semantic_dedup_is_one_shuffle_then_grouped_numpy(spark, sf_dir):
     """SemDeDup's within-cluster pairwise pass must be ONE exchange on the
     cluster id feeding a grouped numpy stage (FlatMapGroupsInPandas) —

@@ -317,13 +317,18 @@ class Engine:
             terms = [t for t in str(query).lower().split() if t]
             if not terms:
                 raise CommandArgError("rank.bm25 needs at least one query term")
+            # `limit or 10` would silently turn an explicit 0 into 10
+            # (ADVICE r8) — default only on None, reject non-positive.
+            top_k = 10 if limit is None else int(limit)
+            if top_k <= 0:
+                raise CommandArgError("rank mode needs limit >= 1")
             base = col.read().filter(F.expr(predicate))
             ranked = bm25_rank(
                 base,
                 terms,
                 text_col="payload",
                 id_col="id",
-                top_k=int(limit or 10),
+                top_k=top_k,
             )
             df = (
                 ranked.join(base.select("id", "payload"), "id")
@@ -423,7 +428,7 @@ class Engine:
         snapshot is rewritten, the pointer swaps atomically.
 
         ``arg``: {"strategy": "exact" (default) | "minhash" | "simhash"
-                  | "embedding" | "semdedup" | "winnow",
+                  | "embedding" | "semdedup" | "winnow" | "spans",
                   "column": "payload" (text strategies),
                   "threshold": strategy-specific similarity cutoff,
                   "k": cluster count (semdedup, default 8)}
@@ -440,6 +445,14 @@ class Engine:
                       decisions use exact float64 cosines; clustering
                       only scopes the candidates. Works on any orderable
                       id type directly (no hash mapping needed).
+        - spans:      exact-substring span REMOVAL (Lee et al. 2022):
+                      rows are kept but every maximal duplicated token
+                      range of ≥ min_tokens (default 8) that also occurs
+                      elsewhere in the collection is cut out of the text
+                      column, every occurrence (the released tool's
+                      default). The only strategy that rewrites text
+                      instead of dropping rows; reports n_cut_tokens.
+                      {"min_tokens": N, "scope": "cross_doc"|"any"}
         - winnow:     MOSS winnowing-fingerprint overlap ≥ threshold
                       (default .5 of the smaller doc's fingerprints) —
                       the contiguous-passage/boilerplate signal that
@@ -471,8 +484,11 @@ class Engine:
         # semantics). The mapping is collision-CHECKED first: a 64-bit
         # collision would silently fuse two distinct documents.
         integral = {"byte", "short", "int", "bigint", "long"}
+        # exact dedups on sha2 digests and semdedup carries the native id
+        # type through its applyInPandas schema — neither needs (or uses)
+        # the hash mapping, so don't pay the collision-check jobs for them.
         hashed_ids = (
-            strategy != "exact"
+            strategy not in ("exact", "semdedup", "spans")
             and df.schema["id"].dataType.simpleString() not in integral
         )
         if hashed_ids:
@@ -540,6 +556,35 @@ class Engine:
                 },
             )
 
+        if strategy == "spans":
+            from vrod_spark.operators.dedup import remove_duplicate_spans
+
+            rewritten = remove_duplicate_spans(
+                df,
+                text_col=text_col,
+                id_col="id",
+                min_tokens=int(opts.get("min_tokens", 8)),
+                scope=opts.get("scope", "cross_doc"),
+            )
+            # Verb-level accounting needs the cut total BEFORE the
+            # schema-stable rewrite drops the column. Two executions of
+            # the span pipeline at verb granularity — acceptable for a
+            # lifecycle command; a pipeline caller wanting one pass uses
+            # remove_duplicate_spans directly.
+            n_cut = rewritten.agg(F.sum("n_cut_tokens")).first()[0] or 0
+            survivors = rewritten.drop("n_cut_tokens")
+            n_after = col._rewrite(survivors, "DEDUP", {"strategy": strategy})
+            return CommandResult(
+                "DEDUP",
+                info={
+                    "collection": col.name,
+                    "strategy": strategy,
+                    "removed": before - n_after,
+                    "n_cut_tokens": int(n_cut),
+                    "rows": n_after,
+                },
+            )
+
         if strategy == "minhash":
             from vrod_spark.operators.dedup import minhash_lsh_pairs
 
@@ -581,7 +626,7 @@ class Engine:
         else:
             raise CommandArgError(
                 f"unknown dedup strategy {strategy!r}; expected "
-                "exact/minhash/simhash/embedding/semdedup/winnow"
+                "exact/minhash/simhash/embedding/semdedup/winnow/spans"
             )
 
         # Keep-first, transitively: close the verified pairs into

@@ -149,6 +149,11 @@ def semantic_dedup(
     as a codegen'd zip_with/aggregate expression on the JVM; the join
     shuffles cluster ids only.
     """
+    # The applyInPandas output schema must carry the id's REAL type —
+    # semantic_dedup works on any orderable id directly (string ids from
+    # a user collection included); hard-coding `id long` would fail with
+    # an Arrow type error at runtime (ADVICE r8).
+    id_type = df.schema[id_col].dataType.simpleString()
     assigned = kmeans_assign(df, centroids, vec_col=vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "cluster", "ccos"
     )
@@ -188,7 +193,7 @@ def semantic_dedup(
         return pdf.assign(kept=~dropped)[["id", "cluster", "ccos", "rank", "kept"]]
 
     return ranked.groupBy("cluster").applyInPandas(
-        mark, "id long, cluster int, ccos double, rank int, kept boolean"
+        mark, f"id {id_type}, cluster int, ccos double, rank int, kept boolean"
     )
 
 
@@ -200,7 +205,10 @@ def cluster_profile(dedup: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_members"),
             F.sum(F.col("kept").cast("long")).alias("n_kept"),
-            F.round(F.avg("ccos"), 6).alias("avg_ccos"),
+            # Snap-before-round (the q51 drift fix pattern): the float64
+            # average differs between engines by ulps (summation order);
+            # snapping at 6dp first makes the 4dp pin boundary-proof.
+            F.round(F.round(F.avg("ccos"), 6), 4).alias("avg_ccos"),
         )
         .orderBy("cluster")
     )

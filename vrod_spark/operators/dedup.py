@@ -990,6 +990,7 @@ def duplicate_span_arrays(
     id_col: str = "doc_id",
     min_tokens: int = 8,
     scope: str = "cross_doc",
+    mark_join: str = "broadcast",
 ) -> DataFrame:
     """EXACT-SUBSTRING duplication spans (the axis of Lee et al.,
     "Deduplicating Training Data Makes Language Models Better", ACL 2022:
@@ -1018,18 +1019,20 @@ def duplicate_span_arrays(
        md5 is 128-bit, so cross-gram collisions are negligible and the
        gram TEXT never shuffles — the shuffled key is 16 bytes
        regardless of k;
-    2. mark duplicated grams with ONE window over ``g`` —
-       ``min(id) != max(id)`` for the cross-document test (no
-       count-distinct expansion), a plain windowed count for
-       ``scope="any"``. A window, not a groupBy + semi-join: the
-       aggregate's partial-agg exchange and the join's raw-gram
-       exchange are different subtrees, so ReuseExchange cannot dedupe
-       them and the whole tokenize→window→hash pipeline would execute
-       TWICE (measured: 2 scans). The window keeps it at exactly one
-       scan/one gram exchange for a per-partition sort on the 16-byte
-       key — and a boilerplate gram shared by a million documents is
-       still just rows under one window group, never O(df²) pairs and
-       never a collect_list skew bomb;
+    2. mark duplicated grams with a partial-aggregable
+       ``groupBy("g")`` — ``min(id) != max(id)`` for the cross-document
+       test (no count-distinct expansion), a plain count for
+       ``scope="any"`` — then semi-join the dup-gram set back
+       (broadcast by default; ``mark_join="shuffle"`` when the set
+       itself outgrows a broadcast). An earlier revision used ONE
+       window over ``g`` to stay single-scan, but a window partition
+       is a single task: a boilerplate gram in 10^8 documents is a
+       straggler at 100 TB. The agg's map-side partial min/max
+       pre-combines hot grams per task before the exchange, and with a
+       broadcast probe the token-window exchange is shared by both
+       subtrees (ReuseExchange), so the extra cost over the window
+       form is re-running the gram window from the reused exchange —
+       not a second scan (plan-pinned in test_plans);
     3. ONE groupBy collects each document's sorted marked positions and
        the interval merge runs in-array: a marked position is a span
        START iff the gap to its predecessor exceeds k (END
@@ -1069,15 +1072,31 @@ def duplicate_span_arrays(
         .filter(F.col("pos") <= F.col("n") - k)
         .select("id", "n", "pos", "g")
     )
-    wg = Window.partitionBy("g")
+    # Dup-gram test as a partial-aggregable groupBy + broadcast semi-join,
+    # NOT a window over g: Window.partitionBy("g") puts ALL occurrences of
+    # a hot gram in ONE task — at 100 TB a boilerplate gram appearing in
+    # 10^8 documents is a straggler. HashAggregate's map-side partial
+    # min/max pre-combines each task's occurrences of the hot gram to a
+    # single row before the exchange (the salt-free skew fix for
+    # algebraic aggregates), so the final agg sees O(tasks) rows per gram
+    # no matter how hot it is. The dup-gram set (grams that DO repeat) is
+    # then semi-joined back; ``mark_join="broadcast"`` (default) keeps the
+    # probe side shuffle-free — both subtrees share the token-window
+    # exchange, which ReuseExchange computes once. For corpora whose
+    # dup-gram set itself outgrows a broadcast (planet-scale boilerplate
+    # variety), ``mark_join="shuffle"`` trades it for a g-keyed semi-join.
     if scope == "cross_doc":
         # min != max over the ids ⟺ "appears in >= 2 distinct
-        # documents" without the count-distinct expand/dedup machinery
-        # (one WindowExec evaluates both aggregates in a single pass).
-        dup_mark = F.min("id").over(wg) != F.max("id").over(wg)
+        # documents" without the count-distinct expand/dedup machinery.
+        dup_test = F.min("id") != F.max("id")
     else:
-        dup_mark = F.count(F.lit(1)).over(wg) >= 2
-    marked = grams.withColumn("_dup", dup_mark).filter("_dup")
+        dup_test = F.count(F.lit(1)) >= 2
+    dup_g = grams.groupBy("g").agg(dup_test.alias("_dup")).filter("_dup").select("g")
+    if mark_join == "broadcast":
+        dup_g = F.broadcast(dup_g)
+    elif mark_join != "shuffle":
+        raise ValueError(f"mark_join must be 'broadcast' or 'shuffle', got {mark_join!r}")
+    marked = grams.join(dup_g, "g", "semi")
     perdoc = marked.groupBy("id").agg(
         F.first("n").alias("doc_tokens"),
         F.sort_array(F.collect_list("pos")).alias("ps"),

@@ -48,7 +48,10 @@ def bm25_rank(
     contributions sum in engine-dependent order; at 4 decimals the
     ulp-level difference can't reorder the boundary).
     """
-    terms = sorted(set(query_terms))
+    # Corpus tokens are lowercased below — lowercase the query terms too
+    # so a standalone caller passing "Hash Join" matches (ADVICE r8; the
+    # engine path happens to lowercase first, direct callers may not).
+    terms = sorted({t.lower() for t in query_terms})
     toked = docs.select(
         F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("toks")
     )

@@ -602,8 +602,8 @@ def q13_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_stats_aggs",
     oracle="""
     SELECT l_returnflag,
-           round(stddev_samp(l_quantity), 4) AS sd_qty,
-           round(var_samp(l_quantity), 4)    AS var_qty,
+           round(round(stddev_samp(l_quantity), 6), 4) AS sd_qty,
+           round(round(var_samp(l_quantity), 6), 4)    AS var_qty,
            round(min(l_extendedprice), 2)    AS min_price,
            round(max(l_extendedprice), 2)    AS max_price,
            (max(struct_pack(p := l_extendedprice, k := l_orderkey))).k AS top_order,
@@ -618,8 +618,10 @@ def q14_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
-            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            # Snap-before-round: moment aggregates accumulate in
+            # partition order (Welford merge vs DuckDB's) — ulp drift.
+            F.round(F.round(F.stddev_samp("l_quantity"), 6), 4).alias("sd_qty"),
+            F.round(F.round(F.var_samp("l_quantity"), 6), 4).alias("var_qty"),
             F.round(F.min("l_extendedprice"), 2).alias("min_price"),
             F.round(F.max("l_extendedprice"), 2).alias("max_price"),
             F.max_by(
@@ -1311,7 +1313,7 @@ def q26b_prob_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q28_embedding_near_dup",
     oracle="""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+           round(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6), 4) AS cosine
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
              a.vec_id, b.vec_id
@@ -1323,7 +1325,7 @@ def q28_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, top_pairs=20).select(
-        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+        "id_a", "id_b", F.round(F.round("cosine", 6), 4).alias("cosine")
     )
 
 
@@ -1395,7 +1397,7 @@ def q28_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'semdedup', cid, count(*),
            sum(CASE WHEN vec_id IN (SELECT vec_id FROM drp) THEN 0 ELSE 1 END),
-           round(avg(ccos), 6)
+           round(round(avg(ccos), 6), 4)
     FROM rk GROUP BY cid
     ORDER BY leg, k1
     """,
@@ -1506,8 +1508,9 @@ def q28b_embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFr
       FROM gr2 LEFT JOIN mdl m USING (lang, g) JOIN tot t2 USING (lang)
       GROUP BY doc_id
     )
-    SELECT p.lang_pred, count(*) AS n_docs, round(avg(p.q), 6) AS avg_quality,
-           round(avg(x.ppx), 6) AS avg_ppx
+    SELECT p.lang_pred, count(*) AS n_docs,
+           round(round(avg(p.q), 6), 4) AS avg_quality,
+           round(round(avg(x.ppx), 6), 4) AS avg_ppx
     FROM pred p LEFT JOIN ppx x USING (doc_id)
     GROUP BY p.lang_pred ORDER BY p.lang_pred
     """,
@@ -1531,8 +1534,10 @@ def q29_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_doc.groupBy("lang_pred")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("q"), 6).alias("avg_quality"),
-            F.round(F.avg("ppx"), 6).alias("avg_ppx"),
+            # Snap-before-round: averaged floats drift by ulps between
+            # engines (summation order); 6dp snap then 4dp pin.
+            F.round(F.round(F.avg("q"), 6), 4).alias("avg_quality"),
+            F.round(F.round(F.avg("ppx"), 6), 4).alias("avg_ppx"),
         )
         .orderBy("lang_pred")
     )
@@ -2770,7 +2775,7 @@ def q50_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS k1,
            sum(n_chars)::BIGINT AS k2,
            0::BIGINT AS k3,
-           round(avg(q), 6) AS v,
+           round(round(avg(q), 6), 4) AS v,
            '' AS lo, '' AS hi
     FROM deduped
     GROUP BY lang
@@ -2798,7 +2803,7 @@ def q52_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("k1"),
             F.sum("n_chars").alias("k2"),
-            F.round(F.avg("q"), 6).alias("v"),
+            F.round(F.round(F.avg("q"), 6), 4).alias("v"),
         )
         .select(
             F.lit("clean").alias("leg"),
