@@ -22,6 +22,17 @@ def test_knn_is_take_ordered_not_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_limit_offset_plans_as_topk_heap(spark, sf_dir):
+    """Both q03 legs — plain top-k and LIMIT+OFFSET pagination — must plan
+    as TakeOrderedAndProject (per-partition heaps of offset+limit rows),
+    never a global sort (Exchange rangepartitioning)."""
+    df = QUERIES["q03_top_orders"](spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    assert final.count("TakeOrderedAndProject") == 2
+    assert "rangepartitioning" not in final
+
+
 def test_star_join_broadcasts_dims(spark, sf_dir):
     plan = explain_str(QUERIES["q02_revenue_by_nation"](spark, sf_dir), "formatted")
     assert "BroadcastHashJoin" in plan

@@ -264,3 +264,19 @@ def test_h264_cavlc_roundtrip_property(seed, qp, smooth):
     assert err.max() <= 2 ** (qp // 6 + 1), (seed, qp, err.max())
     pcm_len = len(make_h264_bytes([img], width=32, height=32))
     assert len(b) <= pcm_len + 8
+
+    # Multi-slice picture (one MB per slice — the hardest layout): both
+    # sides must treat cross-slice neighbors as unavailable (clause
+    # 6.4.9, nC contexts AND DC prediction), so the stream stays within
+    # the same reconstruction bound. A decoder that let contexts leak
+    # across slices would pick the wrong VLC table or DC predictor here.
+    bs = make_h264_bytes(
+        [img], width=32, height=32, mode="cavlc", qp=qp, mbs_per_slice=1
+    )
+    # 4 MBs -> 4 IDR-slice NALs (type 5) after SPS/PPS.
+    assert sum(1 for i in range(len(bs) - 4)
+               if bs[i:i + 4] == b"\x00\x00\x00\x01" and bs[i + 4] & 0x1F == 5) == 4
+    ws, hs, ps = _h264_decoder()(bs)
+    assert (ws, hs) == (32, 32)
+    errs = np.abs(ps[0].astype(int) - img.astype(int))
+    assert errs.max() <= 2 ** (qp // 6 + 1), (seed, qp, errs.max())

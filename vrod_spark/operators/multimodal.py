@@ -15,10 +15,12 @@ Layers I, II and III (spec-exact bitstreams + PR-MDCT filterbank
 stand-in — see the MP1/MP2/MP3 section notes; the Layer III decoder
 covers the conforming subset its encoder emits and loudly rejects the
 big-value Huffman tables / short blocks), and H.264/AVC for a declared
-Constrained-Baseline I_PCM subset (real Annex-B NAL / exp-Golomb /
-SPS-PPS-slice machinery, bit-exact sample reconstruction; CAVLC-coded
-predicted macroblocks are loudly rejected — see the H.264 section
-note). The generic ``decode_stub`` remains for codecs with NO
+Constrained-Baseline intra subset (real Annex-B NAL / exp-Golomb /
+SPS-PPS-slice machinery): I_PCM macroblocks bit-exact, plus CAVLC-coded
+Intra_16x16 luma with the clause 9.2 coefficient decode, 8.3.3
+prediction and 8.5 inverse transform. Outside that subset —
+Intra_4x4 prediction, inter/P slices, CABAC — streams are loudly
+rejected, never mis-decoded (see the H.264 section note). The generic ``decode_stub`` remains for codecs with NO
 implementation (it raises ``NotImplementedError`` unless ``fake=True``,
 which produces a deterministic fake derived from the bytes, keeping
 pipelines end-to-end testable); swapping in PIL/ffmpeg later changes
@@ -2153,9 +2155,15 @@ def _h264_transform_math():
             r[3, j] = a0 - a3
         return (r + 32) >> 6
 
-    def dc_pred16(recon, mb_x, mb_y):
+    def dc_pred16(recon, mb_x, mb_y, has_left=None, has_top=None):
+        # Callers decoding multi-slice pictures pass explicit
+        # availability: per clause 6.4.9 a neighbor in a DIFFERENT slice
+        # is unavailable even when its samples are reconstructed.
         x0, y0 = mb_x * 16, mb_y * 16
-        has_left, has_top = mb_x > 0, mb_y > 0
+        if has_left is None:
+            has_left = mb_x > 0
+        if has_top is None:
+            has_top = mb_y > 0
         if has_left and has_top:
             s = int(recon[y0 : y0 + 16, x0 - 1].sum()) + int(
                 recon[y0 - 1, x0 : x0 + 16].sum()
@@ -2297,6 +2305,7 @@ def make_h264_bytes(
     chroma=(128, 128),
     mode: str = "pcm",
     qp: int = 26,
+    mbs_per_slice: int | None = None,
 ) -> bytes:
     """Encode luma frames as an Annex-B H.264 stream of IDR pictures
     (Constrained Baseline). ``frames`` is a list of either scalar luma
@@ -2311,7 +2320,13 @@ def make_h264_bytes(
     coefficients per 4x4 block, contexts in the 0<=nC<2 VLC class,
     run_before within the zerosLeft<=6 tables); any macroblock outside
     it falls back to I_PCM — per-MB mode selection exactly as real
-    encoders do, and every emitted stream is conformant."""
+    encoders do, and every emitted stream is conformant.
+
+    ``mbs_per_slice``: raster-order macroblocks per slice (default: the
+    whole picture in one slice). Multi-slice pictures follow clause
+    6.4.9 — CAVLC nC contexts and DC prediction treat neighbors in a
+    different slice as unavailable, on BOTH encode and decode sides, so
+    the stream stays conformant for third-party decoders."""
     import numpy as np
 
     if width <= 0 or height <= 0:
@@ -2453,11 +2468,12 @@ def make_h264_bytes(
         for v in [cb_v] * 64 + [cr_v] * 64:
             w.u(v, 8)
 
-    def try_cavlc_mb(y, recon, totals, mb_x, mb_y):
+    def try_cavlc_mb(y, recon, totals, mb_x, mb_y, has_left=None, has_top=None):
         """Return (bits_fn, new_totals, recon_mb) for an Intra_16x16 DC
         macroblock, or None when any block leaves the declared CAVLC
-        subset (caller writes I_PCM)."""
-        pred = math["dc_pred16"](recon, mb_x, mb_y)
+        subset (caller writes I_PCM). ``has_left``/``has_top`` override
+        DC-prediction neighbor availability for slice boundaries."""
+        pred = math["dc_pred16"](recon, mb_x, mb_y, has_left=has_left, has_top=has_top)
         res = (
             y[mb_y * 16 : mb_y * 16 + 16, mb_x * 16 : mb_x * 16 + 16].astype(np.int64)
             - pred
@@ -2526,43 +2542,56 @@ def make_h264_bytes(
             if y.shape != (height, width):
                 raise ValueError(f"frame {f_idx}: shape {y.shape} != ({height}, {width})")
             y = np.pad(y, ((0, pad_h - height), (0, pad_w - width)), mode="edge")
-        # --- IDR slice (nal 5) ---
-        w = W()
-        w.ue(0)  # first_mb_in_slice
-        w.ue(7)  # slice_type: I (all slices in picture)
-        w.ue(0)  # pic_parameter_set_id
-        w.u(0, 4)  # frame_num (log2_max_frame_num = 4); 0 for every IDR
-        w.ue(f_idx % 2)  # idr_pic_id (must differ between consecutive IDRs)
-        w.u(0, 1)  # no_output_of_prior_pics_flag
-        w.u(0, 1)  # long_term_reference_flag
-        w.se(0)  # slice_qp_delta
-        w.ue(1)  # disable_deblocking_filter_idc: 1 (filter off, conformant)
+        # --- IDR slices (nal 5), raster MB order, one NAL per slice ---
+        n_mbs = mbs_w * mbs_h
+        step = n_mbs if not mbs_per_slice else max(1, int(mbs_per_slice))
         recon = np.zeros((pad_h, pad_w), dtype=np.uint8)
-        totals: dict = {}
-        for mb in range(mbs_w * mbs_h):
-            mb_y, mb_x = mb // mbs_w, mb % mbs_w
-            attempt = (
-                try_cavlc_mb(y, recon, totals, mb_x, mb_y)
-                if mode == "cavlc"
-                else None
-            )
-            if attempt is None:
-                write_pcm_mb(w, y, mb_x, mb_y)
-                for bx in range(4):
-                    for by in range(4):
-                        totals[(mb_x * 4 + bx, mb_y * 4 + by)] = 16
-                recon[mb_y * 16 : mb_y * 16 + 16, mb_x * 16 : mb_x * 16 + 16] = y[
-                    mb_y * 16 : mb_y * 16 + 16, mb_x * 16 : mb_x * 16 + 16
-                ]
-            else:
-                emit, staged, recon_mb = attempt
-                emit(w)
-                totals.update(staged)
-                recon[
-                    mb_y * 16 : mb_y * 16 + 16, mb_x * 16 : mb_x * 16 + 16
-                ] = recon_mb
-        w.trailing()
-        out += nal(5, 3, w.bytes())
+        for slice_first in range(0, n_mbs, step):
+            w = W()
+            w.ue(slice_first)  # first_mb_in_slice
+            w.ue(7)  # slice_type: I (all slices in picture)
+            w.ue(0)  # pic_parameter_set_id
+            w.u(0, 4)  # frame_num (log2_max_frame_num = 4); 0 for every IDR
+            w.ue(f_idx % 2)  # idr_pic_id (same for all slices of a picture)
+            w.u(0, 1)  # no_output_of_prior_pics_flag
+            w.u(0, 1)  # long_term_reference_flag
+            w.se(0)  # slice_qp_delta
+            w.ue(1)  # disable_deblocking_filter_idc: 1 (filter off)
+            # Slice-local nC contexts: a fresh totals dict makes every
+            # other-slice neighbor None, exactly clause 6.4.9.
+            totals: dict = {}
+            for mb in range(slice_first, min(slice_first + step, n_mbs)):
+                mb_y, mb_x = mb // mbs_w, mb % mbs_w
+                attempt = (
+                    try_cavlc_mb(
+                        y,
+                        recon,
+                        totals,
+                        mb_x,
+                        mb_y,
+                        has_left=mb_x > 0 and (mb - 1) >= slice_first,
+                        has_top=mb_y > 0 and (mb - mbs_w) >= slice_first,
+                    )
+                    if mode == "cavlc"
+                    else None
+                )
+                if attempt is None:
+                    write_pcm_mb(w, y, mb_x, mb_y)
+                    for bx in range(4):
+                        for by in range(4):
+                            totals[(mb_x * 4 + bx, mb_y * 4 + by)] = 16
+                    recon[mb_y * 16 : mb_y * 16 + 16, mb_x * 16 : mb_x * 16 + 16] = y[
+                        mb_y * 16 : mb_y * 16 + 16, mb_x * 16 : mb_x * 16 + 16
+                    ]
+                else:
+                    emit, staged, recon_mb = attempt
+                    emit(w)
+                    totals.update(staged)
+                    recon[
+                        mb_y * 16 : mb_y * 16 + 16, mb_x * 16 : mb_x * 16 + 16
+                    ] = recon_mb
+            w.trailing()
+            out += nal(5, 3, w.bytes())
     return bytes(out)
 
 
@@ -2651,6 +2680,8 @@ def _h264_decoder():
         sps = pps = None
         frames = []
         cur = None
+        slice_idx = -1  # per-picture slice counter (clause 6.4.9 availability)
+        mb_slice = {}  # (mb_x, mb_y) -> slice_idx that decoded it
         for nalu in nals:
             if not nalu:
                 continue
@@ -2735,6 +2766,10 @@ def _h264_decoder():
                     cur = np.zeros((mbs_h * 16, mbs_w * 16), dtype=np.uint8)
                     frames.append(cur)
                     totals = {}
+                    mb_slice = {}
+                    slice_idx = 0
+                else:
+                    slice_idx += 1
                 n_mbs = mbs_w * mbs_h
                 mb = first_mb
                 # more_rbsp_data(): bits remain beyond the rbsp stop bit
@@ -2750,8 +2785,17 @@ def _h264_decoder():
                     raise ValueError("slice with no rbsp stop bit")
 
                 def nc_of(gx, gy):
-                    left = totals.get((gx - 1, gy))
-                    top = totals.get((gx, gy - 1))
+                    # A neighbor 4x4 block is available only when the MB
+                    # that decoded it belongs to THIS slice (clause
+                    # 6.4.9: cross-slice neighbors are unavailable, even
+                    # with reconstructed samples sitting in `cur`).
+                    def tot(ngx, ngy):
+                        if mb_slice.get((ngx // 4, ngy // 4)) != slice_idx:
+                            return None
+                        return totals.get((ngx, ngy))
+
+                    left = tot(gx - 1, gy)
+                    top = tot(gx, gy - 1)
                     if left is not None and top is not None:
                         return (left + top + 1) >> 1
                     if left is not None:
@@ -2862,6 +2906,10 @@ def _h264_decoder():
                 while mb < n_mbs and r.pos < stop_pos:
                     mb_y, mb_x = mb // mbs_w, mb % mbs_w
                     my, mx = mb_y * 16, mb_x * 16
+                    # Registered before any residual decode: nc_of must
+                    # see the current MB's earlier 4x4 blocks as
+                    # same-slice neighbors.
+                    mb_slice[(mb_x, mb_y)] = slice_idx
                     mbt = r.ue()
                     if mbt == 25:  # I_PCM
                         r.align()
@@ -2904,7 +2952,15 @@ def _h264_decoder():
                             for bx in range(4):
                                 for by in range(4):
                                     totals[(mb_x * 4 + bx, mb_y * 4 + by)] = 0
-                        pred = dc_pred16(cur, mb_x, mb_y)
+                        pred = dc_pred16(
+                            cur,
+                            mb_x,
+                            mb_y,
+                            has_left=mb_x > 0
+                            and mb_slice.get((mb_x - 1, mb_y)) == slice_idx,
+                            has_top=mb_y > 0
+                            and mb_slice.get((mb_x, mb_y - 1)) == slice_idx,
+                        )
                         cur[my : my + 16, mx : mx + 16] = recon_i16(
                             dc_levels, ac, qp_cur, pred
                         )

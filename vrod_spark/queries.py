@@ -223,26 +223,36 @@ def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Top-k global sort: SEARCH-style filter + ORDER BY ... LIMIT. Catalyst plans
-# TakeOrderedAndProject — per-partition heaps, no global sort.
+# TakeOrderedAndProject — per-partition heaps, no global sort. The 'page'
+# leg adds LIMIT ... OFFSET pagination (DataFrame.offset — SURVEY §2.3's
+# limit/offset row): offset+limit still plan as one TakeOrderedAndProject
+# heap of offset+limit rows, never a global sort.
 # ---------------------------------------------------------------------------
 @query(
     "q03_top_orders",
     oracle="""
-    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
-    FROM orders
-    WHERE o_orderstatus = 'O'
-    ORDER BY o_totalprice DESC, o_orderkey
-    LIMIT 25
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+      FROM orders
+      WHERE o_orderstatus = 'O'
+    )
+    SELECT 'top' AS leg, * FROM (
+      SELECT * FROM base ORDER BY total DESC, o_orderkey LIMIT 25)
+    UNION ALL
+    SELECT 'page', * FROM (
+      SELECT * FROM base ORDER BY total DESC, o_orderkey LIMIT 10 OFFSET 15)
     """,
 )
 def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
-    return (
+    ordered = (
         orders.filter(F.col("o_orderstatus") == "O")
         .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total"))
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .limit(25)
+        .orderBy(F.col("total").desc(), F.col("o_orderkey"))
     )
+    top = ordered.limit(25).select(F.lit("top").alias("leg"), "*")
+    page = ordered.offset(15).limit(10).select(F.lit("page").alias("leg"), "*")
+    return top.unionByName(page)
 
 
 # ---------------------------------------------------------------------------
