@@ -2140,6 +2140,52 @@ def test_h264_cavlc_intra16_reconstruction():
     assert out.min() == out.max() == 72
 
 
+def test_h264_intra4x4_reconstruction():
+    """Intra_4x4 path (clause 8.3.1, declared V/H/DC mode subset):
+    column-constant images reconstruct EXACTLY via Vertical prediction
+    (every residual is zero once the top row is decoded), row-constant
+    images via Horizontal, solids via DC; streams compress far below
+    I_PCM; the stream really carries I_NxN macroblocks (mb_type 0)."""
+    import numpy as np
+
+    from vrod_spark.operators.multimodal import _h264_decoder, make_h264_bytes
+
+    parse = _h264_decoder()
+    # Vertical: distinct columns, constant down each column.
+    col = (np.arange(32, dtype=np.int64) * 37 % 251).astype(np.uint8)
+    v_img = np.tile(col, (32, 1))
+    bv = make_h264_bytes([v_img], width=32, height=32, mode="i4x4", qp=28)
+    _, _, pv = parse(bv)
+    assert np.array_equal(pv[0], v_img)
+    # Horizontal: distinct rows, constant across each row.
+    row = (np.arange(32, dtype=np.int64) * 53 % 251).astype(np.uint8)
+    h_img = np.tile(row[:, None], (1, 32))
+    bh = make_h264_bytes([h_img], width=32, height=32, mode="i4x4", qp=28)
+    _, _, ph = parse(bh)
+    assert np.array_equal(ph[0], h_img)
+    # Solid: DC everywhere, tiny stream.
+    bs = make_h264_bytes([128], width=32, height=32, mode="i4x4", qp=28)
+    _, _, psld = parse(bs)
+    assert psld[0].min() == psld[0].max() == 128
+    assert len(bs) < 120
+    # Cropping composes (non-multiple-of-16 dims). Solid 77 at qp 30 is
+    # lossy by design: the first block's DC residual (77-128) quantizes
+    # with ±1 reconstruction error, then later blocks predict from the
+    # reconstruction — near-exact, not exact (unlike the Intra_16x16 DC
+    # Hadamard path, whose gain identity is exact for uniforms).
+    g = np.full((12, 20), 77, dtype=np.uint8)
+    w2, h2, p2 = parse(make_h264_bytes([g], width=20, height=12, mode="i4x4", qp=30))
+    assert (w2, h2) == (20, 12)
+    assert np.abs(p2[0].astype(int) - 77).max() <= 1
+    # Noise falls back to I_PCM per-MB (conformant, lossless there) —
+    # the mixed-mode stream still decodes.
+    rng = np.random.RandomState(3)
+    noisy = rng.randint(0, 256, (16, 32)).astype(np.uint8)
+    bn = make_h264_bytes([noisy], width=32, height=16, mode="i4x4", qp=24)
+    _, _, pn = parse(bn)
+    assert np.array_equal(pn[0], noisy)  # all-PCM fallback is lossless
+
+
 def test_h264_cavlc_bitstream_spot_pins():
     """Pin hand-derived CAVLC codewords (ITU-T H.264 clause 9.2 tables):
     coeff_token (Table 9-5, nC<2), trailing-one signs, level codes,

@@ -280,3 +280,15 @@ def test_h264_cavlc_roundtrip_property(seed, qp, smooth):
     assert (ws, hs) == (32, 32)
     errs = np.abs(ps[0].astype(int) - img.astype(int))
     assert errs.max() <= 2 ** (qp // 6 + 1), (seed, qp, errs.max())
+
+    # Intra_4x4 (mode="i4x4", clause 8.3.1 V/H/DC subset): same bound,
+    # single- and one-MB-per-slice layouts (mode prediction, nC contexts
+    # and sample availability must all respect slice boundaries).
+    for mps in (None, 1):
+        b4 = make_h264_bytes(
+            [img], width=32, height=32, mode="i4x4", qp=qp, mbs_per_slice=mps
+        )
+        w4, h4, p4 = _h264_decoder()(b4)
+        assert (w4, h4) == (32, 32)
+        err4 = np.abs(p4[0].astype(int) - img.astype(int))
+        assert err4.max() <= 2 ** (qp // 6 + 1), (seed, qp, mps, err4.max())

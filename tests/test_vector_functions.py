@@ -54,6 +54,51 @@ def test_vector_lit_roundtrip(spark):
     assert df.first()["v"] == [1.5, 2.5]
 
 
+def test_vector_lit_sql_parse_is_bit_identical(spark):
+    """The single-parse fast path (vector_lit_sql -> F.expr) must yield
+    bit-identical doubles to per-element F.lit construction, across
+    exponent-form, denormal, negative-zero and long-mantissa values;
+    non-finite values take the per-element fallback."""
+    rng = np.random.RandomState(7)
+    exotic = [0.0, -0.0, 1e-300, -1e300, 5e-324, 1.0000000000000002,
+              1 / 3, -2 / 7, 1e17, 123456789.123456789]
+    vals = exotic + list(rng.randn(64) * np.exp(rng.randn(64) * 20))
+    slow = F.array(*[F.lit(float(v)) for v in vals])
+    row = spark.range(1).select(
+        vector_lit(vals).alias("fast"), slow.alias("slow")
+    ).first()
+    import struct
+    assert [struct.pack("d", v) for v in row["fast"]] == [
+        struct.pack("d", v) for v in row["slow"]
+    ]
+    nf = spark.range(1).select(
+        vector_lit([1.0, float("inf"), float("nan")]).alias("v")
+    ).first()["v"]
+    assert nf[0] == 1.0 and math.isinf(nf[1]) and math.isnan(nf[2])
+
+
+def test_bucket_expr_parse_matches_column_form(spark):
+    """bucket_expr's one-parse SQL tree must bucket identically to the
+    original Column composition for random planes and vectors."""
+    from vrod_spark.operators.ann import _planes, bucket_expr
+
+    rng = np.random.RandomState(11)
+    planes = _planes(16, 6, seed=3)
+    vecs = [(i, rng.randn(16).astype("float32").tolist()) for i in range(200)]
+    df = spark.createDataFrame(vecs, "id int, v array<float>")
+
+    ref = F.lit(0)
+    for i, plane in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(F.col("v"), vector_lit(plane.tolist()),
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+        ref = ref + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    rows = df.select("id", bucket_expr("v", planes).alias("fast"),
+                     ref.alias("slow")).collect()
+    assert all(r["fast"] == r["slow"] for r in rows)
+
+
 def test_l2_distance_to_self_is_zero(pair_df):
     assert _one(pair_df, l2_distance("a", "a")) == pytest.approx(0.0)
     assert math.isclose(_one(pair_df, cosine_similarity("b", "b")), 1.0, rel_tol=1e-9)

@@ -15,15 +15,35 @@ oracle's DOUBLE[] arithmetic.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def vector_lit_sql(values: Sequence[float]) -> str:
+    """SQL text of a literal ARRAY<DOUBLE> (finite values only).
+
+    ``repr(float)`` is the shortest decimal that round-trips, and Spark's
+    double-literal parse is correctly rounded, so the parsed array is
+    bit-identical to per-element ``F.lit`` construction (differential-
+    tested). Exists so vector literals cost ONE parse instead of dim+1
+    py4j round-trips — building a 64-dim literal the element-wise way
+    measured ~67 ms of pure driver overhead vs ~0.6 ms for the parse,
+    which dominated the cold latency of every vector-heavy plan (kNN,
+    LSH bucketing) at small SF."""
+    return "array(" + ",".join(repr(float(v)) + "D" for v in values) + ")"
+
+
 def vector_lit(values: Sequence[float]) -> Column:
     """A literal dense vector as an ARRAY<DOUBLE> column."""
-    return F.array(*[F.lit(float(v)) for v in values])
+    vals = [float(v) for v in values]
+    if vals and all(map(math.isfinite, vals)):
+        return F.expr(vector_lit_sql(vals))
+    # Empty or non-finite (inf/nan have no SQL literal form): the
+    # per-element path, correct for every IEEE double.
+    return F.array(*[F.lit(v) for v in vals]).cast("array<double>")
 
 
 def _to_double(vec: Column | str) -> Column:

@@ -53,20 +53,24 @@ def _planes(dimension: int, n_planes: int, seed: int = SEED) -> np.ndarray:
 
 
 def bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
-    """bucket = Σ_i (dot(v, plane_i) > 0) << i, as built-in expressions."""
-    bucket = F.lit(0)
+    """bucket = Σ_i (dot(v, plane_i) > 0) << i, as built-in expressions.
+
+    Built as ONE SQL parse: the per-plane Column composition (zip_with +
+    aggregate lambdas + a 64-element literal array each) cost ~100 ms of
+    py4j round-trips per table on the driver — pure cold-plan floor. The
+    parsed tree is the identical Catalyst expression (differential-tested
+    against the Column form), still pure codegen at runtime."""
+    from vrod_spark.functions.vector import vector_lit_sql
+
+    terms = []
     for i, plane in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                vector_lit(plane.tolist()),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        arr = vector_lit_sql(plane.tolist())
+        proj = (
+            f"aggregate(zip_with(`{vec_col}`, {arr}, "
+            "(x, y) -> cast(x as double) * y), 0.0D, (acc, v) -> acc + v)"
         )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return bucket
+        terms.append(f"(case when {proj} > 0 then {1 << i} else 0 end)")
+    return F.expr(" + ".join(terms))
 
 
 def _query_bucket(vector: list[float], planes: np.ndarray) -> int:

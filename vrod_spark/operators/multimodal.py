@@ -16,11 +16,13 @@ stand-in — see the MP1/MP2/MP3 section notes; the Layer III decoder
 covers the conforming subset its encoder emits and loudly rejects the
 big-value Huffman tables / short blocks), and H.264/AVC for a declared
 Constrained-Baseline intra subset (real Annex-B NAL / exp-Golomb /
-SPS-PPS-slice machinery): I_PCM macroblocks bit-exact, plus CAVLC-coded
+SPS-PPS-slice machinery): I_PCM macroblocks bit-exact, CAVLC-coded
 Intra_16x16 luma with the clause 9.2 coefficient decode, 8.3.3
-prediction and 8.5 inverse transform. Outside that subset —
-Intra_4x4 prediction, inter/P slices, CABAC — streams are loudly
-rejected, never mis-decoded (see the H.264 section note). The generic ``decode_stub`` remains for codecs with NO
+prediction and 8.5 inverse transform, and CAVLC-coded Intra_4x4 with
+the V/H/DC prediction modes (8.3.1: per-block mode prediction, Table
+9-4 CBP). Outside that subset — diagonal Intra_4x4 modes 3-8, inter/P
+slices, CABAC — streams are loudly rejected, never mis-decoded (see
+the H.264 section note). The generic ``decode_stub`` remains for codecs with NO
 implementation (it raises ``NotImplementedError`` unless ``fake=True``,
 which produces a deterministic fake derived from the bytes, keeping
 pipelines end-to-end testable); swapping in PIL/ffmpeg later changes
@@ -2056,6 +2058,14 @@ _CAVLC_RUN_BEFORE = {
 }
 #: 4x4 zigzag scan (clause 8.5.6, Figure 8-8): zigzag index -> raster.
 _H264_ZIGZAG_4x4 = [0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15]
+#: Table 9-4: coded_block_pattern me(v) mapping for Intra_4x4 macroblocks
+#: (codeNum -> cbp; cbp = CodedBlockPatternLuma + 16*Chroma).
+_H264_CBP_INTRA = [
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41,
+]
+_H264_CBP_INTRA_INV = {v: i for i, v in enumerate(_H264_CBP_INTRA)}
 #: Dequant LevelScale V rows per qP%6 (Table in 8.5.12.2): entries for
 #: the three position classes (corner / center / other).
 _H264_V = [
@@ -2331,7 +2341,7 @@ def make_h264_bytes(
 
     if width <= 0 or height <= 0:
         raise ValueError("width/height must be positive")
-    if mode not in ("pcm", "cavlc"):
+    if mode not in ("pcm", "cavlc", "i4x4"):
         raise ValueError(f"unknown mode {mode!r}")
     if not 0 <= qp <= 51:
         raise ValueError("qp out of range")
@@ -2534,6 +2544,124 @@ def make_h264_bytes(
 
         return emit, staged, recon_mb
 
+    dequant_ac = math["dequant_ac"]
+    inv_transform_4x4 = math["inv_transform_4x4"]
+
+    def try_i4x4_mb(y, recon, totals, i4modes_enc, enc_mb_slice, slice_first, mb_x, mb_y):
+        """Return (bits_fn, staged_totals, staged_modes) for an Intra_4x4
+        macroblock (per-4x4 best of the declared V/H/DC modes by SAD), or
+        None when any block's residual leaves the CAVLC subset (caller
+        writes I_PCM; recon is rolled back). Reconstruction mirrors the
+        decoder sample-for-sample so neighbor prediction cannot drift."""
+        my, mx = mb_y * 16, mb_x * 16
+        saved = recon[my : my + 16, mx : mx + 16].copy()
+        staged_totals: dict = {}
+        staged_modes: dict = {}
+        mode_bits = []
+        blk_bits = [""] * 16
+        blk_tot = [0] * 16
+
+        def avail(ngx, ngy):
+            if ngx < 0 or ngy < 0:
+                return False
+            return enc_mb_slice.get((ngx // 4, ngy // 4)) == slice_first
+
+        def mode_of(ngx, ngy):
+            if (ngx, ngy) in staged_modes:
+                return staged_modes[(ngx, ngy)]
+            return i4modes_enc.get((ngx, ngy), 2)
+
+        for k4 in range(16):
+            bx, by = blk_order[k4]
+            gx, gy = mb_x * 4 + bx, mb_y * 4 + by
+            x0, y0 = mx + bx * 4, my + by * 4
+            left_ok, top_ok = avail(gx - 1, gy), avail(gx, gy - 1)
+            src = y[y0 : y0 + 4, x0 : x0 + 4].astype(np.int64)
+
+            def pred_of(m):
+                if m == 0:
+                    return np.tile(recon[y0 - 1, x0 : x0 + 4].astype(np.int64), (4, 1))
+                if m == 1:
+                    return np.tile(
+                        recon[y0 : y0 + 4, x0 - 1].astype(np.int64)[:, None], (1, 4)
+                    )
+                if top_ok and left_ok:
+                    s = int(recon[y0 - 1, x0 : x0 + 4].sum()) + int(
+                        recon[y0 : y0 + 4, x0 - 1].sum()
+                    )
+                    v = (s + 4) >> 3
+                elif top_ok:
+                    v = (int(recon[y0 - 1, x0 : x0 + 4].sum()) + 2) >> 2
+                elif left_ok:
+                    v = (int(recon[y0 : y0 + 4, x0 - 1].sum()) + 2) >> 2
+                else:
+                    v = 128
+                return np.full((4, 4), v, dtype=np.int64)
+
+            cands = [2] + ([0] if top_ok else []) + ([1] if left_ok else [])
+            best = None
+            for m in sorted(cands):
+                p = pred_of(m)
+                sad = int(np.abs(src - p).sum())
+                if best is None or sad < best[0]:
+                    best = (sad, m, p)
+            _, m, p = best
+            w4 = Cf @ (src - p) @ Cf.T
+            lv = []
+            for k2 in range(16):
+                pos = zig[k2]
+                cls = _h264_pos_class(pos // 4, pos % 4)
+                lv.append(quant(w4[pos // 4, pos % 4], mf[cls], qbits, fq))
+            merged = dict(totals)
+            merged.update(staged_totals)
+            enc = _cavlc_encode_block(lv, 16, nc_of(merged, gx, gy))
+            if enc is None:
+                recon[my : my + 16, mx : mx + 16] = saved
+                return None
+            blk_bits[k4], blk_tot[k4] = enc
+            staged_totals[(gx, gy)] = enc[1]
+            # Mode syntax BEFORE registering this block's mode.
+            if not left_ok or not top_ok:
+                pm = 2
+            else:
+                pm = min(mode_of(gx - 1, gy), mode_of(gx, gy - 1))
+            if m == pm:
+                mode_bits.append((1, None))
+            else:
+                mode_bits.append((0, m - (1 if m > pm else 0)))
+            staged_modes[(gx, gy)] = m
+            # Decoder-exact reconstruction (used by later blocks' pred).
+            d = np.zeros((4, 4), dtype=np.int64)
+            for ci, l in enumerate(lv):
+                if l:
+                    pos = zig[ci]
+                    d[pos // 4, pos % 4] = dequant_ac(l, qp, pos // 4, pos % 4)
+            recon[y0 : y0 + 4, x0 : x0 + 4] = np.clip(
+                p + inv_transform_4x4(d), 0, 255
+            ).astype(np.uint8)
+
+        cbp_luma4 = 0
+        for quad in range(4):
+            if any(blk_tot[quad * 4 + j] for j in range(4)):
+                cbp_luma4 |= 1 << quad
+
+        def emit(w):
+            w.ue(0)  # mb_type: I_NxN
+            for flag, rem in mode_bits:
+                w.u(flag, 1)
+                if not flag:
+                    w.u(rem, 3)
+            w.ue(0)  # intra_chroma_pred_mode: DC
+            w.ue(_H264_CBP_INTRA_INV[cbp_luma4])  # coded_block_pattern me(v)
+            if cbp_luma4:
+                w.se(0)  # mb_qp_delta
+            for k4 in range(16):
+                if cbp_luma4 & (1 << (k4 // 4)):
+                    for ch in blk_bits[k4]:
+                        w.u(1 if ch == "1" else 0, 1)
+
+        return emit, staged_totals, staged_modes
+
     for f_idx, frame in enumerate(frames):
         if np.isscalar(frame):
             y = np.full((pad_h, pad_w), int(frame) & 0xFF, dtype=np.uint8)
@@ -2546,6 +2674,8 @@ def make_h264_bytes(
         n_mbs = mbs_w * mbs_h
         step = n_mbs if not mbs_per_slice else max(1, int(mbs_per_slice))
         recon = np.zeros((pad_h, pad_w), dtype=np.uint8)
+        i4modes_enc: dict = {}  # per-picture 4x4 pred modes (Intra_4x4 MBs)
+        enc_mb_slice: dict = {}  # per-picture (mb_x, mb_y) -> slice id
         for slice_first in range(0, n_mbs, step):
             w = W()
             w.ue(slice_first)  # first_mb_in_slice
@@ -2562,8 +2692,11 @@ def make_h264_bytes(
             totals: dict = {}
             for mb in range(slice_first, min(slice_first + step, n_mbs)):
                 mb_y, mb_x = mb // mbs_w, mb % mbs_w
-                attempt = (
-                    try_cavlc_mb(
+                # Registered first (mirrors the decoder): within-MB
+                # neighbor blocks must count as same-slice.
+                enc_mb_slice[(mb_x, mb_y)] = slice_first
+                if mode == "cavlc":
+                    attempt = try_cavlc_mb(
                         y,
                         recon,
                         totals,
@@ -2572,9 +2705,13 @@ def make_h264_bytes(
                         has_left=mb_x > 0 and (mb - 1) >= slice_first,
                         has_top=mb_y > 0 and (mb - mbs_w) >= slice_first,
                     )
-                    if mode == "cavlc"
-                    else None
-                )
+                elif mode == "i4x4":
+                    attempt = try_i4x4_mb(
+                        y, recon, totals, i4modes_enc, enc_mb_slice,
+                        slice_first, mb_x, mb_y,
+                    )
+                else:
+                    attempt = None
                 if attempt is None:
                     write_pcm_mb(w, y, mb_x, mb_y)
                     for bx in range(4):
@@ -2583,6 +2720,11 @@ def make_h264_bytes(
                     recon[mb_y * 16 : mb_y * 16 + 16, mb_x * 16 : mb_x * 16 + 16] = y[
                         mb_y * 16 : mb_y * 16 + 16, mb_x * 16 : mb_x * 16 + 16
                     ]
+                elif mode == "i4x4":
+                    emit, staged_totals, staged_modes = attempt
+                    emit(w)
+                    totals.update(staged_totals)
+                    i4modes_enc.update(staged_modes)
                 else:
                     emit, staged, recon_mb = attempt
                     emit(w)
@@ -2598,15 +2740,21 @@ def make_h264_bytes(
 def _h264_decoder():
     """Self-contained parser factory (same pickling contract as
     ``_jpeg_decoder``): returns ``parse(b) -> (width, height, [y_plane])``
-    for Annex-B streams of the declared subset — I_PCM macroblocks plus
-    CAVLC-coded Intra_16x16 (DC prediction, luma residual, contexts in
-    the 0<=nC<2 VLC class); anything outside (CABAC, I_4x4, predicted
-    MBs, chroma residual, other VLC table classes) raises ValueError,
-    never mis-decodes."""
+    for Annex-B streams of the declared subset — I_PCM macroblocks,
+    CAVLC-coded Intra_16x16 (DC prediction, luma residual) and
+    CAVLC-coded Intra_4x4 (Vertical/Horizontal/DC prediction modes, per-
+    block mode prediction, Table 9-4 CBP), contexts in the 0<=nC<2 VLC
+    class; anything outside (CABAC, diagonal Intra_4x4 modes 3-8,
+    predicted MBs, chroma residual, other VLC table classes) raises
+    ValueError, never mis-decodes."""
     math = _h264_transform_math()
     recon_i16 = math["recon_i16"]
     dc_pred16 = math["dc_pred16"]
+    dequant_ac = math["dequant_ac"]
+    inv_transform_4x4 = math["inv_transform_4x4"]
+    zig = list(math["zigzag"])
     blk_order = list(math["blk_order"])
+    cbp_intra = list(_H264_CBP_INTRA)
     ct_dec = {bits: key for key, bits in _CAVLC_COEFF_TOKEN_NC02.items()}
     tz_dec = {tc: {bits: v for v, bits in tab.items()} for tc, tab in _CAVLC_TOTAL_ZEROS.items()}
     rb_dec = {zl: {bits: v for v, bits in tab.items()} for zl, tab in _CAVLC_RUN_BEFORE.items()}
@@ -2682,6 +2830,7 @@ def _h264_decoder():
         cur = None
         slice_idx = -1  # per-picture slice counter (clause 6.4.9 availability)
         mb_slice = {}  # (mb_x, mb_y) -> slice_idx that decoded it
+        i4modes = {}  # (gx, gy) -> Intra_4x4 pred mode of that 4x4 block
         for nalu in nals:
             if not nalu:
                 continue
@@ -2767,6 +2916,7 @@ def _h264_decoder():
                     frames.append(cur)
                     totals = {}
                     mb_slice = {}
+                    i4modes = {}
                     slice_idx = 0
                 else:
                     slice_idx += 1
@@ -2803,6 +2953,59 @@ def _h264_decoder():
                     if top is not None:
                         return top
                     return 0
+
+                def blk_avail(ngx, ngy):
+                    """4x4-block availability (clause 6.4.9): in-frame
+                    AND decoded by THIS slice."""
+                    if ngx < 0 or ngy < 0:
+                        return False
+                    return mb_slice.get((ngx // 4, ngy // 4)) == slice_idx
+
+                def pred_i4_mode(gx, gy):
+                    """Clause 8.3.1.1 predIntra4x4PredMode: DC when
+                    either neighbor block is unavailable; otherwise
+                    min(modeA, modeB), a non-Intra_4x4 neighbor MB
+                    counting as DC."""
+                    if not blk_avail(gx - 1, gy) or not blk_avail(gx, gy - 1):
+                        return 2
+                    return min(
+                        i4modes.get((gx - 1, gy), 2), i4modes.get((gx, gy - 1), 2)
+                    )
+
+                def pred_i4_samples(mode, x0, y0, gx, gy):
+                    """Clause 8.3.1.2 sample prediction, declared subset:
+                    0 Vertical / 1 Horizontal / 2 DC."""
+                    left_ok = blk_avail(gx - 1, gy)
+                    top_ok = blk_avail(gx, gy - 1)
+                    if mode == 0:
+                        if not top_ok:
+                            raise ValueError(
+                                "Vertical Intra_4x4 without top neighbor"
+                            )
+                        return np.tile(
+                            cur[y0 - 1, x0 : x0 + 4].astype(np.int64), (4, 1)
+                        )
+                    if mode == 1:
+                        if not left_ok:
+                            raise ValueError(
+                                "Horizontal Intra_4x4 without left neighbor"
+                            )
+                        return np.tile(
+                            cur[y0 : y0 + 4, x0 - 1].astype(np.int64)[:, None],
+                            (1, 4),
+                        )
+                    if top_ok and left_ok:
+                        s = int(cur[y0 - 1, x0 : x0 + 4].sum()) + int(
+                            cur[y0 : y0 + 4, x0 - 1].sum()
+                        )
+                        v = (s + 4) >> 3
+                    elif top_ok:
+                        v = (int(cur[y0 - 1, x0 : x0 + 4].sum()) + 2) >> 2
+                    elif left_ok:
+                        v = (int(cur[y0 : y0 + 4, x0 - 1].sum()) + 2) >> 2
+                    else:
+                        v = 128
+                    return np.full((4, 4), v, dtype=np.int64)
 
                 def cavlc_block(max_coeffs, nc):
                     """Clause 9.2 residual block decode, restricted to
@@ -2964,9 +3167,69 @@ def _h264_decoder():
                         cur[my : my + 16, mx : mx + 16] = recon_i16(
                             dc_levels, ac, qp_cur, pred
                         )
+                    elif mbt == 0:  # I_NxN = Intra_4x4 (baseline: no 8x8)
+                        # -- prediction modes, luma4x4BlkIdx order --
+                        modes = []
+                        for k4 in range(16):
+                            bx, by = blk_order[k4]
+                            gx, gy = mb_x * 4 + bx, mb_y * 4 + by
+                            pm = pred_i4_mode(gx, gy)
+                            if r.u(1):  # prev_intra4x4_pred_mode_flag
+                                mode = pm
+                            else:
+                                rem = r.u(3)
+                                mode = rem if rem < pm else rem + 1
+                            if mode not in (0, 1, 2):
+                                raise ValueError(
+                                    "Intra_4x4 prediction mode outside "
+                                    "declared V/H/DC subset"
+                                )
+                            i4modes[(gx, gy)] = mode
+                            modes.append(mode)
+                        if r.ue() > 3:
+                            raise ValueError("bad intra_chroma_pred_mode")
+                        cbp_code = r.ue()
+                        if cbp_code >= 48:
+                            raise ValueError("bad coded_block_pattern")
+                        cbp = cbp_intra[cbp_code]
+                        if cbp >> 4:
+                            raise ValueError(
+                                "chroma residual outside declared subset"
+                            )
+                        cbp_luma4 = cbp & 15
+                        if cbp_luma4:  # mb_qp_delta only when cbp != 0
+                            qp_cur = (qp_cur + r.se() + 52) % 52
+                        coeffs = {}
+                        for k4 in range(16):
+                            bx, by = blk_order[k4]
+                            gx, gy = mb_x * 4 + bx, mb_y * 4 + by
+                            if cbp_luma4 & (1 << (k4 // 4)):
+                                lv, tot = cavlc_block(16, nc_of(gx, gy))
+                                coeffs[k4] = lv
+                                totals[(gx, gy)] = tot
+                            else:
+                                totals[(gx, gy)] = 0
+                        # Reconstruct in scan order: later blocks predict
+                        # from earlier blocks' reconstructed samples.
+                        for k4 in range(16):
+                            bx, by = blk_order[k4]
+                            gx, gy = mb_x * 4 + bx, mb_y * 4 + by
+                            x0, y0 = mx + bx * 4, my + by * 4
+                            pred = pred_i4_samples(modes[k4], x0, y0, gx, gy)
+                            d = np.zeros((4, 4), dtype=np.int64)
+                            for ci, lv in enumerate(coeffs.get(k4, ())):
+                                if lv:
+                                    pos = zig[ci]
+                                    d[pos // 4, pos % 4] = dequant_ac(
+                                        lv, qp_cur, pos // 4, pos % 4
+                                    )
+                            blk = pred + inv_transform_4x4(d)
+                            cur[y0 : y0 + 4, x0 : x0 + 4] = np.clip(
+                                blk, 0, 255
+                            ).astype(np.uint8)
                     else:
                         raise ValueError(
-                            f"mb_type {mbt} outside declared subset (I_4x4/non-I)"
+                            f"mb_type {mbt} outside declared subset (non-I)"
                         )
                     mb += 1
             # other NAL types (SEI, AUD, filler) are legal — skipped.

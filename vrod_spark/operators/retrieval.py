@@ -39,6 +39,7 @@ def bm25_rank(
     b: float = 0.75,
     top_k: int = 20,
     score_decimals: int = 4,
+    tokens_df: DataFrame | None = None,
 ) -> DataFrame:
     """Rank documents against ``query_terms`` by BM25.
 
@@ -47,14 +48,23 @@ def bm25_rank(
     keeps the cut deterministic across engines (per-term float
     contributions sum in engine-dependent order; at 4 decimals the
     ulp-level difference can't reorder the boundary).
+
+    ``tokens_df``: optional pre-tokenized corpus ``(id_col, toks
+    array<string>)`` — lowercased whitespace tokens with EVERY document
+    present (empty docs as empty arrays: they count toward n_docs/avgdl).
+    A snapshot-scoped tokenized table is how a production deployment
+    amortizes the scan+split across retrieval queries.
     """
     # Corpus tokens are lowercased below — lowercase the query terms too
     # so a standalone caller passing "Hash Join" matches (ADVICE r8; the
     # engine path happens to lowercase first, direct callers may not).
     terms = sorted({t.lower() for t in query_terms})
-    toked = docs.select(
-        F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("toks")
-    )
+    if tokens_df is not None:
+        toked = tokens_df.select(F.col(id_col).alias("id"), "toks")
+    else:
+        toked = docs.select(
+            F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("toks")
+        )
     # Document length (ALL tokens) + corpus stats in one pass each.
     dl = toked.select("id", F.size("toks").alias("dl"))
     stats = dl.agg(
