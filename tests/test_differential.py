@@ -127,6 +127,34 @@ def test_differential_topk(spark, sf_dir, n, order_col, asc):
     assert got == [tuple(w) for w in want]
 
 
+@given(
+    offset=st.integers(min_value=0, max_value=40),
+    n=st.integers(min_value=1, max_value=25),
+    asc=st.booleans(),
+)
+@SETTINGS
+def test_differential_limit_offset(spark, sf_dir, offset, n, asc):
+    """LIMIT+OFFSET pagination over a total order: DataFrame.offset +
+    limit must return exactly DuckDB's LIMIT n OFFSET m page — including
+    pages past the end of the result (empty) and offset 0."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    oc = F.col("l_extendedprice").asc() if asc else F.col("l_extendedprice").desc()
+    got = [
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in li.orderBy(oc, "l_orderkey", "l_linenumber")
+        .offset(offset)
+        .limit(n)
+        .collect()
+    ]
+    direction = "ASC" if asc else "DESC"
+    want = duckdb.sql(
+        f"SELECT l_orderkey, l_linenumber FROM '{sf_dir}/lineitem.parquet' "
+        f"ORDER BY l_extendedprice {direction}, l_orderkey, l_linenumber "
+        f"LIMIT {n} OFFSET {offset}"
+    ).fetchall()
+    assert got == [tuple(w) for w in want]
+
+
 @pytest.mark.parametrize("seed", [0])
 def test_differential_null_semantics(spark, sf_dir, seed):
     """Aggregates over columns WITH nulls: Spark and DuckDB must agree

@@ -261,6 +261,24 @@ def test_shared_jaccard_edges_is_one_materialization(spark, sf_dir):
     assert other is a  # path normalization: same snapshot, same entry
 
 
+def test_shared_doc_tokens_is_one_materialization_and_complete(spark, sf_dir):
+    """The tokenize-once snapshot (q53's three legs): same session+snapshot
+    returns the identical checkpointed DataFrame; EVERY document row is
+    retained (empty docs keep empty arrays — BM25's n_docs/avgdl depend on
+    them) and the arrays equal tokens(lower(text)) recomputed directly."""
+    from vrod_spark.functions.text import tokens
+    from vrod_spark.queries import shared_doc_tokens
+    from vrod_spark.sources.tables import load_table
+
+    a = shared_doc_tokens(spark, sf_dir)
+    assert shared_doc_tokens(spark, sf_dir) is a
+    docs = load_table(spark, sf_dir, "documents")
+    assert a.count() == docs.count()
+    direct = docs.select("doc_id", tokens(F.lower("text")).alias("toks"))
+    assert a.exceptAll(direct).count() == 0
+    assert direct.exceptAll(a).count() == 0
+
+
 def test_ivfpq_engine_search_partition_prunes(spark, sf_dir, tmp_path):
     """SEARCHSIMILAR over an ivfpq collection must PARTITION-PRUNE the
     code scan (PartitionFilters on the probed bucket= dirs — the 100 TB

@@ -234,6 +234,76 @@ def test_avi_mjpeg_roundtrip_property(spark, w, h, n_frames, step, seed):
         assert abs(r["mean_luma"] - want) < 0.04, idx
 
 
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    k=st.integers(min_value=2, max_value=5),
+    scope=st.sampled_from(["cross_doc", "any"]),
+)
+def test_duplicate_spans_match_bruteforce_reference(spark, seed, k, scope):
+    """Property: duplicate_span_arrays == a brute-force Python reference
+    (gram duplication sets + interval merge) on random small-vocabulary
+    corpora — positions, span boundaries, token counts and doc_tokens all
+    exact, for both scopes and several k. Small vocab forces heavy
+    natural duplication, including the hot-gram and adjacent-merge paths."""
+    import random
+
+    from vrod_spark.operators.dedup import duplicate_span_arrays
+
+    rng = random.Random(seed)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 24))))
+        for i in range(rng.randint(3, 7))
+    ]
+
+    # -- reference --
+    gram_docs: dict = {}
+    toks_by_doc = {}
+    for i, text in docs:
+        toks = text.split()
+        toks_by_doc[i] = toks
+        for p in range(len(toks) - k + 1):
+            g = tuple(toks[p : p + k])
+            gram_docs.setdefault(g, []).append(i)
+    expected = {}
+    for i, toks in toks_by_doc.items():
+        if len(toks) < k:
+            continue
+        marked = []
+        for p in range(len(toks) - k + 1):
+            occ = gram_docs[tuple(toks[p : p + k])]
+            dup = (
+                len(set(occ)) >= 2 if scope == "cross_doc" else len(occ) >= 2
+            )
+            if dup:
+                marked.append(p)
+        if not marked:
+            continue
+        spans = []
+        s = e = marked[0]
+        for p in marked[1:]:
+            if p - e > k:
+                spans.append((s, e + k - 1, e - s + k))
+                s = p
+            e = p
+        spans.append((s, e + k - 1, e - s + k))
+        expected[i] = (len(toks), spans)
+
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (
+            r["doc_tokens"],
+            [(sp["span_start"], sp["span_end"], sp["n_tokens"]) for sp in r["spans"]],
+        )
+        for r in duplicate_span_arrays(
+            df, min_tokens=k, scope=scope
+        ).collect()
+    }
+    assert got == expected, (seed, k, scope)
+
+
 @settings(max_examples=15, deadline=None)
 @given(
     seed=st.integers(min_value=0, max_value=10_000),
