@@ -1178,6 +1178,56 @@ def test_dedup_verb_spans_strategy(engine):
     assert got[3] == rows[2]["payload"]
 
 
+def test_dedup_verb_dry_run(engine):
+    """dry_run=True reports would-be removals WITHOUT committing: the
+    drop-id set matches what a real run then removes, the spans report
+    carries ranges, and the collection is untouched until the real run."""
+    engine.execute("CREATE", collection="vecs")
+    rows = [
+        {"id": 1, "embedding": [1.0, 0.0, 0.0], "payload": "a"},
+        {"id": 2, "embedding": [1.0, 0.0, 0.0], "payload": "b"},  # dup of 1
+        {"id": 3, "embedding": [0.0, 1.0, 0.0], "payload": "c"},
+    ]
+    engine.execute("INSERT", collection="vecs", arg=rows)
+    res = engine.execute(
+        "DEDUP",
+        collection="vecs",
+        arg={"strategy": "embedding", "threshold": 0.999, "dry_run": True},
+    )
+    assert res.info["dry_run"] is True and res.info["rows"] == 3
+    assert [r["id"] for r in res.df.collect()] == [2]
+    col = engine.db.collection("vecs")
+    assert col.read().count() == 3  # untouched
+    info = engine.execute(
+        "DEDUP", collection="vecs", arg={"strategy": "embedding", "threshold": 0.999}
+    ).info
+    assert info["removed"] == 1
+    assert sorted(r["id"] for r in col.read().collect()) == [1, 3]
+
+    # spans dry run: the report carries ranges, text is not rewritten.
+    engine.execute("CREATE", collection="docs")
+    boiler = "one two three four five six seven eight nine"
+    engine.execute(
+        "INSERT",
+        collection="docs",
+        arg=[
+            {"id": 1, "payload": f"alpha beta {boiler}"},
+            {"id": 2, "payload": f"{boiler} gamma delta"},
+        ],
+    )
+    res2 = engine.execute(
+        "DEDUP",
+        collection="docs",
+        arg={"strategy": "spans", "min_tokens": 8, "dry_run": True},
+    )
+    got = sorted(
+        (r["id"], r["span_start"], r["span_end"]) for r in res2.df.collect()
+    )
+    assert got == [(1, 2, 10), (2, 0, 8)]
+    texts = {r["id"]: r["payload"] for r in engine.db.collection("docs").read().collect()}
+    assert boiler in texts[1] and boiler in texts[2]  # untouched
+
+
 def test_search_verb_bm25_ranking(engine, spark, sf_dir):
     """SEARCH with rank={"bm25": ...}: returns the BM25-ranked row set
     (rank 1..limit, matched-term counts, payload) and composes with a

@@ -429,6 +429,10 @@ class Engine:
 
         ``arg``: {"strategy": "exact" (default) | "minhash" | "simhash"
                   | "embedding" | "semdedup" | "winnow" | "spans",
+                  "dry_run": False — when True, NO rewrite happens: the
+                  result DataFrame reports the ids that would be removed
+                  (for "spans": the (id, span_start, span_end, n_tokens)
+                  ranges that would be cut) — inspect-first maintenance,
                   "column": "payload" (text strategies),
                   "threshold": strategy-specific similarity cutoff,
                   "k": cluster count (semdedup, default 8)}
@@ -474,8 +478,25 @@ class Engine:
         opts = dict(arg) if isinstance(arg, dict) else ({"strategy": arg} if arg else {})
         strategy = (opts.get("strategy") or "exact").lower()
         text_col = opts.get("column", "payload")
+        # dry_run: report what WOULD be removed (drop ids; for spans, the
+        # span ranges) without committing a rewrite — the inspect-first
+        # step of any corpus-maintenance run against a large collection.
+        dry_run = bool(opts.get("dry_run", False))
         df = col.read()
         before = df.count()
+
+        def dry_result(dropped: DataFrame, extra: dict | None = None) -> CommandResult:
+            return CommandResult(
+                "DEDUP",
+                df=dropped,
+                info={
+                    "collection": col.name,
+                    "strategy": strategy,
+                    "dry_run": True,
+                    "rows": before,
+                    **(extra or {}),
+                },
+            )
 
         # Non-integral id schema (ADVICE r7): the near-dup pair generators
         # and component closure run on xxhash64(id) longs; the KEEP
@@ -516,6 +537,13 @@ class Engine:
             from vrod_spark.operators.dedup import exact_dedup
 
             survivors = exact_dedup(df, text_col=text_col, id_col="id")
+            if dry_run:
+                dropped = (
+                    df.select("id")
+                    .join(survivors.select("id"), "id", "left_anti")
+                    .orderBy("id")
+                )
+                return dry_result(dropped)
             n_after = col._rewrite(survivors, "DEDUP", {"strategy": strategy})
             return CommandResult(
                 "DEDUP",
@@ -541,6 +569,8 @@ class Engine:
                 min_cosine=float(opts.get("threshold", 0.99)),
             )
             drop_ids = marked.filter(~F.col("kept")).select("id")
+            if dry_run:
+                return dry_result(drop_ids.orderBy("id"), {"clusters": k})
             survivors = df.join(drop_ids, "id", "left_anti")
             n_after = col._rewrite(
                 survivors, "DEDUP", {"strategy": strategy, "k": k}
@@ -559,6 +589,17 @@ class Engine:
         if strategy == "spans":
             from vrod_spark.operators.dedup import remove_duplicate_spans
 
+            if dry_run:
+                from vrod_spark.operators.dedup import duplicate_spans
+
+                report = duplicate_spans(
+                    df,
+                    text_col=text_col,
+                    id_col="id",
+                    min_tokens=int(opts.get("min_tokens", 8)),
+                    scope=opts.get("scope", "cross_doc"),
+                ).orderBy("id", "span_start")
+                return dry_result(report)
             rewritten = remove_duplicate_spans(
                 df,
                 text_col=text_col,
@@ -648,6 +689,8 @@ class Engine:
             )
         else:
             drop_ids = comps.filter(F.col("component") != F.col("id")).select("id")
+        if dry_run:
+            return dry_result(drop_ids.orderBy("id"))
         survivors = df.join(drop_ids, "id", "left_anti")
         n_after = col._rewrite(survivors, "DEDUP", {"strategy": strategy})
         return CommandResult(
