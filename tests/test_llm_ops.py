@@ -2184,6 +2184,13 @@ def test_h264_intra4x4_reconstruction():
     bn = make_h264_bytes([noisy], width=32, height=16, mode="i4x4", qp=24)
     _, _, pn = parse(bn)
     assert np.array_equal(pn[0], noisy)  # all-PCM fallback is lossless
+    # Multi-picture: per-picture mode/context state resets at each IDR
+    # (a V-pattern then an H-pattern frame — stale cross-picture i4
+    # modes or nC totals would corrupt the second decode).
+    wm, hm, pm = parse(
+        make_h264_bytes([v_img, h_img], width=32, height=32, mode="i4x4", qp=28)
+    )
+    assert np.array_equal(pm[0], v_img) and np.array_equal(pm[1], h_img)
 
 
 def test_h264_cavlc_bitstream_spot_pins():
