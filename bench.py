@@ -160,7 +160,7 @@ def _warmup(spark, sf_dir: str) -> None:
 
 
 def _emit(walls, timings, names, sf_val, mode, workers, serial_queries, final,
-          serial_warm=None):
+          serial_warm=None, floor=None):
     """Print the two evidence lines (detail, then the short headline) and
     flush. Called after EVERY phase, not only at process exit: rounds 2 and
     3 both lost their official bench number to the driver killing/truncating
@@ -177,6 +177,7 @@ def _emit(walls, timings, names, sf_val, mode, workers, serial_queries, final,
                 "walls": walls,
                 **({"serial_queries": serial_queries} if serial_queries else {}),
                 **({"serial_warm": serial_warm} if serial_warm else {}),
+                **({"floor": floor} if floor else {}),
             }
         ),
         flush=True,
@@ -302,11 +303,34 @@ def main() -> None:
     # noise. A short serial pass pins them per round.
     serial_queries: dict[str, float] = {}
     serial_warm: dict[str, float] = {}
+    floor: dict[str, float] = {}
     if (
         not serial
         and min(walls) <= float(os.environ.get("SPARK_GRAFT_BENCH_REPEAT_CUTOFF", "45"))
         and not over_deadline()
     ):
+        # Measured per-query FLOOR probes: the serial-cold numbers below
+        # include a fixed driver-side cost (fresh-plan compile + stage
+        # scheduling + python-stage launch) that is per-query, not
+        # per-byte. These two probes measure it directly on this host in
+        # this session — a fresh trivial JVM plan (1 shuffle stage) and a
+        # fresh trivial Arrow python stage — so a reader comparing
+        # serial-cold against the DuckDB oracle (per-query floor ~1 ms)
+        # can see how much of a small query's cold number is floor.
+        from pyspark.sql import functions as _F
+
+        for probe, build in (
+            ("floor_jvm", lambda: spark.range(100_000)
+                .groupBy((_F.col("id") % 7).alias("g")).agg(_F.sum("id").alias("s"))),
+            ("floor_py", lambda: spark.range(100_000).repartition(8)
+                .mapInPandas(lambda it: it, "id long")),
+        ):
+            t = []
+            for _ in range(2):
+                start = time.perf_counter()
+                build().collect()  # fresh DataFrame: full analyze+compile
+                t.append(time.perf_counter() - start)
+            floor[probe] = round(min(t), 3)
         for name in SERIAL_TRACK:
             if name not in QUERIES or over_deadline():
                 continue
@@ -336,7 +360,7 @@ def main() -> None:
     # detail line comes first; the LAST line is the short headline summary,
     # small enough to survive the driver's ~2 KB tail capture.
     _emit(walls, timings, names, sf_val, mode, emit_workers, serial_queries,
-          final=True, serial_warm=serial_warm)
+          final=True, serial_warm=serial_warm, floor=floor)
 
 
 if __name__ == "__main__":

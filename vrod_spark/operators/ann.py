@@ -40,7 +40,6 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from vrod_spark.functions.vector import vector_lit
 from vrod_spark.operators.knn import knn_exact
 
 DEFAULT_PLANES = 8
