@@ -31,6 +31,40 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     assert canon(srows, sdf.columns) == canon(drows, dcols)
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q12_events_hourly",
+        "q18_asof_click_purchase",
+        "q11_date_buckets",
+        "q34_stream_windows",
+    ],
+)
+def test_timestamp_queries_survive_non_utc_session_tz(name, spark, sf_dir, duck):
+    """The driver's session TZ is unknown (it does NOT use our factory's
+    UTC config). Every timestamp/date-touching gate must still match the
+    TZ-naive DuckDB oracle under a non-UTC session TZ — parquet
+    timestamps must read as TIMESTAMP_NTZ and formatting must never go
+    through an LTZ cast (the r5 q34/q36 failure mode)."""
+    from vrod_spark.queries import RAW_QUERIES
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        # RAW builder: analyze the plan UNDER the altered TZ (the cached
+        # QUERIES plan would carry its build-time TZ into TZ-dependent
+        # expression resolution, silently weakening the check).
+        sdf = RAW_QUERIES[name](spark, sf_dir)
+        srows = [tuple(r) for r in sdf.collect()]
+        rel = duck.execute(ORACLES[name])
+        dcols = [d[0] for d in rel.description]
+        drows = rel.fetchall()
+        assert len(srows) == len(drows)
+        assert canon(srows, sdf.columns) == canon(drows, dcols)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
 def test_q24_immune_to_poisoned_temp_view(spark, sf_dir, duck):
     """SQL-surface gate queries reference parquet files directly — a
     concurrently-registered temp view with a clashing table name must not
