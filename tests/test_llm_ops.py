@@ -2313,6 +2313,31 @@ def test_duplicate_spans_scope_any_catches_within_doc_repeat(spark):
     assert got == [(0, 8), (13, 21)]
 
 
+def test_duplicate_spans_shuffle_mark_join_parity(spark):
+    """mark_join="shuffle" (the escape hatch for dup-gram sets that
+    outgrow a broadcast) must produce the identical spans; unknown modes
+    are rejected."""
+    import pytest as _pytest
+
+    from vrod_spark.operators.dedup import duplicate_spans
+
+    boiler = " ".join(f"b{i}" for i in range(9))
+    rows = [
+        (1, f"alpha beta {boiler}"),
+        (2, f"{boiler} gamma delta"),
+        (3, "unique text only here nothing shared at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = sorted(tuple(r) for r in duplicate_spans(docs, min_tokens=8).collect())
+    b = sorted(
+        tuple(r)
+        for r in duplicate_spans(docs, min_tokens=8, mark_join="shuffle").collect()
+    )
+    assert a == b == [(1, 2, 10, 9), (2, 0, 8, 9)]
+    with _pytest.raises(ValueError):
+        duplicate_spans(docs, min_tokens=8, mark_join="bogus").collect()
+
+
 def test_duplicate_spans_merges_adjacent_and_validates_args(spark):
     """Touching gram intervals merge: with passages a and b CONTIGUOUS in
     doc 1, its marked gram positions are 0 and 8 (diff == k) -> one

@@ -598,6 +598,7 @@ class Engine:
                     id_col="id",
                     min_tokens=int(opts.get("min_tokens", 8)),
                     scope=opts.get("scope", "cross_doc"),
+                    mark_join=opts.get("mark_join", "broadcast"),
                 ).orderBy("id", "span_start")
                 return dry_result(report)
             rewritten = remove_duplicate_spans(
@@ -606,6 +607,7 @@ class Engine:
                 id_col="id",
                 min_tokens=int(opts.get("min_tokens", 8)),
                 scope=opts.get("scope", "cross_doc"),
+                mark_join=opts.get("mark_join", "broadcast"),
             )
             # Verb-level accounting needs the cut total BEFORE the
             # schema-stable rewrite drops the column. Two executions of

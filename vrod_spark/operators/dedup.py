@@ -1137,13 +1137,15 @@ def duplicate_spans(
     id_col: str = "doc_id",
     min_tokens: int = 8,
     scope: str = "cross_doc",
+    mark_join: str = "broadcast",
 ) -> DataFrame:
     """Per-span row view of :func:`duplicate_span_arrays`: one
     ``(id_col, span_start, span_end, n_tokens)`` row per maximal
     duplicated token range (inclusive 0-based); a document with no
     duplicated substring emits no row."""
     arrays = duplicate_span_arrays(
-        df, text_col=text_col, id_col=id_col, min_tokens=min_tokens, scope=scope
+        df, text_col=text_col, id_col=id_col, min_tokens=min_tokens,
+        scope=scope, mark_join=mark_join,
     )
     return arrays.select(id_col, F.explode("spans").alias("s")).select(
         id_col, "s.span_start", "s.span_end", "s.n_tokens"
@@ -1157,6 +1159,7 @@ def remove_duplicate_spans(
     id_col: str = "doc_id",
     min_tokens: int = 8,
     scope: str = "cross_doc",
+    mark_join: str = "broadcast",
 ) -> DataFrame:
     """Cut the :func:`duplicate_spans` ranges out of each document — the
     apply phase of exact-substring dedup (Lee et al. cut EVERY occurrence
@@ -1179,6 +1182,7 @@ def remove_duplicate_spans(
         id_col=id_col,
         min_tokens=min_tokens,
         scope=scope,
+        mark_join=mark_join,
     ).select(
         id_col,
         F.col("spans").alias("__spans"),
