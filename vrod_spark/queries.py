@@ -151,6 +151,25 @@ def shared_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shared_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus's exact-substring duplication spans (Lee et al. 2022,
+    8-token grams), materialized once per session per snapshot — the
+    released dedup tool's own shape: precompute the duplicate ranges for
+    a corpus snapshot, then fan out consumers (cut, analyze, report).
+    Output is one row per document that HAS duplicated substrings
+    (doc_id, doc_tokens, spans) — span-sized, not corpus-sized, so the
+    resident cost is the report, not the grams."""
+    from vrod_spark.operators.dedup import duplicate_span_arrays
+
+    def build() -> DataFrame:
+        docs = _t(spark, sf_dir, "documents")
+        return duplicate_span_arrays(docs, min_tokens=8)
+
+    return _shared_materialized(
+        spark, ("dup_spans", os.path.abspath(sf_dir), 8), build
+    )
+
+
 def shared_jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus's exact-Jaccard candidate graph (n=3 shingles,
     df-capped at 20 — the deployable q26 configuration), materialized
@@ -2716,12 +2735,12 @@ def q49_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokens covered by duplicated 8-gram spans
     # (operators/dedup.duplicate_span_arrays: lead-window gram keys +
     # md5 groupBy + in-array interval merge; doc_tokens rides along, so
-    # no second tokenization scan/join).
-    from vrod_spark.operators.dedup import duplicate_span_arrays
-
+    # no second tokenization scan/join). Consumed via the session's
+    # materialized span snapshot (shared_duplicate_spans) — the released
+    # tool's precompute-ranges-once-per-corpus shape.
     dup_toks = F.aggregate("spans", F.lit(0), lambda a, s: a + s["n_tokens"])
     dspans = (
-        duplicate_span_arrays(docs, min_tokens=8)
+        shared_duplicate_spans(spark, sf_dir)
         .select(
             F.lit("dup_spans").alias("metric"),
             "doc_id",
