@@ -87,17 +87,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 #: Session-scoped MATERIALIZED common subplans. ReuseExchange dedupes a
 #: subplan's executions WITHIN one query; this is the cross-query analog
-#: for the one genuinely shared expensive intermediate in the corpus: the
-#: exact-Jaccard near-dup edge graph, which q26 (top-pairs report) and
-#: q59 (component closure + corpus assembly) both consume. A production
-#: dedup pipeline computes the candidate graph once per corpus snapshot
-#: and fans consumers out from it — recomputing the inverted-index join
-#: per consumer is the thing you'd never do at 100 TB. Materialization is
+#: for the per-snapshot intermediates a production pipeline computes ONCE
+#: per corpus snapshot and fans consumers out from: the exact-Jaccard
+#: near-dup edge graph (q26 + q59), the tokenized corpus
+#: (shared_doc_tokens, q53's three legs), and the exact-substring span
+#: report (shared_duplicate_spans, q49) — recomputing any of them per
+#: consumer is the thing you'd never do at 100 TB. Materialization is
 #: ``localCheckpoint`` (executor-memory/disk partitions; on a cluster the
 #: same seam swaps to a fault-tolerant ``checkpoint()``/table write).
-#: Keyed per (session, sf_dir, config); the edge set itself is small
-#: (pairs that SURVIVE the similarity threshold), so the resident cost is
-#: output-sized, not corpus-sized.
+#: Keyed per (session, sf_dir, config); edge/span sets are output-sized,
+#: the tokenized corpus is the one corpus-sized entry (the price of
+#: tokenize-once, paid deliberately). ``_shared_scalar`` below is the
+#: same idea for small driver-side snapshot statistics.
 _SUBPLAN_CACHE: WeakKeyDictionary = WeakKeyDictionary()
 _SUBPLAN_LOCK = threading.Lock()
 
