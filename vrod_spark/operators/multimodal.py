@@ -19,9 +19,9 @@ Constrained-Baseline intra subset (real Annex-B NAL / exp-Golomb /
 SPS-PPS-slice machinery): I_PCM macroblocks bit-exact, CAVLC-coded
 Intra_16x16 luma with the clause 9.2 coefficient decode, 8.3.3
 prediction and 8.5 inverse transform, and CAVLC-coded Intra_4x4 with
-the V/H/DC prediction modes (8.3.1: per-block mode prediction, Table
-9-4 CBP). Outside that subset — diagonal Intra_4x4 modes 3-8, inter/P
-slices, CABAC — streams are loudly rejected, never mis-decoded (see
+ALL NINE clause 8.3.1.2 prediction modes (per-block mode prediction,
+top-right sample substitution, Table 9-4 CBP). Outside that subset —
+inter/P slices, CABAC — streams are loudly rejected, never mis-decoded (see
 the H.264 section note). The generic ``decode_stub`` remains for codecs with NO
 implementation (it raises ``NotImplementedError`` unless ``fake=True``,
 which produces a deterministic fake derived from the bytes, keeping
@@ -2016,7 +2016,7 @@ def mel_spectrogram_features(
 # cropping), PPS (CABAC flag, QP inits, deblock-control), IDR slice
 # headers, per-MB qp deltas, more_rbsp_data() slice termination, MB
 # raster placement across multiple slices. Third-party streams outside
-# the subset (CABAC, I_4x4, predicted MBs, chroma residual, other VLC
+# the subset (CABAC, predicted MBs, chroma residual, other VLC
 # classes) are LOUDLY rejected (ValueError), never mis-decoded.
 # Reference parity: vRod stores opaque media payloads; this leg models
 # the video-decode stage of a multimodal pipeline over such blobs
@@ -2085,6 +2085,205 @@ def _h264_pos_class(i: int, j: int) -> int:
     if (i % 2, j % 2) == (1, 1):
         return 1
     return 2
+
+
+#: luma4x4BlkIdx of each (bx, by) 4x4-block position inside an MB
+#: (clause 6.4.3 inverse scan — the quad/sub zig order).
+_H264_BLK_IDX = {
+    ((quad & 1) * 2 + (sub & 1), (quad >> 1) * 2 + (sub >> 1)): quad * 4 + sub
+    for quad in range(4)
+    for sub in range(4)
+}
+
+
+def _h264_tr_available(gx, gy, blk_avail):
+    """Whether the top-right 4x4 neighbour block (gx+1, gy-1) of block
+    (gx, gy) is available (clause 6.4.9) AND already decoded when
+    (gx, gy) is predicted — raster MB order, luma4x4BlkIdx scan inside
+    an MB (clause 8.3.1.2 counts not-yet-decoded neighbours as
+    unavailable, which excludes blkIdx 3/7/11/13/15's top-right)."""
+    if not blk_avail(gx + 1, gy - 1):
+        return False
+    bx, by = gx % 4, gy % 4
+    if by == 0:
+        return True  # in the MB row above — always decoded earlier
+    if bx == 3:
+        return False  # in the right-neighbour MB — not yet decoded
+    return _H264_BLK_IDX[(bx + 1, by - 1)] < _H264_BLK_IDX[(bx, by)]
+
+
+def _h264_i4_neighbors(buf, x0, y0, gx, gy, blk_avail):
+    """Clause 8.3.1.2 reference-sample derivation for Intra_4x4
+    prediction of the block whose top-left luma sample is (x0, y0) in
+    ``buf``: returns ``(top, left, tl, top_ok, left_ok, tl_ok)`` where
+    ``top`` is p[0..7, -1] — the top-right half substituted by p[3, -1]
+    when the top-right block is unavailable or not yet decoded —
+    ``left`` is p[-1, 0..3] and ``tl`` is the corner p[-1, -1].
+    Unavailable samples are left zeroed; the availability flags gate
+    which prediction modes may read them."""
+    import numpy as np
+
+    top_ok = blk_avail(gx, gy - 1)
+    left_ok = blk_avail(gx - 1, gy)
+    tl_ok = blk_avail(gx - 1, gy - 1)
+    top = np.zeros(8, dtype=np.int64)
+    left = np.zeros(4, dtype=np.int64)
+    tl = 0
+    if top_ok:
+        top[0:4] = buf[y0 - 1, x0 : x0 + 4].astype(np.int64)
+        if _h264_tr_available(gx, gy, blk_avail):
+            top[4:8] = buf[y0 - 1, x0 + 4 : x0 + 8].astype(np.int64)
+        else:
+            top[4:8] = top[3]
+    if left_ok:
+        left[:] = buf[y0 : y0 + 4, x0 - 1].astype(np.int64)
+    if tl_ok:
+        tl = int(buf[y0 - 1, x0 - 1])
+    return top, left, tl, top_ok, left_ok, tl_ok
+
+
+def _h264_i4_mode_ok(mode, top_ok, left_ok, tl_ok):
+    """Clause 8.3.1.2.1-8.3.1.2.9 availability preconditions: which
+    Intra_4x4 modes a conformant encoder may signal for a block with
+    these neighbours (DC is always legal; it falls back internally)."""
+    if mode == 2:
+        return True
+    if mode in (0, 3, 7):  # Vertical / Diagonal_Down_Left / Vertical_Left
+        return top_ok
+    if mode in (1, 8):  # Horizontal / Horizontal_Up
+        return left_ok
+    return top_ok and left_ok and tl_ok  # 4 DDR / 5 VR / 6 HD
+
+
+def _h264_pred4x4(mode, top, left, tl, top_ok, left_ok, tl_ok):
+    """Clause 8.3.1.2 Intra_4x4 sample prediction — ALL nine modes
+    (8.3.1.2.1 Vertical .. 8.3.1.2.9 Horizontal_Up). Inputs are the
+    reference samples from ``_h264_i4_neighbors``; both the encoder and
+    the decoder call THIS function, so encoder-side reconstruction is
+    sample-exactly the decoder's. A mode whose required reference
+    samples are unavailable raises ValueError — a conformant stream
+    never signals it (8.3.1.1), so outside-subset input is loudly
+    rejected, never approximated."""
+    import numpy as np
+
+    if mode == 0:  # 8.3.1.2.1 Vertical
+        if not top_ok:
+            raise ValueError("Vertical Intra_4x4 without top neighbor")
+        return np.tile(top[0:4], (4, 1))
+    if mode == 1:  # 8.3.1.2.2 Horizontal
+        if not left_ok:
+            raise ValueError("Horizontal Intra_4x4 without left neighbor")
+        return np.tile(left[:, None], (1, 4))
+    if mode == 2:  # 8.3.1.2.3 DC — mean of available neighbours, else 128
+        if top_ok and left_ok:
+            v = (int(top[0:4].sum()) + int(left.sum()) + 4) >> 3
+        elif top_ok:
+            v = (int(top[0:4].sum()) + 2) >> 2
+        elif left_ok:
+            v = (int(left.sum()) + 2) >> 2
+        else:
+            v = 128
+        return np.full((4, 4), v, dtype=np.int64)
+
+    def pt(i):  # p[i, -1]; i == -1 is the corner p[-1, -1]
+        return tl if i < 0 else int(top[i])
+
+    def pl(i):  # p[-1, i]; i == -1 is the corner p[-1, -1]
+        return tl if i < 0 else int(left[i])
+
+    P = np.empty((4, 4), dtype=np.int64)
+    if mode == 3:  # 8.3.1.2.4 Diagonal_Down_Left
+        if not top_ok:
+            raise ValueError("Diagonal_Down_Left Intra_4x4 without top neighbor")
+        for y in range(4):
+            for x in range(4):
+                if x == 3 and y == 3:
+                    P[y, x] = (pt(6) + 3 * pt(7) + 2) >> 2
+                else:
+                    P[y, x] = (
+                        pt(x + y) + 2 * pt(x + y + 1) + pt(x + y + 2) + 2
+                    ) >> 2
+        return P
+    if mode == 4:  # 8.3.1.2.5 Diagonal_Down_Right
+        if not (top_ok and left_ok and tl_ok):
+            raise ValueError(
+                "Diagonal_Down_Right Intra_4x4 without left/top/corner"
+            )
+        for y in range(4):
+            for x in range(4):
+                if x > y:
+                    P[y, x] = (
+                        pt(x - y - 2) + 2 * pt(x - y - 1) + pt(x - y) + 2
+                    ) >> 2
+                elif x < y:
+                    P[y, x] = (
+                        pl(y - x - 2) + 2 * pl(y - x - 1) + pl(y - x) + 2
+                    ) >> 2
+                else:
+                    P[y, x] = (pt(0) + 2 * tl + pl(0) + 2) >> 2
+        return P
+    if mode == 5:  # 8.3.1.2.6 Vertical_Right
+        if not (top_ok and left_ok and tl_ok):
+            raise ValueError("Vertical_Right Intra_4x4 without left/top/corner")
+        for y in range(4):
+            for x in range(4):
+                z = 2 * x - y
+                i = x - (y >> 1)
+                if z >= 0 and z % 2 == 0:
+                    P[y, x] = (pt(i - 1) + pt(i) + 1) >> 1
+                elif z >= 0:
+                    P[y, x] = (pt(i - 2) + 2 * pt(i - 1) + pt(i) + 2) >> 2
+                elif z == -1:
+                    P[y, x] = (pl(0) + 2 * tl + pt(0) + 2) >> 2
+                else:  # z in (-2, -3): x == 0, y in (2, 3)
+                    P[y, x] = (pl(y - 1) + 2 * pl(y - 2) + pl(y - 3) + 2) >> 2
+        return P
+    if mode == 6:  # 8.3.1.2.7 Horizontal_Down
+        if not (top_ok and left_ok and tl_ok):
+            raise ValueError(
+                "Horizontal_Down Intra_4x4 without left/top/corner"
+            )
+        for y in range(4):
+            for x in range(4):
+                z = 2 * y - x
+                i = y - (x >> 1)
+                if z >= 0 and z % 2 == 0:
+                    P[y, x] = (pl(i - 1) + pl(i) + 1) >> 1
+                elif z >= 0:
+                    P[y, x] = (pl(i - 2) + 2 * pl(i - 1) + pl(i) + 2) >> 2
+                elif z == -1:
+                    P[y, x] = (pl(0) + 2 * tl + pt(0) + 2) >> 2
+                else:  # z in (-2, -3): y == 0, x in (2, 3)
+                    P[y, x] = (pt(x - 1) + 2 * pt(x - 2) + pt(x - 3) + 2) >> 2
+        return P
+    if mode == 7:  # 8.3.1.2.8 Vertical_Left
+        if not top_ok:
+            raise ValueError("Vertical_Left Intra_4x4 without top neighbor")
+        for y in range(4):
+            for x in range(4):
+                i = x + (y >> 1)
+                if y % 2 == 0:
+                    P[y, x] = (pt(i) + pt(i + 1) + 1) >> 1
+                else:
+                    P[y, x] = (pt(i) + 2 * pt(i + 1) + pt(i + 2) + 2) >> 2
+        return P
+    if mode == 8:  # 8.3.1.2.9 Horizontal_Up
+        if not left_ok:
+            raise ValueError("Horizontal_Up Intra_4x4 without left neighbor")
+        for y in range(4):
+            for x in range(4):
+                z = x + 2 * y
+                i = y + (x >> 1)
+                if z == 5:
+                    P[y, x] = (pl(2) + 3 * pl(3) + 2) >> 2
+                elif z > 5:
+                    P[y, x] = pl(3)
+                elif z % 2 == 0:
+                    P[y, x] = (pl(i) + pl(i + 1) + 1) >> 1
+                else:
+                    P[y, x] = (pl(i) + 2 * pl(i + 1) + pl(i + 2) + 2) >> 2
+        return P
+    raise ValueError(f"Intra_4x4 prediction mode {mode} out of range")
 
 
 def _h264_transform_math():
@@ -2316,6 +2515,7 @@ def make_h264_bytes(
     mode: str = "pcm",
     qp: int = 26,
     mbs_per_slice: int | None = None,
+    i4_modes=None,
 ) -> bytes:
     """Encode luma frames as an Annex-B H.264 stream of IDR pictures
     (Constrained Baseline). ``frames`` is a list of either scalar luma
@@ -2336,7 +2536,12 @@ def make_h264_bytes(
     whole picture in one slice). Multi-slice pictures follow clause
     6.4.9 — CAVLC nC contexts and DC prediction treat neighbors in a
     different slice as unavailable, on BOTH encode and decode sides, so
-    the stream stays conformant for third-party decoders."""
+    the stream stays conformant for third-party decoders.
+
+    ``i4_modes``: for ``mode="i4x4"``, restrict the candidate clause
+    8.3.1.2 prediction modes the per-block SAD selection may choose
+    from (default: all nine, 0 Vertical .. 8 Horizontal_Up). Useful for
+    emitting streams that exercise a specific mode."""
     import numpy as np
 
     if width <= 0 or height <= 0:
@@ -2345,6 +2550,9 @@ def make_h264_bytes(
         raise ValueError(f"unknown mode {mode!r}")
     if not 0 <= qp <= 51:
         raise ValueError("qp out of range")
+    i4_mode_set = tuple(range(9)) if i4_modes is None else tuple(i4_modes)
+    if not i4_mode_set or not all(m in range(9) for m in i4_mode_set):
+        raise ValueError("i4_modes must be a non-empty subset of 0..8")
     mbs_w = -(-width // 16)
     mbs_h = -(-height // 16)
     pad_w, pad_h = mbs_w * 16, mbs_h * 16
@@ -2549,7 +2757,8 @@ def make_h264_bytes(
 
     def try_i4x4_mb(y, recon, totals, i4modes_enc, enc_mb_slice, slice_first, mb_x, mb_y):
         """Return (bits_fn, staged_totals, staged_modes) for an Intra_4x4
-        macroblock (per-4x4 best of the declared V/H/DC modes by SAD), or
+        macroblock (per-4x4 best of the candidate clause 8.3.1.2 modes
+        by SAD), or
         None when any block's residual leaves the CAVLC subset (caller
         writes I_PCM; recon is rolled back). Reconstruction mirrors the
         decoder sample-for-sample so neighbor prediction cannot drift."""
@@ -2575,36 +2784,23 @@ def make_h264_bytes(
             bx, by = blk_order[k4]
             gx, gy = mb_x * 4 + bx, mb_y * 4 + by
             x0, y0 = mx + bx * 4, my + by * 4
-            left_ok, top_ok = avail(gx - 1, gy), avail(gx, gy - 1)
             src = y[y0 : y0 + 4, x0 : x0 + 4].astype(np.int64)
-
-            def pred_of(m):
-                if m == 0:
-                    return np.tile(recon[y0 - 1, x0 : x0 + 4].astype(np.int64), (4, 1))
-                if m == 1:
-                    return np.tile(
-                        recon[y0 : y0 + 4, x0 - 1].astype(np.int64)[:, None], (1, 4)
-                    )
-                if top_ok and left_ok:
-                    s = int(recon[y0 - 1, x0 : x0 + 4].sum()) + int(
-                        recon[y0 : y0 + 4, x0 - 1].sum()
-                    )
-                    v = (s + 4) >> 3
-                elif top_ok:
-                    v = (int(recon[y0 - 1, x0 : x0 + 4].sum()) + 2) >> 2
-                elif left_ok:
-                    v = (int(recon[y0 : y0 + 4, x0 - 1].sum()) + 2) >> 2
-                else:
-                    v = 128
-                return np.full((4, 4), v, dtype=np.int64)
-
-            cands = [2] + ([0] if top_ok else []) + ([1] if left_ok else [])
+            nbr = _h264_i4_neighbors(recon, x0, y0, gx, gy, avail)
+            top_ok, left_ok, tl_ok = nbr[3], nbr[4], nbr[5]
+            cands = [
+                m
+                for m in i4_mode_set
+                if _h264_i4_mode_ok(m, top_ok, left_ok, tl_ok)
+            ]
             best = None
             for m in sorted(cands):
-                p = pred_of(m)
+                p = _h264_pred4x4(m, *nbr)
                 sad = int(np.abs(src - p).sum())
                 if best is None or sad < best[0]:
                     best = (sad, m, p)
+            if best is None:
+                recon[my : my + 16, mx : mx + 16] = saved
+                return None
             _, m, p = best
             w4 = Cf @ (src - p) @ Cf.T
             lv = []
@@ -2742,9 +2938,9 @@ def _h264_decoder():
     ``_jpeg_decoder``): returns ``parse(b) -> (width, height, [y_plane])``
     for Annex-B streams of the declared subset — I_PCM macroblocks,
     CAVLC-coded Intra_16x16 (DC prediction, luma residual) and
-    CAVLC-coded Intra_4x4 (Vertical/Horizontal/DC prediction modes, per-
-    block mode prediction, Table 9-4 CBP), contexts in the 0<=nC<2 VLC
-    class; anything outside (CABAC, diagonal Intra_4x4 modes 3-8,
+    CAVLC-coded Intra_4x4 (all nine clause 8.3.1.2 prediction modes,
+    per-block mode prediction, top-right sample substitution, Table 9-4
+    CBP), contexts in the 0<=nC<2 VLC class; anything outside (CABAC,
     predicted MBs, chroma residual, other VLC table classes) raises
     ValueError, never mis-decodes."""
     math = _h264_transform_math()
@@ -2973,39 +3169,15 @@ def _h264_decoder():
                     )
 
                 def pred_i4_samples(mode, x0, y0, gx, gy):
-                    """Clause 8.3.1.2 sample prediction, declared subset:
-                    0 Vertical / 1 Horizontal / 2 DC."""
-                    left_ok = blk_avail(gx - 1, gy)
-                    top_ok = blk_avail(gx, gy - 1)
-                    if mode == 0:
-                        if not top_ok:
-                            raise ValueError(
-                                "Vertical Intra_4x4 without top neighbor"
-                            )
-                        return np.tile(
-                            cur[y0 - 1, x0 : x0 + 4].astype(np.int64), (4, 1)
-                        )
-                    if mode == 1:
-                        if not left_ok:
-                            raise ValueError(
-                                "Horizontal Intra_4x4 without left neighbor"
-                            )
-                        return np.tile(
-                            cur[y0 : y0 + 4, x0 - 1].astype(np.int64)[:, None],
-                            (1, 4),
-                        )
-                    if top_ok and left_ok:
-                        s = int(cur[y0 - 1, x0 : x0 + 4].sum()) + int(
-                            cur[y0 : y0 + 4, x0 - 1].sum()
-                        )
-                        v = (s + 4) >> 3
-                    elif top_ok:
-                        v = (int(cur[y0 - 1, x0 : x0 + 4].sum()) + 2) >> 2
-                    elif left_ok:
-                        v = (int(cur[y0 : y0 + 4, x0 - 1].sum()) + 2) >> 2
-                    else:
-                        v = 128
-                    return np.full((4, 4), v, dtype=np.int64)
+                    """Clause 8.3.1.2 sample prediction, all nine modes
+                    via the shared predictor (the encoder reconstructs
+                    with the same function, so neighbor samples cannot
+                    drift between the two sides)."""
+                    return _h264_pred4x4(
+                        *((mode,) + _h264_i4_neighbors(
+                            cur, x0, y0, gx, gy, blk_avail
+                        ))
+                    )
 
                 def cavlc_block(max_coeffs, nc):
                     """Clause 9.2 residual block decode, restricted to
@@ -3179,11 +3351,6 @@ def _h264_decoder():
                             else:
                                 rem = r.u(3)
                                 mode = rem if rem < pm else rem + 1
-                            if mode not in (0, 1, 2):
-                                raise ValueError(
-                                    "Intra_4x4 prediction mode outside "
-                                    "declared V/H/DC subset"
-                                )
                             i4modes[(gx, gy)] = mode
                             modes.append(mode)
                         if r.ue() > 3:
