@@ -2389,6 +2389,104 @@ def test_h264_intra4x4_all_modes():
         make_h264_bytes([128], width=16, height=16, mode="i4x4", i4_modes=(9,))
 
 
+def test_h264_intra16x16_all_modes():
+    """Clause 8.3.3 Intra_16x16 prediction, all four modes. Plane mode
+    is validated against the closed-form result its equations give on an
+    exact bilinear border (integer slopes make every rounding term
+    vanish, so pred must equal the surface SAMPLE-EXACTLY); V/H engage
+    on column/row-constant content (zero residual -> bit-exact decode,
+    streams far below I_PCM size); the encoder's per-MB SAD selection
+    picks Plane for a bilinear gradient (tiny stream); slice-restricted
+    layouts stay conformant."""
+    import numpy as np
+
+    from vrod_spark.operators.multimodal import (
+        _h264_decoder,
+        _h264_transform_math,
+        make_h264_bytes,
+    )
+
+    math = _h264_transform_math()
+    pred16 = math["pred16"]
+
+    # 1. Plane mode == the closed-form bilinear surface. For
+    #    I[y, x] = A + B*x + C*y with integer B, C: H = 408*B,
+    #    b = (2040*B + 32) >> 6, and the (a + b*(x-7) + c*(y-7) + 16)
+    #    >> 5 expression reduces to exactly A + B*x + C*y.
+    yy, xx = np.mgrid[0:32, 0:32]
+    for A, B, C in ((40, 2, 3), (90, 1, 0), (60, 0, 2), (200, -2, 1)):
+        buf = np.clip(A + B * xx + C * yy, 0, 255).astype(np.uint8)
+        want = buf[16:32, 16:32].astype(np.int64)
+        got = pred16(buf, 1, 1, 3, True, True, True)
+        assert np.array_equal(np.asarray(got), want), (A, B, C)
+
+    # 2. Availability preconditions.
+    buf = np.full((32, 32), 128, dtype=np.uint8)
+    for mode, flags in ((0, (True, False, True)), (1, (False, True, True)),
+                        (3, (True, True, False))):
+        left_ok, top_ok, tl_ok = flags
+        with pytest.raises(ValueError):
+            pred16(buf, 1, 1, mode, left_ok, top_ok, tl_ok)
+    assert int(pred16(buf, 1, 1, 2, False, False, False)) == 128
+
+    # 3. V/H modes engage and the decode is BIT-EXACT: the top MB row
+    #    carries a per-4-column transform-basis pattern (one quantized
+    #    AC coefficient per 4x4 — inside the declared <=2-coeff CAVLC
+    #    subset, and exactly invertible at qp 28), the bottom row copies
+    #    it so Vertical prediction has zero residual. The whole stream
+    #    is ~90 bytes where all-I_PCM would be ~1550.
+    parse = _h264_decoder()
+    basis = np.array([1, -1, -1, 1])
+    col = (128 + 16 * np.tile(basis, 8)).astype(np.uint8)
+    v_img = np.tile(col, (32, 1))
+    bv = make_h264_bytes([v_img], width=32, height=32, mode="cavlc", qp=28)
+    _, _, pv = parse(bv)
+    assert np.array_equal(pv[0], v_img)
+    assert len(bv) < 200
+    bh = make_h264_bytes([v_img.T.copy()], width=32, height=32, mode="cavlc", qp=28)
+    _, _, ph = parse(bh)
+    assert np.array_equal(ph[0], v_img.T)
+    assert len(bh) < 200
+    # The V stream must be cheaper than a DC-restricted encode of the
+    # same frame (proves the new modes were chosen, not just legal).
+    bv_dc = make_h264_bytes(
+        [v_img], width=32, height=32, mode="cavlc", qp=28, i16_modes=(2,)
+    )
+    assert len(bv) < len(bv_dc)
+
+    # 4. Plane engages under SAD selection — and decodes EXACTLY. A
+    #    steep integer-slope bilinear surface forces the first three MBs
+    #    to I_PCM (their residuals leave the CAVLC subset), then the
+    #    fourth MB plane-predicts the surface from the PCM-exact borders
+    #    with ZERO residual (integer slopes make every clause 8.3.3.4
+    #    rounding term vanish) and rides the TotalCoeff=0-at-any-nC
+    #    escape past its I_PCM neighbors' nC=16 contexts. A DC-only
+    #    encode of the identical frame stays all-PCM.
+    qp = 30
+    grad = np.clip(40 + 2 * xx + 3 * yy, 0, 255).astype(np.uint8)
+    bg = make_h264_bytes([grad], width=32, height=32, mode="cavlc", qp=qp)
+    bg_dc = make_h264_bytes(
+        [grad], width=32, height=32, mode="cavlc", qp=qp, i16_modes=(2,)
+    )
+    _, _, pg = parse(bg)
+    assert np.array_equal(pg[0], grad)
+    assert len(bg) < len(bg_dc)
+    # One-MB-per-slice layout: cross-slice neighbors unavailable, so
+    # prediction falls back (all-PCM) but the stream stays conformant
+    # and bit-exact.
+    bs = make_h264_bytes(
+        [grad], width=32, height=32, mode="cavlc", qp=qp, mbs_per_slice=1
+    )
+    _, _, ps = parse(bs)
+    assert np.array_equal(ps[0], grad)
+
+    # 5. i16_modes validation.
+    with pytest.raises(ValueError):
+        make_h264_bytes([128], width=16, height=16, mode="cavlc", i16_modes=())
+    with pytest.raises(ValueError):
+        make_h264_bytes([128], width=16, height=16, mode="cavlc", i16_modes=(4,))
+
+
 def test_h264_cavlc_bitstream_spot_pins():
     """Pin hand-derived CAVLC codewords (ITU-T H.264 clause 9.2 tables):
     coeff_token (Table 9-5, nC<2), trailing-one signs, level codes,

@@ -2384,13 +2384,51 @@ def _h264_transform_math():
             return (int(recon[y0 - 1, x0 : x0 + 16].sum()) + 8) >> 4
         return 128
 
+    def pred16(recon, mb_x, mb_y, mode, has_left, has_top, has_tl):
+        """Clause 8.3.3 Intra_16x16 sample prediction, all four modes:
+        0 Vertical / 1 Horizontal / 2 DC / 3 Plane. Returns the DC value
+        (scalar) for mode 2, a 16x16 int64 array otherwise. A mode whose
+        required neighbour samples are unavailable raises ValueError —
+        conformant streams never signal it (8.3.3 constraint)."""
+        x0, y0 = mb_x * 16, mb_y * 16
+        if mode == 2:  # 8.3.3.3 DC — falls back internally
+            return dc_pred16(recon, mb_x, mb_y, has_left=has_left, has_top=has_top)
+        if mode == 0:  # 8.3.3.1 Vertical
+            if not has_top:
+                raise ValueError("Intra_16x16 Vertical without top MB")
+            return np.tile(recon[y0 - 1, x0 : x0 + 16].astype(np.int64), (16, 1))
+        if mode == 1:  # 8.3.3.2 Horizontal
+            if not has_left:
+                raise ValueError("Intra_16x16 Horizontal without left MB")
+            return np.tile(
+                recon[y0 : y0 + 16, x0 - 1].astype(np.int64)[:, None], (1, 16)
+            )
+        if mode != 3:
+            raise ValueError(f"Intra_16x16 prediction mode {mode} out of range")
+        # 8.3.3.4 Plane: least-squares-ish gradient from the border
+        # samples; needs left + top + the corner p[-1, -1].
+        if not (has_left and has_top and has_tl):
+            raise ValueError("Intra_16x16 Plane without left/top/corner MBs")
+        # Index 0 of each border vector is the corner p[-1, -1].
+        top = recon[y0 - 1, x0 - 1 : x0 + 16].astype(np.int64)
+        left = recon[y0 - 1 : y0 + 16, x0 - 1].astype(np.int64)
+        hh = sum((i + 1) * (int(top[9 + i]) - int(top[7 - i])) for i in range(8))
+        vv = sum((i + 1) * (int(left[9 + i]) - int(left[7 - i])) for i in range(8))
+        a = 16 * (int(left[16]) + int(top[16]))  # p[-1,15] + p[15,-1]
+        b = (5 * hh + 32) >> 6
+        c = (5 * vv + 32) >> 6
+        ys, xs = np.mgrid[0:16, 0:16]
+        return np.clip((a + b * (xs - 7) + c * (ys - 7) + 16) >> 5, 0, 255)
+
     def recon_i16(dc_levels, ac_blocks, qp, pred):
         """Reconstruct one Intra_16x16 luma MB (clauses 8.5.10/8.5.12):
         ``dc_levels`` = 16 zigzag-ordered DC levels, ``ac_blocks`` =
         {(by, bx): 15 zigzag AC levels (scan positions 1..15)} (absent =
-        all-zero), ``pred`` = the DC-mode prediction value. Returns the
-        16x16 uint8 block. Used by BOTH encoder and decoder so the
-        encoder's neighbor reconstruction cannot drift."""
+        all-zero), ``pred`` = the prediction — a scalar DC value or a
+        16x16 sample array (V/H/Plane modes). Returns the 16x16 uint8
+        block. Used by BOTH encoder and decoder so the encoder's
+        neighbor reconstruction cannot drift."""
+        pred = np.asarray(pred, dtype=np.int64)
         dc_arr = np.zeros((4, 4), dtype=np.int64)
         for k, lv in enumerate(dc_levels):
             dc_arr[zig[k] // 4, zig[k] % 4] = lv
@@ -2405,7 +2443,12 @@ def _h264_transform_math():
                         d[pos // 4, pos % 4] = dequant_ac(lv, qp, pos // 4, pos % 4)
                 d[0, 0] = dequant_dc16(f[by, bx], qp)
                 r = inv_transform_4x4(d)
-                out[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = pred + r
+                p_blk = (
+                    pred
+                    if pred.ndim == 0
+                    else pred[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4]
+                )
+                out[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = p_blk + r
         return np.clip(out, 0, 255).astype(np.uint8)
 
     #: coded luma4x4BlkIdx -> (bx, by): 8x8 quads TL,TR,BL,BR; within a
@@ -2421,6 +2464,7 @@ def _h264_transform_math():
         "dequant_dc16": dequant_dc16,
         "inv_transform_4x4": inv_transform_4x4,
         "dc_pred16": dc_pred16,
+        "pred16": pred16,
         "recon_i16": recon_i16,
         "blk_order": blk_order,
         "zigzag": zig,
@@ -2430,17 +2474,30 @@ def _h264_transform_math():
 def _cavlc_encode_block(levels, max_coeffs, nc):
     """Encode one residual block's zigzag-ordered ``levels`` (list of
     ints, length ``max_coeffs``) as a CAVLC bitstring (clause 9.2),
-    restricted to the declared subset: TotalCoeff <= 2 and an
-    0 <= nC < 2 context. Returns (bits, total_coeff) or None when the
-    block falls outside the subset (caller falls back to I_PCM)."""
-    if not (0 <= nc < 2):
-        return None
+    restricted to the declared subset: TotalCoeff <= 2 in an 0 <= nC < 2
+    context, plus the TotalCoeff = 0 coeff_token of EVERY nC class
+    (Table 9-5 heads: '1' / '11' / '1111' / FLC '000011') so a
+    zero-residual block is codable in any context — without it, one
+    I_PCM macroblock (nC = 16 neighbors) would force every adjacent
+    exactly-predicted MB back to I_PCM too. Returns (bits, total_coeff)
+    or None when the block falls outside the subset (caller falls back
+    to I_PCM)."""
     nz = [(k, lv) for k, lv in enumerate(levels) if lv != 0]
     total = len(nz)
+    if total == 0:
+        if 0 <= nc < 2:
+            return _CAVLC_COEFF_TOKEN_NC02[(0, 0)], 0
+        if 2 <= nc < 4:
+            return "11", 0
+        if 4 <= nc < 8:
+            return "1111", 0
+        if nc >= 8:
+            return "000011", 0
+        return None  # negative (chroma-DC) contexts: outside the subset
+    if not (0 <= nc < 2):
+        return None
     if total > 2:
         return None
-    if total == 0:
-        return _CAVLC_COEFF_TOKEN_NC02[(0, 0)], 0
     # Trailing ones: |level| == 1 coefficients at the high-frequency end.
     t1 = 0
     for _k, lv in reversed(nz):
@@ -2516,6 +2573,7 @@ def make_h264_bytes(
     qp: int = 26,
     mbs_per_slice: int | None = None,
     i4_modes=None,
+    i16_modes=None,
 ) -> bytes:
     """Encode luma frames as an Annex-B H.264 stream of IDR pictures
     (Constrained Baseline). ``frames`` is a list of either scalar luma
@@ -2541,7 +2599,9 @@ def make_h264_bytes(
     ``i4_modes``: for ``mode="i4x4"``, restrict the candidate clause
     8.3.1.2 prediction modes the per-block SAD selection may choose
     from (default: all nine, 0 Vertical .. 8 Horizontal_Up). Useful for
-    emitting streams that exercise a specific mode."""
+    emitting streams that exercise a specific mode. ``i16_modes``: the
+    same for ``mode="cavlc"`` macroblocks (clause 8.3.3: 0 Vertical /
+    1 Horizontal / 2 DC / 3 Plane; default all four)."""
     import numpy as np
 
     if width <= 0 or height <= 0:
@@ -2553,6 +2613,9 @@ def make_h264_bytes(
     i4_mode_set = tuple(range(9)) if i4_modes is None else tuple(i4_modes)
     if not i4_mode_set or not all(m in range(9) for m in i4_mode_set):
         raise ValueError("i4_modes must be a non-empty subset of 0..8")
+    i16_mode_set = tuple(range(4)) if i16_modes is None else tuple(i16_modes)
+    if not i16_mode_set or not all(m in range(4) for m in i16_mode_set):
+        raise ValueError("i16_modes must be a non-empty subset of 0..3")
     mbs_w = -(-width // 16)
     mbs_h = -(-height // 16)
     pad_w, pad_h = mbs_w * 16, mbs_h * 16
@@ -2686,16 +2749,44 @@ def make_h264_bytes(
         for v in [cb_v] * 64 + [cr_v] * 64:
             w.u(v, 8)
 
-    def try_cavlc_mb(y, recon, totals, mb_x, mb_y, has_left=None, has_top=None):
-        """Return (bits_fn, new_totals, recon_mb) for an Intra_16x16 DC
-        macroblock, or None when any block leaves the declared CAVLC
-        subset (caller writes I_PCM). ``has_left``/``has_top`` override
-        DC-prediction neighbor availability for slice boundaries."""
-        pred = math["dc_pred16"](recon, mb_x, mb_y, has_left=has_left, has_top=has_top)
-        res = (
-            y[mb_y * 16 : mb_y * 16 + 16, mb_x * 16 : mb_x * 16 + 16].astype(np.int64)
-            - pred
-        )
+    def try_cavlc_mb(
+        y, recon, totals, mb_x, mb_y, has_left=None, has_top=None, has_tl=None
+    ):
+        """Return (bits_fn, new_totals, recon_mb) for an Intra_16x16
+        macroblock — per-MB best of the available clause 8.3.3 modes
+        (V/H/DC/Plane) by SAD — or None when any block leaves the
+        declared CAVLC subset (caller writes I_PCM). ``has_left``/
+        ``has_top``/``has_tl`` override neighbor availability for slice
+        boundaries."""
+        if has_left is None:
+            has_left = mb_x > 0
+        if has_top is None:
+            has_top = mb_y > 0
+        if has_tl is None:
+            has_tl = mb_x > 0 and mb_y > 0
+        src = y[
+            mb_y * 16 : mb_y * 16 + 16, mb_x * 16 : mb_x * 16 + 16
+        ].astype(np.int64)
+        avail_of = {
+            0: has_top,
+            1: has_left,
+            2: True,
+            3: has_left and has_top and has_tl,
+        }
+        cands = [m for m in i16_mode_set if avail_of[m]]
+        if not cands:
+            return None
+        best = None
+        for cand in sorted(cands):
+            p = np.asarray(
+                math["pred16"](recon, mb_x, mb_y, cand, has_left, has_top, has_tl),
+                dtype=np.int64,
+            )
+            sad = int(np.abs(src - p).sum())
+            if best is None or sad < best[0]:
+                best = (sad, cand, p)
+        _, pred_mode, pred = best
+        res = src - pred
         wmat = np.empty((4, 4, 4, 4), dtype=np.int64)
         for by in range(4):
             for bx in range(4):
@@ -2743,7 +2834,8 @@ def make_h264_bytes(
         recon_mb = math["recon_i16"](dc_zig, ac_zig, qp, pred)
 
         def emit(w):
-            w.ue((15 if cbp_luma else 3))  # I_16x16: DC pred, cbp_chroma 0
+            # I_16x16 mb_type: 1 + predMode + 12*(cbp_luma==15), chroma 0
+            w.ue(1 + pred_mode + (12 if cbp_luma else 0))
             w.ue(0)  # intra_chroma_pred_mode: DC
             w.se(0)  # mb_qp_delta
             for bits in parts:
@@ -2900,6 +2992,9 @@ def make_h264_bytes(
                         mb_y,
                         has_left=mb_x > 0 and (mb - 1) >= slice_first,
                         has_top=mb_y > 0 and (mb - mbs_w) >= slice_first,
+                        has_tl=mb_x > 0
+                        and mb_y > 0
+                        and (mb - mbs_w - 1) >= slice_first,
                     )
                 elif mode == "i4x4":
                     attempt = try_i4x4_mb(
@@ -2946,6 +3041,7 @@ def _h264_decoder():
     math = _h264_transform_math()
     recon_i16 = math["recon_i16"]
     dc_pred16 = math["dc_pred16"]
+    pred16 = math["pred16"]
     dequant_ac = math["dequant_ac"]
     inv_transform_4x4 = math["inv_transform_4x4"]
     zig = list(math["zigzag"])
@@ -3181,7 +3277,22 @@ def _h264_decoder():
 
                 def cavlc_block(max_coeffs, nc):
                     """Clause 9.2 residual block decode, restricted to
-                    the declared table regions."""
+                    the declared table regions: the full nC<2 class,
+                    plus the TotalCoeff=0 coeff_token of the higher nC
+                    classes (Table 9-5: '11' / '1111' / FLC '000011') —
+                    the codes a zero-residual block next to an I_PCM
+                    neighbor carries."""
+                    if nc >= 2:
+                        expect = (
+                            "000011" if nc >= 8 else "1111" if nc >= 4 else "11"
+                        )
+                        for ch in expect:
+                            if r.u(1) != (1 if ch == "1" else 0):
+                                raise ValueError(
+                                    "nonzero CAVLC block in an nC>=2 "
+                                    "context outside declared subset"
+                                )
+                        return [0] * max_coeffs, 0
                     if not 0 <= nc < 2:
                         raise ValueError(
                             "CAVLC context outside declared nC<2 subset"
@@ -3302,10 +3413,6 @@ def _h264_decoder():
                         pred_mode = m % 4
                         cbp_chroma = (m // 4) % 3
                         cbp_luma = 15 if m >= 12 else 0
-                        if pred_mode != 2:
-                            raise ValueError(
-                                "non-DC Intra_16x16 prediction outside subset"
-                            )
                         if cbp_chroma != 0:
                             raise ValueError(
                                 "chroma residual outside declared subset"
@@ -3327,14 +3434,14 @@ def _h264_decoder():
                             for bx in range(4):
                                 for by in range(4):
                                     totals[(mb_x * 4 + bx, mb_y * 4 + by)] = 0
-                        pred = dc_pred16(
+                        pred = pred16(
                             cur,
                             mb_x,
                             mb_y,
-                            has_left=mb_x > 0
-                            and mb_slice.get((mb_x - 1, mb_y)) == slice_idx,
-                            has_top=mb_y > 0
-                            and mb_slice.get((mb_x, mb_y - 1)) == slice_idx,
+                            pred_mode,
+                            mb_slice.get((mb_x - 1, mb_y)) == slice_idx,
+                            mb_slice.get((mb_x, mb_y - 1)) == slice_idx,
+                            mb_slice.get((mb_x - 1, mb_y - 1)) == slice_idx,
                         )
                         cur[my : my + 16, mx : mx + 16] = recon_i16(
                             dc_levels, ac, qp_cur, pred

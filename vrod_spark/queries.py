@@ -2359,7 +2359,7 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
         ('gif', 0, 0, 6, 3, round(10.0/255, 6), round(200.0/255, 6), round(30.0/255, 6)),
         ('h264', 0, 0, 20, 12, round(40.0/255, 6), 0.0, 0.0),
         ('h264', 0, 1, 20, 12, round(200.0/255, 6), 0.0, 0.0),
-        ('h264', 1, 0, 32, 32, 0.578431, 0.0, 0.0),
+        ('h264', 1, 0, 32, 32, 0.58079, 0.0, 0.0),
         ('h264', 2, 0, 32, 32, 0.464951, 0.0, 0.0),
         ('jpeg', 0, 0, 16, 8, round(254.0/255, 6), 0.0, 0.0),
         ('jpeg', 1, 0, 12, 10, 0.555719, 0.509281, 0.473399),
@@ -2461,9 +2461,10 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
         # H.264 Annex-B: one I_PCM stream (two frames, cropped 20x12) and
-        # one CAVLC Intra_16x16 stream (DC prediction + entropy-coded
-        # quantized integer-transform residuals at qp 38 over a
-        # deterministic gradient — pure integer math end to end, so the
+        # one CAVLC Intra_16x16 stream (clause 8.3.3 mode selection —
+        # the bilinear gradient picks Plane prediction, a 36-byte
+        # stream — + entropy-coded quantized integer-transform
+        # residuals at qp 38; pure integer math end to end, so the
         # pinned decoded mean is environment-immune).
         + [
             (0, "video", make_h264_bytes([40, 200], width=20, height=12)),
