@@ -322,8 +322,14 @@ def main() -> None:
         for probe, build in (
             ("floor_jvm", lambda: spark.range(100_000)
                 .groupBy((_F.col("id") % 7).alias("g")).agg(_F.sum("id").alias("s"))),
+            # The python probe pushes 100k rows through a fresh Arrow
+            # stage but collects only a count — a bare .collect() of the
+            # 100k output rows costs ~0.4 s of DRIVER-side Row
+            # materialization that no real query pays (their outputs are
+            # small aggregates), which used to inflate this probe ~2x.
             ("floor_py", lambda: spark.range(100_000).repartition(8)
-                .mapInPandas(lambda it: it, "id long")),
+                .mapInPandas(lambda it: it, "id long")
+                .selectExpr("count(*) AS c")),
         ):
             t = []
             for _ in range(2):
