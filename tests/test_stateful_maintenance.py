@@ -68,6 +68,92 @@ def test_compaction_reduces_files_preserves_data(spark, tmp_path):
     assert sorted(r["id"] for r in col.read().collect()) == before
 
 
+def test_compact_zorder_multi_column_pruning(spark, tmp_path):
+    """compact(zorder=[x, y]) lays files out as Morton blocks: parquet
+    footer min/max stats are range-tight on BOTH columns at once, so a
+    selective predicate on EITHER prunes most files — where a linear
+    x-sort prunes x only and scans every file for a y predicate. Data
+    parity is exact (plain COW rewrite)."""
+    import pyarrow.parquet as pq
+
+    eng = Engine.create(spark, str(tmp_path), "zdb")
+    eng.db.create_collection("zc", schema="id bigint, x bigint, y bigint")
+    eng.db.create_collection("lc", schema="id bigint, x bigint, y bigint")
+    # Uniform 128x128 grid, insertion order uncorrelated with either axis.
+    df = spark.range(16384).selectExpr(
+        "id",
+        "cast(id % 128 as bigint) AS x",
+        "cast(pmod(hash(id), 128) as bigint) AS y",
+    )
+    eng.execute("BULKINSERT", collection="zc", arg=df)
+    eng.execute("BULKINSERT", collection="lc", arg=df)
+
+    zcol = eng.db.collection("zc")
+    info = zcol.compact(target_partitions=16, zorder=["x", "y"])
+    assert info["zorder"] == ["x", "y"]
+    assert info["rows"] == 16384
+    # Linear baseline: same file count, sorted on x only.
+    lcol = eng.db.collection("lc")
+    lcol._rewrite(
+        lcol.read().repartitionByRange(16, "x").sortWithinPartitions("x"),
+        "COMPACT",
+    )
+
+    def file_ranges(col_obj, name):
+        out = []
+        for f in col_obj._data_files(col_obj.version_dir()):
+            md = pq.ParquetFile(f).metadata
+            mn, mx = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == name and c.statistics is not None:
+                        s = c.statistics
+                        mn = s.min if mn is None else min(mn, s.min)
+                        mx = s.max if mx is None else max(mx, s.max)
+            out.append((mn, mx))
+        return out
+
+    def n_matching(ranges, lo, hi):
+        return sum(1 for mn, mx in ranges if mn <= hi and mx >= lo)
+
+    zx, zy = file_ranges(zcol, "x"), file_ranges(zcol, "y")
+    lx, ly = file_ranges(lcol, "x"), file_ranges(lcol, "y")
+    assert len(zx) == len(lx) == 16
+    # A 1/8-of-axis box on either column: the z-layout scans a minority
+    # of files on BOTH axes; the linear layout prunes x but must scan
+    # EVERY file for the y predicate.
+    assert n_matching(zx, 0, 15) <= 8
+    assert n_matching(zy, 0, 15) <= 8
+    assert n_matching(lx, 0, 15) <= 3
+    assert n_matching(ly, 0, 15) == 16
+    # COW parity: every row survives the clustered rewrite.
+    assert zcol.read().count() == 16384
+    assert (
+        sorted(r.id for r in zcol.read().select("id").collect())
+        == list(range(16384))
+    )
+    # Guardrails: bad column type / indexed snapshots are rejected loudly.
+    import pytest
+
+    from vrod_spark.operators.zorder import zorder_value
+
+    with pytest.raises(ValueError):
+        zorder_value(df.selectExpr("id", "cast(x as string) sx", "y"), ["sx", "y"])
+    eng.execute("CREATE", collection="vc_idx")
+    eng.execute(
+        "INSERT",
+        collection="vc_idx",
+        arg=[
+            {"id": i, "embedding": [float(i), 0.0], "payload": "p", "meta": None}
+            for i in range(8)
+        ],
+    )
+    eng.execute("REINDEX", collection="vc_idx", arg={"n_planes": 2})
+    with pytest.raises(ValueError):
+        eng.db.collection("vc_idx").compact(zorder=["id", "id"])
+
+
 def test_time_travel_reads(spark, tmp_path):
     eng = Engine.create(spark, str(tmp_path), "ttdb")
     eng.execute("CREATE", collection="c")

@@ -345,7 +345,12 @@ class Collection:
             out.extend(os.path.join(d, f) for f in files if f.endswith(".parquet"))
         return out
 
-    def compact(self, target_partitions: int | None = None) -> dict:
+    def compact(
+        self,
+        target_partitions: int | None = None,
+        zorder: list[str] | None = None,
+        zorder_bits: int = 6,
+    ) -> dict:
         """Maintenance: rewrite the current snapshot with a right-sized
         file count. Hard-linked incremental appends accumulate one small
         delta file per INSERT — fine for a while, but small files erode
@@ -357,7 +362,15 @@ class Collection:
         per bucket REUSING the stored bucket assignments (no re-hash, the
         index and histogram stay valid — maintenance must never degrade
         the read path); a meta-key-partitioned snapshot keeps its pk=
-        layout via the ``_rewrite`` partition re-derivation."""
+        layout via the ``_rewrite`` partition re-derivation.
+
+        ``zorder``: cluster the rewrite on the Morton interleave of
+        these columns (``operators/zorder.py``) so parquet row-group
+        min/max stats stay tight on EVERY listed column — multi-column
+        scan pruning, the lakehouse ``OPTIMIZE ZORDER`` layout. One
+        extra shuffle (``repartitionByRange`` on the z-value); rejected
+        for vector-indexed snapshots, whose bucket layout IS the read
+        path (z-order the collection before REINDEX instead)."""
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
@@ -368,6 +381,36 @@ class Collection:
             size = sum(os.path.getsize(f) for f in files_before)
             target_partitions = max(1, size // (128 * 1024 * 1024))
         idx = self.meta.get("index")
+        if zorder:
+            if idx:
+                raise ValueError(
+                    "compact(zorder=...) conflicts with a vector-index "
+                    "bucket layout; z-order before REINDEX instead"
+                )
+            from pyspark.sql import functions as _zF
+
+            from vrod_spark.operators.zorder import zorder_value
+
+            base = self.read()
+            zv = zorder_value(base, list(zorder), bits=int(zorder_bits))
+            ordered = (
+                base.withColumn("__vr_z", zv)
+                .repartitionByRange(int(target_partitions), _zF.col("__vr_z"))
+                .sortWithinPartitions("__vr_z")
+                .drop("__vr_z")
+            )
+            n = self._rewrite(ordered, "COMPACT", {"zorder": list(zorder)})
+            out = {
+                "collection": self.name,
+                "rows": n,
+                "zorder": list(zorder),
+                "files_before": len(files_before),
+                "files_after": len(self._data_files(self.version_dir())),
+            }
+            per_part = self._files_per_partition(self.version_dir())
+            if per_part is not None:
+                out["files_per_partition"] = per_part
+            return out
         if idx:
             from vrod_spark.errors import CommitConflictError
 
