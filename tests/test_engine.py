@@ -619,6 +619,134 @@ def test_dedup_verb_exact_and_minhash(engine):
     assert sorted(r["id"] for r in col.read().collect()) == [1, 4]
 
 
+def test_dedup_verb_incremental_since_version(engine):
+    """DEDUP {"since_version": V} is MONOTONE: rows in snapshot V are
+    established and NEVER drop — even when a later row has a smaller id
+    (global keep-first would flip the old survivor); delta rows drop
+    when they duplicate established content or an earlier delta row.
+    Holds for the exact digest path and the near-dup closure path, and
+    composes with dry_run."""
+    import pytest
+
+    from vrod_spark.errors import CommandArgError
+
+    engine.execute("CREATE", collection="docs")
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    other = "completely different text entirely here with many more words"
+    engine.execute(
+        "INSERT",
+        collection="docs",
+        arg=[
+            {"id": 10, "embedding": [1.0], "payload": base},
+            {"id": 11, "embedding": [1.0], "payload": other},
+        ],
+    )
+    col = engine.db.collection("docs")
+    v_est = col.version
+    # Delta: id 0 duplicates established 10 (smaller id — the monotone
+    # trap); 20/21 duplicate each other; 22 is novel.
+    engine.execute(
+        "INSERT",
+        collection="docs",
+        arg=[
+            {"id": 0, "embedding": [1.0], "payload": base},
+            {"id": 20, "embedding": [1.0], "payload": "novel delta text one two"},
+            {"id": 21, "embedding": [1.0], "payload": "novel delta text one two"},
+            {"id": 22, "embedding": [1.0], "payload": "another novel delta body"},
+        ],
+    )
+    # dry_run first: reports {0, 21}, no rewrite.
+    res = engine.execute(
+        "DEDUP",
+        collection="docs",
+        arg={"strategy": "exact", "since_version": v_est, "dry_run": True},
+    )
+    assert sorted(r["id"] for r in res.df.collect()) == [0, 21]
+    v_before = col.version
+    info = engine.execute(
+        "DEDUP", collection="docs", arg={"strategy": "exact", "since_version": v_est}
+    ).info
+    assert info["removed"] == 2 and info["since_version"] == v_est
+    assert col.version == v_before + 1
+    assert sorted(r["id"] for r in col.read().collect()) == [10, 11, 20, 22]
+    # Global exact dedup on the same corpus WOULD have kept 0 over 10.
+
+    # Near-dup closure path (minhash): established near-dup target keeps
+    # winning against a smaller-id delta; delta-delta pair keeps first.
+    engine.execute("CREATE", collection="nd")
+    engine.execute(
+        "INSERT",
+        collection="nd",
+        arg=[{"id": 10, "embedding": [1.0], "payload": base}],
+    )
+    ncol = engine.db.collection("nd")
+    v_est2 = ncol.version
+    engine.execute(
+        "INSERT",
+        collection="nd",
+        arg=[
+            {"id": 0, "embedding": [1.0], "payload": base + " extra"},
+            {"id": 20, "embedding": [1.0], "payload": other},
+            {"id": 21, "embedding": [1.0], "payload": other + " more"},
+        ],
+    )
+    info = engine.execute(
+        "DEDUP",
+        collection="nd",
+        arg={"strategy": "minhash", "threshold": 0.5, "since_version": v_est2},
+    ).info
+    assert info["removed"] == 2
+    assert sorted(r["id"] for r in ncol.read().collect()) == [10, 20]
+
+    # Corpus-global strategies reject since_version loudly.
+    with pytest.raises(CommandArgError):
+        engine.execute(
+            "DEDUP",
+            collection="nd",
+            arg={"strategy": "semdedup", "since_version": v_est2},
+        )
+    with pytest.raises(CommandArgError):
+        engine.execute(
+            "DEDUP",
+            collection="nd",
+            arg={"strategy": "spans", "since_version": v_est2},
+        )
+
+
+def test_dedup_verb_incremental_string_ids(engine):
+    """since_version composes with the hashed-id mapping: string-id
+    collections run the closure on xxhash64 longs but the established
+    flag and the min-delta keep decision use ORIGINAL ids."""
+    engine.db.create_collection(
+        "sdocs",
+        schema="id string, embedding array<float>, payload string, meta map<string,string>",
+    )
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    engine.execute(
+        "INSERT",
+        collection="sdocs",
+        arg=[{"id": "zzz", "embedding": [1.0], "payload": base, "meta": None}],
+    )
+    col = engine.db.collection("sdocs")
+    v_est = col.version
+    engine.execute(
+        "INSERT",
+        collection="sdocs",
+        arg=[
+            # 'aaa' sorts before the established 'zzz' — must still drop.
+            {"id": "aaa", "embedding": [1.0], "payload": base + " tail", "meta": None},
+            {"id": "mmm", "embedding": [1.0], "payload": "unrelated fresh words here", "meta": None},
+        ],
+    )
+    info = engine.execute(
+        "DEDUP",
+        collection="sdocs",
+        arg={"strategy": "minhash", "threshold": 0.5, "since_version": v_est},
+    ).info
+    assert info["removed"] == 1
+    assert sorted(r["id"] for r in col.read().collect()) == ["mmm", "zzz"]
+
+
 def test_dedup_verb_is_transitive(engine):
     """The near-dup keep-rule closes pairs into components: a chain
     1 ~ 3 ~ 2 (bridge doc 3 has the LARGEST id; 1 and 2 are NOT a pair

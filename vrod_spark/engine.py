@@ -435,7 +435,20 @@ class Engine:
                   ranges that would be cut) — inspect-first maintenance,
                   "column": "payload" (text strategies),
                   "threshold": strategy-specific similarity cutoff,
-                  "k": cluster count (semdedup, default 8)}
+                  "k": cluster count (semdedup, default 8),
+                  "since_version": V — INCREMENTAL dedup: rows already
+                  present in snapshot V are ESTABLISHED and are never
+                  dropped; only rows appended after V may drop, when
+                  they duplicate an established row or an earlier delta
+                  row. This makes dedup MONOTONE: re-running after each
+                  append never flips a past survivor (append-order
+                  reproducibility — at 100 TB you dedup the 1 GB delta
+                  against the corpus, not the corpus against itself, and
+                  yesterday's training manifest stays valid). Established
+                  x established candidate pairs are pruned before
+                  verification-closure; supported for exact/minhash/
+                  simhash/embedding/winnow (semdedup's rank and spans'
+                  text rewriting are corpus-global — loudly rejected)}
         - exact:      sha2 of normalized text, keep min id. Deterministic.
         - minhash:    MinHash-LSH candidates ≥ threshold Jaccard (default .8)
         - simhash:    SimHash pairs within Hamming distance (default 3)
@@ -484,6 +497,15 @@ class Engine:
         dry_run = bool(opts.get("dry_run", False))
         df = col.read()
         before = df.count()
+        since_version = opts.get("since_version")
+        established = None  # native-id DataFrame of immutable rows
+        if since_version is not None:
+            if strategy in ("semdedup", "spans"):
+                raise CommandArgError(
+                    f"since_version is not supported for strategy "
+                    f"{strategy!r}: its decisions are corpus-global"
+                )
+            established = col.read(version=int(since_version)).select("id")
 
         def dry_result(dropped: DataFrame, extra: dict | None = None) -> CommandResult:
             return CommandResult(
@@ -536,7 +558,24 @@ class Engine:
         if strategy == "exact":
             from vrod_spark.operators.dedup import exact_dedup
 
-            survivors = exact_dedup(df, text_col=text_col, id_col="id")
+            if established is not None:
+                # Incremental: established rows all survive; a delta row
+                # survives iff its digest is new to the established set
+                # AND it is the keep-first row within the delta. Digest
+                # work is one scan; no established-established pairing.
+                fp = F.sha2(F.lower(F.trim(F.col(text_col))), 256)
+                est_rows = df.join(established, "id", "left_semi")
+                delta_rows = df.join(established, "id", "left_anti")
+                est_digests = est_rows.select(fp.alias("_fp")).distinct()
+                delta_kept = (
+                    exact_dedup(delta_rows, text_col=text_col, id_col="id")
+                    .withColumn("_fp", fp)
+                    .join(est_digests, "_fp", "left_anti")
+                    .drop("_fp")
+                )
+                survivors = est_rows.unionByName(delta_kept)
+            else:
+                survivors = exact_dedup(df, text_col=text_col, id_col="id")
             if dry_run:
                 dropped = (
                     df.select("id")
@@ -545,15 +584,15 @@ class Engine:
                 )
                 return dry_result(dropped)
             n_after = col._rewrite(survivors, "DEDUP", {"strategy": strategy})
-            return CommandResult(
-                "DEDUP",
-                info={
-                    "collection": col.name,
-                    "strategy": strategy,
-                    "removed": before - n_after,
-                    "rows": n_after,
-                },
-            )
+            info = {
+                "collection": col.name,
+                "strategy": strategy,
+                "removed": before - n_after,
+                "rows": n_after,
+            }
+            if since_version is not None:
+                info["since_version"] = int(since_version)
+            return CommandResult("DEDUP", info=info)
 
         if strategy == "semdedup":
             from vrod_spark.operators.cluster import kmeans_train, semantic_dedup
@@ -676,6 +715,34 @@ class Engine:
         # connected components and keep only each component's minimum id.
         from vrod_spark.operators.dedup import connected_components
 
+        if established is not None:
+            # Incremental: prune established-established pairs BEFORE
+            # closure (their components were already resolved when those
+            # rows were deduped in), keeping only pairs that touch the
+            # delta. The closure/verification volume scales with the
+            # delta's duplication, not the corpus's.
+            est_work = (
+                established.select(
+                    F.xxhash64(F.col("id").cast("string")).alias("id")
+                )
+                if hashed_ids
+                else established
+            )
+            ef = est_work.withColumn("_est", F.lit(True))
+            pairs = (
+                pairs.join(
+                    ef.select(F.col("id").alias("id_a"), F.col("_est").alias("_ea")),
+                    "id_a",
+                    "left",
+                )
+                .join(
+                    ef.select(F.col("id").alias("id_b"), F.col("_est").alias("_eb")),
+                    "id_b",
+                    "left",
+                )
+                .filter(~(F.coalesce("_ea", F.lit(False)) & F.coalesce("_eb", F.lit(False))))
+                .select("id_a", "id_b")
+            )
         comps = connected_components(pairs, src_col="id_a", dst_col="id_b")
         if hashed_ids:
             # Translate components back to original ids and keep the min
@@ -683,6 +750,31 @@ class Engine:
             labeled = mapping.join(
                 comps, mapping["hid"] == comps["id"], "inner"
             ).select(mapping["id"].alias("oid"), "component")
+        else:
+            labeled = comps.select(F.col("id").alias("oid"), "component")
+        if established is not None:
+            # Established rows are immune; a component containing any
+            # established member drops ALL its delta members (they
+            # duplicate corpus content that already won), otherwise the
+            # smallest ORIGINAL delta id survives.
+            labeled = labeled.join(
+                established.select(F.col("id").alias("oid"), F.lit(True).alias("_est")),
+                "oid",
+                "left",
+            ).withColumn("_est", F.coalesce("_est", F.lit(False)))
+            aggd = labeled.groupBy("component").agg(
+                F.max(F.col("_est").cast("int")).alias("_has_est"),
+                F.min(F.when(~F.col("_est"), F.col("oid"))).alias("_min_delta"),
+            )
+            drop_ids = (
+                labeled.join(aggd, "component")
+                .filter(
+                    ~F.col("_est")
+                    & ((F.col("_has_est") == 1) | (F.col("oid") != F.col("_min_delta")))
+                )
+                .select(F.col("oid").alias("id"))
+            )
+        elif hashed_ids:
             keep = labeled.groupBy("component").agg(F.min("oid").alias("keep_id"))
             drop_ids = (
                 labeled.join(keep, "component")
@@ -690,20 +782,21 @@ class Engine:
                 .select(F.col("oid").alias("id"))
             )
         else:
+            # Integral ids: the component label IS the min member id.
             drop_ids = comps.filter(F.col("component") != F.col("id")).select("id")
         if dry_run:
             return dry_result(drop_ids.orderBy("id"))
         survivors = df.join(drop_ids, "id", "left_anti")
         n_after = col._rewrite(survivors, "DEDUP", {"strategy": strategy})
-        return CommandResult(
-            "DEDUP",
-            info={
-                "collection": col.name,
-                "strategy": strategy,
-                "removed": before - n_after,
-                "rows": n_after,
-            },
-        )
+        info = {
+            "collection": col.name,
+            "strategy": strategy,
+            "removed": before - n_after,
+            "rows": n_after,
+        }
+        if since_version is not None:
+            info["since_version"] = int(since_version)
+        return CommandResult("DEDUP", info=info)
 
     def _reindex(self, collection: str | None, arg: Any) -> CommandResult:
         """REINDEX (builder.rs:73-76): rebuild the ANN index and rewrite
