@@ -136,6 +136,62 @@ def test_minhash_lsh_precision_is_exact(spark, corpus):
         assert exact[(r["id_a"], r["id_b"])] == pytest.approx(r["jaccard"])
 
 
+def test_minhash_lsh_delta_restriction(spark, corpus):
+    """delta_ids (the incremental shape): the output is EXACTLY the full
+    output restricted to pairs touching a delta id — no old-old pair
+    survives, and no delta-touching pair is lost (the asymmetric probe
+    join covers both orientations of a bucket pair)."""
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(corpus, min_jaccard=0.5).collect()
+    }
+    assert full, "fixture must produce pairs"
+    for delta in ([0], [1], [2], [0, 2]):
+        dset = set(delta)
+        ddf = spark.createDataFrame([(i,) for i in delta], "id bigint")
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in minhash_lsh_pairs(
+                corpus, min_jaccard=0.5, delta_ids=ddf
+            ).collect()
+        }
+        want = {p: j for p, j in full.items() if p[0] in dset or p[1] in dset}
+        assert got == pytest.approx(want), delta
+
+
+def test_embedding_bucketed_delta_restriction(spark):
+    """delta_ids on the bucketed embedding operator: equivalence with
+    the full run filtered to delta-touching pairs (block pruning and the
+    in-block mask must not lose cross-membership pairs)."""
+    import numpy as np
+
+    from vrod_spark.operators.dedup import embedding_near_dup_bucketed
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((80, 12))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist()) for i in range(80)]
+    for i in range(20):
+        v = base[i] + 0.02 * rng.standard_normal(12)
+        v /= np.linalg.norm(v)
+        rows.append((1000 + i, v.tolist()))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    kw = dict(min_cosine=0.98, n_planes=4, n_tables=6, target_rows_per_block=8)
+    full = {
+        (r["id_a"], r["id_b"]) for r in embedding_near_dup_bucketed(df, **kw).collect()
+    }
+    assert full
+    delta = [1000 + i for i in range(10)]
+    ddf = spark.createDataFrame([(i,) for i in delta], "id bigint")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_bucketed(df, delta_ids=ddf, **kw).collect()
+    }
+    dset = set(delta)
+    want = {p for p in full if p[0] in dset or p[1] in dset}
+    assert got == want
+
+
 def test_simhash_near_dups(spark, corpus):
     pairs = {
         (r["id_a"], r["id_b"]): r["hamming"]

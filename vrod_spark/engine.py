@@ -667,6 +667,21 @@ class Engine:
                 },
             )
 
+        # Incremental: delta ids in the work-id space. minhash/embedding
+        # take them INSIDE candidate generation (pair expansion becomes
+        # O(delta x bucket), not O(bucket²)); simhash/winnow get a
+        # post-generation pair filter below.
+        delta_work = None
+        if established is not None:
+            est_work_ids = (
+                established.select(
+                    F.xxhash64(F.col("id").cast("string")).alias("id")
+                )
+                if hashed_ids
+                else established
+            )
+            delta_work = work.select("id").join(est_work_ids, "id", "left_anti")
+
         if strategy == "minhash":
             from vrod_spark.operators.dedup import minhash_lsh_pairs
 
@@ -675,6 +690,7 @@ class Engine:
                 text_col=text_col,
                 id_col="id",
                 min_jaccard=float(opts.get("threshold", 0.8)),
+                delta_ids=delta_work,
             )
         elif strategy == "simhash":
             from vrod_spark.operators.dedup import simhash_pairs
@@ -693,6 +709,7 @@ class Engine:
                 vec_col="embedding",
                 id_col="id",
                 min_cosine=float(opts.get("threshold", 0.99)),
+                delta_ids=delta_work,
             )
         elif strategy == "winnow":
             from vrod_spark.operators.dedup import winnow_overlap_pairs
@@ -715,20 +732,13 @@ class Engine:
         # connected components and keep only each component's minimum id.
         from vrod_spark.operators.dedup import connected_components
 
-        if established is not None:
+        if established is not None and strategy in ("simhash", "winnow"):
             # Incremental: prune established-established pairs BEFORE
             # closure (their components were already resolved when those
             # rows were deduped in), keeping only pairs that touch the
-            # delta. The closure/verification volume scales with the
-            # delta's duplication, not the corpus's.
-            est_work = (
-                established.select(
-                    F.xxhash64(F.col("id").cast("string")).alias("id")
-                )
-                if hashed_ids
-                else established
-            )
-            ef = est_work.withColumn("_est", F.lit(True))
+            # delta — the post-generation form for the generators without
+            # a delta_ids fast path.
+            ef = est_work_ids.withColumn("_est", F.lit(True))
             pairs = (
                 pairs.join(
                     ef.select(F.col("id").alias("id_a"), F.col("_est").alias("_ea")),

@@ -336,11 +336,21 @@ def minhash_lsh_pairs(
     bands: int = 8,
     n: int = 3,
     min_jaccard: float = 0.5,
+    delta_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs: banded MinHash-LSH candidates, verified with exact
     Jaccard (so precision is exact; recall is the LSH probability
     1-(1-s^r)^b). Candidate generation is groupBy(band, band_hash) —
-    one shuffle of (id, 16-byte band hash), never of document text."""
+    one shuffle of (id, 16-byte band hash), never of document text.
+
+    ``delta_ids`` (single-column DataFrame): restrict the output to pairs
+    touching at least one of these ids — the INCREMENTAL shape. The
+    banded join probes delta postings against the full corpus, so pair
+    expansion is O(Σ_b d_b·n_b) instead of O(Σ_b n_b²): a 1 GB append
+    dedups against a 100 TB corpus without enumerating the corpus's own
+    pairs. (Signature hashing stays one linear pass per join side — the
+    delta filter legally pushes below the band exchange, which costs the
+    exchange reuse but keeps the quadratic term delta-bound.)"""
     assert k % bands == 0, "k must divide into equal bands"
     rows_per_band = k // bands
     sigs = minhash_signature(df, text_col=text_col, id_col=id_col, k=k, n=n)
@@ -387,14 +397,31 @@ def minhash_lsh_pairs(
     # prefer spill-safe sorting can swap the hint for "merge": sort-merge
     # shuffles both sides identically too, so the exchange reuse is
     # preserved — broadcast is the one strategy that breaks it.
-    cand = (
-        banded.alias("x")
-        .hint("shuffle_hash")
-        .join(banded.alias("y").hint("shuffle_hash"), ["band", "bucket"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
-    )
+    if delta_ids is not None:
+        dset = delta_ids.select(
+            F.col(delta_ids.columns[0]).alias("id")
+        ).distinct()
+        cand = (
+            banded.join(dset, "id", "left_semi")
+            .alias("x")
+            .hint("shuffle_hash")
+            .join(banded.alias("y").hint("shuffle_hash"), ["band", "bucket"])
+            .filter(F.col("x.id") != F.col("y.id"))
+            .select(
+                F.least("x.id", "y.id").alias("id_a"),
+                F.greatest("x.id", "y.id").alias("id_b"),
+            )
+            .distinct()
+        )
+    else:
+        cand = (
+            banded.alias("x")
+            .hint("shuffle_hash")
+            .join(banded.alias("y").hint("shuffle_hash"), ["band", "bucket"])
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct()
+        )
     sh = widen(df).select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks")).select(
         "id", F.array_distinct(shingles_from_tokens(F.col("_toks"), n)).alias("sh")
     )
@@ -685,6 +712,7 @@ def embedding_near_dup_bucketed(
     target_rows_per_block: int = 2048,
     dim: int | None = None,
     seed: int = 42,
+    delta_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Scale path for the embedding similarity join: **sign-LSH bucketing
     composed with blocked matmul** (the composition VERDICT r1 flagged as
@@ -709,6 +737,12 @@ def embedding_near_dup_bucketed(
     O(N²); recall for a pair at angle θ is 1-(1-(1-θ/π)^planes)^tables
     (exact duplicates: θ=0 → recall 1.0 deterministically). Identical
     vectors always share every bucket, so exact-dup discovery is certain.
+
+    ``delta_ids`` (single-column DataFrame): restrict output to pairs
+    touching at least one of these ids — the INCREMENTAL shape. Block
+    pairs where NEITHER side holds a delta row are pruned before the
+    matmul and the in-block pair mask drops established-established
+    cells, so scored pair volume is O(Σ_b d_b·n_b), not O(Σ_b n_b²).
     """
     import numpy as np
 
@@ -735,10 +769,21 @@ def embedding_near_dup_bucketed(
             for t in range(n_tables)
         ]
     )
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if delta_ids is not None:
+        dset = (
+            delta_ids.select(F.col(delta_ids.columns[0]).alias("id"))
+            .distinct()
+            .withColumn("_d", F.lit(True))
+        )
+        base = base.join(dset, "id", "left").withColumn(
+            "_d", F.coalesce("_d", F.lit(False))
+        )
+    else:
+        base = base.withColumn("_d", F.lit(True))
     posted = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .withColumn("tb", F.explode(tables))
-        .select("id", "v", F.col("tb.t").alias("t"), F.col("tb.bk").alias("bk"))
+        base.withColumn("tb", F.explode(tables))
+        .select("id", "v", "_d", F.col("tb.t").alias("t"), F.col("tb.bk").alias("bk"))
     )
 
     # Sub-block assignment: bucket count via window (one shuffle on the
@@ -749,20 +794,28 @@ def embedding_near_dup_bucketed(
 
     packed = (
         posted.groupBy("t", "bk", "sub")
-        .agg(F.collect_list(F.struct("id", "v")).alias("rows"))
+        .agg(
+            F.collect_list(F.struct("id", "v", "_d")).alias("rows"),
+            F.max(F.col("_d").cast("int")).alias("has_d"),
+        )
     )
     a = packed.select(
         F.col("t").alias("ta"), F.col("bk").alias("ka"),
         F.col("sub").alias("sa"), F.col("rows").alias("ra"),
+        F.col("has_d").alias("da"),
     )
     b = packed.select(
         F.col("t").alias("tb_"), F.col("bk").alias("kb"),
         F.col("sub").alias("sb"), F.col("rows").alias("rb"),
+        F.col("has_d").alias("db"),
     )
     block_pairs = a.join(
         b,
         (F.col("ta") == F.col("tb_")) & (F.col("ka") == F.col("kb"))
-        & (F.col("sa") <= F.col("sb")),
+        & (F.col("sa") <= F.col("sb"))
+        # Incremental pruning: a block pair with no delta member on
+        # either side cannot produce a reportable pair.
+        & ((F.col("da") == 1) | (F.col("db") == 1)),
     )
 
     thresh = float(min_cosine)
@@ -788,6 +841,9 @@ def embedding_near_dup_bucketed(
                     mask = ii < jj  # same sub-block: upper triangle
                 else:
                     mask = ii != jj  # cross sub-block: all distinct pairs
+                fa = np.array([bool(r["_d"]) for r in row["ra"]])
+                fb = np.array([bool(r["_d"]) for r in row["rb"]])
+                mask &= fa[:, None] | fb[None, :]
                 mask &= cos >= thresh
                 sel = np.nonzero(mask)
                 out_a.extend(np.minimum(ii[sel], jj[sel]).tolist())
