@@ -385,3 +385,51 @@ def test_semantic_dedup_is_one_shuffle_then_grouped_numpy(spark, sf_dir):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("ArrowEvalPython") == 1, "assignment must run once"
     assert final.count("Exchange hashpartitioning") == 1, "one shuffle only"
+
+
+def test_incremental_minhash_restricts_probe_side(spark, sf_dir):
+    """delta_ids turns the banded self-join asymmetric: the probe side is
+    semi-join-restricted to the delta BEFORE the band join, so pair
+    expansion is O(delta x bucket). The plan must carry exactly one
+    LeftSemi (the delta restriction) that the full run doesn't have."""
+    from vrod_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(400)
+    delta = docs.select("doc_id").limit(40)
+    full_plan = _executed_plan(minhash_lsh_pairs(docs, min_jaccard=0.5))
+    inc_plan = _executed_plan(
+        minhash_lsh_pairs(docs, min_jaccard=0.5, delta_ids=delta)
+    )
+    final_full = full_plan.split("== Initial Plan ==")[0]
+    final_inc = inc_plan.split("== Initial Plan ==")[0]
+    assert "LeftSemi" not in final_full
+    assert "LeftSemi" in final_inc
+
+
+def test_zorder_compact_plans_range_partitioning(spark, tmp_path):
+    """compact(zorder=...) must cluster via ONE range exchange on the
+    z-value (plus codegen bucket/interleave arithmetic) — no Python
+    stage, no extra shuffles beyond the range partitioning."""
+    from vrod_spark.engine import Engine
+    from vrod_spark.operators.zorder import zorder_value
+
+    eng = Engine.create(spark, str(tmp_path), "zpdb")
+    eng.db.create_collection("zc", schema="id bigint, x bigint, y bigint")
+    df = spark.range(4096).selectExpr(
+        "id", "id % 64 AS x", "pmod(hash(id), 64) AS y"
+    )
+    eng.execute("BULKINSERT", collection="zc", arg=df)
+    col = eng.db.collection("zc")
+    base = col.read()
+    from pyspark.sql import functions as F
+
+    ordered = (
+        base.withColumn("__vr_z", zorder_value(base, ["x", "y"]))
+        .repartitionByRange(8, F.col("__vr_z"))
+        .sortWithinPartitions("__vr_z")
+        .drop("__vr_z")
+    )
+    plan = _executed_plan(ordered)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "rangepartitioning" in final.lower()
+    assert "ArrowEvalPython" not in final and "PythonUDF" not in final
