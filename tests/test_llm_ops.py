@@ -627,6 +627,74 @@ def test_gif_lzw_decode_is_real(spark):
     assert [r["mean_r"], r["mean_g"], r["mean_b"]] == want
 
 
+def test_gif_animation_frames(spark):
+    """GIF89a animation machinery: multi-frame composition with
+    sub-rectangle placement, local palettes, disposal methods 1/2/3,
+    transparency, and interlace — each checked pixel-exactly against an
+    independently numpy-composed reference; decode_media emits one row
+    per composed frame."""
+    import numpy as np
+
+    from vrod_spark.operators.multimodal import (
+        _gif_frames_parser,
+        decode_media,
+        make_gif_anim_bytes,
+    )
+
+    parse = _gif_frames_parser()
+    W, H = 12, 10
+    base = np.tile(np.array([10, 20, 30], dtype=np.uint8), (H, W, 1))
+    patch = np.tile(np.array([200, 40, 60], dtype=np.uint8), (4, 5, 1))
+    # Frame 2: patch with a transparent hole in its middle column.
+    tpatch = patch.copy()
+    tpatch[:, 2] = (1, 2, 3)  # the transparent color
+    b = make_gif_anim_bytes(
+        W,
+        H,
+        [
+            {"pixels": base, "disposal": 1},
+            {"pixels": patch, "x": 3, "y": 2, "disposal": 3},
+            {"pixels": tpatch, "x": 3, "y": 2, "transparent": (1, 2, 3),
+             "disposal": 2},
+            {"pixels": base // 2, "interlace": True},
+        ],
+    )
+    w, h, frames = parse(b)
+    assert (w, h, len(frames)) == (W, H, 4)
+    # Independent composition reference.
+    f0 = base.copy()
+    assert np.array_equal((frames[0] * 255).round().astype(np.uint8), f0)
+    f1 = f0.copy()
+    f1[2:6, 3:8] = patch
+    assert np.array_equal((frames[1] * 255).round().astype(np.uint8), f1)
+    # Disposal 3 restored f0 under frame 2; transparent column shows f0.
+    f2 = f0.copy()
+    f2[2:6, 3:8] = patch
+    f2[2:6, 3 + 2] = f0[2:6, 3 + 2]
+    assert np.array_equal((frames[2] * 255).round().astype(np.uint8), f2)
+    # Disposal 2 cleared frame 2's rect to background (black) before
+    # frame 3, which repaints the whole canvas (interlaced).
+    f3 = base // 2
+    assert np.array_equal((frames[3] * 255).round().astype(np.uint8), f3)
+
+    # decode_media: one row per composed frame, channel means exact.
+    df = spark.createDataFrame(
+        [(7, "image", b)], "media_id bigint, kind string, content binary"
+    )
+    rows = {r["idx"]: r for r in decode_media(df).collect()}
+    assert sorted(rows) == [0, 1, 2, 3]
+    for fidx, ref in ((0, f0), (1, f1), (2, f2), (3, f3)):
+        m = (ref.astype(np.float64) / 255.0).mean(axis=(0, 1))
+        got = rows[fidx]
+        assert got["format"] == "gif" and (got["width"], got["height"]) == (W, H)
+        assert [got["m1"], got["m2"], got["m3"]] == [
+            round(float(m[0]), 6), round(float(m[1]), 6), round(float(m[2]), 6)
+        ], fidx
+    # every_n sampling composes.
+    sampled = decode_media(df, every_n=2).collect()
+    assert sorted(r["idx"] for r in sampled) == [0, 2]
+
+
 def test_jpeg_decode_is_real(spark):
     """JPEG decoding is NOT a stub: the baseline T.81 path (canonical
     Huffman, dequant, orthonormal IDCT, chroma upsample) recovers a solid

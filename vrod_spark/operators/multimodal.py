@@ -772,40 +772,13 @@ def _au_parser():
     return parse_au
 
 
-def make_gif_bytes(
-    width: int, height: int, rgb: tuple[int, int, int] | None = None, *, pixels=None
-) -> bytes:
-    """Synthesize a real GIF89a (LZW-compressed, global palette) — solid
-    ``rgb`` or an explicit ``pixels`` h×w×3 uint8 array (palettized to its
-    distinct colors; ≤256 distinct required). The LZW encoder emits
-    literal codes with periodic CLEARs (valid, modestly-compressed LZW) —
-    the decoder exercises the full growing-dictionary path regardless."""
-    import struct
-
-    import numpy as np
-
-    if pixels is None:
-        pixels = np.tile(np.array(rgb, dtype=np.uint8), (height, width, 1))
-    px = np.asarray(pixels, dtype=np.uint8)
-    h, w = px.shape[0], px.shape[1]
-    flat = px.reshape(-1, 3)
-    palette, idx = np.unique(flat, axis=0, return_inverse=True)
-    if len(palette) > 256:
-        raise ValueError("make_gif_bytes supports ≤256 distinct colors")
-    # Palette size must be a power of two ≥ 2.
-    psize = max(2, 1 << int(np.ceil(np.log2(len(palette)))))
-    table = np.zeros((psize, 3), dtype=np.uint8)
-    table[: len(palette)] = palette
-    pbits = int(np.log2(psize))
-
-    min_code = max(2, pbits)
+def _gif_lzw_encode(idx, min_code: int) -> bytearray:
+    """Literal-code LZW, LSB-first, mirroring the decoder's dictionary
+    exactly: the decoder appends a table entry per received code EXCEPT
+    the first after a CLEAR, and widens its read size when the table
+    fills the current width — so the encoder widens at the same points
+    and resets well before the 12-bit ceiling."""
     clear, eoi = 1 << min_code, (1 << min_code) + 1
-
-    # Literal-code LZW, LSB-first, mirroring the decoder's dictionary
-    # exactly: the decoder appends a table entry per received code EXCEPT
-    # the first after a CLEAR, and widens its read size when the table
-    # fills the current width — so the encoder widens at the same points
-    # and resets well before the 12-bit ceiling.
     out = bytearray()
     acc = nbits = 0
 
@@ -835,6 +808,37 @@ def make_gif_bytes(
     emit(eoi, width_bits)
     if nbits:
         out.append(acc & 0xFF)
+    return out
+
+
+def make_gif_bytes(
+    width: int, height: int, rgb: tuple[int, int, int] | None = None, *, pixels=None
+) -> bytes:
+    """Synthesize a real GIF89a (LZW-compressed, global palette) — solid
+    ``rgb`` or an explicit ``pixels`` h×w×3 uint8 array (palettized to its
+    distinct colors; ≤256 distinct required). The LZW encoder emits
+    literal codes with periodic CLEARs (valid, modestly-compressed LZW) —
+    the decoder exercises the full growing-dictionary path regardless."""
+    import struct
+
+    import numpy as np
+
+    if pixels is None:
+        pixels = np.tile(np.array(rgb, dtype=np.uint8), (height, width, 1))
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape[0], px.shape[1]
+    flat = px.reshape(-1, 3)
+    palette, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError("make_gif_bytes supports ≤256 distinct colors")
+    # Palette size must be a power of two ≥ 2.
+    psize = max(2, 1 << int(np.ceil(np.log2(len(palette)))))
+    table = np.zeros((psize, 3), dtype=np.uint8)
+    table[: len(palette)] = palette
+    pbits = int(np.log2(psize))
+
+    min_code = max(2, pbits)
+    out = _gif_lzw_encode(idx, min_code)
 
     data = bytearray()
     data += b"GIF89a"
@@ -847,6 +851,88 @@ def make_gif_bytes(
         data.append(len(block))
         data += block
     data += b"\x00\x3b"  # block terminator + trailer
+    return bytes(data)
+
+
+def make_gif_anim_bytes(
+    width: int, height: int, frames, *, loop: int | None = 0
+) -> bytes:
+    """Synthesize a real ANIMATED GIF89a. ``frames`` entries are either
+    full-canvas h×w×3 uint8 arrays or dicts::
+
+        {"pixels": patch(h'×w'×3), "x": 0, "y": 0, "disposal": 0,
+         "transparent": (r, g, b) | None, "delay_cs": 4,
+         "interlace": False}
+
+    Every frame carries a LOCAL color table (exercising the per-image
+    palette path); a Graphic Control Extension precedes each frame with
+    its disposal method / transparency / delay; ``interlace`` writes the
+    frame's rows in the four-pass interlace order with the interlace
+    flag set. ``loop`` adds the NETSCAPE2.0 looping extension (None to
+    omit). The global palette is [black, white] with background 0."""
+    import struct
+
+    import numpy as np
+
+    data = bytearray()
+    data += b"GIF89a"
+    # Global palette: 2 entries (black background, white), bg index 0.
+    data += struct.pack("<HHBBB", width, height, 0x80 | 0x00, 0, 0)
+    data += bytes([0, 0, 0, 255, 255, 255])
+    if loop is not None:
+        data += b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + struct.pack("<H", loop) + b"\x00"
+    passes = ((0, 8), (4, 8), (2, 4), (1, 2))
+    for entry in frames:
+        if isinstance(entry, dict):
+            px = np.asarray(entry["pixels"], dtype=np.uint8)
+            x0, y0 = int(entry.get("x", 0)), int(entry.get("y", 0))
+            disposal = int(entry.get("disposal", 0))
+            transparent = entry.get("transparent")
+            delay = int(entry.get("delay_cs", 4))
+            interlace = bool(entry.get("interlace", False))
+        else:
+            px = np.asarray(entry, dtype=np.uint8)
+            x0 = y0 = 0
+            disposal, transparent, delay, interlace = 0, None, 4, False
+        ih, iw = px.shape[0], px.shape[1]
+        if y0 + ih > height or x0 + iw > width:
+            raise ValueError("frame rect exceeds the logical screen")
+        flat = px.reshape(-1, 3)
+        palette, idx = np.unique(flat, axis=0, return_inverse=True)
+        t_index = None
+        if transparent is not None:
+            t_rgb = np.asarray(transparent, dtype=np.uint8)
+            hit = np.nonzero((palette == t_rgb).all(axis=1))[0]
+            t_index = int(hit[0]) if hit.size else len(palette)
+            if not hit.size:
+                palette = np.vstack([palette, t_rgb])
+        if len(palette) > 256:
+            raise ValueError("make_gif_anim_bytes supports <=256 colors/frame")
+        psize = max(2, 1 << int(np.ceil(np.log2(len(palette)))))
+        table = np.zeros((psize, 3), dtype=np.uint8)
+        table[: len(palette)] = palette
+        pbits = int(np.log2(psize))
+        # Graphic Control Extension for this frame.
+        packed = (disposal & 0x07) << 2 | (1 if t_index is not None else 0)
+        data += struct.pack(
+            "<BBBBHB", 0x21, 0xF9, 4, packed, delay, t_index or 0
+        ) + b"\x00"
+        iflags = 0x80 | (0x40 if interlace else 0) | (pbits - 1)
+        data += struct.pack("<BHHHHB", 0x2C, x0, y0, iw, ih, iflags)
+        data += table.tobytes()
+        rows = idx.reshape(ih, iw)
+        if interlace:
+            order = [r for first, stepr in passes for r in range(first, ih, stepr)]
+            rows = rows[order]
+        min_code = max(2, pbits)
+        out = _gif_lzw_encode(rows.reshape(-1), min_code)
+        data.append(min_code)
+        for i in range(0, len(out), 255):
+            block = out[i : i + 255]
+            data.append(len(block))
+            data += block
+        data += b"\x00"
+    data += b"\x3b"
     return bytes(data)
 
 
@@ -884,45 +970,19 @@ def decode_gif_features(media: DataFrame, *, on_error: str = "raise") -> DataFra
     return media.mapInPandas(decode, IMAGE_SCHEMA)
 
 
-def _gif_parser():
-    """Self-contained GIF (global palette, non-interlaced) parser closure:
-    ``parse_gif(bytes) -> (w, h, float64 img in [0,1])`` — full LZW
-    expansion."""
+def _gif_frames_parser():
+    """Self-contained ANIMATED-GIF parser closure — the full GIF89a
+    frame machinery: Graphic Control Extensions (disposal methods 0-3,
+    transparency, delay), multiple image descriptors with sub-rectangle
+    placement, LOCAL color tables, interlaced images (four-pass row
+    order), and full LZW expansion per frame. Returns
+    ``parse(bytes) -> (w, h, [composed float64 canvas in [0,1] per
+    frame])`` — each entry is the full canvas AS DISPLAYED after that
+    frame renders (composition semantics per GIF89a: disposal 2 restores
+    the frame rect to the background color, 3 to the prior canvas;
+    transparent-index pixels leave the canvas unchanged)."""
 
-    def parse_gif(b: bytes):
-        import struct
-
-        import numpy as np
-
-        if b[:6] not in (b"GIF89a", b"GIF87a"):
-            raise ValueError("not a GIF blob")
-        w, h, flags, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
-        i = 13
-        palette = None
-        if flags & 0x80:
-            n = 2 << (flags & 0x07)
-            palette = np.frombuffer(b, dtype=np.uint8, count=n * 3, offset=i)
-            palette = palette.reshape(n, 3)
-            i += n * 3
-        # Skip extension blocks until the image descriptor.
-        while b[i] == 0x21:
-            i += 2
-            while b[i]:
-                i += b[i] + 1
-            i += 1
-        if b[i] != 0x2C:
-            raise ValueError(f"expected image descriptor, got 0x{b[i]:02x}")
-        _x, _y, iw, ih, iflags = struct.unpack("<HHHHB", b[i + 1 : i + 10])
-        i += 10
-        if iflags & 0xC0:
-            raise ValueError("local palettes / interlace not supported")
-        min_code = b[i]
-        i += 1
-        stream = bytearray()
-        while b[i]:
-            stream += b[i + 1 : i + 1 + b[i]]
-            i += b[i] + 1
-
+    def lzw_expand(min_code: int, stream: bytes) -> bytearray:
         clear, eoi = 1 << min_code, (1 << min_code) + 1
         table = [bytes([c]) for c in range(1 << min_code)] + [b"", b""]
         width_bits = min_code + 1
@@ -959,9 +1019,113 @@ def _gif_parser():
             prev = entry
             if len(table) == (1 << width_bits) and width_bits < 12:
                 width_bits += 1
-        idx = np.frombuffer(bytes(out[: iw * ih]), dtype=np.uint8)
-        img = palette[idx].reshape(ih, iw, 3).astype(np.float64) / 255.0
-        return iw, ih, img
+        return out
+
+    #: Interlace passes (GIF89a appendix E): (first row, row step).
+    passes = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+    def parse(b: bytes):
+        import struct
+
+        import numpy as np
+
+        if b[:6] not in (b"GIF89a", b"GIF87a"):
+            raise ValueError("not a GIF blob")
+        w, h, flags, bg, _ar = struct.unpack("<HHBBB", b[6:13])
+        i = 13
+        gpal = None
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            gpal = np.frombuffer(b, dtype=np.uint8, count=n * 3, offset=i)
+            gpal = gpal.reshape(n, 3)
+            i += n * 3
+        bg_rgb = (
+            gpal[bg].astype(np.uint8)
+            if gpal is not None and bg < len(gpal)
+            else np.zeros(3, dtype=np.uint8)
+        )
+        canvas = np.tile(bg_rgb, (h, w, 1))
+        frames = []
+        # Pending Graphic Control Extension state (applies to next image).
+        disposal, transparent = 0, None
+        while i < len(b):
+            block = b[i]
+            if block == 0x3B:  # trailer
+                break
+            if block == 0x21:  # extension
+                label = b[i + 1]
+                i += 2
+                if label == 0xF9 and b[i] == 4:  # Graphic Control Ext
+                    packed = b[i + 1]
+                    disposal = (packed >> 2) & 0x07
+                    transparent = b[i + 4] if packed & 1 else None
+                while b[i]:
+                    i += b[i] + 1
+                i += 1
+                continue
+            if block != 0x2C:
+                raise ValueError(f"unexpected GIF block 0x{block:02x}")
+            x0, y0, iw, ih, iflags = struct.unpack("<HHHHB", b[i + 1 : i + 10])
+            i += 10
+            pal = gpal
+            if iflags & 0x80:  # local color table
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(b, dtype=np.uint8, count=n * 3, offset=i)
+                pal = pal.reshape(n, 3)
+                i += n * 3
+            if pal is None:
+                raise ValueError("GIF image with no color table")
+            min_code = b[i]
+            i += 1
+            stream = bytearray()
+            while b[i]:
+                stream += b[i + 1 : i + 1 + b[i]]
+                i += b[i] + 1
+            i += 1  # block terminator
+            out = lzw_expand(min_code, bytes(stream))
+            idx = np.frombuffer(bytes(out[: iw * ih]), dtype=np.uint8)
+            if idx.size < iw * ih:
+                raise ValueError("truncated GIF image data")
+            idx = idx.reshape(ih, iw)
+            if iflags & 0x40:  # interlaced: rows arrive in 4-pass order
+                de = np.empty_like(idx)
+                src = 0
+                for first, stepr in passes:
+                    rows = range(first, ih, stepr)
+                    for r in rows:
+                        de[r] = idx[src]
+                        src += 1
+                idx = de
+            saved = canvas[y0 : y0 + ih, x0 : x0 + iw].copy()
+            rgb = pal[np.clip(idx, 0, len(pal) - 1)]
+            if transparent is not None:
+                opaque = idx != transparent
+                region = canvas[y0 : y0 + ih, x0 : x0 + iw]
+                region[opaque] = rgb[opaque]
+            else:
+                canvas[y0 : y0 + ih, x0 : x0 + iw] = rgb
+            frames.append(canvas.astype(np.float64) / 255.0)
+            # Prepare the canvas for the NEXT frame per the disposal.
+            if disposal == 2:
+                canvas[y0 : y0 + ih, x0 : x0 + iw] = bg_rgb
+            elif disposal == 3:
+                canvas[y0 : y0 + ih, x0 : x0 + iw] = saved
+            disposal, transparent = 0, None
+        if not frames:
+            raise ValueError("no GIF image data")
+        return w, h, frames
+
+    return parse
+
+
+def _gif_parser():
+    """Single-image view of the GIF parser (back-compat for the
+    IMAGE-schema operators): first composed frame only."""
+    parse_frames = _gif_frames_parser()
+
+    def parse_gif(b: bytes):
+        w, h, frames = parse_frames(b)
+        return w, h, frames[0]
 
     return parse_gif
 
@@ -3647,7 +3811,7 @@ def decode_media(
     parsers = {
         "ppm": _ppm_parser(),
         "png": _png_parser(),
-        "gif": _gif_parser(),
+        "gif": _gif_frames_parser(),
         "jpeg": _jpeg_decoder(),
         "wav": _wav_parser(),
         "au": _au_parser(),
@@ -3669,12 +3833,21 @@ def decode_media(
         def rows_for(media_id, b):
             fmt = sniff(b)
             rows = []
-            if fmt in ("ppm", "png", "gif"):
+            if fmt in ("ppm", "png"):
                 w, h, img = parsers[fmt](b)
                 m = img.mean(axis=(0, 1))
                 rows.append((media_id, fmt, 0, w, h,
                              round(float(m[0]), 6), round(float(m[1]), 6),
                              round(float(m[2]), 6)))
+            elif fmt == "gif":
+                # Animated GIFs yield one row per sampled composed frame
+                # (idx); single-image GIFs stay one idx-0 row.
+                w, h, gframes = parsers["gif"](b)
+                for idx in range(0, len(gframes), step):
+                    m = gframes[idx].mean(axis=(0, 1))
+                    rows.append((media_id, fmt, idx, w, h,
+                                 round(float(m[0]), 6), round(float(m[1]), 6),
+                                 round(float(m[2]), 6)))
             elif fmt == "jpeg":
                 w, h, img = parsers["jpeg"](b)
                 m = img.astype(np.float64).mean(axis=(0, 1)) / 255.0

@@ -2357,6 +2357,8 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
         ('image', 1, 0, 4, 4, 0.0, round(128.0/255, 6), 1.0),
         ('image', 2, 0, 32, 2, round(10.0/255, 6), round(20.0/255, 6), round(30.0/255, 6)),
         ('gif', 0, 0, 6, 3, round(10.0/255, 6), round(200.0/255, 6), round(30.0/255, 6)),
+        ('gif', 1, 0, 12, 10, round(10/255.0, 6), round(20/255.0, 6), round(30/255.0, 6)),
+        ('gif', 1, 1, 12, 10, round(((10*100+200*20)/120.0)/255, 6), round(((20*100+40*20)/120.0)/255, 6), round(((30*100+60*20)/120.0)/255, 6)),
         ('h264', 0, 0, 20, 12, round(40.0/255, 6), 0.0, 0.0),
         ('h264', 0, 1, 20, 12, round(200.0/255, 6), 0.0, 0.0),
         ('h264', 1, 0, 32, 32, 0.58079, 0.0, 0.0),
@@ -2392,6 +2394,7 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_media,
         make_au_bytes,
         make_avi_mjpeg_bytes,
+        make_gif_anim_bytes,
         make_gif_bytes,
         make_h264_bytes,
         make_jpeg_bytes,
@@ -2430,6 +2433,29 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         # GIF (full LZW expansion).
         + [(0, "image", make_gif_bytes(6, 3, (10, 200, 30)))]
+        # Animated GIF89a: 2 frames (solid canvas, then a sub-rect patch
+        # composed over it) — one decoded row per frame, exact rational
+        # channel means pinned on both engines.
+        + [
+            (
+                1,
+                "image",
+                make_gif_anim_bytes(
+                    12,
+                    10,
+                    [
+                        np.tile(np.array([10, 20, 30], dtype=np.uint8), (10, 12, 1)),
+                        {
+                            "pixels": np.tile(
+                                np.array([200, 40, 60], dtype=np.uint8), (4, 5, 1)
+                            ),
+                            "x": 3,
+                            "y": 2,
+                        },
+                    ],
+                ),
+            )
+        ]
         # PNG (DEFLATE + defilter; one file Paeth-filtered).
         + [
             (0, "image", make_png_bytes(8, 4, (0, 64, 255))),
