@@ -2611,6 +2611,57 @@ def test_h264_intra16x16_all_modes():
         make_h264_bytes([128], width=16, height=16, mode="cavlc", i16_modes=(4,))
 
 
+def test_h264_chroma_planes():
+    """4:2:0 chroma decode: I_PCM macroblocks carry their chroma
+    samples bit-exactly; coded macroblocks DC-predict chroma (clause
+    8.3.4) so a solid encoder chroma propagates exactly through mixed
+    PCM/predicted streams; the quadrant preference rules of the DC
+    predictor are pinned directly."""
+    import numpy as np
+
+    from vrod_spark.operators.multimodal import (
+        _h264_chroma_dc8,
+        _h264_decoder,
+        make_h264_bytes,
+    )
+
+    parse = _h264_decoder(with_chroma=True)
+    # Mixed PCM + predicted stream (noise forces some PCM MBs; solid
+    # regions code) with non-default chroma.
+    rng = np.random.RandomState(9)
+    img = np.full((32, 32), 100, dtype=np.uint8)
+    img[:16, :16] = rng.randint(0, 256, (16, 16))
+    b = make_h264_bytes(
+        [img], width=32, height=32, mode="cavlc", qp=28, chroma=(90, 200)
+    )
+    w, h, frames = parse(b)
+    y_, cb_, cr_ = frames[0]
+    assert (w, h) == (32, 32) and cb_.shape == (16, 16)
+    assert cb_.min() == cb_.max() == 90
+    assert cr_.min() == cr_.max() == 200
+    # Cropped dims halve exactly (20x12 -> 10x6 chroma).
+    _, _, f2 = parse(make_h264_bytes([40], width=20, height=12, chroma=(64, 32)))
+    assert f2[0][1].shape == (6, 10) and f2[0][1][0, 0] == 64
+    assert f2[0][2].shape == (6, 10) and f2[0][2][0, 0] == 32
+    # Luma-only compat path unchanged.
+    _, _, lum = _h264_decoder()(b)
+    assert np.array_equal(lum[0], y_)
+
+    # Quadrant rules: top edge 10s, left edge 30s -> main-diagonal
+    # quadrants average both edges, top-right follows the top edge,
+    # bottom-left the left edge.
+    buf = np.zeros((16, 16), dtype=np.uint8)
+    buf[7, 8:16] = 10   # top neighbors of MB (1, 1)
+    buf[8:16, 7] = 30   # left neighbors
+    p = _h264_chroma_dc8(buf, 1, 1, True, True)
+    assert p[0, 0] == (4 * 10 + 4 * 30 + 4) >> 3 == p[7, 7]
+    assert p[0, 7] == 10 and p[7, 0] == 30
+    # Edge-preference fallbacks.
+    assert _h264_chroma_dc8(buf, 1, 1, False, True)[7, 0] == 10
+    assert _h264_chroma_dc8(buf, 1, 1, True, False)[0, 7] == 30
+    assert _h264_chroma_dc8(buf, 1, 1, False, False)[0, 0] == 128
+
+
 def test_h264_cavlc_bitstream_spot_pins():
     """Pin hand-derived CAVLC codewords (ITU-T H.264 clause 9.2 tables):
     coeff_token (Table 9-5, nC<2), trailing-one signs, level codes,

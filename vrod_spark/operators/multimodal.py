@@ -2319,6 +2319,49 @@ def _h264_i4_mode_ok(mode, top_ok, left_ok, tl_ok):
     return top_ok and left_ok and tl_ok  # 4 DDR / 5 VR / 6 HD
 
 
+def _h264_chroma_dc8(buf, mb_x, mb_y, has_left, has_top):
+    """Clause 8.3.4 chroma DC prediction (intra_chroma_pred_mode 0) for
+    one 8x8 4:2:0 chroma macroblock: per-4x4-quadrant means, the
+    off-diagonal quadrants preferring their aligned edge (top-right
+    quadrant averages the top samples when available, bottom-left the
+    left samples)."""
+    import numpy as np
+
+    x0, y0 = mb_x * 8, mb_y * 8
+    out = np.empty((8, 8), dtype=np.int64)
+    top = buf[y0 - 1, x0 : x0 + 8].astype(np.int64) if has_top else None
+    left = buf[y0 : y0 + 8, x0 - 1].astype(np.int64) if has_left else None
+    for qy in (0, 4):
+        for qx in (0, 4):
+            t = top[qx : qx + 4] if has_top else None
+            lf = left[qy : qy + 4] if has_left else None
+            if qx == qy:  # main-diagonal quadrants: both edges
+                if t is not None and lf is not None:
+                    v = (int(t.sum()) + int(lf.sum()) + 4) >> 3
+                elif t is not None:
+                    v = (int(t.sum()) + 2) >> 2
+                elif lf is not None:
+                    v = (int(lf.sum()) + 2) >> 2
+                else:
+                    v = 128
+            elif qx == 4:  # top-right quadrant: prefer the top edge
+                if t is not None:
+                    v = (int(t.sum()) + 2) >> 2
+                elif lf is not None:
+                    v = (int(lf.sum()) + 2) >> 2
+                else:
+                    v = 128
+            else:  # bottom-left quadrant: prefer the left edge
+                if lf is not None:
+                    v = (int(lf.sum()) + 2) >> 2
+                elif t is not None:
+                    v = (int(t.sum()) + 2) >> 2
+                else:
+                    v = 128
+            out[qy : qy + 4, qx : qx + 4] = v
+    return out
+
+
 def _h264_pred4x4(mode, top, left, tl, top_ok, left_ok, tl_ok):
     """Clause 8.3.1.2 Intra_4x4 sample prediction — ALL nine modes
     (8.3.1.2.1 Vertical .. 8.3.1.2.9 Horizontal_Up). Inputs are the
@@ -3192,15 +3235,18 @@ def make_h264_bytes(
     return bytes(out)
 
 
-def _h264_decoder():
+def _h264_decoder(with_chroma: bool = False):
     """Self-contained parser factory (same pickling contract as
     ``_jpeg_decoder``): returns ``parse(b) -> (width, height, [y_plane])``
-    for Annex-B streams of the declared subset — I_PCM macroblocks,
-    CAVLC-coded Intra_16x16 (DC prediction, luma residual) and
-    CAVLC-coded Intra_4x4 (all nine clause 8.3.1.2 prediction modes,
+    — or, with ``with_chroma``, ``(width, height, [(y, cb, cr)])`` with
+    half-resolution 4:2:0 chroma planes — for Annex-B streams of the
+    declared subset — I_PCM macroblocks (luma AND chroma samples
+    bit-exact), CAVLC-coded Intra_16x16 (DC prediction, luma residual)
+    and CAVLC-coded Intra_4x4 (all nine clause 8.3.1.2 prediction modes,
     per-block mode prediction, top-right sample substitution, Table 9-4
-    CBP), contexts in the 0<=nC<2 VLC class; anything outside (CABAC,
-    predicted MBs, chroma residual, other VLC table classes) raises
+    CBP) with clause 8.3.4 DC-predicted chroma, contexts in the 0<=nC<2
+    VLC class; anything outside (CABAC, predicted MBs, chroma residual,
+    non-DC chroma prediction, other VLC table classes) raises
     ValueError, never mis-decodes."""
     math = _h264_transform_math()
     recon_i16 = math["recon_i16"]
@@ -3369,7 +3415,9 @@ def _h264_decoder():
                 mbs_w, mbs_h = sps["mbs_w"], sps["mbs_h"]
                 if first_mb == 0 or cur is None:
                     cur = np.zeros((mbs_h * 16, mbs_w * 16), dtype=np.uint8)
-                    frames.append(cur)
+                    cur_cb = np.full((mbs_h * 8, mbs_w * 8), 128, dtype=np.uint8)
+                    cur_cr = np.full((mbs_h * 8, mbs_w * 8), 128, dtype=np.uint8)
+                    frames.append((cur, cur_cb, cur_cr))
                     totals = {}
                     mb_slice = {}
                     i4modes = {}
@@ -3567,8 +3615,11 @@ def _h264_decoder():
                             [r.u(8) for _ in range(256)], dtype=np.uint8
                         ).reshape(16, 16)
                         cur[my : my + 16, mx : mx + 16] = block
-                        for _ in range(128):  # Cb + Cr samples
-                            r.u(8)
+                        cy, cx = mb_y * 8, mb_x * 8
+                        for plane in (cur_cb, cur_cr):
+                            plane[cy : cy + 8, cx : cx + 8] = np.array(
+                                [r.u(8) for _ in range(64)], dtype=np.uint8
+                            ).reshape(8, 8)
                         for bx in range(4):
                             for by in range(4):
                                 totals[(mb_x * 4 + bx, mb_y * 4 + by)] = 16
@@ -3581,8 +3632,13 @@ def _h264_decoder():
                             raise ValueError(
                                 "chroma residual outside declared subset"
                             )
-                        if r.ue() > 3:
+                        icpm = r.ue()
+                        if icpm > 3:
                             raise ValueError("bad intra_chroma_pred_mode")
+                        if icpm != 0:
+                            raise ValueError(
+                                "non-DC chroma prediction outside subset"
+                            )
                         qp_cur = (qp_cur + r.se() + 52) % 52  # mb_qp_delta
                         dc_levels, _ = cavlc_block(
                             16, nc_of(mb_x * 4, mb_y * 4)
@@ -3610,6 +3666,20 @@ def _h264_decoder():
                         cur[my : my + 16, mx : mx + 16] = recon_i16(
                             dc_levels, ac, qp_cur, pred
                         )
+                        for plane in (cur_cb, cur_cr):
+                            plane[
+                                mb_y * 8 : mb_y * 8 + 8, mb_x * 8 : mb_x * 8 + 8
+                            ] = np.clip(
+                                _h264_chroma_dc8(
+                                    plane,
+                                    mb_x,
+                                    mb_y,
+                                    mb_slice.get((mb_x - 1, mb_y)) == slice_idx,
+                                    mb_slice.get((mb_x, mb_y - 1)) == slice_idx,
+                                ),
+                                0,
+                                255,
+                            ).astype(np.uint8)
                     elif mbt == 0:  # I_NxN = Intra_4x4 (baseline: no 8x8)
                         # -- prediction modes, luma4x4BlkIdx order --
                         modes = []
@@ -3624,8 +3694,13 @@ def _h264_decoder():
                                 mode = rem if rem < pm else rem + 1
                             i4modes[(gx, gy)] = mode
                             modes.append(mode)
-                        if r.ue() > 3:
+                        icpm = r.ue()
+                        if icpm > 3:
                             raise ValueError("bad intra_chroma_pred_mode")
+                        if icpm != 0:
+                            raise ValueError(
+                                "non-DC chroma prediction outside subset"
+                            )
                         cbp_code = r.ue()
                         if cbp_code >= 48:
                             raise ValueError("bad coded_block_pattern")
@@ -3665,6 +3740,20 @@ def _h264_decoder():
                             cur[y0 : y0 + 4, x0 : x0 + 4] = np.clip(
                                 blk, 0, 255
                             ).astype(np.uint8)
+                        for plane in (cur_cb, cur_cr):
+                            plane[
+                                mb_y * 8 : mb_y * 8 + 8, mb_x * 8 : mb_x * 8 + 8
+                            ] = np.clip(
+                                _h264_chroma_dc8(
+                                    plane,
+                                    mb_x,
+                                    mb_y,
+                                    mb_slice.get((mb_x - 1, mb_y)) == slice_idx,
+                                    mb_slice.get((mb_x, mb_y - 1)) == slice_idx,
+                                ),
+                                0,
+                                255,
+                            ).astype(np.uint8)
                     else:
                         raise ValueError(
                             f"mb_type {mbt} outside declared subset (non-I)"
@@ -3676,8 +3765,18 @@ def _h264_decoder():
         cl, cr_, ct, cb = sps["crop"]
         w = sps["mbs_w"] * 16 - 2 * (cl + cr_)
         h = sps["mbs_h"] * 16 - 2 * (ct + cb)
+        if with_chroma:
+            # 4:2:0 crop units are 2 luma samples = 1 chroma sample.
+            return w, h, [
+                (
+                    y_[2 * ct : 2 * ct + h, 2 * cl : 2 * cl + w],
+                    cb_[ct : ct + h // 2, cl : cl + w // 2],
+                    cr_p[ct : ct + h // 2, cl : cl + w // 2],
+                )
+                for y_, cb_, cr_p in frames
+            ]
         planes = [
-            f[2 * ct : 2 * ct + h, 2 * cl : 2 * cl + w] for f in frames
+            f[0][2 * ct : 2 * ct + h, 2 * cl : 2 * cl + w] for f in frames
         ]
         return w, h, planes
 
@@ -3817,7 +3916,7 @@ def decode_media(
         "au": _au_parser(),
         "y4m": _y4m_parser(),
         "avi": _avi_mjpeg_container(),
-        "h264": _h264_decoder(),
+        "h264": _h264_decoder(with_chroma=True),
         "mp1": _mp1_parser(),
         "mp2": _mp2_parser(),
         "mp3": _mp3_parser(),
@@ -3886,12 +3985,14 @@ def decode_media(
                     ).mean()
                     rows.append((media_id, fmt, idx, w, h,
                                  round(float(luma) / 255, 6), 0.0, 0.0))
-            else:  # h264
+            else:  # h264 — full YUV: mean luma + mean Cb/Cr per frame
                 w, h, planes = parsers["h264"](b)
                 for idx in range(0, len(planes), step):
+                    y_, cb_, cr_p = planes[idx]
                     rows.append((media_id, fmt, idx, w, h,
-                                 round(float(planes[idx].mean()) / 255, 6),
-                                 0.0, 0.0))
+                                 round(float(y_.mean()) / 255, 6),
+                                 round(float(cb_.mean()) / 255, 6),
+                                 round(float(cr_p.mean()) / 255, 6)))
             return rows
 
         for pdf in batches:

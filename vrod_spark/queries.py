@@ -2359,10 +2359,10 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
         ('gif', 0, 0, 6, 3, round(10.0/255, 6), round(200.0/255, 6), round(30.0/255, 6)),
         ('gif', 1, 0, 12, 10, round(10/255.0, 6), round(20/255.0, 6), round(30/255.0, 6)),
         ('gif', 1, 1, 12, 10, round(((10*100+200*20)/120.0)/255, 6), round(((20*100+40*20)/120.0)/255, 6), round(((30*100+60*20)/120.0)/255, 6)),
-        ('h264', 0, 0, 20, 12, round(40.0/255, 6), 0.0, 0.0),
-        ('h264', 0, 1, 20, 12, round(200.0/255, 6), 0.0, 0.0),
-        ('h264', 1, 0, 32, 32, 0.58079, 0.0, 0.0),
-        ('h264', 2, 0, 32, 32, 0.464951, 0.0, 0.0),
+        ('h264', 0, 0, 20, 12, round(40.0/255, 6), round(128.0/255, 6), round(128.0/255, 6)),
+        ('h264', 0, 1, 20, 12, round(200.0/255, 6), round(128.0/255, 6), round(128.0/255, 6)),
+        ('h264', 1, 0, 32, 32, 0.58079, round(128.0/255, 6), round(128.0/255, 6)),
+        ('h264', 2, 0, 32, 32, 0.464951, round(128.0/255, 6), round(128.0/255, 6)),
         ('jpeg', 0, 0, 16, 8, round(254.0/255, 6), 0.0, 0.0),
         ('jpeg', 1, 0, 12, 10, 0.555719, 0.509281, 0.473399),
         ('jpeg', 2, 0, 24, 8, 0.48029, 0.497345, 0.472569),
