@@ -498,25 +498,22 @@ def make_y4m_bytes(width: int, height: int, lumas: list[int]) -> bytes:
     return b"".join(parts)
 
 
-def make_png_bytes(
-    width: int, height: int, rgb: tuple[int, int, int] | None = None,
-    *, pixels=None, filter_type: int = 0,
-) -> bytes:
-    """Synthesize a real 8-bit RGB PNG (stdlib zlib, no codec library) —
-    solid ``rgb`` color or an explicit ``pixels`` array (h×w×3 uint8).
-    ``filter_type`` applies that PNG scanline filter (0=None, 1=Sub, 2=Up,
-    3=Average, 4=Paeth) to every row, so tests can exercise each
-    defiltering path of the decoder."""
-    import struct
-    import zlib
+#: Adam7 interlace pass origins/steps (PNG spec 8.2): (x0, y0, dx, dy).
+_PNG_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
+
+def _png_filter_rows(px3, filter_type: int) -> bytearray:
+    """Apply one PNG scanline filter to every row of an (h, w, 3) uint8
+    sub-image, returning the filter-byte-prefixed scanline stream (the
+    per-pass unit of serialization — interlaced images restart the
+    ``prior`` row at each pass exactly as this helper does)."""
     import numpy as np
 
-    if pixels is None:
-        pixels = np.tile(np.array(rgb, dtype=np.uint8), (height, width, 1))
-    px = np.asarray(pixels, dtype=np.uint8)
-    h, w = px.shape[0], px.shape[1]
-    raw = px.reshape(h, w * 3).astype(np.int16)
+    h, w = px3.shape[0], px3.shape[1]
+    raw = px3.reshape(h, w * 3).astype(np.int16)
     prior = np.zeros(w * 3, dtype=np.int16)
     left = np.zeros(w * 3, dtype=np.int16)
     scanlines = bytearray()
@@ -544,6 +541,36 @@ def make_png_bytes(
         scanlines.append(filter_type)
         scanlines.extend((out % 256).astype(np.uint8).tobytes())
         prior = row
+    return scanlines
+
+
+def make_png_bytes(
+    width: int, height: int, rgb: tuple[int, int, int] | None = None,
+    *, pixels=None, filter_type: int = 0, interlace: bool = False,
+) -> bytes:
+    """Synthesize a real 8-bit RGB PNG (stdlib zlib, no codec library) —
+    solid ``rgb`` color or an explicit ``pixels`` array (h×w×3 uint8).
+    ``filter_type`` applies that PNG scanline filter (0=None, 1=Sub, 2=Up,
+    3=Average, 4=Paeth) to every row, so tests can exercise each
+    defiltering path of the decoder. ``interlace`` serializes the seven
+    Adam7 passes (each pass an independently-filtered reduced image)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if pixels is None:
+        pixels = np.tile(np.array(rgb, dtype=np.uint8), (height, width, 1))
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape[0], px.shape[1]
+    if interlace:
+        scanlines = bytearray()
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                scanlines += _png_filter_rows(sub, filter_type)
+    else:
+        scanlines = _png_filter_rows(px, filter_type)
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (
@@ -551,7 +578,7 @@ def make_png_bytes(
             + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB, no interlace
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)  # 8-bit RGB
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -561,7 +588,7 @@ def make_png_bytes(
 
 
 def decode_png_features(media: DataFrame, *, on_error: str = "raise") -> DataFrame:
-    """REAL PNG decoding for 8-bit RGB non-interlaced blobs — stdlib zlib
+    """REAL PNG decoding for 8-bit RGB blobs incl. Adam7 interlace — stdlib zlib
     inflate + numpy defiltering (all five scanline filters), no codec
     library. Same mapInPandas plumbing and IMAGE_SCHEMA as the PPM
     decoder: blobs are decoded where they sit, never shuffled. PNG is
@@ -599,7 +626,7 @@ def decode_png_features(media: DataFrame, *, on_error: str = "raise") -> DataFra
 
 
 def _png_parser():
-    """Self-contained PNG (8-bit RGB, non-interlaced) parser closure:
+    """Self-contained PNG (8-bit RGB, sequential or Adam7-interlaced) parser closure:
     ``parse_png(bytes) -> (w, h, float64 img in [0,1])``."""
 
     def parse_png(b: bytes):
@@ -612,6 +639,7 @@ def _png_parser():
             raise ValueError("not a PNG blob")
         i, n = 8, len(b)
         w = h = None
+        interlace = 0
         idat = bytearray()
         while i + 8 <= n:
             (length,) = struct.unpack(">I", b[i : i + 4])
@@ -622,9 +650,9 @@ def _png_parser():
                 w, h, depth, ctype, comp, filt, interlace = struct.unpack(
                     ">IIBBBBB", data
                 )
-                if (depth, ctype, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                if (depth, ctype, comp, filt) != (8, 2, 0, 0) or interlace > 1:
                     raise ValueError(
-                        "only 8-bit RGB non-interlaced PNGs are supported "
+                        "only 8-bit RGB PNGs are supported "
                         f"(got depth={depth} color={ctype} interlace={interlace})"
                     )
             elif tag == b"IDAT":
@@ -632,42 +660,65 @@ def _png_parser():
             elif tag == b"IEND":
                 break
         raw = zlib.decompress(bytes(idat))
-        stride = w * 3
-        px = np.zeros((h, stride), dtype=np.uint8)
-        prior = np.zeros(stride, dtype=np.int32)
-        for y in range(h):
-            ft = raw[y * (stride + 1)]
-            line = np.frombuffer(
-                raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-            ).astype(np.int32)
-            if ft == 0:
-                rec = line
-            elif ft == 2:
-                rec = (line + prior) % 256
-            elif ft in (1, 3, 4):
-                # Left-dependent filters are sequential in x; process
-                # pixel-by-pixel (3-byte steps) with vectorized channels.
-                rec = np.zeros(stride, dtype=np.int32)
-                for x in range(0, stride, 3):
-                    left = rec[x - 3 : x] if x else np.zeros(3, dtype=np.int32)
-                    up = prior[x : x + 3]
-                    ul = prior[x - 3 : x] if x else np.zeros(3, dtype=np.int32)
-                    if ft == 1:
-                        pred = left
-                    elif ft == 3:
-                        pred = (left + up) // 2
-                    else:
-                        p = left + up - ul
-                        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
-                        pred = np.where(
-                            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
-                        )
-                    rec[x : x + 3] = (line[x : x + 3] + pred) % 256
-            else:
-                raise ValueError(f"unknown PNG filter byte {ft}")
-            px[y] = rec.astype(np.uint8)
-            prior = rec
-        return w, h, px.reshape(h, w, 3).astype(np.float64) / 255.0
+
+        def defilter(pw, ph, off):
+            """Defilter ``ph`` scanlines of ``pw`` RGB pixels starting at
+            byte ``off`` of the decompressed stream; returns
+            (rows (ph, pw*3) uint8, next offset). The ``prior`` row
+            resets here — each Adam7 pass is an independent image."""
+            stride = pw * 3
+            rows = np.zeros((ph, stride), dtype=np.uint8)
+            prior = np.zeros(stride, dtype=np.int32)
+            for y in range(ph):
+                ft = raw[off]
+                line = np.frombuffer(
+                    raw, dtype=np.uint8, count=stride, offset=off + 1
+                ).astype(np.int32)
+                off += stride + 1
+                if ft == 0:
+                    rec = line
+                elif ft == 2:
+                    rec = (line + prior) % 256
+                elif ft in (1, 3, 4):
+                    # Left-dependent filters are sequential in x; process
+                    # pixel-by-pixel (3-byte steps) with vectorized channels.
+                    rec = np.zeros(stride, dtype=np.int32)
+                    for x in range(0, stride, 3):
+                        left = rec[x - 3 : x] if x else np.zeros(3, dtype=np.int32)
+                        up = prior[x : x + 3]
+                        ul = prior[x - 3 : x] if x else np.zeros(3, dtype=np.int32)
+                        if ft == 1:
+                            pred = left
+                        elif ft == 3:
+                            pred = (left + up) // 2
+                        else:
+                            p = left + up - ul
+                            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                            pred = np.where(
+                                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+                            )
+                        rec[x : x + 3] = (line[x : x + 3] + pred) % 256
+                else:
+                    raise ValueError(f"unknown PNG filter byte {ft}")
+                rows[y] = rec.astype(np.uint8)
+                prior = rec
+            return rows, off
+
+        if interlace:
+            # Adam7: seven independently-filtered reduced images, merged
+            # back onto the full-resolution grid (PNG spec 8.2).
+            img = np.zeros((h, w, 3), dtype=np.uint8)
+            off = 0
+            for x0, y0, dx, dy in _PNG_ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                rows, off = defilter(pw, ph, off)
+                img[y0::dy, x0::dx] = rows.reshape(ph, pw, 3)
+            return w, h, img.astype(np.float64) / 255.0
+        rows, _ = defilter(w, h, 0)
+        return w, h, rows.reshape(h, w, 3).astype(np.float64) / 255.0
 
     return parse_png
 

@@ -2378,6 +2378,7 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
         ('mp3', 1, 0, 0, 0, 32000.0, 6912.0, 216.0),
         ('png', 0, 0, 8, 4, 0.0, round(64.0/255, 6), 1.0),
         ('png', 1, 0, 5, 5, round(200.0/255, 6), round(100.0/255, 6), round(50.0/255, 6)),
+        ('png', 2, 0, 6, 6, round(120.0/255, 6), round(120.0/255, 6), round(120.0/255, 6)),
         ('video', 0, 0, 16, 8, 0.0, 0.0, 0.0),
         ('video', 0, 1, 16, 8, round(51.0/255, 6), 0.0, 0.0),
         ('video', 0, 2, 16, 8, round(102.0/255, 6), 0.0, 0.0),
@@ -2460,6 +2461,30 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         + [
             (0, "image", make_png_bytes(8, 4, (0, 64, 255))),
             (1, "image", make_png_bytes(5, 5, (200, 100, 50), filter_type=4)),
+            # Adam7-interlaced, Paeth-filtered per pass: a deterministic
+            # two-band pattern whose exact channel means pin the
+            # seven-pass merge.
+            (
+                2,
+                "image",
+                make_png_bytes(
+                    0,
+                    0,
+                    pixels=np.concatenate(
+                        [
+                            np.tile(
+                                np.array([30, 60, 90], dtype=np.uint8), (3, 6, 1)
+                            ),
+                            np.tile(
+                                np.array([210, 180, 150], dtype=np.uint8), (3, 6, 1)
+                            ),
+                        ],
+                        axis=0,
+                    ),
+                    filter_type=4,
+                    interlace=True,
+                ),
+            ),
         ]
         # Baseline JPEG (T.81): 4:4:4 solid, 4:2:0 gradient, restart file.
         + [
