@@ -627,6 +627,61 @@ def test_gif_lzw_decode_is_real(spark):
     assert [r["mean_r"], r["mean_g"], r["mean_b"]] == want
 
 
+def test_wav_bit_depths_and_alaw(spark):
+    """Real-corpus audio containers: 8/16/24/32-bit integer and
+    IEEE-float WAV all parse to the same tone (scale-normalized to the
+    int16 convention), and G.711 A-law AU (encoding 27) expands with the
+    ITU-T reference algorithm — pinned by the classic 0xD5 silence byte
+    and >0.999 through-companding tone correlation; decode_media sniffs
+    and decodes both."""
+    import numpy as np
+
+    from vrod_spark.operators.multimodal import (
+        _au_parser,
+        _wav_parser,
+        decode_media,
+        make_au_bytes,
+        make_wav_bytes,
+    )
+
+    parse_wav = _wav_parser()
+    t = np.arange(2000) / 8000
+    ref = np.sin(2 * np.pi * 440 * t)
+    for bits in (8, 16, 24, 32, "f32"):
+        rate, n, pcm = parse_wav(make_wav_bytes(440.0, bits=bits))
+        assert (rate, n) == (8000, 2000)
+        assert np.corrcoef(pcm, ref)[0, 1] > 0.9999, bits
+    # f32 rescale lands on the int16 amplitude convention.
+    _, _, fpcm = parse_wav(make_wav_bytes(440.0, bits="f32"))
+    assert 18000 < np.abs(fpcm).max() < 22000
+
+    # A-law: classic silence byte, exact reference expansion values,
+    # through-companding correlation.
+    b = make_au_bytes(0.0, law="a", n_frames=4)
+    assert b[24:28] == b"\xd5\xd5\xd5\xd5"
+    parse_au = _au_parser()
+    rate, pcm_a = parse_au(make_au_bytes(440.0, law="a"))
+    assert rate == 8000 and np.corrcoef(pcm_a, ref)[0, 1] > 0.999
+    # decode(0xD5) = +8/32768 (segment-0 midpoint), decode(0x55) = -8/32768.
+    hdr = make_au_bytes(0.0, law="a", n_frames=2)[:24]
+    _, v = parse_au(hdr + b"\xd5\x55")
+    assert [round(x * 32768) for x in v] == [8, -8]
+
+    # decode_media sniffs float WAV as wav and A-law AU as au.
+    df = spark.createDataFrame(
+        [
+            (0, "audio", make_wav_bytes(440.0, bits="f32")),
+            (1, "audio", make_wav_bytes(440.0, bits=24)),
+            (2, "audio", make_au_bytes(440.0, law="a")),
+        ],
+        "media_id bigint, kind string, content binary",
+    )
+    rows = {r["media_id"]: r for r in decode_media(df).collect()}
+    assert rows[0]["format"] == "wav" and rows[0]["m1"] == 8000.0
+    assert rows[1]["format"] == "wav" and rows[1]["m2"] == 2000.0
+    assert rows[2]["format"] == "au" and rows[2]["m2"] == 2000.0
+
+
 def test_png_adam7_interlace():
     """Adam7 interlace: every (size, filter) combination roundtrips
     pixel-exactly through the seven-pass serialization — each pass is an

@@ -238,22 +238,55 @@ def decode_wav_features(
     return media.mapInPandas(decode, AUDIO_SCHEMA)
 
 
-def make_wav_bytes(freq_hz: float, *, seconds: float = 0.25, rate: int = 8000) -> bytes:
-    """Synthesize a mono 16-bit PCM WAV of a sine tone (test/demo helper —
-    deterministic, stdlib-only)."""
+def make_wav_bytes(
+    freq_hz: float, *, seconds: float = 0.25, rate: int = 8000, bits=16
+) -> bytes:
+    """Synthesize a mono PCM WAV of a sine tone (test/demo helper —
+    deterministic, stdlib-only). ``bits``: 8 (unsigned), 16, 24, 32
+    integer PCM, or ``"f32"`` for IEEE-float (format tag 3, hand-built
+    RIFF header — stdlib ``wave`` only writes integer PCM)."""
     import io
+    import struct
     import wave
 
     import numpy as np
 
     t = np.arange(int(rate * seconds)) / rate
-    pcm = (np.sin(2 * np.pi * freq_hz * t) * 20000).astype("<i2")
+    tone = np.sin(2 * np.pi * freq_hz * t)
+    if bits == "f32":
+        f = (tone * 0.61).astype("<f4")
+        data = f.tobytes()
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, rate, rate * 4, 4, 32)
+            + b"data" + struct.pack("<I", len(data))
+        )
+        return hdr + data
+    if bits == 8:
+        pcm = (tone * 78 + 128).astype(np.uint8).tobytes()
+        width = 1
+    elif bits == 16:
+        pcm = (tone * 20000).astype("<i2").tobytes()
+        width = 2
+    elif bits == 24:
+        v = (tone * 5_000_000).astype(np.int32)
+        b3 = np.empty((v.size, 3), dtype=np.uint8)
+        b3[:, 0] = v & 0xFF
+        b3[:, 1] = (v >> 8) & 0xFF
+        b3[:, 2] = (v >> 16) & 0xFF
+        pcm = b3.tobytes()
+        width = 3
+    elif bits == 32:
+        pcm = (tone * 1_300_000_000).astype("<i4").tobytes()
+        width = 4
+    else:
+        raise ValueError(f"unsupported bits {bits!r}")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
-        w.setsampwidth(2)
+        w.setsampwidth(width)
         w.setframerate(rate)
-        w.writeframes(pcm.tobytes())
+        w.writeframes(pcm)
     return buf.getvalue()
 
 
@@ -723,28 +756,50 @@ def _png_parser():
     return parse_png
 
 
-def make_au_bytes(freq_hz: float, *, sample_rate: int = 8000, n_frames: int = 2000) -> bytes:
-    """Synthesize a Sun AU (.au) file carrying a G.711 μ-law-COMPRESSED
-    sine tone — the companding codec telephony uses (8-bit log-quantized
-    samples for 14-bit dynamic range). Pure numpy; the μ-law encoder is
-    the ITU-T G.711 formula."""
+def make_au_bytes(
+    freq_hz: float, *, sample_rate: int = 8000, n_frames: int = 2000,
+    law: str = "mu",
+) -> bytes:
+    """Synthesize a Sun AU (.au) file carrying a G.711-COMPRESSED sine
+    tone — the companding codec telephony uses (8-bit log-quantized
+    samples for ~14-bit dynamic range). ``law="mu"`` (AU encoding 1) or
+    ``law="a"`` (AU encoding 27); both encoders are the ITU-T G.711
+    reference algorithms in numpy."""
     import struct
 
     import numpy as np
 
     t = np.arange(n_frames, dtype=np.float64) / sample_rate
     pcm = (np.sin(2 * np.pi * freq_hz * t) * 32000).astype(np.int32)
-    # G.711 μ-law compression: sign + log-segment quantization to 8 bits.
-    MU_BIAS, MU_CLIP = 0x84, 32635
-    sign = np.where(pcm < 0, 0x80, 0)
-    mag = np.minimum(np.abs(pcm), MU_CLIP) + MU_BIAS
-    exp = (np.floor(np.log2(mag)) - 7).clip(0, 7).astype(np.int32)
-    mantissa = (mag >> (exp + 3)) & 0x0F
-    ulaw = (~(sign | (exp << 4) | mantissa)) & 0xFF
-    # AU header: magic, data offset, data size, encoding 1 (μ-law 8-bit),
-    # sample rate, channels — all big-endian.
-    header = struct.pack(">4sIIIII", b".snd", 24, n_frames, 1, sample_rate, 1)
-    return header + ulaw.astype(np.uint8).tobytes()
+    if law == "mu":
+        # G.711 μ-law compression: sign + log-segment quantization.
+        MU_BIAS, MU_CLIP = 0x84, 32635
+        sign = np.where(pcm < 0, 0x80, 0)
+        mag = np.minimum(np.abs(pcm), MU_CLIP) + MU_BIAS
+        exp = (np.floor(np.log2(mag)) - 7).clip(0, 7).astype(np.int32)
+        mantissa = (mag >> (exp + 3)) & 0x0F
+        enc_bytes = ((~(sign | (exp << 4) | mantissa)) & 0xFF).astype(np.uint8)
+        encoding = 1
+    elif law == "a":
+        # G.711 A-law compression (CCITT reference linear2alaw shape):
+        # 13-bit magnitude, 8 log segments, XOR masking.
+        pos = pcm >= 0
+        mask = np.where(pos, 0xD5, 0x55)
+        mag13 = np.where(pos, pcm, -pcm - 1) >> 3
+        seg_end = np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF])
+        seg = np.searchsorted(seg_end, np.minimum(mag13, 0xFFF), side="left")
+        shift = np.where(seg < 2, 1, seg)
+        aval = (seg << 4) | ((mag13 >> shift) & 0x0F)
+        enc_bytes = (aval ^ mask).astype(np.uint8)
+        encoding = 27
+    else:
+        raise ValueError(f"unknown G.711 law {law!r}")
+    # AU header: magic, data offset, data size, encoding, sample rate,
+    # channels — all big-endian.
+    header = struct.pack(
+        ">4sIIIII", b".snd", 24, n_frames, encoding, sample_rate, 1
+    )
+    return header + enc_bytes.tobytes()
 
 
 def decode_au_features(
@@ -806,18 +861,33 @@ def _au_parser():
         magic, offset, size, enc, rate, chans = struct.unpack(">4sIIIII", b[:24])
         if magic != b".snd":
             raise ValueError("not an AU blob")
-        if enc != 1 or chans != 1:
-            raise ValueError(f"only mono G.711 mu-law AU supported (enc={enc})")
+        if enc not in (1, 27) or chans != 1:
+            raise ValueError(
+                f"only mono G.711 mu-law/A-law AU supported (enc={enc})"
+            )
         u = np.frombuffer(b, dtype=np.uint8, offset=offset, count=size).astype(
             np.int32  # the expansion shifts exceed uint8 range
         )
-        # ITU-T G.711 mu-law expansion.
-        u = (~u) & 0xFF
-        sign = u & 0x80
-        exp = (u >> 4) & 0x07
-        mantissa = u & 0x0F
-        mag = (((mantissa << 3) + 0x84) << exp) - 0x84
-        pcm = np.where(sign != 0, -mag, mag).astype(np.float64) / 32768.0
+        if enc == 1:
+            # ITU-T G.711 mu-law expansion.
+            u = (~u) & 0xFF
+            sign = u & 0x80
+            exp = (u >> 4) & 0x07
+            mantissa = u & 0x0F
+            mag = (((mantissa << 3) + 0x84) << exp) - 0x84
+            pcm = np.where(sign != 0, -mag, mag).astype(np.float64) / 32768.0
+            return rate, pcm
+        # ITU-T G.711 A-law expansion (AU encoding 27): XOR 0x55 masking,
+        # segment/mantissa log quantization; sign bit SET means positive.
+        a = u ^ 0x55
+        mant = (a & 0x0F) << 4
+        seg = (a >> 4) & 0x07
+        mag = np.where(
+            seg == 0,
+            mant + 8,
+            np.left_shift(mant + 0x108, np.maximum(seg - 1, 0)),
+        )
+        pcm = np.where((a & 0x80) != 0, mag, -mag).astype(np.float64) / 32768.0
         return rate, pcm
 
     return parse_au
@@ -1900,9 +1970,26 @@ def _wav_parser():
         if fmt is None or data is None:
             raise ValueError("truncated WAV (missing fmt/data)")
         wtag, nchan, rate, _brate, balign, bits = struct.unpack("<HHIIHH", fmt[:16])
-        if wtag in (1, 0xFFFE):  # PCM
-            dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
-            pcm = np.frombuffer(data, dtype=dtype).astype(np.float64)
+        if wtag == 3:  # IEEE float PCM (format tag 3)
+            fdtype = {32: "<f4", 64: "<f8"}.get(bits)
+            if fdtype is None:
+                raise ValueError(f"unsupported float WAV bit depth {bits}")
+            # Float WAV is nominally in [-1, 1]; rescale to the int16
+            # convention every other path uses so downstream features are
+            # scale-comparable.
+            pcm = np.frombuffer(data, dtype=fdtype).astype(np.float64) * 32768.0
+            if nchan > 1:
+                pcm = pcm.reshape(-1, nchan).mean(axis=1)
+            return rate, len(pcm), pcm
+        if wtag in (1, 0xFFFE):  # integer PCM
+            if bits == 24:
+                raw = np.frombuffer(data, dtype=np.uint8)
+                raw = raw[: (raw.size // 3) * 3].reshape(-1, 3).astype(np.int32)
+                val = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+                pcm = ((val ^ 0x800000) - 0x800000).astype(np.float64)
+            else:
+                dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
+                pcm = np.frombuffer(data, dtype=dtype).astype(np.float64)
             if bits == 8:
                 # 8-bit WAV is UNSIGNED with midpoint 128 (RIFF spec);
                 # center it so silence is 0.0 like the signed 16/32-bit
