@@ -627,6 +627,40 @@ def test_gif_lzw_decode_is_real(spark):
     assert [r["mean_r"], r["mean_g"], r["mean_b"]] == want
 
 
+def test_mp3_ms_joint_stereo():
+    """MS joint-stereo frames (mode 01, mode_ext 2) decode: the mono
+    downmix of L=(M+S)/sqrt2, R=(M-S)/sqrt2 is exactly M/sqrt2, so a
+    mid-channel-only MS stream reproduces the mono stream's waveform at
+    amplitude 1/sqrt2 — a direct pin of the ISO 11172-3 2.4.3.4.9.2
+    matrix scaling. Intensity stereo (mode_ext 1/3) stays rejected."""
+    import numpy as np
+
+    from vrod_spark.operators.multimodal import _mp3_parser, make_mp3_bytes
+
+    parse = _mp3_parser()
+    _, mono = parse(make_mp3_bytes(2000.0))
+    _, msd = parse(make_mp3_bytes(2000.0, channels=2, ms=True))
+    n = min(len(mono), len(msd))
+    assert np.corrcoef(mono[:n], msd[:n])[0, 1] > 0.999999
+    ratio = np.abs(msd).max() / np.abs(mono).max()
+    assert abs(ratio - 1 / np.sqrt(2.0)) < 1e-6
+    # Plain stereo (both channels carrying the tone) still equals mono.
+    _, st = parse(make_mp3_bytes(2000.0, channels=2))
+    assert np.allclose(st[:n], mono[:n])
+    # Intensity-stereo frames (mode_ext with bit 0 set) are skipped: flip
+    # the mode-extension bits of every frame header in the MS stream.
+    b = bytearray(make_mp3_bytes(2000.0, channels=2, ms=True))
+    i = 0
+    while i + 4 <= len(b):
+        if b[i] == 0xFF and (b[i + 1] & 0xE0) == 0xE0:
+            b[i + 3] = (b[i + 3] & 0xCF) | 0x10  # mode_ext 2 -> 1
+            i += 4
+        else:
+            i += 1
+    rate, pcm = parse(bytes(b))
+    assert rate is None and pcm is None
+
+
 def test_wav_bit_depths_and_alaw(spark):
     """Real-corpus audio containers: 8/16/24/32-bit integer and
     IEEE-float WAV all parse to the same tone (scale-normalized to the

@@ -4794,6 +4794,7 @@ def make_mp3_bytes(
     lines: list[tuple[int, int]] | None = None,
     reservoir: bool = False,
     channels: int = 1,
+    ms: bool = False,
 ) -> bytes:
     """Encode a spectrum as an MPEG-1 Layer III mono stream (test/demo
     helper — deterministic, numpy-only). The content is a set of planted
@@ -4822,6 +4823,8 @@ def make_mp3_bytes(
     field interleaving (2.4.1.7)."""
     if channels not in (1, 2):
         raise ValueError("channels must be 1 or 2")
+    if ms and channels != 2:
+        raise ValueError("ms=True needs channels=2")
     sr_idx = _MP1_SRATES.index(rate)
     br_idx = _MP3_BITRATES.index(bitrate_kbps)
     frame_bytes = 144 * bitrate_kbps * 1000 // rate
@@ -4872,8 +4875,10 @@ def make_mp3_bytes(
         return bytes(buf)
 
     # All channels carry the same spectrum: the payload is the granule
-    # bits repeated per (gr, ch) in gr-major order (2.4.1.7).
-    payload = pack(gran_ops * (2 * channels))
+    # bits repeated per (gr, ch) in gr-major order (2.4.1.7). An MS
+    # frame carries the spectrum in the MID channel only — the side
+    # channel is a zero granule (part2_3_length 0).
+    payload = pack(gran_ops * 2 if ms else gran_ops * (2 * channels))
     n_frames = max(1, int(rate * seconds) // 1152)
     si_bytes = 17 if channels == 1 else 32
     area_len = frame_bytes - 4 - si_bytes
@@ -4891,8 +4896,9 @@ def make_mp3_bytes(
             (sr_idx, 2),
             (0, 1),        # padding
             (0, 1),        # private
-            (0b11 if channels == 1 else 0b00, 2),  # single channel / stereo
-            (0, 2),        # mode extension
+            # single channel / stereo / joint stereo (MS)
+            (0b11 if channels == 1 else (0b01 if ms else 0b00), 2),
+            (0b10 if ms else 0, 2),  # mode extension: MS on, intensity off
             (0, 1),        # copyright
             (1, 1),        # original
             (0, 2),        # emphasis
@@ -4904,7 +4910,8 @@ def make_mp3_bytes(
         for _gr in range(2):
             for _ch in range(channels):
                 ops += [
-                    (part23, 12),          # part2_3_length
+                    # MS: the side channel is an empty granule.
+                    (0 if (ms and _ch == 1) else part23, 12),  # part2_3_length
                     (0, 9),                # big_values
                     (int(global_gain), 8),
                     (0, 4),                # scalefac_compress: slen1 = slen2 = 0
@@ -4993,9 +5000,9 @@ def _mp3_parser():
             if mpeg1 != 1 or layer != 0b01 or br_idx in (0, 15) or sr_idx == 3:
                 pos += 1
                 continue
-            if mode == 0b01 and mode_ext != 0:
+            if mode == 0b01 and mode_ext not in (0, 2):
                 pos += 1
-                continue  # intensity / MS joint stereo: outside the subset
+                continue  # intensity stereo: outside the subset (MS ok)
             rate = srates[sr_idx]
             frame_bytes = 144 * bitrates[br_idx] * 1000 // rate + padding
             frame = data[pos : pos + frame_bytes]
@@ -5050,7 +5057,10 @@ def _mp3_parser():
             md_start = len(reservoir) - main_data_begin
             reservoir.extend(frame[off + si_bytes : frame_bytes].tobytes())
             if md_start >= 0:
-                pending.append((md_start, nch, scfsi, gr_info))
+                pending.append(
+                    (md_start, nch, scfsi, gr_info,
+                     mode == 0b01 and mode_ext == 2)
+                )
             pos += frame_bytes
 
         if not pending or rate is None:
@@ -5058,7 +5068,7 @@ def _mp3_parser():
         bits = np.unpackbits(np.frombuffer(bytes(reservoir), dtype=np.uint8))
         blocks = []          # (n_granules*18, 32) subband sample rows
         overlap = {}         # (ch, sb) -> 18-sample IMDCT overlap state
-        for md_start, nch, scfsi, gr_info in pending:
+        for md_start, nch, scfsi, gr_info, ms in pending:
             bp = md_start * 8
             granules = []
             ok = True
@@ -5114,6 +5124,12 @@ def _mp3_parser():
                 granules.append(chans)
             if not ok:
                 continue
+            # Mono-downmix channel weights. MS joint stereo (ISO 11172-3
+            # 2.4.3.4.9.2): L = (M+S)/sqrt2, R = (M-S)/sqrt2, so the
+            # downmix (L+R)/2 is EXACTLY M/sqrt2 — the side channel
+            # cancels (it is still fully parsed/synthesized so its
+            # overlap state stays correct across mode changes).
+            wt = [1.0 / np.sqrt(2.0), 0.0] if ms else [1.0 / nch] * nch
             for chans in granules:
                 S = np.zeros((18, 32))
                 for ch, x in enumerate(chans):
@@ -5130,7 +5146,7 @@ def _mp3_parser():
                             continue
                         y = (imdct @ coeffs) * win
                         prev = overlap.get((ch, sb), np.zeros(18))
-                        S[:, sb] += (y[:18] + prev) / nch
+                        S[:, sb] += (y[:18] + prev) * wt[ch]
                         overlap[(ch, sb)] = y[18:]
                 # Frequency inversion: odd subbands, odd samples.
                 S[1::2, 1::2] *= -1.0
