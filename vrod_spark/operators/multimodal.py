@@ -4776,7 +4776,9 @@ def _mp2_parser():
 # loudly rejected, never approximated: the 32 variable-length big-value
 # Huffman code tables and the short-block/mixed-block window path (pages
 # of spec NUMERIC tables with no closed form — the same honesty rule as
-# the Layer I Table-B.3 window), and intensity/MS joint stereo. Streams
+# the Layer I Table-B.3 window), and INTENSITY joint stereo (MS joint
+# stereo IS decoded: mode 01/mode_ext 2, the 2.4.3.4.9.2 matrix — the
+# mono downmix is exactly M/sqrt2, pinned in pytest). Streams
 # from arbitrary encoders therefore parse headers/side info exactly but
 # decode only if they stay inside the subset; the pipeline's
 # ``on_error="skip"`` tolerance treats the rest as undecodable blobs.
