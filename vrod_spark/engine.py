@@ -239,8 +239,37 @@ class Engine:
                     ),
                 )
             df = raw
-        elif isinstance(arg, str) and arg.endswith((".json", ".jsonl", ".ndjson")):
+        elif isinstance(arg, str) and arg.endswith(
+            (".json", ".jsonl", ".ndjson", ".json.gz", ".jsonl.gz", ".ndjson.gz")
+        ):
+            # Spark's text-based sources decompress .gz transparently
+            # (per-file tasks — a gzip member is not splittable, which is
+            # why corpora ship as many shards; same contract as WARC).
             df = self.spark.read.schema(col.meta["schema"]).json(arg)
+        elif isinstance(arg, str) and arg.endswith((".warc", ".warc.gz")):
+            # Common Crawl shape: web archives → one row per response
+            # record with extracted text (sources/warc.py — binaryFile
+            # scan + mapInPandas parse; blobs never shuffle). Mapped into
+            # the collection model like vectors_txt: minted id, extracted
+            # text as payload, WARC/HTTP metadata in the meta map.
+            from vrod_spark.sources.warc import read_warc
+
+            rec = read_warc(self.spark, arg)
+            df = rec.select(
+                F.monotonically_increasing_id().alias("id"),
+                F.col("text").alias("payload"),
+                F.map_filter(
+                    F.create_map(
+                        F.lit("url"), F.col("url"),
+                        F.lit("date"), F.col("warc_date"),
+                        F.lit("record_id"), F.col("record_id"),
+                        F.lit("content_type"), F.col("content_type"),
+                        F.lit("http_status"),
+                        F.col("http_status").cast("string"),
+                    ),
+                    lambda _k, v: v.isNotNull(),
+                ).alias("meta"),
+            )
         elif isinstance(arg, str) and arg.endswith(".orc"):
             df = self.spark.read.orc(arg)
         elif isinstance(arg, str):
