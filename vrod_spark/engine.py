@@ -456,8 +456,11 @@ class Engine:
         into the COW lifecycle: survivors are computed distributed, the
         snapshot is rewritten, the pointer swaps atomically.
 
-        ``arg``: {"strategy": "exact" (default) | "minhash" | "simhash"
-                  | "embedding" | "semdedup" | "winnow" | "spans",
+        ``arg``: {"strategy": "exact" (default) | "url" | "minhash"
+                  | "simhash" | "embedding" | "semdedup" | "winnow"
+                  | "spans",
+                  "url_key": "url" — meta key holding the record's URL
+                  (strategy "url" only),
                   "dry_run": False — when True, NO rewrite happens: the
                   result DataFrame reports the ids that would be removed
                   (for "spans": the (id, span_start, span_end, n_tokens)
@@ -479,6 +482,14 @@ class Engine:
                   simhash/embedding/winnow (semdedup's rank and spans'
                   text rewriting are corpus-global — loudly rejected)}
         - exact:      sha2 of normalized text, keep min id. Deterministic.
+        - url:        keep-first by NORMALIZED URL from meta[url_key]
+                      (functions/url.py spec: case/port/fragment/
+                      tracking-param/trailing-slash canonicalization) —
+                      the C4/CCNet web-corpus step that dedups refetches
+                      of the same logical page before any text compares.
+                      Rows whose URL is absent or unparseable keep a NULL
+                      key and always survive (a malformed URL is no
+                      evidence two rows are the same page).
         - minhash:    MinHash-LSH candidates ≥ threshold Jaccard (default .8)
         - simhash:    SimHash pairs within Hamming distance (default 3)
         - embedding:  LSH-bucketed cosine near-dups ≥ threshold (default .99)
@@ -556,11 +567,11 @@ class Engine:
         # semantics). The mapping is collision-CHECKED first: a 64-bit
         # collision would silently fuse two distinct documents.
         integral = {"byte", "short", "int", "bigint", "long"}
-        # exact dedups on sha2 digests and semdedup carries the native id
-        # type through its applyInPandas schema — neither needs (or uses)
+        # exact/url dedup on digests and semdedup carries the native id
+        # type through its applyInPandas schema — none needs (or uses)
         # the hash mapping, so don't pay the collision-check jobs for them.
         hashed_ids = (
-            strategy not in ("exact", "semdedup", "spans")
+            strategy not in ("exact", "url", "semdedup", "spans")
             and df.schema["id"].dataType.simpleString() not in integral
         )
         if hashed_ids:
@@ -605,6 +616,68 @@ class Engine:
                 survivors = est_rows.unionByName(delta_kept)
             else:
                 survivors = exact_dedup(df, text_col=text_col, id_col="id")
+            if dry_run:
+                dropped = (
+                    df.select("id")
+                    .join(survivors.select("id"), "id", "left_anti")
+                    .orderBy("id")
+                )
+                return dry_result(dropped)
+            n_after = col._rewrite(survivors, "DEDUP", {"strategy": strategy})
+            info = {
+                "collection": col.name,
+                "strategy": strategy,
+                "removed": before - n_after,
+                "rows": n_after,
+            }
+            if since_version is not None:
+                info["since_version"] = int(since_version)
+            return CommandResult("DEDUP", info=info)
+
+        if strategy == "url":
+            from pyspark.sql import Window
+
+            from vrod_spark.functions.url import url_normalize
+
+            url_key = opts.get("url_key", "url")
+            ucol = F.element_at(F.col("meta"), F.lit(url_key))
+            ukey = F.md5(url_normalize(ucol))  # NULL when absent/malformed
+
+            def _url_keep_first(frame: DataFrame) -> DataFrame:
+                k = F.md5(
+                    url_normalize(F.element_at(F.col("meta"), F.lit(url_key)))
+                )
+                w = Window.partitionBy(
+                    F.coalesce(
+                        k, F.concat(F.lit("\x00"), F.col("id").cast("string"))
+                    )
+                ).orderBy("id")
+                return (
+                    frame.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn")
+                )
+
+            if established is not None:
+                # Incremental mirror of the exact branch: established rows
+                # all survive; a delta row survives iff its URL key is new
+                # to the established set AND it is keep-first in the delta.
+                est_rows = df.join(established, "id", "left_semi")
+                delta_rows = df.join(established, "id", "left_anti")
+                est_keys = (
+                    est_rows.select(ukey.alias("_uk"))
+                    .where(F.col("_uk").isNotNull())
+                    .distinct()
+                )
+                delta_kept = (
+                    _url_keep_first(delta_rows)
+                    .withColumn("_uk", ukey)
+                    .join(est_keys, "_uk", "left_anti")
+                    .drop("_uk")
+                )
+                survivors = est_rows.unionByName(delta_kept)
+            else:
+                survivors = _url_keep_first(df)
             if dry_run:
                 dropped = (
                     df.select("id")
@@ -754,7 +827,7 @@ class Engine:
         else:
             raise CommandArgError(
                 f"unknown dedup strategy {strategy!r}; expected "
-                "exact/minhash/simhash/embedding/semdedup/winnow/spans"
+                "exact/url/minhash/simhash/embedding/semdedup/winnow/spans"
             )
 
         # Keep-first, transitively: close the verified pairs into

@@ -2894,6 +2894,17 @@ def q50_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Generic columns (leg, key, k1, k2, k3, v, lo, hi): clean rows carry
 # (lang, n_kept, total_chars, 0, avg_quality, '', ''); chunk rows
 # (lang, n_chunks, sum_tokens, sum_starts, 0.0, min_md5, max_md5).
+#
+# Third leg 'url' — URL curation (functions/url.py), the step a web
+# corpus runs BEFORE text cleaning: deterministic messy URLs are derived
+# from (source, doc_id) — mixed-case scheme/host, default ports,
+# tracking params in shuffled order, fragments, trailing slashes — then
+# normalized, grouped by registered domain (public-suffix-LITE), and
+# keep-first deduped by normalized URL. The oracle re-implements the
+# whole normalization spec in SQL (regexp/list ops) — nothing is
+# shortcut from the construction — and the min/max md5 columns pin the
+# exact normalized strings. Rows: (registered_domain, n_docs,
+# n_distinct_urls, n_kept_after_dedup, avg_len, min_md5, max_md5).
 # ---------------------------------------------------------------------------
 @query(
     "q52_clean_corpus_pipeline",
@@ -2939,11 +2950,84 @@ def q50_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
            0.0::DOUBLE, min(md5(ctext)), max(md5(ctext))
     FROM chunks
     GROUP BY lang
+    UNION ALL
+    SELECT 'url', key, count(*), count(DISTINCT nu), count(DISTINCT nu),
+           round(avg(length(nu)), 4), min(md5(nu)), max(md5(nu))
+    FROM (
+      SELECT doc_id, nu,
+             (CASE WHEN len(string_split(host, '.')) <= 1 THEN host
+                   WHEN len(string_split(host, '.')) >= 3
+                        AND list_contains(
+                          ['co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+                           'org.au','co.jp','or.jp','ne.jp','com.br','com.cn',
+                           'com.mx','co.in','co.nz','co.za'],
+                          string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1])
+                   THEN string_split(host, '.')[-3] || '.' || string_split(host, '.')[-2]
+                        || '.' || string_split(host, '.')[-1]
+                   ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+              END) AS key
+      FROM (
+        SELECT doc_id,
+               lower(regexp_replace(nouser, ':[0-9]*$', '')) AS host,
+               scheme || '://' ||
+               (CASE WHEN regexp_extract(nouser, ':([0-9]+)$', 1) = ''
+                       OR (scheme = 'http'  AND regexp_extract(nouser, ':([0-9]+)$', 1) = '80')
+                       OR (scheme = 'https' AND regexp_extract(nouser, ':([0-9]+)$', 1) = '443')
+                     THEN lower(regexp_replace(nouser, ':[0-9]*$', ''))
+                     ELSE lower(regexp_replace(nouser, ':[0-9]*$', ''))
+                          || ':' || regexp_extract(nouser, ':([0-9]+)$', 1) END) ||
+               (CASE WHEN rawpath = '' THEN '/'
+                     WHEN length(rawpath) > 1 AND rawpath LIKE '%/'
+                     THEN substring(rawpath, 1, length(rawpath) - 1)
+                     ELSE rawpath END) ||
+               (CASE WHEN len(list_filter(string_split(q, '&'),
+                              p -> p <> '' AND NOT regexp_matches(p,
+                                '^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=.*)?$'))) > 0
+                     THEN '?' || array_to_string(
+                            list_sort(list_filter(string_split(q, '&'),
+                              p -> p <> '' AND NOT regexp_matches(p,
+                                '^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=.*)?$'))), '&')
+                     ELSE '' END) AS nu
+        FROM (
+          SELECT doc_id,
+                 lower(regexp_extract(trim(u), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                 regexp_replace(regexp_extract(trim(u),
+                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), '^[^@]*@', '') AS nouser,
+                 regexp_extract(trim(u),
+                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS rawpath,
+                 regexp_extract(trim(u), '\?([^#]*)', 1) AS q
+          FROM (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+                   || '://WWW.Cdn.' || source || '.'
+                   || (['com','co.uk','org','com.au','io'])[(doc_id % 5) + 1]
+                   || (CASE WHEN doc_id % 3 = 0
+                            THEN (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+                            ELSE '' END)
+                   || '/Docs/' || (doc_id % 7)
+                   || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+                   || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=tw&b=2&a=1'
+                            WHEN doc_id % 4 = 1 THEN '?a=1&b=2'
+                            WHEN doc_id % 4 = 2 THEN '?b=2&a=1&fbclid=xyz'
+                            ELSE '' END)
+                   || (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END) AS u
+            FROM documents
+          )
+        )
+      )
+    )
+    GROUP BY key
     ORDER BY leg, key
     """,
 )
 def q52_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vrod_spark.functions.text import quality_score
+    from vrod_spark.functions.url import (
+        registered_domain,
+        url_dedup,
+        url_host,
+        url_normalize,
+    )
     from vrod_spark.operators.dedup import exact_dedup
     from vrod_spark.operators.sampling import chunk_documents
 
@@ -2994,7 +3078,51 @@ def q52_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hi",
         )
     )
-    return clean.unionByName(chunk).orderBy("leg", "key")
+
+    did = F.col("doc_id")
+    tlds = F.array(*[F.lit(t) for t in ("com", "co.uk", "org", "com.au", "io")])
+    u = F.concat(
+        F.when(did % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+        F.lit("://WWW.Cdn."),
+        F.col("source"),
+        F.lit("."),
+        F.element_at(tlds, (did % 5 + 1).cast("int")),
+        F.when(
+            did % 3 == 0,
+            F.when(did % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")),
+        ).otherwise(F.lit("")),
+        F.lit("/Docs/"),
+        (did % 7).cast("string"),
+        F.when(did % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 4 == 0, F.lit("?utm_source=tw&b=2&a=1"))
+        .when(did % 4 == 1, F.lit("?a=1&b=2"))
+        .when(did % 4 == 2, F.lit("?b=2&a=1&fbclid=xyz"))
+        .otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    base = docs.select("doc_id", u.alias("u"))
+    enriched = base.select(
+        "doc_id",
+        url_normalize("u").alias("nu"),
+        registered_domain(url_host("u")).alias("key"),
+    )
+    stats = enriched.groupBy("key").agg(
+        F.count(F.lit(1)).alias("k1"),
+        F.countDistinct("nu").alias("k2"),
+        F.round(F.avg(F.length("nu")), 4).alias("v"),
+        F.min(F.md5("nu")).alias("lo"),
+        F.max(F.md5("nu")).alias("hi"),
+    )
+    kept = (
+        url_dedup(base, url_col="u", id_col="doc_id")
+        .select(registered_domain(url_host("u")).alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("k3"))
+    )
+    urlleg = stats.join(kept, "key").select(
+        F.lit("url").alias("leg"), "key", "k1", "k2", "k3", "v", "lo", "hi"
+    )
+    return clean.unionByName(chunk).unionByName(urlleg).orderBy("leg", "key")
 
 
 # ---------------------------------------------------------------------------
