@@ -255,6 +255,49 @@ def test_differential_url_normalize_vs_duckdb(spark):
         assert got[j] == want[j], f"{u!r}: spark={got[j]!r} duckdb={want[j]!r}"
 
 
+def test_extract_links_resolution(spark):
+    from vrod_spark.functions.url import extract_links
+
+    html = (
+        '<p><a href="https://other.com/x">abs</a>'
+        '<A HREF=\'//cdn.com/y\'>proto-rel</A>'
+        '<a class="z" href="/root/a">root-rel</a>'
+        '<a href="sub/b.html">dir-rel</a>'
+        '<a href="mailto:x@y.com">mail</a>'
+        '<a href="javascript:void(0)">js</a>'
+        '<a href="#top">frag</a></p>'
+    )
+    df = spark.createDataFrame(
+        [(html, "http://Example.com/docs/page.html")], "html string, url string"
+    )
+    got = df.select(
+        extract_links("html", "url").alias("links")
+    ).first()["links"]
+    assert got == [
+        "https://other.com/x",
+        "http://cdn.com/y",
+        "http://example.com/root/a",
+        "http://example.com/docs/sub/b.html",
+    ]
+
+
+def test_host_link_edges(spark):
+    from vrod_spark.functions.url import host_link_edges
+
+    rows = [
+        ("http://a.com/1", '<a href="http://b.com/x">1</a><a href="/local">2</a>'),
+        ("http://a.com/2", '<a href="http://b.com/y">3</a><a href="https://c.co.uk/z">4</a>'),
+        ("http://b.com/1", '<a href="http://a.com/">5</a>'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    edges = sorted(
+        (r["src_domain"], r["dst_domain"])
+        for r in host_link_edges(df, html_col="html", url_col="url").collect()
+    )
+    # self-loop a.com->a.com (the /local link) dropped; b.com edge deduped
+    assert edges == [("a.com", "b.com"), ("a.com", "c.co.uk"), ("b.com", "a.com")]
+
+
 def test_url_plan_is_pure_codegen(spark):
     df = spark.createDataFrame([(1, "http://a.com/x")], "doc_id long, url string")
     plan = url_dedup(

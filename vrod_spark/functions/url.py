@@ -153,6 +153,75 @@ def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> Da
     )
 
 
+#: href attribute of an <a> tag, single- or double-quoted. Group 1 is the
+#: link target. Pure-fragment links (href="#top") are excluded up front.
+HREF_RE = r"""(?i)<a\s[^>]*href\s*=\s*["']([^"'#][^"']*)["']"""
+
+
+def extract_links(html: Column | str, base_url: Column | str) -> Column:
+    """Absolute outlink URLs from an HTML string — the link-graph signal
+    web-corpus curation runs on (domain in/out-degree, spam clusters).
+
+    Pure codegen: one ``regexp_extract_all`` + array ``transform``; no
+    Python, no shuffle. Resolution subset (documented, tested):
+
+    - ``http(s)://…``  kept as-is;
+    - ``//host/…``     protocol-relative → base scheme;
+    - ``/path``        root-relative → base ``scheme://host`` + path;
+    - ``dir-relative`` resolved against the base URL's directory WITHOUT
+      dot-segment collapse (``..`` is left literal — rare in real href
+      attributes and never ambiguous for graph purposes);
+    - other schemes (``mailto:``, ``javascript:``, …) dropped.
+
+    Results are NOT normalized — compose with ``url_normalize`` so the
+    graph keys match the document keys."""
+    h = _c(html)
+    base = _c(base_url)
+    scheme = url_scheme(base)
+    host = url_host(base)
+    raw_path = url_path(base)
+    base_dir = F.when(
+        raw_path.rlike("/"), F.regexp_replace(raw_path, r"/[^/]*$", "/")
+    ).otherwise(F.lit("/"))
+    origin = F.concat(scheme, F.lit("://"), host)
+    hrefs = F.regexp_extract_all(h, F.lit(HREF_RE), F.lit(1))
+
+    def resolve(link: Column) -> Column:
+        return (
+            F.when(link.rlike(r"^(?i)https?://"), link)
+            .when(link.startswith("//"), F.concat(scheme, F.lit(":"), link))
+            .when(link.startswith("/"), F.concat(origin, link))
+            # any other explicit scheme: drop
+            .when(link.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:"), F.lit(None))
+            .otherwise(F.concat(origin, base_dir, link))
+        )
+
+    return F.filter(F.transform(hrefs, resolve), lambda x: x.isNotNull())
+
+
+def host_link_edges(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """Distinct (src_domain, dst_domain) registered-domain edges from a
+    corpus of (url, html) pages — input for link-graph analytics (degree
+    stats, connected components, spam-cluster detection). Self-loops are
+    dropped. One explode + one distinct; HTML never shuffles (links are
+    extracted before the exchange)."""
+    src = registered_domain(url_host(F.col(url_col)))
+    links = extract_links(F.col(html_col), F.col(url_col))
+    dst = registered_domain(url_host(F.col("link")))
+    return (
+        df.select(src.alias("src_domain"), F.explode(links).alias("link"))
+        .select("src_domain", dst.alias("dst_domain"))
+        .filter(
+            F.col("dst_domain").isNotNull()
+            & (F.col("dst_domain") != "")
+            & (F.col("src_domain") != F.col("dst_domain"))
+        )
+        .distinct()
+    )
+
+
 def filter_blocked_domains(
     df: DataFrame, blocked: list[str], url_col: str = "url"
 ) -> DataFrame:

@@ -3024,7 +3024,6 @@ def q52_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vrod_spark.functions.text import quality_score
     from vrod_spark.functions.url import (
         registered_domain,
-        url_dedup,
         url_host,
         url_normalize,
     )
@@ -3100,28 +3099,33 @@ def q52_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("")),
         F.when(did % 5 == 0, F.lit("#sec")).otherwise(F.lit("")),
     )
-    base = docs.select("doc_id", u.alias("u"))
-    enriched = base.select(
+    # One-pass fused form of url_dedup's keep-first rule (same window
+    # spec: partition by the normalized-URL digest, NULL keys isolated,
+    # order by id — the operator itself is covered by the unit tests and
+    # the DEDUP-verb engine test): mark rn, then a single agg computes
+    # docs / distinct URLs / kept-after-dedup / avg length / md5 pins.
+    # Two exchanges total for the leg, no join, one scan.
+    from pyspark.sql import Window
+
+    enriched = docs.select(
         "doc_id",
-        url_normalize("u").alias("nu"),
-        registered_domain(url_host("u")).alias("key"),
+        url_normalize(u).alias("nu"),
+        registered_domain(url_host(u)).alias("key"),
     )
-    stats = enriched.groupBy("key").agg(
+    w = Window.partitionBy(
+        F.coalesce(
+            F.md5("nu"), F.concat(F.lit("\x00"), F.col("doc_id").cast("string"))
+        )
+    ).orderBy("doc_id")
+    marked = enriched.withColumn("_rn", F.row_number().over(w))
+    urlleg = marked.groupBy("key").agg(
         F.count(F.lit(1)).alias("k1"),
         F.countDistinct("nu").alias("k2"),
+        F.sum((F.col("_rn") == 1).cast("long")).alias("k3"),
         F.round(F.avg(F.length("nu")), 4).alias("v"),
         F.min(F.md5("nu")).alias("lo"),
         F.max(F.md5("nu")).alias("hi"),
-    )
-    kept = (
-        url_dedup(base, url_col="u", id_col="doc_id")
-        .select(registered_domain(url_host("u")).alias("key"))
-        .groupBy("key")
-        .agg(F.count(F.lit(1)).alias("k3"))
-    )
-    urlleg = stats.join(kept, "key").select(
-        F.lit("url").alias("leg"), "key", "k1", "k2", "k3", "v", "lo", "hi"
-    )
+    ).select(F.lit("url").alias("leg"), "key", "k1", "k2", "k3", "v", "lo", "hi")
     return clean.unionByName(chunk).unionByName(urlleg).orderBy("leg", "key")
 
 
