@@ -3099,29 +3099,21 @@ def q52_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("")),
         F.when(did % 5 == 0, F.lit("#sec")).otherwise(F.lit("")),
     )
-    # One-pass fused form of url_dedup's keep-first rule (same window
-    # spec: partition by the normalized-URL digest, NULL keys isolated,
-    # order by id — the operator itself is covered by the unit tests and
-    # the DEDUP-verb engine test): mark rn, then a single agg computes
-    # docs / distinct URLs / kept-after-dedup / avg length / md5 pins.
-    # Two exchanges total for the leg, no join, one scan.
-    from pyspark.sql import Window
-
+    # Aggregation-only form of url_dedup's keep-first accounting: the
+    # keep-first rule retains exactly ONE row per distinct normalized URL
+    # plus EVERY NULL-key (malformed) row, so kept = countDistinct(nu) +
+    # count(nu IS NULL) — no window, no join, one agg over one scan (the
+    # operator itself is covered by the unit tests and the DEDUP-verb
+    # engine test; the oracle derives both counts independently).
     enriched = docs.select(
         "doc_id",
         url_normalize(u).alias("nu"),
         registered_domain(url_host(u)).alias("key"),
     )
-    w = Window.partitionBy(
-        F.coalesce(
-            F.md5("nu"), F.concat(F.lit("\x00"), F.col("doc_id").cast("string"))
-        )
-    ).orderBy("doc_id")
-    marked = enriched.withColumn("_rn", F.row_number().over(w))
-    urlleg = marked.groupBy("key").agg(
+    urlleg = enriched.groupBy("key").agg(
         F.count(F.lit(1)).alias("k1"),
         F.countDistinct("nu").alias("k2"),
-        F.sum((F.col("_rn") == 1).cast("long")).alias("k3"),
+        (F.countDistinct("nu") + F.sum(F.isnull("nu").cast("long"))).alias("k3"),
         F.round(F.avg(F.length("nu")), 4).alias("v"),
         F.min(F.md5("nu")).alias("lo"),
         F.max(F.md5("nu")).alias("hi"),
