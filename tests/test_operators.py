@@ -241,3 +241,48 @@ def test_stratified_split_disjoint_exhaustive_stable(spark, sf_dir):
         assert a[r["doc_id"]] == r["split"]
     with _pytest.raises(ValueError, match="sum to 1"):
         stratified_split(docs, "doc_id", {"train": 0.5, "val": 0.1})
+
+
+def test_dsir_scores_discriminate_and_are_stable(spark):
+    """DSIR importance weights (sampling.dsir_scores): docs drawn from the
+    target vocabulary must outscore docs from a disjoint raw vocabulary;
+    scores are partition-count independent; a mixed doc lands between the
+    two cohorts; 1-token docs contribute zero bigrams (no crash)."""
+    from vrod_spark.operators.sampling import dsir_scores
+
+    tgt_vocab = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    raw_vocab = ["zeta", "eta", "theta", "iota", "kappa"]
+
+    def sent(vocab, i, n=30):
+        return " ".join(vocab[(i * 7 + j) % len(vocab)] for j in range(n))
+
+    rows = []
+    for i in range(10):
+        rows.append((i, sent(tgt_vocab, i), True))          # target cohort
+    for i in range(10, 20):
+        rows.append((i, sent(raw_vocab, i), False))         # raw cohort
+    rows.append((20, sent(tgt_vocab, 3), False))            # target-LIKE raw doc
+    rows.append((21, sent(tgt_vocab, 1, 15) + " " + sent(raw_vocab, 2, 15), False))
+    rows.append((22, "solo", False))                        # 1 token, 0 bigrams
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+
+    got = {
+        r["doc_id"]: (r["n_feats"], r["score"])
+        for r in dsir_scores(df, F.col("is_t"), id_col="doc_id").collect()
+    }
+    assert got[22][0] == 1  # unigram only — the bigram edge case
+    tgt_scores = [got[i][1] for i in range(10)]
+    raw_scores = [got[i][1] for i in range(10, 20)]
+    assert min(tgt_scores) > max(raw_scores)
+    assert got[20][1] > max(raw_scores)          # looks like target → high
+    assert max(raw_scores) < got[21][1] < min(tgt_scores)  # mixed → between
+
+    # physical-layout independence: same scores from 1 and 13 partitions
+    got13 = {
+        r["doc_id"]: r["score"]
+        for r in dsir_scores(
+            df.repartition(13), F.col("is_t"), id_col="doc_id"
+        ).collect()
+    }
+    for k, (_, s) in got.items():
+        assert abs(got13[k] - s) < 1e-12

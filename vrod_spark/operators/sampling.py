@@ -78,6 +78,94 @@ def stratified_split(
     return df.withColumn(out_col, label)
 
 
+def dsir_scores(
+    df: DataFrame,
+    is_target: Column,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", NeurIPS 2023): score every
+    document by how much more likely its hashed n-gram features are
+    under the TARGET distribution than under the RAW distribution —
+    the standard cheap proxy for "select pretraining data that looks
+    like the high-quality target domain".
+
+    Features are unigrams + bigrams of whitespace tokens, hashed into
+    ``n_buckets`` via md5 (cross-engine reproducible — same reason as
+    ``hash_fraction``); both bag-of-ngram models get Laplace +1
+    smoothing. The returned score is the length-normalized log ratio
+
+        score(d) = ( Σ_f c_d(f) · ln( p̂_t(f) / p̂_r(f) ) ) / Σ_f c_d(f)
+
+    so long documents don't dominate. ``is_target`` marks the rows that
+    DEFINE the target distribution (e.g. a trusted high-quality slice);
+    raw = everything else. Selection = rank by score (importance
+    resampling's deterministic top-k variant) — compose with
+    ``deterministic_sample`` for the Gumbel-free sampled flavor.
+
+    Scale shape: one explode → (id, bucket) count agg; bucket-model agg
+    emits exactly ``n_buckets`` rows (bounded state, like the heavy-
+    hitters sketch); stats re-join is a broadcast of those rows. Text
+    leaves the scan only as 2-byte bucket ids + counts.
+
+    Returns (id_col, n_feats, score).
+    """
+    from vrod_spark.functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    # bigrams: zip tokens with their right-shifted selves; zip_with pads
+    # the short side with nulls → filter. A <2-token doc yields ZERO
+    # bigrams (unlike shingles_from_tokens' whole-doc fallback).
+    bigrams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.when(
+                b.isNotNull(), F.concat(a, F.lit(" "), b)
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    feats = F.concat(toks, bigrams)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_f")), 1, 4), 16, 10).cast("long")
+        % n_buckets
+    )
+    fdf = (
+        df.select(
+            F.col(id_col), is_target.alias("_t"), F.explode(feats).alias("_f")
+        )
+        .select(id_col, "_t", bucket.alias("_b"))
+        .groupBy(id_col, "_t", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    stats = fdf.groupBy("_b").agg(
+        F.sum(F.when(F.col("_t"), F.col("_c")).otherwise(F.lit(0))).alias("_ct"),
+        F.sum(F.when(~F.col("_t"), F.col("_c")).otherwise(F.lit(0))).alias("_cr"),
+    )
+    tot = stats.agg(
+        F.sum("_ct").alias("_Tt"), F.sum("_cr").alias("_Tr")
+    )
+    model = stats.crossJoin(F.broadcast(tot)).select(
+        "_b",
+        (
+            F.log((F.col("_ct") + 1) / (F.col("_Tt") + F.lit(n_buckets)))
+            - F.log((F.col("_cr") + 1) / (F.col("_Tr") + F.lit(n_buckets)))
+        ).alias("_lr"),
+    )
+    return (
+        fdf.join(F.broadcast(model), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_feats"),
+            (F.sum(F.col("_c") * F.col("_lr")) / F.sum("_c")).alias("score"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     *,

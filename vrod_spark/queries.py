@@ -3266,6 +3266,14 @@ def q53_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 # weight. Fully deterministic (no RNG), identically computable in any
 # engine, and stable under repartitioning — the property that matters for
 # reproducible training mixes at 100 TB.
+#
+# The gate also carries the DSIR axis (operators/sampling.dsir_scores —
+# Xie et al. NeurIPS 2023 hashed-ngram importance weights, target =
+# lang='en'): per-source avg/max importance score, snap-rounded
+# (round(·,6) then 3dp) per the drift-proof pin policy for averaged
+# floats. The oracle re-derives the whole estimator in SQL — md5-bucketed
+# unigram+bigram counts, Laplace-smoothed log ratios, length-normalized
+# per-doc scores.
 # ---------------------------------------------------------------------------
 @query(
     "q54_mixture_sampling",
@@ -3281,14 +3289,44 @@ def q53_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 4294967296.0 AS coord
       FROM weighted
     )
+    , dtok AS (
+      SELECT doc_id, (lang = 'en') AS is_t, string_split(trim(text), ' ') AS ws
+      FROM documents
+    )
+    , dfeat AS (
+      SELECT doc_id, is_t, unnest(ws) AS f FROM dtok
+      UNION ALL
+      SELECT t.doc_id, t.is_t, t.ws[s.i] || ' ' || t.ws[s.i + 1] AS f
+      FROM dtok t, unnest(generate_series(1, len(t.ws) - 1)) AS s(i)
+    )
+    , dcnt AS MATERIALIZED (
+      SELECT doc_id, is_t,
+             ('0x' || substring(md5(f), 1, 4))::BIGINT % 256 AS b,
+             count(*) AS c
+      FROM dfeat GROUP BY 1, 2, 3
+    )
+    , dmod AS (
+      SELECT b,
+             ln((sum(CASE WHEN is_t THEN c ELSE 0 END) + 1)::DOUBLE
+                / ((SELECT sum(c) FROM dcnt WHERE is_t) + 256))
+           - ln((sum(CASE WHEN NOT is_t THEN c ELSE 0 END) + 1)::DOUBLE
+                / ((SELECT sum(c) FROM dcnt WHERE NOT is_t) + 256)) AS lr
+      FROM dcnt GROUP BY b
+    )
+    , dscore AS (
+      SELECT d.doc_id, sum(d.c * m.lr) / sum(d.c) AS score
+      FROM dcnt d JOIN dmod m USING (b) GROUP BY d.doc_id
+    )
     SELECT source,
            count(*) AS n_total,
            sum(CASE WHEN substring(md5(doc_id::VARCHAR), 1, 2) < thresh
                     THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
            sum(CASE WHEN coord < 0.1 THEN 1 ELSE 0 END)::BIGINT AS n_test,
            sum(CASE WHEN coord >= 0.1 AND coord < 0.9 THEN 1 ELSE 0 END)::BIGINT AS n_train,
-           sum(CASE WHEN coord >= 0.9 THEN 1 ELSE 0 END)::BIGINT AS n_val
-    FROM coords
+           sum(CASE WHEN coord >= 0.9 THEN 1 ELSE 0 END)::BIGINT AS n_val,
+           round(round(avg(score), 6), 3) AS dsir_avg,
+           round(round(max(score), 6), 3) AS dsir_max
+    FROM coords LEFT JOIN dscore USING (doc_id)
     GROUP BY source
     ORDER BY source
     """,
@@ -3311,19 +3349,23 @@ def q54_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stratified split columns (operators/sampling.stratified_split):
     # disjoint, exhaustive train/val/test from the SAME md5 coordinate —
     # names sorted, so boundaries are test < 0.1 <= train < 0.9 <= val.
-    from vrod_spark.operators.sampling import stratified_split
+    from vrod_spark.operators.sampling import dsir_scores, stratified_split
 
     split_docs = stratified_split(
         docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
     )
+    scores = dsir_scores(docs, F.col("lang") == "en")
     return (
-        split_docs.groupBy("source")
+        split_docs.join(scores.select("doc_id", "score"), "doc_id", "left")
+        .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_total"),
             F.sum(accepted).alias("n_sampled"),
             F.sum((F.col("split") == "test").cast("int")).alias("n_test"),
             F.sum((F.col("split") == "train").cast("int")).alias("n_train"),
             F.sum((F.col("split") == "val").cast("int")).alias("n_val"),
+            F.round(F.round(F.avg("score"), 6), 3).alias("dsir_avg"),
+            F.round(F.round(F.max("score"), 6), 3).alias("dsir_max"),
         )
         .orderBy("source")
     )
