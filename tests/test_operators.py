@@ -286,3 +286,38 @@ def test_dsir_scores_discriminate_and_are_stable(spark):
     }
     for k, (_, s) in got.items():
         assert abs(got13[k] - s) < 1e-12
+
+
+def test_gopher_rule_mask_bits(spark):
+    """Each Gopher rule bit fires on a doc crafted to fail exactly that
+    rule (plus a passing doc == 0). Thresholds are integer-exact, so
+    boundary docs are deterministic: 50 words passes rule 1, 49 fails."""
+    from vrod_spark.functions.text import gopher_rules
+
+    stops = "the be to of and that have with"  # 8 distinct stopwords
+    good_fill = " ".join(f"word{i:03d}" for i in range(42))  # len-7 words
+    passing = f"{stops} {good_fill}"  # 50 words, alpha, sane lengths
+    docs = [
+        (0, passing, 0),
+        # 49 words -> rule 1 (bit 1) only
+        (1, f"{stops} " + " ".join(f"word{i:03d}" for i in range(41)), 1),
+        # mean word length > 10 -> bit 2
+        (2, f"{stops} " + " ".join("x" * 60 for _ in range(42)), 2),
+        # 6+ '#' symbols over 50 words -> bit 4 (10*6 > 50); fillers stay
+        # long enough that the mean-word-length rule keeps passing
+        (3, f"{stops} # # # # # # " + " ".join(f"word{i:04d}" for i in range(36)), 4),
+        # >20% non-alpha words -> bit 8 (11 numeric of 50)
+        (4, f"{stops} " + " ".join("123" for _ in range(11))
+            + " " + " ".join(f"word{i:02d}" for i in range(31)), 8),
+        # only 1 distinct stopword -> bit 16
+        (5, "the " + " ".join(f"word{i:03d}" for i in range(49)), 16),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in docs], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["m"]
+        for r in df.select("doc_id", gopher_rules("text").alias("m")).collect()
+    }
+    for i, _, want in docs:
+        assert got[i] == want, f"doc {i}: mask {got[i]} != {want}"

@@ -173,6 +173,62 @@ def _quality_from(col: Column, toks: Column) -> Column:
     )
 
 
+#: The stopword set of Gopher rule 8 (Rae et al. 2021, §A1.1): a document
+#: must contain at least 2 DISTINCT of these to pass.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rule_mask(toks: Column, text: Column) -> Column:
+    """Bitmask of FAILED Gopher quality rules (Rae et al. 2021, §A1.1 —
+    the published filter battery behind the Gopher/Chinchilla corpora),
+    the per-rule complement to the blended ``quality_score``:
+
+      bit 1  — word count outside [50, 100000]
+      bit 2  — mean word length outside [3, 10]
+      bit 4  — symbol-to-word ratio ('#' or '…'/'...') above 0.1
+      bit 8  — fewer than 80% of words contain an alphabetic character
+      bit 16 — fewer than 2 distinct GOPHER_STOPWORDS present
+
+    The line-level rules (bullet-start / ellipsis-end fractions) need a
+    multi-line corpus and are intentionally out of scope for the
+    single-line document fixtures — compose with a split('\\n') explode
+    where they apply. Every threshold is evaluated in INTEGER arithmetic
+    (e.g. mean-word-length ∈ [3,10] as ``3·wc ≤ Σlen ≤ 10·wc``), so the
+    mask is bit-identical across engines — no float boundary can drift.
+    Pure codegen; 0 = passes all rules."""
+    wc = F.size(toks)
+    sum_len = F.coalesce(
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ),
+        F.lit(0).cast("long"),
+    )
+    n_sym = F.size(F.regexp_extract_all(text, F.lit(r"#|\.\.\.|…"), F.lit(0)))
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
+    n_stop = F.size(
+        F.array_intersect(
+            F.transform(toks, F.lower), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        )
+    )
+    r1 = (wc < 50) | (wc > 100000)
+    r2 = ~((F.lit(3) * wc <= sum_len) & (sum_len <= F.lit(10) * wc))
+    r3 = F.lit(10) * n_sym > wc
+    r4 = F.lit(5) * n_alpha < F.lit(4) * wc
+    r5 = n_stop < 2
+    mask = F.lit(0)
+    for bit, rule in ((1, r1), (2, r2), (4, r3), (8, r4), (16, r5)):
+        mask = mask + F.when(rule, F.lit(bit)).otherwise(F.lit(0))
+    return mask.cast("int")
+
+
+def gopher_rules(text: Column | str) -> Column:
+    """``gopher_rule_mask`` over a single tokenization pass (let_once)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return let_once(tokens(col), lambda toks: gopher_rule_mask(toks, col))
+
+
 def doc_fingerprint(text: Column | str, n: int = 3) -> Column:
     """Deterministic near-dup-stable fingerprint: the lexicographic min of
     the md5 digests of a document's shingles (1-permutation MinHash with

@@ -1639,14 +1639,34 @@ def q29_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, list_sort(list_transform(s, x -> md5(x)))[1] AS fingerprint
       FROM sh
     )
+    , gm AS (
+      SELECT doc_id,
+             (CASE WHEN wc < 50 OR wc > 100000 THEN 1 ELSE 0 END)
+           + (CASE WHEN NOT (3 * wc <= sl AND sl <= 10 * wc) THEN 2 ELSE 0 END)
+           + (CASE WHEN 10 * nsym > wc THEN 4 ELSE 0 END)
+           + (CASE WHEN 5 * nalpha < 4 * wc THEN 8 ELSE 0 END)
+           + (CASE WHEN nstop < 2 THEN 16 ELSE 0 END) AS mask
+      FROM (
+        SELECT doc_id,
+               len(ws) AS wc,
+               coalesce(list_aggregate(list_transform(ws, w -> length(w)), 'sum'), 0) AS sl,
+               len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS nsym,
+               len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS nalpha,
+               len(list_intersect(list_transform(ws, w -> lower(w)),
+                   ['the','be','to','of','and','that','have','with'])) AS nstop
+        FROM (SELECT doc_id, text, string_split(trim(text), ' ') AS ws FROM documents)
+      )
+    )
     SELECT lang, source,
            count(*) AS n_docs,
            sum(len(string_split(trim(text), ' ')))::BIGINT AS ws_tokens,
            sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')))::BIGINT AS bpe_tokens,
            sum(n_chars)::BIGINT AS total_chars,
            round(avg(n_chars), 4) AS avg_chars,
-           count(DISTINCT fingerprint) AS n_fingerprints
-    FROM documents JOIN fp USING (doc_id)
+           count(DISTINCT fingerprint) AS n_fingerprints,
+           sum(mask)::BIGINT AS gopher_mask_sum,
+           sum(CASE WHEN mask <> 0 THEN 1 ELSE 0 END)::BIGINT AS gopher_fail_docs
+    FROM documents JOIN fp USING (doc_id) JOIN gm USING (doc_id)
     GROUP BY lang, source
     ORDER BY lang, source
     """,
@@ -1668,6 +1688,9 @@ def q30_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct count because fp is an inner group key. Both shuffles stay
     # map-side-combined: the first keys on (lang, source, fp), the second
     # on (lang, source) — O(groups), never O(docs), at any scale.
+    from vrod_spark.functions.text import gopher_rules
+
+    gmask = gopher_rules("text")
     per_fp = (
         docs.select(
             "lang",
@@ -1676,6 +1699,7 @@ def q30_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             whitespace_token_count("text").alias("ws"),
             bpe_token_count("text").alias("bpe"),
             doc_fingerprint("text", 3).alias("fp"),
+            gmask.alias("gm"),
         )
         .groupBy("lang", "source", "fp")
         .agg(
@@ -1683,6 +1707,8 @@ def q30_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ws").alias("ws_s"),
             F.sum("bpe").alias("bpe_s"),
             F.sum("n_chars").alias("chars_s"),
+            F.sum("gm").alias("gm_s"),
+            F.sum((F.col("gm") != 0).cast("long")).alias("gf_s"),
         )
     )
     return (
@@ -1694,6 +1720,8 @@ def q30_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chars_s").alias("total_chars"),
             F.round(F.sum("chars_s") / F.sum("n"), 4).alias("avg_chars"),
             F.count("fp").alias("n_fingerprints"),
+            F.sum("gm_s").alias("gopher_mask_sum"),
+            F.sum("gf_s").alias("gopher_fail_docs"),
         )
         .orderBy("lang", "source")
     )
