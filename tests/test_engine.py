@@ -1418,3 +1418,49 @@ def test_search_verb_bm25_ranking(engine, spark, sf_dir):
         ).collect()
     }
     assert upper == expect
+
+
+def test_explain_verb(engine):
+    """EXPLAIN returns the Catalyst plan of a read command without
+    executing it: SEARCH plans show the pushed filter; SEARCHSIMILAR
+    plans show the top-k TakeOrderedAndProject; mutation verbs and
+    missing specs are rejected with CommandArgError."""
+    engine.execute("CREATE", collection="exp")
+    engine.execute(
+        "INSERT",
+        collection="exp",
+        arg=[
+            {"id": i, "embedding": [float(i), 1.0], "payload": f"p{i}"}
+            for i in range(20)
+        ],
+    )
+    res = engine.execute(
+        "EXPLAIN",
+        collection="exp",
+        arg={"command": "SEARCH", "arg": {"where": "id > 5", "limit": 3}},
+    )
+    assert res.info["command"] == "SEARCH" and res.info["mode"] == "formatted"
+    assert "PushedFilters" in res.info["plan"]
+    assert "GreaterThan(id,5)" in res.info["plan"].replace(" ", "")
+
+    res = engine.execute(
+        "EXPLAIN",
+        collection="exp",
+        arg={
+            "command": "SEARCHSIMILAR",
+            "arg": {"vector": [1.0, 1.0], "k": 5},
+            "mode": "simple",
+        },
+    )
+    assert "TakeOrderedAndProject" in res.info["plan"]
+
+    import pytest as _pytest
+
+    from vrod_spark.errors import CommandArgError
+
+    with _pytest.raises(CommandArgError, match="read commands"):
+        engine.execute(
+            "EXPLAIN", collection="exp", arg={"command": "DELETE", "arg": "id = 1"}
+        )
+    with _pytest.raises(CommandArgError):
+        engine.execute("EXPLAIN", collection="exp", arg="SEARCH")

@@ -103,6 +103,7 @@ class Engine:
             "REINDEX": self._reindex,
             "DEDUP": self._dedup,
             "ANALYZE": self._analyze,
+            "EXPLAIN": self._explain,
         }
         if verb_up not in handlers:
             # builder.rs:77-79 → UnrecognizedCommand
@@ -317,6 +318,48 @@ class Engine:
         return CommandResult("DELETE", info={"collection": col.name, "deleted": n})
 
     # -- queries -----------------------------------------------------------
+    def _explain(self, collection: str | None, arg: Any) -> CommandResult:
+        """EXPLAIN — [N] introspection verb (no reference analog; the
+        natural face of §4's "plan audit" for engine users): return the
+        Catalyst plan of a READ command without executing it.
+
+        ``arg``: {"command": "SEARCH" | "SEARCHSIMILAR",
+                  "arg": <the inner command's arg>,
+                  "mode": "formatted" (default) | "simple" | "extended"
+                        | "cost" | "codegen"}
+
+        Only read-path verbs are explainable: their handlers build a lazy
+        DataFrame and run no job until collect, so EXPLAIN is free and
+        side-effect-less. Mutation verbs (INSERT/UPDATE/DELETE/REINDEX/
+        DEDUP) commit COW rewrites inside their handlers — asking for
+        their plan would run them; use ``{"dry_run": true}`` on DEDUP for
+        its inspect-first equivalent. The plan string is returned in
+        ``info["plan"]`` (and the verb/mode echoed), so callers can
+        assert pushdown/pruning the way tests/test_plans.py does."""
+        from vrod_spark.plans.inspect import explain_str
+
+        spec = self._require_arg(arg, "explain spec")
+        if not isinstance(spec, dict) or "command" not in spec:
+            raise CommandArgError(
+                'EXPLAIN needs {"command": VERB, "arg": ..., "mode": ...}'
+            )
+        verb = str(spec["command"]).upper()
+        readonly = {"SEARCH": self._search, "SEARCHSIMILAR": self._search_similar}
+        if verb not in readonly:
+            raise CommandArgError(
+                f"EXPLAIN supports read commands {sorted(readonly)}, got {verb!r}"
+            )
+        mode = str(spec.get("mode", "formatted"))
+        inner = readonly[verb](collection, spec.get("arg"))
+        return CommandResult(
+            "EXPLAIN",
+            info={
+                "command": verb,
+                "mode": mode,
+                "plan": explain_str(inner.df, mode),
+            },
+        )
+
     def _search(self, collection: str | None, arg: Any) -> CommandResult:
         """SEARCH (builder.rs:63-67): predicate/metadata search. `arg`: SQL
         boolean expression over (id, payload, meta), or {"where": ...,
