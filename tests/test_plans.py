@@ -433,3 +433,31 @@ def test_zorder_compact_plans_range_partitioning(spark, tmp_path):
     final = plan.split("== Initial Plan ==")[0]
     assert "rangepartitioning" in final.lower()
     assert "ArrowEvalPython" not in final and "PythonUDF" not in final
+
+
+def test_dsir_model_join_broadcasts_and_text_stays_out_of_shuffle(spark, sf_dir):
+    """DSIR (sampling.dsir_scores): the 256-row log-ratio model must join
+    back to doc-bucket counts as a BROADCAST (never a shuffle of the
+    count stream against a 256-row side), the whole plan stays python-free
+    codegen, and the exchanged rows carry only (id, bucket, count) — the
+    document text never leaves the scan stage."""
+    from vrod_spark.operators.sampling import dsir_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = dsir_scores(docs, F.col("lang") == "en")
+    plan = explain_str(scored, "formatted")
+    assert "BroadcastExchange" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # text is consumed by the explode projection, not shuffled: no
+    # Exchange row schema mentions the text column
+    for seg in plan.split("Exchange")[1:]:
+        head = seg.split("\n")[0]
+        assert "text" not in head
+
+
+def test_gopher_rules_are_pure_codegen(spark, sf_dir):
+    from vrod_spark.functions.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = explain_str(docs.select(gopher_rules("text").alias("m")), "formatted")
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

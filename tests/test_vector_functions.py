@@ -343,3 +343,48 @@ def test_ivfpq_occupancy_aware_probing(spark):
         histogram=hist_empty,
     ).collect()
     assert len(no0) == 5 and all(r["vec_id"] >= 2 for r in no0)
+
+
+def test_random_projection_deterministic_and_jl_bound(spark, sf_dir):
+    """JL random projection (functions/vector.random_project): (a) the
+    matrix is bit-stable for (dims, seed); (b) projected pairwise
+    SQUARED distances of real embeddings are preserved within a loose JL
+    distortion band for most pairs (eps=0.5 at out_dim=32); (c) the
+    column is partition-layout independent."""
+    import numpy as np
+
+    from vrod_spark.functions.vector import (
+        random_project,
+        random_projection_matrix,
+    )
+    from vrod_spark.sources.tables import load_table
+
+    m1 = random_projection_matrix(64, 32, seed=7)
+    m2 = random_projection_matrix(64, 32, seed=7)
+    assert (m1 == m2).all()
+    assert random_projection_matrix(64, 32, seed=8)[0, 0] != m1[0, 0]
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(40)
+    rows = random_project(emb, out_dim=32, seed=7).select(
+        "vec_id", "embedding", "proj"
+    ).collect()
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Y = np.array([r["proj"] for r in rows], dtype=np.float64)
+    assert Y.shape == (len(rows), 32)
+    # exact vs projected squared distances over all pairs
+    dx = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+    dy = ((Y[:, None, :] - Y[None, :, :]) ** 2).sum(-1)
+    iu = np.triu_indices(len(rows), 1)
+    ratio = dy[iu] / np.maximum(dx[iu], 1e-12)
+    # JL: most pairs within (1±eps); allow a small tail at this out_dim
+    within = ((ratio > 0.5) & (ratio < 1.5)).mean()
+    assert within > 0.9, f"only {within:.2%} of pairs within the band"
+
+    again = {
+        r["vec_id"]: r["proj"]
+        for r in random_project(
+            emb.repartition(7), out_dim=32, seed=7
+        ).collect()
+    }
+    for r in rows:
+        assert np.allclose(again[r["vec_id"]], r["proj"], atol=0, rtol=0)
