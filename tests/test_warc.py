@@ -170,3 +170,31 @@ def test_bulkinsert_warc_into_collection(engine, tmp_path):
     assert len(hits) == 1
     assert hits[0]["meta"]["url"] == "http://example.com/gone"
     assert "not found" in hits[0]["payload"]
+
+
+def test_bulkinsert_warc_then_url_dedup(engine, tmp_path):
+    """The web-corpus curation path end-to-end: ingest a crawl shard with
+    refetches of the same logical page (tracking params / case / fragment
+    variants), then DEDUP strategy=url collapses them keep-first on the
+    normalized meta['url']."""
+    recs = [
+        {"url": "http://Example.com/page?utm_source=tw", "body": HTML_A},
+        {"url": "http://example.com/page", "body": HTML_A},          # refetch
+        {"url": "http://example.com/page#frag", "body": HTML_A},     # refetch
+        {"url": "http://example.com/other", "body": HTML_A},
+    ]
+    p = tmp_path / "refetch.warc.gz"
+    p.write_bytes(make_warc_bytes(recs))
+    engine.execute("CREATE", collection="crawl2")
+    assert engine.execute("BULKINSERT", collection="crawl2", arg=str(p)).info["rows"] == 4
+
+    info = engine.execute(
+        "DEDUP", collection="crawl2", arg={"strategy": "url"}
+    ).info
+    assert info["removed"] == 2
+    kept = engine.db.collection("crawl2").read().collect()
+    urls = sorted(r["meta"]["url"] for r in kept)
+    assert urls == [
+        "http://Example.com/page?utm_source=tw",  # keep-first (lowest id)
+        "http://example.com/other",
+    ]
