@@ -1464,3 +1464,47 @@ def test_explain_verb(engine):
         )
     with _pytest.raises(CommandArgError):
         engine.execute("EXPLAIN", collection="exp", arg="SEARCH")
+
+
+def test_reindex_ivf_with_jl_projection(engine, spark, sf_dir):
+    """REINDEX {"kind": "ivf", "project_dim": 16}: centroids live in JL
+    space (16-dim), probes project the query, rescoring stays exact
+    full-dim; recall matches the unprojected-index contract, is monotone
+    in the candidate budget and exact in the limit; a delta INSERT
+    assigns into the existing projected buckets (O(delta) append)."""
+    from vrod_spark.operators.ivf import ivf_search
+
+    engine.execute("CREATE", collection="embp")
+    engine.execute("BULKINSERT", collection="embp", arg=records_df(spark, sf_dir))
+    info = engine.execute(
+        "REINDEX",
+        collection="embp",
+        arg={"kind": "ivf", "n_centroids": 16, "project_dim": 16},
+    ).info
+    assert info["indexed"] and info["kind"] == "ivf"
+    col = engine.db.collection("embp")
+    idx = col.meta["index"]
+    assert idx["project_dim"] == 16 and len(idx["centroids"][0]) == 16
+
+    qv = [float(x) for x in col.read().filter("id = 11").first()["embedding"]]
+    exact = knn_exact(col.read(), qv, 10, vec_col="embedding", id_col="id")
+    approx = engine.execute(
+        "SEARCHSIMILAR", collection="embp", arg={"vector": qv, "k": 10}
+    ).df
+    assert approx.first()["id"] == 11  # own row found, dist exact
+    assert recall_at_k(approx, exact) >= 0.2
+    full = ivf_search(col, qv, 10, candidate_factor=10**6)
+    assert recall_at_k(full, exact) == 1.0
+
+    # O(delta) append: a near-copy of id 11 lands in 11's bucket and is
+    # immediately searchable without a REINDEX
+    engine.execute(
+        "INSERT",
+        collection="embp",
+        arg=[{"id": 9011, "embedding": [v + 1e-6 for v in qv], "payload": "near"}],
+    )
+    assert col.meta["index"] is not None  # indexed append kept the index
+    hits = engine.execute(
+        "SEARCHSIMILAR", collection="embp", arg={"vector": qv, "k": 2}
+    ).df.collect()
+    assert {r["id"] for r in hits} == {11, 9011}

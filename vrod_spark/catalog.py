@@ -550,8 +550,19 @@ class Collection:
 
             from vrod_spark.operators.ivf import ivf_assign_expr
 
+            proj = None
+            if idx.get("project_dim") is not None:
+                from vrod_spark.functions.vector import random_projection_matrix
+
+                proj = random_projection_matrix(
+                    int(self.meta["dimension"]),
+                    int(idx["project_dim"]),
+                    int(idx.get("project_seed", 0)),
+                )
             return ivf_assign_expr(
-                self.db.spark, np.asarray(idx["centroids"], dtype=np.float64)
+                self.db.spark,
+                np.asarray(idx["centroids"], dtype=np.float64),
+                proj=proj,
             )
         import numpy as np
 

@@ -50,11 +50,27 @@ def _spherical_kmeans(sample: np.ndarray, k: int, iters: int = 10, seed: int = S
     return centroids
 
 
-def ivf_assign_expr(spark, centroids: np.ndarray, vec_col: str = "embedding"):
+def ivf_assign_expr(
+    spark,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    proj: np.ndarray | None = None,
+):
     """Nearest-centroid bucket assignment as an Arrow-batched column
     expression (broadcast centroid matrix, one matmul per batch). Shared by
-    the REINDEX rewrite and the O(delta) indexed-INSERT path."""
+    the REINDEX rewrite and the O(delta) indexed-INSERT path.
+
+    With ``proj`` (a JL matrix from functions/vector.random_projection_
+    matrix — out_dim × in_dim), vectors are projected BEFORE the
+    nearest-centroid rule and the centroids live in projected space: the
+    assignment cost per row drops from O(in_dim·k) to O(out_dim·k) plus
+    one dgemv — the standard coarse-quantizer shrink for wide embeddings.
+    The projection is applied per row (dgemv, batch-shape independent) so
+    a delta append assigns bit-identically to the full rewrite."""
     cb = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+    pb = spark.sparkContext.broadcast(
+        None if proj is None else np.asarray(proj, dtype=np.float64)
+    )
 
     @F.pandas_udf("int")
     def assign(vecs):
@@ -62,7 +78,13 @@ def ivf_assign_expr(spark, centroids: np.ndarray, vec_col: str = "embedding"):
         import pandas as pd
 
         cents = cb.value
-        mat = np.array(vecs.tolist(), dtype=np.float64)
+        pmat = pb.value
+        if pmat is not None:
+            mat = np.array(
+                [pmat @ np.asarray(v, dtype=np.float64) for v in vecs.tolist()]
+            )
+        else:
+            mat = np.array(vecs.tolist(), dtype=np.float64)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         unit = mat / np.where(norms == 0, 1, norms)
         return pd.Series(np.argmax(unit @ cents.T, axis=1).astype(np.int32))
@@ -76,12 +98,29 @@ def reindex_ivf(
     n_centroids: int = 64,
     train_sample: int = 10_000,
     seed: int = SEED,
+    project_dim: int | None = None,
+    project_seed: int = 0,
 ) -> dict:
-    """Fit centroids, rewrite the snapshot centroid-partitioned, commit."""
+    """Fit centroids, rewrite the snapshot centroid-partitioned, commit.
+
+    ``project_dim`` composes a JL random projection into the coarse
+    quantizer: train + assign + probe in projected space (cheap), rescore
+    candidates with EXACT full-dimension distances in ``ivf_search``
+    (unchanged) — the two-stage recipe for wide embeddings (the
+    reference's 384-dim fastembed output). Only (dim, seed) persist in
+    the index meta; the matrix regenerates deterministically."""
     meta = collection.meta
     if meta.get("dimension") is None:
         collection.update_meta(index=None)
         return {"collection": collection.name, "indexed": False, "reason": "no vectors"}
+
+    proj = None
+    if project_dim is not None:
+        from vrod_spark.functions.vector import random_projection_matrix
+
+        proj = random_projection_matrix(
+            int(meta["dimension"]), int(project_dim), int(project_seed)
+        )
 
     df = collection.read()
     # Deterministic bounded sample (xxhash64-smallest rows — a pure
@@ -95,9 +134,12 @@ def reindex_ivf(
         .collect()
     )
     sample = np.array([r["v"] for r in sample_rows], dtype=np.float64)
+    if proj is not None:
+        # per-row dgemv, matching the distributed assign path bit-exactly
+        sample = np.array([proj @ v for v in sample])
     centroids = _spherical_kmeans(sample, n_centroids, seed=seed)
     bucketed = df.withColumn(
-        "bucket", ivf_assign_expr(df.sparkSession, centroids, "embedding")
+        "bucket", ivf_assign_expr(df.sparkSession, centroids, "embedding", proj=proj)
     )
     nxt, nxt_dir = collection._next_version_dir()
     (
@@ -111,15 +153,17 @@ def reindex_ivf(
         collection.db.spark.read.parquet(nxt_dir).groupBy("bucket").count().collect()
     )
     histogram = {str(r["bucket"]): r["count"] for r in hist_rows}
-    collection.update_meta(
-        index={
-            "kind": "ivf",
-            "n_centroids": int(len(centroids)),
-            "seed": seed,
-            "centroids": [[float(x) for x in c] for c in centroids],
-            "histogram": histogram,
-        }
-    )
+    index_meta = {
+        "kind": "ivf",
+        "n_centroids": int(len(centroids)),
+        "seed": seed,
+        "centroids": [[float(x) for x in c] for c in centroids],
+        "histogram": histogram,
+    }
+    if proj is not None:
+        index_meta["project_dim"] = int(project_dim)
+        index_meta["project_seed"] = int(project_seed)
+    collection.update_meta(index=index_meta)
     collection._commit(nxt, "REINDEX", {"kind": "ivf", "buckets": len(histogram)})
     return {
         "collection": collection.name,
@@ -135,6 +179,14 @@ def ivf_candidate_buckets(
     centroids = np.asarray(index_meta["centroids"], dtype=np.float64)
     histogram = {int(b): int(n) for b, n in index_meta["histogram"].items()}
     q = np.asarray(vector, dtype=np.float64)
+    if index_meta.get("project_dim") is not None:
+        from vrod_spark.functions.vector import random_projection_matrix
+
+        q = random_projection_matrix(
+            len(vector),
+            int(index_meta["project_dim"]),
+            int(index_meta.get("project_seed", 0)),
+        ) @ q
     nq = np.linalg.norm(q)
     qu = q / nq if nq else q
     order = np.argsort(-(centroids @ qu))  # nearest centroid first
