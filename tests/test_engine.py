@@ -1508,3 +1508,34 @@ def test_reindex_ivf_with_jl_projection(engine, spark, sf_dir):
         "SEARCHSIMILAR", collection="embp", arg={"vector": qv, "k": 2}
     ).df.collect()
     assert {r["id"] for r in hits} == {11, 9011}
+
+
+def test_search_similar_within_radius(engine):
+    """SEARCHSIMILAR {"within": r}: complete radius search — every row at
+    distance <= r and nothing else, ordered (dist, id); k caps; the exact
+    path is used even on an indexed collection (completeness contract)."""
+    engine.execute("CREATE", collection="rng")
+    rows = [
+        {"id": i, "embedding": [float(i), 0.0], "payload": f"p{i}"}
+        for i in range(10)
+    ]
+    engine.execute("INSERT", collection="rng", arg=rows)
+
+    hits = engine.execute(
+        "SEARCHSIMILAR", collection="rng", arg={"vector": [3.0, 0.0], "within": 2.0}
+    ).df.collect()
+    assert [r["id"] for r in hits] == [3, 2, 4, 1, 5]  # dist 0,1,1,2,2 (id ties)
+    assert hits[0]["dist"] == 0.0 and hits[-1]["dist"] == 2.0
+
+    capped = engine.execute(
+        "SEARCHSIMILAR",
+        collection="rng",
+        arg={"vector": [3.0, 0.0], "within": 2.0, "k": 3},
+    ).df.collect()
+    assert [r["id"] for r in capped] == [3, 2, 4]
+
+    engine.execute("REINDEX", collection="rng", arg={"kind": "ivf", "n_centroids": 2})
+    idx_hits = engine.execute(
+        "SEARCHSIMILAR", collection="rng", arg={"vector": [3.0, 0.0], "within": 2.0}
+    ).df.collect()
+    assert [r["id"] for r in idx_hits] == [3, 2, 4, 1, 5]  # complete despite index

@@ -435,10 +435,19 @@ class Engine:
         `arg`: {"vector": [...], "k": 10, "where": optional prefilter} or
         "v1,v2,...;k=5". Exact path scores with codegen'd expressions and
         plans TakeOrderedAndProject; REINDEXed collections use the
-        LSH-bucketed fast path (operators.ann)."""
+        LSH-bucketed fast path (operators.ann).
+
+        ``{"within": r}`` switches to RANGE search (everything with
+        distance ≤ r, operators.knn.range_search), with optional ``k`` as
+        a cap. Range semantics promise COMPLETENESS, which bucket probes
+        can't (a radius can straddle any bucket boundary), so `within`
+        always runs the exact scan-filter path — the indexed-scale shape
+        for "all pairs within ε" is the dedup operator family, not a
+        per-query probe."""
         col = self._require_collection(collection)
         spec = self._require_arg(arg, "query vector")
         tuning: dict[str, int] = {}
+        within = None
         if isinstance(spec, str):
             vec_part, _, k_part = spec.partition(";")
             vector = [float(x) for x in vec_part.split(",") if x.strip()]
@@ -448,6 +457,7 @@ class Engine:
             vector = [float(x) for x in spec["vector"]]
             k = int(spec.get("k", 10))
             where = spec.get("where")
+            within = spec.get("within")
             # Recall knobs, monotone and exact in the limit: probe more
             # buckets (sign-LSH/IVF) / rescore more ADC survivors
             # (pq/ivfpq). Each index kind consumes the knob it has.
@@ -463,6 +473,20 @@ class Engine:
         df = col.read()
         if where:
             df = df.filter(F.expr(where))
+        if within is not None:
+            from vrod_spark.operators.knn import range_search
+
+            result = range_search(
+                df,
+                vector,
+                float(within),
+                vec_col="embedding",
+                id_col="id",
+                metric=meta.get("metric", "l2"),
+                payload_cols=("payload",),
+                limit=int(spec["k"]) if isinstance(spec, dict) and "k" in spec else None,
+            )
+            return CommandResult("SEARCHSIMILAR", df=result)
         if meta.get("index"):
             kind = meta["index"].get("kind")
             if kind == "ivf":

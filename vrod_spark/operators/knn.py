@@ -81,3 +81,32 @@ def knn_per_group(
         .drop("rn")
         .orderBy(group_col, dist_alias, id_col)
     )
+
+
+def range_search(
+    df: DataFrame,
+    query_vector: Sequence[float],
+    radius: float,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    metric: str = "l2",
+    payload_cols: Sequence[str] = (),
+    dist_alias: str = "dist",
+    limit: int | None = None,
+) -> DataFrame:
+    """Range (radius) search — kNN's fixed-threshold sibling: every row
+    with ``distance ≤ radius``, ordered by (dist, id), optionally capped.
+    The filter is a codegen'd predicate evaluated at the scan, so unlike
+    top-k nothing is heap-buffered: at 100 TB this is a pure map + a
+    TakeOrdered only when ``limit`` is set (otherwise a small global sort
+    of the matching rows — callers bound the result by choosing radius).
+    This is the dedup-style query shape ("everything within ε"), where a
+    k cut would silently drop true matches past k."""
+    dist = _distance(metric, vec_col, vector_lit(query_vector))
+    scored = (
+        df.select(id_col, *payload_cols, dist.alias(dist_alias))
+        .filter(F.col(dist_alias) <= F.lit(float(radius)))
+        .orderBy(F.col(dist_alias).asc(), F.col(id_col).asc())
+    )
+    return scored.limit(int(limit)) if limit is not None else scored
