@@ -417,3 +417,99 @@ def test_differential_chunking(spark, size, stride, seed):
         ).fetchall()
     )
     assert got == want, (size, stride, seed)
+
+
+_URL_NORM_SQL = r"""
+  SELECT i,
+         CASE WHEN scheme = '' OR lower(regexp_replace(nouser, ':[0-9]*$', '')) = ''
+              THEN NULL ELSE
+           scheme || '://' ||
+           (CASE WHEN regexp_extract(nouser, ':([0-9]+)$', 1) = ''
+                   OR (scheme = 'http'  AND regexp_extract(nouser, ':([0-9]+)$', 1) = '80')
+                   OR (scheme = 'https' AND regexp_extract(nouser, ':([0-9]+)$', 1) = '443')
+                 THEN lower(regexp_replace(nouser, ':[0-9]*$', ''))
+                 ELSE lower(regexp_replace(nouser, ':[0-9]*$', ''))
+                      || ':' || regexp_extract(nouser, ':([0-9]+)$', 1) END) ||
+           (CASE WHEN rawpath = '' THEN '/'
+                 WHEN length(rawpath) > 1 AND rawpath LIKE '%/'
+                 THEN substring(rawpath, 1, length(rawpath) - 1)
+                 ELSE rawpath END) ||
+           (CASE WHEN len(list_filter(string_split(q, '&'),
+                          p -> p <> '' AND NOT regexp_matches(p,
+                            '^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=.*)?$'))) > 0
+                 THEN '?' || array_to_string(
+                        list_sort(list_filter(string_split(q, '&'),
+                          p -> p <> '' AND NOT regexp_matches(p,
+                            '^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=.*)?$'))), '&')
+                 ELSE '' END)
+         END AS n
+  FROM (
+    SELECT i,
+           lower(regexp_extract(trim(u), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+           regexp_replace(regexp_extract(trim(u),
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), '^[^@]*@', '') AS nouser,
+           regexp_extract(trim(u),
+             '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS rawpath,
+           regexp_extract(trim(u), '\?([^#]*)', 1) AS q
+    FROM urls_tbl
+  )
+"""
+
+_LABEL = st.text(
+    alphabet="abcdefgHIJ0123456789-", min_size=1, max_size=6
+).filter(lambda s: not s.startswith("-") and not s.endswith("-"))
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["http", "https", "HTTP", "ftp", ""]),
+            st.lists(_LABEL, min_size=1, max_size=3),
+            st.sampled_from(["", ":80", ":443", ":8080", ":0"]),
+            st.lists(
+                st.text(alphabet="abcXYZ09._~%", min_size=0, max_size=5),
+                min_size=0, max_size=3,
+            ),
+            st.lists(
+                st.sampled_from(
+                    ["a=1", "b=2", "utm_source=t", "ref=x", "z", "", "a=2"]
+                ),
+                min_size=0, max_size=4,
+            ),
+            st.sampled_from(["", "#f", "#a#b"]),
+            st.booleans(),  # trailing slash on path
+        ),
+        min_size=1, max_size=25,
+    )
+)
+@SETTINGS
+def test_differential_url_normalize_generative(spark, data):
+    """Generative cross-engine differential for url_normalize: URLs
+    assembled from random components (schemes incl. non-http and absent,
+    multi-label hosts, ports incl. :0, %-ish path segments, duplicate and
+    tracking query params, repeated-# fragments, trailing slashes) must
+    normalize identically in Spark and the DuckDB SQL spec twin."""
+    from vrod_spark.functions.url import url_normalize
+
+    urls = []
+    for scheme, labels, port, segs, params, frag, tslash in data:
+        host = ".".join(labels)
+        base = f"{scheme}://{host}{port}" if scheme else host
+        path = "".join("/" + s for s in segs) + ("/" if tslash and segs else "")
+        qstr = ("?" + "&".join(params)) if params else ""
+        urls.append(base + path + qstr + frag)
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, u string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", url_normalize("u").alias("n")).collect()
+    }
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register("urls_tbl", pd.DataFrame({"i": range(len(urls)), "u": urls}))
+    want = {r[0]: r[1] for r in con.sql(_URL_NORM_SQL).fetchall()}
+    for i, u in enumerate(urls):
+        assert got[i] == want[i], f"{u!r}: spark={got[i]!r} duckdb={want[i]!r}"
