@@ -2974,3 +2974,56 @@ def test_remove_duplicate_spans_cuts_every_occurrence(spark):
     assert duplicate_spans(
         cleaned.select("doc_id", "text"), min_tokens=8
     ).count() == 0
+
+
+def test_ppmi_svd_trained_embedder_semantics_and_pipeline(spark, tmp_path):
+    """The trained (no-ML-deps) embedder rung: PPMI+SVD word vectors
+    learned from a two-topic corpus must place same-topic words closer
+    than cross-topic words; training is deterministic; OOV words embed
+    via the hash fallback; and the embedder drives the full §2.2
+    pipeline (embed_corpus) end-to-end."""
+    import numpy as np
+
+    from vrod_spark.pipeline import embed_corpus, train_ppmi_svd_embedder
+
+    fruit = ["apple", "banana", "mango", "pear"]
+    metal = ["iron", "copper", "zinc", "steel"]
+    lines = []
+    for i in range(40):  # topic docs: words co-occur within topic only
+        f = [fruit[(i + j) % 4] for j in range(3)]
+        m = [metal[(i + j) % 4] for j in range(3)]
+        lines.append(" ".join(f))
+        lines.append(" ".join(m))
+    docs = spark.createDataFrame([(t,) for t in lines], "text string")
+
+    embed, dim, backend = train_ppmi_svd_embedder(docs, dim=8, min_count=1)
+    assert backend == "ppmi-svd" and dim == 8
+    import pandas as pd
+
+    vecs = {
+        w: np.array(v)
+        for w, v in zip(
+            fruit + metal + ["neverseen"],
+            embed(pd.Series(fruit + metal + ["neverseen"])),
+        )
+    }
+
+    def cos(a, b):
+        return float(vecs[a] @ vecs[b])
+
+    intra = [cos("apple", "banana"), cos("mango", "pear"), cos("iron", "zinc")]
+    inter = [cos("apple", "iron"), cos("banana", "steel"), cos("pear", "copper")]
+    assert min(intra) > max(inter), (intra, inter)
+    assert np.isfinite(vecs["neverseen"]).all()  # OOV hash fallback
+
+    embed2, _, _ = train_ppmi_svd_embedder(docs, dim=8, min_count=1)
+    again = embed2(pd.Series(fruit))
+    for w, v in zip(fruit, again):
+        assert np.allclose(vecs[w], np.array(v), atol=0, rtol=0)
+
+    corpus_path = str(tmp_path / "topics.txt")
+    with open(corpus_path, "w") as f:
+        f.write("\n".join(lines))
+    out = embed_corpus(spark, corpus_path, limit=12, dim=8, embedder=embed)
+    rows = out.collect()
+    assert len(rows) == 12 and all(len(r["embedding"]) == 8 for r in rows)
