@@ -321,3 +321,42 @@ def test_gopher_rule_mask_bits(spark):
     }
     for i, _, want in docs:
         assert got[i] == want, f"doc {i}: mask {got[i]} != {want}"
+
+
+def test_temperature_mixture_rates(spark):
+    """alpha=1 → natural proportions (all rates equal); alpha→0 →
+    uniform-over-strata row budgets; saturated strata cap at 1.0 with the
+    budget re-spread; composes with deterministic_sample to hit the
+    expected global fraction."""
+    from vrod_spark.operators.sampling import (
+        deterministic_sample,
+        temperature_mixture_rates,
+    )
+
+    counts = {"web": 8000, "books": 1500, "code": 500}
+
+    r1 = temperature_mixture_rates(counts, alpha=1.0, target_fraction=0.5)
+    assert all(abs(v - 0.5) < 1e-12 for v in r1.values())
+
+    r0 = temperature_mixture_rates(counts, alpha=0.0, target_fraction=0.3)
+    # equal ROW budgets (1000 each), but code has only 500 rows → it
+    # saturates at rate 1.0 and the remaining 2500 re-spread evenly
+    kept = {k: r0[k] * counts[k] for k in counts}
+    assert r0["code"] == 1.0
+    assert abs(kept["web"] - 1250) < 1e-9 and abs(kept["books"] - 1250) < 1e-9
+    assert abs(sum(kept.values()) - 3000) < 1e-9
+
+    # small target with extreme flattening saturates the tail stratum
+    rs = temperature_mixture_rates(
+        {"web": 100000, "tail": 30}, alpha=0.0, target_fraction=0.01
+    )
+    assert rs["tail"] == 1.0
+    assert abs(rs["web"] * 100000 + 30 - 0.01 * 100030) < 1e-6
+
+    rows = [(i, ["web", "books", "code"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    cnts = {r["source"]: r["count"] for r in df.groupBy("source").count().collect()}
+    rates = temperature_mixture_rates(cnts, alpha=0.3, target_fraction=0.4)
+    kept_df = deterministic_sample(df, "doc_id", rates, strata_col="source")
+    frac = kept_df.count() / 3000
+    assert abs(frac - 0.4) < 0.05  # hash acceptance ≈ expectation

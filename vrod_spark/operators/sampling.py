@@ -78,6 +78,48 @@ def stratified_split(
     return df.withColumn(out_col, label)
 
 
+def temperature_mixture_rates(
+    counts: dict[str, int], alpha: float = 0.3, *, target_fraction: float = 1.0
+) -> dict[str, float]:
+    """Temperature-scaled sampling rates (the multilingual/corpus
+    balancing rule of T5 / XLM-R: sample stratum s with probability
+    ∝ n_s^alpha): alpha=1 keeps natural proportions, alpha→0 approaches
+    uniform-over-strata — the standard fix for head domains drowning the
+    tail. Returns per-stratum ACCEPTANCE rates for
+    ``deterministic_sample(..., fraction=rates, strata_col=...)``, scaled
+    so the expected kept fraction of the whole corpus is
+    ``target_fraction`` (rates are capped at 1 — a stratum can't be
+    oversampled without replacement; the cap is re-normalized onto the
+    remaining strata, largest-gap first, so the global budget holds
+    whenever it is feasible). Driver-side arithmetic on a dict of
+    stratum counts — the counts come from one groupBy().count()."""
+    if not counts or target_fraction <= 0:
+        return {k: 0.0 for k in counts}
+    total = float(sum(counts.values()))
+    budget = target_fraction * total
+    weights = {k: float(n) ** alpha for k, n in counts.items() if n > 0}
+    rates: dict[str, float] = {k: 0.0 for k in counts}
+    live = dict(weights)
+    while live:
+        wsum = sum(live.values())
+        overflow = []
+        for k, w in live.items():
+            want = budget * w / wsum  # rows asked of stratum k
+            if want >= counts[k]:
+                overflow.append(k)
+        if not overflow:
+            for k, w in live.items():
+                rates[k] = (budget * w / wsum) / counts[k]
+            break
+        for k in overflow:  # saturated: keep everything, re-spread the rest
+            rates[k] = 1.0
+            budget -= counts[k]
+            del live[k]
+        if budget <= 0:
+            break
+    return rates
+
+
 def dsir_scores(
     df: DataFrame,
     is_target: Column,
