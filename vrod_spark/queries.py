@@ -2332,10 +2332,54 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
             float(round(recall_at_k(approx4, exact4, id_col="id"), 2)),
         )
 
+    def ivf_proj_leg():
+        # IVF with a JL-projected coarse quantizer (REINDEX project_dim):
+        # centroids live in 16-dim JL space, probes project the query,
+        # rescoring is exact full-dim; the O(delta) append must project
+        # per-row identically and stay findable.
+        eng5 = Engine.create(spark, tempfile.mkdtemp(), "ivfprojgate")
+        eng5.execute("CREATE", collection="emb")
+        eng5.execute("BULKINSERT", collection="emb", arg=records)
+        eng5.execute(
+            "REINDEX",
+            collection="emb",
+            arg={"kind": "ivf", "n_centroids": 32, "project_dim": 16},
+        )
+        col5 = eng5.db.collection("emb")
+        dim5 = int(col5.meta["dimension"])
+        delta5 = [-1.0 / (dim5 ** 0.5)] * dim5
+        eng5.execute(
+            "INSERT",
+            collection="emb",
+            arg=[{"id": 3_000_000, "embedding": delta5, "payload": "delta"}],
+        )
+        idx5 = col5.meta["index"]
+        hit5 = eng5.execute(
+            "SEARCHSIMILAR", collection="emb", arg={"vector": delta5, "k": 1}
+        ).df.first()
+        qv5 = [float(x) for x in col5.read().filter("id = 0").first()["embedding"]]
+        approx5 = eng5.execute(
+            "SEARCHSIMILAR", collection="emb", arg={"vector": qv5, "k": 10}
+        ).df
+        exact5 = knn_exact(col5.read(), qv5, 10, vec_col="embedding", id_col="id")
+        return (
+            "ivf_proj",
+            int(col5.read().count()),
+            len(idx5["histogram"]) if idx5 else 0,
+            (
+                f"{idx5['kind']}@jl{idx5.get('project_dim')}"
+                if idx5
+                else "INVALIDATED"
+            ),
+            bool(hit5 and hit5["id"] == 3_000_000),
+            float(round(recall_at_k(approx5, exact5, id_col="id"), 2)),
+        )
+
     # Independent scratch engines (separate tmpdirs) — build concurrently.
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    with ThreadPoolExecutor(max_workers=5) as pool:
         futures = [
-            pool.submit(leg) for leg in (lsh_leg, ivf_leg, pq_leg, ivfpq_leg)
+            pool.submit(leg)
+            for leg in (lsh_leg, ivf_leg, pq_leg, ivfpq_leg, ivf_proj_leg)
         ]
         rows = [f.result() for f in futures]
 
