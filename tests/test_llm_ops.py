@@ -3027,3 +3027,42 @@ def test_ppmi_svd_trained_embedder_semantics_and_pipeline(spark, tmp_path):
     out = embed_corpus(spark, corpus_path, limit=12, dim=8, embedder=embed)
     rows = out.collect()
     assert len(rows) == 12 and all(len(r["embedding"]) == 8 for r in rows)
+
+
+def test_train_embed_semantic_dedup_composition(spark):
+    """The full no-ML-deps curation pipeline: train PPMI+SVD on the
+    corpus → mean-pool document embeddings → SemDeDup. A shuffled-word
+    copy of a doc (bag-of-vectors invariant) lands at cosine ~1 and is
+    dropped; docs from a different topic survive."""
+    import pandas as pd
+
+    from vrod_spark.operators.cluster import kmeans_train, semantic_dedup
+    from vrod_spark.pipeline import embed_documents, train_ppmi_svd_embedder
+
+    fruit = "apple banana mango pear quince lychee".split()
+    metal = "iron copper zinc steel brass nickel".split()
+    rows = []
+    for i in range(12):
+        rows.append((i, " ".join(fruit[(i + j) % 6] for j in range(4))))
+        rows.append((100 + i, " ".join(metal[(i + j) % 6] for j in range(4))))
+    # planted near-dup: doc 0's words, shuffled
+    rows.append((999, " ".join(reversed(rows[0][1].split()))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    embedder, dim, backend = train_ppmi_svd_embedder(docs, dim=8, min_count=1)
+    assert backend == "ppmi-svd"
+    emb = embed_documents(docs, embedder, dim=dim)
+    assert emb.filter("size(embedding) != 8").count() == 0
+
+    cents = kmeans_train(emb.select("embedding"), 2, vec_col="embedding")
+    marked = semantic_dedup(
+        emb.select("doc_id", "embedding"),
+        cents,
+        vec_col="embedding",
+        id_col="doc_id",
+        min_cosine=0.999,
+    )
+    dropped = {r["id"] for r in marked.filter(~F.col("kept")).collect()}
+    assert 999 in dropped or 0 in dropped  # the shuffled copy collapses
+    # cross-topic docs never collapse into each other's cluster slot
+    assert not ({100 + i for i in range(12)} <= dropped)

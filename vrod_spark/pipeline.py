@@ -218,6 +218,58 @@ def train_ppmi_svd_embedder(
     return embed, dim, "ppmi-svd"
 
 
+def embed_documents(
+    docs: DataFrame,
+    embedder: Callable[[pd.Series], pd.Series],
+    *,
+    text_col: str = "text",
+    out_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Document embeddings by MEAN POOLING word vectors — the standard
+    bag-of-vectors sentence representation for count-based/word-level
+    models (and the fallback pooling of transformer embedders). Appends
+    ``out_col`` (ARRAY<FLOAT>, unit-normalized; empty docs → zero
+    vector). One Arrow stage; the embedder is any word-level
+    ``pd.Series[str] -> pd.Series[list[float]]`` (train_ppmi_svd_embedder,
+    deterministic_embedder, or a real model), captured by value so it
+    works from any session (no module pickling).
+
+    Composes the §2.2 pipeline upward: train_ppmi_svd_embedder →
+    embed_documents → cluster/semantic_dedup or knn — a full
+    train-embed-curate path with zero external ML dependencies."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _doc_fn(texts: pd.Series) -> pd.Series:
+        import numpy as np
+        import pandas as pd
+
+        out = []
+        for t in texts:
+            words = (t or "").split()
+            if not words:
+                out.append(None)
+                continue
+            vecs = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in embedder(pd.Series(words))]
+            )
+            m = vecs.mean(axis=0)
+            n = np.linalg.norm(m)
+            out.append((m / n if n else m).astype(np.float32).tolist())
+        # None placeholders become the zero vector at a width inferred
+        # from any real row (or `dim`).
+        width = dim
+        if width is None:
+            for v in out:
+                if v is not None:
+                    width = len(v)
+                    break
+        zero = [0.0] * (width or 0)
+        return pd.Series([v if v is not None else zero for v in out])
+
+    return docs.withColumn(out_col, pandas_udf(_doc_fn, "array<float>")(F.col(text_col)))
+
+
 def tokenize_corpus(spark: SparkSession, path: str, limit: int | None = None) -> DataFrame:
     """Stage 1+2: scan a text corpus, whitespace-tokenize order-preserving
     (posexplode keeps (line, position) so `limit` means "first N words of
