@@ -1539,3 +1539,56 @@ def test_search_similar_within_radius(engine):
         "SEARCHSIMILAR", collection="rng", arg={"vector": [3.0, 0.0], "within": 2.0}
     ).df.collect()
     assert [r["id"] for r in idx_hits] == [3, 2, 4, 1, 5]  # complete despite index
+
+
+def test_insert_on_conflict_modes(engine):
+    """INSERT on_conflict: error rejects id collisions (batch-internal or
+    vs the collection) without committing; ignore appends only novel ids;
+    replace upserts via a COW rewrite (and, like UPDATE, invalidates an
+    index); default append stays blind."""
+    engine.execute("CREATE", collection="oc")
+    base = [
+        {"id": 1, "embedding": [1.0], "payload": "one"},
+        {"id": 2, "embedding": [2.0], "payload": "two"},
+    ]
+    engine.execute("INSERT", collection="oc", arg=base)
+    col = engine.db.collection("oc")
+
+    with pytest.raises(CommandArgError, match="already in the collection"):
+        engine.execute(
+            "INSERT",
+            collection="oc",
+            arg={"rows": [{"id": 2, "embedding": [9.0], "payload": "dup"}],
+                 "on_conflict": "error"},
+        )
+    with pytest.raises(CommandArgError, match="within the batch"):
+        engine.execute(
+            "INSERT",
+            collection="oc",
+            arg={"rows": [{"id": 7, "embedding": [7.0], "payload": "a"},
+                          {"id": 7, "embedding": [7.0], "payload": "b"}],
+                 "on_conflict": "error"},
+        )
+    assert col.read().count() == 2  # nothing committed by the failures
+
+    res = engine.execute(
+        "INSERT",
+        collection="oc",
+        arg={"rows": [{"id": 2, "embedding": [9.0], "payload": "dup"},
+                      {"id": 3, "embedding": [3.0], "payload": "three"}],
+             "on_conflict": "ignore"},
+    )
+    assert res.info["skipped"] == 1
+    got = {r["id"]: r["payload"] for r in col.read().collect()}
+    assert got == {1: "one", 2: "two", 3: "three"}  # id 2 untouched
+
+    res = engine.execute(
+        "INSERT",
+        collection="oc",
+        arg={"rows": [{"id": 2, "embedding": [9.0], "payload": "TWO"},
+                      {"id": 4, "embedding": [4.0], "payload": "four"}],
+             "on_conflict": "replace"},
+    )
+    assert res.info["on_conflict"] == "replace"
+    got = {r["id"]: r["payload"] for r in col.read().collect()}
+    assert got == {1: "one", 2: "TWO", 3: "three", 4: "four"}

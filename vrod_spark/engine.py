@@ -193,8 +193,34 @@ class Engine:
 
     # -- DML ---------------------------------------------------------------
     def _insert(self, collection: str | None, arg: Any) -> CommandResult:
+        """INSERT (builder.rs:43-47). ``arg``: one record dict, a list of
+        them, a DataFrame, or ``{"rows": <any of those>, "on_conflict":
+        "append" (default) | "error" | "ignore" | "replace"}``.
+
+        The reference never specifies key semantics (types.rs:56-67 —
+        UPDATE/DELETE imply ids matter, INSERT says nothing), so the
+        engine makes all four standard behaviors explicit:
+        - append  — blind O(delta) hard-link append (the default; plain
+          appends commute, no corpus read);
+        - error   — reject the whole batch if any incoming id already
+          exists or repeats within the batch (one semi-join on id);
+        - ignore  — drop conflicting/repeated rows, append the rest
+          (INSERT IF NOT EXISTS);
+        - replace — upsert: existing rows with incoming ids are replaced
+          in a COW rewrite commit (O(corpus), invalidates indexes — the
+          same contract as UPDATE, because it IS one).
+        """
         col = self._require_collection(collection)
         arg = self._require_arg(arg, "record(s)")
+        on_conflict = "append"
+        if isinstance(arg, dict) and ("rows" in arg or "on_conflict" in arg):
+            on_conflict = str(arg.get("on_conflict", "append")).lower()
+            arg = self._require_arg(arg.get("rows"), "record(s)")
+        if on_conflict not in ("append", "error", "ignore", "replace"):
+            raise CommandArgError(
+                f"unknown on_conflict {on_conflict!r}; expected "
+                "append/error/ignore/replace"
+            )
         if isinstance(arg, DataFrame):
             df = arg
         else:
@@ -209,8 +235,39 @@ class Engine:
                 for r in rows
             ]
             df = self.spark.createDataFrame(rows, col.meta["schema"])
+
+        info: dict[str, Any] = {"collection": col.name}
+        if on_conflict != "append":
+            if df.filter(F.col("id").isNull()).limit(1).count():
+                raise CommandArgError(
+                    f"on_conflict={on_conflict!r} needs non-null ids"
+                )
+            existing = col.read().select("id")
+            if on_conflict == "error":
+                batch_dups = (
+                    df.groupBy("id").count().filter("count > 1").limit(1).count()
+                )
+                n_exist = df.join(existing, "id", "left_semi").limit(1).count()
+                if batch_dups or n_exist:
+                    raise CommandArgError(
+                        "INSERT on_conflict=error: conflicting id(s) "
+                        + ("within the batch" if batch_dups else "already in the collection")
+                    )
+            elif on_conflict == "ignore":
+                before = df.count()
+                df = df.dropDuplicates(["id"]).join(existing, "id", "left_anti")
+                info["skipped"] = before - df.count()
+            elif on_conflict == "replace":
+                survivors = col.read().join(
+                    df.select("id").distinct(), "id", "left_anti"
+                ).unionByName(df)
+                n = col._rewrite(survivors, "INSERT", {"on_conflict": "replace"})
+                info.update(rows=n, on_conflict="replace")
+                return CommandResult("INSERT", info=info)
+            info["on_conflict"] = on_conflict
         n = col.insert(df)
-        return CommandResult("INSERT", info={"collection": col.name, "rows": n})
+        info["rows"] = n
+        return CommandResult("INSERT", info=info)
 
     def _bulkinsert(self, collection: str | None, arg: Any) -> CommandResult:
         """BULKINSERT <src>: the canonical batch-ingest path
