@@ -1592,3 +1592,59 @@ def test_insert_on_conflict_modes(engine):
     assert res.info["on_conflict"] == "replace"
     got = {r["id"]: r["payload"] for r in col.read().collect()}
     assert got == {1: "one", 2: "TWO", 3: "three", 4: "four"}
+
+
+def test_search_version_time_travel(engine):
+    """SEARCH {"version": V}: query a past committed snapshot — deleted
+    rows are visible at the old version, absent at CURRENT."""
+    engine.execute("CREATE", collection="tt")
+    engine.execute(
+        "INSERT",
+        collection="tt",
+        arg=[{"id": i, "embedding": [float(i)], "payload": f"p{i}"} for i in range(6)],
+    )
+    col = engine.db.collection("tt")
+    v_before = col.version
+    engine.execute("DELETE", collection="tt", arg="id >= 3")
+
+    now = engine.execute("SEARCH", collection="tt", arg={"where": "true"}).df
+    assert [r["id"] for r in now.collect()] == [0, 1, 2]
+    past = engine.execute(
+        "SEARCH", collection="tt", arg={"where": "id >= 2", "version": v_before, "limit": 3}
+    ).df
+    assert [r["id"] for r in past.collect()] == [2, 3, 4]
+
+
+def test_search_similar_batch_vectors(engine):
+    """SEARCHSIMILAR {"vectors": [...]}: per-query top-k in ONE plan,
+    results tagged by query_idx, same per-query answers as the singular
+    form; dimension mismatch inside the batch is rejected."""
+    engine.execute("CREATE", collection="bat")
+    engine.execute(
+        "INSERT",
+        collection="bat",
+        arg=[{"id": i, "embedding": [float(i), 0.0], "payload": f"p{i}"} for i in range(12)],
+    )
+    res = engine.execute(
+        "SEARCHSIMILAR",
+        collection="bat",
+        arg={"vectors": [[0.0, 0.0], [11.0, 0.0]], "k": 3},
+    ).df.collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_idx"], []).append(r["id"])
+    assert by_q == {0: [0, 1, 2], 1: [11, 10, 9]}
+    for qi, vec in ((0, [0.0, 0.0]), (1, [11.0, 0.0])):
+        single = engine.execute(
+            "SEARCHSIMILAR", collection="bat", arg={"vector": vec, "k": 3}
+        ).df.collect()
+        assert [r["id"] for r in single] == by_q[qi]
+
+    from vrod_spark.errors import DimensionMismatchError
+
+    with pytest.raises(DimensionMismatchError):
+        engine.execute(
+            "SEARCHSIMILAR",
+            collection="bat",
+            arg={"vectors": [[0.0, 0.0], [1.0]], "k": 2},
+        )

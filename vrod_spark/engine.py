@@ -434,9 +434,15 @@ class Engine:
         spec = self._require_arg(arg, "search predicate")
         limit = None
         rank = None
+        version = None
         if isinstance(spec, dict):
             predicate, limit = spec.get("where", "true"), spec.get("limit")
             rank = spec.get("rank")
+            # Time travel: search a PAST committed snapshot (the COW
+            # version dirs are immutable, so this is just a different
+            # scan root — the audit/repro face of the snapshot lifecycle;
+            # TRUNCATEWAL GC bounds how far back it reaches).
+            version = spec.get("version")
         else:
             predicate = str(spec)
         if rank is not None:
@@ -451,7 +457,9 @@ class Engine:
             top_k = 10 if limit is None else int(limit)
             if top_k <= 0:
                 raise CommandArgError("rank mode needs limit >= 1")
-            base = col.read().filter(F.expr(predicate))
+            base = col.read(
+                version=int(version) if version is not None else None
+            ).filter(F.expr(predicate))
             ranked = bm25_rank(
                 base,
                 terms,
@@ -464,6 +472,13 @@ class Engine:
                 .select("id", "rank", "n_matched", "score", "payload")
                 .orderBy("rank")
             )
+            return CommandResult("SEARCH", df=df)
+        if version is not None:
+            # Past snapshots predate layout knowledge the pk-pruning path
+            # assumes is CURRENT — take the plain versioned read.
+            df = col.read(version=int(version)).filter(F.expr(predicate)).orderBy("id")
+            if limit is not None:
+                df = df.limit(int(limit))
             return CommandResult("SEARCH", df=df)
         pk_lit = col.partition_literal(predicate)
         if pk_lit is not None:
@@ -503,6 +518,35 @@ class Engine:
         per-query probe."""
         col = self._require_collection(collection)
         spec = self._require_arg(arg, "query vector")
+        if isinstance(spec, dict) and "vectors" in spec:
+            # Batch form: Q query vectors, one plan, per-query top-k
+            # (operators.knn.knn_batch). Exact path by design: the batch
+            # shape is the eval-harness use case where per-query bucket
+            # probing would run Q separate pruned scans anyway.
+            from vrod_spark.operators.knn import knn_batch
+
+            vectors = [[float(x) for x in v] for v in spec["vectors"]]
+            meta = col.meta
+            declared = meta.get("dimension")
+            for v in vectors:
+                if declared is not None and len(v) != declared:
+                    raise DimensionMismatchError(
+                        f"query vector dimension {len(v)} != collection "
+                        f"dimension {declared}"
+                    )
+            df = col.read()
+            if spec.get("where"):
+                df = df.filter(F.expr(spec["where"]))
+            result = knn_batch(
+                df,
+                vectors,
+                int(spec.get("k", 10)),
+                vec_col="embedding",
+                id_col="id",
+                metric=meta.get("metric", "l2"),
+                payload_cols=("payload",),
+            )
+            return CommandResult("SEARCHSIMILAR", df=result)
         tuning: dict[str, int] = {}
         within = None
         if isinstance(spec, str):

@@ -110,3 +110,46 @@ def range_search(
         .orderBy(F.col(dist_alias).asc(), F.col(id_col).asc())
     )
     return scored.limit(int(limit)) if limit is not None else scored
+
+
+def knn_batch(
+    df: DataFrame,
+    query_vectors: Sequence[Sequence[float]],
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    metric: str = "l2",
+    payload_cols: Sequence[str] = (),
+    dist_alias: str = "dist",
+) -> DataFrame:
+    """Per-query top-k for a BATCH of query vectors as ONE plan — the
+    evaluation-harness shape (score a probe set against the corpus in a
+    single job instead of Q sequential jobs, each paying scan + plan
+    latency). The Q×dim query matrix broadcasts; every row is scored
+    against each query with the same codegen'd distance expression as
+    knn_exact; per-query top-k is a window over query_idx (one shuffle
+    keyed by query index — the knn_per_group pattern).
+
+    Returns (query_idx, id, *payload_cols, dist), ordered by
+    (query_idx, dist, id)."""
+    spark = df.sparkSession
+    qdf = F.broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(query_vectors)],
+            "query_idx int, _q array<double>",
+        )
+    )
+    dist = _distance(metric, vec_col, F.col("_q"))
+    scored = df.crossJoin(qdf).select(
+        "query_idx", id_col, *payload_cols, dist.alias(dist_alias)
+    )
+    w = Window.partitionBy("query_idx").orderBy(
+        F.col(dist_alias).asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("query_idx", dist_alias, id_col)
+    )
