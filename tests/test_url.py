@@ -305,3 +305,31 @@ def test_url_plan_is_pure_codegen(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "mapInPandas" not in plan.lower()
+
+
+def test_search_facet_counts(spark, tmp_path):
+    """SEARCH {"facet": key}: value counts of a meta key over the
+    filtered rows, descending; rows without the key count under NULL."""
+    from vrod_spark.engine import Engine
+
+    eng = Engine.create(spark, str(tmp_path), "facetdb")
+    eng.execute("CREATE", collection="docs")
+    rows = [
+        {"id": i, "embedding": [1.0], "payload": f"p{i}",
+         "meta": ({"kind": "web"} if i % 3 else {"kind": "book"})}
+        for i in range(9)
+    ] + [{"id": 99, "embedding": [1.0], "payload": "x", "meta": {}}]
+    eng.execute("INSERT", collection="docs", arg=rows)
+
+    res = eng.execute(
+        "SEARCH", collection="docs", arg={"where": "true", "facet": "kind"}
+    ).df.collect()
+    got = {r["value"]: r["n"] for r in res}
+    assert got == {"web": 6, "book": 3, None: 1}
+    assert res[0]["value"] == "web"  # descending count order
+
+    filtered = eng.execute(
+        "SEARCH", collection="docs",
+        arg={"where": "id < 3", "facet": "kind", "limit": 1},
+    ).df.collect()
+    assert len(filtered) == 1 and filtered[0]["value"] == "web" and filtered[0]["n"] == 2

@@ -435,6 +435,7 @@ class Engine:
         limit = None
         rank = None
         version = None
+        facet = None
         if isinstance(spec, dict):
             predicate, limit = spec.get("where", "true"), spec.get("limit")
             rank = spec.get("rank")
@@ -443,8 +444,26 @@ class Engine:
             # scan root — the audit/repro face of the snapshot lifecycle;
             # TRUNCATEWAL GC bounds how far back it reaches).
             version = spec.get("version")
+            facet = spec.get("facet")
         else:
             predicate = str(spec)
+        if facet is not None:
+            # Faceting: value counts of a meta key over the filtered rows
+            # (the search-engine aggregation face of SEARCH) — one
+            # map-side-combined groupBy on a low-cardinality key.
+            base = col.read(
+                version=int(version) if version is not None else None
+            ).filter(F.expr(predicate))
+            out = (
+                base.groupBy(
+                    F.element_at(F.col("meta"), F.lit(str(facet))).alias("value")
+                )
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.col("n").desc(), "value")
+            )
+            if limit is not None:
+                out = out.limit(int(limit))
+            return CommandResult("SEARCH", df=out)
         if rank is not None:
             from vrod_spark.operators.retrieval import bm25_rank
 
