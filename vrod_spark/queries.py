@@ -1801,7 +1801,38 @@ def q32_python_pipelines(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("metric"),
     ).select(F.lit("bpe").alias("stage"), F.lit("corpus").alias("key"), "n", "metric")
-    return embed_stats.unionByName(mm_stats).unionByName(bpe_stats).orderBy("stage", "key")
+
+    # PPMI-SVD leg: the TRAINED embedder rung (pipeline.train_ppmi_svd_
+    # embedder) executes through the same Arrow embed stage —
+    # SELF-VERIFYING: `metric` is the fraction of mean-pooled document
+    # embeddings that are unit-norm within 1e-3 (must be 1.0 — empty docs
+    # aside, and the fixture has none in the slice), `n` the vector
+    # count; training determinism is pinned by pytest.
+    from vrod_spark.pipeline import embed_documents, train_ppmi_svd_embedder
+
+    ppmi_slice = docs.filter(F.col("doc_id") % 11 == 0).select("doc_id", "text")
+    embedder, pdim, backend = train_ppmi_svd_embedder(
+        ppmi_slice, dim=16, min_count=1, max_vocab=500
+    )
+    pooled = embed_documents(ppmi_slice, embedder, dim=pdim)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+    )
+    ppmi_stats = pooled.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg((F.abs(norm - 1.0) < 1e-3).cast("double")), 6).alias("metric"),
+    ).select(F.lit("ppmi").alias("stage"), F.lit(backend).alias("key"), "n", "metric")
+
+    return (
+        embed_stats.unionByName(mm_stats)
+        .unionByName(bpe_stats)
+        .unionByName(ppmi_stats)
+        .orderBy("stage", "key")
+    )
 
 
 # ---------------------------------------------------------------------------
