@@ -3066,3 +3066,48 @@ def test_train_embed_semantic_dedup_composition(spark):
     assert 999 in dropped or 0 in dropped  # the shuffled copy collapses
     # cross-topic docs never collapse into each other's cluster slot
     assert not ({100 + i for i in range(12)} <= dropped)
+
+
+def test_decontaminate_spans_cuts_eval_overlap(spark):
+    """decontaminate_spans: a train doc embedding an eval passage loses
+    exactly that span (n_cut_tokens == passage length when maximal);
+    clean docs are untouched; eval-internal duplication is irrelevant;
+    a second pass is a no-op (idempotent)."""
+    from vrod_spark.operators.dedup import (
+        contaminated_span_arrays,
+        decontaminate_spans,
+    )
+
+    passage = " ".join(f"ev{i}" for i in range(13))  # one exact 13-gram
+    train = spark.createDataFrame(
+        [
+            (1, "aaa bbb " + passage + " ccc ddd"),
+            (2, "clean document with entirely original words here okay"),
+            (3, passage),  # the whole doc is the eval passage
+        ],
+        "doc_id long, text string",
+    )
+    evald = spark.createDataFrame(
+        [(100, "intro words " + passage + " outro words")],
+        "doc_id long, text string",
+    )
+
+    spans = {
+        r["doc_id"]: r["spans"]
+        for r in contaminated_span_arrays(train, evald, min_tokens=13).collect()
+    }
+    assert set(spans) == {1, 3}
+    assert spans[1][0]["span_start"] == 2 and spans[1][0]["n_tokens"] == 13
+
+    out = decontaminate_spans(train, evald, min_tokens=13)
+    got = {r["doc_id"]: (r["text"], r["n_cut_tokens"]) for r in out.collect()}
+    assert got[1] == ("aaa bbb ccc ddd", 13)
+    assert got[2][1] == 0 and got[2][0].startswith("clean document")
+    assert got[3] == ("", 13)
+
+    again = decontaminate_spans(
+        out.select("doc_id", "text"), evald, min_tokens=13
+    )
+    assert {r["doc_id"]: r["n_cut_tokens"] for r in again.collect()} == {
+        1: 0, 2: 0, 3: 0,
+    }

@@ -1115,19 +1115,7 @@ def duplicate_span_arrays(
     k = int(min_tokens)
     if k < 2:
         raise ValueError("min_tokens must be >= 2 (1 would flag every repeated word)")
-    toked = df.select(
-        F.col(id_col).alias("id"), tokens(text_col).alias("toks")
-    ).filter(F.size("toks") >= k)
-    wtok = Window.partitionBy("id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(wtok) for i in range(1, k)]
-    grams = (
-        toked.select(
-            "id", F.size("toks").alias("n"), F.posexplode("toks").alias("pos", "tok")
-        )
-        .withColumn("g", F.md5(F.concat_ws(" ", *parts)))
-        .filter(F.col("pos") <= F.col("n") - k)
-        .select("id", "n", "pos", "g")
-    )
+    grams = _gram_stream(df, text_col=text_col, id_col=id_col, k=k)
     # Dup-gram test as a partial-aggregable groupBy + broadcast semi-join,
     # NOT a window over g: Window.partitionBy("g") puts ALL occurrences of
     # a hot gram in ONE task — at 100 TB a boilerplate gram appearing in
@@ -1153,6 +1141,34 @@ def duplicate_span_arrays(
     elif mark_join != "shuffle":
         raise ValueError(f"mark_join must be 'broadcast' or 'shuffle', got {mark_join!r}")
     marked = grams.join(dup_g, "g", "semi")
+    return _spans_from_marked(marked, k=k, id_col=id_col)
+
+
+def _gram_stream(
+    df: DataFrame, *, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Step 1 of the span machinery: per-position k-gram md5 keys as a
+    (id, n, pos, g) stream — lead-window construction, pure codegen, the
+    gram TEXT never leaves the projection (16-byte keys shuffle)."""
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("toks")
+    ).filter(F.size("toks") >= k)
+    wtok = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(wtok) for i in range(1, k)]
+    return (
+        toked.select(
+            "id", F.size("toks").alias("n"), F.posexplode("toks").alias("pos", "tok")
+        )
+        .withColumn("g", F.md5(F.concat_ws(" ", *parts)))
+        .filter(F.col("pos") <= F.col("n") - k)
+        .select("id", "n", "pos", "g")
+    )
+
+
+def _spans_from_marked(marked: DataFrame, *, k: int, id_col: str) -> DataFrame:
+    """Step 3: collect each document's marked gram positions and merge
+    them into maximal (span_start, span_end, n_tokens) intervals with
+    in-array passes (see duplicate_span_arrays' contract notes)."""
     perdoc = marked.groupBy("id").agg(
         F.first("n").alias("doc_tokens"),
         F.sort_array(F.collect_list("pos")).alias("ps"),
@@ -1239,7 +1255,17 @@ def remove_duplicate_spans(
         min_tokens=min_tokens,
         scope=scope,
         mark_join=mark_join,
-    ).select(
+    )
+    return _apply_span_cuts(df, per_doc, text_col=text_col, id_col=id_col)
+
+
+def _apply_span_cuts(
+    df: DataFrame, per_doc: DataFrame, *, text_col: str, id_col: str
+) -> DataFrame:
+    """Apply phase shared by span REMOVAL consumers: join the
+    (id, doc_tokens, spans) arrays back and drop tokens by position with
+    higher-order array expressions (see remove_duplicate_spans' notes)."""
+    per_doc = per_doc.select(
         id_col,
         F.col("spans").alias("__spans"),
         F.aggregate(
@@ -1272,3 +1298,75 @@ def remove_duplicate_spans(
     return joined.select(
         *out_cols, F.coalesce(F.col("__cut"), F.lit(0)).cast("bigint").alias("n_cut_tokens")
     )
+
+
+def contaminated_span_arrays(
+    df: DataFrame,
+    eval_df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    min_tokens: int = 13,
+    mark_join: str = "broadcast",
+) -> DataFrame:
+    """Training-set spans whose every ``min_tokens``-gram also occurs in
+    the EVAL corpus — the span-level face of benchmark decontamination
+    (the GPT-3 appendix-C / PaLM practice: scrub 13-gram overlaps with
+    evaluation sets from the training data, rather than dropping whole
+    documents). Same machinery as duplicate_span_arrays, with the
+    dup-gram set replaced by the eval corpus's DISTINCT gram keys:
+
+    1. the train side builds its positional gram stream once
+       (_gram_stream — lead-window md5 keys, codegen);
+    2. the eval side contributes only ``distinct(md5 gram)`` — 16-byte
+       keys, one map-side-combined distinct, broadcast by default
+       (eval sets are small by definition; ``mark_join="shuffle"`` when
+       they are not);
+    3. marked positions merge into maximal intervals in-array.
+
+    Returns (id_col, doc_tokens, spans) rows for contaminated train
+    documents only. Default ``min_tokens=13`` is the published GPT-3
+    setting."""
+    k = int(min_tokens)
+    if k < 2:
+        raise ValueError("min_tokens must be >= 2")
+    grams = _gram_stream(df, text_col=text_col, id_col=id_col, k=k)
+    eval_g = (
+        _gram_stream(eval_df, text_col=eval_text_col, id_col=id_col, k=k)
+        .select("g")
+        .distinct()
+    )
+    if mark_join == "broadcast":
+        eval_g = F.broadcast(eval_g)
+    elif mark_join != "shuffle":
+        raise ValueError(f"mark_join must be 'broadcast' or 'shuffle', got {mark_join!r}")
+    marked = grams.join(eval_g, "g", "semi")
+    return _spans_from_marked(marked, k=k, id_col=id_col)
+
+
+def decontaminate_spans(
+    df: DataFrame,
+    eval_df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    min_tokens: int = 13,
+    mark_join: str = "broadcast",
+) -> DataFrame:
+    """Cut every :func:`contaminated_span_arrays` range out of the
+    training text — returns the input schema with ``text_col`` rewritten
+    plus ``n_cut_tokens``. Idempotent: a second pass against the same
+    eval set finds nothing (the k-grams that remain each straddle a cut
+    boundary and no longer occur in eval)."""
+    per_doc = contaminated_span_arrays(
+        df,
+        eval_df,
+        text_col=text_col,
+        id_col=id_col,
+        eval_text_col=eval_text_col,
+        min_tokens=min_tokens,
+        mark_join=mark_join,
+    )
+    return _apply_span_cuts(df, per_doc, text_col=text_col, id_col=id_col)

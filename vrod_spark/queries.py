@@ -2799,6 +2799,32 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dspan GROUP BY doc_id
       ORDER BY frac DESC, doc_id
       LIMIT 20
+    ),
+    ekeep AS (SELECT DISTINCT g FROM dgu WHERE doc_id < 20),
+    cbrk AS (
+      SELECT doc_id, n_toks, pos,
+             CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                       OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM dgu WHERE doc_id >= 20 AND g IN (SELECT g FROM ekeep)
+    ),
+    cgrp AS (
+      SELECT doc_id, n_toks, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM cbrk
+    ),
+    cspan AS (
+      SELECT doc_id, n_toks, min(pos) AS p0, max(pos) AS p1
+      FROM cgrp GROUP BY doc_id, n_toks, grp
+    ),
+    cper AS (
+      SELECT doc_id,
+             count(*)::BIGINT AS n_spans,
+             sum(p1 - p0 + 8)::BIGINT AS cut_toks,
+             round(sum(p1 - p0 + 8)::DOUBLE / any_value(n_toks), 6) AS frac
+      FROM cspan GROUP BY doc_id
+      ORDER BY frac DESC, doc_id
+      LIMIT 20
     )
     SELECT 'repetition' AS metric, doc_id,
            n_shingles AS v1, n_distinct AS v2, rep_ratio AS v3 FROM rep
@@ -2812,6 +2838,10 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'dup_spans' AS metric, doc_id, n_spans AS v1, dup_toks AS v2,
            frac AS v3
     FROM dper
+    UNION ALL
+    SELECT 'decon_spans' AS metric, doc_id, n_spans AS v1, cut_toks AS v2,
+           frac AS v3
+    FROM cper
     ORDER BY metric, doc_id, v1
     """,
 )
@@ -2907,10 +2937,37 @@ def q49_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("v3").desc(), "doc_id")
         .limit(20)
     )
+    # decon_spans — eval decontamination at the SPAN level
+    # (operators/dedup.contaminated_span_arrays, the GPT-3/PaLM 13-gram
+    # scrub at this gate's k=8): training docs (doc_id >= 20) whose
+    # 8-grams also occur in the eval slice (doc_id < 20); per
+    # contaminated doc the span count, cut-token total (== what
+    # decontaminate_spans removes — pinned by the removal pytest), and
+    # cut fraction.
+    from vrod_spark.operators.dedup import contaminated_span_arrays
+
+    cut_toks = F.aggregate("spans", F.lit(0), lambda a, s: a + s["n_tokens"])
+    decon = (
+        contaminated_span_arrays(
+            docs.filter(F.col("doc_id") >= 20).select("doc_id", "text"),
+            docs.filter(F.col("doc_id") < 20).select("doc_id", "text"),
+            min_tokens=8,
+        )
+        .select(
+            F.lit("decon_spans").alias("metric"),
+            "doc_id",
+            F.size("spans").cast("bigint").alias("v1"),
+            cut_toks.cast("bigint").alias("v2"),
+            F.round(cut_toks / F.col("doc_tokens"), 6).alias("v3"),
+        )
+        .orderBy(F.col("v3").desc(), "doc_id")
+        .limit(20)
+    )
     return (
         rep.unionByName(win)
         .unionByName(wpairs)
         .unionByName(dspans)
+        .unionByName(decon)
         .orderBy("metric", "doc_id", "v1")
     )
 
