@@ -1648,3 +1648,55 @@ def test_search_similar_batch_vectors(engine):
             collection="bat",
             arg={"vectors": [[0.0, 0.0], [1.0]], "k": 2},
         )
+
+
+def test_dedup_verb_decontaminate_strategy(engine):
+    """DEDUP {"strategy": "decontaminate", "against": evalcol}: spans of
+    the train collection's payloads whose k-grams occur in the eval
+    collection are cut in a COW commit; dry_run reports the ranges; a
+    missing `against` errors; since_version is rejected (text rewrite
+    breaks monotonicity)."""
+    passage = " ".join(f"ev{i}" for i in range(13))
+    engine.execute("CREATE", collection="train")
+    engine.execute("CREATE", collection="evalset")
+    engine.execute(
+        "INSERT",
+        collection="evalset",
+        arg=[{"id": 1, "embedding": [1.0], "payload": f"before {passage} after"}],
+    )
+    engine.execute(
+        "INSERT",
+        collection="train",
+        arg=[
+            {"id": 1, "embedding": [1.0], "payload": f"aaa bbb {passage} ccc"},
+            {"id": 2, "embedding": [1.0], "payload": "totally clean text here"},
+        ],
+    )
+
+    with pytest.raises(CommandArgError, match="against"):
+        engine.execute("DEDUP", collection="train", arg={"strategy": "decontaminate"})
+    with pytest.raises(CommandArgError, match="since_version"):
+        engine.execute(
+            "DEDUP",
+            collection="train",
+            arg={"strategy": "decontaminate", "against": "evalset", "since_version": 1},
+        )
+
+    dry = engine.execute(
+        "DEDUP",
+        collection="train",
+        arg={"strategy": "decontaminate", "against": "evalset", "dry_run": True},
+    )
+    spans = dry.df.collect()
+    assert len(spans) == 1 and spans[0]["id"] == 1 and spans[0]["n_tokens"] == 13
+    col = engine.db.collection("train")
+    assert "ev0" in col.read().filter("id = 1").first()["payload"]  # no rewrite
+
+    info = engine.execute(
+        "DEDUP",
+        collection="train",
+        arg={"strategy": "decontaminate", "against": "evalset"},
+    ).info
+    assert info["n_cut_tokens"] == 13 and info["against"] == "evalset"
+    got = {r["id"]: r["payload"] for r in col.read().collect()}
+    assert got[1] == "aaa bbb ccc" and got[2] == "totally clean text here"

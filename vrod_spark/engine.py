@@ -645,9 +645,13 @@ class Engine:
 
         ``arg``: {"strategy": "exact" (default) | "url" | "minhash"
                   | "simhash" | "embedding" | "semdedup" | "winnow"
-                  | "spans",
+                  | "spans" | "decontaminate",
                   "url_key": "url" — meta key holding the record's URL
                   (strategy "url" only),
+                  "against": "<collection>" — the eval-set collection a
+                  "decontaminate" run scrubs k-gram overlaps with
+                  ("eval_column" selects its text column, default
+                  payload; min_tokens defaults to the published 13),
                   "dry_run": False — when True, NO rewrite happens: the
                   result DataFrame reports the ids that would be removed
                   (for "spans": the (id, span_start, span_end, n_tokens)
@@ -727,10 +731,12 @@ class Engine:
         since_version = opts.get("since_version")
         established = None  # native-id DataFrame of immutable rows
         if since_version is not None:
-            if strategy in ("semdedup", "spans"):
+            if strategy in ("semdedup", "spans", "decontaminate"):
                 raise CommandArgError(
                     f"since_version is not supported for strategy "
-                    f"{strategy!r}: its decisions are corpus-global"
+                    f"{strategy!r}: its decisions are corpus-global "
+                    "(text rewriting breaks the established-rows-never-"
+                    "change contract)"
                 )
             established = col.read(version=int(since_version)).select("id")
 
@@ -758,7 +764,7 @@ class Engine:
         # type through its applyInPandas schema — none needs (or uses)
         # the hash mapping, so don't pay the collision-check jobs for them.
         hashed_ids = (
-            strategy not in ("exact", "url", "semdedup", "spans")
+            strategy not in ("exact", "url", "semdedup", "spans", "decontaminate")
             and df.schema["id"].dataType.simpleString() not in integral
         )
         if hashed_ids:
@@ -956,6 +962,50 @@ class Engine:
                 },
             )
 
+        if strategy == "decontaminate":
+            from vrod_spark.operators.dedup import (
+                contaminated_span_arrays,
+                decontaminate_spans,
+            )
+
+            against = opts.get("against")
+            if not against:
+                raise CommandArgError(
+                    'strategy "decontaminate" needs {"against": "<collection '
+                    "holding the eval set>\"}"
+                )
+            eval_df = self._require_collection(str(against)).read()
+            kw = dict(
+                text_col=text_col,
+                id_col="id",
+                eval_text_col=opts.get("eval_column", "payload"),
+                min_tokens=int(opts.get("min_tokens", 13)),
+                mark_join=opts.get("mark_join", "broadcast"),
+            )
+            if dry_run:
+                report = (
+                    contaminated_span_arrays(df, eval_df, **kw)
+                    .select("id", F.explode("spans").alias("s"))
+                    .select("id", "s.span_start", "s.span_end", "s.n_tokens")
+                    .orderBy("id", "span_start")
+                )
+                return dry_result(report, {"against": str(against)})
+            rewritten = decontaminate_spans(df, eval_df, **kw)
+            n_cut = rewritten.agg(F.sum("n_cut_tokens")).first()[0] or 0
+            survivors = rewritten.drop("n_cut_tokens")
+            n_after = col._rewrite(survivors, "DEDUP", {"strategy": strategy})
+            return CommandResult(
+                "DEDUP",
+                info={
+                    "collection": col.name,
+                    "strategy": strategy,
+                    "against": str(against),
+                    "removed": before - n_after,
+                    "n_cut_tokens": int(n_cut),
+                    "rows": n_after,
+                },
+            )
+
         # Incremental: delta ids in the work-id space. minhash/embedding
         # take them INSIDE candidate generation (pair expansion becomes
         # O(delta x bucket), not O(bucket²)); simhash/winnow get a
@@ -1014,7 +1064,8 @@ class Engine:
         else:
             raise CommandArgError(
                 f"unknown dedup strategy {strategy!r}; expected "
-                "exact/url/minhash/simhash/embedding/semdedup/winnow/spans"
+                "exact/url/minhash/simhash/embedding/semdedup/winnow/"
+                "spans/decontaminate"
             )
 
         # Keep-first, transitively: close the verified pairs into
