@@ -67,6 +67,16 @@ def get_spark(
         # single host; on a cluster the sockets are per-executor-local
         # anyway.
         .config("spark.python.unix.domain.socket.enabled", "true")
+        # JVM unified logging defaults to STDOUT (-Xlog:all=warning:stdout),
+        # so a GC warning under memory pressure (observed: "Retried waiting
+        # for GCLocker too often") lands BETWEEN bench.py's JSON lines and
+        # corrupts any stdout-JSON consumer. Route JVM warnings to stderr;
+        # only effective for sessions that launch the JVM (i.e. always in
+        # practice — the factory is the engine's entry point).
+        .config(
+            "spark.driver.defaultJavaOptions",
+            "-Xlog:all=warning:stderr:uptime,level,tags",
+        )
         # Quiet UI/retries for non-interactive runs.
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
