@@ -278,3 +278,36 @@ def test_minhash_signature_expr_matches_agg_form(spark, sf_dir):
     assert len(agg) > 5
     for doc_id, sig in agg.items():
         assert expr[doc_id] == sig, doc_id
+
+
+def test_stream_url_dedup_batch_equivalence(spark, tmp_path):
+    """url_dedup_stream under availableNow keeps exactly one row per
+    normalized URL (first arrival) plus every malformed-URL row — the
+    batch DEDUP strategy "url" contract on the streaming path."""
+    import os
+
+    from vrod_spark.streaming.ingest import run_to_completion, url_dedup_stream
+
+    rows = [
+        (1, "2024-01-01 00:00:01", "http://Example.com/a?utm_source=x"),
+        (2, "2024-01-01 00:00:02", "http://example.com/a"),      # refetch
+        (3, "2024-01-01 00:00:03", "http://example.com/a#frag"), # refetch
+        (4, "2024-01-01 00:00:04", "http://example.com/b"),
+        (5, "2024-01-01 00:00:05", "junk"),
+        (6, "2024-01-01 00:00:06", "junk"),  # same junk — must survive
+    ]
+    src_dir = str(tmp_path / "pages")
+    spark.createDataFrame(
+        rows, "id long, ts_s string, url string"
+    ).select(
+        "id", F.col("ts_s").cast("timestamp").alias("ts"), "url"
+    ).coalesce(1).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("id long, ts timestamp, url string")
+        .parquet(src_dir)
+    )
+    out = run_to_completion(
+        url_dedup_stream(stream).select("id"), output_mode="append"
+    )
+    assert sorted(r["id"] for r in out.collect()) == [1, 4, 5, 6]

@@ -188,6 +188,36 @@ def dedup_stream(events: DataFrame) -> DataFrame:
     return events.withWatermark("ts_evt", "1 hour").dropDuplicates(["event_id"])
 
 
+def url_dedup_stream(
+    pages: DataFrame,
+    *,
+    url_col: str = "url",
+    id_col: str = "id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Crawl-ingest hygiene on the STREAMING path: drop refetches of the
+    same logical page as they arrive, keyed by the normalized URL
+    (functions/url.url_normalize — case/port/fragment/tracking-param/
+    trailing-slash canonicalization, same spec as the batch
+    DEDUP strategy "url"). State is one 16-byte digest per distinct page
+    within the watermark horizon — dropDuplicates state, evicted as event
+    time passes; rows whose URL fails to normalize fall back to a key
+    derived from ``id_col``, so malformed URLs are never silently fused
+    (the batch rule's NULL-keys-all-survive contract). First occurrence
+    wins (arrival order), the streaming analog of keep-first-by-id."""
+    from vrod_spark.functions.url import url_normalize
+
+    key = F.md5(url_normalize(F.col(url_col)))
+    fallback = F.concat(F.lit("\x00"), F.col(id_col).cast("string"))
+    return (
+        pages.withColumn("__uk", F.coalesce(key, fallback))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicates(["__uk"])
+        .drop("__uk")
+    )
+
+
 def stream_ingest_into_collection(
     collection, src_stream: DataFrame, *, checkpoint_dir: str | None = None
 ):
