@@ -1700,3 +1700,14 @@ def test_dedup_verb_decontaminate_strategy(engine):
     assert info["n_cut_tokens"] == 13 and info["against"] == "evalset"
     got = {r["id"]: r["payload"] for r in col.read().collect()}
     assert got[1] == "aaa bbb ccc" and got[2] == "totally clean text here"
+
+
+def test_reindex_ivfpq_rejects_project_dim(engine, spark, sf_dir):
+    engine.execute("CREATE", collection="nopd")
+    engine.execute("BULKINSERT", collection="nopd", arg=records_df(spark, sf_dir))
+    with pytest.raises(CommandArgError, match="project_dim"):
+        engine.execute(
+            "REINDEX",
+            collection="nopd",
+            arg={"kind": "ivfpq", "project_dim": 16},
+        )

@@ -585,11 +585,20 @@ def reindex_ivfpq(
     seed: int = 42,
     residual: bool = True,
     opq: bool = False,
+    project_dim: int | None = None,
 ) -> dict:
     """REINDEX {"kind": "ivfpq"}: the standard 100 TB ANN pairing as a
     collection layout — IVF centroid bucketing (``bucket=`` partition
     dirs → partition-pruned probes) × PQ codes (m-byte ADC scan inside
     the probed buckets). One rewrite produces both.
+
+    ``project_dim`` is REJECTED here (accepted only so the verb surface
+    gives a real error instead of a TypeError): IVFADC's residual
+    encoding quantizes ``x - centroid[bucket]``, which requires the
+    coarse centroids to live in the FULL vector space — a JL-projected
+    coarse quantizer (kind "ivf" supports it) has no full-dim centroid
+    to subtract. Use ``{"kind": "ivf", "project_dim": d}`` for projected
+    bucketing, or ivfpq without projection.
 
     ``residual=True`` (default — the IVFADC design of Jégou et al.)
     quantizes ``x - centroid[bucket]``: the codebook models only the
@@ -601,6 +610,14 @@ def reindex_ivfpq(
 
     from vrod_spark.operators.ivf import _spherical_kmeans, ivf_assign_expr
 
+    if project_dim is not None:
+        from vrod_spark.errors import CommandArgError
+
+        raise CommandArgError(
+            "ivfpq does not support project_dim: residual (IVFADC) codes "
+            "need full-dimension coarse centroids; use kind 'ivf' with "
+            "project_dim, or ivfpq without it"
+        )
     meta = collection.meta
     if meta.get("dimension") is None:
         collection.update_meta(index=None)
