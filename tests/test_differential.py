@@ -450,7 +450,7 @@ _URL_NORM_SQL = r"""
              '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), '^[^@]*@', '') AS nouser,
            regexp_extract(trim(u),
              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS rawpath,
-           regexp_extract(trim(u), '\?([^#]*)', 1) AS q
+           regexp_extract(regexp_replace(trim(u), '#.*', ''), '\?(.*)', 1) AS q
     FROM urls_tbl
   )
 """

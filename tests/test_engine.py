@@ -1582,6 +1582,15 @@ def test_insert_on_conflict_modes(engine):
     got = {r["id"]: r["payload"] for r in col.read().collect()}
     assert got == {1: "one", 2: "two", 3: "three"}  # id 2 untouched
 
+    with pytest.raises(CommandArgError, match="one row per id"):
+        engine.execute(
+            "INSERT",
+            collection="oc",
+            arg={"rows": [{"id": 8, "embedding": [8.0], "payload": "a"},
+                          {"id": 8, "embedding": [8.0], "payload": "b"}],
+                 "on_conflict": "replace"},
+        )
+
     res = engine.execute(
         "INSERT",
         collection="oc",

@@ -26,6 +26,7 @@ NORM_CASES = [
     ("https://example.com:8443/x", "https://example.com:8443/x"),  # non-default port kept
     ("http://example.com", "http://example.com/"),  # empty path -> '/'
     ("http://example.com/x#frag", "http://example.com/x"),  # fragment
+    ("http://example.com/a#x?b=1", "http://example.com/a"),  # '?' INSIDE fragment is not a query
     ("http://example.com/x?b=2&a=1", "http://example.com/x?a=1&b=2"),  # param sort
     (
         "http://example.com/x?utm_source=tw&a=1&fbclid=abc&gclid=1&msclkid=2&ref=hn",

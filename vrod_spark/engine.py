@@ -213,7 +213,10 @@ class Engine:
         col = self._require_collection(collection)
         arg = self._require_arg(arg, "record(s)")
         on_conflict = "append"
-        if isinstance(arg, dict) and ("rows" in arg or "on_conflict" in arg):
+        # The envelope is keyed on "on_conflict" ALONE: a record dict is
+        # allowed to have a user column named "rows", and sniffing on it
+        # would misparse that record as an envelope.
+        if isinstance(arg, dict) and "on_conflict" in arg:
             on_conflict = str(arg.get("on_conflict", "append")).lower()
             arg = self._require_arg(arg.get("rows"), "record(s)")
         if on_conflict not in ("append", "error", "ignore", "replace"):
@@ -258,6 +261,14 @@ class Engine:
                 df = df.dropDuplicates(["id"]).join(existing, "id", "left_anti")
                 info["skipped"] = before - df.count()
             elif on_conflict == "replace":
+                # An upsert batch with a repeated id is ambiguous (which
+                # row wins?) and would persist DUPLICATE ids — reject it
+                # loudly, matching the error mode's batch check.
+                if df.groupBy("id").count().filter("count > 1").limit(1).count():
+                    raise CommandArgError(
+                        "INSERT on_conflict=replace: the batch repeats an "
+                        "id; an upsert needs one row per id"
+                    )
                 survivors = col.read().join(
                     df.select("id").distinct(), "id", "left_anti"
                 ).unionByName(df)
@@ -407,6 +418,11 @@ class Engine:
                 f"EXPLAIN supports read commands {sorted(readonly)}, got {verb!r}"
             )
         mode = str(spec.get("mode", "formatted"))
+        modes = ("simple", "extended", "codegen", "cost", "formatted")
+        if mode not in modes:
+            raise CommandArgError(
+                f"unknown explain mode {mode!r}; expected one of {modes}"
+            )
         inner = readonly[verb](collection, spec.get("arg"))
         return CommandResult(
             "EXPLAIN",
@@ -448,6 +464,11 @@ class Engine:
         else:
             predicate = str(spec)
         if facet is not None:
+            if rank is not None:
+                raise CommandArgError(
+                    "SEARCH cannot combine 'facet' and 'rank': faceting "
+                    "aggregates the filtered rows, ranking returns them"
+                )
             # Faceting: value counts of a meta key over the filtered rows
             # (the search-engine aggregation face of SEARCH) — one
             # map-side-combined groupBy on a low-cardinality key.
@@ -828,28 +849,23 @@ class Engine:
             return CommandResult("DEDUP", info=info)
 
         if strategy == "url":
-            from pyspark.sql import Window
-
-            from vrod_spark.functions.url import url_normalize
+            from vrod_spark.functions.url import url_dedup, url_normalize
 
             url_key = opts.get("url_key", "url")
             ucol = F.element_at(F.col("meta"), F.lit(url_key))
             ukey = F.md5(url_normalize(ucol))  # NULL when absent/malformed
 
             def _url_keep_first(frame: DataFrame) -> DataFrame:
-                k = F.md5(
-                    url_normalize(F.element_at(F.col("meta"), F.lit(url_key)))
-                )
-                w = Window.partitionBy(
-                    F.coalesce(
-                        k, F.concat(F.lit("\x00"), F.col("id").cast("string"))
-                    )
-                ).orderBy("id")
-                return (
-                    frame.withColumn("_rn", F.row_number().over(w))
-                    .filter(F.col("_rn") == 1)
-                    .drop("_rn")
-                )
+                # One keep-first implementation repo-wide: project the
+                # meta key to a column and run functions/url.url_dedup
+                # (window on the normalized digest, NULL keys isolated).
+                return url_dedup(
+                    frame.withColumn(
+                        "__url", F.element_at(F.col("meta"), F.lit(url_key))
+                    ),
+                    url_col="__url",
+                    id_col="id",
+                ).drop("__url")
 
             if established is not None:
                 # Incremental mirror of the exact branch: established rows

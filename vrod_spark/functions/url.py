@@ -70,8 +70,12 @@ def url_path(url: Column | str) -> Column:
 
 
 def url_query(url: Column | str) -> Column:
-    """Raw query string without the '?', '' when absent."""
-    return F.regexp_extract(F.trim(_c(url)), r"\?([^#]*)", 1)
+    """Raw query string without the '?', '' when absent. The fragment is
+    stripped FIRST: an unanchored ``\\?`` scan would otherwise resurrect
+    a '?' living INSIDE the fragment ('/a#x?b=1' is the page '/a', not
+    '/a?b=1') and fuse distinct pages downstream."""
+    nofrag = F.regexp_replace(F.trim(_c(url)), r"#.*", "")
+    return F.regexp_extract(nofrag, r"\?(.*)", 1)
 
 
 def url_normalize(url: Column | str) -> Column:
@@ -214,7 +218,12 @@ def host_link_edges(
         df.select(src.alias("src_domain"), F.explode(links).alias("link"))
         .select("src_domain", dst.alias("dst_domain"))
         .filter(
-            F.col("dst_domain").isNotNull()
+            # both endpoints must be real domains: a page whose own URL
+            # is unparseable has src_domain '' and would otherwise emit
+            # phantom ''-source edges into degree/component analytics
+            F.col("src_domain").isNotNull()
+            & (F.col("src_domain") != "")
+            & F.col("dst_domain").isNotNull()
             & (F.col("dst_domain") != "")
             & (F.col("src_domain") != F.col("dst_domain"))
         )

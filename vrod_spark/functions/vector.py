@@ -132,6 +132,7 @@ def random_project(
     out_dim: int,
     seed: int = 0,
     out_col: str = "proj",
+    in_dim: int | None = None,
 ):
     """Append ``out_col``: the JL projection of ``vec_col`` to ``out_dim``
     dims (ARRAY<DOUBLE>). The matrix is generated driver-side
@@ -143,8 +144,18 @@ def random_project(
     (the reference's 384-dim fastembed vectors → 64 dims)."""
     from pyspark.sql.functions import pandas_udf
 
-    in_dim = len(df.select(vec_col).first()[0])
-    mat = random_projection_matrix(in_dim, out_dim, seed)
+    if in_dim is None:
+        # Convenience inference runs ONE eager job and needs a non-null
+        # first vector; pipelines that may be empty (or want a fully
+        # lazy build, like every other column builder here) pass in_dim.
+        head = df.select(vec_col).first()
+        if head is None or head[0] is None:
+            raise ValueError(
+                "random_project cannot infer in_dim from an empty frame "
+                "or NULL first vector; pass in_dim explicitly"
+            )
+        in_dim = len(head[0])
+    mat = random_projection_matrix(int(in_dim), out_dim, seed)
 
     def _proj_fn(vecs: pd.Series) -> pd.Series:
         import numpy as np

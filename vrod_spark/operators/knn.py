@@ -132,7 +132,17 @@ def knn_batch(
     keyed by query index — the knn_per_group pattern).
 
     Returns (query_idx, id, *payload_cols, dist), ordered by
-    (query_idx, dist, id)."""
+    (query_idx, dist, id).
+
+    Two-stage top-k: a window over bare ``query_idx`` would funnel each
+    query's ENTIRE scored corpus into one sort task (the hot-key
+    straggler the dedup operators also engineer around). Stage 1 takes a
+    top-k per (query_idx, input partition id) — correctness-preserving,
+    since the global top-k is a subset of every partition's local top-k
+    union. Its exchange still carries the Q×N scored rows, but over
+    Q × partitions keys, so no single task sorts more than one
+    partition's share; stage 2's exchange and sort then see only
+    Q × partitions × k rows."""
     spark = df.sparkSession
     qdf = F.broadcast(
         spark.createDataFrame(
@@ -144,11 +154,16 @@ def knn_batch(
     scored = df.crossJoin(qdf).select(
         "query_idx", id_col, *payload_cols, dist.alias(dist_alias)
     )
-    w = Window.partitionBy("query_idx").orderBy(
-        F.col(dist_alias).asc(), F.col(id_col).asc()
+    order = [F.col(dist_alias).asc(), F.col(id_col).asc()]
+    local = Window.partitionBy("query_idx", F.spark_partition_id()).orderBy(*order)
+    pruned = (
+        scored.withColumn("_rn", F.row_number().over(local))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
     )
+    final = Window.partitionBy("query_idx").orderBy(*order)
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
+        pruned.withColumn("_rn", F.row_number().over(final))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
         .orderBy("query_idx", dist_alias, id_col)

@@ -3155,7 +3155,7 @@ def q50_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), '^[^@]*@', '') AS nouser,
                  regexp_extract(trim(u),
                    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS rawpath,
-                 regexp_extract(trim(u), '\\?([^#]*)', 1) AS q
+                 regexp_extract(regexp_replace(trim(u), '#.*', ''), '\\?(.*)', 1) AS q
           FROM (
             SELECT doc_id,
                    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)

@@ -201,11 +201,21 @@ def url_dedup_stream(
     (functions/url.url_normalize — case/port/fragment/tracking-param/
     trailing-slash canonicalization, same spec as the batch
     DEDUP strategy "url"). State is one 16-byte digest per distinct page
-    within the watermark horizon — dropDuplicates state, evicted as event
-    time passes; rows whose URL fails to normalize fall back to a key
-    derived from ``id_col``, so malformed URLs are never silently fused
-    (the batch rule's NULL-keys-all-survive contract). First occurrence
-    wins (arrival order), the streaming analog of keep-first-by-id."""
+    within the watermark horizon; rows whose URL fails to normalize fall
+    back to a key derived from ``id_col``, so malformed URLs are never
+    silently fused (the batch rule's NULL-keys-all-survive contract).
+    First occurrence wins (arrival order), the streaming analog of
+    keep-first-by-id.
+
+    State eviction uses ``dropDuplicatesWithinWatermark``: plain
+    key-only ``dropDuplicates`` IGNORES the watermark for cleanup (Spark
+    only expires dedup state when the event-time column is in the
+    subset), so a long-running crawl would accumulate one state row per
+    distinct URL forever. WithinWatermark keys expire once the watermark
+    passes their first-seen event time — bounded state, with the
+    documented relaxation that a refetch arriving after expiry is
+    re-admitted (the batch DEDUP strategy "url" is the corpus-global
+    backstop)."""
     from vrod_spark.functions.url import url_normalize
 
     key = F.md5(url_normalize(F.col(url_col)))
@@ -213,7 +223,7 @@ def url_dedup_stream(
     return (
         pages.withColumn("__uk", F.coalesce(key, fallback))
         .withWatermark(ts_col, watermark)
-        .dropDuplicates(["__uk"])
+        .dropDuplicatesWithinWatermark(["__uk"])
         .drop("__uk")
     )
 
