@@ -334,3 +334,28 @@ def test_search_facet_counts(spark, tmp_path):
         arg={"where": "id < 3", "facet": "kind", "limit": 1},
     ).df.collect()
     assert len(filtered) == 1 and filtered[0]["value"] == "web" and filtered[0]["n"] == 2
+
+
+def test_blocklist_filter(spark):
+    """C4-style bad-words page drop: token-level match (no substring
+    false positives), case-insensitive, NULL text kept."""
+    from vrod_spark.functions.text import blocklist_filter, blocklist_hit
+
+    rows = [
+        (1, "a perfectly clean document"),
+        (2, "contains the word BADWORD here"),
+        (3, "scunthorpe-style badwordish token stays"),  # substring, no hit
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = sorted(
+        r["doc_id"] for r in blocklist_filter(df, ["badword", "worse"]).collect()
+    )
+    assert kept == [1, 3, 4]
+    hits = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id", blocklist_hit("text", ["badword"]).alias("h")
+        ).collect()
+    }
+    assert hits == {1: False, 2: True, 3: False, 4: None}

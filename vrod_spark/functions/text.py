@@ -229,6 +229,27 @@ def gopher_rules(text: Column | str) -> Column:
     return let_once(tokens(col), lambda toks: gopher_rule_mask(toks, col))
 
 
+def blocklist_hit(text: Column | str, words: tuple[str, ...] | list[str]) -> Column:
+    """TRUE when the document contains ANY blocklisted word (C4's
+    "bad words" page-drop rule — the filter runs on lowercased
+    whitespace tokens, so substrings inside clean words never match).
+    The mechanism is the deliverable: real deployments broadcast the
+    published multi-language list; pure codegen (arrays_overlap on one
+    tokenization pass)."""
+    col = F.col(text) if isinstance(text, str) else text
+    wl = F.array(*[F.lit(w.lower()) for w in words])
+    return let_once(
+        tokens(col),
+        lambda toks: F.arrays_overlap(F.transform(toks, F.lower), wl),
+    )
+
+
+def blocklist_filter(df, words: tuple[str, ...] | list[str], text_col: str = "text"):
+    """Drop documents containing any blocklisted word; NULL text rows are
+    kept (no evidence). One scan, no shuffle."""
+    return df.filter(~F.coalesce(blocklist_hit(F.col(text_col), words), F.lit(False)))
+
+
 def doc_fingerprint(text: Column | str, n: int = 3) -> Column:
     """Deterministic near-dup-stable fingerprint: the lexicographic min of
     the md5 digests of a document's shingles (1-permutation MinHash with
