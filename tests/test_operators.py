@@ -323,6 +323,55 @@ def test_gopher_rule_mask_bits(spark):
         assert got[i] == want, f"doc {i}: mask {got[i]} != {want}"
 
 
+def test_c4_line_and_page_rules(spark):
+    """Every C4 rule fires on a line/page crafted to fail exactly that
+    rule; the cleaned text keeps ONLY surviving lines in order, and
+    c4_clean rewrites the text column while dropping failing (and NULL)
+    pages."""
+    from vrod_spark.functions.text import c4_clean, c4_line_stats
+
+    k1 = "This planted sentence has enough words to survive the filter."
+    k2 = "Another planted sentence also has enough words to survive here."
+    k3 = "A third planted sentence closes out the surviving page."
+    pages = [
+        # doc 0: 3 keepers + one of each line-rule violation -> page kept,
+        # clean text = the three keepers only
+        (0, f"{k1}\nToo short.\nno terminal punctuation on this long line here\n"
+            f"Please enable JavaScript to view this page properly.\n{k2}\n{k3}"),
+        # doc 1: lorem ipsum -> page bit 1
+        (1, f"{k1}\n{k2}\n{k3}\nSome lorem ipsum filler text pads this page."),
+        # doc 2: curly brace -> page bit 2
+        (2, f"{k1}\n{k2}\n{k3}\nfunction f() {{ return 1; }}"),
+        # doc 3: only 2 surviving sentences -> page bit 4
+        (3, f"{k1}\n{k2}"),
+        # doc 4: NULL page
+        (4, None),
+        # doc 5: closing-quote terminal punctuation counts as terminal
+        (5, f'{k1}\n{k2}\n"Quoted speech still ends with a terminal mark."'),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", c4_line_stats("text").alias("s")
+        ).collect()
+    }
+    assert got[0]["fail_mask"] == 0
+    assert got[0]["n_lines"] == 6 and got[0]["n_kept"] == 3
+    assert got[0]["clean_text"] == f"{k1}\n{k2}\n{k3}"
+    assert got[1]["fail_mask"] & 1
+    assert got[2]["fail_mask"] & 2
+    assert got[3]["fail_mask"] == 4 and got[3]["n_kept"] == 2
+    assert got[4] is None or got[4]["fail_mask"] is None
+    # the quoted line survives (ends with ." -> terminal), giving 3
+    # sentences; page passes
+    assert got[5]["fail_mask"] == 0 and got[5]["n_kept"] == 3
+
+    cleaned = {r["doc_id"]: r["text"] for r in c4_clean(df).collect()}
+    assert set(cleaned) == {0, 5}
+    assert cleaned[0] == f"{k1}\n{k2}\n{k3}"
+
+
 def test_temperature_mixture_rates(spark):
     """alpha=1 → natural proportions (all rates equal); alpha→0 →
     uniform-over-strata row budgets; saturated strata cap at 1.0 with the

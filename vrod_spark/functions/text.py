@@ -250,6 +250,78 @@ def blocklist_filter(df, words: tuple[str, ...] | list[str], text_col: str = "te
     return df.filter(~F.coalesce(blocklist_hit(F.col(text_col), words), F.lit(False)))
 
 
+def c4_line_stats(text: Column | str) -> Column:
+    """C4 line-level cleaning rules (Raffel et al. 2020, §2.2 — the
+    published heuristics behind the C4 corpus), as ONE codegen struct:
+
+      line rules (a line is DROPPED unless it):
+        - ends in a terminal punctuation mark (``. ! ?`` or a closing
+          quote — the paper's "terminal punctuation" rule),
+        - contains at least 5 words,
+        - does not contain the word "javascript" (case-insensitive,
+          word-bounded — boilerplate "please enable javascript" lines);
+      page rules (``fail_mask`` bits; 0 = page survives):
+        bit 1 — the page mentions "lorem ipsum" (template residue),
+        bit 2 — the page contains a curly brace (code/markup residue),
+        bit 4 — fewer than 3 sentences remain after line filtering
+                (sentence = terminal ``.!?`` occurrence in the
+                retained text).
+
+    Returns ``struct(n_lines, n_kept, clean_text, fail_mask)`` so one
+    scan yields both the cleaned page and the audit trail. The page-drop
+    "bad words" rule is the separate pluggable ``blocklist_hit`` (same
+    paper, same battery); the three-sentence-span dedup rule is the
+    corpus-global `operators/dedup.duplicate_spans` axis. Everything
+    here is split/filter/regexp codegen — lines never explode into rows,
+    so a billion-page corpus pays one projection and zero shuffles.
+    Complements `gopher_rule_mask`, whose line-level rules were declared
+    out of scope for single-line fixtures (this closes that gap: feed it
+    real multi-line pages)."""
+    col = F.col(text) if isinstance(text, str) else text
+    lines = F.split(col, "\n")
+
+    def keep(line: Column) -> Column:
+        return (
+            F.trim(line).rlike('[.!?"]$')
+            & (F.size(F.regexp_extract_all(line, F.lit(r"\S+"), F.lit(0))) >= 5)
+            & ~F.lower(line).rlike(r"\bjavascript\b")
+        )
+
+    kept = F.filter(lines, keep)
+    clean = F.array_join(kept, "\n")
+    n_sentences = F.size(F.regexp_extract_all(clean, F.lit(r"[.!?]"), F.lit(0)))
+    mask = F.when(
+        col.isNull(), F.lit(None).cast("int")
+    ).otherwise(
+        # NULL input must not fall through the otherwise(0) branches into
+        # a spurious "passes all rules" 0 — handled by the isNull guard.
+        F.when(F.lower(col).contains("lorem ipsum"), 1).otherwise(0)
+        + F.when(col.rlike("[{}]"), 2).otherwise(0)
+        + F.when(n_sentences < 3, 4).otherwise(0)
+    )
+    return F.struct(
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        clean.alias("clean_text"),
+        mask.cast("int").alias("fail_mask"),
+    )
+
+
+def c4_clean(df, text_col: str = "text"):
+    """Apply the full C4 line+page battery: drop failing pages, REWRITE
+    surviving pages to their retained lines only. NULL pages have no
+    retainable content and are dropped (unlike ``blocklist_filter``,
+    which keeps NULLs — a blocklist needs evidence to convict, a
+    cleaning pass needs evidence to keep). One scan, no shuffle."""
+    st = c4_line_stats(F.col(text_col))
+    return (
+        df.withColumn("_c4", st)
+        .filter(F.col("_c4.fail_mask") == 0)
+        .withColumn(text_col, F.col("_c4.clean_text"))
+        .drop("_c4")
+    )
+
+
 def doc_fingerprint(text: Column | str, n: int = 3) -> Column:
     """Deterministic near-dup-stable fingerprint: the lexicographic min of
     the md5 digests of a document's shingles (1-permutation MinHash with

@@ -3065,6 +3065,19 @@ def q50_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shortcut from the construction — and the min/max md5 columns pin the
 # exact normalized strings. Rows: (registered_domain, n_docs,
 # n_distinct_urls, n_kept_after_dedup, avg_len, min_md5, max_md5).
+#
+# Fourth leg 'c4' — the C4 LINE-level battery (Raffel et al. 2020 §2.2;
+# functions/text.c4_line_stats): multi-line pages are synthesized
+# deterministically from (text, doc_id) — planted keeper sentences, a
+# too-short line, a "javascript" boilerplate line (doc_id%3), a
+# no-terminal-punctuation line (doc_id%4), extra keeper sentences
+# (doc_id%2), a "lorem ipsum" poison line (doc_id%7) and a curly-brace
+# poison line (doc_id%11) — then line-filtered (terminal punctuation,
+# >=5 words, no "javascript") and page-filtered (lorem ipsum / curly
+# brace / fewer than 3 retained sentences). The oracle re-derives every
+# rule in SQL; min/max md5 pin the exact RETAINED text of surviving
+# pages. Rows: (lang, n_pages_kept, n_lines_total, n_lines_kept, 0.0,
+# min_md5_clean, max_md5_clean).
 # ---------------------------------------------------------------------------
 @query(
     "q52_clean_corpus_pipeline",
@@ -3177,11 +3190,58 @@ def q50_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
     )
     GROUP BY key
+    UNION ALL
+    SELECT 'c4', lang,
+           sum(CASE WHEN fail_mask = 0 THEN 1 ELSE 0 END)::BIGINT,
+           sum(n_lines)::BIGINT,
+           sum(n_kept)::BIGINT,
+           0.0::DOUBLE,
+           min(CASE WHEN fail_mask = 0 THEN md5(clean) END),
+           max(CASE WHEN fail_mask = 0 THEN md5(clean) END)
+    FROM (
+      SELECT lang, n_lines, n_kept, clean,
+             pmask + (CASE WHEN len(regexp_extract_all(clean, '[.!?]')) < 3
+                      THEN 4 ELSE 0 END) AS fail_mask
+      FROM (
+        SELECT lang,
+               len(string_split(page, chr(10))) AS n_lines,
+               len(kept) AS n_kept,
+               array_to_string(kept, chr(10)) AS clean,
+               (CASE WHEN contains(lower(page), 'lorem ipsum') THEN 1 ELSE 0 END
+                + CASE WHEN regexp_matches(page, '[{}]') THEN 2 ELSE 0 END) AS pmask
+        FROM (
+          SELECT lang, page,
+                 list_filter(string_split(page, chr(10)),
+                   l -> regexp_matches(trim(l), '[.!?"]$')
+                        AND len(regexp_extract_all(l, '\\S+')) >= 5
+                        AND NOT regexp_matches(lower(l), '\\bjavascript\\b')) AS kept
+          FROM (
+            SELECT lang,
+                   text || chr(10) || 'The first planted sentence has exactly enough words to stay.'
+                        || chr(10) || 'Too short.'
+                        || (CASE WHEN doc_id % 3 = 0 THEN chr(10) ||
+                            'Please enable javascript in your browser settings now.' ELSE '' END)
+                        || (CASE WHEN doc_id % 4 = 0 THEN chr(10) ||
+                            'this line has no terminal punctuation so it gets dropped' ELSE '' END)
+                        || (CASE WHEN doc_id % 2 = 0 THEN chr(10) ||
+                            'A second planted sentence keeps the page alive today.'
+                            || chr(10) ||
+                            'A third planted sentence ends the page cleanly today.' ELSE '' END)
+                        || (CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+                            'We add lorem ipsum filler text to poison this page.' ELSE '' END)
+                        || (CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
+                            'A stray { brace poisons the whole page now.' ELSE '' END) AS page
+            FROM documents
+          )
+        )
+      )
+    )
+    GROUP BY lang
     ORDER BY leg, key
     """,
 )
 def q52_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vrod_spark.functions.text import quality_score
+    from vrod_spark.functions.text import c4_line_stats, quality_score
     from vrod_spark.functions.url import (
         registered_domain,
         url_host,
@@ -3278,7 +3338,67 @@ def q52_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.md5("nu")).alias("lo"),
         F.max(F.md5("nu")).alias("hi"),
     ).select(F.lit("url").alias("leg"), "key", "k1", "k2", "k3", "v", "lo", "hi")
-    return clean.unionByName(chunk).unionByName(urlleg).orderBy("leg", "key")
+
+    # c4 leg: synthesized multi-line pages (every line/page rule hit by
+    # construction) through the one-struct c4_line_stats battery.
+    page = F.concat(
+        F.col("text"),
+        F.lit(
+            "\nThe first planted sentence has exactly enough words to stay."
+            "\nToo short."
+        ),
+        F.when(
+            did % 3 == 0,
+            F.lit("\nPlease enable javascript in your browser settings now."),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.lit("\nthis line has no terminal punctuation so it gets dropped"),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 2 == 0,
+            F.lit(
+                "\nA second planted sentence keeps the page alive today."
+                "\nA third planted sentence ends the page cleanly today."
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.lit("\nWe add lorem ipsum filler text to poison this page."),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.lit("\nA stray { brace poisons the whole page now."),
+        ).otherwise(F.lit("")),
+    )
+    kept_page = F.col("s.fail_mask") == 0
+    c4leg = (
+        docs.select("lang", c4_line_stats(page).alias("s"))
+        .groupBy("lang")
+        .agg(
+            F.sum(F.when(kept_page, 1).otherwise(0)).cast("long").alias("k1"),
+            F.sum("s.n_lines").alias("k2"),
+            F.sum("s.n_kept").alias("k3"),
+            F.min(F.when(kept_page, F.md5("s.clean_text"))).alias("lo"),
+            F.max(F.when(kept_page, F.md5("s.clean_text"))).alias("hi"),
+        )
+        .select(
+            F.lit("c4").alias("leg"),
+            F.col("lang").alias("key"),
+            "k1",
+            "k2",
+            "k3",
+            F.lit(0.0).alias("v"),
+            "lo",
+            "hi",
+        )
+    )
+    return (
+        clean.unionByName(chunk)
+        .unionByName(urlleg)
+        .unionByName(c4leg)
+        .orderBy("leg", "key")
+    )
 
 
 # ---------------------------------------------------------------------------
