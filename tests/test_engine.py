@@ -772,6 +772,101 @@ def test_dedup_verb_is_transitive(engine):
     assert sorted(r["id"] for r in col.read().collect()) == [1, 4]
 
 
+def test_dedup_verb_keep_best(engine):
+    """DEDUP keep="best": the highest-scoring member of each near-dup
+    component survives instead of the smallest id — with an explicit
+    score column, with the derived quality_score fallback, and with the
+    deterministic min-id tie-break. Invalid combinations error loudly."""
+    import math
+
+    from vrod_spark.errors import CommandArgError
+
+    engine.db.create_collection(
+        "scored",
+        schema="id bigint, embedding array<float>, payload string, score double",
+    )
+    a = math.radians(1.0)
+    near = lambda k: [math.cos(k * a), math.sin(k * a), 0.0]  # noqa: E731
+    rows = [
+        {"id": 1, "embedding": near(0), "payload": "a", "score": 0.2},
+        {"id": 2, "embedding": near(1), "payload": "b", "score": 0.9},
+        {"id": 3, "embedding": near(2), "payload": "c", "score": 0.5},
+        {"id": 4, "embedding": [0.0, 0.0, 1.0], "payload": "far", "score": 0.1},
+    ]
+    engine.execute("INSERT", collection="scored", arg=rows)
+    info = engine.execute(
+        "DEDUP",
+        collection="scored",
+        arg={
+            "strategy": "embedding",
+            "threshold": 0.999,
+            "keep": "best",
+            "score": "score",
+        },
+    ).info
+    assert info["removed"] == 2
+    col = engine.db.collection("scored")
+    assert sorted(r["id"] for r in col.read().collect()) == [2, 4]
+
+    # Tie on score -> smallest id survives.
+    engine.db.create_collection(
+        "tied",
+        schema="id bigint, embedding array<float>, payload string, score double",
+    )
+    engine.execute(
+        "INSERT",
+        collection="tied",
+        arg=[
+            {"id": 7, "embedding": near(0), "payload": "x", "score": 0.5},
+            {"id": 5, "embedding": near(1), "payload": "y", "score": 0.5},
+        ],
+    )
+    engine.execute(
+        "DEDUP",
+        collection="tied",
+        arg={"strategy": "embedding", "threshold": 0.999, "keep": "best",
+             "score": "score"},
+    )
+    assert [r["id"] for r in engine.db.collection("tied").read().collect()] == [5]
+
+    # Derived quality fallback: no score column named -> quality_score of
+    # the text column picks the long clean page over the symbol junk.
+    engine.execute("CREATE", collection="qdocs")
+    clean = " ".join(f"plain word number {i} in a long clean sentence" for i in range(12))
+    engine.execute(
+        "INSERT",
+        collection="qdocs",
+        arg=[
+            {"id": 1, "embedding": near(0), "payload": "#$% ^&* !!! ???"},
+            {"id": 2, "embedding": near(1), "payload": clean},
+        ],
+    )
+    engine.execute(
+        "DEDUP",
+        collection="qdocs",
+        arg={"strategy": "embedding", "threshold": 0.999, "keep": "best"},
+    )
+    assert [r["id"] for r in engine.db.collection("qdocs").read().collect()] == [2]
+
+    # Loud rejections: unknown keep rule, missing score column, and the
+    # incremental combination (corpus-global rank breaks monotonicity).
+    with pytest.raises(CommandArgError):
+        engine.execute(
+            "DEDUP", collection="qdocs",
+            arg={"strategy": "embedding", "keep": "bogus"},
+        )
+    with pytest.raises(CommandArgError):
+        engine.execute(
+            "DEDUP", collection="qdocs",
+            arg={"strategy": "embedding", "keep": "best", "score": "nope"},
+        )
+    with pytest.raises(CommandArgError):
+        engine.execute(
+            "DEDUP", collection="qdocs",
+            arg={"strategy": "embedding", "keep": "best", "since_version": 1},
+        )
+
+
 def test_dedup_verb_string_ids_transitive(engine):
     """Near-dup DEDUP on a custom string-id schema (ADVICE r7): component
     closure runs on hashed longs, but the keep-rule stays min ORIGINAL id

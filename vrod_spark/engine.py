@@ -227,17 +227,37 @@ class Engine:
         if isinstance(arg, DataFrame):
             df = arg
         else:
+            from pyspark.sql.types import ArrayType, DoubleType, FloatType
+
+            # Build tuples BY THE COLLECTION'S SCHEMA, not a hardcoded
+            # (id, embedding, payload, meta) shape — custom-schema
+            # collections (e.g. an extra score column) would otherwise
+            # have their extra fields silently nulled. Unknown keys are
+            # rejected loudly for the same reason: silently dropping a
+            # record field is corpus corruption, not convenience.
+            schema = self.spark.createDataFrame([], col.meta["schema"]).schema
+            known = {f.name for f in schema.fields}
             rows = arg if isinstance(arg, list) else [arg]
-            rows = [
-                (
-                    r.get("id"),
-                    [float(x) for x in r["embedding"]] if r.get("embedding") is not None else None,
-                    r.get("payload"),
-                    r.get("meta"),
-                )
-                for r in rows
-            ]
-            df = self.spark.createDataFrame(rows, col.meta["schema"])
+            for r in rows:
+                unknown = set(r) - known
+                if unknown:
+                    raise CommandArgError(
+                        f"record field(s) {sorted(unknown)} not in collection "
+                        f"schema {sorted(known)}"
+                    )
+
+            def _coerce(r: dict, f) -> Any:
+                v = r.get(f.name)
+                if (
+                    v is not None
+                    and isinstance(f.dataType, ArrayType)
+                    and isinstance(f.dataType.elementType, (FloatType, DoubleType))
+                ):
+                    return [float(x) for x in v]
+                return v
+
+            rows = [tuple(_coerce(r, f) for f in schema.fields) for r in rows]
+            df = self.spark.createDataFrame(rows, schema)
 
         info: dict[str, Any] = {"collection": col.name}
         if on_conflict != "append":
@@ -736,6 +756,18 @@ class Engine:
         a local-minimum id alive when its only links run through larger
         intermediaries (B-C-A with C largest keeps both A and B) — the
         exact transitivity gap component closure exists to fix.
+
+        ``keep`` (near-dup strategies only): "first" (default — smallest
+        id survives) or "best" — the highest-SCORING member of each
+        component survives (ties → smallest id). Score is ``score``: a
+        numeric column of the collection if named, else the built-in
+        ``quality_score`` of the text column. Keep-best is the curation
+        rule real pipelines want — near-dup clusters usually contain one
+        clean page and N boilerplate-wrapped copies, and keep-first
+        throws away the clean one whenever a wrapper crawled earlier.
+        Rejected with ``since_version``: best-of-cluster is a corpus-
+        global rank, and a better-scoring late arrival would evict an
+        established survivor, breaking incremental monotonicity.
         """
         from pyspark.sql import functions as F
 
@@ -1022,6 +1054,30 @@ class Engine:
                 },
             )
 
+        keep_rule = str(opts.get("keep", "first")).lower()
+        if keep_rule not in ("first", "best"):
+            raise CommandArgError(
+                f'unknown keep rule {keep_rule!r}; expected "first" or "best"'
+            )
+        if keep_rule == "best" and since_version is not None:
+            raise CommandArgError(
+                'keep="best" is not supported with since_version: best-of-'
+                "cluster is a corpus-global rank — a better-scoring late "
+                "arrival would evict an established survivor"
+            )
+        score_name = opts.get("score")
+        if keep_rule == "best":
+            if score_name is not None and str(score_name) not in df.columns:
+                raise CommandArgError(
+                    f"score column {score_name!r} not in collection columns "
+                    f"{df.columns}"
+                )
+            if score_name is None and text_col not in df.columns:
+                raise CommandArgError(
+                    f'keep="best" needs either a "score" column or a text '
+                    f"column {text_col!r} to derive quality from"
+                )
+
         # Incremental: delta ids in the work-id space. minhash/embedding
         # take them INSIDE candidate generation (pair expansion becomes
         # O(delta x bucket), not O(bucket²)); simhash/winnow get a
@@ -1138,6 +1194,31 @@ class Engine:
                     ~F.col("_est")
                     & ((F.col("_has_est") == 1) | (F.col("oid") != F.col("_min_delta")))
                 )
+                .select(F.col("oid").alias("id"))
+            )
+        elif keep_rule == "best":
+            # Highest score per component survives (tie -> smallest id).
+            # One row_number window over the component key — components
+            # are tiny relative to the corpus (only near-dup members ever
+            # reach this join), so the extra shuffle is on the duplicate
+            # sliver, not the collection.
+            from pyspark.sql import Window
+
+            from vrod_spark.functions.text import quality_score
+
+            score_expr = (
+                F.col(str(score_name)).cast("double")
+                if score_name is not None
+                else quality_score(F.col(text_col))
+            )
+            scores = df.select(F.col("id").alias("oid"), score_expr.alias("_score"))
+            w = Window.partitionBy("component").orderBy(
+                F.col("_score").desc_nulls_last(), F.col("oid")
+            )
+            drop_ids = (
+                labeled.join(scores, "oid")
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") > 1)
                 .select(F.col("oid").alias("id"))
             )
         elif hashed_ids:
