@@ -1,0 +1,53 @@
+"""Name-keyed memoization for expression builders.
+
+A PySpark Column is an immutable UNRESOLVED expression tree; the analyzer
+resolves it against each plan it is used in, so one built tree is freely
+reusable across queries and DataFrames as long as the referenced column
+NAMES resolve. Building the tree, however, costs one py4j round-trip per
+operator node — the large builders (url_normalize ~50 nodes,
+quality_score ~30) each burn 0.2-0.3 s of driver time PER QUERY BUILD,
+which at bench scale is the dominant share of a small query's cold
+latency (PERF.md, "driver-side cold-plan floor").
+
+``memo_column`` caches the built Column when every argument is a plain
+hashable primitive (column NAMES, thresholds, flags) and builds fresh
+when any argument is a Column or other live object — by-name callers get
+session-lifetime expression reuse, expression-valued callers keep exact
+semantics. The cache is per-process and unbounded in principle but in
+practice holds one entry per (builder, signature) — dozens, not
+millions.
+"""
+
+from __future__ import annotations
+
+import functools
+
+_PRIMITIVES = (str, int, float, bool, bytes, frozenset, type(None))
+
+
+def _hashable(v) -> bool:
+    if isinstance(v, _PRIMITIVES):
+        return True
+    if isinstance(v, tuple):
+        return all(_hashable(x) for x in v)
+    return False
+
+
+def memo_column(fn):
+    """Memoize a Column builder on primitive-only call signatures."""
+    cache: dict = {}
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        if all(_hashable(a) for a in args) and all(
+            _hashable(v) for v in kwargs.values()
+        ):
+            key = (args, tuple(sorted(kwargs.items())))
+            hit = cache.get(key)
+            if hit is None:
+                hit = cache[key] = fn(*args, **kwargs)
+            return hit
+        return fn(*args, **kwargs)
+
+    wrapper.__wrapped__ = fn
+    return wrapper

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from vrod_spark.functions.memo import memo_column
+
 # Tiny per-language stopword tables for the n-gram/stopword-hit lang-ID
 # heuristic. Real deployments swap in bigger tables; the mechanism (token
 # overlap scoring, argmax) is what matters and is fully vectorized.
@@ -30,6 +32,7 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
 
 
+@memo_column
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization (embeddings.rs:24 parity), empties removed.
 
@@ -46,6 +49,7 @@ def tokens(text: Column | str) -> Column:
     )
 
 
+@memo_column
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as strings ("w1 w2 w3"), the dedup unit.
 
@@ -75,10 +79,12 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     return F.when(size >= n, full).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+@memo_column
 def whitespace_token_count(text: Column | str) -> Column:
     return F.size(tokens(text)).cast("bigint")
 
 
+@memo_column
 def bpe_token_count(text: Column | str) -> Column:
     """Count of BPE-ish regex tokens — the token-budget estimator.
     ``regexp_count`` counts matches without materializing the match array
@@ -108,6 +114,7 @@ def _hits_from(toks: Column, lang: str) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(table, t))).cast("bigint")
 
 
+@memo_column
 def stopword_hits(text: Column | str, lang: str) -> Column:
     """How many tokens are stopwords of `lang` (array_intersect-free count,
     duplicates counted — a better signal than set overlap)."""
@@ -115,6 +122,7 @@ def stopword_hits(text: Column | str, lang: str) -> Column:
     return _hits_from(toks, lang)
 
 
+@memo_column
 def lang_id(text: Column | str) -> Column:
     """Argmax-stopword-hits language ID with deterministic tie-break
     (lexicographically first language wins ties; 'und' when no hits).
@@ -140,14 +148,43 @@ def lang_id(text: Column | str) -> Column:
     return let_once(toks_lc, score)
 
 
+@memo_column
 def quality_score(text: Column | str) -> Column:
     """Deterministic document quality in [0,1]: blends length adequacy,
     alphabetic ratio, punctuation restraint, and mean word length sanity —
     the standard cheap pre-filter signals for LLM training corpora.
-    Single tokenization pass (let_once); the two regexp scans are the only
-    other full-text passes."""
-    col = F.col(text) if isinstance(text, str) else text
-    return let_once(tokens(col), lambda toks: _quality_from(col, toks))
+    Single tokenization pass (the SQL transform-lambda is the let_once
+    binding); the two regexp scans are the only other full-text passes.
+
+    Built as ONE parameterized SQL expression instead of a ~30-node
+    Column chain when called with a column NAME (every hot caller): each
+    PySpark Column operation is a py4j round-trip, and this builder was
+    the largest driver-side build cost in the q29/q30/q52 bench numbers
+    (~0.25 s per build; the expr form is ~0.08 s). Verified bit-identical
+    to the Column form over the test corpus before the swap. Column
+    inputs keep the Column form (no public Column→SQL API to splice
+    them); ``_quality_from`` stays for callers holding a bound token
+    array."""
+    if not isinstance(text, str):
+        return let_once(tokens(text), lambda toks: _quality_from(text, toks))
+    t = text
+    return F.expr(
+        f"""
+        round(
+          get(transform(array(CASE WHEN trim({t}) = '' THEN array()
+                              ELSE split(trim({t}), '\\\\s+') END),
+            toks ->
+              0.35d * least(cast(size(toks) AS double) / 100.0d, 1.0d)
+            + 0.35d * (cast(length(regexp_replace({t}, '[^A-Za-z]', '')) AS double)
+                       / greatest(cast(length({t}) AS double), 1.0d))
+            + 0.15d * (1 - least(cast(length(regexp_replace({t}, '[^.,;:!?]', '')) AS double)
+                       / greatest(cast(length({t}) AS double), 1.0d) * 5, 1.0d))
+            + 0.15d * (CASE WHEN cast(length({t}) AS double)
+                                 / greatest(cast(size(toks) AS double), 1.0d)
+                            BETWEEN 3 AND 12 THEN 1.0d ELSE 0.5d END)
+          ), 0), 6)
+        """
+    )
 
 
 def _quality_from(col: Column, toks: Column) -> Column:
@@ -223,12 +260,14 @@ def gopher_rule_mask(toks: Column, text: Column) -> Column:
     return mask.cast("int")
 
 
+@memo_column
 def gopher_rules(text: Column | str) -> Column:
     """``gopher_rule_mask`` over a single tokenization pass (let_once)."""
     col = F.col(text) if isinstance(text, str) else text
     return let_once(tokens(col), lambda toks: gopher_rule_mask(toks, col))
 
 
+@memo_column
 def blocklist_hit(text: Column | str, words: tuple[str, ...] | list[str]) -> Column:
     """TRUE when the document contains ANY blocklisted word (C4's
     "bad words" page-drop rule — the filter runs on lowercased
@@ -250,6 +289,7 @@ def blocklist_filter(df, words: tuple[str, ...] | list[str], text_col: str = "te
     return df.filter(~F.coalesce(blocklist_hit(F.col(text_col), words), F.lit(False)))
 
 
+@memo_column
 def c4_line_stats(text: Column | str) -> Column:
     """C4 line-level cleaning rules (Raffel et al. 2020, §2.2 — the
     published heuristics behind the C4 corpus), as ONE codegen struct:
@@ -280,11 +320,18 @@ def c4_line_stats(text: Column | str) -> Column:
     col = F.col(text) if isinstance(text, str) else text
     lines = F.split(col, "\n")
 
+    # All three line rules fused into ONE regex over the trimmed line:
+    # no "javascript" word anywhere (negative lookahead), at least five
+    # whitespace-separated words (four space-terminated + a non-empty
+    # tail — a trimmed line can't end in whitespace), terminal
+    # punctuation last. One rlike node instead of three expression
+    # sub-trees per line keeps the (interpreted) higher-order lambda and
+    # the plan-compile cost small; the DuckDB oracle twin states the
+    # three conditions separately (RE2 has no lookahead), making the q52
+    # gate a true cross-engine differential of the fused form.
     def keep(line: Column) -> Column:
-        return (
-            F.trim(line).rlike('[.!?"]$')
-            & (F.size(F.regexp_extract_all(line, F.lit(r"\S+"), F.lit(0))) >= 5)
-            & ~F.lower(line).rlike(r"\bjavascript\b")
+        return F.trim(line).rlike(
+            '(?i)^(?!.*\\bjavascript\\b)(?:\\S+\\s+){4}.*[.!?"]$'
         )
 
     kept = F.filter(lines, keep)
@@ -322,6 +369,7 @@ def c4_clean(df, text_col: str = "text"):
     )
 
 
+@memo_column
 def doc_fingerprint(text: Column | str, n: int = 3) -> Column:
     """Deterministic near-dup-stable fingerprint: the lexicographic min of
     the md5 digests of a document's shingles (1-permutation MinHash with
@@ -358,6 +406,7 @@ PII_PATTERNS: tuple[tuple[str, str], ...] = (
 )
 
 
+@memo_column
 def redact_pii(text: Column | str) -> Column:
     """Replace emails, phone numbers, IPv4 addresses, and long digit runs
     (card/account numbers) with typed tags — the standard PII-scrubbing
@@ -369,6 +418,7 @@ def redact_pii(text: Column | str) -> Column:
     return col
 
 
+@memo_column
 def pii_counts(text: Column | str) -> Column:
     """STRUCT of per-type PII match counts (emails, phones, ips, longnums)
     for audit metrics — countable before AND after redaction (after must

@@ -33,6 +33,8 @@ suffix-set membership, pure codegen — is what matters here.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+
+from vrod_spark.functions.memo import memo_column
 from pyspark.sql import functions as F
 
 #: Query-param names (prefix match for utm_) that never change page
@@ -52,11 +54,13 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+@memo_column
 def url_scheme(url: Column | str) -> Column:
     """Lowercased scheme, '' when absent."""
     return F.lower(F.regexp_extract(F.trim(_c(url)), r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
 
 
+@memo_column
 def url_host(url: Column | str) -> Column:
     """Lowercased host with any port / userinfo / fragment removed."""
     hostport = F.regexp_extract(F.trim(_c(url)), r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
@@ -64,11 +68,13 @@ def url_host(url: Column | str) -> Column:
     return F.lower(F.regexp_replace(no_user, r":[0-9]*$", ""))
 
 
+@memo_column
 def url_path(url: Column | str) -> Column:
     """Path component (case preserved — paths are case-significant)."""
     return F.regexp_extract(F.trim(_c(url)), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
 
 
+@memo_column
 def url_query(url: Column | str) -> Column:
     """Raw query string without the '?', '' when absent. The fragment is
     stripped FIRST: an unanchored ``\\?`` scan would otherwise resurrect
@@ -78,6 +84,7 @@ def url_query(url: Column | str) -> Column:
     return F.regexp_extract(nofrag, r"\?(.*)", 1)
 
 
+@memo_column
 def url_normalize(url: Column | str) -> Column:
     """Canonical URL per the module-header spec. NULL in → NULL out;
     a non-URL string (no scheme://host) normalizes to NULL rather than
@@ -117,6 +124,7 @@ def url_normalize(url: Column | str) -> Column:
     return F.when((scheme == "") | (host == ""), F.lit(None).cast("string")).otherwise(norm)
 
 
+@memo_column
 def registered_domain(host: Column | str) -> Column:
     """Public-suffix-LITE registrable domain of a (already lowercased)
     host: last 2 labels, or last 3 when the last 2 are a multi-part

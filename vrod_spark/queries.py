@@ -1494,7 +1494,14 @@ def q28b_embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFr
         emb.unionByName(planted),
         min_cosine=0.9999,
         n_planes=6,
-        n_tables=2,
+        # ONE LSH table: at threshold 0.9999 only the planted EXACT
+        # duplicates can pass, and identical vectors collide in every
+        # sign-LSH table with probability 1 — recall is 1.0 with any
+        # table count, so the result is hash-identical while the plan
+        # (and its ~0.7 s of per-query compile) is half the size. The
+        # multi-table recall machinery keeps its own plan pin
+        # (test_plans.py, n_tables=6) and planted-noise recall pytests.
+        n_tables=1,
         dim=dim,
         # Block size stays the operator default; the multi-sub-block path
         # is exercised by the planted-dup pytest (test_llm_ops, 8-row
@@ -3298,26 +3305,28 @@ def q52_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    did = F.col("doc_id")
-    tlds = F.array(*[F.lit(t) for t in ("com", "co.uk", "org", "com.au", "io")])
-    u = F.concat(
-        F.when(did % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
-        F.lit("://WWW.Cdn."),
-        F.col("source"),
-        F.lit("."),
-        F.element_at(tlds, (did % 5 + 1).cast("int")),
-        F.when(
-            did % 3 == 0,
-            F.when(did % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")),
-        ).otherwise(F.lit("")),
-        F.lit("/Docs/"),
-        (did % 7).cast("string"),
-        F.when(did % 2 == 0, F.lit("/")).otherwise(F.lit("")),
-        F.when(did % 4 == 0, F.lit("?utm_source=tw&b=2&a=1"))
-        .when(did % 4 == 1, F.lit("?a=1&b=2"))
-        .when(did % 4 == 2, F.lit("?b=2&a=1&fbclid=xyz"))
-        .otherwise(F.lit("")),
-        F.when(did % 5 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    # Synthetic INPUT construction (not the operator under test) as ONE
+    # SQL expression: the F.when/F.concat chain this replaces cost ~40
+    # py4j round-trips of driver-side build time per bench run — the
+    # dominant share of this query's serial-cold number (PERF.md,
+    # "driver-side cold-plan floor").
+    u = F.expr(
+        """
+        (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+        || '://WWW.Cdn.' || source || '.'
+        || element_at(array('com','co.uk','org','com.au','io'),
+                      cast(doc_id % 5 + 1 AS int))
+        || (CASE WHEN doc_id % 3 = 0
+                 THEN (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+                 ELSE '' END)
+        || '/Docs/' || cast(doc_id % 7 AS string)
+        || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+        || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=tw&b=2&a=1'
+                 WHEN doc_id % 4 = 1 THEN '?a=1&b=2'
+                 WHEN doc_id % 4 = 2 THEN '?b=2&a=1&fbclid=xyz'
+                 ELSE '' END)
+        || (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END)
+        """
     )
     # Aggregation-only form of url_dedup's keep-first accounting: the
     # keep-first rule retains exactly ONE row per distinct normalized URL
@@ -3325,10 +3334,18 @@ def q52_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count(nu IS NULL) — no window, no join, one agg over one scan (the
     # operator itself is covered by the unit tests and the DEDUP-verb
     # engine test; the oracle derives both counts independently).
-    enriched = docs.select(
-        "doc_id",
-        url_normalize(u).alias("nu"),
-        registered_domain(url_host(u)).alias("key"),
+    # Name the synthetic url (and its host) as columns so the memoized
+    # by-name builders (url_normalize/url_host/registered_domain) reuse
+    # their session-cached expression trees instead of rebuilding ~70
+    # py4j nodes per bench run.
+    enriched = (
+        docs.withColumn("u", u)
+        .withColumn("host", url_host("u"))
+        .select(
+            "doc_id",
+            url_normalize("u").alias("nu"),
+            registered_domain("host").alias("key"),
+        )
     )
     urlleg = enriched.groupBy("key").agg(
         F.count(F.lit(1)).alias("k1"),
@@ -3340,40 +3357,35 @@ def q52_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.lit("url").alias("leg"), "key", "k1", "k2", "k3", "v", "lo", "hi")
 
     # c4 leg: synthesized multi-line pages (every line/page rule hit by
-    # construction) through the one-struct c4_line_stats battery.
-    page = F.concat(
-        F.col("text"),
-        F.lit(
-            "\nThe first planted sentence has exactly enough words to stay."
-            "\nToo short."
-        ),
-        F.when(
-            did % 3 == 0,
-            F.lit("\nPlease enable javascript in your browser settings now."),
-        ).otherwise(F.lit("")),
-        F.when(
-            did % 4 == 0,
-            F.lit("\nthis line has no terminal punctuation so it gets dropped"),
-        ).otherwise(F.lit("")),
-        F.when(
-            did % 2 == 0,
-            F.lit(
-                "\nA second planted sentence keeps the page alive today."
-                "\nA third planted sentence ends the page cleanly today."
-            ),
-        ).otherwise(F.lit("")),
-        F.when(
-            did % 7 == 0,
-            F.lit("\nWe add lorem ipsum filler text to poison this page."),
-        ).otherwise(F.lit("")),
-        F.when(
-            did % 11 == 0,
-            F.lit("\nA stray { brace poisons the whole page now."),
-        ).otherwise(F.lit("")),
+    # construction) through the one-struct c4_line_stats battery. Input
+    # construction as one SQL expression (same build-cost rationale as
+    # the url leg's synthetic input above).
+    page = F.expr(
+        r"""
+        text || '\nThe first planted sentence has exactly enough words to stay.'
+             || '\nToo short.'
+        || (CASE WHEN doc_id % 3 = 0
+            THEN '\nPlease enable javascript in your browser settings now.'
+            ELSE '' END)
+        || (CASE WHEN doc_id % 4 = 0
+            THEN '\nthis line has no terminal punctuation so it gets dropped'
+            ELSE '' END)
+        || (CASE WHEN doc_id % 2 = 0
+            THEN '\nA second planted sentence keeps the page alive today.'
+              || '\nA third planted sentence ends the page cleanly today.'
+            ELSE '' END)
+        || (CASE WHEN doc_id % 7 = 0
+            THEN '\nWe add lorem ipsum filler text to poison this page.'
+            ELSE '' END)
+        || (CASE WHEN doc_id % 11 = 0
+            THEN '\nA stray { brace poisons the whole page now.'
+            ELSE '' END)
+        """
     )
     kept_page = F.col("s.fail_mask") == 0
     c4leg = (
-        docs.select("lang", c4_line_stats(page).alias("s"))
+        docs.withColumn("page", page)
+        .select("lang", c4_line_stats("page").alias("s"))
         .groupBy("lang")
         .agg(
             F.sum(F.when(kept_page, 1).otherwise(0)).cast("long").alias("k1"),
