@@ -1401,6 +1401,43 @@ def test_dedup_verb_spans_strategy(engine):
     assert got[3] == rows[2]["payload"]
 
 
+def test_dedup_verb_lines_strategy(engine):
+    """DEDUP {"strategy": "lines"}: the shared boilerplate line survives
+    only in the first doc, n_cut_lines accounted, COW commit; dry_run
+    reports without rewriting; since_version rejected."""
+    engine.execute("CREATE", collection="pages")
+    bp = "Subscribe to our newsletter for more updates."
+    engine.execute(
+        "INSERT",
+        collection="pages",
+        arg=[
+            {"id": 1, "embedding": [1.0], "payload": f"First article body.\n{bp}"},
+            {"id": 2, "embedding": [1.0], "payload": f"Second article body.\n{bp}"},
+            {"id": 3, "embedding": [1.0], "payload": f"{bp}\nThird article body."},
+        ],
+    )
+    dry = engine.execute(
+        "DEDUP", collection="pages", arg={"strategy": "lines", "dry_run": True}
+    )
+    assert [(r["id"], r["n_cut_lines"]) for r in dry.df.collect()] == [(2, 1), (3, 1)]
+    col = engine.db.collection("pages")
+    v_before = col.version
+    info = engine.execute(
+        "DEDUP", collection="pages", arg={"strategy": "lines"}
+    ).info
+    assert info["n_cut_lines"] == 2 and info["removed"] == 0
+    texts = {r["id"]: r["payload"] for r in col.read().collect()}
+    assert texts[1] == f"First article body.\n{bp}"
+    assert texts[2] == "Second article body."
+    assert texts[3] == "Third article body."
+    assert col.version > v_before
+    with pytest.raises(CommandArgError):
+        engine.execute(
+            "DEDUP", collection="pages",
+            arg={"strategy": "lines", "since_version": v_before},
+        )
+
+
 def test_dedup_verb_dry_run(engine):
     """dry_run=True reports would-be removals WITHOUT committing: the
     drop-id set matches what a real run then removes, the spans report

@@ -372,6 +372,34 @@ def test_c4_line_and_page_rules(spark):
     assert cleaned[0] == f"{k1}\n{k2}\n{k3}"
 
 
+def test_dedup_lines_corpus_global(spark):
+    """CCNet line dedup: the boilerplate line survives only at its first
+    (id, pos) occurrence; normalization fuses digit/case variants; blank
+    lines are exempt everywhere; NULL pages pass through; a fully-deduped
+    page becomes ''. Partitioning never changes the outcome."""
+    from vrod_spark.operators.dedup import dedup_lines
+
+    docs = [
+        (1, "Unique opening line one.\nCopyright 2019 Example Corp.\n\nBody one."),
+        # same boilerplate, different year + case -> normalizes equal
+        (2, "Unique opening line two.\ncopyright 2024 example corp.\n\nBody two."),
+        (3, "Copyright 1999 EXAMPLE Corp."),  # fully deduped page
+        (4, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+    assert got[1]["text"] == docs[0][1] and got[1]["n_cut_lines"] == 0
+    assert got[2]["text"] == "Unique opening line two.\n\nBody two."
+    assert got[2]["n_cut_lines"] == 1
+    assert got[3]["text"] == "" and got[3]["n_cut_lines"] == 1
+    assert got[4]["text"] is None and got[4]["n_cut_lines"] == 0
+
+    got13 = {r["doc_id"]: r for r in dedup_lines(df.repartition(13)).collect()}
+    for k in got:
+        assert got13[k]["text"] == got[k]["text"]
+        assert got13[k]["n_cut_lines"] == got[k]["n_cut_lines"]
+
+
 def test_temperature_mixture_rates(spark):
     """alpha=1 → natural proportions (all rates equal); alpha→0 →
     uniform-over-strata row budgets; saturated strata cap at 1.0 with the

@@ -686,7 +686,7 @@ class Engine:
 
         ``arg``: {"strategy": "exact" (default) | "url" | "minhash"
                   | "simhash" | "embedding" | "semdedup" | "winnow"
-                  | "spans" | "decontaminate",
+                  | "spans" | "lines" | "decontaminate",
                   "url_key": "url" — meta key holding the record's URL
                   (strategy "url" only),
                   "against": "<collection>" — the eval-set collection a
@@ -742,6 +742,13 @@ class Engine:
                       default). The only strategy that rewrites text
                       instead of dropping rows; reports n_cut_tokens.
                       {"min_tokens": N, "scope": "cross_doc"|"any"}
+        - lines:      CCNet-style corpus-global LINE dedup: every line
+                      whose normalized form (lowercase, digits→0,
+                      letters-only) occurs elsewhere in the collection is
+                      cut from all but its first occurrence — the
+                      boilerplate (navbar/footer/banner) killer. Rewrites
+                      text like "spans"; reports n_cut_lines.
+                      {"min_chars": N — normalized-length exemption}
         - winnow:     MOSS winnowing-fingerprint overlap ≥ threshold
                       (default .5 of the smaller doc's fingerprints) —
                       the contiguous-passage/boilerplate signal that
@@ -784,7 +791,7 @@ class Engine:
         since_version = opts.get("since_version")
         established = None  # native-id DataFrame of immutable rows
         if since_version is not None:
-            if strategy in ("semdedup", "spans", "decontaminate"):
+            if strategy in ("semdedup", "spans", "decontaminate", "lines"):
                 raise CommandArgError(
                     f"since_version is not supported for strategy "
                     f"{strategy!r}: its decisions are corpus-global "
@@ -817,7 +824,7 @@ class Engine:
         # type through its applyInPandas schema — none needs (or uses)
         # the hash mapping, so don't pay the collision-check jobs for them.
         hashed_ids = (
-            strategy not in ("exact", "url", "semdedup", "spans", "decontaminate")
+            strategy not in ("exact", "url", "semdedup", "spans", "decontaminate", "lines")
             and df.schema["id"].dataType.simpleString() not in integral
         )
         if hashed_ids:
@@ -1010,6 +1017,36 @@ class Engine:
                 },
             )
 
+        if strategy == "lines":
+            from vrod_spark.operators.dedup import dedup_lines
+
+            kw = dict(
+                text_col=text_col,
+                id_col="id",
+                min_chars=int(opts.get("min_chars", 1)),
+            )
+            rewritten = dedup_lines(df, **kw)
+            if dry_run:
+                report = (
+                    rewritten.filter(F.col("n_cut_lines") > 0)
+                    .select("id", "n_cut_lines")
+                    .orderBy("id")
+                )
+                return dry_result(report)
+            n_cut = rewritten.agg(F.sum("n_cut_lines")).first()[0] or 0
+            survivors = rewritten.drop("n_cut_lines")
+            n_after = col._rewrite(survivors, "DEDUP", {"strategy": strategy})
+            return CommandResult(
+                "DEDUP",
+                info={
+                    "collection": col.name,
+                    "strategy": strategy,
+                    "removed": before - n_after,
+                    "n_cut_lines": int(n_cut),
+                    "rows": n_after,
+                },
+            )
+
         if strategy == "decontaminate":
             from vrod_spark.operators.dedup import (
                 contaminated_span_arrays,
@@ -1137,7 +1174,7 @@ class Engine:
             raise CommandArgError(
                 f"unknown dedup strategy {strategy!r}; expected "
                 "exact/url/minhash/simhash/embedding/semdedup/winnow/"
-                "spans/decontaminate"
+                "spans/lines/decontaminate"
             )
 
         # Keep-first, transitively: close the verified pairs into

@@ -1370,3 +1370,95 @@ def decontaminate_spans(
         mark_join=mark_join,
     )
     return _apply_span_cuts(df, per_doc, text_col=text_col, id_col=id_col)
+
+
+def dedup_lines(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 1,
+) -> DataFrame:
+    """CCNet-style corpus-global LINE dedup (Wenzek et al. 2020 §3.1's
+    paragraph dedup, at line granularity): every line whose NORMALIZED
+    form occurs elsewhere in the corpus is removed from all but its first
+    occurrence (first = smallest ``(id, line position)``). The web-corpus
+    boilerplate killer — navigation bars, cookie banners and footers are
+    exactly the lines that repeat across pages — and the line-granular
+    complement to ``duplicate_spans`` (token ranges) and
+    ``c4_line_stats`` (per-page rules).
+
+    Normalization before hashing (lowercase, digits → ``0``, strip
+    non-letter/non-0/non-space) follows the published recipe so "Viewed 17
+    times" and "Viewed 204 times" fuse. Lines whose normalized form is
+    shorter than ``min_chars`` (default: empty after normalization) are
+    exempt — they carry no dedup evidence, and hashing them would fuse
+    every blank line in the corpus into one key.
+
+    Returns the input schema with ``text_col`` rewritten (surviving lines
+    re-joined in order; a fully-deduped page keeps an empty string) plus
+    ``n_cut_lines``.
+
+    Scale shape: winners are a ``groupBy(line-hash).min(struct(id, pos))``
+    — partial-aggregable map-side, so a boilerplate line in 10⁸ documents
+    combines within each task before one (hash, 12-byte struct) row per
+    distinct line crosses the wire. The only full-width line shuffle is
+    the winner semi-join + per-document rebuild. The join DOES colocate
+    all copies of one hot line in one task (same accepted caveat as the
+    span dup-mark); the per-row work there is a constant-time struct
+    compare.
+    """
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    )
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(F.col("_line"))), "[0-9]", "0"),
+        r"[^\p{L}0 ]",
+        "",
+    )
+    lines = lines.withColumn(
+        "_nh", F.when(F.length(norm) >= min_chars, F.md5(norm))
+    )
+    cand = lines.filter(F.col("_nh").isNotNull())
+    winners = cand.groupBy("_nh").agg(
+        F.min(F.struct("_id", "_pos")).alias("_w")
+    )
+    kept = (
+        cand.join(winners, "_nh")
+        .filter((F.col("_id") == F.col("_w._id")) & (F.col("_pos") == F.col("_w._pos")))
+        .select("_id", "_pos", "_line")
+        .unionByName(
+            lines.filter(F.col("_nh").isNull()).select("_id", "_pos", "_line")
+        )
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("_new_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    n_lines = F.size(F.split(F.col(text_col), "\n"))
+    out = (
+        df.join(rebuilt, df[id_col] == rebuilt["_id"], "left")
+        .withColumn(
+            "n_cut_lines",
+            F.when(F.col(text_col).isNull(), F.lit(0))
+            .otherwise(n_lines - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long"),
+        )
+        .withColumn(
+            # NULL pages pass through as NULL (no content, nothing cut);
+            # fully-deduped pages become the empty string.
+            text_col,
+            F.when(
+                F.col(text_col).isNull(), F.lit(None).cast("string")
+            ).otherwise(F.coalesce(F.col("_new_text"), F.lit(""))),
+        )
+        .drop("_id", "_new_text", "_n_kept")
+    )
+    return out
