@@ -1438,6 +1438,63 @@ def test_dedup_verb_lines_strategy(engine):
         )
 
 
+def test_dedup_verb_decontaminate_embedding(engine):
+    """DEDUP decontaminate method=embedding: rows within threshold cosine
+    of ANY eval vector drop (paraphrase-robust scrub); dry_run reports
+    scores; unknown method and empty eval error loudly."""
+    import math
+
+    engine.execute("CREATE", collection="train")
+    engine.execute("CREATE", collection="evalset")
+    a = math.radians(2.0)
+    rows = [
+        # ~cos(2deg) = 0.99939 to eval[0] -> contaminated at 0.99
+        {"id": 1, "embedding": [math.cos(a), math.sin(a), 0.0], "payload": "near eval"},
+        {"id": 2, "embedding": [0.0, 0.0, 1.0], "payload": "clean"},
+        {"id": 3, "embedding": [0.0, 1.0, 0.0], "payload": "near eval two"},
+    ]
+    engine.execute("INSERT", collection="train", arg=rows)
+    engine.execute(
+        "INSERT",
+        collection="evalset",
+        arg=[
+            {"id": 10, "embedding": [1.0, 0.0, 0.0], "payload": "eval q1"},
+            {"id": 11, "embedding": [0.0, 1.0, 0.0], "payload": "eval q2"},
+        ],
+    )
+    dry = engine.execute(
+        "DEDUP",
+        collection="train",
+        arg={
+            "strategy": "decontaminate",
+            "against": "evalset",
+            "method": "embedding",
+            "threshold": 0.99,
+            "dry_run": True,
+        },
+    )
+    assert [r["id"] for r in dry.df.collect()] == [1, 3]
+    info = engine.execute(
+        "DEDUP",
+        collection="train",
+        arg={
+            "strategy": "decontaminate",
+            "against": "evalset",
+            "method": "embedding",
+            "threshold": 0.99,
+        },
+    ).info
+    assert info["removed"] == 2 and info["method"] == "embedding"
+    col = engine.db.collection("train")
+    assert [r["id"] for r in col.read().collect()] == [2]
+    with pytest.raises(CommandArgError):
+        engine.execute(
+            "DEDUP", collection="train",
+            arg={"strategy": "decontaminate", "against": "evalset",
+                 "method": "bogus"},
+        )
+
+
 def test_dedup_verb_dry_run(engine):
     """dry_run=True reports would-be removals WITHOUT committing: the
     drop-id set matches what a real run then removes, the spans report

@@ -3111,3 +3111,44 @@ def test_decontaminate_spans_cuts_eval_overlap(spark):
     assert {r["doc_id"]: r["n_cut_tokens"] for r in again.collect()} == {
         1: 0, 2: 0, 3: 0,
     }
+
+
+def test_semantic_contamination_scores(spark):
+    """Max-eval-cosine scoring: exact duplicates of an eval vector score
+    1.0, orthogonal vectors 0.0, the max is over ALL eval anchors, NULL
+    and zero vectors score 0.0, and scores are identical under
+    repartitioning (batch-size-independent accumulation)."""
+    import math
+
+    import numpy as np
+    import pytest as _pytest
+
+    from vrod_spark.operators.cluster import semantic_contamination_scores
+
+    ev = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    a = math.radians(10.0)
+    rows = [
+        (1, [2.0, 0.0, 0.0]),                      # scaled dup of eval[0] -> 1.0
+        (2, [0.0, 0.0, 1.0]),                      # orthogonal to both -> 0.0
+        (3, [math.sin(a), math.cos(a), 0.0]),      # cos(10deg) to eval[1]
+        (4, None),                                  # no vector -> 0.0
+        (5, [0.0, 0.0, 0.0]),                       # zero vector -> 0.0
+    ]
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    got = {
+        r["id"]: r["max_eval_cos"]
+        for r in semantic_contamination_scores(df, ev).collect()
+    }
+    assert abs(got[1] - 1.0) < 1e-12
+    assert abs(got[2]) < 1e-12
+    assert abs(got[3] - math.cos(a)) < 1e-12
+    assert got[4] == 0.0 and got[5] == 0.0
+
+    got7 = {
+        r["id"]: r["max_eval_cos"]
+        for r in semantic_contamination_scores(df.repartition(7), ev).collect()
+    }
+    assert got == got7
+
+    with _pytest.raises(ValueError):
+        semantic_contamination_scores(df, np.empty((0, 3)))

@@ -692,7 +692,11 @@ class Engine:
                   "against": "<collection>" — the eval-set collection a
                   "decontaminate" run scrubs k-gram overlaps with
                   ("eval_column" selects its text column, default
-                  payload; min_tokens defaults to the published 13),
+                  payload; min_tokens defaults to the published 13;
+                  "method": "ngram" (default, span removal) |
+                  "embedding" — DROP rows within "threshold" cosine
+                  (default 0.95) of any eval vector, the paraphrase-
+                  robust scrub n-grams miss),
                   "dry_run": False — when True, NO rewrite happens: the
                   result DataFrame reports the ids that would be removed
                   (for "spans": the (id, span_start, span_end, n_tokens)
@@ -1060,6 +1064,67 @@ class Engine:
                     "holding the eval set>\"}"
                 )
             eval_df = self._require_collection(str(against)).read()
+            method = str(opts.get("method", "ngram")).lower()
+            if method == "embedding":
+                # Embedding-space decontamination: DROP any row whose
+                # vector sits within `threshold` cosine of ANY eval
+                # vector (paraphrased eval items share no 13-gram but
+                # sit at cosine ~0.9+ of their source). The eval matrix
+                # is driver-bounded by the same contract as k-means
+                # centroids; one broadcast + one Arrow stage, only
+                # (id, double) ever shuffles.
+                import numpy as np
+
+                from vrod_spark.operators.cluster import (
+                    semantic_contamination_scores,
+                )
+
+                threshold = float(opts.get("threshold", 0.95))
+                ev = np.array(
+                    [
+                        r[0]
+                        for r in eval_df.select("embedding")
+                        .filter(F.col("embedding").isNotNull())
+                        .collect()
+                    ],
+                    dtype=np.float64,
+                )
+                if not len(ev):
+                    raise CommandArgError(
+                        f"eval collection {against!r} has no embeddings to "
+                        "decontaminate against"
+                    )
+                scored = semantic_contamination_scores(df, ev)
+                if dry_run:
+                    report = (
+                        scored.filter(F.col("max_eval_cos") >= threshold)
+                        .select(
+                            "id", F.round("max_eval_cos", 6).alias("max_eval_cos")
+                        )
+                        .orderBy("id")
+                    )
+                    return dry_result(report, {"against": str(against)})
+                survivors = scored.filter(
+                    (F.col("max_eval_cos") < threshold)
+                    | F.col("max_eval_cos").isNull()
+                ).drop("max_eval_cos")
+                n_after = col._rewrite(survivors, "DEDUP", {"strategy": strategy})
+                return CommandResult(
+                    "DEDUP",
+                    info={
+                        "collection": col.name,
+                        "strategy": strategy,
+                        "method": method,
+                        "against": str(against),
+                        "removed": before - n_after,
+                        "rows": n_after,
+                    },
+                )
+            if method != "ngram":
+                raise CommandArgError(
+                    f'unknown decontaminate method {method!r}; expected '
+                    '"ngram" or "embedding"'
+                )
             kw = dict(
                 text_col=text_col,
                 id_col="id",

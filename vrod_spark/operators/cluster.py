@@ -212,3 +212,57 @@ def cluster_profile(dedup: DataFrame) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+def semantic_contamination_scores(
+    df: DataFrame,
+    eval_vectors: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    score_col: str = "max_eval_cos",
+) -> DataFrame:
+    """Max cosine of each row's vector against an EVAL anchor set — the
+    embedding-space analog of n-gram benchmark decontamination (the
+    scrub Abbas-era pipelines run alongside the GPT-3/PaLM 13-gram
+    rule: a paraphrased eval question shares no 13-gram but sits at
+    cosine ~0.9+ of its source).
+
+    ``eval_vectors`` is the E×d eval matrix — driver-bounded by the same
+    contract as k-means centroids (benchmarks are thousands of rows, not
+    corpora; an eval set beyond driver memory should go through the
+    bucketed pair machinery instead). It broadcasts once; each Arrow
+    batch then pays ONE vectorized multiply per eval row, and only
+    ``(input row, one double)`` ever shuffles — nothing pairwise
+    materializes. Rows with a zero/NULL-normed vector score 0.0 (no
+    evidence of contamination).
+
+    Returns the input schema plus ``score_col``.
+    """
+    ev = np.asarray(eval_vectors, dtype=np.float64)
+    if ev.ndim != 2 or not len(ev):
+        raise ValueError("eval_vectors must be a non-empty E x d matrix")
+    en = np.linalg.norm(ev, axis=1, keepdims=True)
+    eb = df.sparkSession.sparkContext.broadcast(ev / np.where(en == 0, 1, en))
+
+    @F.pandas_udf("double")
+    def max_cos(vecs):
+        import numpy as np
+        import pandas as pd
+
+        eu = eb.value
+        out = np.zeros(len(vecs), dtype=np.float64)
+        ok = vecs.notna().to_numpy()
+        if ok.any():
+            mat = np.array(vecs[ok].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            unit = mat / np.where(norms == 0, 1, norms)
+            # Per-eval-row multiply+sum (not dgemm) for batch-size-
+            # independent accumulation order — same rationale as
+            # kmeans_assign.
+            best = np.full(len(unit), -np.inf)
+            for j in range(len(eu)):
+                np.maximum(best, (unit * eu[j]).sum(axis=1), out=best)
+            out[ok] = np.where(np.isfinite(best), best, 0.0)
+        return pd.Series(out)
+
+    return df.withColumn(score_col, max_cos(F.col(vec_col)))
