@@ -2832,6 +2832,50 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cspan GROUP BY doc_id
       ORDER BY frac DESC, doc_id
       LIMIT 20
+    ),
+    lpg AS (
+      SELECT doc_id, doc_id % 7 AS g,
+             text
+             || (CASE WHEN doc_id % 3 = 0 THEN chr(10) ||
+                 'Subscribe to our newsletter for updates.' ELSE '' END)
+             || (CASE WHEN doc_id % 4 = 0 THEN chr(10) ||
+                 'Viewed ' || cast(doc_id AS VARCHAR) || ' times today.'
+                 ELSE '' END) AS page
+      FROM documents
+    ),
+    lraw AS (
+      SELECT doc_id,
+             unnest(string_split(page, chr(10))) AS line,
+             generate_subscripts(string_split(page, chr(10)), 1) AS pos
+      FROM lpg
+    ),
+    lln AS (
+      SELECT doc_id, pos, line,
+             regexp_replace(regexp_replace(lower(trim(line)),
+               '[0-9]', '0', 'g'), '[^\\p{L}0 ]', '', 'g') AS nl
+      FROM lraw
+    ),
+    lkeep AS (
+      SELECT doc_id, pos, line FROM (
+        SELECT doc_id, pos, line,
+               row_number() OVER (PARTITION BY md5(nl)
+                                  ORDER BY doc_id, pos) AS rn
+        FROM lln WHERE length(nl) >= 1
+      ) WHERE rn = 1
+      UNION ALL
+      SELECT doc_id, pos, line FROM lln WHERE length(nl) < 1
+    ),
+    lreb AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS new_text
+      FROM lkeep GROUP BY doc_id
+    ),
+    lfull AS (
+      SELECT p.g,
+             len(string_split(p.page, chr(10))) AS n_lines,
+             coalesce(r.n_kept, 0) AS n_kept,
+             coalesce(r.new_text, '') AS new_text
+      FROM lpg p LEFT JOIN lreb r USING (doc_id)
     )
     SELECT 'repetition' AS metric, doc_id,
            n_shingles AS v1, n_distinct AS v2, rep_ratio AS v3 FROM rep
@@ -2849,6 +2893,12 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'decon_spans' AS metric, doc_id, n_spans AS v1, cut_toks AS v2,
            frac AS v3
     FROM cper
+    UNION ALL
+    SELECT 'lines' AS metric, g AS doc_id,
+           sum(n_lines - n_kept)::BIGINT AS v1,
+           sum(('0x' || substring(md5(new_text), 1, 15))::BIGINT % 1000003) AS v2,
+           round(sum(n_lines - n_kept)::DOUBLE / sum(n_lines), 6) AS v3
+    FROM lfull GROUP BY g
     ORDER BY metric, doc_id, v1
     """,
 )
@@ -2970,11 +3020,50 @@ def q49_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("v3").desc(), "doc_id")
         .limit(20)
     )
+    # lines leg — corpus-global CCNet line dedup (operators/dedup.
+    # dedup_lines, the DEDUP verb's "lines" strategy) over synthesized
+    # multi-line pages: a shared boilerplate line (doc_id%3) and a
+    # digit-varying "Viewed N times" line (doc_id%4 — digit
+    # normalization fuses every variant) planted on the raw text. Per
+    # doc_id%7 group: lines cut, a 60-bit md5 checksum of every
+    # REBUILT page (pins exact surviving text + order), cut fraction.
+    from vrod_spark.operators.dedup import dedup_lines
+
+    lpg = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 7).alias("g"),
+        F.expr(
+            r"""text
+            || (CASE WHEN doc_id % 3 = 0 THEN '\nSubscribe to our newsletter for updates.' ELSE '' END)
+            || (CASE WHEN doc_id % 4 = 0 THEN '\nViewed ' || cast(doc_id AS string) || ' times today.' ELSE '' END)
+            """
+        ).alias("text"),
+    ).withColumn("n_lines", F.size(F.split("text", "\n")))
+    dl = dedup_lines(lpg, text_col="text", id_col="doc_id")
+    md60 = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long") % 1000003
+    lines_leg = (
+        dl.groupBy("g")
+        .agg(
+            F.sum("n_cut_lines").alias("v1"),
+            F.sum(md60).alias("v2"),
+            F.round(
+                F.sum("n_cut_lines") / F.sum("n_lines").cast("double"), 6
+            ).alias("v3"),
+        )
+        .select(
+            F.lit("lines").alias("metric"),
+            F.col("g").cast("long").alias("doc_id"),
+            "v1",
+            "v2",
+            "v3",
+        )
+    )
     return (
         rep.unionByName(win)
         .unionByName(wpairs)
         .unionByName(dspans)
         .unionByName(decon)
+        .unionByName(lines_leg)
         .orderBy("metric", "doc_id", "v1")
     )
 
