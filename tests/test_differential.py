@@ -513,3 +513,115 @@ def test_differential_url_normalize_generative(spark, data):
     want = {r[0]: r[1] for r in con.sql(_URL_NORM_SQL).fetchall()}
     for i, u in enumerate(urls):
         assert got[i] == want[i], f"{u!r}: spark={got[i]!r} duckdb={want[i]!r}"
+
+
+@given(seed=st.integers(min_value=0, max_value=10_000))
+@SETTINGS
+def test_differential_dedup_lines_brute_force(spark, seed):
+    """dedup_lines vs an independent Python reference on random corpora:
+    lines drawn from a small pool (guaranteed cross-doc collisions),
+    digit/case variants that normalize equal, blank lines, and empty
+    docs. The reference recomputes normalization and keep-first from
+    scratch."""
+    import random
+    import re
+
+    from vrod_spark.operators.dedup import dedup_lines
+
+    rng = random.Random(seed)
+    pool = [
+        "alpha beta gamma",
+        "ALPHA beta GAMMA",        # case variant of the above
+        "viewed 17 times",
+        "viewed 20398 times",      # digit variant of the above
+        "unique snowflake",
+        "punct, rich! line?",
+        "",
+        "   ",
+    ]
+    docs = []
+    for i in range(rng.randint(1, 12)):
+        n = rng.randint(0, 6)
+        docs.append((i, "\n".join(rng.choice(pool) for _ in range(n)) if n else ""))
+
+    def norm(line: str) -> str:
+        s = re.sub(r"[0-9]", "0", line.strip().lower())
+        return re.sub(r"[^\w0 ]", "", s, flags=re.UNICODE).replace("_", "")
+
+    # Python reference: keep-first by (id, pos) on the normalized hash;
+    # empty-normalized lines exempt.
+    seen: set[str] = set()
+    want = {}
+    for i, text in docs:
+        kept, cut = [], 0
+        for line in text.split("\n"):
+            key = norm(line)
+            if len(key) < 1:
+                kept.append(line)
+            elif key not in seen:
+                seen.add(key)
+                kept.append(line)
+            else:
+                cut += 1
+        want[i] = ("\n".join(kept), cut)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string").coalesce(2)
+    got = {
+        r["doc_id"]: (r["text"], r["n_cut_lines"])
+        for r in dedup_lines(df).collect()
+    }
+    assert got == want
+
+
+@given(seed=st.integers(min_value=0, max_value=10_000))
+@SETTINGS
+def test_differential_c4_line_stats_brute_force(spark, seed):
+    """c4_line_stats vs an independent Python reference: random pages
+    assembled from rule-triggering and rule-passing line fragments."""
+    import random
+    import re
+
+    from vrod_spark.functions.text import c4_line_stats
+
+    rng = random.Random(seed)
+    pool = [
+        "This line has five good words.",          # kept
+        "Short line.",                              # <5 words
+        "no terminal punctuation on this line here",
+        "Enable JavaScript to view this content now.",  # javascript
+        'He said "this quoted line has enough words."',  # kept, quote-terminal
+        "Another perfectly reasonable sentence sits right here.",  # kept
+        "lorem ipsum dolor sit amet filler text here.",  # kept line, page poison
+        "a curly { brace appears in this line here.",    # kept line, page poison
+    ]
+    pages = []
+    for i in range(rng.randint(1, 10)):
+        n = rng.randint(0, 6)
+        pages.append((i, "\n".join(rng.choice(pool) for _ in range(n)) if n else ""))
+
+    def ref(page: str):
+        lines = page.split("\n")
+        kept = [
+            l for l in lines
+            if re.search(r'[.!?"]$', l.strip())
+            and len(re.findall(r"\S+", l)) >= 5
+            and not re.search(r"\bjavascript\b", l.lower())
+        ]
+        clean = "\n".join(kept)
+        mask = (
+            (1 if "lorem ipsum" in page.lower() else 0)
+            + (2 if re.search(r"[{}]", page) else 0)
+            + (4 if len(re.findall(r"[.!?]", clean)) < 3 else 0)
+        )
+        return len(lines), len(kept), clean, mask
+
+    df = spark.createDataFrame(pages, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["s"]["n_lines"], r["s"]["n_kept"],
+            r["s"]["clean_text"], r["s"]["fail_mask"],
+        )
+        for r in df.select("doc_id", c4_line_stats("text").alias("s")).collect()
+    }
+    for i, page in pages:
+        assert got[i] == ref(page), (i, page)
