@@ -1415,9 +1415,14 @@ def q28_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   pytest-verified; the gate pins the assignment + cluster-scoped
 #   pruning machinery on SQL-derivable centroids.
 #
+# - leg 'edecon' — semantic eval decontamination (max cosine of every
+#   corpus row against a 5-row SQL-derivable "eval set"; integer pins:
+#   contaminated counts at 0.95 / 0.5 + total — the DEDUP
+#   decontaminate method="embedding" scoring path, cross-engine).
+#
 # Generic columns (leg, k1, k2, k3, v): pairs rows carry
 # (id_a, id_b, 0, cosine); semdedup rows (cluster, n_members, n_kept,
-# avg_ccos).
+# avg_ccos); the edecon row (n_ge_95, n_ge_50, n_rows, 0.0).
 # ---------------------------------------------------------------------------
 @query(
     "q28b_embedding_near_dup_bucketed",
@@ -1465,6 +1470,21 @@ def q28_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(CASE WHEN vec_id IN (SELECT vec_id FROM drp) THEN 0 ELSE 1 END),
            round(round(avg(ccos), 6), 4)
     FROM rk GROUP BY cid
+    UNION ALL
+    SELECT 'edecon',
+           sum(CASE WHEN mx >= 0.95 THEN 1 ELSE 0 END),
+           sum(CASE WHEN mx >= 0.5 THEN 1 ELSE 0 END),
+           count(*),
+           0.0::DOUBLE
+    FROM (
+      SELECT e.vec_id,
+             max(list_cosine_similarity(e.embedding::DOUBLE[], s.ev)) AS mx
+      FROM embeddings e CROSS JOIN (
+        SELECT embedding::DOUBLE[] AS ev FROM embeddings
+        WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)
+      ) s
+      GROUP BY e.vec_id
+    )
     ORDER BY leg, k1
     """,
 )
@@ -1535,7 +1555,43 @@ def q28b_embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("n_kept").alias("k3"),
         F.col("avg_ccos").alias("v"),
     )
-    return pairs.unionByName(semdedup).orderBy("leg", "k1")
+    # edecon leg — semantic eval decontamination (operators/cluster.
+    # semantic_contamination_scores, the DEDUP decontaminate
+    # method="embedding" path): the 5 smallest-vec_id embeddings are the
+    # "eval set"; each corpus row scores its max cosine against them.
+    # INTEGER pins only (contaminated counts at two thresholds + total)
+    # — a count flips only if some row's max-eval-cosine sits within
+    # float ulps of a threshold, which planted-structure corpora never
+    # place there (drift-proof per the r8 averaged-float-pin policy).
+    from vrod_spark.operators.cluster import semantic_contamination_scores
+
+    evm = _shared_scalar(
+        spark,
+        ("edecon_eval", os.path.abspath(sf_dir), 5),
+        lambda: __import__("numpy").array(
+            [
+                r[0]
+                for r in emb.orderBy("vec_id").limit(5).select("embedding").collect()
+            ],
+            dtype="float64",
+        ),
+    )
+    escored = semantic_contamination_scores(emb, evm)
+    edecon = (
+        escored.agg(
+            F.sum((F.col("max_eval_cos") >= 0.95).cast("long")).alias("n95"),
+            F.sum((F.col("max_eval_cos") >= 0.5).cast("long")).alias("n50"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.lit("edecon").alias("leg"),
+            F.col("n95").alias("k1"),
+            F.col("n50").alias("k2"),
+            F.col("n").alias("k3"),
+            F.lit(0.0).alias("v"),
+        )
+    )
+    return pairs.unionByName(semdedup).unionByName(edecon).orderBy("leg", "k1")
 
 
 # ---------------------------------------------------------------------------
