@@ -3152,3 +3152,47 @@ def test_semantic_contamination_scores(spark):
 
     with _pytest.raises(ValueError):
         semantic_contamination_scores(df, np.empty((0, 3)))
+
+
+def test_quality_classifier_trains_and_separates(spark):
+    """Trained hashed-ngram logistic classifier (the CCNet/GPT-3 linear
+    quality filter): separates planted quality/junk vocabularies on
+    held-out docs, training is bit-deterministic, scoring is pure
+    codegen with a sigmoid(bias) fallback for empty docs, and one-class
+    training errors loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from vrod_spark.operators.classifier import (
+        quality_classifier_scores,
+        train_quality_classifier,
+    )
+
+    good_w = ["research", "analysis", "method", "evidence", "study", "result"]
+    junk_w = ["cheap", "click", "winner", "prize", "buy", "casino"]
+    rows = []
+    for i in range(120):
+        ws = [good_w[(i + j) % 6] for j in range(12)]
+        rows.append((i, " ".join(ws), True))
+    for i in range(120, 240):
+        ws = [junk_w[(i + j) % 6] for j in range(12)]
+        rows.append((i, " ".join(ws), False))
+    rows.append((500, "", False))  # empty doc -> bias fallback
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_q boolean")
+
+    w1 = train_quality_classifier(df, F.col("is_q"), max_rows_per_class=60)
+    w2 = train_quality_classifier(df, F.col("is_q"), max_rows_per_class=60)
+    assert np.array_equal(w1, w2)  # bit-deterministic training
+
+    got = {
+        r["doc_id"]: r["quality_prob"]
+        for r in quality_classifier_scores(df, w1).collect()
+    }
+    # Every doc scored — including ones the bounded sample never saw.
+    goods = [got[i] for i in range(120)]
+    junks = [got[i] for i in range(120, 240)]
+    assert min(goods) > 0.9 and max(junks) < 0.1
+    assert 0.0 < got[500] < 1.0
+
+    with _pytest.raises(ValueError):
+        train_quality_classifier(df.filter("is_q"), F.col("is_q"))

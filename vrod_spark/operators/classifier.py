@@ -1,0 +1,188 @@
+"""Trained linear quality classifier over hashed n-gram features.
+
+The CCNet / GPT-3 / LLaMA corpus recipe filters web text with a LINEAR
+classifier trained to separate a trusted high-quality corpus (Wikipedia,
+books) from raw crawl — fasttext-style: bag of hashed n-gram features,
+logistic loss. This module is that component with zero ML dependencies:
+
+- **Features**: unigrams + bigrams of whitespace tokens, md5-hashed into
+  ``n_buckets`` (the exact DSIR bucket recipe — `operators/sampling.
+  dsir_scores` — so the two data-selection scorers share a feature
+  space), count-normalized per document.
+- **Training** (`train_quality_classifier`): a DETERMINISTIC bounded
+  sample per class (md5-coordinate threshold, the `deterministic_sample`
+  rule) is aggregated to (doc, bucket, count) rows and collected —
+  thousands of rows × a 256-bucket vocabulary, driver-trivial by
+  construction, the same bounded-sample contract as BPE merge training
+  and k-means seeding. Full-batch gradient descent in float64 with a
+  fixed iteration count — bit-reproducible, no RNG.
+- **Scoring** (`quality_classifier_scores`): fully DISTRIBUTED and
+  Python-free — explode → bucket id (codegen md5/conv) → per-doc count
+  agg → broadcast join of the (bucket, weight) table → weighted sum →
+  sigmoid. Text leaves the scan as 2-byte bucket ids; the model is
+  ``n_buckets`` rows. At 100 TB this is one explode-agg shuffle and a
+  broadcast, the same shape as DSIR.
+
+No reference analog (north-star [N] extension; the reference has no text
+ops beyond tokenization — src/utils/embeddings.rs:22-27).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hashed_ngram_counts(
+    df: DataFrame, *, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    """(id, _b, _c): per-document hashed unigram+bigram bucket counts —
+    the dsir_scores featurizer, shared verbatim so classifier and DSIR
+    scores live in one feature space."""
+    from vrod_spark.functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    bigrams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.when(b.isNotNull(), F.concat(a, F.lit(" "), b)),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    feats = F.concat(toks, bigrams)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_f")), 1, 4), 16, 10).cast("long")
+        % n_buckets
+    )
+    return (
+        df.select(F.col(id_col).alias("_id"), F.explode(feats).alias("_f"))
+        .select("_id", bucket.alias("_b"))
+        .groupBy("_id", "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    label: Column,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    max_rows_per_class: int = 2000,
+    epochs: int = 200,
+    lr: float = 2.0,
+    l2: float = 1e-4,
+) -> np.ndarray:
+    """Train logistic-regression weights separating ``label`` rows
+    (quality=1) from the rest. Returns a float64 vector of
+    ``n_buckets + 1`` (bias last) for `quality_classifier_scores`.
+
+    Deterministic end to end: the per-class training sample is chosen by
+    an md5-coordinate threshold scaled to ``max_rows_per_class`` (stable
+    under repartition/retry), and optimization is fixed-epoch full-batch
+    gradient descent — no RNG anywhere.
+    """
+    labeled = df.select(
+        F.col(id_col), F.col(text_col), label.cast("boolean").alias("_y")
+    )
+    counts = {
+        bool(r["_y"]): r["n"]
+        for r in labeled.groupBy("_y").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if len(counts) < 2:
+        raise ValueError("training needs rows of BOTH classes")
+    # Deterministic per-class downsample to <= max_rows_per_class.
+    coord = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(16**8))
+    )
+    keep = F.when(
+        F.col("_y"), coord < min(1.0, max_rows_per_class / counts[True])
+    ).otherwise(coord < min(1.0, max_rows_per_class / counts[False]))
+    sample = labeled.filter(keep)
+    fc = _hashed_ngram_counts(
+        sample, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+    )
+    rows = (
+        fc.join(sample.select(F.col(id_col).alias("_id"), "_y"), "_id")
+        .orderBy("_id", "_b")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("training sample has no features")
+    ids = sorted({r["_id"] for r in rows})
+    idx = {v: i for i, v in enumerate(ids)}
+    X = np.zeros((len(ids), n_buckets), dtype=np.float64)
+    y = np.zeros(len(ids), dtype=np.float64)
+    for r in rows:
+        X[idx[r["_id"]], r["_b"]] = r["_c"]
+        y[idx[r["_id"]]] = 1.0 if r["_y"] else 0.0
+    totals = X.sum(axis=1, keepdims=True)
+    X /= np.where(totals == 0, 1, totals)  # count-normalized features
+    w = np.zeros(n_buckets, dtype=np.float64)
+    b = 0.0
+    n = len(ids)
+    for _ in range(epochs):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        g = p - y
+        w -= lr * (X.T @ g / n + l2 * w)
+        b -= lr * float(g.mean())
+    return np.concatenate([w, [b]])
+
+
+def quality_classifier_scores(
+    df: DataFrame,
+    weights: np.ndarray,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """P(quality) per document under trained ``weights`` — pure codegen
+    + one broadcast join, no Python in the hot path. Documents with zero
+    features (empty text) score ``sigmoid(bias)``.
+
+    Returns (id_col, n_feats, quality_prob).
+    """
+    w = np.asarray(weights, dtype=np.float64)
+    n_buckets = len(w) - 1
+    bias = float(w[-1])
+    spark = df.sparkSession
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            [(int(i), float(w[i])) for i in range(n_buckets)], "_b long, _w double"
+        )
+    )
+    fc = _hashed_ngram_counts(
+        df, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+    )
+    scored = (
+        fc.join(wdf, "_b")
+        .groupBy("_id")
+        .agg(
+            F.sum("_c").alias("_n"),
+            (F.sum(F.col("_w") * F.col("_c")) / F.sum("_c")).alias("_z"),
+        )
+        .select(
+            "_id",
+            F.col("_n").alias("n_feats"),
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("_z") + F.lit(bias)))))
+            .alias("quality_prob"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored, df[id_col] == scored["_id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            F.coalesce(
+                "quality_prob",
+                F.lit(float(1.0 / (1.0 + np.exp(-bias)))),
+            ).alias("quality_prob"),
+        )
+    )

@@ -3754,6 +3754,11 @@ def q53_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT d.doc_id, sum(d.c * m.lr) / sum(d.c) AS score
       FROM dcnt d JOIN dmod m USING (b) GROUP BY d.doc_id
     )
+    , qsc AS (
+      SELECT doc_id, sum(c)::BIGINT AS nf,
+             sum(c * ((b % 7 - 3) / 10.0)) / sum(c) AS z
+      FROM dcnt GROUP BY doc_id
+    )
     SELECT source,
            count(*) AS n_total,
            sum(CASE WHEN substring(md5(doc_id::VARCHAR), 1, 2) < thresh
@@ -3761,9 +3766,12 @@ def q53_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
            sum(CASE WHEN coord < 0.1 THEN 1 ELSE 0 END)::BIGINT AS n_test,
            sum(CASE WHEN coord >= 0.1 AND coord < 0.9 THEN 1 ELSE 0 END)::BIGINT AS n_train,
            sum(CASE WHEN coord >= 0.9 THEN 1 ELSE 0 END)::BIGINT AS n_val,
-           round(round(avg(score), 6), 3) AS dsir_avg,
-           round(round(max(score), 6), 3) AS dsir_max
-    FROM coords LEFT JOIN dscore USING (doc_id)
+           round(round(avg(score), 6), 3) + 0.0 AS dsir_avg,
+           round(round(max(score), 6), 3) + 0.0 AS dsir_max,
+           sum(CASE WHEN 1.0 / (1.0 + exp(-(z + 0.1))) >= 0.5
+                    THEN 1 ELSE 0 END)::BIGINT AS qc_ge50,
+           sum(coalesce(nf, 0))::BIGINT AS qc_feats
+    FROM coords LEFT JOIN dscore USING (doc_id) LEFT JOIN qsc USING (doc_id)
     GROUP BY source
     ORDER BY source
     """,
@@ -3792,8 +3800,23 @@ def q54_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
     )
     scores = dsir_scores(docs, F.col("lang") == "en")
+    # qc columns — the trained-quality-classifier SCORING path
+    # (operators/classifier.quality_classifier_scores: bucket counts +
+    # broadcast weight join + sigmoid, pure codegen) pinned cross-engine
+    # with CLOSED-FORM weights w(b) = (b%7-3)/10, bias 0.1 — the trained
+    # weights themselves are driver-side numpy (bit-determinism
+    # pytest-pinned), but the distributed scorer the weights feed is
+    # what runs at corpus scale, and the oracle re-derives it entirely
+    # in SQL over the shared DSIR feature space.
+    import numpy as np
+
+    from vrod_spark.operators.classifier import quality_classifier_scores
+
+    wvec = np.array([(b % 7 - 3) / 10.0 for b in range(256)] + [0.1])
+    qc = quality_classifier_scores(docs, wvec)
     return (
         split_docs.join(scores.select("doc_id", "score"), "doc_id", "left")
+        .join(qc, "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_total"),
@@ -3801,8 +3824,14 @@ def q54_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("split") == "test").cast("int")).alias("n_test"),
             F.sum((F.col("split") == "train").cast("int")).alias("n_train"),
             F.sum((F.col("split") == "val").cast("int")).alias("n_val"),
-            F.round(F.round(F.avg("score"), 6), 3).alias("dsir_avg"),
-            F.round(F.round(F.max("score"), 6), 3).alias("dsir_max"),
+            # + 0.0 normalizes IEEE negative zero: a source whose avg
+            # DSIR score is ~-1e-9 rounds to -0.0 in one engine and 0.0
+            # in the other (observed at sf0.1) — adding +0.0 maps both
+            # to +0.0 (the only value where the sign bit can drift).
+            (F.round(F.round(F.avg("score"), 6), 3) + F.lit(0.0)).alias("dsir_avg"),
+            (F.round(F.round(F.max("score"), 6), 3) + F.lit(0.0)).alias("dsir_max"),
+            F.sum((F.col("quality_prob") >= 0.5).cast("long")).alias("qc_ge50"),
+            F.sum(F.coalesce("n_feats", F.lit(0))).alias("qc_feats"),
         )
         .orderBy("source")
     )
