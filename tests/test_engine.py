@@ -855,6 +855,18 @@ def test_dedup_verb_keep_best(engine):
             "DEDUP", collection="qdocs",
             arg={"strategy": "embedding", "keep": "bogus"},
         )
+    # keep/score on a non-component strategy must error, not silently
+    # run keep-first (exact returns before the component machinery).
+    with pytest.raises(CommandArgError):
+        engine.execute(
+            "DEDUP", collection="qdocs",
+            arg={"strategy": "exact", "keep": "best"},
+        )
+    with pytest.raises(CommandArgError):
+        engine.execute(
+            "DEDUP", collection="qdocs",
+            arg={"strategy": "exact", "score": "payload"},
+        )
     with pytest.raises(CommandArgError):
         engine.execute(
             "DEDUP", collection="qdocs",

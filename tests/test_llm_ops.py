@@ -3178,6 +3178,7 @@ def test_quality_classifier_trains_and_separates(spark):
         ws = [junk_w[(i + j) % 6] for j in range(12)]
         rows.append((i, " ".join(ws), False))
     rows.append((500, "", False))  # empty doc -> bias fallback
+    rows.append((501, "research cheap analysis", None))  # UNKNOWN label
     df = spark.createDataFrame(rows, "doc_id long, text string, is_q boolean")
 
     w1 = train_quality_classifier(df, F.col("is_q"), max_rows_per_class=60)
@@ -3194,5 +3195,14 @@ def test_quality_classifier_trains_and_separates(spark):
     assert min(goods) > 0.9 and max(junks) < 0.1
     assert 0.0 < got[500] < 1.0
 
+    # NULL-labeled rows are excluded from training (not folded into the
+    # negative class), but still get scored.
+    assert 501 in got
+
     with _pytest.raises(ValueError):
         train_quality_classifier(df.filter("is_q"), F.col("is_q"))
+    with _pytest.raises(ValueError):
+        # only NULLs on one side -> still one usable class
+        train_quality_classifier(
+            df.filter("is_q OR is_q IS NULL"), F.col("is_q")
+        )

@@ -792,6 +792,22 @@ class Engine:
         dry_run = bool(opts.get("dry_run", False))
         df = col.read()
         before = df.count()
+        # keep/score are near-dup-component options; validate them BEFORE
+        # any strategy branch returns, so {"strategy": "exact",
+        # "keep": "best"} errors loudly instead of silently running
+        # keep-first (the user would believe the best-quality duplicate
+        # survived when the smallest id did).
+        keep_rule = str(opts.get("keep", "first")).lower()
+        _near_dup = ("minhash", "simhash", "embedding", "winnow")
+        if keep_rule not in ("first", "best"):
+            raise CommandArgError(
+                f'unknown keep rule {keep_rule!r}; expected "first" or "best"'
+            )
+        if (keep_rule != "first" or "score" in opts) and strategy not in _near_dup:
+            raise CommandArgError(
+                f'"keep"/"score" apply only to the near-dup component '
+                f"strategies {_near_dup}, not {strategy!r}"
+            )
         since_version = opts.get("since_version")
         established = None  # native-id DataFrame of immutable rows
         if since_version is not None:
@@ -1156,11 +1172,8 @@ class Engine:
                 },
             )
 
-        keep_rule = str(opts.get("keep", "first")).lower()
-        if keep_rule not in ("first", "best"):
-            raise CommandArgError(
-                f'unknown keep rule {keep_rule!r}; expected "first" or "best"'
-            )
+        # keep_rule was parsed and range-checked before the strategy
+        # branches; the remaining checks need df/since_version context.
         if keep_rule == "best" and since_version is not None:
             raise CommandArgError(
                 'keep="best" is not supported with since_version: best-of-'

@@ -167,7 +167,10 @@ def quality_score(text: Column | str) -> Column:
     array."""
     if not isinstance(text, str):
         return let_once(tokens(text), lambda toks: _quality_from(text, toks))
-    t = text
+    # Backtick-quote the spliced name so columns with spaces/hyphens/
+    # reserved words (or expression syntax) parse as the IDENTIFIER the
+    # F.col path would have resolved, never as SQL.
+    t = f"`{text.replace('`', '``')}`"
     return F.expr(
         f"""
         round(
@@ -346,9 +349,18 @@ def c4_line_stats(text: Column | str) -> Column:
         + F.when(col.rlike("[{}]"), 2).otherwise(0)
         + F.when(n_sentences < 3, 4).otherwise(0)
     )
+    def _size(arr: Column) -> Column:
+        # size() of a NULL array is NULL with the modern default but -1
+        # under spark.sql.legacy.sizeOfNull=true — pin the NULL-in →
+        # NULL-out contract independent of session conf (a -1 would
+        # silently poison sum() aggregates that NULL would skip).
+        return F.when(col.isNull(), F.lit(None).cast("long")).otherwise(
+            F.size(arr).cast("long")
+        )
+
     return F.struct(
-        F.size(lines).cast("long").alias("n_lines"),
-        F.size(kept).cast("long").alias("n_kept"),
+        _size(lines).alias("n_lines"),
+        _size(kept).alias("n_kept"),
         clean.alias("clean_text"),
         mask.cast("int").alias("fail_mask"),
     )

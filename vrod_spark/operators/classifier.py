@@ -38,27 +38,17 @@ def _hashed_ngram_counts(
     df: DataFrame, *, text_col: str, id_col: str, n_buckets: int
 ) -> DataFrame:
     """(id, _b, _c): per-document hashed unigram+bigram bucket counts —
-    the dsir_scores featurizer, shared verbatim so classifier and DSIR
-    scores live in one feature space."""
-    from vrod_spark.functions.text import tokens
+    built from the ONE shared featurizer (`operators/sampling.
+    hashed_ngram_feats` / `ngram_bucket`), so classifier and DSIR scores
+    live in the same feature space by construction."""
+    from vrod_spark.operators.sampling import hashed_ngram_feats, ngram_bucket
 
-    toks = tokens(F.col(text_col))
-    bigrams = F.filter(
-        F.zip_with(
-            toks,
-            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-            lambda a, b: F.when(b.isNotNull(), F.concat(a, F.lit(" "), b)),
-        ),
-        lambda s: s.isNotNull(),
-    )
-    feats = F.concat(toks, bigrams)
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("_f")), 1, 4), 16, 10).cast("long")
-        % n_buckets
-    )
     return (
-        df.select(F.col(id_col).alias("_id"), F.explode(feats).alias("_f"))
-        .select("_id", bucket.alias("_b"))
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(hashed_ngram_feats(text_col)).alias("_f"),
+        )
+        .select("_id", ngram_bucket(F.col("_f"), n_buckets).alias("_b"))
         .groupBy("_id", "_b")
         .agg(F.count(F.lit(1)).alias("_c"))
     )
@@ -85,15 +75,19 @@ def train_quality_classifier(
     under repartition/retry), and optimization is fixed-epoch full-batch
     gradient descent — no RNG anywhere.
     """
+    # NULL labels are UNKNOWN, not negative: they are excluded from
+    # training entirely (bool(None) would otherwise fold them into the
+    # False class count and skew — or unbound — the negative-class
+    # sampling threshold).
     labeled = df.select(
         F.col(id_col), F.col(text_col), label.cast("boolean").alias("_y")
-    )
+    ).filter(F.col("_y").isNotNull())
     counts = {
         bool(r["_y"]): r["n"]
         for r in labeled.groupBy("_y").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     if len(counts) < 2:
-        raise ValueError("training needs rows of BOTH classes")
+        raise ValueError("training needs non-NULL rows of BOTH classes")
     # Deterministic per-class downsample to <= max_rows_per_class.
     coord = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
@@ -107,11 +101,12 @@ def train_quality_classifier(
     fc = _hashed_ngram_counts(
         sample, text_col=text_col, id_col=id_col, n_buckets=n_buckets
     )
-    rows = (
-        fc.join(sample.select(F.col(id_col).alias("_id"), "_y"), "_id")
-        .orderBy("_id", "_b")
-        .collect()
-    )
+    # No orderBy: the rows land in X by unique (doc, bucket) key and ids
+    # are sorted locally below, so collection order cannot affect the
+    # result — a pre-collect sort would only add a full shuffle.
+    rows = fc.join(
+        sample.select(F.col(id_col).alias("_id"), "_y"), "_id"
+    ).collect()
     if not rows:
         raise ValueError("training sample has no features")
     ids = sorted({r["_id"] for r in rows})

@@ -15,6 +15,35 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def hashed_ngram_feats(text_col: str) -> Column:
+    """Unigram + bigram whitespace-token features of ``text_col`` — THE
+    shared feature space of `dsir_scores` and
+    `operators/classifier.py` (one definition, so the two data-selection
+    scorers can never drift apart; q54's cross-engine pins re-derive it
+    in SQL). Bigrams: tokens zipped with their right-shifted selves; a
+    <2-token doc yields zero bigrams (no whole-doc fallback)."""
+    from vrod_spark.functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    bigrams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.when(b.isNotNull(), F.concat(a, F.lit(" "), b)),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    return F.concat(toks, bigrams)
+
+
+def ngram_bucket(feat: Column, n_buckets: int) -> Column:
+    """md5-hash a feature string into ``n_buckets`` (cross-engine
+    reproducible — same rationale as ``hash_fraction``)."""
+    return (
+        F.conv(F.substring(F.md5(feat), 1, 4), 16, 10).cast("long") % n_buckets
+    )
+
+
 def hash_fraction(key: Column | str) -> Column:
     """Uniform [0,1) value derived from md5(key) — the acceptance
     coordinate. First 8 hex chars → 32-bit int / 2^32; md5 is available
@@ -155,27 +184,8 @@ def dsir_scores(
 
     Returns (id_col, n_feats, score).
     """
-    from vrod_spark.functions.text import tokens
-
-    toks = tokens(F.col(text_col))
-    # bigrams: zip tokens with their right-shifted selves; zip_with pads
-    # the short side with nulls → filter. A <2-token doc yields ZERO
-    # bigrams (unlike shingles_from_tokens' whole-doc fallback).
-    bigrams = F.filter(
-        F.zip_with(
-            toks,
-            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-            lambda a, b: F.when(
-                b.isNotNull(), F.concat(a, F.lit(" "), b)
-            ),
-        ),
-        lambda s: s.isNotNull(),
-    )
-    feats = F.concat(toks, bigrams)
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("_f")), 1, 4), 16, 10).cast("long")
-        % n_buckets
-    )
+    feats = hashed_ngram_feats(text_col)
+    bucket = ngram_bucket(F.col("_f"), n_buckets)
     fdf = (
         df.select(
             F.col(id_col), is_target.alias("_t"), F.explode(feats).alias("_f")

@@ -3830,7 +3830,14 @@ def q54_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             # to +0.0 (the only value where the sign bit can drift).
             (F.round(F.round(F.avg("score"), 6), 3) + F.lit(0.0)).alias("dsir_avg"),
             (F.round(F.round(F.max("score"), 6), 3) + F.lit(0.0)).alias("dsir_max"),
-            F.sum((F.col("quality_prob") >= 0.5).cast("long")).alias("qc_ge50"),
+            # n_feats > 0 guard: a zero-feature doc falls back to
+            # sigmoid(bias) on the Spark side but yields NO row (NULL z
+            # -> CASE else 0) in the SQL twin — excluding featureless
+            # docs from the count keeps the pin engine-independent.
+            F.sum(
+                ((F.col("n_feats") > 0) & (F.col("quality_prob") >= 0.5))
+                .cast("long")
+            ).alias("qc_ge50"),
             F.sum(F.coalesce("n_feats", F.lit(0))).alias("qc_feats"),
         )
         .orderBy("source")
