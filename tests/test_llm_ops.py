@@ -3206,3 +3206,70 @@ def test_quality_classifier_trains_and_separates(spark):
         train_quality_classifier(
             df.filter("is_q OR is_q IS NULL"), F.col("is_q")
         )
+
+
+def test_image_dhash_cross_format_and_near_dup(spark):
+    """Perceptual image dedup: identical pixels hash EQUAL across PPM
+    and PNG encodings, a brightness shift stays within a few Hamming
+    bits, a distinct picture sits far away, hamming64_pairs finds
+    exactly the near-dup cluster, corrupt blobs obey on_error, and
+    non-image formats are rejected loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from vrod_spark.operators.dedup import hamming64_pairs
+    from vrod_spark.operators.multimodal import (
+        image_dhash,
+        make_png_bytes,
+        make_wav_bytes,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 200, size=(32, 48, 3)).astype(np.uint8)
+    bright = np.clip(base.astype(np.int32) + 25, 0, 255).astype(np.uint8)
+    other = rng.integers(0, 255, size=(32, 48, 3)).astype(np.uint8)
+
+    def ppm(px):
+        return f"P6\n{px.shape[1]} {px.shape[0]}\n255\n".encode() + px.tobytes()
+
+    blobs = [
+        (1, bytearray(ppm(base))),
+        (2, bytearray(make_png_bytes(0, 0, pixels=base))),      # same pixels
+        (3, bytearray(make_png_bytes(0, 0, pixels=bright))),    # near-dup
+        (4, bytearray(make_png_bytes(0, 0, pixels=other))),     # distinct
+    ]
+    df = spark.createDataFrame(blobs, "media_id long, content binary")
+    got = {r["media_id"]: r for r in image_dhash(df).collect()}
+    assert got[1]["dhash"] == got[2]["dhash"]          # cross-format equal
+    assert got[1]["format"] == "ppm" and got[2]["format"] == "png"
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert ham(got[1]["dhash"], got[3]["dhash"]) <= 8  # brightness-robust
+    assert ham(got[1]["dhash"], got[4]["dhash"]) >= 16  # distinct far
+
+    pairs = hamming64_pairs(
+        image_dhash(df).select("media_id", "dhash"),
+        sig_col="dhash", id_col="media_id", max_hamming=8, bands=16,
+    ).collect()
+    got_pairs = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got_pairs and (1, 3) in got_pairs and (2, 3) in got_pairs
+    assert all(4 not in p for p in got_pairs)
+
+    # Corrupt blob: strict raises, skip drops just that row.
+    bad = df.unionByName(
+        spark.createDataFrame(
+            [(9, bytearray(b"P6\n10 10\n255\ntoo short"))],
+            "media_id long, content binary",
+        )
+    )
+    with _pytest.raises(Exception):
+        image_dhash(bad).collect()
+    assert sorted(
+        r["media_id"] for r in image_dhash(bad, on_error="skip").collect()
+    ) == [1, 2, 3, 4]
+
+    # A WAV blob is not an image: loud rejection in strict mode.
+    wav = spark.createDataFrame(
+        [(10, bytearray(make_wav_bytes(440.0)))], "media_id long, content binary"
+    )
+    with _pytest.raises(Exception):
+        image_dhash(wav).collect()

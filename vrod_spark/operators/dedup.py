@@ -533,8 +533,30 @@ def simhash_pairs(
     64-bit signature into `bands` blocks; any pair within distance d <
     bands must agree exactly on ≥1 block, so candidates = exact-match join
     per block (shuffle of 16-bit block values), then verify with popcount."""
-    assert bands > max_hamming, "pigeonhole requires bands > max_hamming"
     sigs = simhash_signatures(df, text_col=text_col, id_col=id_col)
+    return hamming64_pairs(
+        sigs, sig_col="simhash", id_col="id",
+        max_hamming=max_hamming, bands=bands,
+    )
+
+
+def hamming64_pairs(
+    sigs: DataFrame,
+    *,
+    sig_col: str = "simhash",
+    id_col: str = "id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Pairs of rows whose 64-bit signatures are within ``max_hamming``
+    — the pigeonhole band join factored out of :func:`simhash_pairs` so
+    ANY 64-bit perceptual signature can ride it (SimHash over text,
+    dHash over images — `operators/multimodal.image_dhash`). Returns
+    (id_a, id_b, hamming)."""
+    assert bands > max_hamming, "pigeonhole requires bands > max_hamming"
+    sigs = sigs.select(
+        F.col(id_col).alias("id"), F.col(sig_col).alias("simhash")
+    )
     width = 64 // bands
     # Same single-loop treatment as the MinHash banding above: one
     # transform over block indices instead of `bands` unrolled structs —

@@ -5241,3 +5241,88 @@ def decode_mp2_features(media: DataFrame, *, n_bands: int = 8) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(decode, AUDIO_SCHEMA)
+
+
+DHASH_SCHEMA = "media_id bigint, format string, width int, height int, dhash long"
+
+
+def image_dhash(
+    media: DataFrame, *, on_error: str = "raise"
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) over ANY decodable image blob
+    — the image-modality member of the near-dup family: re-encodes of
+    the same picture (PPM vs PNG of identical pixels decode to the same
+    luma → the SAME 64-bit hash) and small global edits (brightness,
+    contrast) land within a few Hamming bits, while distinct pictures
+    sit ~32 bits apart. Compose with `operators/dedup.hamming64_pairs`
+    (the pigeonhole band join SimHash uses) for corpus-scale candidate
+    pairs — image dedup without an embedding model.
+
+    Recipe (the published aHash/dHash scheme): sniff + decode via the
+    shared parser closures (ppm/png/gif/jpeg; animated GIFs hash their
+    FIRST composed frame), Rec.601 luma, nearest-neighbor resample to a
+    9×8 grid, horizontal-gradient sign bits packed row-major MSB-first
+    into one signed 64-bit value (Spark LONG, two's complement).
+
+    One Arrow stage; blobs never shuffle — only (id, 8-byte hash) leaves
+    the scan, so the downstream band join is O(rows), not O(bytes).
+    """
+    sniff = _media_sniffer()
+    parsers = {
+        "ppm": _ppm_parser(),
+        "png": _png_parser(),
+        "gif": _gif_frames_parser(),
+        "jpeg": _jpeg_decoder(),
+    }
+    strict = on_error != "skip"
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
+        def one(b: bytes):
+            fmt = sniff(b)
+            if fmt in ("ppm", "png"):
+                w, h, img = parsers[fmt](b)
+            elif fmt == "gif":
+                w, h, frames = parsers["gif"](b)
+                img = frames[0]
+            elif fmt == "jpeg":
+                w, h, img = parsers["jpeg"](b)
+            else:
+                raise ValueError(f"not a decodable image format: {fmt!r}")
+            rgb = np.asarray(img, dtype=np.float64)
+            luma = (
+                0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+            )
+            # Nearest-neighbor resample to 9 cols x 8 rows (floor index —
+            # deterministic, engine-independent, matches resize_ppm).
+            ys = (np.arange(8) * h) // 8
+            xs = (np.arange(9) * w) // 9
+            small = luma[np.ix_(ys, xs)]
+            bits = (small[:, 1:] > small[:, :-1]).flatten()  # row-major, 64 bits
+            val = 0
+            for bit in bits:
+                val = (val << 1) | int(bit)
+            if val >= 1 << 63:
+                val -= 1 << 64
+            return fmt, w, h, val
+
+        for pdf in batches:
+            out = {"media_id": [], "format": [], "width": [], "height": [],
+                   "dhash": []}
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    fmt, w, h, val = one(bytes(content))
+                except Exception:
+                    if strict:
+                        raise
+                    continue
+                out["media_id"].append(media_id)
+                out["format"].append(fmt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["dhash"].append(val)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(work, DHASH_SCHEMA)
