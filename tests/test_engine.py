@@ -1921,3 +1921,56 @@ def test_reindex_ivfpq_rejects_project_dim(engine, spark, sf_dir):
             collection="nopd",
             arg={"kind": "ivfpq", "project_dim": 16},
         )
+
+
+def test_dedup_verb_imagehash_strategy(engine):
+    """DEDUP {"strategy": "imagehash"}: perceptual near-dup removal over
+    a binary blob column — the PNG re-encode and the brightness-shifted
+    copy of the same picture collapse onto the keep-first original, the
+    distinct picture survives, keep="best" picks the scored member."""
+    import numpy as np
+
+    from vrod_spark.operators.multimodal import make_png_bytes
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 200, size=(24, 36, 3)).astype(np.uint8)
+    bright = np.clip(base.astype(np.int32) + 20, 0, 255).astype(np.uint8)
+    other = rng.integers(0, 255, size=(24, 36, 3)).astype(np.uint8)
+
+    def ppm(px):
+        return bytearray(
+            f"P6\n{px.shape[1]} {px.shape[0]}\n255\n".encode() + px.tobytes()
+        )
+
+    engine.db.create_collection(
+        "imgs", schema="id bigint, content binary, score double"
+    )
+    engine.execute(
+        "INSERT",
+        collection="imgs",
+        arg=[
+            {"id": 1, "content": ppm(base), "score": 0.1},
+            {"id": 2, "content": bytearray(make_png_bytes(0, 0, pixels=base)),
+             "score": 0.9},
+            {"id": 3, "content": bytearray(make_png_bytes(0, 0, pixels=bright)),
+             "score": 0.5},
+            {"id": 4, "content": bytearray(make_png_bytes(0, 0, pixels=other)),
+             "score": 0.2},
+        ],
+    )
+    info = engine.execute(
+        "DEDUP",
+        collection="imgs",
+        arg={"strategy": "imagehash", "column": "content", "threshold": 8,
+             "dry_run": True},
+    )
+    assert [r["id"] for r in info.df.collect()] == [2, 3]
+    info = engine.execute(
+        "DEDUP",
+        collection="imgs",
+        arg={"strategy": "imagehash", "column": "content", "threshold": 8,
+             "keep": "best", "score": "score"},
+    ).info
+    assert info["removed"] == 2
+    col = engine.db.collection("imgs")
+    assert sorted(r["id"] for r in col.read().collect()) == [2, 4]

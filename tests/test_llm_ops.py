@@ -3273,3 +3273,24 @@ def test_image_dhash_cross_format_and_near_dup(spark):
     )
     with _pytest.raises(Exception):
         image_dhash(wav).collect()
+
+
+def test_select_keyframes_scene_cuts(spark):
+    """Keyframe selection: a two-scene Y4M keeps frame 0 and the cut
+    frame only; a flat video keeps just frame 0; per-video independence
+    under one plan."""
+    from vrod_spark.operators.multimodal import (
+        extract_y4m_frames,
+        make_y4m_bytes,
+        select_keyframes,
+    )
+
+    rows = [
+        (1, bytearray(make_y4m_bytes(16, 8, [40, 40, 40, 200, 200, 200]))),
+        (2, bytearray(make_y4m_bytes(16, 8, [90, 90, 90, 90]))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    frames = extract_y4m_frames(df)
+    kept = select_keyframes(frames).select("media_id", "frame_idx").collect()
+    got = sorted((r["media_id"], r["frame_idx"]) for r in kept)
+    assert got == [(1, 0), (1, 3), (2, 0)]

@@ -686,7 +686,7 @@ class Engine:
 
         ``arg``: {"strategy": "exact" (default) | "url" | "minhash"
                   | "simhash" | "embedding" | "semdedup" | "winnow"
-                  | "spans" | "lines" | "decontaminate",
+                  | "imagehash" | "spans" | "lines" | "decontaminate",
                   "url_key": "url" — meta key holding the record's URL
                   (strategy "url" only),
                   "against": "<collection>" — the eval-set collection a
@@ -798,7 +798,7 @@ class Engine:
         # keep-first (the user would believe the best-quality duplicate
         # survived when the smallest id did).
         keep_rule = str(opts.get("keep", "first")).lower()
-        _near_dup = ("minhash", "simhash", "embedding", "winnow")
+        _near_dup = ("minhash", "simhash", "embedding", "winnow", "imagehash")
         if keep_rule not in ("first", "best"):
             raise CommandArgError(
                 f'unknown keep rule {keep_rule!r}; expected "first" or "best"'
@@ -1248,11 +1248,37 @@ class Engine:
             ).filter(F.col("overlap") >= float(opts.get("threshold", 0.5))).select(
                 "id_a", "id_b"
             )
+        elif strategy == "imagehash":
+            # Perceptual image dedup: dHash each blob (re-encodes hash
+            # equal; small edits land within a few Hamming bits), then
+            # the shared pigeonhole band join. threshold = max Hamming
+            # distance (default 6). Only (id, 8-byte hash) ever
+            # shuffles; blobs stay in their scan tasks.
+            from vrod_spark.operators.dedup import hamming64_pairs
+            from vrod_spark.operators.multimodal import image_dhash
+
+            max_ham = int(opts.get("threshold", 6))
+            sigs = image_dhash(
+                work.select(
+                    F.col("id").alias("media_id"),
+                    F.col(text_col).alias("content"),
+                ),
+                on_error=str(opts.get("on_error", "raise")),
+            )
+            pairs = hamming64_pairs(
+                sigs.select("media_id", "dhash"),
+                sig_col="dhash",
+                id_col="media_id",
+                max_hamming=max_ham,
+                # bands must exceed max_hamming for the pigeonhole
+                # guarantee; 8 or 16 both divide 64 exactly.
+                bands=16 if max_ham >= 8 else 8,
+            ).select("id_a", "id_b")
         else:
             raise CommandArgError(
                 f"unknown dedup strategy {strategy!r}; expected "
                 "exact/url/minhash/simhash/embedding/semdedup/winnow/"
-                "spans/lines/decontaminate"
+                "imagehash/spans/lines/decontaminate"
             )
 
         # Keep-first, transitively: close the verified pairs into

@@ -5326,3 +5326,35 @@ def image_dhash(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(work, DHASH_SCHEMA)
+
+
+def select_keyframes(
+    frames: DataFrame,
+    *,
+    id_col: str = "media_id",
+    idx_col: str = "frame_idx",
+    luma_col: str = "mean_luma",
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Scene-change keyframe selection over per-frame luma summaries —
+    the frame-SAMPLING curation step that drops temporally-redundant
+    frames before any expensive per-frame model runs: keep each video's
+    first frame plus every frame whose mean luma moved more than
+    ``threshold`` from the PREVIOUS frame (the classic shot-boundary
+    heuristic over the signal `extract_y4m_frames` /
+    `extract_avi_mjpeg_frames` / `decode_media` already emit).
+
+    Pure relational composition: one lag window keyed by video id — the
+    heavy decode stays in its upstream scan stage, and only per-frame
+    summary rows (never pixel data) shuffle. A 10⁸-frame corpus pays one
+    exchange of (id, idx, double). Returns the input rows that survive,
+    plus ``scene_change`` (|Δluma| vs previous frame; NULL on frame 0).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(idx_col)
+    delta = F.abs(F.col(luma_col) - F.lag(luma_col).over(w))
+    return (
+        frames.withColumn("scene_change", delta)
+        .filter(F.col("scene_change").isNull() | (F.col("scene_change") > threshold))
+    )
