@@ -1974,3 +1974,53 @@ def test_dedup_verb_imagehash_strategy(engine):
     assert info["removed"] == 2
     col = engine.db.collection("imgs")
     assert sorted(r["id"] for r in col.read().collect()) == [2, 4]
+
+
+def test_dedup_verb_audiohash_strategy(engine):
+    """DEDUP {"strategy": "audiohash"}: the 8-bit re-encode of the same
+    broadband recording collapses onto the original; the different
+    recording survives."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def wav_bytes(sig, bits):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(bits // 8)
+            w.setframerate(8000)
+            if bits == 16:
+                w.writeframes((sig * 32000).astype("<i2").tobytes())
+            else:
+                w.writeframes(((sig * 120) + 128).astype("u1").tobytes())
+        return bytearray(buf.getvalue())
+
+    t = np.arange(4000) / 8000.0
+    mix_a = sum(
+        (0.5 / (k + 1)) * np.sin(2 * np.pi * f * t)
+        for k, f in enumerate([180, 440, 700, 1200, 2100, 3300])
+    )
+    mix_b = sum(
+        (0.5 / (6 - k)) * np.sin(2 * np.pi * f * t)
+        for k, f in enumerate([150, 390, 820, 1500, 2500, 3600])
+    )
+    engine.db.create_collection("clips", schema="id bigint, content binary")
+    engine.execute(
+        "INSERT",
+        collection="clips",
+        arg=[
+            {"id": 1, "content": wav_bytes(mix_a, 16)},
+            {"id": 2, "content": wav_bytes(mix_a, 8)},
+            {"id": 3, "content": wav_bytes(mix_b, 16)},
+        ],
+    )
+    info = engine.execute(
+        "DEDUP",
+        collection="clips",
+        arg={"strategy": "audiohash", "column": "content", "threshold": 8},
+    ).info
+    assert info["removed"] == 1
+    col = engine.db.collection("clips")
+    assert sorted(r["id"] for r in col.read().collect()) == [1, 3]

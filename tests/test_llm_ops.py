@@ -3294,3 +3294,75 @@ def test_select_keyframes_scene_cuts(spark):
     kept = select_keyframes(frames).select("media_id", "frame_idx").collect()
     got = sorted((r["media_id"], r["frame_idx"]) for r in kept)
     assert got == [(1, 0), (1, 3), (2, 0)]
+
+
+def test_audio_fingerprint_near_dup(spark):
+    """Audio near-dup fingerprints: the SAME tone at 16-bit vs 8-bit
+    depth (re-encode) stays within a few Hamming bits, a different tone
+    mix sits far away, amplitude invariance holds by construction
+    (log-energy differences), and hamming64_pairs clusters the
+    re-encodes; non-audio blobs reject loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from vrod_spark.operators.dedup import hamming64_pairs
+    from vrod_spark.operators.multimodal import (
+        audio_fingerprint,
+        make_ppm_bytes,
+        make_wav_bytes,
+    )
+
+    def wav(sig, bits):
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(bits // 8)
+            w.setframerate(8000)
+            if bits == 16:
+                w.writeframes((sig * 32000).astype("<i2").tobytes())
+            else:
+                w.writeframes(((sig * 120) + 128).astype("u1").tobytes())
+        return bytearray(buf.getvalue())
+
+    # Broadband deterministic signals (a pure tone leaves most bands at
+    # noise level, where delta signs are meaningless): mixtures of six
+    # partials with distinct amplitude slopes.
+    t = np.arange(4000) / 8000.0
+    mix_a = sum(
+        (0.5 / (k + 1)) * np.sin(2 * np.pi * f * t)
+        for k, f in enumerate([180, 440, 700, 1200, 2100, 3300])
+    )
+    mix_b = sum(
+        (0.5 / (6 - k)) * np.sin(2 * np.pi * f * t)
+        for k, f in enumerate([150, 390, 820, 1500, 2500, 3600])
+    )
+    blobs = [
+        (1, wav(mix_a, 16)),
+        (2, wav(mix_a, 8)),   # same audio, 8-bit re-encode
+        (3, wav(mix_b, 16)),  # different recording
+    ]
+    df = spark.createDataFrame(blobs, "media_id long, content binary")
+    got = {r["media_id"]: r for r in audio_fingerprint(df).collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert ham(got[1]["fp"], got[2]["fp"]) <= 8
+    d13 = ham(got[1]["fp"], got[3]["fp"])
+    assert d13 > ham(got[1]["fp"], got[2]["fp"])
+    assert got[1]["sample_rate"] == 8000 and got[1]["n_frames"] == 4000
+    assert got[2]["format"] == "wav"
+
+    pairs = hamming64_pairs(
+        audio_fingerprint(df).select("media_id", "fp"),
+        sig_col="fp", id_col="media_id", max_hamming=8, bands=16,
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} >= {(1, 2)}
+
+    img = spark.createDataFrame(
+        [(9, bytearray(make_ppm_bytes(4, 4, (1, 2, 3))))],
+        "media_id long, content binary",
+    )
+    with _pytest.raises(Exception):
+        audio_fingerprint(img).collect()
+    assert audio_fingerprint(img, on_error="skip").count() == 0

@@ -686,7 +686,8 @@ class Engine:
 
         ``arg``: {"strategy": "exact" (default) | "url" | "minhash"
                   | "simhash" | "embedding" | "semdedup" | "winnow"
-                  | "imagehash" | "spans" | "lines" | "decontaminate",
+                  | "imagehash" | "audiohash" | "spans" | "lines"
+                  | "decontaminate",
                   "url_key": "url" — meta key holding the record's URL
                   (strategy "url" only),
                   "against": "<collection>" — the eval-set collection a
@@ -798,7 +799,7 @@ class Engine:
         # keep-first (the user would believe the best-quality duplicate
         # survived when the smallest id did).
         keep_rule = str(opts.get("keep", "first")).lower()
-        _near_dup = ("minhash", "simhash", "embedding", "winnow", "imagehash")
+        _near_dup = ("minhash", "simhash", "embedding", "winnow", "imagehash", "audiohash")
         if keep_rule not in ("first", "best"):
             raise CommandArgError(
                 f'unknown keep rule {keep_rule!r}; expected "first" or "best"'
@@ -1274,11 +1275,33 @@ class Engine:
                 # guarantee; 8 or 16 both divide 64 exactly.
                 bands=16 if max_ham >= 8 else 8,
             ).select("id_a", "id_b")
+        elif strategy == "audiohash":
+            # Perceptual audio dedup: Haitsma-Kalker-style band-energy
+            # sign fingerprint (re-encodes/amplitude scaling land within
+            # a few Hamming bits), same band join as imagehash.
+            from vrod_spark.operators.dedup import hamming64_pairs
+            from vrod_spark.operators.multimodal import audio_fingerprint
+
+            max_ham = int(opts.get("threshold", 6))
+            sigs = audio_fingerprint(
+                work.select(
+                    F.col("id").alias("media_id"),
+                    F.col(text_col).alias("content"),
+                ),
+                on_error=str(opts.get("on_error", "raise")),
+            )
+            pairs = hamming64_pairs(
+                sigs.select("media_id", "fp"),
+                sig_col="fp",
+                id_col="media_id",
+                max_hamming=max_ham,
+                bands=16 if max_ham >= 8 else 8,
+            ).select("id_a", "id_b")
         else:
             raise CommandArgError(
                 f"unknown dedup strategy {strategy!r}; expected "
                 "exact/url/minhash/simhash/embedding/semdedup/winnow/"
-                "imagehash/spans/lines/decontaminate"
+                "imagehash/audiohash/spans/lines/decontaminate"
             )
 
         # Keep-first, transitively: close the verified pairs into
