@@ -2549,7 +2549,11 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
         ('video', 0, 1, 16, 8, round(51.0/255, 6), 0.0, 0.0),
         ('video', 0, 2, 16, 8, round(102.0/255, 6), 0.0, 0.0),
         ('video', 0, 3, 16, 8, round(153.0/255, 6), 0.0, 0.0),
-        ('video', 1, 0, 8, 8, 1.0, 0.0, 0.0))
+        ('video', 1, 0, 8, 8, 1.0, 0.0, 0.0),
+        ('dhash', 0, 0, 36, 24, 4227529203.0, 3957028855.0, 0.0),
+        ('dhash', 1, 0, 36, 24, 4227529203.0, 3957028855.0, 0.0),
+        ('dhash', 2, 0, 36, 24, 4227529203.0, 3957028855.0, 0.0),
+        ('afp', 0, 0, 0, 0, 3774147336.0, 4227132168.0, 0.0))
         t(modality, media_id, idx, width, height, m1, m2, m3)
     ORDER BY modality, media_id, idx
     """,
@@ -2760,7 +2764,89 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_stft_frames").cast("double").alias("m2"),
         F.lit(0.0).alias("m3"),
     )
-    return decoded.unionByName(mel_leg).orderBy("modality", "media_id", "idx")
+    # dhash leg — perceptual image fingerprints (image_dhash) over a
+    # deterministic gradient image as PPM + PNG re-encode + brightened
+    # PNG: all three pin the SAME 64-bit hash (cross-format decode
+    # equality + gradient-sign brightness invariance), split into exact
+    # 32-bit halves (m1=hi, m2=lo — doubles hold 32-bit ints exactly;
+    # the raw 64-bit value would not fit a double) plus m3 = Hamming
+    # distance to the known base hash (integer pin).
+    from vrod_spark.operators.multimodal import (
+        audio_fingerprint,
+        image_dhash,
+        make_png_bytes,
+    )
+
+    yy, xx = np.mgrid[0:24, 0:36]
+    gradient = np.stack(
+        [(xx * 7 + yy * 13) % 256, (xx * 3 + yy * 5) % 256,
+         (xx * 11 + yy * 2) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    brightened = np.clip(gradient.astype(np.int32) + 25, 0, 255).astype(np.uint8)
+    img_blobs = [
+        (0, bytearray(b"P6\n36 24\n255\n" + gradient.tobytes())),
+        (1, bytearray(make_png_bytes(0, 0, pixels=gradient))),
+        (2, bytearray(make_png_bytes(0, 0, pixels=brightened))),
+    ]
+    base_hash = ((4227529203 << 32) | 3957028855) - (1 << 64)  # signed 64-bit
+    dh = image_dhash(
+        spark.createDataFrame(img_blobs, "media_id bigint, content binary")
+    )
+    u32 = F.lit((1 << 32) - 1).cast("long")
+    dhash_leg = dh.select(
+        F.lit("dhash").alias("modality"),
+        F.col("media_id").cast("int").alias("media_id"),
+        F.lit(0).alias("idx"),
+        "width",
+        "height",
+        F.call_function("shiftrightunsigned", F.col("dhash"), F.lit(32))
+        .cast("double")
+        .alias("m1"),
+        F.col("dhash").bitwiseAND(u32).cast("double").alias("m2"),
+        F.bit_count(F.col("dhash").bitwiseXOR(F.lit(base_hash)))
+        .cast("double")
+        .alias("m3"),
+    )
+    # afp leg — the audio fingerprint of a deterministic six-partial
+    # mixture, same hi/lo split (m3=0).
+    tt = np.arange(4000) / 8000.0
+    mix = sum(
+        (0.5 / (k + 1)) * np.sin(2 * np.pi * f * tt)
+        for k, f in enumerate([180, 440, 700, 1200, 2100, 3300])
+    )
+    import io as _io
+    import wave as _wave
+
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        wv.writeframes((mix * 32000).astype("<i2").tobytes())
+    afp = audio_fingerprint(
+        spark.createDataFrame(
+            [(0, bytearray(buf.getvalue()))], "media_id bigint, content binary"
+        )
+    )
+    afp_leg = afp.select(
+        F.lit("afp").alias("modality"),
+        F.col("media_id").cast("int").alias("media_id"),
+        F.lit(0).alias("idx"),
+        F.lit(0).alias("width"),
+        F.lit(0).alias("height"),
+        F.call_function("shiftrightunsigned", F.col("fp"), F.lit(32))
+        .cast("double")
+        .alias("m1"),
+        F.col("fp").bitwiseAND(u32).cast("double").alias("m2"),
+        F.lit(0.0).alias("m3"),
+    )
+    return (
+        decoded.unionByName(mel_leg)
+        .unionByName(dhash_leg)
+        .unionByName(afp_leg)
+        .orderBy("modality", "media_id", "idx")
+    )
 
 
 # ---------------------------------------------------------------------------
