@@ -3366,3 +3366,67 @@ def test_audio_fingerprint_near_dup(spark):
     with _pytest.raises(Exception):
         audio_fingerprint(img).collect()
     assert audio_fingerprint(img, on_error="skip").count() == 0
+
+
+def test_worker_closures_pickle_by_value():
+    """Every worker-facing parser/decoder closure must unpickle in a
+    process that CANNOT import vrod_spark (the driver contract: workers
+    do not inherit the driver's sys.path). Caught live: the H.264
+    decoder referenced module-level prediction helpers, which
+    cloudpickle serializes as import references — q51 failed with
+    ModuleNotFoundError whenever the session launched outside the repo
+    root. This pins every factory-built closure to by-value pickling."""
+    import base64
+    import subprocess
+    import sys
+
+    from pyspark import cloudpickle
+
+    import vrod_spark.operators.multimodal as M
+
+    closures = {
+        name: getattr(M, name)()
+        for name in (
+            "_media_sniffer", "_ppm_parser", "_png_parser",
+            "_gif_frames_parser", "_jpeg_decoder", "_wav_parser",
+            "_au_parser", "_y4m_parser", "_avi_mjpeg_container",
+            "_mp1_parser", "_mp2_parser", "_mp3_parser",
+        )
+    }
+    closures["_h264_decoder"] = M._h264_decoder(with_chroma=True)
+    payload = {
+        k: base64.b64encode(cloudpickle.dumps(v)).decode()
+        for k, v in closures.items()
+    }
+    script = (
+        "import base64, sys, json, io, pickle\n"
+        "sys.path = [x for x in sys.path if 'repo' not in x]\n"
+        "from pyspark import cloudpickle\n"
+        "data = json.loads(sys.stdin.read())\n"
+        "bad = [k for k, b in data.items()\n"
+        "       if not _ok(base64.b64decode(b))]\n"
+    )
+    script = """
+import base64, sys, json
+sys.path = [x for x in sys.path if 'repo' not in x]
+from pyspark import cloudpickle
+data = json.loads(sys.stdin.read())
+bad = []
+for k, b in data.items():
+    try:
+        cloudpickle.loads(base64.b64decode(b))
+    except Exception as e:
+        bad.append(f"{k}: {type(e).__name__}")
+print(json.dumps(bad))
+"""
+    import json
+
+    r = subprocess.run(
+        [sys.executable, "-c", script],
+        input=json.dumps(payload),
+        capture_output=True,
+        text=True,
+        cwd="/tmp",
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert json.loads(r.stdout.strip()) == []

@@ -2381,12 +2381,23 @@ _H264_MF = [
 ]
 
 
-def _h264_pos_class(i: int, j: int) -> int:
-    if (i % 2, j % 2) == (0, 0):
-        return 0
-    if (i % 2, j % 2) == (1, 1):
-        return 1
-    return 2
+def _h264_pos_class_factory():
+    """Factory wrapper: pickles BY VALUE into worker closures (a
+    module-level function would serialize as an import reference and
+    raise ModuleNotFoundError on workers without the repo on sys.path)."""
+
+    def _h264_pos_class(i: int, j: int) -> int:
+        if (i % 2, j % 2) == (0, 0):
+            return 0
+        if (i % 2, j % 2) == (1, 1):
+            return 1
+        return 2
+
+
+    return _h264_pos_class
+
+
+_h264_pos_class = _h264_pos_class_factory()
 
 
 #: luma4x4BlkIdx of each (bx, by) 4x4-block position inside an MB
@@ -2398,237 +2409,297 @@ _H264_BLK_IDX = {
 }
 
 
-def _h264_tr_available(gx, gy, blk_avail):
-    """Whether the top-right 4x4 neighbour block (gx+1, gy-1) of block
-    (gx, gy) is available (clause 6.4.9) AND already decoded when
-    (gx, gy) is predicted — raster MB order, luma4x4BlkIdx scan inside
-    an MB (clause 8.3.1.2 counts not-yet-decoded neighbours as
-    unavailable, which excludes blkIdx 3/7/11/13/15's top-right)."""
-    if not blk_avail(gx + 1, gy - 1):
-        return False
-    bx, by = gx % 4, gy % 4
-    if by == 0:
-        return True  # in the MB row above — always decoded earlier
-    if bx == 3:
-        return False  # in the right-neighbour MB — not yet decoded
-    return _H264_BLK_IDX[(bx + 1, by - 1)] < _H264_BLK_IDX[(bx, by)]
+def _h264_tr_available_factory():
+    """Factory wrapper: pickles BY VALUE into worker closures (a
+    module-level function would serialize as an import reference and
+    raise ModuleNotFoundError on workers without the repo on sys.path)."""
+
+    def _h264_tr_available(gx, gy, blk_avail):
+        """Whether the top-right 4x4 neighbour block (gx+1, gy-1) of block
+        (gx, gy) is available (clause 6.4.9) AND already decoded when
+        (gx, gy) is predicted — raster MB order, luma4x4BlkIdx scan inside
+        an MB (clause 8.3.1.2 counts not-yet-decoded neighbours as
+        unavailable, which excludes blkIdx 3/7/11/13/15's top-right)."""
+        if not blk_avail(gx + 1, gy - 1):
+            return False
+        bx, by = gx % 4, gy % 4
+        if by == 0:
+            return True  # in the MB row above — always decoded earlier
+        if bx == 3:
+            return False  # in the right-neighbour MB — not yet decoded
+        return _H264_BLK_IDX[(bx + 1, by - 1)] < _H264_BLK_IDX[(bx, by)]
 
 
-def _h264_i4_neighbors(buf, x0, y0, gx, gy, blk_avail):
-    """Clause 8.3.1.2 reference-sample derivation for Intra_4x4
-    prediction of the block whose top-left luma sample is (x0, y0) in
-    ``buf``: returns ``(top, left, tl, top_ok, left_ok, tl_ok)`` where
-    ``top`` is p[0..7, -1] — the top-right half substituted by p[3, -1]
-    when the top-right block is unavailable or not yet decoded —
-    ``left`` is p[-1, 0..3] and ``tl`` is the corner p[-1, -1].
-    Unavailable samples are left zeroed; the availability flags gate
-    which prediction modes may read them."""
-    import numpy as np
-
-    top_ok = blk_avail(gx, gy - 1)
-    left_ok = blk_avail(gx - 1, gy)
-    tl_ok = blk_avail(gx - 1, gy - 1)
-    top = np.zeros(8, dtype=np.int64)
-    left = np.zeros(4, dtype=np.int64)
-    tl = 0
-    if top_ok:
-        top[0:4] = buf[y0 - 1, x0 : x0 + 4].astype(np.int64)
-        if _h264_tr_available(gx, gy, blk_avail):
-            top[4:8] = buf[y0 - 1, x0 + 4 : x0 + 8].astype(np.int64)
-        else:
-            top[4:8] = top[3]
-    if left_ok:
-        left[:] = buf[y0 : y0 + 4, x0 - 1].astype(np.int64)
-    if tl_ok:
-        tl = int(buf[y0 - 1, x0 - 1])
-    return top, left, tl, top_ok, left_ok, tl_ok
+    return _h264_tr_available
 
 
-def _h264_i4_mode_ok(mode, top_ok, left_ok, tl_ok):
-    """Clause 8.3.1.2.1-8.3.1.2.9 availability preconditions: which
-    Intra_4x4 modes a conformant encoder may signal for a block with
-    these neighbours (DC is always legal; it falls back internally)."""
-    if mode == 2:
-        return True
-    if mode in (0, 3, 7):  # Vertical / Diagonal_Down_Left / Vertical_Left
-        return top_ok
-    if mode in (1, 8):  # Horizontal / Horizontal_Up
-        return left_ok
-    return top_ok and left_ok and tl_ok  # 4 DDR / 5 VR / 6 HD
+_h264_tr_available = _h264_tr_available_factory()
 
 
-def _h264_chroma_dc8(buf, mb_x, mb_y, has_left, has_top):
-    """Clause 8.3.4 chroma DC prediction (intra_chroma_pred_mode 0) for
-    one 8x8 4:2:0 chroma macroblock: per-4x4-quadrant means, the
-    off-diagonal quadrants preferring their aligned edge (top-right
-    quadrant averages the top samples when available, bottom-left the
-    left samples)."""
-    import numpy as np
+def _h264_i4_neighbors_factory():
+    """Factory wrapper: pickles BY VALUE into worker closures (a
+    module-level function would serialize as an import reference and
+    raise ModuleNotFoundError on workers without the repo on sys.path)."""
 
-    x0, y0 = mb_x * 8, mb_y * 8
-    out = np.empty((8, 8), dtype=np.int64)
-    top = buf[y0 - 1, x0 : x0 + 8].astype(np.int64) if has_top else None
-    left = buf[y0 : y0 + 8, x0 - 1].astype(np.int64) if has_left else None
-    for qy in (0, 4):
-        for qx in (0, 4):
-            t = top[qx : qx + 4] if has_top else None
-            lf = left[qy : qy + 4] if has_left else None
-            if qx == qy:  # main-diagonal quadrants: both edges
-                if t is not None and lf is not None:
-                    v = (int(t.sum()) + int(lf.sum()) + 4) >> 3
-                elif t is not None:
-                    v = (int(t.sum()) + 2) >> 2
-                elif lf is not None:
-                    v = (int(lf.sum()) + 2) >> 2
-                else:
-                    v = 128
-            elif qx == 4:  # top-right quadrant: prefer the top edge
-                if t is not None:
-                    v = (int(t.sum()) + 2) >> 2
-                elif lf is not None:
-                    v = (int(lf.sum()) + 2) >> 2
-                else:
-                    v = 128
-            else:  # bottom-left quadrant: prefer the left edge
-                if lf is not None:
-                    v = (int(lf.sum()) + 2) >> 2
-                elif t is not None:
-                    v = (int(t.sum()) + 2) >> 2
-                else:
-                    v = 128
-            out[qy : qy + 4, qx : qx + 4] = v
-    return out
+    def _h264_i4_neighbors(buf, x0, y0, gx, gy, blk_avail):
+        """Clause 8.3.1.2 reference-sample derivation for Intra_4x4
+        prediction of the block whose top-left luma sample is (x0, y0) in
+        ``buf``: returns ``(top, left, tl, top_ok, left_ok, tl_ok)`` where
+        ``top`` is p[0..7, -1] — the top-right half substituted by p[3, -1]
+        when the top-right block is unavailable or not yet decoded —
+        ``left`` is p[-1, 0..3] and ``tl`` is the corner p[-1, -1].
+        Unavailable samples are left zeroed; the availability flags gate
+        which prediction modes may read them."""
+        import numpy as np
+
+        top_ok = blk_avail(gx, gy - 1)
+        left_ok = blk_avail(gx - 1, gy)
+        tl_ok = blk_avail(gx - 1, gy - 1)
+        top = np.zeros(8, dtype=np.int64)
+        left = np.zeros(4, dtype=np.int64)
+        tl = 0
+        if top_ok:
+            top[0:4] = buf[y0 - 1, x0 : x0 + 4].astype(np.int64)
+            if _h264_tr_available(gx, gy, blk_avail):
+                top[4:8] = buf[y0 - 1, x0 + 4 : x0 + 8].astype(np.int64)
+            else:
+                top[4:8] = top[3]
+        if left_ok:
+            left[:] = buf[y0 : y0 + 4, x0 - 1].astype(np.int64)
+        if tl_ok:
+            tl = int(buf[y0 - 1, x0 - 1])
+        return top, left, tl, top_ok, left_ok, tl_ok
 
 
-def _h264_pred4x4(mode, top, left, tl, top_ok, left_ok, tl_ok):
-    """Clause 8.3.1.2 Intra_4x4 sample prediction — ALL nine modes
-    (8.3.1.2.1 Vertical .. 8.3.1.2.9 Horizontal_Up). Inputs are the
-    reference samples from ``_h264_i4_neighbors``; both the encoder and
-    the decoder call THIS function, so encoder-side reconstruction is
-    sample-exactly the decoder's. A mode whose required reference
-    samples are unavailable raises ValueError — a conformant stream
-    never signals it (8.3.1.1), so outside-subset input is loudly
-    rejected, never approximated."""
-    import numpy as np
+    return _h264_i4_neighbors
 
-    if mode == 0:  # 8.3.1.2.1 Vertical
-        if not top_ok:
-            raise ValueError("Vertical Intra_4x4 without top neighbor")
-        return np.tile(top[0:4], (4, 1))
-    if mode == 1:  # 8.3.1.2.2 Horizontal
-        if not left_ok:
-            raise ValueError("Horizontal Intra_4x4 without left neighbor")
-        return np.tile(left[:, None], (1, 4))
-    if mode == 2:  # 8.3.1.2.3 DC — mean of available neighbours, else 128
-        if top_ok and left_ok:
-            v = (int(top[0:4].sum()) + int(left.sum()) + 4) >> 3
-        elif top_ok:
-            v = (int(top[0:4].sum()) + 2) >> 2
-        elif left_ok:
-            v = (int(left.sum()) + 2) >> 2
-        else:
-            v = 128
-        return np.full((4, 4), v, dtype=np.int64)
 
-    def pt(i):  # p[i, -1]; i == -1 is the corner p[-1, -1]
-        return tl if i < 0 else int(top[i])
+_h264_i4_neighbors = _h264_i4_neighbors_factory()
 
-    def pl(i):  # p[-1, i]; i == -1 is the corner p[-1, -1]
-        return tl if i < 0 else int(left[i])
 
-    P = np.empty((4, 4), dtype=np.int64)
-    if mode == 3:  # 8.3.1.2.4 Diagonal_Down_Left
-        if not top_ok:
-            raise ValueError("Diagonal_Down_Left Intra_4x4 without top neighbor")
-        for y in range(4):
-            for x in range(4):
-                if x == 3 and y == 3:
-                    P[y, x] = (pt(6) + 3 * pt(7) + 2) >> 2
-                else:
-                    P[y, x] = (
-                        pt(x + y) + 2 * pt(x + y + 1) + pt(x + y + 2) + 2
-                    ) >> 2
-        return P
-    if mode == 4:  # 8.3.1.2.5 Diagonal_Down_Right
-        if not (top_ok and left_ok and tl_ok):
-            raise ValueError(
-                "Diagonal_Down_Right Intra_4x4 without left/top/corner"
-            )
-        for y in range(4):
-            for x in range(4):
-                if x > y:
-                    P[y, x] = (
-                        pt(x - y - 2) + 2 * pt(x - y - 1) + pt(x - y) + 2
-                    ) >> 2
-                elif x < y:
-                    P[y, x] = (
-                        pl(y - x - 2) + 2 * pl(y - x - 1) + pl(y - x) + 2
-                    ) >> 2
-                else:
-                    P[y, x] = (pt(0) + 2 * tl + pl(0) + 2) >> 2
-        return P
-    if mode == 5:  # 8.3.1.2.6 Vertical_Right
-        if not (top_ok and left_ok and tl_ok):
-            raise ValueError("Vertical_Right Intra_4x4 without left/top/corner")
-        for y in range(4):
-            for x in range(4):
-                z = 2 * x - y
-                i = x - (y >> 1)
-                if z >= 0 and z % 2 == 0:
-                    P[y, x] = (pt(i - 1) + pt(i) + 1) >> 1
-                elif z >= 0:
-                    P[y, x] = (pt(i - 2) + 2 * pt(i - 1) + pt(i) + 2) >> 2
-                elif z == -1:
-                    P[y, x] = (pl(0) + 2 * tl + pt(0) + 2) >> 2
-                else:  # z in (-2, -3): x == 0, y in (2, 3)
-                    P[y, x] = (pl(y - 1) + 2 * pl(y - 2) + pl(y - 3) + 2) >> 2
-        return P
-    if mode == 6:  # 8.3.1.2.7 Horizontal_Down
-        if not (top_ok and left_ok and tl_ok):
-            raise ValueError(
-                "Horizontal_Down Intra_4x4 without left/top/corner"
-            )
-        for y in range(4):
-            for x in range(4):
-                z = 2 * y - x
-                i = y - (x >> 1)
-                if z >= 0 and z % 2 == 0:
-                    P[y, x] = (pl(i - 1) + pl(i) + 1) >> 1
-                elif z >= 0:
-                    P[y, x] = (pl(i - 2) + 2 * pl(i - 1) + pl(i) + 2) >> 2
-                elif z == -1:
-                    P[y, x] = (pl(0) + 2 * tl + pt(0) + 2) >> 2
-                else:  # z in (-2, -3): y == 0, x in (2, 3)
-                    P[y, x] = (pt(x - 1) + 2 * pt(x - 2) + pt(x - 3) + 2) >> 2
-        return P
-    if mode == 7:  # 8.3.1.2.8 Vertical_Left
-        if not top_ok:
-            raise ValueError("Vertical_Left Intra_4x4 without top neighbor")
-        for y in range(4):
-            for x in range(4):
-                i = x + (y >> 1)
-                if y % 2 == 0:
-                    P[y, x] = (pt(i) + pt(i + 1) + 1) >> 1
-                else:
-                    P[y, x] = (pt(i) + 2 * pt(i + 1) + pt(i + 2) + 2) >> 2
-        return P
-    if mode == 8:  # 8.3.1.2.9 Horizontal_Up
-        if not left_ok:
-            raise ValueError("Horizontal_Up Intra_4x4 without left neighbor")
-        for y in range(4):
-            for x in range(4):
-                z = x + 2 * y
-                i = y + (x >> 1)
-                if z == 5:
-                    P[y, x] = (pl(2) + 3 * pl(3) + 2) >> 2
-                elif z > 5:
-                    P[y, x] = pl(3)
-                elif z % 2 == 0:
-                    P[y, x] = (pl(i) + pl(i + 1) + 1) >> 1
-                else:
-                    P[y, x] = (pl(i) + 2 * pl(i + 1) + pl(i + 2) + 2) >> 2
-        return P
-    raise ValueError(f"Intra_4x4 prediction mode {mode} out of range")
+def _h264_i4_mode_ok_factory():
+    """Factory wrapper: pickles BY VALUE into worker closures (a
+    module-level function would serialize as an import reference and
+    raise ModuleNotFoundError on workers without the repo on sys.path)."""
+
+    def _h264_i4_mode_ok(mode, top_ok, left_ok, tl_ok):
+        """Clause 8.3.1.2.1-8.3.1.2.9 availability preconditions: which
+        Intra_4x4 modes a conformant encoder may signal for a block with
+        these neighbours (DC is always legal; it falls back internally)."""
+        if mode == 2:
+            return True
+        if mode in (0, 3, 7):  # Vertical / Diagonal_Down_Left / Vertical_Left
+            return top_ok
+        if mode in (1, 8):  # Horizontal / Horizontal_Up
+            return left_ok
+        return top_ok and left_ok and tl_ok  # 4 DDR / 5 VR / 6 HD
+
+
+    return _h264_i4_mode_ok
+
+
+_h264_i4_mode_ok = _h264_i4_mode_ok_factory()
+
+
+def _h264_chroma_math():
+    """Factory wrapper so the chroma-DC helper pickles BY VALUE into
+    worker closures (a plain module-level function serializes as an
+    import reference — `ModuleNotFoundError: vrod_spark` on workers
+    that cannot import the repo; the verify-skill gotcha). The
+    module-level name below stays for direct callers/tests."""
+
+    def _h264_chroma_dc8(buf, mb_x, mb_y, has_left, has_top):
+        """Clause 8.3.4 chroma DC prediction (intra_chroma_pred_mode 0)
+        for one 8x8 4:2:0 chroma macroblock: per-4x4-quadrant means, the
+        off-diagonal quadrants preferring their aligned edge (top-right
+        quadrant averages the top samples when available, bottom-left the
+        left samples)."""
+        import numpy as np
+
+        x0, y0 = mb_x * 8, mb_y * 8
+        out = np.empty((8, 8), dtype=np.int64)
+        top = buf[y0 - 1, x0 : x0 + 8].astype(np.int64) if has_top else None
+        left = buf[y0 : y0 + 8, x0 - 1].astype(np.int64) if has_left else None
+        for qy in (0, 4):
+            for qx in (0, 4):
+                t = top[qx : qx + 4] if has_top else None
+                lf = left[qy : qy + 4] if has_left else None
+                if qx == qy:  # main-diagonal quadrants: both edges
+                    if t is not None and lf is not None:
+                        v = (int(t.sum()) + int(lf.sum()) + 4) >> 3
+                    elif t is not None:
+                        v = (int(t.sum()) + 2) >> 2
+                    elif lf is not None:
+                        v = (int(lf.sum()) + 2) >> 2
+                    else:
+                        v = 128
+                elif qx == 4:  # top-right quadrant: prefer the top edge
+                    if t is not None:
+                        v = (int(t.sum()) + 2) >> 2
+                    elif lf is not None:
+                        v = (int(lf.sum()) + 2) >> 2
+                    else:
+                        v = 128
+                else:  # bottom-left quadrant: prefer the left edge
+                    if lf is not None:
+                        v = (int(lf.sum()) + 2) >> 2
+                    elif t is not None:
+                        v = (int(t.sum()) + 2) >> 2
+                    else:
+                        v = 128
+                out[qy : qy + 4, qx : qx + 4] = v
+        return out
+
+
+    return _h264_chroma_dc8
+
+
+#: By-value picklable instance (cloudpickle serializes nested
+#: functions by value; module-level ones by import reference).
+_h264_chroma_dc8 = _h264_chroma_math()
+
+
+def _h264_pred4x4_math():
+    """Factory wrapper: the Intra_4x4 prediction helper must pickle BY
+    VALUE into worker closures (a module-level function serializes as an
+    import reference -> ModuleNotFoundError on workers without the repo
+    on sys.path). Module-level name below kept for direct callers."""
+
+    def _h264_pred4x4(mode, top, left, tl, top_ok, left_ok, tl_ok):
+        """Clause 8.3.1.2 Intra_4x4 sample prediction — ALL nine modes
+        (8.3.1.2.1 Vertical .. 8.3.1.2.9 Horizontal_Up). Inputs are the
+        reference samples from ``_h264_i4_neighbors``; both the encoder and
+        the decoder call THIS function, so encoder-side reconstruction is
+        sample-exactly the decoder's. A mode whose required reference
+        samples are unavailable raises ValueError — a conformant stream
+        never signals it (8.3.1.1), so outside-subset input is loudly
+        rejected, never approximated."""
+        import numpy as np
+
+        if mode == 0:  # 8.3.1.2.1 Vertical
+            if not top_ok:
+                raise ValueError("Vertical Intra_4x4 without top neighbor")
+            return np.tile(top[0:4], (4, 1))
+        if mode == 1:  # 8.3.1.2.2 Horizontal
+            if not left_ok:
+                raise ValueError("Horizontal Intra_4x4 without left neighbor")
+            return np.tile(left[:, None], (1, 4))
+        if mode == 2:  # 8.3.1.2.3 DC — mean of available neighbours, else 128
+            if top_ok and left_ok:
+                v = (int(top[0:4].sum()) + int(left.sum()) + 4) >> 3
+            elif top_ok:
+                v = (int(top[0:4].sum()) + 2) >> 2
+            elif left_ok:
+                v = (int(left.sum()) + 2) >> 2
+            else:
+                v = 128
+            return np.full((4, 4), v, dtype=np.int64)
+
+        def pt(i):  # p[i, -1]; i == -1 is the corner p[-1, -1]
+            return tl if i < 0 else int(top[i])
+
+        def pl(i):  # p[-1, i]; i == -1 is the corner p[-1, -1]
+            return tl if i < 0 else int(left[i])
+
+        P = np.empty((4, 4), dtype=np.int64)
+        if mode == 3:  # 8.3.1.2.4 Diagonal_Down_Left
+            if not top_ok:
+                raise ValueError("Diagonal_Down_Left Intra_4x4 without top neighbor")
+            for y in range(4):
+                for x in range(4):
+                    if x == 3 and y == 3:
+                        P[y, x] = (pt(6) + 3 * pt(7) + 2) >> 2
+                    else:
+                        P[y, x] = (
+                            pt(x + y) + 2 * pt(x + y + 1) + pt(x + y + 2) + 2
+                        ) >> 2
+            return P
+        if mode == 4:  # 8.3.1.2.5 Diagonal_Down_Right
+            if not (top_ok and left_ok and tl_ok):
+                raise ValueError(
+                    "Diagonal_Down_Right Intra_4x4 without left/top/corner"
+                )
+            for y in range(4):
+                for x in range(4):
+                    if x > y:
+                        P[y, x] = (
+                            pt(x - y - 2) + 2 * pt(x - y - 1) + pt(x - y) + 2
+                        ) >> 2
+                    elif x < y:
+                        P[y, x] = (
+                            pl(y - x - 2) + 2 * pl(y - x - 1) + pl(y - x) + 2
+                        ) >> 2
+                    else:
+                        P[y, x] = (pt(0) + 2 * tl + pl(0) + 2) >> 2
+            return P
+        if mode == 5:  # 8.3.1.2.6 Vertical_Right
+            if not (top_ok and left_ok and tl_ok):
+                raise ValueError("Vertical_Right Intra_4x4 without left/top/corner")
+            for y in range(4):
+                for x in range(4):
+                    z = 2 * x - y
+                    i = x - (y >> 1)
+                    if z >= 0 and z % 2 == 0:
+                        P[y, x] = (pt(i - 1) + pt(i) + 1) >> 1
+                    elif z >= 0:
+                        P[y, x] = (pt(i - 2) + 2 * pt(i - 1) + pt(i) + 2) >> 2
+                    elif z == -1:
+                        P[y, x] = (pl(0) + 2 * tl + pt(0) + 2) >> 2
+                    else:  # z in (-2, -3): x == 0, y in (2, 3)
+                        P[y, x] = (pl(y - 1) + 2 * pl(y - 2) + pl(y - 3) + 2) >> 2
+            return P
+        if mode == 6:  # 8.3.1.2.7 Horizontal_Down
+            if not (top_ok and left_ok and tl_ok):
+                raise ValueError(
+                    "Horizontal_Down Intra_4x4 without left/top/corner"
+                )
+            for y in range(4):
+                for x in range(4):
+                    z = 2 * y - x
+                    i = y - (x >> 1)
+                    if z >= 0 and z % 2 == 0:
+                        P[y, x] = (pl(i - 1) + pl(i) + 1) >> 1
+                    elif z >= 0:
+                        P[y, x] = (pl(i - 2) + 2 * pl(i - 1) + pl(i) + 2) >> 2
+                    elif z == -1:
+                        P[y, x] = (pl(0) + 2 * tl + pt(0) + 2) >> 2
+                    else:  # z in (-2, -3): y == 0, x in (2, 3)
+                        P[y, x] = (pt(x - 1) + 2 * pt(x - 2) + pt(x - 3) + 2) >> 2
+            return P
+        if mode == 7:  # 8.3.1.2.8 Vertical_Left
+            if not top_ok:
+                raise ValueError("Vertical_Left Intra_4x4 without top neighbor")
+            for y in range(4):
+                for x in range(4):
+                    i = x + (y >> 1)
+                    if y % 2 == 0:
+                        P[y, x] = (pt(i) + pt(i + 1) + 1) >> 1
+                    else:
+                        P[y, x] = (pt(i) + 2 * pt(i + 1) + pt(i + 2) + 2) >> 2
+            return P
+        if mode == 8:  # 8.3.1.2.9 Horizontal_Up
+            if not left_ok:
+                raise ValueError("Horizontal_Up Intra_4x4 without left neighbor")
+            for y in range(4):
+                for x in range(4):
+                    z = x + 2 * y
+                    i = y + (x >> 1)
+                    if z == 5:
+                        P[y, x] = (pl(2) + 3 * pl(3) + 2) >> 2
+                    elif z > 5:
+                        P[y, x] = pl(3)
+                    elif z % 2 == 0:
+                        P[y, x] = (pl(i) + pl(i + 1) + 1) >> 1
+                    else:
+                        P[y, x] = (pl(i) + 2 * pl(i + 1) + pl(i + 2) + 2) >> 2
+            return P
+        raise ValueError(f"Intra_4x4 prediction mode {mode} out of range")
+
+
+    return _h264_pred4x4
+
+
+_h264_pred4x4 = _h264_pred4x4_math()
 
 
 def _h264_transform_math():
