@@ -2024,3 +2024,34 @@ def test_dedup_verb_audiohash_strategy(engine):
     assert info["removed"] == 1
     col = engine.db.collection("clips")
     assert sorted(r["id"] for r in col.read().collect()) == [1, 3]
+
+
+def test_dedup_verb_mediahash_validation(engine):
+    """imagehash/audiohash arg validation: threshold >= 16 exceeds the
+    16-band pigeonhole guarantee -> CommandArgError (not a bare
+    AssertionError); keep="best" without an explicit score column on a
+    binary-media strategy is rejected (the text-quality fallback would
+    rank blobs by mojibake)."""
+    from vrod_spark.operators.multimodal import make_ppm_bytes
+
+    engine.db.create_collection("mh", schema="id bigint, content binary")
+    engine.execute(
+        "INSERT",
+        collection="mh",
+        arg=[{"id": 1, "content": bytearray(make_ppm_bytes(4, 4, (9, 9, 9)))}],
+    )
+    with pytest.raises(CommandArgError):
+        engine.execute(
+            "DEDUP", collection="mh",
+            arg={"strategy": "imagehash", "column": "content", "threshold": 16},
+        )
+    with pytest.raises(CommandArgError):
+        engine.execute(
+            "DEDUP", collection="mh",
+            arg={"strategy": "audiohash", "column": "content", "threshold": 20},
+        )
+    with pytest.raises(CommandArgError):
+        engine.execute(
+            "DEDUP", collection="mh",
+            arg={"strategy": "imagehash", "column": "content", "keep": "best"},
+        )

@@ -3398,17 +3398,21 @@ def test_worker_closures_pickle_by_value():
         k: base64.b64encode(cloudpickle.dumps(v)).decode()
         for k, v in closures.items()
     }
-    script = (
-        "import base64, sys, json, io, pickle\n"
-        "sys.path = [x for x in sys.path if 'repo' not in x]\n"
-        "from pyspark import cloudpickle\n"
-        "data = json.loads(sys.stdin.read())\n"
-        "bad = [k for k, b in data.items()\n"
-        "       if not _ok(base64.b64decode(b))]\n"
-    )
-    script = """
-import base64, sys, json
-sys.path = [x for x in sys.path if 'repo' not in x]
+    import json
+    import os
+
+    import vrod_spark
+
+    # Strip every sys.path entry that makes vrod_spark importable (not a
+    # substring heuristic — a checkout not named "repo" would otherwise
+    # leave the package importable and the test vacuously green), then
+    # PROVE the isolation before testing anything.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(vrod_spark.__file__)))
+    script = f"""
+import base64, sys, json, importlib.util
+sys.path = [x for x in sys.path if x and x != {pkg_parent!r}]
+assert importlib.util.find_spec("vrod_spark") is None, (
+    "isolation failed: vrod_spark still importable")
 from pyspark import cloudpickle
 data = json.loads(sys.stdin.read())
 bad = []
@@ -3416,10 +3420,9 @@ for k, b in data.items():
     try:
         cloudpickle.loads(base64.b64decode(b))
     except Exception as e:
-        bad.append(f"{k}: {type(e).__name__}")
+        bad.append(f"{{k}}: {{type(e).__name__}}")
 print(json.dumps(bad))
 """
-    import json
 
     r = subprocess.run(
         [sys.executable, "-c", script],

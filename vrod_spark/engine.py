@@ -1188,6 +1188,15 @@ class Engine:
                     f"score column {score_name!r} not in collection columns "
                     f"{df.columns}"
                 )
+            if score_name is None and strategy in ("imagehash", "audiohash"):
+                # The quality_score fallback is a TEXT heuristic; ranking
+                # duplicate images/audio by the byte blob cast to string
+                # would pick survivors by mojibake statistics.
+                raise CommandArgError(
+                    f'keep="best" on {strategy!r} needs an explicit "score" '
+                    "column (the text-quality fallback is meaningless for "
+                    "binary media columns)"
+                )
             if score_name is None and text_col not in df.columns:
                 raise CommandArgError(
                     f'keep="best" needs either a "score" column or a text '
@@ -1259,6 +1268,12 @@ class Engine:
             from vrod_spark.operators.multimodal import image_dhash
 
             max_ham = int(opts.get("threshold", 6))
+            if not 0 <= max_ham < 16:
+                raise CommandArgError(
+                    f"imagehash threshold must be in [0, 16), got {max_ham} "
+                    "(the 16-band pigeonhole join guarantees recall only "
+                    "below the band count)"
+                )
             sigs = image_dhash(
                 work.select(
                     F.col("id").alias("media_id"),
@@ -1283,6 +1298,12 @@ class Engine:
             from vrod_spark.operators.multimodal import audio_fingerprint
 
             max_ham = int(opts.get("threshold", 6))
+            if not 0 <= max_ham < 16:
+                raise CommandArgError(
+                    f"audiohash threshold must be in [0, 16), got {max_ham} "
+                    "(the 16-band pigeonhole join guarantees recall only "
+                    "below the band count)"
+                )
             sigs = audio_fingerprint(
                 work.select(
                     F.col("id").alias("media_id"),
@@ -1308,7 +1329,7 @@ class Engine:
         # connected components and keep only each component's minimum id.
         from vrod_spark.operators.dedup import connected_components
 
-        if established is not None and strategy in ("simhash", "winnow"):
+        if established is not None and strategy in ("simhash", "winnow", "imagehash", "audiohash"):
             # Incremental: prune established-established pairs BEFORE
             # closure (their components were already resolved when those
             # rows were deduped in), keeping only pairs that touch the

@@ -553,7 +553,14 @@ def hamming64_pairs(
     ANY 64-bit perceptual signature can ride it (SimHash over text,
     dHash over images — `operators/multimodal.image_dhash`). Returns
     (id_a, id_b, hamming)."""
-    assert bands > max_hamming, "pigeonhole requires bands > max_hamming"
+    if bands <= max_hamming:
+        # A real error, not an assert: under `python -O` an assert is
+        # stripped and a pair at distance == bands could differ in every
+        # band, silently never becoming a candidate (under-dedup).
+        raise ValueError(
+            f"pigeonhole requires bands > max_hamming (got bands={bands}, "
+            f"max_hamming={max_hamming})"
+        )
     sigs = sigs.select(
         F.col(id_col).alias("id"), F.col(sig_col).alias("simhash")
     )

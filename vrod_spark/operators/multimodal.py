@@ -2381,25 +2381,6 @@ _H264_MF = [
 ]
 
 
-def _h264_pos_class_factory():
-    """Factory wrapper: pickles BY VALUE into worker closures (a
-    module-level function would serialize as an import reference and
-    raise ModuleNotFoundError on workers without the repo on sys.path)."""
-
-    def _h264_pos_class(i: int, j: int) -> int:
-        if (i % 2, j % 2) == (0, 0):
-            return 0
-        if (i % 2, j % 2) == (1, 1):
-            return 1
-        return 2
-
-
-    return _h264_pos_class
-
-
-_h264_pos_class = _h264_pos_class_factory()
-
-
 #: luma4x4BlkIdx of each (bx, by) 4x4-block position inside an MB
 #: (clause 6.4.3 inverse scan — the quad/sub zig order).
 _H264_BLK_IDX = {
@@ -2409,10 +2390,25 @@ _H264_BLK_IDX = {
 }
 
 
-def _h264_tr_available_factory():
-    """Factory wrapper: pickles BY VALUE into worker closures (a
-    module-level function would serialize as an import reference and
-    raise ModuleNotFoundError on workers without the repo on sys.path)."""
+def _h264_i4_math():
+    """Intra_4x4 prediction-support helpers (clause 6.4.3/6.4.9 block
+    scan, top-right availability, neighbour gathering, mode gating),
+    returned from ONE factory so every helper pickles BY VALUE into
+    worker closures -- a module-level function serializes as an import
+    reference and raises ModuleNotFoundError on workers that cannot
+    import the repo (Python workers do not inherit the driver sys.path).
+    Module-level names below stay for direct callers and tests; this
+    factory is the single home of the invariant (the transform cluster
+    uses the same pattern, _h264_transform_math)."""
+
+    def _h264_pos_class(i: int, j: int) -> int:
+        if (i % 2, j % 2) == (0, 0):
+            return 0
+        if (i % 2, j % 2) == (1, 1):
+            return 1
+        return 2
+
+
 
     def _h264_tr_available(gx, gy, blk_avail):
         """Whether the top-right 4x4 neighbour block (gx+1, gy-1) of block
@@ -2430,16 +2426,6 @@ def _h264_tr_available_factory():
         return _H264_BLK_IDX[(bx + 1, by - 1)] < _H264_BLK_IDX[(bx, by)]
 
 
-    return _h264_tr_available
-
-
-_h264_tr_available = _h264_tr_available_factory()
-
-
-def _h264_i4_neighbors_factory():
-    """Factory wrapper: pickles BY VALUE into worker closures (a
-    module-level function would serialize as an import reference and
-    raise ModuleNotFoundError on workers without the repo on sys.path)."""
 
     def _h264_i4_neighbors(buf, x0, y0, gx, gy, blk_avail):
         """Clause 8.3.1.2 reference-sample derivation for Intra_4x4
@@ -2471,16 +2457,6 @@ def _h264_i4_neighbors_factory():
         return top, left, tl, top_ok, left_ok, tl_ok
 
 
-    return _h264_i4_neighbors
-
-
-_h264_i4_neighbors = _h264_i4_neighbors_factory()
-
-
-def _h264_i4_mode_ok_factory():
-    """Factory wrapper: pickles BY VALUE into worker closures (a
-    module-level function would serialize as an import reference and
-    raise ModuleNotFoundError on workers without the repo on sys.path)."""
 
     def _h264_i4_mode_ok(mode, top_ok, left_ok, tl_ok):
         """Clause 8.3.1.2.1-8.3.1.2.9 availability preconditions: which
@@ -2495,10 +2471,12 @@ def _h264_i4_mode_ok_factory():
         return top_ok and left_ok and tl_ok  # 4 DDR / 5 VR / 6 HD
 
 
-    return _h264_i4_mode_ok
+
+    return _h264_pos_class, _h264_tr_available, _h264_i4_neighbors, _h264_i4_mode_ok
 
 
-_h264_i4_mode_ok = _h264_i4_mode_ok_factory()
+(_h264_pos_class, _h264_tr_available, _h264_i4_neighbors, _h264_i4_mode_ok) = _h264_i4_math()
+
 
 
 def _h264_chroma_math():
