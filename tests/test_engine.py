@@ -2055,3 +2055,43 @@ def test_dedup_verb_mediahash_validation(engine):
             "DEDUP", collection="mh",
             arg={"strategy": "imagehash", "column": "content", "keep": "best"},
         )
+
+
+def test_dedup_verb_imagehash_incremental(engine):
+    """imagehash + since_version: established images are immune; a delta
+    re-encode of an established picture drops; a novel delta picture
+    survives."""
+    import numpy as np
+
+    from vrod_spark.operators.multimodal import make_png_bytes
+
+    rng = np.random.default_rng(23)
+    base = rng.integers(0, 200, size=(24, 36, 3)).astype(np.uint8)
+    other = rng.integers(0, 255, size=(24, 36, 3)).astype(np.uint8)
+
+    engine.db.create_collection("incimgs", schema="id bigint, content binary")
+    engine.execute(
+        "INSERT",
+        collection="incimgs",
+        arg=[{"id": 5, "content": bytearray(make_png_bytes(0, 0, pixels=base))}],
+    )
+    v_est = engine.db.collection("incimgs").version
+    engine.execute(
+        "INSERT",
+        collection="incimgs",
+        arg=[
+            # delta: smaller id than the established row — global
+            # keep-first would flip the old survivor; incremental must not
+            {"id": 1, "content": bytearray(make_png_bytes(0, 0, pixels=base))},
+            {"id": 2, "content": bytearray(make_png_bytes(0, 0, pixels=other))},
+        ],
+    )
+    info = engine.execute(
+        "DEDUP",
+        collection="incimgs",
+        arg={"strategy": "imagehash", "column": "content", "threshold": 6,
+             "since_version": v_est},
+    ).info
+    assert info["removed"] == 1
+    col = engine.db.collection("incimgs")
+    assert sorted(r["id"] for r in col.read().collect()) == [2, 5]

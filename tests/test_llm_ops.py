@@ -3433,3 +3433,39 @@ print(json.dumps(bad))
     )
     assert r.returncode == 0, r.stderr[-500:]
     assert json.loads(r.stdout.strip()) == []
+
+
+def test_hamming64_pairs_delta_restriction(spark):
+    """Incremental band join: with delta_ids only pairs touching a delta
+    row generate (established x established pairs never exist), pairs
+    stay canonical regardless of probe side, and the full run is the
+    delta=None superset."""
+    from vrod_spark.operators.dedup import hamming64_pairs
+
+    sigs = spark.createDataFrame(
+        [
+            (1, 0x1111_2222_3333_4444),   # established, near-dup of 2
+            (2, 0x1111_2222_3333_4445),   # established
+            (10, 0x1111_2222_3333_4446),  # delta, near-dup of 1 and 2
+            (11, 0x7777_0000_1234_0000),  # delta, unrelated
+        ],
+        "id long, sig long",
+    )
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in hamming64_pairs(
+            sigs, sig_col="sig", max_hamming=3, bands=8
+        ).collect()
+    }
+    assert full == {(1, 2), (1, 10), (2, 10)}
+
+    delta = spark.createDataFrame([(10,), (11,)], "id long")
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in hamming64_pairs(
+            sigs, sig_col="sig", max_hamming=3, bands=8, delta_ids=delta
+        ).collect()
+    }
+    # (1, 2) is established x established: pruned at generation.
+    assert inc == {(1, 10), (2, 10)}
+    assert all(a < b for a, b in inc)

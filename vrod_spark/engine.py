@@ -1289,6 +1289,10 @@ class Engine:
                 # bands must exceed max_hamming for the pigeonhole
                 # guarantee; 8 or 16 both divide 64 exactly.
                 bands=16 if max_ham >= 8 else 8,
+                # Incremental: only pairs touching the delta generate
+                # (O(delta x bucket)); established x established never
+                # exist, so no post-closure pruning is needed.
+                delta_ids=delta_work,
             ).select("id_a", "id_b")
         elif strategy == "audiohash":
             # Perceptual audio dedup: Haitsma-Kalker-style band-energy
@@ -1317,6 +1321,7 @@ class Engine:
                 id_col="media_id",
                 max_hamming=max_ham,
                 bands=16 if max_ham >= 8 else 8,
+                delta_ids=delta_work,
             ).select("id_a", "id_b")
         else:
             raise CommandArgError(
@@ -1329,7 +1334,7 @@ class Engine:
         # connected components and keep only each component's minimum id.
         from vrod_spark.operators.dedup import connected_components
 
-        if established is not None and strategy in ("simhash", "winnow", "imagehash", "audiohash"):
+        if established is not None and strategy in ("simhash", "winnow"):
             # Incremental: prune established-established pairs BEFORE
             # closure (their components were already resolved when those
             # rows were deduped in), keeping only pairs that touch the

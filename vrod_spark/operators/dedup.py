@@ -547,12 +547,20 @@ def hamming64_pairs(
     id_col: str = "id",
     max_hamming: int = 3,
     bands: int = 4,
+    delta_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs of rows whose 64-bit signatures are within ``max_hamming``
     — the pigeonhole band join factored out of :func:`simhash_pairs` so
     ANY 64-bit perceptual signature can ride it (SimHash over text,
     dHash over images — `operators/multimodal.image_dhash`). Returns
-    (id_a, id_b, hamming)."""
+    (id_a, id_b, hamming).
+
+    ``delta_ids`` (one ``id`` column) switches to INCREMENTAL candidate
+    generation — the minhash_lsh_pairs design: only pairs touching a
+    delta row are generated, by joining the delta rows' band blocks
+    against the full corpus's (asymmetric, O(delta x bucket) instead of
+    O(bucket²)); established x established pairs never exist. Pairs
+    stay canonical (id_a < id_b) regardless of which side was delta."""
     if bands <= max_hamming:
         # A real error, not an assert: under `python -O` an assert is
         # stripped and a pair at distance == bands could differ in every
@@ -592,16 +600,33 @@ def hamming64_pairs(
     # pipeline once — see the matching note in minhash_lsh_pairs (with
     # the default broadcast, one side becomes a BroadcastExchange and the
     # whole signature subtree executes twice).
+    probe = blocks
+    if delta_ids is not None:
+        # Plain left-semi (no forced broadcast): a delta is usually tiny
+        # and AQE will broadcast it, but nothing guarantees it — same
+        # form as minhash_lsh_pairs' delta restriction.
+        probe = blocks.join(
+            delta_ids.select(F.col(delta_ids.columns[0]).alias("id")).distinct(),
+            "id",
+            "left_semi",
+        )
     cand = (
-        blocks.alias("x")
+        probe.alias("x")
         .hint("shuffle_hash")
         .join(blocks.alias("y").hint("shuffle_hash"), ["block", "val"])
-        .filter(F.col("x.id") < F.col("y.id"))
+        .filter(F.col("x.id") != F.col("y.id"))
         .select(
-            F.col("x.id").alias("id_a"),
-            F.col("x.simhash").alias("sig_a"),
-            F.col("y.id").alias("id_b"),
-            F.col("y.simhash").alias("sig_b"),
+            # Canonicalize: the asymmetric probe can see a pair from
+            # either side (or both, when both rows are delta) — the
+            # least/greatest projection plus distinct collapses them.
+            F.least(F.col("x.id"), F.col("y.id")).alias("id_a"),
+            F.when(F.col("x.id") < F.col("y.id"), F.col("x.simhash"))
+            .otherwise(F.col("y.simhash"))
+            .alias("sig_a"),
+            F.greatest(F.col("x.id"), F.col("y.id")).alias("id_b"),
+            F.when(F.col("x.id") < F.col("y.id"), F.col("y.simhash"))
+            .otherwise(F.col("x.simhash"))
+            .alias("sig_b"),
         )
         .distinct()
     )
