@@ -1236,6 +1236,7 @@ class Engine:
                 text_col=text_col,
                 id_col="id",
                 max_hamming=int(opts.get("threshold", 3)),
+                delta_ids=delta_work,
             )
         elif strategy == "embedding":
             from vrod_spark.operators.dedup import embedding_near_dup_bucketed
@@ -1334,12 +1335,14 @@ class Engine:
         # connected components and keep only each component's minimum id.
         from vrod_spark.operators.dedup import connected_components
 
-        if established is not None and strategy in ("simhash", "winnow"):
+        if established is not None and strategy == "winnow":
             # Incremental: prune established-established pairs BEFORE
             # closure (their components were already resolved when those
             # rows were deduped in), keeping only pairs that touch the
-            # delta — the post-generation form for the generators without
-            # a delta_ids fast path.
+            # delta — the post-generation form for the one generator
+            # without a delta_ids fast path (minhash/embedding/simhash/
+            # imagehash/audiohash all take the delta INSIDE candidate
+            # generation).
             ef = est_work_ids.withColumn("_est", F.lit(True))
             pairs = (
                 pairs.join(

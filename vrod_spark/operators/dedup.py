@@ -528,15 +528,18 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 4,
+    delta_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs within Hamming distance `max_hamming`: pigeonhole — split the
     64-bit signature into `bands` blocks; any pair within distance d <
     bands must agree exactly on ≥1 block, so candidates = exact-match join
-    per block (shuffle of 16-bit block values), then verify with popcount."""
+    per block (shuffle of 16-bit block values), then verify with popcount.
+    ``delta_ids`` restricts generation to pairs touching the delta (the
+    shared :func:`hamming64_pairs` incremental path)."""
     sigs = simhash_signatures(df, text_col=text_col, id_col=id_col)
     return hamming64_pairs(
         sigs, sig_col="simhash", id_col="id",
-        max_hamming=max_hamming, bands=bands,
+        max_hamming=max_hamming, bands=bands, delta_ids=delta_ids,
     )
 
 
