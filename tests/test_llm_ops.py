@@ -3469,3 +3469,35 @@ def test_hamming64_pairs_delta_restriction(spark):
     # (1, 2) is established x established: pruned at generation.
     assert inc == {(1, 10), (2, 10)}
     assert all(a < b for a, b in inc)
+
+
+def test_winnow_overlap_pairs_delta_restriction(spark):
+    """Incremental winnow candidates: delta_ids output == the full run
+    restricted to pairs touching a delta row, with IDENTICAL shared/
+    overlap values (a naive two-sided probe would double-count shared
+    fingerprints for delta-delta pairs)."""
+    from vrod_spark.operators.dedup import winnow_overlap_pairs
+
+    passage = "the copied boilerplate passage lives in every one of these documents"
+    docs = [
+        (1, f"first unique prefix one {passage} suffix alpha beta"),
+        (2, f"second unique prefix here {passage} tail gamma delta"),
+        (10, f"third unique beginning {passage} closing words epsilon"),
+        (11, f"fourth opener text {passage} ending words zeta eta"),
+        (12, "entirely unrelated content with no shared passages anywhere at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    kw = dict(k=5, window=4, min_shared=2)
+    full = {
+        (r["id_a"], r["id_b"]): (r["shared"], r["overlap"])
+        for r in winnow_overlap_pairs(df, **kw).collect()
+    }
+    delta = spark.createDataFrame([(10,), (11,), (12,)], "id long")
+    inc = {
+        (r["id_a"], r["id_b"]): (r["shared"], r["overlap"])
+        for r in winnow_overlap_pairs(df, **kw, delta_ids=delta).collect()
+    }
+    want = {p: v for p, v in full.items() if p[0] >= 10 or p[1] >= 10}
+    assert inc == want
+    assert (1, 2) in full and (1, 2) not in inc  # established x established pruned
+    assert (10, 11) in inc  # delta-delta present exactly once, not doubled

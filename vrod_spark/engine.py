@@ -1256,6 +1256,7 @@ class Engine:
                 text_col=text_col,
                 id_col="id",
                 min_shared=int(opts.get("min_shared", 3)),
+                delta_ids=delta_work,
             ).filter(F.col("overlap") >= float(opts.get("threshold", 0.5))).select(
                 "id_a", "id_b"
             )
@@ -1335,29 +1336,6 @@ class Engine:
         # connected components and keep only each component's minimum id.
         from vrod_spark.operators.dedup import connected_components
 
-        if established is not None and strategy == "winnow":
-            # Incremental: prune established-established pairs BEFORE
-            # closure (their components were already resolved when those
-            # rows were deduped in), keeping only pairs that touch the
-            # delta — the post-generation form for the one generator
-            # without a delta_ids fast path (minhash/embedding/simhash/
-            # imagehash/audiohash all take the delta INSIDE candidate
-            # generation).
-            ef = est_work_ids.withColumn("_est", F.lit(True))
-            pairs = (
-                pairs.join(
-                    ef.select(F.col("id").alias("id_a"), F.col("_est").alias("_ea")),
-                    "id_a",
-                    "left",
-                )
-                .join(
-                    ef.select(F.col("id").alias("id_b"), F.col("_est").alias("_eb")),
-                    "id_b",
-                    "left",
-                )
-                .filter(~(F.coalesce("_ea", F.lit(False)) & F.coalesce("_eb", F.lit(False))))
-                .select("id_a", "id_b")
-            )
         comps = connected_components(pairs, src_col="id_a", dst_col="id_b")
         if hashed_ids:
             # Translate components back to original ids and keep the min

@@ -242,6 +242,7 @@ def winnow_overlap_pairs(
     window: int = 4,
     min_shared: int = 2,
     max_fp_df: int | None = None,
+    delta_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Contiguous-overlap candidate pairs from WINNOWING fingerprints —
     the MOSS scheme (Schleimer/Wilkerson/Aiken, SIGMOD'03) as a corpus
@@ -279,17 +280,58 @@ def winnow_overlap_pairs(
         .select("fp")
     )
     pruned = inv.hint("shuffle_hash").join(keep.hint("shuffle_hash"), "fp", "left_semi")
-    return (
-        pruned.alias("x")
-        .hint("shuffle_hash")
-        .join(pruned.alias("y").hint("shuffle_hash"), ["fp"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .groupBy(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.col("x.nfp").alias("nfp_a"),
-            F.col("y.nfp").alias("nfp_b"),
+    if delta_ids is None:
+        cand = (
+            pruned.alias("x")
+            .hint("shuffle_hash")
+            .join(pruned.alias("y").hint("shuffle_hash"), ["fp"])
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(
+                F.col("x.id").alias("id_a"),
+                F.col("y.id").alias("id_b"),
+                F.col("x.nfp").alias("nfp_a"),
+                F.col("y.nfp").alias("nfp_b"),
+            )
         )
+    else:
+        # INCREMENTAL (``delta_ids``): probe only the delta rows' posting
+        # lists against the full index — O(delta x df), established x
+        # established pairs never generate. Orientation care: a
+        # delta-delta pair appears from BOTH probe sides, so the second
+        # orientation is kept only when the other side is established
+        # ((x < y) | y-not-delta) — otherwise ``shared`` would double
+        # count exactly the delta-delta pairs. Ids then canonicalize
+        # with the fingerprint counts swapped alongside.
+        dset = (
+            delta_ids.select(F.col(delta_ids.columns[0]).alias("id"))
+            .distinct()
+            .withColumn("_d", F.lit(True))
+        )
+        flagged = pruned.join(dset, "id", "left").withColumn(
+            "_d", F.coalesce("_d", F.lit(False))
+        )
+        probe = flagged.filter(F.col("_d"))
+        cand = (
+            probe.alias("x")
+            .hint("shuffle_hash")
+            .join(flagged.alias("y").hint("shuffle_hash"), ["fp"])
+            .filter(
+                (F.col("x.id") != F.col("y.id"))
+                & ((F.col("x.id") < F.col("y.id")) | ~F.col("y._d"))
+            )
+            .select(
+                F.least(F.col("x.id"), F.col("y.id")).alias("id_a"),
+                F.greatest(F.col("x.id"), F.col("y.id")).alias("id_b"),
+                F.when(F.col("x.id") < F.col("y.id"), F.col("x.nfp"))
+                .otherwise(F.col("y.nfp"))
+                .alias("nfp_a"),
+                F.when(F.col("x.id") < F.col("y.id"), F.col("y.nfp"))
+                .otherwise(F.col("x.nfp"))
+                .alias("nfp_b"),
+            )
+        )
+    return (
+        cand.groupBy("id_a", "id_b", "nfp_a", "nfp_b")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
         .withColumn(
