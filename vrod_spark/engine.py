@@ -809,6 +809,14 @@ class Engine:
                 f'"keep"/"score" apply only to the near-dup component '
                 f"strategies {_near_dup}, not {strategy!r}"
             )
+        if "score" in opts and keep_rule != "best":
+            # Silently ignoring "score" under the default keep="first"
+            # would let a user believe score-based survivor selection ran
+            # when smallest-id-wins did (ADVICE r9).
+            raise CommandArgError(
+                '"score" requires keep="best" — under keep="first" the '
+                "score expression would be ignored"
+            )
         since_version = opts.get("since_version")
         established = None  # native-id DataFrame of immutable rows
         if since_version is not None:
@@ -1097,6 +1105,19 @@ class Engine:
                 )
 
                 threshold = float(opts.get("threshold", 0.95))
+                # A text-only collection on either side must be a typed
+                # command error, not a raw AnalysisException (ADVICE r9).
+                if "embedding" not in eval_df.columns:
+                    raise CommandArgError(
+                        f"eval collection {against!r} has no 'embedding' "
+                        'column — method="embedding" decontamination needs '
+                        "embedded rows on both sides"
+                    )
+                if "embedding" not in df.columns:
+                    raise CommandArgError(
+                        f"collection {col.name!r} has no 'embedding' column "
+                        'for method="embedding" decontamination'
+                    )
                 ev = np.array(
                     [
                         r[0]
@@ -1111,7 +1132,9 @@ class Engine:
                         f"eval collection {against!r} has no embeddings to "
                         "decontaminate against"
                     )
-                scored = semantic_contamination_scores(df, ev)
+                scored, ev_bc = semantic_contamination_scores(
+                    df, ev, return_broadcast=True
+                )
                 if dry_run:
                     report = (
                         scored.filter(F.col("max_eval_cos") >= threshold)
@@ -1126,6 +1149,10 @@ class Engine:
                     | F.col("max_eval_cos").isNull()
                 ).drop("max_eval_cos")
                 n_after = col._rewrite(survivors, "DEDUP", {"strategy": strategy})
+                # The rewrite executed the scoring plan; the eval matrix
+                # no longer needs to sit in executor memory. (The dry_run
+                # path returns a LAZY report and must keep it alive.)
+                ev_bc.unpersist()
                 return CommandResult(
                     "DEDUP",
                     info={

@@ -33,6 +33,23 @@ def _hashable(v) -> bool:
     return False
 
 
+def _session_token() -> object:
+    """Identity of the live gateway the cached Column trees belong to.
+
+    A built Column pins py4j objects from the JVM gateway that was active
+    at build time; after a SparkSession/JVM restart in a long-lived
+    process those objects are stale and fail with opaque py4j errors
+    (ADVICE r9). Keying the cache on the active SparkContext id makes a
+    session swap a clean cache miss instead."""
+    try:
+        from pyspark import SparkContext
+
+        sc = SparkContext._active_spark_context
+        return id(sc._jsc) if sc is not None and sc._jsc is not None else None
+    except Exception:
+        return None
+
+
 def memo_column(fn):
     """Memoize a Column builder on primitive-only call signatures."""
     cache: dict = {}
@@ -42,7 +59,7 @@ def memo_column(fn):
         if all(_hashable(a) for a in args) and all(
             _hashable(v) for v in kwargs.values()
         ):
-            key = (args, tuple(sorted(kwargs.items())))
+            key = (_session_token(), args, tuple(sorted(kwargs.items())))
             hit = cache.get(key)
             if hit is None:
                 hit = cache[key] = fn(*args, **kwargs)

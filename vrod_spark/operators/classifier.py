@@ -101,21 +101,25 @@ def train_quality_classifier(
     fc = _hashed_ngram_counts(
         sample, text_col=text_col, id_col=id_col, n_buckets=n_buckets
     )
-    # No orderBy: the rows land in X by unique (doc, bucket) key and ids
-    # are sorted locally below, so collection order cannot affect the
-    # result — a pre-collect sort would only add a full shuffle.
-    rows = fc.join(
-        sample.select(F.col(id_col).alias("_id"), "_y"), "_id"
-    ).collect()
-    if not rows:
-        raise ValueError("training sample has no features")
-    ids = sorted({r["_id"] for r in rows})
+    # Labels come from the SAMPLE, not from the feature rows: a sampled
+    # document with no features (empty/whitespace text) must still be a
+    # design-matrix row — an all-zero row trains the bias and keeps the
+    # class balance equal to the sampled counts (ADVICE r9; the old
+    # inner join silently dropped such docs from n and the gradient).
+    id_rows = sample.select(F.col(id_col).alias("_id"), "_y").collect()
+    if not id_rows:
+        raise ValueError("training sample is empty")
+    ids = sorted({r["_id"] for r in id_rows})
     idx = {v: i for i, v in enumerate(ids)}
     X = np.zeros((len(ids), n_buckets), dtype=np.float64)
     y = np.zeros(len(ids), dtype=np.float64)
-    for r in rows:
-        X[idx[r["_id"]], r["_b"]] = r["_c"]
+    for r in id_rows:
         y[idx[r["_id"]]] = 1.0 if r["_y"] else 0.0
+    # No orderBy: the rows land in X by unique (doc, bucket) key and ids
+    # are sorted locally above, so collection order cannot affect the
+    # result — a pre-collect sort would only add a full shuffle.
+    for r in fc.collect():
+        X[idx[r["_id"]], r["_b"]] = r["_c"]
     totals = X.sum(axis=1, keepdims=True)
     X /= np.where(totals == 0, 1, totals)  # count-normalized features
     w = np.zeros(n_buckets, dtype=np.float64)

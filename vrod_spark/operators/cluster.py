@@ -199,16 +199,22 @@ def semantic_dedup(
 
 def cluster_profile(dedup: DataFrame) -> DataFrame:
     """Per-cluster curation summary over semantic_dedup output:
-    (cluster, n_members, n_kept, avg_ccos)."""
+    (cluster, n_members, n_kept, sum_ccos_u6).
+
+    ``sum_ccos_u6`` = sum of each member's centroid cosine snapped to
+    the 1e-6 grid PER ROW and cast to an integer BEFORE aggregation.
+    An averaged float was the r8/r9 pin and was twice reported drifted
+    by the driver despite clean in-session re-runs; integer sums of
+    per-row-snapped values are summation-order-independent by
+    construction — the only way this column moves is a per-row cosine
+    crossing a 5e-7 snap boundary (drift is ~1e-13; margins are audited
+    by tools/pin_margins.py)."""
     return (
         dedup.groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
             F.sum(F.col("kept").cast("long")).alias("n_kept"),
-            # Snap-before-round (the q51 drift fix pattern): the float64
-            # average differs between engines by ulps (summation order);
-            # snapping at 6dp first makes the 4dp pin boundary-proof.
-            F.round(F.round(F.avg("ccos"), 6), 4).alias("avg_ccos"),
+            F.sum(F.round(F.col("ccos") * 1e6).cast("long")).alias("sum_ccos_u6"),
         )
         .orderBy("cluster")
     )
@@ -220,7 +226,8 @@ def semantic_contamination_scores(
     *,
     vec_col: str = "embedding",
     score_col: str = "max_eval_cos",
-) -> DataFrame:
+    return_broadcast: bool = False,
+):
     """Max cosine of each row's vector against an EVAL anchor set — the
     embedding-space analog of n-gram benchmark decontamination (the
     scrub Abbas-era pipelines run alongside the GPT-3/PaLM 13-gram
@@ -236,7 +243,11 @@ def semantic_contamination_scores(
     materializes. Rows with a zero/NULL-normed vector score 0.0 (no
     evidence of contamination).
 
-    Returns the input schema plus ``score_col``.
+    Returns the input schema plus ``score_col``. With
+    ``return_broadcast=True`` returns ``(df, broadcast)`` so a caller
+    that EXECUTES the plan (the engine's DEDUP decontaminate rewrite)
+    can unpersist the eval matrix from executor memory afterwards —
+    lazy callers must leave it alive for the plan's lifetime.
     """
     ev = np.asarray(eval_vectors, dtype=np.float64)
     if ev.ndim != 2 or not len(ev):
@@ -265,4 +276,5 @@ def semantic_contamination_scores(
             out[ok] = np.where(np.isfinite(best), best, 0.0)
         return pd.Series(out)
 
-    return df.withColumn(score_col, max_cos(F.col(vec_col)))
+    scored = df.withColumn(score_col, max_cos(F.col(vec_col)))
+    return (scored, eb) if return_broadcast else scored

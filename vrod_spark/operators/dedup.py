@@ -253,9 +253,11 @@ def winnow_overlap_pairs(
     the long-tail failure mode the MinHash candidates share with exact
     Jaccard. Complements, not replaces, the set-similarity family.
 
-    Returns ``(id_a, id_b, shared, overlap)`` with ``id_a < id_b``,
-    ``shared`` = matching distinct fingerprints and ``overlap`` =
-    shared / min(|fp_a|, |fp_b|), filtered to ``shared >= min_shared``.
+    Returns ``(id_a, id_b, shared, min_fp, overlap)`` with
+    ``id_a < id_b``, ``shared`` = matching distinct fingerprints,
+    ``min_fp`` = min(|fp_a|, |fp_b|) (the overlap denominator, exposed
+    so integer-pinned gates never hash the float ratio), and
+    ``overlap`` = shared / min_fp, filtered to ``shared >= min_shared``.
 
     Scale shape mirrors :func:`jaccard_pairs`: inverted index on the
     fingerprint, colocated shuffle-hash self-join with ReuseExchange
@@ -334,11 +336,9 @@ def winnow_overlap_pairs(
         cand.groupBy("id_a", "id_b", "nfp_a", "nfp_b")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared)
-        .withColumn(
-            "overlap",
-            F.col("shared") / F.least("nfp_a", "nfp_b").cast("double"),
-        )
-        .select("id_a", "id_b", "shared", "overlap")
+        .withColumn("min_fp", F.least("nfp_a", "nfp_b"))
+        .withColumn("overlap", F.col("shared") / F.col("min_fp").cast("double"))
+        .select("id_a", "id_b", "shared", "min_fp", "overlap")
     )
 
 
@@ -655,26 +655,44 @@ def hamming64_pairs(
             "id",
             "left_semi",
         )
-    cand = (
+    joined = (
         probe.alias("x")
         .hint("shuffle_hash")
         .join(blocks.alias("y").hint("shuffle_hash"), ["block", "val"])
-        .filter(F.col("x.id") != F.col("y.id"))
-        .select(
-            # Canonicalize: the asymmetric probe can see a pair from
-            # either side (or both, when both rows are delta) — the
-            # least/greatest projection plus distinct collapses them.
-            F.least(F.col("x.id"), F.col("y.id")).alias("id_a"),
-            F.when(F.col("x.id") < F.col("y.id"), F.col("x.simhash"))
-            .otherwise(F.col("y.simhash"))
-            .alias("sig_a"),
-            F.greatest(F.col("x.id"), F.col("y.id")).alias("id_b"),
-            F.when(F.col("x.id") < F.col("y.id"), F.col("y.simhash"))
-            .otherwise(F.col("x.simhash"))
-            .alias("sig_b"),
-        )
-        .distinct()
     )
+    if delta_ids is None:
+        # Symmetric self-join: generate each pair ONCE (x.id < y.id) —
+        # the least/greatest canonicalization is only needed on the
+        # asymmetric delta probe, and running it here would double the
+        # candidate rows through the hottest join (ADVICE r9).
+        cand = (
+            joined.filter(F.col("x.id") < F.col("y.id"))
+            .select(
+                F.col("x.id").alias("id_a"),
+                F.col("x.simhash").alias("sig_a"),
+                F.col("y.id").alias("id_b"),
+                F.col("y.simhash").alias("sig_b"),
+            )
+            .distinct()
+        )
+    else:
+        cand = (
+            joined.filter(F.col("x.id") != F.col("y.id"))
+            .select(
+                # Canonicalize: the asymmetric probe can see a pair from
+                # either side (or both, when both rows are delta) — the
+                # least/greatest projection plus distinct collapses them.
+                F.least(F.col("x.id"), F.col("y.id")).alias("id_a"),
+                F.when(F.col("x.id") < F.col("y.id"), F.col("x.simhash"))
+                .otherwise(F.col("y.simhash"))
+                .alias("sig_a"),
+                F.greatest(F.col("x.id"), F.col("y.id")).alias("id_b"),
+                F.when(F.col("x.id") < F.col("y.id"), F.col("y.simhash"))
+                .otherwise(F.col("x.simhash"))
+                .alias("sig_b"),
+            )
+            .distinct()
+        )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
         cand.withColumn("hamming", hamming)

@@ -130,6 +130,28 @@ def _shared_scalar(spark: SparkSession, key: tuple, compute: Callable[[], object
         return per[key]
 
 
+def _local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Local rows → DataFrame via the ARROW path (a pandas intermediate).
+
+    ``createDataFrame(list, schema)`` pickles the rows into a
+    defaultParallelism-slice python RDD whose SCAN re-forks a python
+    runner per task on EVERY execution — measured ~1.3 s to collect one
+    local binary row, ~3.9 s through an identity mapInPandas on this
+    box. The pandas route converts once to Arrow record batches the JVM
+    reads natively (0.03 s / 0.39 s for the same probes, 10-15x). At
+    cluster scale these literals are broadcast dimension tables; the
+    Arrow path is also how they'd ship there."""
+    import pandas as pd
+
+    names = [f.strip().split()[0] for f in schema.split(",")]
+    data = {
+        n: [bytes(r[i]) if isinstance(r[i], (bytearray, memoryview)) else r[i]
+            for r in rows]
+        for i, n in enumerate(names)
+    }
+    return spark.createDataFrame(pd.DataFrame(data), schema)
+
+
 def shared_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus tokenized ONCE per session per snapshot: (doc_id, toks
     array<string>), whitespace tokens of lower(text). Every document is
@@ -834,7 +856,8 @@ def q16_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q17_range_join_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events").select("value")
-    tiers = spark.createDataFrame(
+    tiers = _local_df(
+        spark,
         [("low", 0.0, 10.0), ("mid", 10.0, 100.0), ("high", 100.0, 1e9)],
         "tier string, lo double, hi double",
     )
@@ -1454,7 +1477,9 @@ def q28_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Generic columns (leg, k1, k2, k3, v): pairs rows carry
 # (id_a, id_b, 0, cosine); semdedup rows (cluster, n_members, n_kept,
-# avg_ccos); the edecon row (n_ge_95, n_ge_50, n_rows, 0.0).
+# sum_ccos_u6 — per-row 1e-6-snapped integer cosine sum, order-
+# independent by construction); the edecon row (n_ge_95, n_ge_50,
+# n_rows, 0.0).
 # ---------------------------------------------------------------------------
 @query(
     "q28b_embedding_near_dup_bucketed",
@@ -1500,7 +1525,7 @@ def q28_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'semdedup', cid, count(*),
            sum(CASE WHEN vec_id IN (SELECT vec_id FROM drp) THEN 0 ELSE 1 END),
-           round(round(avg(ccos), 6), 4)
+           sum((round(ccos * 1e6))::BIGINT)::DOUBLE
     FROM rk GROUP BY cid
     UNION ALL
     SELECT 'edecon',
@@ -1580,12 +1605,17 @@ def q28b_embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFr
     sd = semantic_dedup(
         uni, cents, vec_col="embedding", id_col="vec_id", min_cosine=0.99
     )
+    # `v` carries the integer per-row-snapped cosine sum (cast to double
+    # for leg-schema uniformity — exact far below 2^53). The r8/r9 pin
+    # was the 4dp-rounded AVERAGE, a float aggregate; it was the only
+    # drift-capable column in this gate and the driver reported it red
+    # two rounds running (in-session re-runs green both times).
     semdedup = cluster_profile(sd).select(
         F.lit("semdedup").alias("leg"),
         F.col("cluster").cast("long").alias("k1"),
         F.col("n_members").alias("k2"),
         F.col("n_kept").alias("k3"),
-        F.col("avg_ccos").alias("v"),
+        F.col("sum_ccos_u6").cast("double").alias("v"),
     )
     # edecon leg — semantic eval decontamination (operators/cluster.
     # semantic_contamination_scores, the DEDUP decontaminate
@@ -2176,7 +2206,7 @@ def q37_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # band bucket; verdict = min earlier partner with signature agreement
     # >= the same threshold. Clusters are mutually near, so sequential
     # (streaming) and pairwise (batch) decisions must coincide.
-    docs_all = spark.createDataFrame(b0 + b1, schema)
+    docs_all = _local_df(spark, b0 + b1, schema)
     sigs = docs_all.select(
         "doc_id", minhash_signature_expr("text", k=32, n=3).alias("sig")
     )
@@ -2535,6 +2565,199 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
 # packs channel means; video packs (mean_luma, 0, 0) with idx=frame_idx;
 # mel packs (dominant_band, n_stft_frames, 0).
 # ---------------------------------------------------------------------------
+@functools.lru_cache(maxsize=1)
+def _q51_media_blobs() -> tuple:
+    """q51's synthesized mixed-format media corpus, built ONCE per
+    process. Encoding the H.264/MP3/JPEG/PNG/GIF bitstreams is pure
+    driver-side Python CPU (~seconds) and the corpus is deterministic
+    (fixed RandomState(7) / closed-form patterns), so re-encoding it on
+    every query BUILD was cold-latency mass with zero information
+    (VERDICT r9 perf audit: q51 serial-cold 2.66→8.68 s was encode
+    growth, not decode). The plan itself still builds fresh per call —
+    this caches input DATA, not the query. Returns
+    ``(blobs, img_blobs, afp_wav_bytes)``; callers must not mutate."""
+    import numpy as np
+
+    from vrod_spark.operators.multimodal import (
+        make_au_bytes,
+        make_avi_mjpeg_bytes,
+        make_gif_anim_bytes,
+        make_gif_bytes,
+        make_h264_bytes,
+        make_jpeg_bytes,
+        make_mp1_bytes,
+        make_mp2_bytes,
+        make_mp3_bytes,
+        make_png_bytes,
+        make_ppm_bytes,
+        make_wav_adpcm_bytes,
+        make_wav_bytes,
+        make_y4m_bytes,
+    )
+
+    rng = np.random.RandomState(7)
+    grad = rng.randint(0, 256, size=(10, 12, 3)).astype(np.uint8)
+    grad_rst = rng.randint(0, 256, size=(8, 24, 3)).astype(np.uint8)
+    blobs = (
+        # WAV PCM tones (also the mel leg's input).
+        [(i, "audio", make_wav_bytes(200.0 * (i + 1))) for i in range(4)]
+        # IMA-ADPCM (4-bit adaptive-differential codec, WAV tag 0x11).
+        + [(i, "audio", make_wav_adpcm_bytes(250.0 * (i + 1))) for i in range(2)]
+        # G.711 mu-law AU (ITU-T companding codec).
+        + [(i, "audio", make_au_bytes(300.0 * (i + 1))) for i in range(2)]
+        # PPM raw images (exact channel means).
+        + [
+            (0, "image", make_ppm_bytes(16, 8, (255, 0, 0))),
+            (1, "image", make_ppm_bytes(4, 4, (0, 128, 255))),
+            (2, "image", make_ppm_bytes(32, 2, (10, 20, 30))),
+        ]
+        # GIF (full LZW expansion).
+        + [(0, "image", make_gif_bytes(6, 3, (10, 200, 30)))]
+        # Animated GIF89a: 2 frames (solid canvas + composed patch).
+        + [
+            (
+                1,
+                "image",
+                make_gif_anim_bytes(
+                    12,
+                    10,
+                    [
+                        np.tile(np.array([10, 20, 30], dtype=np.uint8), (10, 12, 1)),
+                        {
+                            "pixels": np.tile(
+                                np.array([200, 40, 60], dtype=np.uint8), (4, 5, 1)
+                            ),
+                            "x": 3,
+                            "y": 2,
+                        },
+                    ],
+                ),
+            )
+        ]
+        # PNG (DEFLATE + defilter; one Paeth file; one Adam7 interlaced).
+        + [
+            (0, "image", make_png_bytes(8, 4, (0, 64, 255))),
+            (1, "image", make_png_bytes(5, 5, (200, 100, 50), filter_type=4)),
+            (
+                2,
+                "image",
+                make_png_bytes(
+                    0,
+                    0,
+                    pixels=np.concatenate(
+                        [
+                            np.tile(
+                                np.array([30, 60, 90], dtype=np.uint8), (3, 6, 1)
+                            ),
+                            np.tile(
+                                np.array([210, 180, 150], dtype=np.uint8), (3, 6, 1)
+                            ),
+                        ],
+                        axis=0,
+                    ),
+                    filter_type=4,
+                    interlace=True,
+                ),
+            ),
+        ]
+        # Baseline JPEG (T.81): 4:4:4 solid, 4:2:0 gradient, restart file.
+        + [
+            (0, "image", make_jpeg_bytes(16, 8, (255, 0, 0))),
+            (1, "image", make_jpeg_bytes(12, 10, pixels=grad, subsampling="420")),
+            (2, "image", make_jpeg_bytes(24, 8, pixels=grad_rst, restart_interval=2)),
+        ]
+        # MPEG-1 Audio Layers I, II, III (spec-exact bitstreams).
+        + [(i, "audio", make_mp1_bytes(440.0 * (i + 1))) for i in range(2)]
+        + [(i, "audio", make_mp2_bytes(440.0 * (i + 1))) for i in range(2)]
+        + [(i, "audio", make_mp3_bytes(2000.0 * (i + 1))) for i in range(2)]
+        # Y4M raw video (exact solid-luma frame means).
+        + [
+            (0, "video", make_y4m_bytes(16, 8, [0, 51, 102, 153])),
+            (1, "video", make_y4m_bytes(8, 8, [255])),
+        ]
+        # AVI/Motion-JPEG (container parse x per-frame T.81 decode).
+        + [
+            (
+                0,
+                "video",
+                make_avi_mjpeg_bytes(
+                    [np.full((8, 16, 3), v, dtype=np.uint8) for v in (0, 64, 128, 192)]
+                ),
+            )
+        ]
+        # H.264 Annex-B: I_PCM, CAVLC Intra_16x16, and Intra_4x4 streams
+        # (see the gate comment for the per-stream pin derivations).
+        + [
+            (0, "video", make_h264_bytes([40, 200], width=20, height=12)),
+            (
+                1,
+                "video",
+                make_h264_bytes(
+                    [
+                        np.clip(
+                            128
+                            + np.arange(32)[None, :] * 0.8
+                            + np.arange(32)[:, None] * 0.5,
+                            0,
+                            255,
+                        ).astype(np.uint8)
+                    ],
+                    width=32,
+                    height=32,
+                    mode="cavlc",
+                    qp=38,
+                ),
+            ),
+            (
+                2,
+                "video",
+                make_h264_bytes(
+                    [
+                        np.tile(
+                            (np.arange(32) * 37 % 251).astype(np.uint8),
+                            (32, 1),
+                        )
+                    ],
+                    width=32,
+                    height=32,
+                    mode="i4x4",
+                    qp=28,
+                ),
+            ),
+        ]
+    )
+    # dhash leg inputs: one gradient as PPM + PNG re-encode + brightened
+    # PNG (cross-format decode equality + brightness invariance).
+    yy, xx = np.mgrid[0:24, 0:36]
+    gradient = np.stack(
+        [(xx * 7 + yy * 13) % 256, (xx * 3 + yy * 5) % 256,
+         (xx * 11 + yy * 2) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    brightened = np.clip(gradient.astype(np.int32) + 25, 0, 255).astype(np.uint8)
+    img_blobs = [
+        (0, bytearray(b"P6\n36 24\n255\n" + gradient.tobytes())),
+        (1, bytearray(make_png_bytes(0, 0, pixels=gradient))),
+        (2, bytearray(make_png_bytes(0, 0, pixels=brightened))),
+    ]
+    # afp leg input: a deterministic six-partial mixture as WAV bytes.
+    import io as _io
+    import wave as _wave
+
+    tt = np.arange(4000) / 8000.0
+    mix = sum(
+        (0.5 / (k + 1)) * np.sin(2 * np.pi * f * tt)
+        for k, f in enumerate([180, 440, 700, 1200, 2100, 3300])
+    )
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        wv.writeframes((mix * 32000).astype("<i2").tobytes())
+    return blobs, img_blobs, buf.getvalue()
+
+
 @query(
     "q51_multimodal_decode",
     oracle="""
@@ -2591,179 +2814,25 @@ def q39_index_roundtrips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
     from vrod_spark.operators.multimodal import (
         decode_media,
-        make_au_bytes,
-        make_avi_mjpeg_bytes,
-        make_gif_anim_bytes,
-        make_gif_bytes,
-        make_h264_bytes,
-        make_jpeg_bytes,
-        make_mp1_bytes,
-        make_mp2_bytes,
-        make_mp3_bytes,
-        make_png_bytes,
-        make_ppm_bytes,
-        make_wav_adpcm_bytes,
-        make_wav_bytes,
-        make_y4m_bytes,
         mel_spectrogram_features,
     )
 
     schema = "media_id bigint, kind string, content binary"
-    # One mixed-format corpus, decoded by ONE universal python stage
+    # One mixed-format corpus (synthesized ONCE per process —
+    # _q51_media_blobs), decoded by ONE universal python stage
     # (decode_media sniffs each blob's format from magic bytes and
     # dispatches to the real per-format parser) — 13 formats, one scan,
     # one stage setup instead of thirteen. media_id spaces are per
     # format (rows are keyed by (modality, media_id, idx)).
-    rng = np.random.RandomState(7)
-    grad = rng.randint(0, 256, size=(10, 12, 3)).astype(np.uint8)
-    grad_rst = rng.randint(0, 256, size=(8, 24, 3)).astype(np.uint8)
-    blobs = (
-        # WAV PCM tones (also the mel leg's input below).
-        [(i, "audio", make_wav_bytes(200.0 * (i + 1))) for i in range(4)]
-        # IMA-ADPCM (4-bit adaptive-differential codec, WAV tag 0x11).
-        + [(i, "audio", make_wav_adpcm_bytes(250.0 * (i + 1))) for i in range(2)]
-        # G.711 mu-law AU (ITU-T companding codec).
-        + [(i, "audio", make_au_bytes(300.0 * (i + 1))) for i in range(2)]
-        # PPM raw images (exact channel means).
-        + [
-            (0, "image", make_ppm_bytes(16, 8, (255, 0, 0))),
-            (1, "image", make_ppm_bytes(4, 4, (0, 128, 255))),
-            (2, "image", make_ppm_bytes(32, 2, (10, 20, 30))),
-        ]
-        # GIF (full LZW expansion).
-        + [(0, "image", make_gif_bytes(6, 3, (10, 200, 30)))]
-        # Animated GIF89a: 2 frames (solid canvas, then a sub-rect patch
-        # composed over it) — one decoded row per frame, exact rational
-        # channel means pinned on both engines.
-        + [
-            (
-                1,
-                "image",
-                make_gif_anim_bytes(
-                    12,
-                    10,
-                    [
-                        np.tile(np.array([10, 20, 30], dtype=np.uint8), (10, 12, 1)),
-                        {
-                            "pixels": np.tile(
-                                np.array([200, 40, 60], dtype=np.uint8), (4, 5, 1)
-                            ),
-                            "x": 3,
-                            "y": 2,
-                        },
-                    ],
-                ),
-            )
-        ]
-        # PNG (DEFLATE + defilter; one file Paeth-filtered).
-        + [
-            (0, "image", make_png_bytes(8, 4, (0, 64, 255))),
-            (1, "image", make_png_bytes(5, 5, (200, 100, 50), filter_type=4)),
-            # Adam7-interlaced, Paeth-filtered per pass: a deterministic
-            # two-band pattern whose exact channel means pin the
-            # seven-pass merge.
-            (
-                2,
-                "image",
-                make_png_bytes(
-                    0,
-                    0,
-                    pixels=np.concatenate(
-                        [
-                            np.tile(
-                                np.array([30, 60, 90], dtype=np.uint8), (3, 6, 1)
-                            ),
-                            np.tile(
-                                np.array([210, 180, 150], dtype=np.uint8), (3, 6, 1)
-                            ),
-                        ],
-                        axis=0,
-                    ),
-                    filter_type=4,
-                    interlace=True,
-                ),
-            ),
-        ]
-        # Baseline JPEG (T.81): 4:4:4 solid, 4:2:0 gradient, restart file.
-        + [
-            (0, "image", make_jpeg_bytes(16, 8, (255, 0, 0))),
-            (1, "image", make_jpeg_bytes(12, 10, pixels=grad, subsampling="420")),
-            (2, "image", make_jpeg_bytes(24, 8, pixels=grad_rst, restart_interval=2)),
-        ]
-        # MPEG-1 Audio Layers I, II, III (spec-exact bitstreams).
-        + [(i, "audio", make_mp1_bytes(440.0 * (i + 1))) for i in range(2)]
-        + [(i, "audio", make_mp2_bytes(440.0 * (i + 1))) for i in range(2)]
-        + [(i, "audio", make_mp3_bytes(2000.0 * (i + 1))) for i in range(2)]
-        # Y4M raw video (exact solid-luma frame means).
-        + [
-            (0, "video", make_y4m_bytes(16, 8, [0, 51, 102, 153])),
-            (1, "video", make_y4m_bytes(8, 8, [255])),
-        ]
-        # AVI/Motion-JPEG (container parse x per-frame T.81 decode).
-        + [
-            (
-                0,
-                "video",
-                make_avi_mjpeg_bytes(
-                    [np.full((8, 16, 3), v, dtype=np.uint8) for v in (0, 64, 128, 192)]
-                ),
-            )
-        ]
-        # H.264 Annex-B: one I_PCM stream (two frames, cropped 20x12) and
-        # one CAVLC Intra_16x16 stream (clause 8.3.3 mode selection —
-        # the bilinear gradient picks Plane prediction, a 36-byte
-        # stream — + entropy-coded quantized integer-transform
-        # residuals at qp 38; pure integer math end to end, so the
-        # pinned decoded mean is environment-immune).
-        + [
-            (0, "video", make_h264_bytes([40, 200], width=20, height=12)),
-            (
-                1,
-                "video",
-                make_h264_bytes(
-                    [
-                        np.clip(
-                            128
-                            + np.arange(32)[None, :] * 0.8
-                            + np.arange(32)[:, None] * 0.5,
-                            0,
-                            255,
-                        ).astype(np.uint8)
-                    ],
-                    width=32,
-                    height=32,
-                    mode="cavlc",
-                    qp=38,
-                ),
-            ),
-            # Intra_4x4 (V/H/DC subset, clause 8.3.1): a column-constant
-            # pattern — the first MB row falls back to I_PCM (residuals
-            # outside the CAVLC subset), every later block picks Vertical
-            # with zero residual, so the decode is bit-exact and the
-            # pinned mean is pure integer math: sum(i*37 % 251)/32/255.
-            (
-                2,
-                "video",
-                make_h264_bytes(
-                    [
-                        np.tile(
-                            (np.arange(32) * 37 % 251).astype(np.uint8),
-                            (32, 1),
-                        )
-                    ],
-                    width=32,
-                    height=32,
-                    mode="i4x4",
-                    qp=28,
-                ),
-            ),
-        ]
-    )
-    media = spark.createDataFrame(blobs, schema)
+    blobs, img_blobs, afp_wav = _q51_media_blobs()
+    # coalesce: createDataFrame parallelizes ~29 local rows over
+    # defaultParallelism slices PER LEG (4 legs x 32 = 128 python tasks,
+    # ~100 of them empty — pure Arrow-worker setup overhead). Narrow
+    # coalesce keeps the decode distributed across a few tasks without a
+    # shuffle; real corpora arrive from files with sane partitioning.
+    media = _local_df(spark, blobs, schema).coalesce(8)
     decoded = decode_media(media).select(
         # Legacy leg tags: wav -> audio, ppm -> image, y4m -> video (the
         # sniffer names formats precisely; the gate keeps its historical
@@ -2785,7 +2854,7 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the audio-model input transform (STFT + triangular mel filterbank).
     # Integer pins (dominant band, frame count) survive FFT library
     # version changes.
-    wav = spark.createDataFrame(blobs[:4], schema)
+    wav = _local_df(spark, blobs[:4], schema).coalesce(2)
     mel_leg = mel_spectrogram_features(wav).select(
         F.lit("mel").alias("modality"),
         F.col("media_id").cast("int").alias("media_id"),
@@ -2803,27 +2872,11 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 32-bit halves (m1=hi, m2=lo — doubles hold 32-bit ints exactly;
     # the raw 64-bit value would not fit a double) plus m3 = Hamming
     # distance to the known base hash (integer pin).
-    from vrod_spark.operators.multimodal import (
-        audio_fingerprint,
-        image_dhash,
-        make_png_bytes,
-    )
+    from vrod_spark.operators.multimodal import audio_fingerprint, image_dhash
 
-    yy, xx = np.mgrid[0:24, 0:36]
-    gradient = np.stack(
-        [(xx * 7 + yy * 13) % 256, (xx * 3 + yy * 5) % 256,
-         (xx * 11 + yy * 2) % 256],
-        axis=-1,
-    ).astype(np.uint8)
-    brightened = np.clip(gradient.astype(np.int32) + 25, 0, 255).astype(np.uint8)
-    img_blobs = [
-        (0, bytearray(b"P6\n36 24\n255\n" + gradient.tobytes())),
-        (1, bytearray(make_png_bytes(0, 0, pixels=gradient))),
-        (2, bytearray(make_png_bytes(0, 0, pixels=brightened))),
-    ]
     base_hash = ((4227529203 << 32) | 3957028855) - (1 << 64)  # signed 64-bit
     dh = image_dhash(
-        spark.createDataFrame(img_blobs, "media_id bigint, content binary")
+        _local_df(spark, img_blobs, "media_id bigint, content binary").coalesce(2)
     )
     u32 = F.lit((1 << 32) - 1).cast("long")
     dhash_leg = dh.select(
@@ -2841,25 +2894,11 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("m3"),
     )
     # afp leg — the audio fingerprint of a deterministic six-partial
-    # mixture, same hi/lo split (m3=0).
-    tt = np.arange(4000) / 8000.0
-    mix = sum(
-        (0.5 / (k + 1)) * np.sin(2 * np.pi * f * tt)
-        for k, f in enumerate([180, 440, 700, 1200, 2100, 3300])
-    )
-    import io as _io
-    import wave as _wave
-
-    buf = _io.BytesIO()
-    with _wave.open(buf, "wb") as wv:
-        wv.setnchannels(1)
-        wv.setsampwidth(2)
-        wv.setframerate(8000)
-        wv.writeframes((mix * 32000).astype("<i2").tobytes())
+    # mixture (synthesized in _q51_media_blobs), same hi/lo split (m3=0).
     afp = audio_fingerprint(
-        spark.createDataFrame(
-            [(0, bytearray(buf.getvalue()))], "media_id bigint, content binary"
-        )
+        _local_df(
+            spark, [(0, afp_wav)], "media_id bigint, content binary"
+        ).coalesce(1)
     )
     afp_leg = afp.select(
         F.lit("afp").alias("modality"),
@@ -2904,11 +2943,10 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep AS (
       SELECT doc_id,
              count(*) AS n_shingles,
-             count(DISTINCT sh) AS n_distinct,
-             round(1 - count(DISTINCT sh)::DOUBLE / count(*), 6) AS rep_ratio
+             count(DISTINCT sh) AS n_distinct
       FROM tri
       GROUP BY doc_id
-      ORDER BY rep_ratio DESC, doc_id
+      ORDER BY count(DISTINCT sh)::DOUBLE / count(*) ASC, doc_id
       LIMIT 20
     ),
     wg AS (
@@ -2931,7 +2969,7 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(fps)::BIGINT AS v1,
              coalesce(list_sum(list_transform(
                  fps, f -> ('0x' || substring(f, 1, 15))::BIGINT % 1000003)), 0)::BIGINT AS v2,
-             round(len(fps)::DOUBLE / n_grams, 6) AS v3
+             n_grams AS v3
       FROM wfp
     ),
     winv AS (SELECT doc_id, len(fps) AS nfp, unnest(fps) AS fp FROM wfp),
@@ -2976,9 +3014,9 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              count(*)::BIGINT AS n_spans,
              sum(p1 - p0 + 8)::BIGINT AS dup_toks,
-             round(sum(p1 - p0 + 8)::DOUBLE / any_value(n_toks), 6) AS frac
+             any_value(n_toks)::BIGINT AS n_toks
       FROM dspan GROUP BY doc_id
-      ORDER BY frac DESC, doc_id
+      ORDER BY sum(p1 - p0 + 8)::DOUBLE / any_value(n_toks) DESC, doc_id
       LIMIT 20
     ),
     ekeep AS (SELECT DISTINCT g FROM dgu WHERE doc_id < 20),
@@ -3002,9 +3040,9 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              count(*)::BIGINT AS n_spans,
              sum(p1 - p0 + 8)::BIGINT AS cut_toks,
-             round(sum(p1 - p0 + 8)::DOUBLE / any_value(n_toks), 6) AS frac
+             any_value(n_toks)::BIGINT AS n_toks
       FROM cspan GROUP BY doc_id
-      ORDER BY frac DESC, doc_id
+      ORDER BY sum(p1 - p0 + 8)::DOUBLE / any_value(n_toks) DESC, doc_id
       LIMIT 20
     ),
     lpg AS (
@@ -3052,26 +3090,26 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lpg p LEFT JOIN lreb r USING (doc_id)
     )
     SELECT 'repetition' AS metric, doc_id,
-           n_shingles AS v1, n_distinct AS v2, rep_ratio AS v3 FROM rep
+           n_shingles AS v1, n_distinct AS v2, 0::BIGINT AS v3 FROM rep
     UNION ALL
     SELECT 'winnow' AS metric, doc_id, v1, v2, v3 FROM win
     UNION ALL
     SELECT 'winnow_pairs' AS metric, id_a AS doc_id, id_b AS v1,
-           shared AS v2, round(shared::DOUBLE / mn, 6) AS v3
+           shared AS v2, mn::BIGINT AS v3
     FROM wpairs WHERE shared >= 5
     UNION ALL
     SELECT 'dup_spans' AS metric, doc_id, n_spans AS v1, dup_toks AS v2,
-           frac AS v3
+           n_toks AS v3
     FROM dper
     UNION ALL
     SELECT 'decon_spans' AS metric, doc_id, n_spans AS v1, cut_toks AS v2,
-           frac AS v3
+           n_toks AS v3
     FROM cper
     UNION ALL
     SELECT 'lines' AS metric, g AS doc_id,
            sum(n_lines - n_kept)::BIGINT AS v1,
            sum(('0x' || substring(md5(new_text), 1, 15))::BIGINT % 1000003) AS v2,
-           round(sum(n_lines - n_kept)::DOUBLE / sum(n_lines), 6) AS v3
+           sum(n_lines)::BIGINT AS v3
     FROM lfull GROUP BY g
     ORDER BY metric, doc_id, v1
     """,
@@ -3104,6 +3142,13 @@ def q49_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = docs.select("doc_id", tokens("text").alias("toks")).filter(
         F.size("toks") >= 3
     )
+    # Integer-pin policy (r10, after two driver-red rounds on 6dp float
+    # pins): every leg's hashed columns are INTEGERS — counts, checksums,
+    # and the ratio DENOMINATOR (v3) instead of the rounded ratio itself
+    # (v1/v2/v3 determine the ratio exactly; a rounded float can drift
+    # at a decimal half boundary between engines). Top-k selections
+    # order by the UNROUNDED ratio: one IEEE division of two integers is
+    # correctly rounded, hence bit-identical cross-engine.
     rep = (
         toked.select("doc_id", repetition_stats(F.col("toks")).alias("r"))
         .select(
@@ -3111,10 +3156,10 @@ def q49_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("r.n_shingles").alias("v1"),
             F.col("r.n_distinct").alias("v2"),
-            F.col("r.rep_ratio").alias("v3"),
         )
-        .orderBy(F.col("v3").desc(), "doc_id")
+        .orderBy((F.col("v2") / F.col("v1")).asc(), "doc_id")
         .limit(20)
+        .withColumn("v3", F.lit(0).cast("bigint"))
     )
     fp60 = F.conv(F.substring(F.col("fp"), 1, 15), 16, 10).cast("long") % 1000003
     win = (
@@ -3128,7 +3173,7 @@ def q49_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("n_fps").alias("v1"),
             F.col("checksum").alias("v2"),
-            F.round(F.col("n_fps") / F.col("n_grams").cast("double"), 6).alias("v3"),
+            F.col("n_grams").cast("bigint").alias("v3"),
         )
     )
     # winnow_pairs leg: MOSS contiguous-overlap candidates over the same
@@ -3144,7 +3189,7 @@ def q49_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").alias("doc_id"),
         F.col("id_b").alias("v1"),
         F.col("shared").alias("v2"),
-        F.round("overlap", 6).alias("v3"),
+        F.col("min_fp").cast("bigint").alias("v3"),
     )
     # dup_spans leg: EXACT-SUBSTRING duplication (Lee et al. 2022, the
     # sub-document axis winnowing samples and bag-of-shingles misses
@@ -3163,9 +3208,9 @@ def q49_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.size("spans").cast("bigint").alias("v1"),
             dup_toks.cast("bigint").alias("v2"),
-            F.round(dup_toks / F.col("doc_tokens"), 6).alias("v3"),
+            F.col("doc_tokens").cast("bigint").alias("v3"),
         )
-        .orderBy(F.col("v3").desc(), "doc_id")
+        .orderBy((F.col("v2") / F.col("v3")).desc(), "doc_id")
         .limit(20)
     )
     # decon_spans — eval decontamination at the SPAN level
@@ -3189,9 +3234,9 @@ def q49_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.size("spans").cast("bigint").alias("v1"),
             cut_toks.cast("bigint").alias("v2"),
-            F.round(cut_toks / F.col("doc_tokens"), 6).alias("v3"),
+            F.col("doc_tokens").cast("bigint").alias("v3"),
         )
-        .orderBy(F.col("v3").desc(), "doc_id")
+        .orderBy((F.col("v2") / F.col("v3")).desc(), "doc_id")
         .limit(20)
     )
     # lines leg — corpus-global CCNet line dedup (operators/dedup.
@@ -3211,9 +3256,7 @@ def q49_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("n_cut_lines").alias("v1"),
             F.sum(md60).alias("v2"),
-            F.round(
-                F.sum("n_cut_lines") / F.sum("n_lines").cast("double"), 6
-            ).alias("v3"),
+            F.sum("n_lines").cast("bigint").alias("v3"),
         )
         .select(
             F.lit("lines").alias("metric"),
@@ -3954,18 +3997,41 @@ def q54_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Engine DEDUP verb end-to-end, HASH-checked: ingest documents PLUS a
-# shifted-id copy of every document (all planted exact dups), run
-# DEDUP strategy=exact, and the survivors must be exactly the original
-# doc_ids (keep-first = min id). Oracle is plain SQL over documents.
+# Engine lifecycle end-to-end, HASH-checked, four tagged legs:
+# - 'dedup': ingest documents PLUS a shifted-id copy of every document
+#   (all planted exact dups), run DEDUP strategy=exact; survivors must be
+#   exactly the keep-first (min-id) set. Oracle: plain SQL over documents.
+# - 'travel': SEARCH with version= (time travel) back to the PRE-dedup
+#   snapshot — count and id-sum must equal the full 2N ingest (the COW
+#   version dirs are immutable, so the past read is exact).
+# - 'facets': SEARCH facet= over the post-dedup snapshot (value counts of
+#   the meta 'src' key) — the search-engine aggregation face of SEARCH,
+#   derivable as a GROUP BY doc_id % 3 over the survivor set.
+# - 'explain': EXPLAIN {SEARCH, where id < 5} — pins that the verb
+#   executes and that the id predicate is PUSHED to the parquet scan
+#   (n = plan non-empty, v = pushed-filter present; oracle pins the
+#   literals, like q51's VALUES rows).
+# Columns (leg, n, v) — all integers.
 # ---------------------------------------------------------------------------
 @query(
     "q48_dedup_engine_roundtrip",
     cache_plan=False,
     oracle="""
-    SELECT count(*) AS n_docs, sum(doc_id)::BIGINT AS id_sum
-    FROM (SELECT min(doc_id) AS doc_id FROM documents
-          GROUP BY sha256(lower(trim(text))))
+    WITH surv AS (
+      SELECT min(doc_id) AS doc_id FROM documents
+      GROUP BY sha256(lower(trim(text)))
+    )
+    SELECT 'dedup' AS leg, count(*) AS n, sum(doc_id)::BIGINT AS v FROM surv
+    UNION ALL
+    SELECT 'travel', 2 * count(*),
+           (2 * sum(doc_id) + 10000000 * count(*))::BIGINT
+    FROM documents
+    UNION ALL
+    SELECT 'facets', (doc_id % 3)::BIGINT, count(*)::BIGINT
+    FROM surv GROUP BY doc_id % 3
+    UNION ALL
+    SELECT 'explain', 1::BIGINT, 1::BIGINT
+    ORDER BY leg, n
     """,
 )
 def q48_dedup_engine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3979,16 +4045,52 @@ def q48_dedup_engine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"),
         F.lit(None).cast("array<float>").alias("embedding"),
         F.col("text").alias("payload"),
-        F.lit(None).cast("map<string,string>").alias("meta"),
+        F.create_map(
+            F.lit("src"), (F.col("doc_id") % 3).cast("string")
+        ).alias("meta"),
     )
     planted = docs.select(
         (F.col("id") + 10_000_000).alias("id"), "embedding", "payload", "meta"
     )
     eng.execute("BULKINSERT", collection="docs", arg=docs.unionByName(planted))
+    ingest_version = eng.db.collection("docs").version
     eng.execute("DEDUP", collection="docs")
     survivors = eng.db.collection("docs").read()
-    return survivors.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("id").alias("id_sum")
+    dedup_leg = survivors.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("id").alias("v")
+    ).select(F.lit("dedup").alias("leg"), "n", "v")
+    # travel leg — read the immutable pre-dedup snapshot through SEARCH.
+    past = eng.execute(
+        "SEARCH", collection="docs", arg={"where": "true", "version": ingest_version}
+    ).df
+    travel_leg = past.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("id").alias("v")
+    ).select(F.lit("travel").alias("leg"), "n", "v")
+    # facets leg — meta-key value counts over the current (deduped) rows.
+    fac = eng.execute(
+        "SEARCH", collection="docs", arg={"where": "true", "facet": "src"}
+    ).df
+    facets_leg = fac.select(
+        F.lit("facets").alias("leg"),
+        F.col("value").cast("bigint").alias("n"),
+        F.col("n").cast("bigint").alias("v"),
+    )
+    # explain leg — plan introspection executes and shows scan pushdown.
+    plan = eng.execute(
+        "EXPLAIN",
+        collection="docs",
+        arg={"command": "SEARCH", "arg": {"where": "id < 5"}, "mode": "formatted"},
+    ).info["plan"]
+    explain_leg = _local_df(
+        spark,
+        [("explain", int(bool(plan.strip())), int("LessThan(id,5)" in plan))],
+        "leg string, n bigint, v bigint",
+    )
+    return (
+        dedup_leg.unionByName(travel_leg)
+        .unionByName(facets_leg)
+        .unionByName(explain_leg)
+        .orderBy("leg", "n")
     )
 
 
