@@ -3501,3 +3501,93 @@ def test_winnow_overlap_pairs_delta_restriction(spark):
     assert inc == want
     assert (1, 2) in full and (1, 2) not in inc  # established x established pruned
     assert (10, 11) in inc  # delta-delta present exactly once, not doubled
+
+
+def test_local_df_arrow_path_matches_list_path(spark):
+    """localdf.local_df (Arrow route for small literal tables) produces
+    the same rows/schema as the pickled-RDD list route, including binary
+    normalization and the empty-rows edge."""
+    from vrod_spark.localdf import local_df
+
+    rows = [(1, "a", bytearray(b"\x00\x01")), (2, None, b"zz")]
+    schema = "id bigint, s string, b binary"
+    got = local_df(spark, rows, schema)
+    want = spark.createDataFrame(rows, schema)
+    assert got.schema == want.schema
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    empty = local_df(spark, [], "collection string")
+    assert empty.columns == ["collection"] and empty.count() == 0
+
+
+def test_winnow_overlap_pairs_precomputed_fps_equivalence(spark):
+    """winnow_overlap_pairs(fps=precomputed) == the self-computing form —
+    the session-shared fingerprint table is a pure factoring, not a
+    semantic change."""
+    from vrod_spark.functions.text import winnow_fingerprints_relational
+    from vrod_spark.operators.dedup import winnow_overlap_pairs
+
+    passage = "a long shared boilerplate passage that fingerprinting must catch"
+    docs = spark.createDataFrame(
+        [
+            (1, f"first document text {passage} with a unique tail"),
+            (2, f"second text body {passage} and another different ending"),
+            (3, "unrelated words entirely here nothing shared at all today"),
+        ],
+        "doc_id long, text string",
+    )
+    kw = dict(k=5, window=4, min_shared=2)
+    plain = sorted(map(tuple, winnow_overlap_pairs(docs, **kw).collect()))
+    fps = winnow_fingerprints_relational(docs, k=5, window=4)
+    viafps = sorted(map(tuple, winnow_overlap_pairs(docs, **kw, fps=fps).collect()))
+    assert plain == viafps and plain
+
+
+def test_scorers_shared_feature_counts_equivalence(spark):
+    """dsir_scores and quality_classifier_scores produce identical output
+    when fed the shared (_id,_b,_c) feature table instead of exploding
+    the corpus themselves (the q54 one-explode-per-snapshot fusion)."""
+    import numpy as np
+
+    from vrod_spark.operators.classifier import (
+        _hashed_ngram_counts,
+        quality_classifier_scores,
+    )
+    from vrod_spark.operators.sampling import dsir_scores
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog", "en"),
+            (1, "pack my box with five dozen liquor jugs", "en"),
+            (2, "der schnelle braune fuchs springt darueber", "de"),
+            (3, "", "en"),
+            (4, "cinco perros grandes corren por la calle hoy", "es"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    feats = _hashed_ngram_counts(docs, text_col="text", id_col="doc_id",
+                                 n_buckets=64)
+    tgt = F.col("lang") == "en"
+
+    def canon(rows):
+        # scores agree to summation-order ulps (the shared-table path
+        # feeds the sum through a join, which may reorder partials);
+        # integer columns must agree exactly. 10dp is 1e5 x tighter than
+        # the q54 gate's 3dp snap pins.
+        return sorted((r[0], r[1], round(r[2], 10)) for r in rows)
+
+    d_plain = canon(dsir_scores(docs, tgt, n_buckets=64).collect())
+    d_shared = canon(
+        dsir_scores(docs, tgt, n_buckets=64, feature_counts=feats).collect()
+    )
+    assert d_plain == d_shared and d_plain
+    w = np.array([(b % 5 - 2) / 7.0 for b in range(64)] + [0.25])
+    q_plain = sorted(map(tuple, quality_classifier_scores(docs, w).collect()))
+    q_shared = sorted(
+        map(tuple, quality_classifier_scores(docs, w,
+                                             feature_counts=feats).collect())
+    )
+    assert q_plain == q_shared and q_plain
+    # the zero-feature doc still scores sigmoid(bias) through both paths
+    z = dict((r[0], r[2]) for r in q_shared)[3]
+    assert abs(z - 1.0 / (1.0 + np.exp(-0.25))) < 1e-12

@@ -183,8 +183,10 @@ class Engine:
         return CommandResult("DROP", info={"collection": name})
 
     def _list_collections(self, collection: str | None, arg: Any) -> CommandResult:
+        from vrod_spark.localdf import local_df
+
         names = self.db.list_collections()
-        df = self.spark.createDataFrame([(n,) for n in names], "collection string")
+        df = local_df(self.spark, [(n,) for n in names], "collection string")
         return CommandResult("LISTCOLLECTIONS", df=df, info={"collections": names})
 
     def _truncate_wal(self, collection: str | None, arg: Any) -> CommandResult:

@@ -140,24 +140,40 @@ def quality_classifier_scores(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    feature_counts: DataFrame | None = None,
 ) -> DataFrame:
     """P(quality) per document under trained ``weights`` — pure codegen
     + one broadcast join, no Python in the hot path. Documents with zero
     features (empty text) score ``sigmoid(bias)``.
 
+    ``feature_counts`` (optional): a precomputed ``(_id, _b, _c)``
+    hashed-ngram count table (the `_hashed_ngram_counts` shape, same
+    ``n_buckets`` as the weights) — classifier scoring and DSIR share
+    one feature space by design, so a session/snapshot can explode the
+    corpus ONCE and fan both scorers out from the shared table.
+
     Returns (id_col, n_feats, quality_prob).
     """
+    import pandas as pd
+
     w = np.asarray(weights, dtype=np.float64)
     n_buckets = len(w) - 1
     bias = float(w[-1])
     spark = df.sparkSession
+    # pandas → Arrow local relation: a plain list here becomes a pickled
+    # python RDD whose scan re-forks workers every execution.
     wdf = F.broadcast(
         spark.createDataFrame(
-            [(int(i), float(w[i])) for i in range(n_buckets)], "_b long, _w double"
+            pd.DataFrame({"_b": range(n_buckets), "_w": w[:n_buckets]}),
+            "_b long, _w double",
         )
     )
-    fc = _hashed_ngram_counts(
-        df, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+    fc = (
+        feature_counts
+        if feature_counts is not None
+        else _hashed_ngram_counts(
+            df, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+        )
     )
     scored = (
         fc.join(wdf, "_b")

@@ -243,6 +243,7 @@ def winnow_overlap_pairs(
     min_shared: int = 2,
     max_fp_df: int | None = None,
     delta_ids: DataFrame | None = None,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Contiguous-overlap candidate pairs from WINNOWING fingerprints —
     the MOSS scheme (Schleimer/Wilkerson/Aiken, SIGMOD'03) as a corpus
@@ -264,12 +265,21 @@ def winnow_overlap_pairs(
     (the winnow pipeline runs once), and ``max_fp_df`` caps
     corpus-frequency fingerprints (a boilerplate gram shared by half the
     corpus is O(df²) pair work and zero plagiarism signal). df=1
-    fingerprints cannot pair and are always pruned."""
-    from vrod_spark.functions.text import winnow_fingerprints_relational
+    fingerprints cannot pair and are always pruned.
 
-    fps = winnow_fingerprints_relational(
-        df, text_col=text_col, id_col=id_col, k=k, window=window
-    ).select(F.col(id_col).alias("id"), "fp")
+    ``fps`` (optional): a precomputed fingerprint table carrying
+    ``(id_col, fp)`` — e.g. a session-materialized
+    `winnow_fingerprints_relational` snapshot shared with a per-document
+    fingerprint report, so the corpus pays the gram pipeline once (the
+    compute-once-per-snapshot shape); ``k``/``window`` are then the
+    parameters it was BUILT with and are not re-applied."""
+    if fps is None:
+        from vrod_spark.functions.text import winnow_fingerprints_relational
+
+        fps = winnow_fingerprints_relational(
+            df, text_col=text_col, id_col=id_col, k=k, window=window
+        )
+    fps = fps.select(F.col(id_col).alias("id"), "fp")
     counts = fps.groupBy("id").agg(F.count(F.lit(1)).alias("nfp"))
     inv = fps.hint("shuffle_hash").join(counts.hint("shuffle_hash"), "id")
     df_cond = F.col("_df") >= 2
@@ -1075,7 +1085,9 @@ def connected_components(
         rows = [(x, find(x)) for x in parent]
         if not rows:
             return spark.createDataFrame([], "id long, component long")
-        return spark.createDataFrame(rows, "id long, component long")
+        from vrod_spark.localdf import local_df
+
+        return local_df(spark, rows, "id long, component long")
     nodes = (
         e.select(F.col("u").alias("id"))
         .union(e.select(F.col("v").alias("id")))

@@ -144,8 +144,11 @@ def knn_batch(
     partition's share; stage 2's exchange and sort then see only
     Q × partitions × k rows."""
     spark = df.sparkSession
+    from vrod_spark.localdf import local_df
+
     qdf = F.broadcast(
-        spark.createDataFrame(
+        local_df(
+            spark,
             [(i, [float(x) for x in v]) for i, v in enumerate(query_vectors)],
             "query_idx int, _q array<double>",
         )

@@ -156,6 +156,7 @@ def dsir_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 256,
+    feature_counts: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al., "Data Selection for Language
     Models via Importance Resampling", NeurIPS 2023): score every
@@ -182,18 +183,29 @@ def dsir_scores(
     hitters sketch); stats re-join is a broadcast of those rows. Text
     leaves the scan only as 2-byte bucket ids + counts.
 
+    ``feature_counts`` (optional): a precomputed ``(_id, _b, _c)``
+    hashed-ngram count table (the classifier's `_hashed_ngram_counts`
+    shape, same ``n_buckets``) — the target flag is joined back from
+    ``df``, so a session can explode the corpus once and serve BOTH
+    DSIR and classifier scoring from the shared table.
+
     Returns (id_col, n_feats, score).
     """
-    feats = hashed_ngram_feats(text_col)
-    bucket = ngram_bucket(F.col("_f"), n_buckets)
-    fdf = (
-        df.select(
-            F.col(id_col), is_target.alias("_t"), F.explode(feats).alias("_f")
+    if feature_counts is not None:
+        fdf = feature_counts.select(
+            F.col("_id").alias(id_col), "_b", "_c"
+        ).join(df.select(F.col(id_col), is_target.alias("_t")), id_col)
+    else:
+        feats = hashed_ngram_feats(text_col)
+        bucket = ngram_bucket(F.col("_f"), n_buckets)
+        fdf = (
+            df.select(
+                F.col(id_col), is_target.alias("_t"), F.explode(feats).alias("_f")
+            )
+            .select(id_col, "_t", bucket.alias("_b"))
+            .groupBy(id_col, "_t", "_b")
+            .agg(F.count(F.lit(1)).alias("_c"))
         )
-        .select(id_col, "_t", bucket.alias("_b"))
-        .groupBy(id_col, "_t", "_b")
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
     stats = fdf.groupBy("_b").agg(
         F.sum(F.when(F.col("_t"), F.col("_c")).otherwise(F.lit(0))).alias("_ct"),
         F.sum(F.when(~F.col("_t"), F.col("_c")).otherwise(F.lit(0))).alias("_cr"),

@@ -131,25 +131,12 @@ def _shared_scalar(spark: SparkSession, key: tuple, compute: Callable[[], object
 
 
 def _local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
-    """Local rows → DataFrame via the ARROW path (a pandas intermediate).
+    """Local rows → DataFrame via the ARROW path — see
+    :mod:`vrod_spark.localdf` for the measured rationale (the pickled-RDD
+    list path costs ~1.3 s PER EXECUTION to scan one local binary row)."""
+    from vrod_spark.localdf import local_df
 
-    ``createDataFrame(list, schema)`` pickles the rows into a
-    defaultParallelism-slice python RDD whose SCAN re-forks a python
-    runner per task on EVERY execution — measured ~1.3 s to collect one
-    local binary row, ~3.9 s through an identity mapInPandas on this
-    box. The pandas route converts once to Arrow record batches the JVM
-    reads natively (0.03 s / 0.39 s for the same probes, 10-15x). At
-    cluster scale these literals are broadcast dimension tables; the
-    Arrow path is also how they'd ship there."""
-    import pandas as pd
-
-    names = [f.strip().split()[0] for f in schema.split(",")]
-    data = {
-        n: [bytes(r[i]) if isinstance(r[i], (bytearray, memoryview)) else r[i]
-            for r in rows]
-        for i, n in enumerate(names)
-    }
-    return spark.createDataFrame(pd.DataFrame(data), schema)
+    return local_df(spark, rows, schema)
 
 
 def shared_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -222,6 +209,84 @@ def shared_line_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _shared_materialized(
         spark, ("line_dedup", os.path.abspath(sf_dir), 7), build
+    )
+
+
+def shared_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table (vec_id, embedding) materialized once per
+    session per snapshot. q28b's three legs (bucketed pairs, SemDeDup,
+    eval decon) each start from this scan and fan out into their own
+    Arrow stages — sharing the checkpointed partitions removes three
+    parquet scans + decode pipelines per build. Embeddings are the
+    engine's hottest column; a production deployment pins this snapshot
+    in cluster cache the same way."""
+
+    def build() -> DataFrame:
+        return _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    return _shared_materialized(
+        spark, ("embeddings", os.path.abspath(sf_dir)), build
+    )
+
+
+def shared_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints of the sampled slice (doc_id % 100 == 7,
+    k=5, window=4), materialized once per session per snapshot:
+    (doc_id, n_grams, fp). Both q49 winnow legs (per-doc report and
+    MOSS overlap pairs) consume this table — the fingerprint pipeline
+    (per-char gram explode → window-min → distinct) is the expensive
+    part and previously ran once PER LEG. Sample-sized, not
+    corpus-sized."""
+    from vrod_spark.functions.text import winnow_fingerprints_relational
+
+    def build() -> DataFrame:
+        docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 7)
+        return winnow_fingerprints_relational(docs, k=5, window=4)
+
+    return _shared_materialized(
+        spark, ("winnow_fps", os.path.abspath(sf_dir), 5, 4, 100, 7), build
+    )
+
+
+def shared_decon_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-decontamination span report (train = doc_id >= 20, eval =
+    doc_id < 20, 8-token grams), materialized once per session per
+    snapshot — the same corpus-maintenance shape as
+    `shared_duplicate_spans`: one pass marks what a decontamination
+    rewrite WOULD cut; consumers report or apply. Output is one row per
+    contaminated doc (doc_id, doc_tokens, spans) — span-sized."""
+    from vrod_spark.operators.dedup import contaminated_span_arrays
+
+    def build() -> DataFrame:
+        docs = _t(spark, sf_dir, "documents")
+        return contaminated_span_arrays(
+            docs.filter(F.col("doc_id") >= 20).select("doc_id", "text"),
+            docs.filter(F.col("doc_id") < 20).select("doc_id", "text"),
+            min_tokens=8,
+        )
+
+    return _shared_materialized(
+        spark, ("decon_spans", os.path.abspath(sf_dir), 8, 20), build
+    )
+
+
+def shared_ngram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document hashed unigram+bigram bucket counts (_id, _b, _c),
+    n_buckets=256 — the ONE feature space DSIR and the quality
+    classifier share by construction (operators/sampling.
+    hashed_ngram_feats), materialized once per session per snapshot.
+    Narrow (≤256 rows per doc, 2-byte-bucket + count — text never
+    leaves the scan), and both q54 scorers previously re-ran the full
+    corpus explode per build."""
+    from vrod_spark.operators.classifier import _hashed_ngram_counts
+
+    def build() -> DataFrame:
+        docs = _t(spark, sf_dir, "documents")
+        return _hashed_ngram_counts(docs, text_col="text", id_col="doc_id",
+                                    n_buckets=256)
+
+    return _shared_materialized(
+        spark, ("ngram_buckets", os.path.abspath(sf_dir), 256), build
     )
 
 
@@ -1553,7 +1618,7 @@ def q28b_embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFr
     )
     from vrod_spark.operators.dedup import embedding_near_dup_bucketed
 
-    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = shared_embeddings(spark, sf_dir)
     # Driver-side snapshot metadata (embedding dim, seed centroids) is
     # derived once per session (_shared_scalar): each was previously a
     # fresh per-build Spark job — pure cold-latency floor, no new data.
@@ -3132,11 +3197,7 @@ def q49_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
       any scale factor. md5 grams match the DuckDB twin bit-for-bit, and
       a pytest pins the relational pipeline equal to the array form.
     """
-    from vrod_spark.functions.text import (
-        repetition_stats,
-        tokens,
-        winnow_fingerprints_relational,
-    )
+    from vrod_spark.functions.text import repetition_stats, tokens
 
     docs = _t(spark, sf_dir, "documents")
     toked = docs.select("doc_id", tokens("text").alias("toks")).filter(
@@ -3162,11 +3223,9 @@ def q49_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("v3", F.lit(0).cast("bigint"))
     )
     fp60 = F.conv(F.substring(F.col("fp"), 1, 15), 16, 10).cast("long") % 1000003
+    wfps = shared_winnow_fps(spark, sf_dir)
     win = (
-        winnow_fingerprints_relational(
-            docs.filter(F.col("doc_id") % 100 == 7), k=5, window=4
-        )
-        .groupBy("doc_id", "n_grams")
+        wfps.groupBy("doc_id", "n_grams")
         .agg(F.count(F.lit(1)).alias("n_fps"), F.sum(fp60).alias("checksum"))
         .select(
             F.lit("winnow").alias("metric"),
@@ -3183,7 +3242,7 @@ def q49_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vrod_spark.operators.dedup import winnow_overlap_pairs
 
     wpairs = winnow_overlap_pairs(
-        docs.filter(F.col("doc_id") % 100 == 7), k=5, window=4, min_shared=5
+        docs, k=5, window=4, min_shared=5, fps=wfps
     ).select(
         F.lit("winnow_pairs").alias("metric"),
         F.col("id_a").alias("doc_id"),
@@ -3220,15 +3279,9 @@ def q49_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contaminated doc the span count, cut-token total (== what
     # decontaminate_spans removes — pinned by the removal pytest), and
     # cut fraction.
-    from vrod_spark.operators.dedup import contaminated_span_arrays
-
     cut_toks = F.aggregate("spans", F.lit(0), lambda a, s: a + s["n_tokens"])
     decon = (
-        contaminated_span_arrays(
-            docs.filter(F.col("doc_id") >= 20).select("doc_id", "text"),
-            docs.filter(F.col("doc_id") < 20).select("doc_id", "text"),
-            min_tokens=8,
-        )
+        shared_decon_spans(spark, sf_dir)
         .select(
             F.lit("decon_spans").alias("metric"),
             "doc_id",
@@ -3951,7 +4004,10 @@ def q54_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     split_docs = stratified_split(
         docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
     )
-    scores = dsir_scores(docs, F.col("lang") == "en")
+    # Both scorers fan out from the session's shared hashed-ngram bucket
+    # table — one corpus explode per snapshot, not one per scorer build.
+    feats = shared_ngram_buckets(spark, sf_dir)
+    scores = dsir_scores(docs, F.col("lang") == "en", feature_counts=feats)
     # qc columns — the trained-quality-classifier SCORING path
     # (operators/classifier.quality_classifier_scores: bucket counts +
     # broadcast weight join + sigmoid, pure codegen) pinned cross-engine
@@ -3965,7 +4021,7 @@ def q54_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vrod_spark.operators.classifier import quality_classifier_scores
 
     wvec = np.array([(b % 7 - 3) / 10.0 for b in range(256)] + [0.1])
-    qc = quality_classifier_scores(docs, wvec)
+    qc = quality_classifier_scores(docs, wvec, feature_counts=feats)
     return (
         split_docs.join(scores.select("doc_id", "score"), "doc_id", "left")
         .join(qc, "doc_id", "left")
