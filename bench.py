@@ -112,6 +112,7 @@ SERIAL_TRACK = [
     "q49_repetition_ratio",
     "q50_decontamination",
     "q52_clean_corpus_pipeline",
+    "q54_mixture_sampling",
     "q59_corpus_assembly",
 ]
 

@@ -101,19 +101,35 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: same idea for small driver-side snapshot statistics.
 _SUBPLAN_CACHE: WeakKeyDictionary = WeakKeyDictionary()
 _SUBPLAN_LOCK = threading.Lock()
+#: Per-(session, key) build locks: racing consumers of the SAME key share
+#: one build, but DIFFERENT materializations run concurrently — under one
+#: global lock the first concurrent suite serialized every snapshot build
+#: (multi-second holds each) on its critical path.
+_SUBPLAN_BUILD_LOCKS: dict = {}
+
+
+def _shared_cached(spark: SparkSession, key: tuple, build: Callable[[], object]) -> object:
+    with _SUBPLAN_LOCK:
+        per = _SUBPLAN_CACHE.setdefault(spark, {})
+        if key in per:
+            return per[key]
+        lock = _SUBPLAN_BUILD_LOCKS.setdefault((id(spark), key), threading.Lock())
+    with lock:
+        with _SUBPLAN_LOCK:
+            if key in per:
+                return per[key]
+        value = build()
+        with _SUBPLAN_LOCK:
+            per[key] = value
+    return value
 
 
 def _shared_materialized(spark: SparkSession, key: tuple, builder: Callable[[], DataFrame]) -> DataFrame:
-    with _SUBPLAN_LOCK:
-        per = _SUBPLAN_CACHE.setdefault(spark, {})
-        df = per.get(key)
-        if df is None:
-            # Built (and executed, eagerly) under the lock: racing
-            # consumers must share ONE materialization, not each pay the
-            # build — the whole point of the cache.
-            df = builder().localCheckpoint(eager=True)
-            per[key] = df
-    return df
+    # Built (and executed, eagerly) under the KEY's lock: racing
+    # consumers share ONE materialization — the whole point of the cache.
+    return _shared_cached(
+        spark, key, lambda: builder().localCheckpoint(eager=True)
+    )
 
 
 def _shared_scalar(spark: SparkSession, key: tuple, compute: Callable[[], object]) -> object:
@@ -123,11 +139,7 @@ def _shared_scalar(spark: SparkSession, key: tuple, compute: Callable[[], object
     that live on the driver instead of in executor partitions. Saves the
     per-query Spark job that re-derives them (a 0.2-0.5 s cold floor per
     job at small SF; at 100 TB these would be snapshot metadata)."""
-    with _SUBPLAN_LOCK:
-        per = _SUBPLAN_CACHE.setdefault(spark, {})
-        if key not in per:
-            per[key] = compute()
-        return per[key]
+    return _shared_cached(spark, key, compute)
 
 
 def _local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
