@@ -33,7 +33,10 @@ def get_spark(
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 1)
+        env_shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "0"))
+        shuffle_partitions = env_shuffle or (
+            32 if cpus == "*" else max(int(cpus), 1)
+        )
 
     builder = (
         SparkSession.builder.appName(app_name)
