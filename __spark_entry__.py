@@ -144,7 +144,14 @@ def _dump_gate(name: str, df: DataFrame, spark: SparkSession, sf_dir: str) -> No
 
         return [re.sub("⟦[^⟧]*⟧", "", ln) for ln in lines]
 
-    verdict = "match" if grid(slines) == grid(dlines) else "MISMATCH"
+    if name not in ORACLES:
+        # rows-only gate: no duck side exists — a MISMATCH verdict here
+        # would falsely report an engine disagreement.
+        verdict = "no-oracle"
+    elif grid(slines) == grid(dlines):
+        verdict = "match"
+    else:
+        verdict = "MISMATCH"
     with open(os.path.join(_DUMP_DIR, f"{name}.status.txt"), "w") as f:
         f.write(f"{verdict} sf_dir={sf_dir} spark_rows={len(slines)} "
                 f"duck_rows={len(dlines)}\n")

@@ -3582,12 +3582,12 @@ def test_scorers_shared_feature_counts_equivalence(spark):
     )
     assert d_plain == d_shared and d_plain
     w = np.array([(b % 5 - 2) / 7.0 for b in range(64)] + [0.25])
-    q_plain = sorted(map(tuple, quality_classifier_scores(docs, w).collect()))
-    q_shared = sorted(
-        map(tuple, quality_classifier_scores(docs, w,
-                                             feature_counts=feats).collect())
+    q_plain = canon(quality_classifier_scores(docs, w).collect())
+    q_shared = canon(
+        quality_classifier_scores(docs, w, feature_counts=feats).collect()
     )
     assert q_plain == q_shared and q_plain
     # the zero-feature doc still scores sigmoid(bias) through both paths
+    # (tolerance sits above canon's 10dp rounding, far below any real bug)
     z = dict((r[0], r[2]) for r in q_shared)[3]
-    assert abs(z - 1.0 / (1.0 + np.exp(-0.25))) < 1e-12
+    assert abs(z - 1.0 / (1.0 + np.exp(-0.25))) < 1e-9

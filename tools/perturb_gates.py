@@ -83,11 +83,21 @@ def main() -> int:
         )
         code = header + RUNNER_BODY
         env = dict(os.environ, **cfg.get("env", {}))
+        # The matrix assumes the factory defaults except for the one
+        # perturbed knob — ambient overrides would silently change what
+        # each config actually tests.
         env.pop("SPARK_GRAFT_CPUS", None)
-        res = subprocess.run(
-            [sys.executable, "-c", code], env=env, cwd=REPO,
-            capture_output=True, text=True, timeout=900,
-        )
+        env.pop("SPARK_GRAFT_SHUFFLE", None)
+        try:
+            res = subprocess.run(
+                [sys.executable, "-c", code], env=env, cwd=REPO,
+                capture_output=True, text=True, timeout=900,
+            )
+        except subprocess.TimeoutExpired:
+            # One wedged JVM must not abort the remaining configs.
+            failures += 1
+            print(f"{label:12s} FAIL  (timeout after 900s)")
+            continue
         tail = "; ".join(
             ln for ln in res.stdout.splitlines() if ln.startswith(("ok", "FAIL"))
         )

@@ -51,6 +51,7 @@ def main() -> int:
     mat = np.array([r[1] for r in emb], dtype=np.float64)
     u = unit(mat)
     report: list[tuple[str, float]] = []
+    info: list[tuple[str, float]] = []
 
     # --- q28b semdedup universe: corpus + 40 planted copies of smallest ids
     uni = np.vstack([u, u[:40]])
@@ -92,8 +93,10 @@ def main() -> int:
         g = surviving * 1e4
         report.append(("q28b_pairs_round4_margin_min",
                        float(np.min(np.abs((g % 1.0) - 0.5)))))
-    report.append(("q28b_pairs_natural_max_cosine",
-                   float(np.max(rest)) if len(rest) else -1.0))
+    # Informational only (a raw cosine, not a boundary distance) — kept
+    # out of the worst-margin verdict below.
+    info.append(("q28b_pairs_natural_max_cosine",
+                 float(np.max(rest)) if len(rest) else -1.0))
 
     # --- q28b edecon: max cosine vs 5 smallest-id eval rows
     ev = unit(mat[:5])
@@ -101,7 +104,40 @@ def main() -> int:
     for thr in (0.95, 0.5):
         report.append((f"q28b_edecon_margin_{thr}", float(np.min(np.abs(mx - thr)))))
 
-    # --- q49 top-20 ordering cuts (rank-20 vs rank-21 ratio gap)
+    # --- q49 top-20 ordering cuts (rank-20 vs rank-21 ratio gap) for all
+    # three float-ordered LIMIT legs: repetition, dup_spans, decon_spans.
+    _span_ctes = """
+        WITH dg AS (
+          SELECT doc_id, len(toks)::BIGINT AS n_toks,
+                 [md5(array_to_string(toks[i : i + 7], ' '))
+                  FOR i IN range(1, len(toks) - 6)] AS grams
+          FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+          WHERE len(toks) >= 8
+        ),
+        dgu AS (
+          SELECT doc_id, n_toks, unnest(grams) AS g,
+                 generate_subscripts(grams, 1) - 1 AS pos
+          FROM dg
+        ),
+    """
+    _gap_tail = """
+        grp AS (
+          SELECT doc_id, n_toks, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM brk
+        ),
+        spn AS (
+          SELECT doc_id, n_toks, min(pos) AS p0, max(pos) AS p1
+          FROM grp GROUP BY doc_id, n_toks, grp
+        ),
+        r AS (
+          SELECT sum(p1 - p0 + 8)::DOUBLE / any_value(n_toks) AS ratio
+          FROM spn GROUP BY doc_id ORDER BY ratio DESC LIMIT 21
+        )
+        SELECT max(CASE WHEN rn = 20 THEN ratio END)
+             - max(CASE WHEN rn = 21 THEN ratio END) FROM
+          (SELECT ratio, row_number() OVER (ORDER BY ratio DESC) rn FROM r)
+    """
     cuts = {
         "q49_repetition_cut_gap": """
             WITH w AS (
@@ -118,23 +154,49 @@ def main() -> int:
                  - max(CASE WHEN rn = 20 THEN ratio END) FROM
               (SELECT ratio, row_number() OVER (ORDER BY ratio ASC) rn FROM r)
         """,
+        "q49_dup_spans_cut_gap": _span_ctes + """
+        dkeep AS (SELECT g FROM dgu GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+        brk AS (
+          SELECT doc_id, n_toks, pos,
+                 CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                           OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                      THEN 1 ELSE 0 END AS brk
+          FROM dgu WHERE g IN (SELECT g FROM dkeep)
+        ),
+        """ + _gap_tail,
+        "q49_decon_spans_cut_gap": _span_ctes + """
+        ekeep AS (SELECT DISTINCT g FROM dgu WHERE doc_id < 20),
+        brk AS (
+          SELECT doc_id, n_toks, pos,
+                 CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                           OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                      THEN 1 ELSE 0 END AS brk
+          FROM dgu WHERE doc_id >= 20 AND g IN (SELECT g FROM ekeep)
+        ),
+        """ + _gap_tail,
     }
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
     )
     for name, sql in cuts.items():
         row = con.execute(sql).fetchone()
-        gap = row[0] if row and row[0] is not None else float("nan")
+        gap = row[0] if row else None
         # The ordering doubles are single integer divisions — correctly
         # rounded, hence BIT-IDENTICAL across engines. gap == 0 is an
         # exact tie, broken by doc_id the same way on both sides: safe.
-        # The only (theoretical) fragile zone is 0 < gap < ~1e-12, which
+        # gap is NULL when fewer than 21 ranked rows exist — the LIMIT
+        # never truncates, so no cut boundary exists: also safe. The
+        # only (theoretical) fragile zone is 0 < gap < ~1e-12, which
         # cannot occur for identical doubles; reported for visibility.
-        report.append((name, float("inf") if gap == 0 else float(gap)))
+        report.append(
+            (name, float("inf") if gap is None or gap == 0 else float(gap))
+        )
 
     worst = min(v for _, v in report if np.isfinite(v))
     for name, v in report:
         print(f"{name:45s} {v:.3e}")
+    for name, v in info:
+        print(f"{name:45s} {v:.3e}  (informational)")
     print(f"\nworst margin: {worst:.3e} (cross-engine drift ~1e-13)")
     return 0 if worst > 1e-9 else 1
 

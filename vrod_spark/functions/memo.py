@@ -39,19 +39,27 @@ def _session_token() -> object:
     A built Column pins py4j objects from the JVM gateway that was active
     at build time; after a SparkSession/JVM restart in a long-lived
     process those objects are stale and fail with opaque py4j errors
-    (ADVICE r9). Keying the cache on the active SparkContext id makes a
-    session swap a clean cache miss instead."""
+    (ADVICE r9). The token is the context's ``applicationId`` — unique
+    per SparkContext by construction, unlike ``id()`` of a wrapper
+    object, which CPython can recycle after the old context is GC'd."""
     try:
         from pyspark import SparkContext
 
         sc = SparkContext._active_spark_context
-        return id(sc._jsc) if sc is not None and sc._jsc is not None else None
+        if sc is None or sc._jsc is None:
+            return None
+        return sc.applicationId
     except Exception:
         return None
 
 
 def memo_column(fn):
-    """Memoize a Column builder on primitive-only call signatures."""
+    """Memoize a Column builder on primitive-only call signatures.
+
+    Entries are keyed by the live session token; when the token changes
+    (session restart) the stale generation's entries are dropped, so the
+    cache never grows across restarts nor serves a dead gateway's
+    Columns."""
     cache: dict = {}
 
     @functools.wraps(fn)
@@ -59,9 +67,13 @@ def memo_column(fn):
         if all(_hashable(a) for a in args) and all(
             _hashable(v) for v in kwargs.values()
         ):
-            key = (_session_token(), args, tuple(sorted(kwargs.items())))
+            token = _session_token()
+            key = (token, args, tuple(sorted(kwargs.items())))
             hit = cache.get(key)
             if hit is None:
+                stale = [k for k in cache if k[0] != token]
+                for k in stale:
+                    del cache[k]
                 hit = cache[key] = fn(*args, **kwargs)
             return hit
         return fn(*args, **kwargs)

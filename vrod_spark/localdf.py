@@ -21,14 +21,24 @@ from pyspark.sql import DataFrame, SparkSession
 
 def local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
     """Local rows → DataFrame via pandas/Arrow. ``schema`` is a DDL
-    string (``"name type, ..."``); bytearray/memoryview values are
-    normalized to bytes for Arrow."""
+    string; field names come from Spark's own DDL parser, so
+    comma-bearing types (``map<string,string>``, ``decimal(10,2)``,
+    nested structs) parse correctly. bytearray/memoryview values are
+    normalized to bytes for Arrow, and every column is built as a
+    dtype=object Series so a None in a numeric column stays a NULL
+    (pandas would otherwise coerce int+None to float64/NaN and change
+    the Arrow conversion's behavior vs the list path)."""
     import pandas as pd
+    from pyspark.sql.types import StructType
 
-    names = [f.strip().split()[0] for f in schema.split(",")]
+    struct = StructType.fromDDL(schema)
+    names = struct.fieldNames()
     data = {
-        n: [bytes(r[i]) if isinstance(r[i], (bytearray, memoryview)) else r[i]
-            for r in rows]
+        n: pd.Series(
+            [bytes(r[i]) if isinstance(r[i], (bytearray, memoryview)) else r[i]
+             for r in rows],
+            dtype=object,
+        )
         for i, n in enumerate(names)
     }
-    return spark.createDataFrame(pd.DataFrame(data), schema)
+    return spark.createDataFrame(pd.DataFrame(data, columns=names), schema)

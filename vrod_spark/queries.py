@@ -101,11 +101,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #: same idea for small driver-side snapshot statistics.
 _SUBPLAN_CACHE: WeakKeyDictionary = WeakKeyDictionary()
 _SUBPLAN_LOCK = threading.Lock()
-#: Per-(session, key) build locks: racing consumers of the SAME key share
-#: one build, but DIFFERENT materializations run concurrently — under one
-#: global lock the first concurrent suite serialized every snapshot build
+#: Per-key build locks live INSIDE the session's cache dict (under a
+#: reserved key), so the WeakKeyDictionary reclaims them with the
+#: session: racing consumers of the SAME key share one build, but
+#: DIFFERENT materializations run concurrently — under one global lock
+#: the first concurrent suite serialized every snapshot build
 #: (multi-second holds each) on its critical path.
-_SUBPLAN_BUILD_LOCKS: dict = {}
+_LOCKS_KEY = ("__build_locks__",)
 
 
 def _shared_cached(spark: SparkSession, key: tuple, build: Callable[[], object]) -> object:
@@ -113,7 +115,7 @@ def _shared_cached(spark: SparkSession, key: tuple, build: Callable[[], object])
         per = _SUBPLAN_CACHE.setdefault(spark, {})
         if key in per:
             return per[key]
-        lock = _SUBPLAN_BUILD_LOCKS.setdefault((id(spark), key), threading.Lock())
+        lock = per.setdefault(_LOCKS_KEY, {}).setdefault(key, threading.Lock())
     with lock:
         with _SUBPLAN_LOCK:
             if key in per:

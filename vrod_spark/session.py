@@ -33,9 +33,14 @@ def get_spark(
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        env_shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "0"))
-        shuffle_partitions = env_shuffle or (
-            32 if cpus == "*" else max(int(cpus), 1)
+        # Tolerant parse: empty/garbage/non-positive falls back to the
+        # default (`SPARK_GRAFT_SHUFFLE= python bench.py` must not crash).
+        try:
+            env_shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE") or "0")
+        except ValueError:
+            env_shuffle = 0
+        shuffle_partitions = (
+            env_shuffle if env_shuffle > 0 else (32 if cpus == "*" else max(int(cpus), 1))
         )
 
     builder = (
