@@ -2095,3 +2095,111 @@ def test_dedup_verb_imagehash_incremental(engine):
     assert info["removed"] == 1
     col = engine.db.collection("incimgs")
     assert sorted(r["id"] for r in col.read().collect()) == [2, 5]
+
+
+def test_export_jsonl_roundtrip(engine, spark, sf_dir, tmp_path):
+    """EXPORT jsonl shards read straight back through BULKINSERT: row
+    count, ids, and payloads survive; where/columns are honored; the
+    observe-metric row count matches without a second scan."""
+    engine.execute("CREATE", collection="src")
+    engine.execute("BULKINSERT", collection="src", arg=records_df(spark, sf_dir))
+    n_src = engine.db.collection("src").read().count()
+    out = str(tmp_path / "export_jsonl")
+    info = engine.execute(
+        "EXPORT",
+        collection="src",
+        arg={"path": out, "columns": ["id", "payload"], "shards": 2},
+    ).info
+    assert info["rows"] == n_src and info["format"] == "jsonl"
+    back = spark.read.json(out)
+    assert back.count() == n_src
+    assert sorted(back.columns) == ["id", "payload"]
+    src_rows = {
+        r["id"]: r["payload"]
+        for r in engine.db.collection("src").read().select("id", "payload").collect()
+    }
+    assert {r["id"]: r["payload"] for r in back.collect()} == src_rows
+    # gzip shards really are gzip, and BULKINSERT ingests them directly
+    import glob
+
+    files = glob.glob(out + "/part-*.json.gz")
+    assert files, "expected gzipped jsonl shard files"
+    engine.execute("CREATE", collection="dst")
+    engine.execute("BULKINSERT", collection="dst", arg=out + "/" + "*.json.gz")
+    assert engine.db.collection("dst").read().count() == n_src
+
+
+def test_export_filtered_parquet_and_errors(engine, spark, sf_dir, tmp_path):
+    from vrod_spark.errors import CommandArgError
+
+    engine.execute("CREATE", collection="src2")
+    engine.execute("BULKINSERT", collection="src2", arg=records_df(spark, sf_dir))
+    out = str(tmp_path / "export_pq")
+    info = engine.execute(
+        "EXPORT",
+        collection="src2",
+        arg={"path": out, "format": "parquet", "where": "id < 10"},
+    ).info
+    assert info["rows"] == engine.db.collection("src2").read().filter("id < 10").count()
+    assert spark.read.parquet(out).count() == info["rows"]
+    import pytest
+
+    with pytest.raises(CommandArgError):
+        engine.execute("EXPORT", collection="src2", arg={"format": "jsonl"})
+    with pytest.raises(CommandArgError):
+        engine.execute(
+            "EXPORT", collection="src2", arg={"path": out, "format": "csvish"}
+        )
+
+
+def test_export_jsonl_rejects_binary_columns(spark, tmp_path):
+    import pytest
+
+    from vrod_spark.sources.export import export_jsonl_shards
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "id long, blob binary")
+    with pytest.raises(ValueError, match="binary"):
+        export_jsonl_shards(df, str(tmp_path / "nope"))
+
+
+def test_dedup_verb_lines_paragraph_unit(engine, spark):
+    """DEDUP strategy=lines unit=paragraph: a paragraph repeated across
+    pages survives only on the smallest-(id, position) page; single
+    newlines INSIDE a paragraph do not split the unit."""
+    boiler = "Subscribe to our newsletter.\nAll rights reserved."
+    rows = [
+        (1, f"unique first page body\n\n{boiler}"),
+        (2, f"{boiler}\n\nsecond page unique content"),
+        (3, "third page with nothing repeated\n\nentirely its own text"),
+    ]
+    from vrod_spark.queries import _local_df
+
+    df = _local_df(spark, rows, "id long, payload string").select(
+        "id",
+        F.lit(None).cast("array<float>").alias("embedding"),
+        "payload",
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    engine.execute("CREATE", collection="paras")
+    engine.execute("BULKINSERT", collection="paras", arg=df)
+    info = engine.execute(
+        "DEDUP",
+        collection="paras",
+        arg={"strategy": "lines", "unit": "paragraph"},
+    ).info
+    assert info["n_cut_lines"] == 1  # page 2's copy of the boilerplate
+    texts = {
+        r["id"]: r["payload"]
+        for r in engine.db.collection("paras").read().collect()
+    }
+    assert boiler in texts[1]
+    assert boiler not in texts[2] and "second page unique content" in texts[2]
+    assert texts[3].count("\n\n") == 1  # untouched page, separator normalized
+    import pytest
+
+    from vrod_spark.errors import CommandArgError
+
+    with pytest.raises(CommandArgError):
+        engine.execute(
+            "DEDUP", collection="paras", arg={"strategy": "lines", "unit": "word"}
+        )

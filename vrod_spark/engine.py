@@ -104,6 +104,7 @@ class Engine:
             "DEDUP": self._dedup,
             "ANALYZE": self._analyze,
             "EXPLAIN": self._explain,
+            "EXPORT": self._export,
         }
         if verb_up not in handlers:
             # builder.rs:77-79 → UnrecognizedCommand
@@ -452,6 +453,72 @@ class Engine:
                 "command": verb,
                 "mode": mode,
                 "plan": explain_str(inner.df, mode),
+            },
+        )
+
+    def _export(self, collection: str | None, arg: Any) -> CommandResult:
+        """EXPORT — [N] sink verb (no reference analog; the reference's
+        storage layer is a `todo!` — src/database/mod.rs:20): write a
+        collection snapshot out as training-data shards, the last step
+        of every curation pipeline.
+
+        ``arg``: {"path": <dir>,              (required)
+                  "format": "jsonl" | "parquet" (default "jsonl"),
+                  "where": optional SQL predicate (pushed to the scan),
+                  "columns": optional projection list,
+                  "version": optional time-travel snapshot,
+                  "shards": optional fixed shard count (one exchange),
+                  "max_records_per_file": shard-size cap (default 100k),
+                  "compression": jsonl codec (default "gzip"),
+                  "mode": writer mode (default "error")}
+
+        The row count rides the WRITE job via ``observe`` (no second
+        scan). jsonl shards read straight back through BULKINSERT —
+        pytest pins the roundtrip."""
+        col = self._require_collection(collection)
+        spec = self._require_arg(arg, "export spec")
+        if not isinstance(spec, dict) or "path" not in spec:
+            raise CommandArgError('EXPORT needs {"path": <directory>, ...}')
+        fmt = str(spec.get("format", "jsonl")).lower()
+        if fmt not in ("jsonl", "parquet"):
+            raise CommandArgError(
+                f'unknown export format {fmt!r}; expected "jsonl" or "parquet"'
+            )
+        from pyspark.sql import Observation
+
+        version = spec.get("version")
+        df = col.read(version=int(version) if version is not None else None)
+        if spec.get("where"):
+            df = df.filter(F.expr(str(spec["where"])))
+        if spec.get("columns"):
+            df = df.select(*[str(c) for c in spec["columns"]])
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        path = str(spec["path"])
+        mode = str(spec.get("mode", "error"))
+        if fmt == "jsonl":
+            from vrod_spark.sources.export import export_jsonl_shards
+
+            export_jsonl_shards(
+                df,
+                path,
+                max_records_per_file=int(spec.get("max_records_per_file", 100_000)),
+                shards=int(spec["shards"]) if spec.get("shards") else None,
+                compression=str(spec.get("compression", "gzip")),
+                mode=mode,
+            )
+        else:
+            out = df.repartition(int(spec["shards"])) if spec.get("shards") else df
+            out.write.mode(mode).option(
+                "maxRecordsPerFile", int(spec.get("max_records_per_file", 100_000))
+            ).parquet(path)
+        return CommandResult(
+            "EXPORT",
+            info={
+                "collection": col.name,
+                "path": path,
+                "format": fmt,
+                "rows": int(obs.get["rows"]),
             },
         )
 
@@ -1051,10 +1118,17 @@ class Engine:
         if strategy == "lines":
             from vrod_spark.operators.dedup import dedup_lines
 
+            unit = str(opts.get("unit", "line")).lower()
+            if unit not in ("line", "paragraph"):
+                raise CommandArgError(
+                    f'unknown lines unit {unit!r}; expected "line" or '
+                    '"paragraph" (CCNet §3.1 granularity)'
+                )
             kw = dict(
                 text_col=text_col,
                 id_col="id",
                 min_chars=int(opts.get("min_chars", 1)),
+                unit=unit,
             )
             rewritten = dedup_lines(df, **kw)
             if dry_run:

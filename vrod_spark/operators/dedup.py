@@ -1507,6 +1507,7 @@ def dedup_lines(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_chars: int = 1,
+    unit: str = "line",
 ) -> DataFrame:
     """CCNet-style corpus-global LINE dedup (Wenzek et al. 2020 §3.1's
     paragraph dedup, at line granularity): every line whose NORMALIZED
@@ -1524,6 +1525,12 @@ def dedup_lines(
     exempt — they carry no dedup evidence, and hashing them would fuse
     every blank line in the corpus into one key.
 
+    ``unit="paragraph"`` switches the dedup unit to blank-line-separated
+    paragraphs — the granularity the CCNet paper itself uses (§3.1);
+    surviving paragraphs re-join with a normalized ``\\n\\n``. Everything
+    else (normalization, winner rule, scale shape) is identical, and
+    ``n_cut_lines`` counts cut UNITS.
+
     Returns the input schema with ``text_col`` rewritten (surviving lines
     re-joined in order; a fully-deduped page keeps an empty string) plus
     ``n_cut_lines``.
@@ -1537,9 +1544,13 @@ def dedup_lines(
     span dup-mark); the per-row work there is a constant-time struct
     compare.
     """
+    if unit not in ("line", "paragraph"):
+        raise ValueError(f'unit must be "line" or "paragraph", got {unit!r}')
+    sep_pattern = "\n" if unit == "line" else "\n{2,}"
+    join_sep = "\n" if unit == "line" else "\n\n"
     lines = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+        F.posexplode(F.split(F.col(text_col), sep_pattern)).alias("_pos", "_line"),
     )
     norm = F.regexp_replace(
         F.regexp_replace(F.lower(F.trim(F.col("_line"))), "[0-9]", "0"),
@@ -1567,11 +1578,11 @@ def dedup_lines(
                 F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
                 lambda s: s["_line"],
             ),
-            "\n",
+            join_sep,
         ).alias("_new_text"),
         F.count(F.lit(1)).alias("_n_kept"),
     )
-    n_lines = F.size(F.split(F.col(text_col), "\n"))
+    n_lines = F.size(F.split(F.col(text_col), sep_pattern))
     out = (
         df.join(rebuilt, df[id_col] == rebuilt["_id"], "left")
         .withColumn(
