@@ -2203,3 +2203,76 @@ def test_dedup_verb_lines_paragraph_unit(engine, spark):
         engine.execute(
             "DEDUP", collection="paras", arg={"strategy": "lines", "unit": "word"}
         )
+
+
+def test_search_hybrid_rrf(engine, spark, sf_dir):
+    """Hybrid SEARCH: BM25 + vector candidate lists fused by RRF.
+    The fused score must equal 1/(k+r_bm25) + 1/(k+r_vec) computed from
+    the two single-modality rankings, docs surfaced by only one list
+    carry n_lists=1, and validation rejects half-specified hybrids."""
+    import pytest
+
+    from vrod_spark.errors import CommandArgError
+    from vrod_spark.operators.knn import knn_exact
+    from vrod_spark.operators.retrieval import bm25_rank
+
+    engine.execute("CREATE", collection="hyb")
+    engine.execute("BULKINSERT", collection="hyb", arg=records_df(spark, sf_dir))
+    qvec = [
+        float(x)
+        for x in engine.db.collection("hyb")
+        .read()
+        .filter("id = 3")
+        .select("embedding")
+        .first()[0]
+    ]
+    res = engine.execute(
+        "SEARCH",
+        collection="hyb",
+        arg={
+            "where": "true",
+            "rank": {"bm25": "the and of", "vector": qvec, "candidates": 15},
+            "limit": 8,
+        },
+    ).df.collect()
+    assert len(res) == 8
+    assert [r["fused_rank"] for r in res] == list(range(1, 9))
+    assert all(r["n_lists"] in (1, 2) for r in res)
+    # reference recompute from the two single lists
+    base = engine.db.collection("hyb").read()
+    bm = {
+        r["id"]: r["rank"]
+        for r in bm25_rank(
+            base, ["the", "and", "of"], text_col="payload", id_col="id", top_k=15
+        ).collect()
+    }
+    vr = {
+        r["id"]: i + 1
+        for i, r in enumerate(
+            knn_exact(
+                base.filter("embedding is not null"), qvec, k=15,
+                vec_col="embedding", id_col="id", metric="cosine",
+            ).collect()
+        )
+    }
+    def rrf(i):
+        return (1.0 / (60 + bm[i]) if i in bm else 0.0) + (
+            1.0 / (60 + vr[i]) if i in vr else 0.0
+        )
+
+    want = sorted(set(bm) | set(vr), key=lambda i: (-rrf(i), i))[:8]
+    assert [r["id"] for r in res] == want
+    for r in res:
+        assert abs(r["rrf_score"] - rrf(r["id"])) < 1e-12
+    # the vector query's own doc must surface via the vector list
+    assert 3 in {r["id"] for r in res}
+    with pytest.raises(CommandArgError):
+        engine.execute(
+            "SEARCH", collection="hyb", arg={"rank": {"vector": qvec}}
+        )
+    with pytest.raises(CommandArgError):
+        engine.execute(
+            "SEARCH",
+            collection="hyb",
+            arg={"rank": {"bm25": "x", "vector": []}},
+        )

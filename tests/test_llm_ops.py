@@ -3591,3 +3591,25 @@ def test_scorers_shared_feature_counts_equivalence(spark):
     # (tolerance sits above canon's 10dp rounding, far below any real bug)
     z = dict((r[0], r[2]) for r in q_shared)[3]
     assert abs(z - 1.0 / (1.0 + np.exp(-0.25))) < 1e-9
+
+
+def test_rrf_fuse_single_list_and_validation(spark):
+    """RRF of one list preserves its order (monotone transform), top_k
+    caps the output, and an empty input is rejected."""
+    import pytest
+
+    from vrod_spark.operators.retrieval import rrf_fuse
+
+    one = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "id long, rank int"
+    )
+    out = rrf_fuse({"only": one}).collect()
+    assert [(r["id"], r["fused_rank"], r["n_lists"]) for r in out] == [
+        (10, 1, 1), (11, 2, 1), (12, 3, 1)
+    ]
+    assert all(abs(r["rrf_score"] - 1.0 / (60 + r["fused_rank"])) < 1e-15
+               for r in out)
+    capped = rrf_fuse({"only": one}, top_k=2).collect()
+    assert len(capped) == 2
+    with pytest.raises(ValueError):
+        rrf_fuse({})

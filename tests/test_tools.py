@@ -1,0 +1,59 @@
+"""The diagnostic tools are part of the correctness story (SURVEY §5.6's
+integer-pin policy leans on them) — keep them from rotting."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.skipif(not os.path.exists(SF), reason="driver testdata absent")
+def test_pin_margins_reports_safe_margins(capsys, monkeypatch):
+    """All audited gate-pin boundaries sit far above cross-engine drift
+    at the smoke SF, the informational row stays out of the verdict, and
+    the exit code is green."""
+    sys.path.insert(0, REPO)
+    from tools.pin_margins import main
+
+    monkeypatch.setattr(sys, "argv", ["pin_margins.py", SF])
+    rc = main()
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "worst margin" in out
+    # every audited boundary present
+    for name in (
+        "q28b_assignment_margin_min",
+        "q28b_ccos_u6_snap_margin_min",
+        "q49_repetition_cut_gap",
+        "q49_dup_spans_cut_gap",
+        "q49_decon_spans_cut_gap",
+    ):
+        assert name in out
+    assert "(informational)" in out
+    worst = float(out.split("worst margin:")[1].split()[0])
+    assert worst > 1e-9
+
+
+def test_check_oracle_canon_rounds_and_orders():
+    """The gate-replica canonicalizer: column-name ordering, 6dp float
+    grid, NaN and date handling — the exact compare semantics every
+    oracle pin is written against."""
+    import datetime
+    import math
+
+    sys.path.insert(0, REPO)
+    from tools.check_oracle import canon
+
+    rows = [(2.00000049, "b", datetime.date(2024, 1, 2)),
+            (float("nan"), "a", datetime.date(2024, 1, 1))]
+    got = canon(rows, ["z_val", "a_key", "m_date"])
+    # columns sort to (a_key, m_date, z_val); rows sort canonically
+    assert got == sorted(got)
+    assert any("'NaN'" in v for row in got for v in row)
+    assert any("2.0" == v.strip("'") for row in got for v in row if "2.0" in v)
+    assert not any("2.00000049" in v for row in got for v in row)

@@ -23,6 +23,9 @@ Audited boundaries:
 - q49 top-20 selection cuts: the ratio gap between ranks 20 and 21 for
   the repetition / dup_spans / decon_spans legs (the LIMIT is the only
   float-ordering-sensitive construct left after the r10 integer pins).
+- q53 hybrid leg: adjacent cosine gaps among the vector candidate list
+  (each engine computes the cosines independently, so the rank order is
+  only as safe as those gaps).
 """
 
 from __future__ import annotations
@@ -103,6 +106,21 @@ def main() -> int:
     mx = (u @ ev.T).max(axis=1)
     for thr in (0.95, 0.5):
         report.append((f"q28b_edecon_margin_{thr}", float(np.min(np.abs(mx - thr)))))
+
+    # --- q53 hybrid leg: the vector list's rank ORDER is a float
+    # ordering each engine computes independently (unlike the integer-
+    # division ratios) — the pin is safe iff adjacent cosine gaps among
+    # the candidates dwarf cross-engine drift. Audit the top-25 to vec 0
+    # (the top-20 cut plus margin on both sides).
+    q = u[ids == 0][0] if (ids == 0).any() else u[0]
+    cos = u @ q
+    top = np.sort(cos)[::-1][:25]
+    gaps = -np.diff(top)
+    gaps = gaps[gaps > 0]  # exact ties break by vec_id identically
+    report.append(
+        ("q53_hybrid_vecrank_gap_min",
+         float(np.min(gaps)) if len(gaps) else float("inf"))
+    )
 
     # --- q49 top-20 ordering cuts (rank-20 vs rank-21 ratio gap) for all
     # three float-ordered LIMIT legs: repetition, dup_spans, decon_spans.

@@ -574,6 +574,69 @@ class Engine:
             if limit is not None:
                 out = out.limit(int(limit))
             return CommandResult("SEARCH", df=out)
+        if isinstance(rank, dict) and "vector" in rank:
+            # HYBRID SEARCH: BM25 candidates over the payload ∪ exact
+            # cosine candidates over the embedding, combined by
+            # reciprocal-rank fusion — rank-based, so no score
+            # calibration between the two modalities is needed. The
+            # candidate depth is per-list ("candidates", default 20);
+            # `limit` caps the fused output (default 10).
+            from pyspark.sql import Window
+
+            from vrod_spark.operators.knn import knn_exact
+            from vrod_spark.operators.retrieval import bm25_rank, rrf_fuse
+
+            qtext = rank.get("bm25")
+            qvec = rank.get("vector")
+            if not qtext or not isinstance(qvec, (list, tuple)) or not qvec:
+                raise CommandArgError(
+                    'hybrid rank needs BOTH {"bm25": "query terms", '
+                    '"vector": [floats]} — with only one modality use '
+                    "plain rank.bm25 or SEARCHSIMILAR"
+                )
+            terms = [t for t in str(qtext).lower().split() if t]
+            if not terms:
+                raise CommandArgError("rank.bm25 needs at least one query term")
+            list_k = int(rank.get("candidates", 20))
+            fusion_k = int(rank.get("fusion_k", 60))
+            if list_k <= 0 or fusion_k <= 0:
+                raise CommandArgError("candidates and fusion_k must be >= 1")
+            top_k = 10 if limit is None else int(limit)
+            if top_k <= 0:
+                raise CommandArgError("rank mode needs limit >= 1")
+            base = col.read(
+                version=int(version) if version is not None else None
+            ).filter(F.expr(predicate))
+            if "embedding" not in base.columns:
+                raise CommandArgError(
+                    f"collection {col.name!r} has no 'embedding' column "
+                    "for the hybrid vector list"
+                )
+            bm = bm25_rank(
+                base, terms, text_col="payload", id_col="id", top_k=list_k
+            ).select("id", "rank")
+            vw = Window.orderBy(F.col("dist").asc(), F.col("id").asc())
+            vec = (
+                knn_exact(
+                    base.filter(F.col("embedding").isNotNull()),
+                    [float(x) for x in qvec],
+                    k=list_k,
+                    vec_col="embedding",
+                    id_col="id",
+                    metric="cosine",
+                )
+                .withColumn("rank", F.row_number().over(vw))
+                .select("id", "rank")
+            )
+            fused = rrf_fuse(
+                {"bm25": bm, "vector": vec}, k=fusion_k, top_k=top_k
+            )
+            df = (
+                fused.join(base.select("id", "payload"), "id")
+                .select("id", "fused_rank", "rrf_score", "n_lists", "payload")
+                .orderBy("fused_rank")
+            )
+            return CommandResult("SEARCH", df=df)
         if rank is not None:
             from vrod_spark.operators.retrieval import bm25_rank
 

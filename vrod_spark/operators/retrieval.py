@@ -119,3 +119,61 @@ def bm25_rank(
     return scored.select(
         "id", F.row_number().over(w).alias("rank"), "n_matched", "score"
     )
+
+
+def rrf_fuse(
+    ranked: dict[str, DataFrame],
+    *,
+    id_col: str = "id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Reciprocal-Rank Fusion (Cormack/Clarke/Buettcher, SIGIR 2009) of
+    N ranked candidate lists: ``score(d) = Σ_lists 1/(k + rank_d)``, the
+    standard hybrid-search combiner — rank-based, so a BM25 list and a
+    cosine list fuse without score calibration, and k=60 (the paper's
+    constant) keeps any single list from dominating.
+
+    ``ranked``: {list_name: DataFrame with (id_col, rank_col)} — e.g.
+    {"bm25": bm25_rank(...), "vector": knn top-k}. Returns
+    (id, fused_rank, rrf_score, n_lists) ordered by fused_rank, where
+    ``n_lists`` counts the lists that surfaced the id. The fused order
+    breaks score ties by id; the score is a sum of exact rationals
+    1/(k+r) accumulated in sorted-list-name order, so it is
+    deterministic across engines and partitionings.
+
+    Scale shape: each input is already a top-k list (tiny by
+    construction); the fusion is a full outer join series over k-sized
+    frames — broadcastable everywhere, no corpus-sized work. At 100 TB
+    the expensive part is PRODUCING the lists (BM25's postings, the ANN
+    index probe), both of which have their own scale paths.
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    fused = None
+    for name in sorted(ranked):
+        df = ranked[name].select(
+            F.col(id_col).alias("id"),
+            (1.0 / (F.lit(float(k)) + F.col(rank_col))).alias(f"_s_{name}"),
+        )
+        fused = df if fused is None else fused.join(df, "id", "full_outer")
+    score_cols = [F.coalesce(F.col(f"_s_{n}"), F.lit(0.0)) for n in sorted(ranked)]
+    present = [
+        F.col(f"_s_{n}").isNotNull().cast("int") for n in sorted(ranked)
+    ]
+    score = score_cols[0]
+    for c in score_cols[1:]:
+        score = score + c
+    n_lists = present[0]
+    for c in present[1:]:
+        n_lists = n_lists + c
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rrf_score").desc(), "id")
+    out = (
+        fused.select("id", score.alias("rrf_score"), n_lists.alias("n_lists"))
+        .withColumn("fused_rank", F.row_number().over(w))
+        .select("id", "fused_rank", "rrf_score", "n_lists")
+    )
+    return out.filter(F.col("fused_rank") <= int(top_k)) if top_k else out

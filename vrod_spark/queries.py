@@ -3831,6 +3831,29 @@ def q52_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, score, n_matched,
              row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
       FROM sc
+    ),
+    vtop AS (
+      SELECT doc_id, vrnk FROM (
+        SELECT vec_id AS doc_id,
+               row_number() OVER (
+                 ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+                   (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)) DESC,
+                 vec_id) AS vrnk
+        FROM embeddings)
+      WHERE vrnk <= 20
+    ),
+    btop AS (SELECT doc_id, rnk AS brnk FROM top WHERE rnk <= 20),
+    fused AS (
+      SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+             coalesce(1.0 / (60 + brnk), 0) + coalesce(1.0 / (60 + vrnk), 0) AS fs,
+             ((CASE WHEN brnk IS NOT NULL THEN 1 ELSE 0 END)
+            + (CASE WHEN vrnk IS NOT NULL THEN 1 ELSE 0 END)) AS nl
+      FROM btop b FULL OUTER JOIN vtop v ON b.doc_id = v.doc_id
+    ),
+    hy AS (
+      SELECT doc_id, nl,
+             row_number() OVER (ORDER BY fs DESC, doc_id) AS frnk
+      FROM fused
     )
     SELECT * FROM (
       SELECT 'exact' AS leg, token, count(*) AS freq,
@@ -3847,6 +3870,9 @@ def q52_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'bm25', doc_id::VARCHAR, rnk, n_matched, score
     FROM top WHERE rnk <= 20
+    UNION ALL
+    SELECT 'hybrid', doc_id::VARCHAR, frnk, nl, 0.0::DOUBLE
+    FROM hy WHERE frnk <= 10
     ORDER BY leg, freq DESC, token
     """,
 )
@@ -3900,18 +3926,63 @@ def q53_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).cast("bigint").alias("doc_freq"),
         F.lit(0.0).alias("score"),
     )
-    bm25 = bm25_rank(
+    bmr = bm25_rank(
         docs, ["hash", "join", "scan"], top_k=20, id_col="doc_id", tokens_df=shared
-    ).select(
+    )
+    bm25 = bmr.select(
         F.lit("bm25").alias("leg"),
         F.col("id").cast("string").alias("token"),
         F.col("rank").cast("bigint").alias("freq"),
         F.col("n_matched").alias("doc_freq"),
         "score",
     )
+    # hybrid leg — BM25 ∪ vector candidates fused by reciprocal rank
+    # (operators/retrieval.rrf_fuse; the engine's SEARCH
+    # rank={"bm25","vector"} hybrid path, cross-engine): the vector list
+    # is the exact cosine top-20 against vec 0's embedding, the BM25
+    # list is this gate's own top-20, fused at k=60 (the RRF paper
+    # constant). INTEGER pins only: (fused rank, lists-present count) —
+    # the rrf score is a sum of exact rationals and deterministic, but
+    # the pin policy keeps floats out of hashes. Rank-order margins
+    # (adjacent cosine gaps vs cross-engine drift) are audited by
+    # tools/pin_margins.py.
+    from vrod_spark.operators.knn import knn_exact
+    from vrod_spark.operators.retrieval import rrf_fuse
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = _shared_scalar(
+        spark,
+        ("hybrid_qvec", os.path.abspath(sf_dir)),
+        lambda: [
+            float(x)
+            for x in emb.filter("vec_id = 0").select("embedding").first()[0]
+        ],
+    )
+    vtop = (
+        knn_exact(
+            emb, qvec, k=20, vec_col="embedding", id_col="vec_id",
+            metric="cosine",
+        )
+        .select(F.col("vec_id").alias("id"), "dist")
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("dist").asc(), F.col("id").asc())),
+        )
+        .select("id", "rank")
+    )
+    hybrid = rrf_fuse(
+        {"bm25": bmr.select("id", "rank"), "vector": vtop}, k=60, top_k=10
+    ).select(
+        F.lit("hybrid").alias("leg"),
+        F.col("id").cast("string").alias("token"),
+        F.col("fused_rank").cast("bigint").alias("freq"),
+        F.col("n_lists").cast("bigint").alias("doc_freq"),
+        F.lit(0.0).alias("score"),
+    )
     return (
         exact.unionByName(hh)
         .unionByName(bm25)
+        .unionByName(hybrid)
         .orderBy("leg", F.col("freq").desc(), "token")
     )
 
