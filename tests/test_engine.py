@@ -2208,8 +2208,10 @@ def test_dedup_verb_lines_paragraph_unit(engine, spark):
 def test_search_hybrid_rrf(engine, spark, sf_dir):
     """Hybrid SEARCH: BM25 + vector candidate lists fused by RRF.
     The fused score must equal 1/(k+r_bm25) + 1/(k+r_vec) computed from
-    the two single-modality rankings, docs surfaced by only one list
-    carry n_lists=1, and validation rejects half-specified hybrids."""
+    the two single-modality rankings (the vector list under the
+    COLLECTION's declared metric — l2 here, like SEARCHSIMILAR), docs
+    surfaced by only one list carry n_lists=1, and validation rejects
+    half-specified hybrids and time travel."""
     import pytest
 
     from vrod_spark.errors import CommandArgError
@@ -2251,7 +2253,7 @@ def test_search_hybrid_rrf(engine, spark, sf_dir):
         for i, r in enumerate(
             knn_exact(
                 base.filter("embedding is not null"), qvec, k=15,
-                vec_col="embedding", id_col="id", metric="cosine",
+                vec_col="embedding", id_col="id", metric="l2",
             ).collect()
         )
     }
@@ -2276,3 +2278,58 @@ def test_search_hybrid_rrf(engine, spark, sf_dir):
             collection="hyb",
             arg={"rank": {"bm25": "x", "vector": []}},
         )
+    with pytest.raises(CommandArgError):
+        engine.execute(
+            "SEARCH",
+            collection="hyb",
+            arg={"rank": {"bm25": "x", "vector": qvec}, "version": 1},
+        )
+
+
+def test_search_hybrid_rides_ann_index(engine, spark, sf_dir):
+    """Hybrid over a REINDEXed collection: the vector list comes from
+    the index probe (SEARCHSIMILAR routing), so the fused output must
+    match an RRF recompute whose vector list is the INDEX's own
+    SEARCHSIMILAR result — and the query's own doc still surfaces
+    (identical vectors share every bucket)."""
+    from vrod_spark.operators.retrieval import bm25_rank
+
+    engine.execute("CREATE", collection="hybix")
+    engine.execute("BULKINSERT", collection="hybix", arg=records_df(spark, sf_dir))
+    engine.execute("REINDEX", collection="hybix", arg={"kind": "ivf"})
+    qvec = [
+        float(x)
+        for x in engine.db.collection("hybix")
+        .read()
+        .filter("id = 7")
+        .select("embedding")
+        .first()[0]
+    ]
+    res = engine.execute(
+        "SEARCH",
+        collection="hybix",
+        arg={"rank": {"bm25": "the and of", "vector": qvec, "candidates": 12},
+             "limit": 6},
+    ).df.collect()
+    assert len(res) == 6 and 7 in {r["id"] for r in res}
+    vlist = engine.execute(
+        "SEARCHSIMILAR",
+        collection="hybix",
+        arg={"vector": qvec, "k": 12, "where": "embedding IS NOT NULL"},
+    ).df.collect()
+    vr = {r["id"]: i + 1 for i, r in enumerate(vlist)}
+    bm = {
+        r["id"]: r["rank"]
+        for r in bm25_rank(
+            engine.db.collection("hybix").read(),
+            ["the", "and", "of"], text_col="payload", id_col="id", top_k=12,
+        ).collect()
+    }
+
+    def rrf(i):
+        return (1.0 / (60 + bm[i]) if i in bm else 0.0) + (
+            1.0 / (60 + vr[i]) if i in vr else 0.0
+        )
+
+    want = sorted(set(bm) | set(vr), key=lambda i: (-rrf(i), i))[:6]
+    assert [r["id"] for r in res] == want

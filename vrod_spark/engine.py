@@ -575,15 +575,15 @@ class Engine:
                 out = out.limit(int(limit))
             return CommandResult("SEARCH", df=out)
         if isinstance(rank, dict) and "vector" in rank:
-            # HYBRID SEARCH: BM25 candidates over the payload ∪ exact
-            # cosine candidates over the embedding, combined by
-            # reciprocal-rank fusion — rank-based, so no score
-            # calibration between the two modalities is needed. The
-            # candidate depth is per-list ("candidates", default 20);
-            # `limit` caps the fused output (default 10).
+            # HYBRID SEARCH: BM25 candidates over the payload ∪ vector
+            # candidates over the embedding (under the collection's
+            # declared metric, through its ANN index when REINDEXed),
+            # combined by reciprocal-rank fusion — rank-based, so no
+            # score calibration between the two modalities is needed.
+            # The candidate depth is per-list ("candidates", default
+            # 20); `limit` caps the fused output (default 10).
             from pyspark.sql import Window
 
-            from vrod_spark.operators.knn import knn_exact
             from vrod_spark.operators.retrieval import bm25_rank, rrf_fuse
 
             qtext = rank.get("bm25")
@@ -604,9 +604,18 @@ class Engine:
             top_k = 10 if limit is None else int(limit)
             if top_k <= 0:
                 raise CommandArgError("rank mode needs limit >= 1")
-            base = col.read(
-                version=int(version) if version is not None else None
-            ).filter(F.expr(predicate))
+            if version is not None:
+                # Past snapshots predate the current index layout; the
+                # versioned read path in SEARCHSIMILAR has no index
+                # routing, so hybrid-over-time-travel is rejected rather
+                # than silently served from a different snapshot per list.
+                raise CommandArgError(
+                    "hybrid rank does not support version= time travel "
+                    "(the index describes the CURRENT snapshot); SEARCH "
+                    "the past snapshot with rank.bm25 and SEARCHSIMILAR "
+                    "it separately instead"
+                )
+            base = col.read().filter(F.expr(predicate))
             if "embedding" not in base.columns:
                 raise CommandArgError(
                     f"collection {col.name!r} has no 'embedding' column "
@@ -615,16 +624,21 @@ class Engine:
             bm = bm25_rank(
                 base, terms, text_col="payload", id_col="id", top_k=list_k
             ).select("id", "rank")
+            # The vector list DELEGATES to SEARCHSIMILAR: a REINDEXed
+            # collection probes its LSH/IVF/PQ index instead of brute-
+            # forcing, the collection's declared metric defines
+            # similarity, and dimension validation comes free — the
+            # 100 TB hybrid shape (first-stage candidates from the
+            # index, fusion over k-sized lists).
+            vspec: dict[str, Any] = {
+                "vector": [float(x) for x in qvec],
+                "k": list_k,
+                "where": f"({predicate}) AND embedding IS NOT NULL",
+            }
+            vres = self._search_similar(collection, vspec).df
             vw = Window.orderBy(F.col("dist").asc(), F.col("id").asc())
             vec = (
-                knn_exact(
-                    base.filter(F.col("embedding").isNotNull()),
-                    [float(x) for x in qvec],
-                    k=list_k,
-                    vec_col="embedding",
-                    id_col="id",
-                    metric="cosine",
-                )
+                vres.select("id", "dist")
                 .withColumn("rank", F.row_number().over(vw))
                 .select("id", "rank")
             )
