@@ -2333,3 +2333,60 @@ def test_search_hybrid_rides_ann_index(engine, spark, sf_dir):
 
     want = sorted(set(bm) | set(vr), key=lambda i: (-rrf(i), i))[:6]
     assert [r["id"] for r in res] == want
+
+
+def test_searchsimilar_diversify_mmr(engine, spark, sf_dir):
+    """SEARCHSIMILAR diversify: the MMR selection over the routed pool —
+    planted exact duplicates of the query doc stop crowding the top-k,
+    lambda=1 reproduces the plain top-k order, and validation rejects
+    bad lambdas / range-search composition."""
+    import pytest
+
+    from vrod_spark.errors import CommandArgError
+
+    engine.execute("CREATE", collection="mmr")
+    base = records_df(spark, sf_dir)
+    clones = base.filter("id = 4").select(
+        (F.col("id") + 1000).alias("id"), "embedding", "payload", "meta"
+    ).union(
+        base.filter("id = 4").select(
+            (F.col("id") + 2000).alias("id"), "embedding", "payload", "meta"
+        )
+    )
+    engine.execute("BULKINSERT", collection="mmr", arg=base.unionByName(clones))
+    qvec = [float(x) for x in base.filter("id = 4").select("embedding").first()[0]]
+    plain = engine.execute(
+        "SEARCHSIMILAR", collection="mmr", arg={"vector": qvec, "k": 5}
+    ).df.collect()
+    # the three identical vectors own the top of the plain list
+    assert {r["id"] for r in plain[:3]} == {4, 1004, 2004}
+    div = engine.execute(
+        "SEARCHSIMILAR",
+        collection="mmr",
+        arg={"vector": qvec, "k": 5, "diversify": {"lambda": 0.5, "pool": 12}},
+    ).df.collect()
+    assert [r["mmr_rank"] for r in div] == [1, 2, 3, 4, 5]
+    # only ONE of the identical trio survives the diversified top-3
+    assert len({r["id"] for r in div[:3]} & {4, 1004, 2004}) == 1
+    # lambda=1 == plain relevance order over the same pool
+    pure = engine.execute(
+        "SEARCHSIMILAR",
+        collection="mmr",
+        arg={"vector": qvec, "k": 5, "diversify": {"lambda": 1.0, "pool": 12}},
+    ).df.collect()
+    assert [r["id"] for r in pure] == [r["id"] for r in plain]
+    with pytest.raises(CommandArgError):
+        engine.execute(
+            "SEARCHSIMILAR", collection="mmr",
+            arg={"vector": qvec, "k": 5, "diversify": {"lambda": 2.0}},
+        )
+    with pytest.raises(CommandArgError):
+        engine.execute(
+            "SEARCHSIMILAR", collection="mmr",
+            arg={"vector": qvec, "within": 1.0, "diversify": 0.5},
+        )
+    with pytest.raises(CommandArgError):
+        engine.execute(
+            "SEARCHSIMILAR", collection="mmr",
+            arg={"vector": qvec, "k": 5, "diversify": {"pool": 2}},
+        )

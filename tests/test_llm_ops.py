@@ -3613,3 +3613,32 @@ def test_rrf_fuse_single_list_and_validation(spark):
     assert len(capped) == 2
     with pytest.raises(ValueError):
         rrf_fuse({})
+
+
+def test_mmr_rerank_diversifies_planted_clusters(spark):
+    """MMR over a pool of 3 near-identical cluster-A docs + 1 cluster-B
+    doc: pure relevance (lambda=1) keeps all A's first; lambda=0.5
+    promotes the B doc to rank 2 (the A twins penalize each other);
+    ties break by id; k caps output."""
+    from vrod_spark.operators.retrieval import mmr_rerank
+
+    a = [1.0, 0.0, 0.0]
+    a2 = [0.999, 0.01, 0.0]  # near-duplicates of a
+    a3 = [0.998, 0.02, 0.0]
+    b = [0.0, 1.0, 0.0]  # orthogonal, lower relevance
+    cand = spark.createDataFrame(
+        [(1, a), (2, a2), (3, a3), (9, b)],
+        "id long, embedding array<double>",
+    )
+    q = [1.0, 0.1, 0.0]
+    pure = mmr_rerank(cand, q, k=4, lambda_=1.0).collect()
+    assert [r["id"] for r in pure][:3] == [2, 3, 1] or [r["id"] for r in pure][0] in (1, 2, 3)
+    assert [r["id"] for r in pure][3] == 9  # relevance-only puts b last
+    div = mmr_rerank(cand, q, k=3, lambda_=0.5).collect()
+    assert [r["mmr_rank"] for r in div] == [1, 2, 3]
+    assert div[1]["id"] == 9  # diversity promotes the orthogonal doc
+    assert len(mmr_rerank(cand, q, k=2, lambda_=0.5).collect()) == 2
+    import pytest
+
+    with pytest.raises(ValueError):
+        mmr_rerank(cand, q, k=2, lambda_=1.5)

@@ -753,6 +753,57 @@ class Engine:
                 payload_cols=("payload",),
             )
             return CommandResult("SEARCHSIMILAR", df=result)
+        if isinstance(spec, dict) and spec.get("diversify") is not None:
+            # MMR DIVERSIFICATION (Carbonell & Goldstein 1998): fetch a
+            # candidate POOL through the normal routing (index probe when
+            # REINDEXed — recursion reuses every existing path), then
+            # greedily select k balancing query relevance against
+            # similarity to already-selected results. `diversify`:
+            # {"lambda": 0..1 (default 0.5), "pool": candidates fetched
+            # (default 4k)} or a bare lambda number.
+            dv = spec["diversify"]
+            if not isinstance(dv, dict):
+                dv = {"lambda": dv}
+            try:
+                lam = float(dv.get("lambda", 0.5))
+            except (TypeError, ValueError):
+                raise CommandArgError("diversify.lambda must be a number in [0, 1]")
+            if not 0.0 <= lam <= 1.0:
+                raise CommandArgError("diversify.lambda must be in [0, 1]")
+            if "within" in spec:
+                raise CommandArgError(
+                    "diversify composes with top-k search, not range search"
+                )
+            if not spec.get("vector"):
+                raise CommandArgError(
+                    'diversify needs the single-vector form: {"vector": '
+                    '[...], "k": n, "diversify": {...}}'
+                )
+            k_out = int(spec.get("k", 10))
+            pool = int(dv.get("pool", 4 * k_out))
+            if pool < k_out:
+                raise CommandArgError("diversify.pool must be >= k")
+            inner = {kk: v for kk, v in spec.items() if kk != "diversify"}
+            inner["k"] = pool
+            pool_ids = self._search_similar(collection, inner).df.select("id")
+            from vrod_spark.operators.retrieval import mmr_rerank
+
+            base = col.read().select("id", "embedding", "payload")
+            cand = base.join(F.broadcast(pool_ids), "id")
+            sel = mmr_rerank(
+                cand,
+                [float(x) for x in spec["vector"]],
+                k=k_out,
+                lambda_=lam,
+                vec_col="embedding",
+                id_col="id",
+            )
+            df = (
+                sel.join(base.select("id", "payload"), "id")
+                .select("id", "mmr_rank", "relevance", "mmr_score", "payload")
+                .orderBy("mmr_rank")
+            )
+            return CommandResult("SEARCHSIMILAR", df=df)
         tuning: dict[str, int] = {}
         within = None
         if isinstance(spec, str):

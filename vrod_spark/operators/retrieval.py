@@ -177,3 +177,85 @@ def rrf_fuse(
         .select("id", "fused_rank", "rrf_score", "n_lists")
     )
     return out.filter(F.col("fused_rank") <= int(top_k)) if top_k else out
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    query_vector,
+    *,
+    k: int = 10,
+    lambda_: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "id",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): greedily select ``k`` of the candidate rows maximizing
+
+        λ · sim(q, d)  −  (1 − λ) · max_{s ∈ selected} sim(d, s)
+
+    — the standard diversification pass over a first-stage retrieval
+    list: near-duplicate hits stop crowding out novel ones. λ=1 is pure
+    relevance (first-stage order by cosine), λ=0 pure diversity.
+
+    ``candidates`` must be a FIRST-STAGE LIST (top-k/pool sized, not a
+    corpus) — the greedy argmax is inherently sequential, so the rows
+    are collected and scored on the driver (O(pool²) numpy sims; pools
+    are tens-to-hundreds of rows by contract, the same bounded-driver
+    contract as k-means seeds and eval matrices). At 100 TB the
+    expensive part is PRODUCING the pool (index probe / BM25 / hybrid
+    fusion), which stays distributed.
+
+    Returns (id, mmr_rank, relevance, mmr_score) for the selected rows,
+    ordered by mmr_rank; ties break by id. NULL/zero-norm vectors score
+    relevance 0 and similarity 0 (they neither attract nor repel).
+    """
+    import numpy as np
+
+    if not 0.0 <= float(lambda_) <= 1.0:
+        raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
+    rows = candidates.select(F.col(id_col).alias("id"), F.col(vec_col)).collect()
+    ids = [r["id"] for r in rows]
+    if not ids:
+        return candidates.sparkSession.createDataFrame(
+            [], "id long, mmr_rank int, relevance double, mmr_score double"
+        )
+    dim = max((len(r[vec_col]) for r in rows if r[vec_col] is not None), default=1)
+    mat = np.zeros((len(rows), dim), dtype=np.float64)
+    for i, r in enumerate(rows):
+        if r[vec_col] is not None:
+            mat[i, : len(r[vec_col])] = np.asarray(r[vec_col], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    unit = mat / np.where(norms == 0, 1, norms)
+    q = np.asarray([float(x) for x in query_vector], dtype=np.float64)
+    qn = np.linalg.norm(q)
+    qu = q / (qn if qn else 1.0)
+    rel = unit @ qu[: unit.shape[1]]
+    sims = unit @ unit.T
+    lam = float(lambda_)
+    selected: list[int] = []
+    remaining = list(range(len(ids)))
+    out_rows = []
+    for rank in range(1, min(int(k), len(ids)) + 1):
+        best_i, best_score = None, None
+        for i in remaining:
+            penalty = max((sims[i, j] for j in selected), default=0.0)
+            score = lam * rel[i] - (1.0 - lam) * penalty
+            # ties break by id — deterministic under any input order
+            if (
+                best_score is None
+                or score > best_score
+                or (score == best_score and ids[i] < ids[best_i])
+            ):
+                best_i, best_score = i, score
+        selected.append(best_i)
+        remaining.remove(best_i)
+        out_rows.append(
+            (ids[best_i], rank, float(rel[best_i]), float(best_score))
+        )
+    from vrod_spark.localdf import local_df
+
+    return local_df(
+        candidates.sparkSession,
+        out_rows,
+        "id long, mmr_rank int, relevance double, mmr_score double",
+    )
