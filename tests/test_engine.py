@@ -2390,3 +2390,19 @@ def test_searchsimilar_diversify_mmr(engine, spark, sf_dir):
             "SEARCHSIMILAR", collection="mmr",
             arg={"vector": qvec, "k": 5, "diversify": {"pool": 2}},
         )
+
+
+def test_searchsimilar_batch_rejects_diversify(engine, spark, sf_dir):
+    import pytest
+
+    from vrod_spark.errors import CommandArgError
+
+    engine.execute("CREATE", collection="bdv")
+    engine.execute("BULKINSERT", collection="bdv", arg=records_df(spark, sf_dir))
+    qvec = [0.0] * 64
+    with pytest.raises(CommandArgError):
+        engine.execute(
+            "SEARCHSIMILAR",
+            collection="bdv",
+            arg={"vectors": [qvec], "k": 3, "diversify": 0.5},
+        )

@@ -729,6 +729,13 @@ class Engine:
             # (operators.knn.knn_batch). Exact path by design: the batch
             # shape is the eval-harness use case where per-query bucket
             # probing would run Q separate pruned scans anyway.
+            if spec.get("diversify") is not None:
+                # Silently ignoring it would let a caller believe a
+                # diversified batch ran (the keep="first"+score lesson).
+                raise CommandArgError(
+                    "diversify composes with the single-vector form only; "
+                    "run per-query SEARCHSIMILAR calls to diversify a batch"
+                )
             from vrod_spark.operators.knn import knn_batch
 
             vectors = [[float(x) for x in v] for v in spec["vectors"]]
