@@ -625,3 +625,44 @@ def test_differential_c4_line_stats_brute_force(spark, seed):
     }
     for i, page in pages:
         assert got[i] == ref(page), (i, page)
+
+
+@given(seed=st.integers(min_value=0, max_value=10_000))
+@SETTINGS
+def test_differential_rrf_fuse_brute_force(spark, seed):
+    """rrf_fuse vs a pure-python recompute over randomized ranked lists:
+    fused order, scores, and n_lists match exactly for any list overlap
+    pattern (disjoint, nested, partial) — the fused score is a sum of
+    exact rationals, so equality is exact, not approximate."""
+    import random
+
+    from vrod_spark.operators.retrieval import rrf_fuse
+
+    rng = random.Random(seed)
+    n_lists = rng.randint(1, 4)
+    universe = list(range(100, 160))
+    lists = {}
+    for li in range(n_lists):
+        ids = rng.sample(universe, rng.randint(1, 15))
+        lists[f"l{li}"] = {doc: rank + 1 for rank, doc in enumerate(ids)}
+    k = rng.choice([10, 60])
+    dfs = {
+        name: spark.createDataFrame(
+            [(d, r) for d, r in ranks.items()], "id long, rank int"
+        )
+        for name, ranks in lists.items()
+    }
+    got = rrf_fuse(dfs, k=k).collect()
+    # brute force
+    all_ids = sorted({d for ranks in lists.values() for d in ranks})
+    def score(d):
+        return sum(1.0 / (k + ranks[d]) for ranks in
+                   (lists[n] for n in sorted(lists)) if d in ranks)
+    def nl(d):
+        return sum(1 for ranks in lists.values() if d in ranks)
+    want = sorted(all_ids, key=lambda d: (-score(d), d))
+    assert [r["id"] for r in got] == want
+    for r in got:
+        assert r["n_lists"] == nl(r["id"])
+        assert abs(r["rrf_score"] - score(r["id"])) < 1e-15
+    assert [r["fused_rank"] for r in got] == list(range(1, len(want) + 1))
