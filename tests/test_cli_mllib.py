@@ -135,3 +135,53 @@ def test_cli_json_args_reach_engine(spark, tmp_path, capsys):
     ) == 0
     out = json.loads(capsys.readouterr().out)
     assert [r["id"] for r in out["rows"]] == [1]
+
+
+def test_cli_export_and_hybrid_reach_engine(spark, tmp_path, capsys):
+    """The r10 verbs/modes are reachable flag-for-flag through the CLI's
+    generic JSON arg path: EXPORT writes shards, hybrid SEARCH returns
+    fused rows — no CLI-side special-casing required."""
+    rc = cli_main(
+        ["--init-database", str(tmp_path), "--init-database-name", "clix"],
+        spark=spark,
+    )
+    assert rc == 0
+    db_path = json.loads(capsys.readouterr().out)["created"]
+    assert cli_main(
+        ["--database", db_path, "--collection", "c", "-e", "CREATE"], spark=spark
+    ) == 0
+    capsys.readouterr()
+    docs = json.dumps(
+        [
+            {"id": i, "embedding": [float(i), 1.0, 0.0],
+             "payload": f"spark hash join doc {i}", "meta": None}
+            for i in range(6)
+        ]
+    )
+    rows_path = tmp_path / "rows.json"
+    rows_path.write_text("\n".join(json.dumps(r) for r in json.loads(docs)))
+    assert cli_main(
+        ["--database", db_path, "--collection", "c", "-e", "BULKINSERT",
+         "-a", str(rows_path)],
+        spark=spark,
+    ) == 0
+    capsys.readouterr()
+    out_dir = tmp_path / "shards"
+    assert cli_main(
+        ["--database", db_path, "--collection", "c", "-e", "EXPORT",
+         "-a", json.dumps({"path": str(out_dir)})],
+        spark=spark,
+    ) == 0
+    info = json.loads(capsys.readouterr().out)["info"]
+    assert info["rows"] == 6 and info["format"] == "jsonl"
+    assert cli_main(
+        ["--database", db_path, "--collection", "c", "-e", "SEARCH",
+         "-a", json.dumps({"where": "true",
+                           "rank": {"bm25": "hash join",
+                                    "vector": [2.0, 1.0, 0.0]},
+                           "limit": 3})],
+        spark=spark,
+    ) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert len(out["rows"]) == 3
+    assert out["rows"][0]["fused_rank"] == 1
