@@ -20,7 +20,14 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-GATES = ["q28b_embedding_near_dup_bucketed", "q49_repetition_ratio"]
+#: The gates whose pins depend on float ORDERINGS each engine computes
+#: independently — the class that produced the r8/r9 driver reds: the
+#: two formerly-red gates plus q53 (its r10 hybrid leg ranks by cosine).
+GATES = [
+    "q28b_embedding_near_dup_bucketed",
+    "q49_repetition_ratio",
+    "q53_vocab_top_tokens",
+]
 
 RUNNER_BODY = r"""
 import os, sys
