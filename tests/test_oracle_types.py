@@ -1,0 +1,66 @@
+"""Oracle result-type hygiene guard (VERDICT r10 #2).
+
+DuckDB types any uncast integer ``sum()`` as HUGEINT (int128); a
+``UNION ALL`` spreads the widened type to the whole column, and the
+driver's pandas/Arrow fetch path renders HUGEINT as float64.  The
+driver's typed hash then sees ``59.0`` vs Spark's ``59`` — hash-red
+with rows/schema green.  ``fetchall()``-based checks (lossless Python
+ints) never catch this, which is how q28b/q49 stayed red for three
+rounds (r8–r10).
+
+This test lazily binds every registered oracle against the test
+parquet views and asserts each output column's DuckDB type is in the
+driver-safe set.  HUGEINT / UHUGEINT / DECIMAL / FLOAT / unsigned
+types all round-trip lossily (or as different dtypes than Spark's)
+through the driver's fetchdf path and are rejected here.
+
+No Spark session needed — DuckDB derives relation types without
+executing, so this runs in milliseconds per oracle.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tools.check_oracle import duck_connect
+from vrod_spark.queries import ORACLES
+
+# Types whose pandas/Arrow representation is identical to the matching
+# Spark result dtype on the driver's fetch path.  INTEGER is included:
+# 13 existing green gate columns produce it and it fetches as a lossless
+# int32.  Everything else (HUGEINT, DECIMAL(x,y), FLOAT, UTINYINT, ...)
+# either loses precision or silently changes dtype class.
+DRIVER_SAFE_TYPES = {
+    "BIGINT",
+    "INTEGER",
+    "SMALLINT",
+    "TINYINT",
+    "DOUBLE",
+    "VARCHAR",
+    "DATE",
+    "TIMESTAMP",
+    "BOOLEAN",
+}
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connect(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_output_types_are_driver_safe(name, duck):
+    rel = duck.sql(ORACLES[name])
+    bad = [
+        f"{col}: {t}"
+        for col, t in zip(rel.columns, rel.types)
+        if str(t) not in DRIVER_SAFE_TYPES
+    ]
+    assert not bad, (
+        f"{name} oracle produces driver-unsafe column types {bad}; "
+        "cast uncast integer aggregates (sum/CASE) to ::BIGINT — "
+        "DuckDB HUGEINT renders as float64 on the driver's pandas "
+        "fetch path and hash-mismatches Spark's int64 (VERDICT r10 #1)"
+    )

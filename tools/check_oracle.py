@@ -69,6 +69,24 @@ def main() -> int:
         dcols = [d[0] for d in drel.description]
         drows = drel.fetchall()
         problems = []
+        # Driver-visible type hygiene: the real gate fetches via
+        # pandas/Arrow, where DuckDB HUGEINT/DECIMAL render as float64
+        # and hash-mismatch Spark's int64 even when fetchall() values
+        # (lossless Python ints) agree.  Guard on the relation types so
+        # this tool sees what the driver sees (VERDICT r10 #1/#2).
+        dtypes = [str(t) for t in con.sql(ORACLES[name]).types]
+        unsafe = [
+            f"{c}:{t}"
+            for c, t in zip(dcols, dtypes)
+            if t not in {
+                "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
+                "VARCHAR", "DATE", "TIMESTAMP", "BOOLEAN",
+            }
+        ]
+        if unsafe:
+            problems.append(
+                f"driver-unsafe oracle types {unsafe} (add ::BIGINT casts)"
+            )
         if sorted(scols) != sorted(dcols):
             problems.append(f"columns spark={sorted(scols)} duck={sorted(dcols)}")
         if len(srows) != len(drows):

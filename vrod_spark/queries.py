@@ -1603,13 +1603,13 @@ def q28_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 50)
     UNION ALL
     SELECT 'semdedup', cid, count(*),
-           sum(CASE WHEN vec_id IN (SELECT vec_id FROM drp) THEN 0 ELSE 1 END),
+           sum(CASE WHEN vec_id IN (SELECT vec_id FROM drp) THEN 0 ELSE 1 END)::BIGINT,
            sum((round(ccos * 1e6))::BIGINT)::DOUBLE
     FROM rk GROUP BY cid
     UNION ALL
     SELECT 'edecon',
-           sum(CASE WHEN mx >= 0.95 THEN 1 ELSE 0 END),
-           sum(CASE WHEN mx >= 0.5 THEN 1 ELSE 0 END),
+           sum(CASE WHEN mx >= 0.95 THEN 1 ELSE 0 END)::BIGINT,
+           sum(CASE WHEN mx >= 0.5 THEN 1 ELSE 0 END)::BIGINT,
            count(*),
            0.0::DOUBLE
     FROM (
@@ -3187,7 +3187,7 @@ def q51_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'lines' AS metric, g AS doc_id,
            sum(n_lines - n_kept)::BIGINT AS v1,
-           sum(('0x' || substring(md5(new_text), 1, 15))::BIGINT % 1000003) AS v2,
+           sum(('0x' || substring(md5(new_text), 1, 15))::BIGINT % 1000003)::BIGINT AS v2,
            sum(n_lines)::BIGINT AS v3
     FROM lfull GROUP BY g
     ORDER BY metric, doc_id, v1
