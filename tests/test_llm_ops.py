@@ -3642,3 +3642,100 @@ def test_mmr_rerank_diversifies_planted_clusters(spark):
 
     with pytest.raises(ValueError):
         mmr_rerank(cand, q, k=2, lambda_=1.5)
+
+
+def test_mmr_rerank_l2_metric_and_dim_validation(spark):
+    """ADVICE r10: (a) metric="l2" with lambda=1 reproduces the
+    first-stage euclidean order even when vector norms differ (cosine
+    would invert it); (b) lambda=0 picks the point farthest from the
+    selected set; (c) query/candidate dimension mismatch is a clear
+    ValueError, not an opaque numpy shape error or silent truncation;
+    (d) unknown metrics are rejected."""
+    import pytest
+
+    from vrod_spark.operators.retrieval import mmr_rerank
+
+    # id=1 is euclidean-closest to q (dist 0.5) but slightly off-angle;
+    # id=2 is exactly parallel to q (cosine 1.0) but euclidean-far
+    # (tiny norm, dist ~14) — the two metrics order them oppositely.
+    cand = spark.createDataFrame(
+        [(1, [10.0, 10.5]), (2, [0.1, 0.1]), (3, [-10.0, -10.0])],
+        "id long, embedding array<double>",
+    )
+    q = [10.0, 10.0]
+    l2_order = [r["id"] for r in mmr_rerank(cand, q, k=3, lambda_=1.0, metric="l2").collect()]
+    assert l2_order == [1, 2, 3]
+    cos_order = [r["id"] for r in mmr_rerank(cand, q, k=3, lambda_=1.0, metric="cosine").collect()]
+    assert cos_order[0] == 2  # proves the two metrics genuinely differ here
+    # Pure diversity under l2: after the closest point (1), pick the
+    # candidate farthest from everything selected (3, not 2).
+    div = [r["id"] for r in mmr_rerank(cand, q, k=2, lambda_=0.0, metric="l2").collect()]
+    assert div[1] == 3
+    with pytest.raises(ValueError, match="dimension"):
+        mmr_rerank(cand, [1.0], k=2)
+    with pytest.raises(ValueError, match="dimension"):
+        mmr_rerank(cand, [1.0, 2.0, 3.0], k=2)
+    with pytest.raises(ValueError, match="metric"):
+        mmr_rerank(cand, q, k=2, metric="manhattan")
+
+
+def test_rrf_fuse_hostile_list_names_and_topk_zero(spark):
+    """ADVICE r10: list names containing '.', spaces, or backticks must
+    not break column resolution (internal score columns are positional),
+    and top_k=0 is an explicit error rather than a silent no-cap."""
+    import pytest
+
+    from vrod_spark.operators.retrieval import rrf_fuse
+
+    one = spark.createDataFrame([(10, 1), (11, 2)], "id long, rank int")
+    two = spark.createDataFrame([(11, 1), (12, 2)], "id long, rank int")
+    out = rrf_fuse({"bm25.v2": one, "ann `probe`": two}).collect()
+    assert out[0]["id"] == 11 and out[0]["n_lists"] == 2
+    assert {r["id"] for r in out} == {10, 11, 12}
+    with pytest.raises(ValueError, match="top_k"):
+        rrf_fuse({"a": one}, top_k=0)
+    with pytest.raises(ValueError, match="top_k"):
+        rrf_fuse({"a": one}, top_k=-3)
+
+
+def test_memo_column_concurrent_stale_eviction():
+    """ADVICE r10: two threads missing simultaneously after a session
+    restart must not race the stale-generation eviction (KeyError /
+    RuntimeError on concurrent dict mutation). Simulated by flipping
+    the session token underneath a thread pool; pure-python, no Spark."""
+    import threading
+
+    import vrod_spark.functions.memo as memo_mod
+
+    calls = {"n": 0}
+
+    @memo_mod.memo_column
+    def builder(x: int) -> tuple:
+        calls["n"] += 1
+        return ("col", x)
+
+    orig = memo_mod._session_token
+    tokens = ["app-A", "app-B"]
+    flip = {"i": 0}
+    memo_mod._session_token = lambda: tokens[flip["i"] % 2]
+    errors: list = []
+
+    def hammer(tid: int) -> None:
+        try:
+            for j in range(200):
+                if tid == 0 and j % 10 == 0:
+                    flip["i"] += 1  # simulate session restarts mid-flight
+                assert builder(j % 7) == ("col", j % 7)
+        except Exception as e:  # noqa: BLE001 — the race surfaces here
+            errors.append(e)
+
+    try:
+        threads = [threading.Thread(target=hammer, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        memo_mod._session_token = orig
+    assert not errors, errors
+    assert calls["n"] >= 7  # builder genuinely ran; memoized thereafter

@@ -804,6 +804,10 @@ class Engine:
                 lambda_=lam,
                 vec_col="embedding",
                 id_col="id",
+                # Rerank in the collection's declared metric so λ=1
+                # (pure relevance) reproduces the first-stage order on
+                # l2 collections too (ADVICE r10).
+                metric=col.meta.get("metric", "l2"),
             )
             df = (
                 sel.join(base.select("id", "payload"), "id")

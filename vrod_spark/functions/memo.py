@@ -21,6 +21,7 @@ millions.
 from __future__ import annotations
 
 import functools
+import threading
 
 _PRIMITIVES = (str, int, float, bool, bytes, frozenset, type(None))
 
@@ -61,6 +62,13 @@ def memo_column(fn):
     cache never grows across restarts nor serves a dead gateway's
     Columns."""
     cache: dict = {}
+    # Queries build these columns concurrently (per-key build locks in
+    # queries.py); two threads missing simultaneously after a session
+    # restart must not race the stale-eviction loop (ADVICE r10). The
+    # lock guards only the cache dict bookkeeping — the (idempotent)
+    # builder call runs outside it so concurrent DIFFERENT-key builds
+    # don't serialize on py4j round-trips.
+    lock = threading.Lock()
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
@@ -69,13 +77,16 @@ def memo_column(fn):
         ):
             token = _session_token()
             key = (token, args, tuple(sorted(kwargs.items())))
-            hit = cache.get(key)
-            if hit is None:
-                stale = [k for k in cache if k[0] != token]
-                for k in stale:
-                    del cache[k]
-                hit = cache[key] = fn(*args, **kwargs)
-            return hit
+            with lock:
+                hit = cache.get(key)
+                if hit is not None:
+                    return hit
+                for k in [k for k in cache if k[0] != token]:
+                    cache.pop(k, None)
+            built = fn(*args, **kwargs)
+            with lock:
+                # First writer wins so every caller shares one tree.
+                return cache.setdefault(key, built)
         return fn(*args, **kwargs)
 
     wrapper.__wrapped__ = fn

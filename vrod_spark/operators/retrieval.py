@@ -151,16 +151,25 @@ def rrf_fuse(
     """
     if not ranked:
         raise ValueError("rrf_fuse needs at least one ranked list")
+    if top_k is not None and int(top_k) <= 0:
+        raise ValueError(f"rrf_fuse top_k must be positive, got {top_k}")
+    # Internal score columns are POSITIONAL (_s_0, _s_1, ... over the
+    # sorted list names), never interpolated from caller-supplied names —
+    # a name containing '.', space, or backtick would otherwise break
+    # F.col resolution with an opaque AnalysisException (ADVICE r10).
+    names = sorted(ranked)
     fused = None
-    for name in sorted(ranked):
+    for i, name in enumerate(names):
         df = ranked[name].select(
             F.col(id_col).alias("id"),
-            (1.0 / (F.lit(float(k)) + F.col(rank_col))).alias(f"_s_{name}"),
+            (1.0 / (F.lit(float(k)) + F.col(rank_col))).alias(f"_s_{i}"),
         )
         fused = df if fused is None else fused.join(df, "id", "full_outer")
-    score_cols = [F.coalesce(F.col(f"_s_{n}"), F.lit(0.0)) for n in sorted(ranked)]
+    score_cols = [
+        F.coalesce(F.col(f"_s_{i}"), F.lit(0.0)) for i in range(len(names))
+    ]
     present = [
-        F.col(f"_s_{n}").isNotNull().cast("int") for n in sorted(ranked)
+        F.col(f"_s_{i}").isNotNull().cast("int") for i in range(len(names))
     ]
     score = score_cols[0]
     for c in score_cols[1:]:
@@ -176,7 +185,9 @@ def rrf_fuse(
         .withColumn("fused_rank", F.row_number().over(w))
         .select("id", "fused_rank", "rrf_score", "n_lists")
     )
-    return out.filter(F.col("fused_rank") <= int(top_k)) if top_k else out
+    if top_k is None:
+        return out
+    return out.filter(F.col("fused_rank") <= int(top_k))
 
 
 def mmr_rerank(
@@ -187,6 +198,7 @@ def mmr_rerank(
     lambda_: float = 0.5,
     vec_col: str = "embedding",
     id_col: str = "id",
+    metric: str = "cosine",
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
     SIGIR 1998): greedily select ``k`` of the candidate rows maximizing
@@ -195,7 +207,17 @@ def mmr_rerank(
 
     — the standard diversification pass over a first-stage retrieval
     list: near-duplicate hits stop crowding out novel ones. λ=1 is pure
-    relevance (first-stage order by cosine), λ=0 pure diversity.
+    relevance (first-stage order), λ=0 pure diversity.
+
+    ``metric`` matches the collection's declared distance ("cosine" or
+    "l2", the SEARCHSIMILAR metrics). For cosine, sim is the cosine of
+    unit-normalized vectors. For l2, sim is the NEGATED euclidean
+    distance (relevance = -‖q−d‖, penalty = -min distance to selected),
+    so λ=1 reproduces the first-stage l2 order exactly and λ=0 picks
+    the point farthest from everything already selected — the standard
+    distance-space MMR formulation (ADVICE r10: the previous
+    cosine-only rerank silently reordered l2 collections whose vector
+    norms differ).
 
     ``candidates`` must be a FIRST-STAGE LIST (top-k/pool sized, not a
     corpus) — the greedy argmax is inherently sequential, so the rows
@@ -206,13 +228,16 @@ def mmr_rerank(
     fusion), which stays distributed.
 
     Returns (id, mmr_rank, relevance, mmr_score) for the selected rows,
-    ordered by mmr_rank; ties break by id. NULL/zero-norm vectors score
-    relevance 0 and similarity 0 (they neither attract nor repel).
+    ordered by mmr_rank; ties break by id. Under cosine, NULL/zero-norm
+    vectors score relevance 0 and similarity 0 (they neither attract
+    nor repel); under l2 a NULL vector is treated as the origin point.
     """
     import numpy as np
 
     if not 0.0 <= float(lambda_) <= 1.0:
         raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"mmr_rerank metric must be 'cosine' or 'l2', got {metric!r}")
     rows = candidates.select(F.col(id_col).alias("id"), F.col(vec_col)).collect()
     ids = [r["id"] for r in rows]
     if not ids:
@@ -220,17 +245,34 @@ def mmr_rerank(
             [], "id long, mmr_rank int, relevance double, mmr_score double"
         )
     dim = max((len(r[vec_col]) for r in rows if r[vec_col] is not None), default=1)
+    q = np.asarray([float(x) for x in query_vector], dtype=np.float64)
+    # Validate dimensions up front: a short query vector would raise an
+    # opaque numpy shape error in the matmul below, a long one would be
+    # silently truncated without renormalizing (ADVICE r10). The engine
+    # path usually catches this via the declared-dimension check;
+    # direct callers and undeclared collections land here.
+    if len(q) != dim:
+        raise ValueError(
+            f"query vector dimension {len(q)} != candidate embedding "
+            f"dimension {dim}"
+        )
     mat = np.zeros((len(rows), dim), dtype=np.float64)
     for i, r in enumerate(rows):
         if r[vec_col] is not None:
             mat[i, : len(r[vec_col])] = np.asarray(r[vec_col], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    unit = mat / np.where(norms == 0, 1, norms)
-    q = np.asarray([float(x) for x in query_vector], dtype=np.float64)
-    qn = np.linalg.norm(q)
-    qu = q / (qn if qn else 1.0)
-    rel = unit @ qu[: unit.shape[1]]
-    sims = unit @ unit.T
+    if metric == "l2":
+        # Distance-space MMR: sim(a, b) = -‖a − b‖ so greater is more
+        # similar, matching the cosine branch's orientation.
+        diff = mat[:, None, :] - mat[None, :, :]
+        sims = -np.sqrt((diff * diff).sum(axis=2))
+        rel = -np.sqrt(((mat - q[None, :]) ** 2).sum(axis=1))
+    else:
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        unit = mat / np.where(norms == 0, 1, norms)
+        qn = np.linalg.norm(q)
+        qu = q / (qn if qn else 1.0)
+        rel = unit @ qu
+        sims = unit @ unit.T
     lam = float(lambda_)
     selected: list[int] = []
     remaining = list(range(len(ids)))

@@ -3945,8 +3945,12 @@ def q53_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the rrf score is a sum of exact rationals and deterministic, but
     # the pin policy keeps floats out of hashes. Rank-order margins
     # (adjacent cosine gaps vs cross-engine drift) are audited by
-    # tools/pin_margins.py.
-    from vrod_spark.operators.knn import knn_exact
+    # tools/pin_margins.py. Both engines rank the vector list on the
+    # SAME computed quantity — cosine similarity descending — because
+    # ordering Spark by dist = 1 - cos collapses ulp-level distinctions
+    # near cos ~ 1 (ulp at 1.0 is ~1.1e-16, twice the ulp just below
+    # it) that DuckDB's direct cos ordering preserves (ADVICE r10).
+    from vrod_spark.functions.vector import cosine_similarity, vector_lit
     from vrod_spark.operators.retrieval import rrf_fuse
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -3958,18 +3962,16 @@ def q53_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             for x in emb.filter("vec_id = 0").select("embedding").first()[0]
         ],
     )
-    vtop = (
-        knn_exact(
-            emb, qvec, k=20, vec_col="embedding", id_col="vec_id",
-            metric="cosine",
-        )
-        .select(F.col("vec_id").alias("id"), "dist")
-        .withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(F.col("dist").asc(), F.col("id").asc())),
-        )
-        .select("id", "rank")
-    )
+    vsim = emb.select(
+        F.col("vec_id").alias("id"),
+        cosine_similarity("embedding", vector_lit(qvec)).alias("sim"),
+    ).orderBy(F.col("sim").desc(), F.col("id").asc()).limit(20)
+    vtop = vsim.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("sim").desc(), F.col("id").asc())
+        ),
+    ).select("id", "rank")
     hybrid = rrf_fuse(
         {"bm25": bmr.select("id", "rank"), "vector": vtop}, k=60, top_k=10
     ).select(
