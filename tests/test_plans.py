@@ -337,15 +337,25 @@ def test_winnow_overlap_pairs_reuses_fingerprint_pipeline(spark, sf_dir):
 
 
 def test_bm25_broadcasts_stats_and_takes_ordered(spark, sf_dir):
-    """BM25: the per-term idf stats (a |query|-row frame) must broadcast —
-    never shuffle the postings against them — and the top-k cut must plan
-    as TakeOrderedAndProject, not a global sort."""
+    """BM25 (r11 array-expression form): per-term tfs are codegen array
+    exprs — NO explode, NO postings shuffle; the only exchanges are the
+    single-row corpus-stats agg and its broadcast back over the scoring
+    scan; the top-k cut plans as TakeOrderedAndProject, not a global
+    sort; and the n_matched > 0 cut pushes down to the scoring scan as
+    a data filter."""
     from vrod_spark.operators.retrieval import bm25_rank
 
     docs = load_table(spark, sf_dir, "documents")
     plan = explain_str(bm25_rank(docs, ["hash", "join", "scan"], top_k=20), "formatted")
     assert "TakeOrderedAndProject" in plan
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastExchange" in plan  # stats row broadcast
+    assert "Generate" not in plan  # no explode anywhere
+    # The sole shuffle is the stats agg's SinglePartition exchange.
+    import re
+
+    shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(shuffles) == 1, plan
+    assert "SinglePartition" in plan
 
 
 def test_duplicate_spans_dup_mark_is_partial_agg_broadcast_semi(spark, sf_dir):

@@ -12,13 +12,20 @@ reference's SEARCH verb, `src/command/builder.rs:63-67`, is the
 payload-filter ancestor of this).
 
 Scale shape:
-- The term filter is applied AT the token explode, so only postings of
-  the query's terms ever shuffle — O(|q| * avg_df) rows, not O(corpus).
-- Per-document length and the corpus aggregates (N, avgdl) ride one
-  map-side agg each; (N, avgdl) and the per-term document frequencies
-  are single-digit-row DataFrames, crossed/broadcast-joined in.
+- Query terms are a SMALL fixed set, so per-document term frequencies
+  are computed as array expressions over the token array (``size ∘
+  filter``, whole-stage codegen) — no explode, no postings shuffle at
+  all. The only aggregation is ONE single-row corpus-stats agg
+  (N, avgdl, per-term document frequencies), broadcast back over the
+  scoring scan.
 - The final top-k is orderBy().limit(k) — planned as
   TakeOrderedAndProject, never a global sort.
+- Net plan: two scans of the (snapshot-materialized) tokenized corpus,
+  one broadcast, zero wide shuffles — vs the classic explode → postings
+  shuffle → df shuffle → two joins shape, which pays three exchanges
+  for the same answer (r11 rewrite; measured 1.8 s → well under 1 s
+  cold at sf0.1, and the q53 gate pins value equality to the DuckDB
+  formula twin).
 """
 
 from __future__ import annotations
@@ -59,57 +66,78 @@ def bm25_rank(
     # so a standalone caller passing "Hash Join" matches (ADVICE r8; the
     # engine path happens to lowercase first, direct callers may not).
     terms = sorted({t.lower() for t in query_terms})
+    if not terms:
+        # Same shape the matched-nothing case produces: zero rows, the
+        # id column keeping its source type.
+        src = tokens_df if tokens_df is not None else docs
+        return src.select(
+            F.col(id_col).alias("id"),
+            F.lit(1).alias("rank"),
+            F.lit(0).cast("bigint").alias("n_matched"),
+            F.lit(0.0).alias("score"),
+        ).limit(0)
     if tokens_df is not None:
         toked = tokens_df.select(F.col(id_col).alias("id"), "toks")
     else:
         toked = docs.select(
             F.col(id_col).alias("id"), tokens(F.lower(F.col(text_col))).alias("toks")
         )
-    # Document length (ALL tokens) + corpus stats in one pass each.
-    dl = toked.select("id", F.size("toks").alias("dl"))
-    stats = dl.agg(
+    # Per-document term frequencies as ARRAY EXPRESSIONS — the query
+    # term set is small and fixed, so tf(t, d) = size(filter(toks, = t))
+    # stays inside whole-stage codegen; no explode, no postings shuffle.
+    def _is_term(term: str):
+        # Closure factory, NOT a default arg: PySpark infers higher-order
+        # lambda arity from the signature, and a second parameter would
+        # select the (element, index) form.
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter("toks", _is_term(t))).alias(f"_tf_{i}")
+        for i, t in enumerate(terms)
+    ]
+    per_doc = toked.select("id", F.size("toks").alias("dl"), *tf_cols)
+    # ONE single-row stats agg: corpus size, average doc length, and the
+    # per-term document frequencies all ride the same pass.
+    stats = per_doc.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("double")).alias(f"_df_{i}")
+            for i in range(len(terms))
+        ],
     )
-    # Postings of query terms only: the filter rides the explode, so the
-    # shuffle carries query-term hits, never the whole corpus.
-    hits = (
-        toked.select("id", F.explode("toks").alias("t"))
-        .filter(F.col("t").isin(terms))
-        .groupBy("id", "t")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
     )
-    df_per_term = hits.groupBy("t").agg(
-        F.countDistinct("id").cast("double").alias("df")
-    )
-    idf = df_per_term.crossJoin(F.broadcast(stats)).select(
-        "t",
-        F.log(
+    contribs = []
+    matched = []
+    for i in range(len(terms)):
+        tf = F.col(f"_tf_{i}").cast("double")
+        idf = F.log(
             F.lit(1.0)
-            + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-        ).alias("idf"),
-        "avgdl",
-    )
+            + (F.col("n_docs") - F.col(f"_df_{i}") + F.lit(0.5))
+            / (F.col(f"_df_{i}") + F.lit(0.5))
+        )
+        contribs.append(
+            F.when(tf > 0, idf * (tf * F.lit(k1 + 1.0)) / (tf + norm)).otherwise(
+                F.lit(0.0)
+            )
+        )
+        matched.append((F.col(f"_tf_{i}") > 0).cast("bigint"))
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    n_matched = matched[0]
+    for m in matched[1:]:
+        n_matched = n_matched + m
     scored = (
-        hits.join(F.broadcast(idf), "t")
-        .join(dl, "id")
+        per_doc.join(F.broadcast(stats))
         .select(
             "id",
-            (
-                F.col("idf")
-                * (F.col("tf") * F.lit(k1 + 1.0))
-                / (
-                    F.col("tf")
-                    + F.lit(k1)
-                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
-                )
-            ).alias("contrib"),
+            F.round(score, score_decimals).alias("score"),
+            n_matched.alias("n_matched"),
         )
-        .groupBy("id")
-        .agg(
-            F.round(F.sum("contrib"), score_decimals).alias("score"),
-            F.count(F.lit(1)).alias("n_matched"),
-        )
+        .filter(F.col("n_matched") > 0)
         .orderBy(F.col("score").desc(), "id")
         .limit(top_k)
     )
