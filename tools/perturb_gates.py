@@ -24,6 +24,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: independently — the class that produced the r8/r9 driver reds: the
 #: two formerly-red gates plus q53 (its r10 hybrid leg ranks by cosine).
 GATES = [
+    "q05_knn_metrics",  # r11: pq_exact engine leg orders by rescored l2
     "q28b_embedding_near_dup_bucketed",
     "q49_repetition_ratio",
     "q53_vocab_top_tokens",

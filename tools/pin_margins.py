@@ -122,6 +122,28 @@ def main() -> int:
          float(np.min(gaps)) if len(gaps) else float("inf"))
     )
 
+    # --- q05 legs (incl. the r11 pq_exact engine leg): the top-10 cut is
+    # a float ordering on l2 / cosine distance each engine computes
+    # independently. Audit adjacent distance gaps around the k=10
+    # boundary (top-12) and the distance of each kept value to the 4dp
+    # output rounding grid.
+    l2d = np.linalg.norm(mat - mat[ids == 0][0], axis=1)
+    for tag, vals in (("l2", l2d), ("cos", 1.0 - cos)):
+        srt = np.sort(vals)[:12]
+        dgaps = np.diff(srt)
+        dgaps = dgaps[dgaps > 0]
+        report.append(
+            (f"q05_{tag}_top10_gap_min",
+             float(np.min(dgaps)) if len(dgaps) else float("inf"))
+        )
+        d4 = srt[:10] * 1e4
+        # distance of each kept value to the nearest x.5 rounding
+        # boundary (where a 1-ulp drift flips the 4dp output)
+        report.append(
+            (f"q05_{tag}_round4_margin",
+             float(np.min(0.5 - np.abs(d4 - np.round(d4)))))
+        )
+
     # --- q49 top-20 ordering cuts (rank-20 vs rank-21 ratio gap) for all
     # three float-ordered LIMIT legs: repetition, dup_spans, decon_spans.
     _span_ctes = """

@@ -503,8 +503,15 @@ _KNN_ORACLE = """
       FROM embeddings e CROSS JOIN q
       ORDER BY 1.0 - list_cosine_similarity(e.embedding::DOUBLE[], q.qv), e.vec_id
       LIMIT 10
+    ),
+    pqx AS (
+      SELECT 'pq_exact' AS metric, e.vec_id,
+             round(list_distance(e.embedding::DOUBLE[], q.qv), 4) AS dist
+      FROM embeddings e CROSS JOIN q
+      ORDER BY list_distance(e.embedding::DOUBLE[], q.qv), e.vec_id
+      LIMIT 10
     )
-    SELECT * FROM l2 UNION ALL SELECT * FROM cos
+    SELECT * FROM l2 UNION ALL SELECT * FROM cos UNION ALL SELECT * FROM pqx
 """
 
 
@@ -535,8 +542,51 @@ def q05_knn_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return topk(l2_distance("embedding", vector_lit(qv)), "l2").unionByName(
-        topk(cosine_distance("embedding", vector_lit(qv)), "cosine")
+    # pq_exact leg (VERDICT r10 ask #8): the indexed ENGINE path's
+    # exact-path invariant, H-gated — a PQ index probed with a rescore
+    # budget covering the whole collection must reproduce the
+    # brute-force l2 top-10 bit-for-bit (ADC orders candidates, the
+    # exact rescore orders the answer; with full coverage any ADC
+    # quantization error must wash out). The DuckDB twin is the plain
+    # brute-force scan, so a wrong code assignment, a stale codebook,
+    # or a rescore bug all hash-mismatch. The engine build (CREATE →
+    # BULKINSERT → REINDEX pq) is session-shared; the SEARCHSIMILAR
+    # probe stays live in the plan.
+    def _build_pq_engine():
+        import tempfile
+
+        from vrod_spark.engine import Engine
+
+        eng = Engine.create(spark, tempfile.mkdtemp(), "pqexactgate")
+        eng.execute("CREATE", collection="emb")
+        records = emb.select(
+            F.col("vec_id").alias("id"),
+            "embedding",
+            F.col("label").cast("string").alias("payload"),
+            F.lit(None).cast("map<string,string>").alias("meta"),
+        )
+        eng.execute("BULKINSERT", collection="emb", arg=records)
+        eng.execute("REINDEX", collection="emb", arg={"kind": "pq"})
+        return eng
+
+    eng = _shared_scalar(
+        spark, ("pq_exact_engine", os.path.abspath(sf_dir)), _build_pq_engine
+    )
+    pq_leg = eng.execute(
+        "SEARCHSIMILAR",
+        collection="emb",
+        # k * rescore_factor must cover every row at any test SF
+        # (sf0.1 has 6k vectors; 10 * 10_000 = 100k candidates).
+        arg={"vector": qv, "k": 10, "rescore_factor": 10_000},
+    ).df.select(
+        F.lit("pq_exact").alias("metric"),
+        F.col("id").alias("vec_id"),
+        F.round("dist", 4).alias("dist"),
+    )
+    return (
+        topk(l2_distance("embedding", vector_lit(qv)), "l2")
+        .unionByName(topk(cosine_distance("embedding", vector_lit(qv)), "cosine"))
+        .unionByName(pq_leg)
     )
 
 
