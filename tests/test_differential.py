@@ -666,3 +666,60 @@ def test_differential_rrf_fuse_brute_force(spark, seed):
         assert r["n_lists"] == nl(r["id"])
         assert abs(r["rrf_score"] - score(r["id"])) < 1e-15
     assert [r["fused_rank"] for r in got] == list(range(1, len(want) + 1))
+
+
+@given(
+    n_docs=st.integers(min_value=1, max_value=20),
+    n_terms=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@SETTINGS
+def test_differential_bm25_array_form(spark, n_docs, n_terms, seed):
+    """The r11 array-expression bm25_rank vs a plain-Python Okapi BM25
+    on random corpora — empty documents (they still count toward
+    n_docs/avgdl), repeated terms, query terms absent from the whole
+    corpus (idf of df=0 must still be finite and the term contribute
+    nothing anywhere), and mixed-case query terms."""
+    import math
+    import random
+
+    from vrod_spark.operators.retrieval import bm25_rank
+
+    rng = random.Random(seed)
+    vocab = ["join", "hash", "scan", "sort", "Zeta", "omega"]
+    texts = {
+        i: " ".join(rng.choices(vocab, k=rng.randint(0, 8))).lower()
+        for i in range(n_docs)
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id bigint, text string"
+    )
+    # Mixed-case picks; "missing" never appears in any document.
+    terms = rng.sample(["Join", "HASH", "scan", "missing"], k=n_terms)
+    got = {r["id"]: r for r in bm25_rank(docs, terms, top_k=n_docs + 5).collect()}
+
+    tok = {i: t.split() for i, t in texts.items()}
+    n = len(texts)
+    avgdl = sum(len(v) for v in tok.values()) / n
+    k1, b = 1.2, 0.75
+    expect = {}
+    for i, toks in tok.items():
+        s, matched = 0.0, 0
+        for t in {x.lower() for x in terms}:
+            tf = toks.count(t)
+            if not tf:
+                continue
+            df = sum(1 for v in tok.values() if t in v)
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            s += idf * (tf * (k1 + 1)) / (
+                tf + k1 * (1 - b + b * len(toks) / avgdl)
+            )
+            matched += 1
+        if matched:
+            expect[i] = (round(s, 4), matched)
+    assert set(got) == set(expect)
+    for i, (s, m) in expect.items():
+        assert abs(got[i]["score"] - s) < 1e-9, i
+        assert got[i]["n_matched"] == m, i
+    order = sorted(expect, key=lambda i: (-expect[i][0], i))
+    assert [got[i]["rank"] for i in order] == list(range(1, len(order) + 1))

@@ -2406,3 +2406,41 @@ def test_searchsimilar_batch_rejects_diversify(engine, spark, sf_dir):
             collection="bdv",
             arg={"vectors": [qvec], "k": 3, "diversify": 0.5},
         )
+
+
+def test_searchsimilar_diversify_respects_l2_metric(engine, spark):
+    """ADVICE r10 end-to-end: on an (default) l2 collection whose vector
+    NORMS differ, diversify with lambda=1 must reproduce the plain
+    first-stage l2 order. The planted geometry makes cosine and l2
+    disagree: id 1 is euclidean-closest to the query but off-angle,
+    id 2 is exactly parallel (cosine 1.0) but euclidean-far — the old
+    cosine-only rerank put id 2 first."""
+    from vrod_spark.localdf import local_df
+
+    engine.execute("CREATE", collection="mmrl2")
+    rows = [
+        (1, [10.0, 10.5], "near", None),
+        (2, [0.1, 0.1], "parallel", None),
+        (3, [-10.0, -10.0], "far", None),
+    ]
+    engine.execute(
+        "BULKINSERT",
+        collection="mmrl2",
+        arg=local_df(
+            spark,
+            rows,
+            "id long, embedding array<float>, payload string, "
+            "meta map<string,string>",
+        ),
+    )
+    q = [10.0, 10.0]
+    plain = engine.execute(
+        "SEARCHSIMILAR", collection="mmrl2", arg={"vector": q, "k": 3}
+    ).df.collect()
+    assert [r["id"] for r in plain] == [1, 2, 3]
+    pure = engine.execute(
+        "SEARCHSIMILAR",
+        collection="mmrl2",
+        arg={"vector": q, "k": 3, "diversify": {"lambda": 1.0, "pool": 3}},
+    ).df.collect()
+    assert [r["id"] for r in pure] == [1, 2, 3]
