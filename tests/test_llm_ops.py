@@ -3739,3 +3739,48 @@ def test_memo_column_concurrent_stale_eviction():
         memo_mod._session_token = orig
     assert not errors, errors
     assert calls["n"] >= 7  # builder genuinely ran; memoized thereafter
+
+
+def test_q05_pq_exact_gate_is_load_bearing(spark, sf_dir):
+    """r11 self-review: the q05 pq_exact leg's ADC budget (256 < every
+    collection size) must make the PQ machinery load-bearing — with the
+    real seeded codebooks the budgeted rescore reproduces brute force,
+    and with deliberately WRONG codebooks (shifted far off the data
+    manifold so the ADC ordering is garbage) it must NOT. A full-
+    coverage budget would pass both and gate nothing."""
+    import numpy as np
+
+    from vrod_spark.functions.vector import l2_distance, vector_lit
+    from vrod_spark.operators.pq import pq_code_expr, pq_search, pq_train
+    from vrod_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+
+    def rescored_top10(cb):
+        codes = emb.select("vec_id", pq_code_expr(spark, cb).alias("code"))
+        cand = pq_search(codes, cb, qv, top_k=256, id_col="vec_id")
+        return [
+            r["vec_id"]
+            for r in emb.join(cand.select("vec_id"), "vec_id")
+            .select(
+                "vec_id", l2_distance("embedding", vector_lit(qv)).alias("d")
+            )
+            .orderBy("d", "vec_id")
+            .limit(10)
+            .collect()
+        ]
+
+    brute = [
+        r["vec_id"]
+        for r in emb.select(
+            "vec_id", l2_distance("embedding", vector_lit(qv)).alias("d")
+        )
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    good = pq_train(emb, vec_col="embedding", sample_size=1024, iters=4)
+    assert rescored_top10(good) == brute
+    bad = -np.asarray(good) * 50.0 + 100.0
+    assert rescored_top10(bad) != brute

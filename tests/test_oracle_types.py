@@ -22,25 +22,13 @@ from __future__ import annotations
 
 import pytest
 
-from tools.check_oracle import duck_connect
+# Single source of truth for the driver-safe type set lives next to the
+# gate tool so the test and the tool can never drift apart.  INTEGER is
+# included: 13 existing green gate columns produce it and it fetches as
+# a lossless int32.  Everything else (HUGEINT, DECIMAL(x,y), FLOAT,
+# UTINYINT, ...) either loses precision or silently changes dtype class.
+from tools.check_oracle import DRIVER_SAFE_TYPES, duck_connect
 from vrod_spark.queries import ORACLES
-
-# Types whose pandas/Arrow representation is identical to the matching
-# Spark result dtype on the driver's fetch path.  INTEGER is included:
-# 13 existing green gate columns produce it and it fetches as a lossless
-# int32.  Everything else (HUGEINT, DECIMAL(x,y), FLOAT, UTINYINT, ...)
-# either loses precision or silently changes dtype class.
-DRIVER_SAFE_TYPES = {
-    "BIGINT",
-    "INTEGER",
-    "SMALLINT",
-    "TINYINT",
-    "DOUBLE",
-    "VARCHAR",
-    "DATE",
-    "TIMESTAMP",
-    "BOOLEAN",
-}
 
 
 @pytest.fixture(scope="module")

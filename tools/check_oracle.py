@@ -21,6 +21,18 @@ from vrod_spark.session import get_spark
 from vrod_spark.sources.tables import TABLE_NAMES
 
 
+#: DuckDB result types whose pandas/Arrow representation matches the
+#: corresponding Spark dtype on the driver's fetch path. Anything else
+#: (HUGEINT, DECIMAL, FLOAT, unsigned ints) round-trips lossily or as a
+#: different dtype class and hash-mismatches even when values agree —
+#: the q28b/q49 r8-r10 bug class. Single source of truth: the
+#: tests/test_oracle_types.py guard imports this set.
+DRIVER_SAFE_TYPES = {
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
+    "VARCHAR", "DATE", "TIMESTAMP", "BOOLEAN",
+}
+
+
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for name in TABLE_NAMES:
@@ -78,10 +90,7 @@ def main() -> int:
         unsafe = [
             f"{c}:{t}"
             for c, t in zip(dcols, dtypes)
-            if t not in {
-                "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
-                "VARCHAR", "DATE", "TIMESTAMP", "BOOLEAN",
-            }
+            if t not in DRIVER_SAFE_TYPES
         ]
         if unsafe:
             problems.append(

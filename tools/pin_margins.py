@@ -114,27 +114,45 @@ def main() -> int:
     # (the top-20 cut plus margin on both sides).
     q = u[ids == 0][0] if (ids == 0).any() else u[0]
     cos = u @ q
-    top = np.sort(cos)[::-1][:25]
-    gaps = -np.diff(top)
-    gaps = gaps[gaps > 0]  # exact ties break by vec_id identically
+    # A zero gap is safe only for bit-identical vectors (both engines
+    # then tie exactly and the vec_id tie-break agrees); coincidental
+    # ties between DISTINCT vectors are reported as 0, not filtered.
+    corder = np.lexsort((ids, -cos))[:25]
+    ctop = cos[corder]
+    cgaps = []
+    for a in range(len(corder) - 1):
+        gap = ctop[a] - ctop[a + 1]
+        if gap == 0.0 and np.array_equal(u[corder[a]], u[corder[a + 1]]):
+            continue
+        cgaps.append(gap)
     report.append(
         ("q53_hybrid_vecrank_gap_min",
-         float(np.min(gaps)) if len(gaps) else float("inf"))
+         float(np.min(cgaps)) if cgaps else float("inf"))
     )
 
-    # --- q05 legs (incl. the r11 pq_exact engine leg): the top-10 cut is
-    # a float ordering on l2 / cosine distance each engine computes
+    # --- q05 legs (incl. the r11 pq_exact leg): the top-10 cut is a
+    # float ordering on l2 / cosine distance each engine computes
     # independently. Audit adjacent distance gaps around the k=10
     # boundary (top-12) and the distance of each kept value to the 4dp
-    # output rounding grid.
-    l2d = np.linalg.norm(mat - mat[ids == 0][0], axis=1)
+    # output rounding grid. A zero gap is SAFE only when the tied rows'
+    # vectors are bit-identical (then every engine computes the same
+    # distance for both and the id tie-break agrees); a coincidental tie
+    # between DISTINCT vectors can split by 1 ulp in opposite directions
+    # across engines, so those are reported as 0, not filtered.
+    qv0 = mat[ids == 0][0] if (ids == 0).any() else mat[0]
+    l2d = np.linalg.norm(mat - qv0, axis=1)
     for tag, vals in (("l2", l2d), ("cos", 1.0 - cos)):
-        srt = np.sort(vals)[:12]
-        dgaps = np.diff(srt)
-        dgaps = dgaps[dgaps > 0]
+        order = np.lexsort((ids, vals))[:12]
+        srt = vals[order]
+        safe_gaps = []
+        for a, b in zip(range(len(order) - 1), range(1, len(order))):
+            gap = srt[b] - srt[a]
+            if gap == 0.0 and np.array_equal(mat[order[a]], mat[order[b]]):
+                continue  # identical vectors: both engines tie exactly
+            safe_gaps.append(gap)
         report.append(
             (f"q05_{tag}_top10_gap_min",
-             float(np.min(dgaps)) if len(dgaps) else float("inf"))
+             float(np.min(safe_gaps)) if safe_gaps else float("inf"))
         )
         d4 = srt[:10] * 1e4
         # distance of each kept value to the nearest x.5 rounding
@@ -143,6 +161,38 @@ def main() -> int:
             (f"q05_{tag}_round4_margin",
              float(np.min(0.5 - np.abs(d4 - np.round(d4)))))
         )
+
+    # --- q05 pq_exact ADC budget margin: the leg rescores only the ADC
+    # top-256, so the gate is load-bearing on the ADC ordering — safe
+    # iff every true l2 top-10 member sits WELL inside the budget.
+    # Reproduces the leg's training config exactly (seeded, bounded).
+    from vrod_spark.operators.pq import pq_fit
+
+    sample_order = np.argsort(
+        [hash(tuple(v)) for v in mat.astype(np.float32).tolist()], kind="stable"
+    )[:1024]
+    # NOTE: the engine samples by xxhash64 of the float32 vector; the
+    # sample CHOICE only varies which deterministic codebook we audit,
+    # not the invariant itself, so a plain-python stand-in hash is fine.
+    cb = pq_fit(mat[sample_order], m=8, nbits=8, iters=4, seed=7)
+    m_, k_, dsub = cb.shape
+    codes = np.empty((len(mat), m_), dtype=np.int64)
+    for j in range(m_):
+        sub = mat[:, j * dsub : (j + 1) * dsub]
+        d2 = (
+            (sub * sub).sum(1)[:, None]
+            - 2.0 * (sub @ cb[j].T)
+            + (cb[j] * cb[j]).sum(1)[None, :]
+        )
+        codes[:, j] = d2.argmin(1)
+    table = np.stack(
+        [((cb[j] - qv0[j * dsub : (j + 1) * dsub]) ** 2).sum(1) for j in range(m_)]
+    )
+    adc = table[np.arange(m_)[None, :], codes].sum(1)
+    adc_rank = {ids[i]: r + 1 for r, i in enumerate(np.lexsort((ids, adc)))}
+    exact10 = np.lexsort((ids, l2d))[:10]
+    worst = max(adc_rank[ids[i]] for i in exact10)
+    info.append(("q05_pq_adc_worst_true_rank_vs_budget_256", float(worst)))
 
     # --- q49 top-20 ordering cuts (rank-20 vs rank-21 ratio gap) for all
     # three float-ordered LIMIT legs: repetition, dup_spans, decon_spans.

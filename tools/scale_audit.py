@@ -87,14 +87,19 @@ def main() -> int:
         for sf, shuf, bc, wall in rows:
             print(f"{name:<34} {sf:>7} {shuf:>5} {bc:>6} {wall:>8.2f}")
         shufs = {r[1] for r in rows}
-        bcs = [r[2] for r in rows]
+        bcs = [r[2] for r in rows]  # ordered small SF → large SF
         if len(shufs) > 1:
             failures += 1
             print(f"{name}: FAIL — shuffle-exchange count varies with SF: "
                   f"{[r[1] for r in rows]}")
-        if bcs != sorted(bcs, reverse=True) and len(set(bcs)) > 1:
-            # more broadcasts at SMALL sf is fine (CBO flip); fewer at
-            # small sf than large would be odd — surface it either way
+        if any(b < bcs[0] for b in bcs[1:]):
+            # FEWER broadcasts at a LARGER sf = a broadcast silently
+            # degraded as the data grew — the classic 100 TB cliff.
+            failures += 1
+            print(f"{name}: FAIL — broadcast count drops as SF grows: {bcs}")
+        elif len(set(bcs)) > 1:
+            # more broadcasts at larger sf (CBO flip toward broadcast)
+            # is not a scaling hazard — report as info.
             print(f"{name}: info — broadcast counts across SFs: {bcs}")
     print(f"\n{len(names) - failures}/{len(names)} shape-stable")
     return 1 if failures else 0

@@ -272,28 +272,47 @@ def mmr_rerank(
         return candidates.sparkSession.createDataFrame(
             [], "id long, mmr_rank int, relevance double, mmr_score double"
         )
-    dim = max((len(r[vec_col]) for r in rows if r[vec_col] is not None), default=1)
+    dims = {len(r[vec_col]) for r in rows if r[vec_col] is not None}
+    dim = max(dims, default=None)
     q = np.asarray([float(x) for x in query_vector], dtype=np.float64)
     # Validate dimensions up front: a short query vector would raise an
     # opaque numpy shape error in the matmul below, a long one would be
     # silently truncated without renormalizing (ADVICE r10). The engine
     # path usually catches this via the declared-dimension check;
-    # direct callers and undeclared collections land here.
-    if len(q) != dim:
+    # direct callers and undeclared collections land here. A pool with
+    # NO vectors at all (text-only collection) keeps its pre-r10
+    # behavior — every candidate scores relevance 0 / sim 0 under
+    # cosine, distance-to-origin under l2 — rather than failing a
+    # meaningless dimension check.
+    if dim is not None and len(q) != dim:
         raise ValueError(
             f"query vector dimension {len(q)} != candidate embedding "
             f"dimension {dim}"
         )
+    if dim is None:
+        dim = len(q)
     mat = np.zeros((len(rows), dim), dtype=np.float64)
     for i, r in enumerate(rows):
         if r[vec_col] is not None:
             mat[i, : len(r[vec_col])] = np.asarray(r[vec_col], dtype=np.float64)
     if metric == "l2":
         # Distance-space MMR: sim(a, b) = -‖a − b‖ so greater is more
-        # similar, matching the cosine branch's orientation.
-        diff = mat[:, None, :] - mat[None, :, :]
-        sims = -np.sqrt((diff * diff).sum(axis=2))
-        rel = -np.sqrt(((mat - q[None, :]) ** 2).sum(axis=1))
+        # similar, matching the cosine branch's orientation. Gram-matrix
+        # identity (‖a−b‖² = ‖a‖² + ‖b‖² − 2a·b) keeps this O(n²)
+        # driver memory — the broadcasted (n, n, d) difference tensor
+        # would be ~100 GB at pool=4000, d=768 (r11 self-review). The
+        # query rides the SAME gram matrix as the candidates (one gemm,
+        # q as the last row): when the query coincides with a pool
+        # vector — the exact-duplicate dedup scenario — d(x, q) and
+        # d(x, dup) must be byte-identical, or the ±ulp gemm/gemv
+        # disagreement is amplified by sqrt at 0 into noise that decides
+        # ranks.
+        ext = np.vstack([mat, q[None, :]])
+        sq = (ext * ext).sum(axis=1)
+        g = ext @ ext.T
+        d = np.sqrt(np.maximum(sq[:, None] + sq[None, :] - 2.0 * g, 0.0))
+        sims = -d[:-1, :-1]
+        rel = -d[:-1, -1]
     else:
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         unit = mat / np.where(norms == 0, 1, norms)

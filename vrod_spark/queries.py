@@ -544,18 +544,23 @@ def q05_knn_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # pq_exact leg (VERDICT r10 ask #8): the PQ index path's exact-path
     # invariant, H-gated — train codebooks, encode every vector, ADC-scan
-    # with a candidate budget covering the whole collection, then exact-
-    # rescore: the top-10 must reproduce the brute-force l2 top-10
-    # bit-for-bit (with full coverage any ADC quantization error must
-    # wash out in the rescore). The DuckDB twin is the plain brute-force
-    # scan, so a wrong code assignment, a stale codebook, a broken ADC
-    # table, or a rescore bug all hash-mismatch. Deliberately the
-    # OPERATOR composition (pq_train → pq_code_expr → pq_search →
-    # rescore), not the engine's storage verbs: CREATE/BULKINSERT/
-    # REINDEX cost ~8 s of write-job floors per session and are already
-    # gated by q39 (R) + q48 (H); the algorithmic invariant is here.
-    # Codebook training (bounded deterministic sample) is session-shared
-    # snapshot state; encode + ADC + rescore stay live in the plan.
+    # to a candidate budget STRICTLY SMALLER than the collection, then
+    # exact-rescore: the top-10 must reproduce the brute-force l2 top-10.
+    # The budget makes the ADC ordering LOAD-BEARING (a full-coverage
+    # budget would let any garbage codebook pass — the rescore alone
+    # reproduces brute force; r11 self-review): the true top-10's worst
+    # ADC rank is 41/22/73 at sf0.001/0.01/0.1 (collection sizes
+    # 500/500/2000), measured by tools/pin_margins.py, so budget 256
+    # stays below every collection size with ≥3.5× rank margin —
+    # deterministic for the seeded training on immutable data. A wrong
+    # code assignment, stale codebook, broken ADC table, or rescore bug
+    # all push true neighbors past the cut and hash-mismatch the DuckDB
+    # brute-force twin. Deliberately the OPERATOR composition (pq_train
+    # → pq_code_expr → pq_search → rescore), not the engine's storage
+    # verbs: CREATE/BULKINSERT/REINDEX cost ~8 s of write-job floors per
+    # session and are already gated by q39 (R) + q48 (H). Codebook
+    # training (bounded deterministic sample) is session-shared snapshot
+    # state; encode + ADC + rescore stay live in the plan.
     from vrod_spark.operators.pq import pq_code_expr, pq_search, pq_train
 
     # Small bounded training config: with full-coverage rescore the
@@ -569,9 +574,7 @@ def q05_knn_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: pq_train(emb, vec_col="embedding", sample_size=1024, iters=4),
     )
     codes = emb.select("vec_id", pq_code_expr(spark, cb).alias("code"))
-    # Candidate budget >= collection size at any test SF (sf0.1 has 6k
-    # vectors) — full coverage makes the rescored answer exact.
-    cand = pq_search(codes, cb, qv, top_k=100_000, id_col="vec_id")
+    cand = pq_search(codes, cb, qv, top_k=256, id_col="vec_id")
     pq_leg = (
         emb.join(cand.select("vec_id"), "vec_id")
         .select(
@@ -4292,7 +4295,7 @@ def q48_dedup_engine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         eng.execute("BULKINSERT", collection="docs", arg=docs.unionByName(planted))
         ingest_version = eng.db.collection("docs").version
         eng.execute("DEDUP", collection="docs")
-        shard_dir = _os.path.join(tempfile.mkdtemp(), "shards")
+        shard_dir = os.path.join(tempfile.mkdtemp(), "shards")
         eng.execute(
             "EXPORT",
             collection="docs",
@@ -4304,10 +4307,8 @@ def q48_dedup_engine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return eng, ingest_version
 
-    import os as _os
-
     eng, ingest_version = _shared_scalar(
-        spark, ("q48_engine", _os.path.abspath(sf_dir)), _build_engine
+        spark, ("q48_engine", os.path.abspath(sf_dir)), _build_engine
     )
     survivors = eng.db.collection("docs").read()
     dedup_leg = survivors.agg(
