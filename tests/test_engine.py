@@ -2444,3 +2444,23 @@ def test_searchsimilar_diversify_respects_l2_metric(engine, spark):
         arg={"vector": q, "k": 3, "diversify": {"lambda": 1.0, "pool": 3}},
     ).df.collect()
     assert [r["id"] for r in pure] == [1, 2, 3]
+
+
+def test_engine_create_pyarrow_v0_schema(engine, spark):
+    """The pyarrow-written empty v0 snapshot must read back with EXACTLY
+    the schema the Spark writer would have produced, and union cleanly
+    with insert frames (r11: CREATE no longer pays a Spark write job)."""
+    from vrod_spark.catalog import RECORD_SCHEMA
+
+    engine.execute("CREATE", collection="v0check")
+    col = engine.db.collection("v0check")
+    back = col.read()
+    assert back.schema == spark.createDataFrame([], RECORD_SCHEMA).schema
+    assert back.count() == 0
+    engine.execute(
+        "INSERT",
+        collection="v0check",
+        arg=[{"id": 1, "embedding": [1.0, 2.0], "payload": "x",
+              "meta": {"a": "b"}}],
+    )
+    assert engine.db.collection("v0check").read().count() == 1

@@ -129,6 +129,36 @@ class Database:
     def collection_path(self, name: str) -> str:
         return os.path.join(self.path, name)
 
+    def _write_empty_snapshot(self, v0_path: str, schema: str) -> None:
+        """Write the committed empty v0 parquet WITHOUT a Spark job.
+
+        ``spark.createDataFrame([], ddl).write.parquet(...)`` costs a
+        full write job (~0.5 s warmed, ~2 s on the session's first
+        write) to materialize zero rows; a CREATE-heavy path (the q39
+        gate builds five collections) pays it per collection. PyArrow
+        writes the identical empty file in ~10 ms, using Spark's OWN
+        DDL→Arrow schema mapping so the on-disk schema is exactly what
+        the Spark writer would produce (asserted equal in
+        test_engine_create_pyarrow_v0_schema). Falls back to the Spark
+        writer if the Arrow conversion rejects an exotic type."""
+        try:
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import to_arrow_schema
+            from pyspark.sql.types import StructType
+
+            arrow_schema = to_arrow_schema(StructType.fromDDL(schema))
+            os.makedirs(v0_path, exist_ok=True)
+            pq.write_table(
+                arrow_schema.empty_table(),
+                os.path.join(v0_path, "part-00000.parquet"),
+            )
+            with open(os.path.join(v0_path, "_SUCCESS"), "w"):
+                pass
+        except Exception:
+            self.spark.createDataFrame([], schema).write.mode(
+                "overwrite"
+            ).parquet(v0_path)
+
     def create_collection(
         self,
         name: str,
@@ -162,18 +192,18 @@ class Database:
         # partitioned collections v0 is written partitioned (only _SUCCESS
         # materializes) so the layout never mixes root data files with
         # pk= partition directories — Spark rejects such mixed trees.
-        empty = self.spark.createDataFrame([], schema)
         if partition_by:
             from pyspark.sql import functions as F
 
             (
-                empty.withColumn("pk", F.lit(None).cast("string"))
+                self.spark.createDataFrame([], schema)
+                .withColumn("pk", F.lit(None).cast("string"))
                 .write.partitionBy("pk")
                 .mode("overwrite")
                 .parquet(os.path.join(path, "v0"))
             )
         else:
-            empty.write.mode("overwrite").parquet(os.path.join(path, "v0"))
+            self._write_empty_snapshot(os.path.join(path, "v0"), schema)
         self._wal_append({"op": "CREATE", "collection": name, "ts": time.time()})
         return Collection(self, name)
 
