@@ -260,7 +260,12 @@ class Engine:
                 return v
 
             rows = [tuple(_coerce(r, f) for f in schema.fields) for r in rows]
-            df = self.spark.createDataFrame(rows, schema)
+            # Arrow path: the pickled-RDD list scan costs ~1.3 s PER
+            # EXECUTION (vrod_spark/localdf.py), and the COW append
+            # executes this frame.
+            from vrod_spark.localdf import local_df
+
+            df = local_df(self.spark, rows, col.meta["schema"])
 
         info: dict[str, Any] = {"collection": col.name}
         if on_conflict != "append":
