@@ -362,3 +362,78 @@ def test_h264_cavlc_roundtrip_property(seed, qp, smooth):
         assert (w4, h4) == (32, 32)
         err4 = np.abs(p4[0].astype(int) - img.astype(int))
         assert err4.max() <= 2 ** (qp // 6 + 1), (seed, qp, mps, err4.max())
+
+
+# --- model-based random mutation sequences (r11) ---------------------------
+# A random sequence of INSERT(on_conflict=replace/ignore) / UPDATE /
+# DELETE / DEDUP verbs mirrored against a plain Python dict model; after
+# every sequence the collection's (id -> payload) state must equal the
+# model exactly. Catches cross-verb interactions (a replace after a
+# delete, dedup after an update rewrote payloads) that per-verb tests
+# never sequence.
+
+_op = st.one_of(
+    st.tuples(st.just("insert_replace"), st.integers(0, 9), st.text("abc", max_size=4)),
+    st.tuples(st.just("insert_ignore"), st.integers(0, 9), st.text("abc", max_size=4)),
+    st.tuples(st.just("update"), st.integers(0, 9), st.text("xyz", min_size=1, max_size=4)),
+    st.tuples(st.just("delete"), st.integers(0, 9), st.just("")),
+    st.tuples(st.just("dedup"), st.just(0), st.just("")),
+)
+
+
+@given(ops=st.lists(_op, min_size=1, max_size=5), seed=st.integers(0, 1000))
+@SETTINGS
+def test_engine_mutation_sequence_matches_model(spark, tmp_path_factory, ops, seed):
+    _counter["n"] += 1
+    eng = Engine.create(
+        spark, str(tmp_path_factory.mktemp(f"model{_counter['n']}")), "db"
+    )
+    eng.execute("CREATE", collection="m")
+    # seed rows 0..3 with distinct payloads (dedup keeps them all)
+    model: dict[int, str] = {i: f"seed{i}{seed % 7}" for i in range(4)}
+    eng.execute(
+        "INSERT",
+        collection="m",
+        arg=[{"id": i, "payload": p} for i, p in model.items()],
+    )
+    for verb, rid, text in ops:
+        if verb == "insert_replace":
+            eng.execute(
+                "INSERT",
+                collection="m",
+                arg={"rows": [{"id": rid, "payload": text}],
+                     "on_conflict": "replace"},
+            )
+            model[rid] = text
+        elif verb == "insert_ignore":
+            eng.execute(
+                "INSERT",
+                collection="m",
+                arg={"rows": [{"id": rid, "payload": text}],
+                     "on_conflict": "ignore"},
+            )
+            model.setdefault(rid, text)
+        elif verb == "update":
+            eng.execute(
+                "UPDATE",
+                collection="m",
+                arg={"where": f"id = {rid}", "set": {"payload": f"'{text}'"}},
+            )
+            if rid in model:
+                model[rid] = text
+        elif verb == "delete":
+            eng.execute("DELETE", collection="m", arg=f"id = {rid}")
+            model.pop(rid, None)
+        elif verb == "dedup":
+            eng.execute("DEDUP", collection="m")
+            # exact dedup on normalized payload, keep smallest id
+            keep: dict[str, int] = {}
+            for i in sorted(model):
+                key = model[i].strip().lower()
+                keep.setdefault(key, i)
+            model = {i: model[i] for i in keep.values()}
+    got = {
+        r["id"]: r["payload"]
+        for r in eng.db.collection("m").read().select("id", "payload").collect()
+    }
+    assert got == model
