@@ -2464,3 +2464,85 @@ def test_engine_create_pyarrow_v0_schema(engine, spark):
               "meta": {"a": "b"}}],
     )
     assert engine.db.collection("v0check").read().count() == 1
+
+
+def test_export_since_version_incremental(engine, spark, sf_dir, tmp_path):
+    """Incremental EXPORT (r11): only rows added after since_version ship.
+
+    Covers both read_delta paths: (a) append-only history -> the
+    file-level O(delta) fast path (new files only, no snapshot scan);
+    (b) a DEDUP rewrite in between -> the anti-join fallback (ids absent
+    at the old snapshot). Also the validation: version + since_version
+    together are rejected."""
+    import pytest
+
+    from vrod_spark.errors import CommandArgError
+
+    engine.execute("CREATE", collection="inc")
+    engine.execute(
+        "INSERT",
+        collection="inc",
+        arg=[{"id": i, "payload": f"base{i}"} for i in range(5)],
+    )
+    v_base = engine.db.collection("inc").version
+    engine.execute(
+        "INSERT",
+        collection="inc",
+        arg=[{"id": 100 + i, "payload": f"new{i}"} for i in range(3)],
+    )
+    # (a) append-only fast path
+    out = str(tmp_path / "inc1")
+    info = engine.execute(
+        "EXPORT",
+        collection="inc",
+        arg={"path": out, "columns": ["id", "payload"],
+             "since_version": v_base},
+    ).info
+    assert info["rows"] == 3
+    back = {r["id"]: r["payload"] for r in spark.read.json(out).collect()}
+    assert back == {100: "new0", 101: "new1", 102: "new2"}
+    # the append-only delta must be the FILE-LEVEL fast path: a plain
+    # scan of the new files, no anti-join against the old snapshot
+    from vrod_spark.plans.inspect import explain_str
+
+    plan_a = explain_str(engine.db.collection("inc").read_delta(v_base))
+    assert "Join" not in plan_a
+    # (b) rewrite in between -> anti-join fallback, same answer
+    engine.execute(
+        "INSERT",
+        collection="inc",
+        arg={"rows": [{"id": 0, "payload": "base0"}], "on_conflict": "ignore"},
+    )
+    engine.execute("DEDUP", collection="inc")  # rewrite: renames all files
+    engine.execute(
+        "INSERT", collection="inc", arg=[{"id": 200, "payload": "late"}]
+    )
+    out2 = str(tmp_path / "inc2")
+    info2 = engine.execute(
+        "EXPORT",
+        collection="inc",
+        arg={"path": out2, "columns": ["id", "payload"],
+             "since_version": v_base},
+    ).info
+    got2 = {r["id"] for r in spark.read.json(out2).collect()}
+    assert got2 == {100, 101, 102, 200}
+    assert info2["rows"] == 4
+    # after the rewrite the WAL shows a non-append commit -> anti-join
+    plan_b = explain_str(engine.db.collection("inc").read_delta(v_base))
+    assert "LeftAnti" in plan_b
+    # empty delta: since the current version
+    out3 = str(tmp_path / "inc3")
+    cur = engine.db.collection("inc").version
+    assert (
+        engine.execute(
+            "EXPORT", collection="inc",
+            arg={"path": out3, "since_version": cur, "columns": ["id"]},
+        ).info["rows"]
+        == 0
+    )
+    with pytest.raises(CommandArgError):
+        engine.execute(
+            "EXPORT", collection="inc",
+            arg={"path": str(tmp_path / "x"), "version": 1,
+                 "since_version": 0},
+        )

@@ -332,6 +332,77 @@ class Collection:
             )
         return s.read.schema(meta["schema"]).parquet(target)
 
+    def read_delta(self, since_version: int) -> DataFrame:
+        """Rows added since ``since_version`` — the incremental-export
+        primitive (ship only the NEW training shards, not the corpus).
+
+        FAST PATH: COW appends hard-link the prior snapshot's files under
+        their original names and only write delta files, so when every
+        commit after ``since_version`` was an INSERT/BULKINSERT the delta
+        is EXACTLY the files present in the current version dir but not
+        in the old one — read just those, O(delta) with no scan of
+        either snapshot. The per-collection ``wal.jsonl`` records each
+        commit's verb, so append-only history is checkable without
+        touching data.
+
+        FALLBACK (any intervening rewrite — UPDATE/DELETE/DEDUP/REINDEX
+        renames every file): semantic delta = current rows whose id was
+        absent at ``since_version``, via LEFT ANTI join. At scale the old
+        snapshot's id column is the join's build side; a production
+        deployment that needs frequent incremental exports across
+        rewrites would keep an append log table instead (the WAL already
+        carries the commit sequence for it)."""
+        cur = self.version
+        old_dir = self.version_dir(since_version)
+        if not os.path.isdir(old_dir):
+            raise CollectionNotFoundError(
+                f"version {since_version} of {self.name} does not exist "
+                "(never committed, or reclaimed by TRUNCATEWAL)"
+            )
+        if since_version >= cur:
+            return self.read().limit(0)
+        append_only = True
+        wal_path = os.path.join(self.path, WAL)
+        if os.path.exists(wal_path):
+            with open(wal_path) as f:
+                for line in f:
+                    e = json.loads(line)
+                    if since_version < int(e.get("version", -1)) <= cur:
+                        if e.get("op") not in ("INSERT", "BULKINSERT"):
+                            append_only = False
+                            break
+        else:
+            append_only = False
+        meta = self.meta
+        s = self.db.spark
+        field_names = [
+            f.name for f in s.createDataFrame([], meta["schema"]).schema.fields
+        ]
+        if append_only:
+            def rel_files(root: str) -> set[str]:
+                out = set()
+                for dirpath, _dirs, files in os.walk(root):
+                    for fn in files:
+                        if not fn.startswith(("_", ".")):
+                            out.add(
+                                os.path.relpath(os.path.join(dirpath, fn), root)
+                            )
+                return out
+
+            cur_dir = self.version_dir()
+            new_files = sorted(rel_files(cur_dir) - rel_files(old_dir))
+            if not new_files:
+                return self.read().limit(0)
+            return (
+                s.read.schema(meta["schema"])
+                .parquet(*[os.path.join(cur_dir, f) for f in new_files])
+                .select(*field_names)
+            )
+        from pyspark.sql import functions as F
+
+        old_ids = self.read(version=since_version).select("id")
+        return self.read().join(old_ids, "id", "left_anti").select(*field_names)
+
     def read_raw(self) -> DataFrame:
         """CURRENT snapshot INCLUDING the physical ``pk`` partition column
         (meta-key-partitioned collections) — the handle SEARCH uses to get

@@ -472,6 +472,10 @@ class Engine:
                   "where": optional SQL predicate (pushed to the scan),
                   "columns": optional projection list,
                   "version": optional time-travel snapshot,
+                  "since_version": optional INCREMENTAL export — only
+                      rows added after that snapshot (file-level O(delta)
+                      when the history is append-only, anti-join
+                      otherwise; Collection.read_delta),
                   "shards": optional fixed shard count (one exchange),
                   "max_records_per_file": shard-size cap (default 100k),
                   "compression": jsonl codec (default "gzip"),
@@ -479,7 +483,7 @@ class Engine:
 
         The row count rides the WRITE job via ``observe`` (no second
         scan). jsonl shards read straight back through BULKINSERT —
-        pytest pins the roundtrip."""
+        pytest pins the roundtrip (full and incremental)."""
         col = self._require_collection(collection)
         spec = self._require_arg(arg, "export spec")
         if not isinstance(spec, dict) or "path" not in spec:
@@ -492,7 +496,16 @@ class Engine:
         from pyspark.sql import Observation
 
         version = spec.get("version")
-        df = col.read(version=int(version) if version is not None else None)
+        since = spec.get("since_version")
+        if since is not None and version is not None:
+            raise CommandArgError(
+                'EXPORT takes "version" (a snapshot) OR "since_version" '
+                "(the delta after one), not both"
+            )
+        if since is not None:
+            df = col.read_delta(int(since))
+        else:
+            df = col.read(version=int(version) if version is not None else None)
         if spec.get("where"):
             df = df.filter(F.expr(str(spec["where"])))
         if spec.get("columns"):
