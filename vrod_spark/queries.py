@@ -4279,6 +4279,10 @@ def q54_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'export', count(*),
            sum(('0x' || substring(md5(text), 1, 15))::BIGINT % 1000003)::BIGINT
     FROM surv
+    UNION ALL
+    SELECT 'delta', 1::BIGINT,
+           (('0x' || substring(md5(text), 1, 15))::BIGINT % 1000003)::BIGINT
+    FROM documents WHERE doc_id = 0
     ORDER BY leg, n
     """,
 )
@@ -4321,9 +4325,40 @@ def q48_dedup_engine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         eng.execute(
             "BULKINSERT", collection="docs_back", arg=shard_dir + "/*.json.gz"
         )
-        return eng, ingest_version
+        # Incremental-export cycle (r11): append ONE new row (doc 0's
+        # text, so the oracle can recompute its checksum from the
+        # table), EXPORT only the delta since the pre-append snapshot,
+        # and re-ingest it — the O(delta) shard-shipping path a
+        # production pipeline runs between corpus snapshots.
+        v_back = eng.db.collection("docs_back").version
+        doc0_text = (
+            _t(spark, sf_dir, "documents")
+            .filter("doc_id = 0")
+            .select("text")
+            .first()[0]
+        )
+        eng.execute(
+            "INSERT",
+            collection="docs_back",
+            arg=[{"id": 99_000_000, "payload": doc0_text}],
+        )
+        delta_dir = os.path.join(tempfile.mkdtemp(), "delta_shards")
+        eng.execute(
+            "EXPORT",
+            collection="docs_back",
+            arg={
+                "path": delta_dir,
+                "columns": ["id", "payload"],
+                "since_version": v_back,
+            },
+        )
+        eng.execute("CREATE", collection="docs_delta")
+        eng.execute(
+            "BULKINSERT", collection="docs_delta", arg=delta_dir + "/*.json.gz"
+        )
+        return eng, ingest_version, v_back
 
-    eng, ingest_version = _shared_scalar(
+    eng, ingest_version, v_back = _shared_scalar(
         spark, ("q48_engine", os.path.abspath(sf_dir)), _build_engine
     )
     survivors = eng.db.collection("docs").read()
@@ -4363,7 +4398,9 @@ def q48_dedup_engine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a payload md5 checksum pin that the shard cycle is lossless,
     # hashed against the oracle's direct recompute over the survivor
     # set.
-    back = eng.db.collection("docs_back").read()
+    # Pre-append snapshot (time travel): the delta row belongs to the
+    # 'delta' leg below, not this full-export pin.
+    back = eng.db.collection("docs_back").read(version=v_back)
     md60 = (
         F.conv(F.substring(F.md5("payload"), 1, 15), 16, 10).cast("long")
         % 1000003
@@ -4371,11 +4408,21 @@ def q48_dedup_engine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     export_leg = back.agg(
         F.count(F.lit(1)).alias("n"), F.sum(md60).alias("v")
     ).select(F.lit("export").alias("leg"), "n", "v")
+    # delta leg — the INCREMENTAL export cycle: exactly the one appended
+    # row (doc 0's text) must have shipped; the oracle recomputes its
+    # checksum straight from the documents table.
+    delta_leg = (
+        eng.db.collection("docs_delta")
+        .read()
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(md60).alias("v"))
+        .select(F.lit("delta").alias("leg"), "n", "v")
+    )
     return (
         dedup_leg.unionByName(travel_leg)
         .unionByName(facets_leg)
         .unionByName(explain_leg)
         .unionByName(export_leg)
+        .unionByName(delta_leg)
         .orderBy("leg", "n")
     )
 
