@@ -361,18 +361,30 @@ class Collection:
             )
         if since_version >= cur:
             return self.read().limit(0)
-        append_only = True
+        # Append-only iff EVERY committed version in (since, cur] has a
+        # WAL entry and all of them are inserts. Coverage is checked
+        # against the version DIRECTORIES (COW never deletes them outside
+        # TRUNCATEWAL): a commit whose WAL line was lost to a crash
+        # between the pointer swap and the log append must NOT silently
+        # pass as an append — it might have been a rewrite.
+        committed = {
+            int(e[1:])
+            for e in os.listdir(self.path)
+            if e.startswith("v") and e[1:].isdigit()
+            and since_version < int(e[1:]) <= cur
+        }
+        logged: dict[int, str] = {}
         wal_path = os.path.join(self.path, WAL)
         if os.path.exists(wal_path):
             with open(wal_path) as f:
                 for line in f:
                     e = json.loads(line)
-                    if since_version < int(e.get("version", -1)) <= cur:
-                        if e.get("op") not in ("INSERT", "BULKINSERT"):
-                            append_only = False
-                            break
-        else:
-            append_only = False
+                    v = int(e.get("version", -1))
+                    if since_version < v <= cur:
+                        logged[v] = e.get("op", "")
+        append_only = committed <= set(logged) and all(
+            logged[v] in ("INSERT", "BULKINSERT") for v in committed
+        )
         meta = self.meta
         s = self.db.spark
         field_names = [
