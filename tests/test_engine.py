@@ -2546,3 +2546,69 @@ def test_export_since_version_incremental(engine, spark, sf_dir, tmp_path):
             arg={"path": str(tmp_path / "x"), "version": 1,
                  "since_version": 0},
         )
+
+
+def test_delete_null_predicate_keeps_rows(engine, spark):
+    """SQL DELETE removes only rows where the predicate is TRUE; rows
+    where it evaluates NULL (e.g. payload IS NULL under an equality)
+    must survive, and the matched count must agree (r11 review: a bare
+    ~pred filter silently dropped NULL-evaluating rows)."""
+    from vrod_spark.localdf import local_df
+
+    engine.execute("CREATE", collection="delnull")
+    engine.execute(
+        "BULKINSERT",
+        collection="delnull",
+        arg=local_df(
+            spark,
+            [(1, None, "x", None), (2, None, None, None), (3, None, "y", None)],
+            "id bigint, embedding array<float>, payload string, "
+            "meta map<string,string>",
+        ),
+    )
+    info = engine.execute(
+        "DELETE", collection="delnull", arg="payload = 'x'"
+    ).info
+    assert info["deleted"] == 1
+    left = {
+        r["id"]: r["payload"]
+        for r in engine.db.collection("delnull").read().collect()
+    }
+    # id 2 (NULL payload -> predicate NULL) must still be present
+    assert left == {2: None, 3: "y"}
+
+
+def test_update_all_assignments_see_old_values(engine, spark):
+    """SQL UPDATE semantics: every assignment's RHS (and the predicate)
+    evaluates against the ORIGINAL row (r11 review: sequential
+    withColumn let a self-referential id update hide the row from the
+    payload assignment that followed)."""
+    import pytest
+
+    from vrod_spark.errors import CommandArgError
+
+    engine.execute("CREATE", collection="updsem")
+    engine.execute(
+        "INSERT",
+        collection="updsem",
+        arg=[{"id": 1, "payload": "a"}, {"id": 2, "payload": "b"}],
+    )
+    info = engine.execute(
+        "UPDATE",
+        collection="updsem",
+        arg={"where": "id = 1",
+             "set": {"id": "id + 100", "payload": "'updated'"}},
+    ).info
+    assert info["matched"] == 1
+    rows = {
+        r["id"]: r["payload"]
+        for r in engine.db.collection("updsem").read().collect()
+    }
+    # BOTH assignments applied to the matched row
+    assert rows == {101: "updated", 2: "b"}
+    with pytest.raises(CommandArgError, match="unknown column"):
+        engine.execute(
+            "UPDATE",
+            collection="updsem",
+            arg={"where": "id = 2", "set": {"nonexistent": "1"}},
+        )

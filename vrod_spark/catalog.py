@@ -39,6 +39,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 from vrod_spark.errors import (
     CollectionExistsError,
@@ -187,11 +188,15 @@ class Database:
             "created_at": time.time(),
         }
         _atomic_write(os.path.join(path, META), json.dumps(meta))
-        _atomic_write(os.path.join(path, CURRENT), "0")
         # v0 = committed empty snapshot so readers always resolve. For
         # partitioned collections v0 is written partitioned (only _SUCCESS
         # materializes) so the layout never mixes root data files with
         # pk= partition directories — Spark rejects such mixed trees.
+        # The _CURRENT pointer is written LAST (r11 review): pointer-first
+        # left a window — and, after a failed v0 write, a permanent state —
+        # where CURRENT resolved to a missing dir while re-creation raised
+        # CollectionExistsError. A crash mid-create now leaves a dir with
+        # no _CURRENT, which reads as not-yet-committed and can be DROPped.
         if partition_by:
             from pyspark.sql import functions as F
 
@@ -204,6 +209,7 @@ class Database:
             )
         else:
             self._write_empty_snapshot(os.path.join(path, "v0"), schema)
+        _atomic_write(os.path.join(path, CURRENT), "0")
         self._wal_append({"op": "CREATE", "collection": name, "ts": time.time()})
         return Collection(self, name)
 
@@ -300,7 +306,7 @@ class Collection:
         s = spark or self.db.spark
         meta = self.meta
         field_names = [
-            f.name for f in s.createDataFrame([], meta["schema"]).schema.fields
+            f.name for f in StructType.fromDDL(meta["schema"]).fields
         ]
         target = self.version_dir(version)
         if version is not None:
@@ -388,7 +394,7 @@ class Collection:
         meta = self.meta
         s = self.db.spark
         field_names = [
-            f.name for f in s.createDataFrame([], meta["schema"]).schema.fields
+            f.name for f in StructType.fromDDL(meta["schema"]).fields
         ]
         if append_only:
             def rel_files(root: str) -> set[str]:
@@ -410,8 +416,6 @@ class Collection:
                 .parquet(*[os.path.join(cur_dir, f) for f in new_files])
                 .select(*field_names)
             )
-        from pyspark.sql import functions as F
-
         old_ids = self.read(version=since_version).select("id")
         return self.read().join(old_ids, "id", "left_anti").select(*field_names)
 
@@ -439,11 +443,16 @@ class Collection:
         conditional branch, not a filter) disqualifies the predicate —
         the scan then stays unpruned and the filter is evaluated as-is,
         which is always correct, just less fast (ADVICE r2)."""
-        import re
-
         key = self.meta.get("partition_by")
+        # `is false` / `is not true` / `= false` / boolean-equality forms
+        # also put the match under (effective) negation (r11 review:
+        # "meta['k'] = 'v' IS FALSE" must not prune to pk='v'); any
+        # mention of a boolean literal disqualifies along with the
+        # explicit negators.
         if not key or re.search(
-            r"\bor\b|\bnot\b|!|\bcase\b|\bwhen\b|\bif\b", predicate, re.IGNORECASE
+            r"\bor\b|\bnot\b|!|\bcase\b|\bwhen\b|\bif\b|\bis\b|\bfalse\b|\btrue\b",
+            predicate,
+            re.IGNORECASE,
         ):
             return None
         m = re.search(
@@ -487,7 +496,13 @@ class Collection:
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
-        cur = self.version_dir()
+        # Capture the base version FIRST and derive the source dir from
+        # it: resolving the dir before the version (r11 review) let a
+        # commit landing in between pass the conflict check while the
+        # rewrite compacted the STALE snapshot — silently dropping the
+        # intervening commit's rows.
+        base_version = self.version
+        cur = self.version_dir(base_version)
         files_before = self._data_files(cur)
         if target_partitions is None:
             # ~128 MB target files; cheap estimate from current dir size.
@@ -500,19 +515,20 @@ class Collection:
                     "compact(zorder=...) conflicts with a vector-index "
                     "bucket layout; z-order before REINDEX instead"
                 )
-            from pyspark.sql import functions as _zF
-
             from vrod_spark.operators.zorder import zorder_value
 
-            base = self.read()
+            base = self.read(version=base_version)
             zv = zorder_value(base, list(zorder), bits=int(zorder_bits))
             ordered = (
                 base.withColumn("__vr_z", zv)
-                .repartitionByRange(int(target_partitions), _zF.col("__vr_z"))
+                .repartitionByRange(int(target_partitions), F.col("__vr_z"))
                 .sortWithinPartitions("__vr_z")
                 .drop("__vr_z")
             )
-            n = self._rewrite(ordered, "COMPACT", {"zorder": list(zorder)})
+            n = self._rewrite(
+                ordered, "COMPACT", {"zorder": list(zorder)},
+                base_version=base_version,
+            )
             out = {
                 "collection": self.name,
                 "rows": n,
@@ -527,7 +543,6 @@ class Collection:
         if idx:
             from vrod_spark.errors import CommitConflictError
 
-            base_version = self.version
             obs = Observation()
             df = self.db.spark.read.parquet(cur)  # bucket/pq_code cols included
             df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
@@ -564,7 +579,11 @@ class Collection:
                 shutil.rmtree(staging, ignore_errors=True)
                 raise
         else:
-            n = self._rewrite(self.read().coalesce(int(target_partitions)), "COMPACT")
+            n = self._rewrite(
+                self.read(version=base_version).coalesce(int(target_partitions)),
+                "COMPACT",
+                base_version=base_version,
+            )
         out = {
             "collection": self.name,
             "rows": n,
@@ -609,6 +628,20 @@ class Collection:
                     fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                     break
                 except FileExistsError:
+                    # Stale-lock recovery (r11 review): a writer SIGKILLed
+                    # inside the (sub-second) critical section leaves the
+                    # file forever, bricking all writes. The section never
+                    # runs a Spark job, so a lock older than the full
+                    # acquire timeout is provably abandoned — break it.
+                    # (Races on the break are harmless: unlink is
+                    # idempotent and the O_EXCL create re-arbitrates.)
+                    try:
+                        age = time.time() - os.path.getmtime(lock_path)
+                        if age > timeout:
+                            os.unlink(lock_path)
+                            continue
+                    except FileNotFoundError:
+                        continue
                     if time.time() > deadline:
                         raise TimeoutError(f"commit lock busy: {lock_path}")
                     time.sleep(0.02)
@@ -616,7 +649,10 @@ class Collection:
                 yield
             finally:
                 os.close(fd)
-                os.unlink(lock_path)
+                try:
+                    os.unlink(lock_path)
+                except FileNotFoundError:
+                    pass  # a stale-break raced us; the commit already ran
 
         return lock()
 
@@ -949,6 +985,14 @@ class Collection:
         for attempt in range(retries + 1):
             base = self.version
             df = self.read()
+            unknown = set(assignments) - set(df.columns)
+            if unknown:
+                from vrod_spark.errors import CommandArgError
+
+                raise CommandArgError(
+                    f"UPDATE set targets unknown column(s) {sorted(unknown)}; "
+                    f"collection columns are {df.columns}"
+                )
             cond = F.expr(predicate)
             obs = Observation()
             df = df.observe(
@@ -956,11 +1000,23 @@ class Collection:
                 F.count(F.lit(1)).alias("rows"),
                 F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)).alias("matched"),
             )
-            out = df
-            for col_name, expr_str in assignments.items():
-                out = out.withColumn(
-                    col_name, F.when(cond, F.expr(expr_str)).otherwise(F.col(col_name))
-                )
+            # ONE select with every assignment computed against the ORIGINAL
+            # row (SQL UPDATE semantics: all RHS see old values). Sequential
+            # withColumn calls would let a later assignment — and the
+            # re-resolved predicate itself — read columns already updated
+            # by an earlier one (r11 review: update("id = 1", {"id":
+            # "id + 100", "payload": "..."}) skipped the payload because
+            # the second predicate resolution saw id = 101).
+            out = df.select(
+                *[
+                    (
+                        F.when(cond, F.expr(assignments[c])).otherwise(F.col(c))
+                        if c in assignments
+                        else F.col(c)
+                    ).alias(c)
+                    for c in df.columns
+                ]
+            )
             try:
                 self._rewrite(out, "UPDATE", {"predicate": predicate},
                               observation=obs, base_version=base)
@@ -988,8 +1044,16 @@ class Collection:
                 F.coalesce(F.sum(F.when(pred, 1).otherwise(0)), F.lit(0)).alias("matched"),
             )
             try:
-                self._rewrite(df.filter(~pred), "DELETE", {"predicate": predicate},
-                              base_version=base)
+                # NULL-evaluating predicates keep the row (SQL DELETE
+                # removes only rows where the predicate is TRUE): a bare
+                # ~pred filter would DROP rows where pred is NULL while
+                # the matched count called them untouched (r11 review).
+                self._rewrite(
+                    df.filter(~F.coalesce(pred, F.lit(False))),
+                    "DELETE",
+                    {"predicate": predicate},
+                    base_version=base,
+                )
                 return int(obs.get["matched"])
             except CommitConflictError:
                 if attempt == retries:
@@ -998,7 +1062,19 @@ class Collection:
     # -- maintenance -------------------------------------------------------
     def truncate_wal(self) -> dict:
         """Per-collection TRUNCATEWAL: clear the commit log and reclaim
-        snapshot directories older than _CURRENT (checkpoint compaction)."""
+        snapshot directories older than _CURRENT (checkpoint compaction).
+
+        Runs under the commit lock (r11 review): an in-flight insert may
+        have created its v{next} dir or a ``.staging-`` dir before
+        swapping _CURRENT; an unlocked GC could rmtree either mid-write.
+        Note the lock is held only for the (cheap) listing + unlink tail —
+        staging WRITE jobs hold no lock, but their dirs are only eligible
+        here when no writer holds the lock, and a writer acquires it
+        before renaming staging into a version."""
+        with self._commit_lock():
+            return self._truncate_wal_locked()
+
+    def _truncate_wal_locked(self) -> dict:
         current = self.version
         removed = []
         for entry in os.listdir(self.path):
@@ -1006,7 +1082,16 @@ class Collection:
                 shutil.rmtree(os.path.join(self.path, entry))
                 removed.append(entry)
             elif entry.startswith(".staging-"):
-                shutil.rmtree(os.path.join(self.path, entry))
+                # Only reclaim ABANDONED staging (crashed writers): a live
+                # writer's staging WRITE job holds no lock, so age-gate
+                # instead — no legitimate staging write runs for an hour.
+                p = os.path.join(self.path, entry)
+                try:
+                    if time.time() - os.path.getmtime(p) < 3600:
+                        continue
+                except FileNotFoundError:
+                    continue
+                shutil.rmtree(p)
                 removed.append(entry)
         _atomic_write(os.path.join(self.path, WAL), "")
         return {"truncated": self.name, "removed_versions": sorted(removed)}
@@ -1057,7 +1142,7 @@ class Collection:
 
     def _stats_columns(self, spark: SparkSession) -> list[str]:
         """Schema fields ANALYZE ... FOR COLUMNS supports (no array/map)."""
-        fields = spark.createDataFrame([], self.meta["schema"]).schema.fields
+        fields = StructType.fromDDL(self.meta["schema"]).fields
         return [
             f.name
             for f in fields
@@ -1087,7 +1172,7 @@ class Collection:
         elif any(e.startswith("pk=") for e in entries):
             part_col = ("pk", "string")
         field_names = [
-            f.name for f in s.createDataFrame([], meta["schema"]).schema.fields
+            f.name for f in StructType.fromDDL(meta["schema"]).fields
         ]
         s.sql(f"CREATE DATABASE IF NOT EXISTS {ns}")
         # The previous registration (if any) may be either form — a flat

@@ -19,6 +19,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from vrod_spark.catalog import Collection, Database
 from vrod_spark.errors import (
@@ -40,7 +41,7 @@ def validate_records(collection: Collection, df: DataFrame) -> DataFrame:
     ingest, not a validation pre-pass that re-scans the whole input
     (VERDICT r1 "What's wrong" #4).
     """
-    target = collection.db.spark.createDataFrame([], collection.meta["schema"]).schema
+    target = StructType.fromDDL(collection.meta["schema"])
     required = {"id"}
     missing_required = required - set(df.columns)
     if missing_required:
@@ -238,7 +239,7 @@ class Engine:
             # have their extra fields silently nulled. Unknown keys are
             # rejected loudly for the same reason: silently dropping a
             # record field is corpus corruption, not convenience.
-            schema = self.spark.createDataFrame([], col.meta["schema"]).schema
+            schema = StructType.fromDDL(col.meta["schema"])
             known = {f.name for f in schema.fields}
             rows = arg if isinstance(arg, list) else [arg]
             for r in rows:
@@ -711,7 +712,7 @@ class Engine:
             # (reads only the matching pk=<val>/ directory).
             fields = [
                 f.name
-                for f in self.spark.createDataFrame([], col.meta["schema"]).schema.fields
+                for f in StructType.fromDDL(col.meta["schema"]).fields
             ]
             df = (
                 col.read_raw()
