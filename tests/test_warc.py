@@ -193,8 +193,28 @@ def test_bulkinsert_warc_then_url_dedup(engine, tmp_path):
     ).info
     assert info["removed"] == 2
     kept = engine.db.collection("crawl2").read().collect()
-    urls = sorted(r["meta"]["url"] for r in kept)
-    assert urls == [
-        "http://Example.com/page?utm_source=tw",  # keep-first (lowest id)
-        "http://example.com/other",
-    ]
+    # WARC ids are content-derived hashes (stable across retries and
+    # ingests — r11), so keep-first keeps the smallest ID, which is a
+    # deterministic but not ingest-ordered member of each url group:
+    # assert the group invariant, not which raw variant survived.
+    from pyspark.sql import functions as F
+
+    from vrod_spark.functions.url import url_normalize
+
+    norm = sorted(
+        r["n"]
+        for r in engine.db.collection("crawl2")
+        .read()
+        .select(url_normalize(F.col("meta")["url"]).alias("n"))
+        .collect()
+    )
+    assert norm == ["http://example.com/other", "http://example.com/page"]
+    # determinism: a second identical ingest+dedup keeps the SAME rows
+    engine.execute("CREATE", collection="crawl2b")
+    engine.execute("BULKINSERT", collection="crawl2b", arg=str(p))
+    engine.execute("DEDUP", collection="crawl2b", arg={"strategy": "url"})
+    kept2 = engine.db.collection("crawl2b").read().collect()
+    assert sorted(r["id"] for r in kept) == sorted(r["id"] for r in kept2)
+    assert sorted(r["meta"]["url"] for r in kept) == sorted(
+        r["meta"]["url"] for r in kept2
+    )

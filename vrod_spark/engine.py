@@ -170,6 +170,25 @@ class Engine:
     # -- DDL ---------------------------------------------------------------
     def _create(self, collection: str | None, arg: Any) -> CommandResult:
         name = collection or self._require_arg(arg, "collection name")
+        if not isinstance(name, str):
+            # execute('CREATE', arg={'dimension': 3}) without collection=
+            # used to adopt the options dict as the name and crash in
+            # os.path.join (r11 review).
+            raise CommandArgError(
+                "CREATE needs a collection NAME (string); got "
+                f"{type(name).__name__} — pass collection='name' and the "
+                "options dict as arg"
+            )
+        import re as _re
+
+        if not _re.fullmatch(r"[A-Za-z0-9_.-]+", name):
+            # The name becomes a directory AND a backtick-quoted SQL view
+            # identifier (engine.sql's temp-view bridge); a backtick or
+            # other metacharacter would splice into the DDL statement.
+            raise CommandArgError(
+                f"invalid collection name {name!r}: use letters, digits, "
+                "'_', '.', '-'"
+            )
         opts = arg if isinstance(arg, dict) else {}
         col = self.db.create_collection(
             name,
@@ -286,8 +305,18 @@ class Engine:
                         + ("within the batch" if batch_dups else "already in the collection")
                     )
             elif on_conflict == "ignore":
+                # A batch repeating an id is the same which-row-wins
+                # ambiguity replace rejects — reject it here too instead
+                # of persisting an arbitrary one via dropDuplicates (r11
+                # review; a full-row comparison is not an option: the
+                # meta map column forbids set operations).
+                if df.groupBy("id").count().filter("count > 1").limit(1).count():
+                    raise CommandArgError(
+                        "INSERT on_conflict=ignore: the batch repeats an "
+                        "id; make the batch one row per id"
+                    )
                 before = df.count()
-                df = df.dropDuplicates(["id"]).join(existing, "id", "left_anti")
+                df = df.join(existing, "id", "left_anti")
                 info["skipped"] = before - df.count()
             elif on_conflict == "replace":
                 # An upsert batch with a repeated id is ambiguous (which
@@ -353,8 +382,21 @@ class Engine:
             from vrod_spark.sources.warc import read_warc
 
             rec = read_warc(self.spark, arg)
+            # Deterministic content-derived ids (r11 review):
+            # monotonically_increasing_id restarts at the same
+            # (partition, offset) values every ingest, so two WARC
+            # bulkinserts into one collection silently collide — and it
+            # changes under task retry. WARC-Record-ID is a unique URN
+            # per record; its xxhash64 is stable across retries and
+            # ingests (the DEDUP machinery already treats xxhash64 as
+            # injective-with-check at corpus scale).
             df = rec.select(
-                F.monotonically_increasing_id().alias("id"),
+                F.xxhash64(
+                    F.coalesce(
+                        F.col("record_id"),
+                        F.concat_ws("|", F.col("url"), F.col("warc_date")),
+                    )
+                ).alias("id"),
                 F.col("text").alias("payload"),
                 F.map_filter(
                     F.create_map(
@@ -406,9 +448,20 @@ class Engine:
         col = self._require_collection(collection)
         spec = self._require_arg(arg, "delete predicate")
         if isinstance(spec, dict):
+            if "where" not in spec:
+                raise CommandArgError('DELETE dict form needs {"where": <predicate>}')
             predicate = spec["where"]
         elif isinstance(spec, list):
-            predicate = f"id in ({','.join(str(int(i)) for i in spec)})"
+            if not spec:
+                predicate = "false"  # empty id list deletes nothing
+            elif all(isinstance(i, int) and not isinstance(i, bool) for i in spec):
+                predicate = f"id in ({','.join(str(i) for i in spec)})"
+            else:
+                # string-id collections: quote (and escape) the literals
+                quoted = ",".join(
+                    "'" + str(i).replace("'", "''") + "'" for i in spec
+                )
+                predicate = f"id in ({quoted})"
         else:
             predicate = str(spec)
         n = col.delete(predicate)
@@ -445,6 +498,22 @@ class Engine:
         if verb not in readonly:
             raise CommandArgError(
                 f"EXPLAIN supports read commands {sorted(readonly)}, got {verb!r}"
+            )
+        if (
+            verb == "SEARCHSIMILAR"
+            and isinstance(spec.get("arg"), dict)
+            and spec["arg"].get("diversify") is not None
+        ):
+            # The MMR rerank collects its candidate pool and runs the
+            # first-stage search during plan CONSTRUCTION — explaining it
+            # would execute the query and return a plan over the already-
+            # materialized local result (r11 review). The lazy part of a
+            # diversified search IS the pool search: explain that.
+            raise CommandArgError(
+                "EXPLAIN of a diversified SEARCHSIMILAR would execute the "
+                "query (MMR materializes its pool at plan time); EXPLAIN "
+                "the same spec without 'diversify' to see the pool "
+                "search's plan"
             )
         mode = str(spec.get("mode", "formatted"))
         modes = ("simple", "extended", "codegen", "cost", "formatted")
@@ -1013,6 +1082,19 @@ class Engine:
         col = self._require_collection(collection)
         opts = dict(arg) if isinstance(arg, dict) else ({"strategy": arg} if arg else {})
         strategy = (opts.get("strategy") or "exact").lower()
+        # Validate the strategy name FIRST (r11 review): a typo used to
+        # pay the full-corpus count — and on non-integral-id collections
+        # the xxhash64 collision-check jobs — before erroring.
+        _strategies = (
+            "exact", "url", "minhash", "simhash", "embedding", "semdedup",
+            "winnow", "imagehash", "audiohash", "spans", "lines",
+            "decontaminate",
+        )
+        if strategy not in _strategies:
+            raise CommandArgError(
+                f"unknown dedup strategy {strategy!r}; expected one of "
+                f"{sorted(_strategies)}"
+            )
         text_col = opts.get("column", "payload")
         # dry_run: report what WOULD be removed (drop ids; for spans, the
         # span ranges) without committing a rewrite — the inspect-first
@@ -1075,7 +1157,10 @@ class Engine:
         # lexicographic for strings — hash order never leaks into
         # semantics). The mapping is collision-CHECKED first: a 64-bit
         # collision would silently fuse two distinct documents.
-        integral = {"byte", "short", "int", "bigint", "long"}
+        # simpleString() names (r11 review: Spark prints 'tinyint'/
+        # 'smallint'/'bigint', never 'byte'/'short'/'long' — the wrong
+        # names sent small-int-id collections through the hash mapping).
+        integral = {"tinyint", "smallint", "int", "bigint"}
         # exact/url dedup on digests and semdedup carries the native id
         # type through its applyInPandas schema — none needs (or uses)
         # the hash mapping, so don't pay the collision-check jobs for them.

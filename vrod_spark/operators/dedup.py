@@ -63,9 +63,18 @@ def _plan_row_count(df: DataFrame) -> int | None:
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Keep the smallest-id document per normalized-text sha2 digest."""
+    """Keep the smallest-id document per normalized-text sha2 digest.
+
+    A NULL text is UNKNOWN content, not identical content: each
+    NULL-text row is its own group and always survives (r11 review —
+    a bare partitionBy(sha2(...)) groups every NULL digest together and
+    silently deletes all but one metadata-only row; url_dedup isolates
+    NULL keys the same way)."""
     fp = F.sha2(F.lower(F.trim(F.col(text_col))), 256)
-    w = Window.partitionBy(fp).orderBy(F.col(id_col))
+    key = F.coalesce(
+        fp, F.concat(F.lit("__null__"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(key).orderBy(F.col(id_col))
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

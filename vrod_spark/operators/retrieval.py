@@ -266,12 +266,16 @@ def mmr_rerank(
         raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
     if metric not in ("cosine", "l2"):
         raise ValueError(f"mmr_rerank metric must be 'cosine' or 'l2', got {metric!r}")
+    # Result schema keeps the CALLER's id type — hardcoding 'id long'
+    # broke string-id collections (r11 review).
+    id_type = candidates.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"id {id_type}, mmr_rank int, relevance double, mmr_score double"
+    )
     rows = candidates.select(F.col(id_col).alias("id"), F.col(vec_col)).collect()
     ids = [r["id"] for r in rows]
     if not ids:
-        return candidates.sparkSession.createDataFrame(
-            [], "id long, mmr_rank int, relevance double, mmr_score double"
-        )
+        return candidates.sparkSession.createDataFrame([], out_schema)
     dims = {len(r[vec_col]) for r in rows if r[vec_col] is not None}
     dim = max(dims, default=None)
     q = np.asarray([float(x) for x in query_vector], dtype=np.float64)
@@ -346,5 +350,5 @@ def mmr_rerank(
     return local_df(
         candidates.sparkSession,
         out_rows,
-        "id long, mmr_rank int, relevance double, mmr_score double",
+        out_schema,
     )
