@@ -3784,3 +3784,46 @@ def test_q05_pq_exact_gate_is_load_bearing(spark, sf_dir):
     assert rescored_top10(good) == brute
     bad = -np.asarray(good) * 50.0 + 100.0
     assert rescored_top10(bad) != brute
+
+
+def test_near_dup_paths_never_fuse_null_text(spark):
+    """r11 review: the exact_dedup NULL-isolation invariant must hold in
+    EVERY near-dup path — NULL text is unknown content and can never
+    pair. shingles_from_tokens used to map every NULL doc to the single
+    shingle [\"\"] (Jaccard 1.0 across all metadata-only rows) and
+    simhash gave them all signature 0 (Hamming 0)."""
+    from vrod_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    rows = [(i, None) for i in range(5)] + [
+        (10, "the quick brown fox jumps over the dog"),
+        (11, "the quick brown fox jumps over the dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    jp = jaccard_pairs(df, min_jaccard=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in jp} == {(10, 11)}
+    mp = minhash_lsh_pairs(df, min_jaccard=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in mp} == {(10, 11)}
+    sp = simhash_pairs(df, max_hamming=3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in sp} == {(10, 11)}
+
+
+def test_embedding_near_dup_null_vectors_skipped(spark):
+    """r11 review: a NULL embedding in the FIRST row made the bucketed
+    path's dim probe return -1 and silently yield zero pairs; NULL
+    vectors must be skipped while real pairs still surface, in both the
+    blocked-exact and bucketed paths."""
+    from vrod_spark.operators.dedup import (
+        embedding_near_dup_bucketed,
+        embedding_near_dup_pairs,
+    )
+
+    rows = [(0, None), (1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0]), (3, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = embedding_near_dup_pairs(df, min_cosine=0.99).collect()
+    assert {(r["id_a"], r["id_b"]) for r in exact} == {(1, 2)}
+    bucketed = embedding_near_dup_bucketed(df, min_cosine=0.99).collect()
+    assert {(r["id_a"], r["id_b"]) for r in bucketed} == {(1, 2)}

@@ -99,6 +99,12 @@ def jaccard_pairs(
 ) -> DataFrame:
     """All document pairs with shingle-set Jaccard ≥ `min_jaccard`, exactly.
 
+    Tokenization is CASE-SENSITIVE (as is MinHash's): set similarity is
+    computed over the raw token stream, unlike exact_dedup/simhash which
+    normalize case — callers wanting case-folded Jaccard pass a
+    lowercased column. (Documented rather than changed: the q26/q26b
+    gates pin the case-sensitive semantics.)
+
     ``max_shingle_df`` drops shingles appearing in more than that many
     documents before the join — the standard stop-shingle pruning that
     keeps the inverted index near-linear on real corpora (a shingle shared
@@ -107,8 +113,15 @@ def jaccard_pairs(
     whose similarity rests on informative shingles, which is the curated
     behavior production dedup uses.
     """
+    # NULL text is UNKNOWN content and can never near-duplicate anything
+    # (r11 review: shingles_from_tokens maps a NULL token array to the
+    # single shingle [""], which paired every metadata-only row at
+    # Jaccard 1.0 — the exact_dedup NULL-fusion class via this path).
+    # Empty/whitespace-only documents intentionally still pair: they ARE
+    # identical known content, matching exact_dedup's trim semantics.
     sh = (
         widen(df)  # shingling is per-row compute; don't let a 1-row-group scan serialize it
+        .filter(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks"))
         .select("id", F.array_distinct(shingles_from_tokens(F.col("_toks"), n)).alias("sh"))
         .withColumn("set_size", F.size("sh"))
@@ -201,8 +214,13 @@ def minhash_signature(
     100 TB. Signature values are bit-identical to the transform form
     (same xxhash64(shingle_string, seed_int) evaluations; duplicate
     shingles cannot change a min, so no array_distinct is needed)."""
+    # NULL text can never near-duplicate anything (unknown content): drop
+    # it here so NULL rows get NO signature — shingles_from_tokens would
+    # otherwise map every NULL doc to the single shingle [""] and fuse
+    # them all at Jaccard 1.0 (r11 review, the exact_dedup NULL class).
     exploded = (
         widen(df)  # shingling+hashing is per-row compute; parallelize single-split scans
+        .filter(F.col(text_col).isNotNull())
         .select(F.col(id_col).alias("id"), tokens(text_col).alias("_sh_toks"))
         .select("id", F.explode(shingles_from_tokens(F.col("_sh_toks"), n)).alias("_s"))
     )
@@ -368,7 +386,11 @@ def minhash_band_expr(sig_col, *, k: int, bands: int):
     definition shared by the streaming near-dup operator
     (streaming/stateful.streaming_near_dup) and batch comparators, so
     "identical banding" holds by construction, not by convention."""
-    assert k % bands == 0, "k must divide into equal bands"
+    if k % bands != 0:
+        # A real error, not an assert — python -O strips asserts and the
+        # slices would silently ignore the trailing k % bands hashes
+        # (same rationale as hamming64_pairs' band check).
+        raise ValueError(f"k={k} must divide into equal bands (bands={bands})")
     rows_per_band = k // bands
     col = F.col(sig_col) if isinstance(sig_col, str) else sig_col
     return F.transform(
@@ -412,34 +434,16 @@ def minhash_lsh_pairs(
     pairs. (Signature hashing stays one linear pass per join side — the
     delta filter legally pushes below the band exchange, which costs the
     exchange reuse but keeps the quadratic term delta-bound.)"""
-    assert k % bands == 0, "k must divide into equal bands"
-    rows_per_band = k // bands
     sigs = minhash_signature(df, text_col=text_col, id_col=id_col, k=k, n=n)
-    # One nested transform over the band indices, not `bands` unrolled
-    # struct copies: the unrolled form generated a ~6000-bytecode method
-    # (past HotSpot's 8000-byte JIT ceiling) whose Janino compile dominated
-    # the whole near-dup cold path. concat_ws over the band's slice casts
-    # each BIGINT exactly as the per-item getItem form did, so bucket
-    # values — and therefore candidates — are bit-identical.
+    # The SHARED banding expression (minhash_band_expr) — one definition
+    # with the streaming near-dup path so "identical banding" holds by
+    # construction (r11 review: an inline expression-for-expression copy
+    # lived here, inviting silent batch/streaming drift). Its nested
+    # transform over band indices, not `bands` unrolled struct copies,
+    # keeps the generated method under HotSpot's 8000-byte JIT ceiling.
     banded = sigs.select(
         "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.struct(
-                    bi.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
+        F.explode(minhash_band_expr("sig", k=k, bands=bands)).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
     # Banded self-join with a shuffle-hash hint, NOT the default broadcast:
     # with broadcast, one side plans as a BroadcastExchange and the other
@@ -542,10 +546,22 @@ def simhash_signatures(
 
     The numpy kernel is batch-vectorized: one flattened bit-unpack plus a
     segmented ``add.reduceat`` per Arrow batch — no per-document Python
-    loop. Signature semantics: bit i set iff 2·count_i ≥ n_tokens;
-    empty/NULL documents → signature 0."""
+    loop. Signature semantics: bit i set iff 2·count_i ≥ n_tokens; empty
+    documents → signature 0. NULL-text documents get NO signature row —
+    unknown content can never near-duplicate anything (r11 review: a
+    zero signature paired every metadata-only row at Hamming 0)."""
+    idt = df.schema[id_col].dataType.simpleString()
+    if idt not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"simhash_signatures needs an integral id column; got {idt} — "
+            "map ids through a hash first (the engine's DEDUP does)"
+        )
     token_hashes = F.transform(tokens(F.lower(F.col(text_col))), lambda t: F.xxhash64(t))
-    prepped = widen(df).select(F.col(id_col).alias("id"), token_hashes.alias("_h"))
+    prepped = (
+        widen(df)
+        .filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), token_hashes.alias("_h"))
+    )
 
     def majority(batches):
         import numpy as np
@@ -566,13 +582,27 @@ def simhash_signatures(
                     flat = np.concatenate(
                         [np.asarray(pdf["_h"].iloc[i], dtype=np.int64) for i in nz]
                     ).astype(np.uint64)
-                    # (T, 64) bit matrix, segment-summed to (docs, 64).
-                    bits = (flat[:, None] >> shifts) & np.uint64(1)
+                    # (T, 64) bit matrix as uint8 via a little-endian byte
+                    # view + unpackbits (column i = bit i): 64 B of
+                    # transient per token hash, not the 512 B/hash the
+                    # (flat[:, None] >> shifts) uint64 form allocated —
+                    # a long-document Arrow batch OOM'd the worker on the
+                    # 8× larger matrix (r11 review). reduceat accumulates
+                    # in int64 so >255-token documents cannot overflow.
+                    bits = np.unpackbits(
+                        flat.view(np.uint8).reshape(-1, 8),
+                        axis=1,
+                        bitorder="little",
+                    )
                     starts = np.zeros(len(nz), dtype=np.int64)
                     np.cumsum(lens[nz][:-1], out=starts[1:])
-                    counts = np.add.reduceat(bits, starts, axis=0)
+                    counts = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)
                     sig = (
-                        np.where(counts * 2 >= lens[nz, None], np.uint64(1) << shifts, 0)
+                        np.where(
+                            counts * 2 >= lens[nz, None],
+                            np.uint64(1) << shifts,
+                            np.uint64(0),
+                        )
                         .astype(np.uint64)
                         .sum(axis=1, dtype=np.uint64)
                     )
@@ -779,7 +809,9 @@ def embedding_near_dup_pairs(
                 cheap = False
             n = df.count() if cheap else 16 * 1500
         n_blocks = max(2, min(16, -(-n // 1500)))
-    blocks = df.select(
+    # NULL vectors carry no similarity signal and would crash the packed
+    # matmul (np.array over ragged None rows) — drop them up front.
+    blocks = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("b"),
@@ -885,7 +917,17 @@ def embedding_near_dup_bucketed(
     from vrod_spark.operators.ann import _planes
 
     if dim is None:
-        row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        # Probe a NON-NULL vector: first() on the raw column hits
+        # whatever row happens to come back first — a NULL embedding gave
+        # size = -1 under legacy sizeOfNull (dim <= 0 → the whole dedup
+        # silently returned zero pairs) and int(None) under ANSI (r11
+        # review). NULL-embedding rows are skipped by the hash/matmul
+        # pipeline below either way.
+        row = (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(F.size(F.col(vec_col)).alias("d"))
+            .first()
+        )
         dim = int(row["d"]) if row else 0
     if dim <= 0:
         return df.sparkSession.createDataFrame(
@@ -905,7 +947,11 @@ def embedding_near_dup_bucketed(
             for t in range(n_tables)
         ]
     )
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # NULL vectors carry no similarity signal and would land in one NULL
+    # LSH bucket feeding None rows to the matmul kernel — drop them.
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
     if delta_ids is not None:
         dset = (
             delta_ids.select(F.col(delta_ids.columns[0]).alias("id"))
@@ -1427,8 +1473,13 @@ def _apply_span_cuts(
             F.lit(False),
         ),
     )
+    # NULL text stays NULL (unknown content, not empty content):
+    # concat_ws over the all-NULL expression chain would rewrite it to ""
+    # (r11 review; dedup_lines preserves NULL the same way).
     out_cols = [
-        F.concat_ws(" ", F.transform(keep, lambda s: s["t"])).alias(c)
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .otherwise(F.concat_ws(" ", F.transform(keep, lambda s: s["t"])))
+        .alias(c)
         if c == text_col
         else F.col(c)
         for c in df.columns
@@ -1593,7 +1644,12 @@ def dedup_lines(
     )
     n_lines = F.size(F.split(F.col(text_col), sep_pattern))
     out = (
-        df.join(rebuilt, df[id_col] == rebuilt["_id"], "left")
+        # Null-safe equality: a NULL-id row's rebuilt text must join back
+        # (plain == misses NULL==NULL, wiping its text to "" and calling
+        # every line cut — r11 review). Multiple NULL-id docs remain a
+        # degenerate input (they group as one doc upstream), but a single
+        # NULL-id row now round-trips correctly.
+        df.join(rebuilt, df[id_col].eqNullSafe(rebuilt["_id"]), "left")
         .withColumn(
             "n_cut_lines",
             F.when(F.col(text_col).isNull(), F.lit(0))
