@@ -2612,3 +2612,129 @@ def test_update_all_assignments_see_old_values(engine, spark):
             collection="updsem",
             arg={"where": "id = 2", "set": {"nonexistent": "1"}},
         )
+
+
+# -- RESTORE (time-travel write; r11) ---------------------------------------
+def test_restore_fast_path_flat(engine, spark):
+    """Rolling a flat collection back to a pre-mutation snapshot is
+    metadata-only: the new version dir hard-links the historical files
+    (same inodes, zero bytes copied, zero Spark jobs), history stays
+    append-only, and the WAL records the commit."""
+    engine.execute("CREATE", collection="r")
+    engine.execute(
+        "INSERT",
+        collection="r",
+        arg=[{"id": i, "payload": f"p{i}"} for i in range(5)],
+    )
+    col = engine.db.collection("r")
+    v_good = col.version
+    engine.execute("DELETE", collection="r", arg="id >= 2")
+    assert col.read().count() == 2
+    info = engine.execute("RESTORE", collection="r", arg=v_good).info
+    assert info["rows"] == 5
+    assert info["restored_from"] == v_good
+    assert col.version > v_good + 1  # new commit, not a pointer rewind
+    assert {r["id"] for r in col.read().collect()} == set(range(5))
+    # the delete's snapshot is still readable (append-only history)
+    assert col.read(version=v_good + 1).count() == 2
+    # fast path: every restored data file is a hard link of the source
+    src, dst = col.version_dir(v_good), col.version_dir()
+    for fname in os.listdir(dst):
+        if not fname.startswith(("_", ".")):
+            assert os.path.samefile(
+                os.path.join(src, fname), os.path.join(dst, fname)
+            )
+    assert col.wal_entries()[-1]["op"] == "RESTORE"
+
+
+def test_restore_validation(engine, spark):
+    engine.execute("CREATE", collection="rv")
+    engine.execute("INSERT", collection="rv", arg=[{"id": 1, "payload": "a"}])
+    col = engine.db.collection("rv")
+    with pytest.raises(CollectionNotFoundError):
+        engine.execute("RESTORE", collection="rv", arg=99)
+    with pytest.raises(CommandArgError):
+        engine.execute("RESTORE", collection="rv", arg=col.version)
+    with pytest.raises(CommandArgError):
+        engine.execute("RESTORE", collection="rv", arg={"wrong": 0})
+    with pytest.raises(CommandArgError):
+        engine.execute("RESTORE", collection="rv", arg="not-a-version")
+    # dict + JSON-string forms both resolve (the generic CLI arg path)
+    engine.execute("RESTORE", collection="rv", arg={"version": 0})
+    assert col.read().count() == 0
+    engine.execute("RESTORE", collection="rv", arg="1")
+    assert col.read().count() == 1
+
+
+def test_restore_indexed_history_rematerializes(engine, spark, sf_dir):
+    """A bucket-partitioned (indexed) historical snapshot cannot be
+    trusted file-level — RESTORE re-materializes its logical rows
+    through the current conventions and clears the index, the same
+    contract as UPDATE/DELETE."""
+    engine.execute("CREATE", collection="ri", arg={"dimension": 8})
+    rows = [
+        {"id": i, "embedding": [float(i)] * 8, "payload": f"d{i}"}
+        for i in range(40)
+    ]
+    engine.execute("INSERT", collection="ri", arg=rows)
+    engine.execute(
+        "REINDEX", collection="ri", arg={"kind": "sign_lsh", "n_planes": 4}
+    )
+    col = engine.db.collection("ri")
+    v_indexed = col.version
+    assert col.meta["index"] is not None
+    engine.execute("DELETE", collection="ri", arg="id >= 20")
+    n = engine.execute("RESTORE", collection="ri", arg=v_indexed).info["rows"]
+    assert n == 40
+    assert col.meta["index"] is None  # cleared: REINDEX re-derives
+    assert {r["id"] for r in col.read().collect()} == set(range(40))
+    # and the collection is still fully searchable on the exact path
+    out = engine.execute(
+        "SEARCHSIMILAR", collection="ri", arg={"vector": [3.0] * 8, "k": 1}
+    ).df
+    assert out.first()["id"] == 3
+
+
+def test_restore_partitioned_fast_path(engine, spark):
+    """pk=-partitioned history matches a partition_by collection's
+    conventions, so the rollback stays metadata-only and partition
+    pruning still works afterwards."""
+    engine.execute(
+        "CREATE", collection="rp", arg={"partition_by": "region"}
+    )
+    engine.execute(
+        "INSERT",
+        collection="rp",
+        arg=[
+            {"id": i, "payload": f"p{i}", "meta": {"region": ["eu", "us"][i % 2]}}
+            for i in range(6)
+        ],
+    )
+    col = engine.db.collection("rp")
+    v_good = col.version
+    engine.execute(
+        "UPDATE",
+        collection="rp",
+        arg={"where": "id < 3", "set": {"payload": "'clobbered'"}},
+    )
+    assert engine.execute("RESTORE", collection="rp", arg=v_good).info["rows"] == 6
+    got = {r["id"]: r["payload"] for r in col.read().collect()}
+    assert got == {i: f"p{i}" for i in range(6)}
+    # fast path: restored pk= partition files are hard links
+    src, dst = col.version_dir(v_good), col.version_dir()
+    linked = 0
+    for part in os.listdir(dst):
+        if part.startswith("pk="):
+            for fname in os.listdir(os.path.join(dst, part)):
+                if not fname.startswith(("_", ".")):
+                    assert os.path.samefile(
+                        os.path.join(src, part, fname),
+                        os.path.join(dst, part, fname),
+                    )
+                    linked += 1
+    assert linked > 0
+    # pruning survives: the pk layout is intact under the new version
+    pruned = engine.execute(
+        "SEARCH", collection="rp", arg={"where": "meta['region'] = 'eu'"}
+    ).df
+    assert {r["id"] for r in pruned.collect()} == {0, 2, 4}

@@ -1059,6 +1059,96 @@ class Collection:
                 if attempt == retries:
                     raise
 
+    def restore(self, version: int, *, retries: int = 3) -> int:
+        """RESTORE: roll the collection back (or forward) to the content
+        of a committed historical snapshot by COMMITTING A NEW VERSION
+        with that content — history stays append-only (the superseded
+        versions remain readable for audit until TRUNCATEWAL reclaims
+        them), the Delta-Lake RESTORE contract rather than a destructive
+        pointer rewind. Completes the lifecycle triangle the reference
+        sketches (WAL + versioned storage, src/database/mod.rs:8-9):
+        time-travel READ already exists (``read(version=)``); this is
+        the time-travel WRITE.
+
+        FAST PATH (metadata-only — the 100 TB shape): when the
+        historical dir's on-disk layout matches what the collection's
+        conventions produce today (flat ↔ no partition_by, ``pk=`` ↔
+        partition_by), the restore is pure hard-links — O(files) driver
+        work, ZERO Spark jobs, zero bytes copied; the row count comes
+        from parquet footers. A ``bucket=``-partitioned (indexed)
+        historical layout instead re-materializes through the logical
+        read (the index config that wrote those buckets may have been
+        superseded by any number of REINDEXes since, so the layout is
+        not trustworthy), paying one rewrite job.
+
+        Any CURRENT index is cleared either way — the same contract as
+        UPDATE/DELETE: content changed, REINDEX re-derives. Returns the
+        restored row count."""
+        import pyarrow.parquet as pq
+
+        from vrod_spark.errors import CommandArgError, CommitConflictError
+
+        version = int(version)
+        src = self.version_dir(version)
+        if not os.path.isdir(src):
+            raise CollectionNotFoundError(
+                f"version {version} of {self.name} does not exist "
+                "(never committed, or reclaimed by TRUNCATEWAL)"
+            )
+        if version == self.version:
+            raise CommandArgError(
+                f"{self.name} is already at version {version}; "
+                "RESTORE targets a historical snapshot"
+            )
+        entries = os.listdir(src)
+        part_key = self.meta.get("partition_by")
+        bucketed = any(e.startswith("bucket=") for e in entries)
+        pk_laid = any(e.startswith("pk=") for e in entries)
+        linkable = not bucketed and (pk_laid == bool(part_key))
+        if linkable:
+            with self._commit_lock():
+                # Re-check under the lock: a racing commit may have moved
+                # CURRENT onto the target (restore would then be a no-op
+                # duplicate) — refuse, same shape as the rewrite conflict.
+                if version == self.version:
+                    raise CommitConflictError(
+                        f"concurrent commit moved {self.name} to "
+                        f"v{version} while RESTORE was preparing"
+                    )
+                nxt, nxt_dir = self._next_version_dir()
+                os.makedirs(nxt_dir)
+                try:
+                    self._link_existing(src, nxt_dir)
+                    n = 0
+                    for root, _dirs, files in os.walk(nxt_dir):
+                        for fname in files:
+                            if fname.startswith(("_", ".")):
+                                continue
+                            n += pq.ParquetFile(
+                                os.path.join(root, fname)
+                            ).metadata.num_rows
+                except Exception:
+                    shutil.rmtree(nxt_dir, ignore_errors=True)
+                    raise
+                if self.meta.get("index"):
+                    self.update_meta(index=None)
+                self._commit(
+                    nxt, "RESTORE", {"restored_from": version, "rows": n}
+                )
+            return n
+        # Layout mismatch (historical bucket= index layout, or a
+        # partition_by added/removed since): re-materialize the logical
+        # rows through the current conventions. read(version) is
+        # immutable, so the OCC retry just re-runs the same job.
+        for attempt in range(retries + 1):
+            try:
+                return self._rewrite(
+                    self.read(version), "RESTORE", {"restored_from": version}
+                )
+            except CommitConflictError:
+                if attempt == retries:
+                    raise
+
     # -- maintenance -------------------------------------------------------
     def truncate_wal(self) -> dict:
         """Per-collection TRUNCATEWAL: clear the commit log and reclaim

@@ -99,6 +99,7 @@ class Engine:
             "BULKINSERT": self._bulkinsert,
             "UPDATE": self._update,
             "DELETE": self._delete,
+            "RESTORE": self._restore,
             "SEARCH": self._search,
             "SEARCHSIMILAR": self._search_similar,
             "REINDEX": self._reindex,
@@ -466,6 +467,43 @@ class Engine:
             predicate = str(spec)
         n = col.delete(predicate)
         return CommandResult("DELETE", info={"collection": col.name, "deleted": n})
+
+    def _restore(self, collection: str | None, arg: Any) -> CommandResult:
+        """RESTORE — [N] lifecycle verb (time-travel WRITE; the read half
+        is SEARCH's ``version=``): commit a NEW version whose content is
+        a committed historical snapshot's. History stays append-only, so
+        a bad DEDUP/UPDATE/DELETE is reversible until TRUNCATEWAL
+        reclaims the superseded dirs. ``arg``: a version number, or
+        {"version": N}. Metadata-only (hard-link) when the historical
+        layout matches the collection's conventions — zero Spark jobs;
+        see Collection.restore for the layout rules."""
+        col = self._require_collection(collection)
+        spec = self._require_arg(arg, "restore version")
+        if isinstance(spec, str):
+            try:
+                spec = json.loads(spec)
+            except json.JSONDecodeError:
+                pass
+        if isinstance(spec, dict):
+            if "version" not in spec:
+                raise CommandArgError('RESTORE dict form needs {"version": N}')
+            spec = spec["version"]
+        try:
+            version = int(spec)
+        except (TypeError, ValueError):
+            raise CommandArgError(
+                f"RESTORE needs an integer version, got {spec!r}"
+            )
+        n = col.restore(version)
+        return CommandResult(
+            "RESTORE",
+            info={
+                "collection": col.name,
+                "restored_from": version,
+                "version": col.version,
+                "rows": n,
+            },
+        )
 
     # -- queries -----------------------------------------------------------
     def _explain(self, collection: str | None, arg: Any) -> CommandResult:

@@ -4250,6 +4250,11 @@ def q54_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   executes and that the id predicate is PUSHED to the parquet scan
 #   (n = plan non-empty, v = pushed-filter present; oracle pins the
 #   literals, like q51's VALUES rows).
+# - 'export'/'delta': the EXPORT verb full + incremental shard cycles
+#   (see the leg comments in the body).
+# - 'restore': RESTORE docs_back to its pre-append snapshot (time-travel
+#   WRITE, metadata-only hard-link path) — current content must again be
+#   the exported survivor set, count + payload checksum.
 # Columns (leg, n, v) — all integers.
 # ---------------------------------------------------------------------------
 @query(
@@ -4283,6 +4288,10 @@ def q54_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'delta', 1::BIGINT,
            (('0x' || substring(md5(text), 1, 15))::BIGINT % 1000003)::BIGINT
     FROM documents WHERE doc_id = 0
+    UNION ALL
+    SELECT 'restore', count(*),
+           sum(('0x' || substring(md5(text), 1, 15))::BIGINT % 1000003)::BIGINT
+    FROM surv
     ORDER BY leg, n
     """,
 )
@@ -4356,6 +4365,10 @@ def q48_dedup_engine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         eng.execute(
             "BULKINSERT", collection="docs_delta", arg=delta_dir + "/*.json.gz"
         )
+        # RESTORE cycle (r11): roll docs_back back to its pre-append
+        # snapshot — the time-travel WRITE. Flat layout ⇒ the hard-link
+        # metadata-only path (zero Spark jobs), so this leg is ~free.
+        eng.execute("RESTORE", collection="docs_back", arg=v_back)
         return eng, ingest_version, v_back
 
     eng, ingest_version, v_back = _shared_scalar(
@@ -4417,12 +4430,22 @@ def q48_dedup_engine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum(md60).alias("v"))
         .select(F.lit("delta").alias("leg"), "n", "v")
     )
+    # restore leg — RESTORE rolled docs_back to its pre-append snapshot
+    # (in the shared pipeline): the CURRENT content must again be exactly
+    # the survivor set the export cycle shipped, count + checksum.
+    restore_leg = (
+        eng.db.collection("docs_back")
+        .read()
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(md60).alias("v"))
+        .select(F.lit("restore").alias("leg"), "n", "v")
+    )
     return (
         dedup_leg.unionByName(travel_leg)
         .unionByName(facets_leg)
         .unionByName(explain_leg)
         .unionByName(export_leg)
         .unionByName(delta_leg)
+        .unionByName(restore_leg)
         .orderBy("leg", "n")
     )
 
