@@ -2738,3 +2738,64 @@ def test_restore_partitioned_fast_path(engine, spark):
         "SEARCH", collection="rp", arg={"where": "meta['region'] = 'eu'"}
     ).df
     assert {r["id"] for r in pruned.collect()} == {0, 2, 4}
+
+
+def test_export_writes_manifest(engine, spark, tmp_path):
+    """EXPORT leaves a _manifest.json shard inventory: names + sizes
+    (+ per-shard rows for parquet), row count, and snapshot provenance.
+    The underscore name keeps it out of Spark listings and the
+    BULKINSERT re-ingest glob."""
+    import json
+
+    engine.execute("CREATE", collection="man")
+    engine.execute(
+        "INSERT",
+        collection="man",
+        arg=[{"id": i, "payload": f"p{i}"} for i in range(10)],
+    )
+    # jsonl: files + bytes, no per-file rows (would need a re-read)
+    out = str(tmp_path / "mj")
+    info = engine.execute(
+        "EXPORT",
+        collection="man",
+        arg={"path": out, "columns": ["id", "payload"], "shards": 2},
+    ).info
+    m = json.load(open(info["manifest"]))
+    assert m["rows"] == 10 and m["format"] == "jsonl"
+    assert m["collection"] == "man" and m["version"] == 1
+    assert m["columns"] == ["id", "payload"]
+    assert m["n_files"] == len(m["files"]) > 0
+    assert all(f["bytes"] > 0 for f in m["files"])
+    assert sorted(f["name"] for f in m["files"]) == sorted(
+        f for f in os.listdir(out)
+        if not f.startswith(("_", "."))
+    )
+    # the manifest must not leak into a re-ingest
+    engine.execute("CREATE", collection="man_back")
+    engine.execute(
+        "BULKINSERT", collection="man_back", arg=out + "/*.json.gz"
+    )
+    assert engine.db.collection("man_back").read().count() == 10
+    # parquet: per-shard rows from footers sum to the export count
+    outp = str(tmp_path / "mp")
+    infop = engine.execute(
+        "EXPORT",
+        collection="man",
+        arg={"path": outp, "format": "parquet", "where": "id < 7"},
+    ).info
+    mp = json.load(open(infop["manifest"]))
+    assert mp["rows"] == 7 and mp["where"] == "id < 7"
+    assert sum(f["rows"] for f in mp["files"]) == 7
+    # incremental export records since_version, not version
+    engine.execute(
+        "INSERT", collection="man", arg=[{"id": 100, "payload": "new"}]
+    )
+    outd = str(tmp_path / "md")
+    infod = engine.execute(
+        "EXPORT",
+        collection="man",
+        arg={"path": outd, "columns": ["id"], "since_version": 1},
+    ).info
+    md = json.load(open(infod["manifest"]))
+    assert md["since_version"] == 1 and md["version"] is None
+    assert md["rows"] == 1

@@ -591,7 +591,11 @@ class Engine:
 
         The row count rides the WRITE job via ``observe`` (no second
         scan). jsonl shards read straight back through BULKINSERT —
-        pytest pins the roundtrip (full and incremental)."""
+        pytest pins the roundtrip (full and incremental). A
+        ``_manifest.json`` shard inventory (names, sizes, per-shard rows
+        for parquet, snapshot provenance) is written next to the shards;
+        the underscore name keeps it invisible to Spark listings and the
+        re-ingest glob."""
         col = self._require_collection(collection)
         spec = self._require_arg(arg, "export spec")
         if not isinstance(spec, dict) or "path" not in spec:
@@ -638,13 +642,29 @@ class Engine:
             out.write.mode(mode).option(
                 "maxRecordsPerFile", int(spec.get("max_records_per_file", 100_000))
             ).parquet(path)
+        rows = int(obs.get["rows"])
+        from vrod_spark.sources.export import write_export_manifest
+
+        manifest = write_export_manifest(
+            path,
+            fmt=fmt,
+            rows=rows,
+            collection=col.name,
+            version=int(version) if version is not None else (
+                None if since is not None else col.version
+            ),
+            since_version=int(since) if since is not None else None,
+            columns=[str(c) for c in spec["columns"]] if spec.get("columns") else None,
+            where=str(spec["where"]) if spec.get("where") else None,
+        )
         return CommandResult(
             "EXPORT",
             info={
                 "collection": col.name,
                 "path": path,
                 "format": fmt,
-                "rows": int(obs.get["rows"]),
+                "rows": rows,
+                "manifest": manifest,
             },
         )
 

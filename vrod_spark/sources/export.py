@@ -58,3 +58,63 @@ def export_jsonl_shards(
     if compression and compression != "none":
         writer = writer.option("compression", compression)
     writer.json(path)
+
+
+def write_export_manifest(
+    path: str,
+    *,
+    fmt: str,
+    rows: int,
+    collection: str,
+    version: int | None = None,
+    since_version: int | None = None,
+    columns: list[str] | None = None,
+    where: str | None = None,
+) -> str:
+    """Write ``_manifest.json`` next to the shards: the inventory a
+    training loader consumes (shard names + sizes, per-shard row counts
+    for parquet, provenance back to the collection snapshot).
+
+    The leading underscore keeps it invisible to every reader that
+    matters: Spark/Hadoop data-source listings skip ``_``/``.`` files,
+    and BULKINSERT's ``*.json.gz`` glob never matches it — so re-ingest
+    roundtrips are unaffected.
+
+    Driver-side O(files): one directory listing (the same listing the
+    write's commit protocol just produced) plus, for parquet, a footer
+    read per shard — no data scan, no Spark job. ``rows`` is the count
+    observed on THIS export's write job; with ``mode="append"`` the file
+    list covers the whole directory while ``rows`` stays per-export."""
+    import json
+    import os
+    import time
+
+    files = []
+    for fname in sorted(os.listdir(path)):
+        full = os.path.join(path, fname)
+        if fname.startswith(("_", ".")) or not os.path.isfile(full):
+            continue
+        entry: dict = {"name": fname, "bytes": os.path.getsize(full)}
+        if fmt == "parquet" and fname.endswith(".parquet"):
+            import pyarrow.parquet as pq
+
+            entry["rows"] = pq.ParquetFile(full).metadata.num_rows
+        files.append(entry)
+    manifest = {
+        "format": fmt,
+        "rows": int(rows),
+        "collection": collection,
+        "version": version,
+        "since_version": since_version,
+        "columns": columns,
+        "where": where,
+        "n_files": len(files),
+        "files": files,
+        "created_at": time.time(),
+    }
+    out = os.path.join(path, "_manifest.json")
+    tmp = out + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, out)
+    return out
