@@ -13,6 +13,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from vrod_spark.engine import Engine
+from vrod_spark.errors import CommandArgError
 from vrod_spark.functions.vector import cosine_similarity, l2_distance
 from vrod_spark.operators.dedup import exact_dedup
 
@@ -366,11 +367,12 @@ def test_h264_cavlc_roundtrip_property(seed, qp, smooth):
 
 # --- model-based random mutation sequences (r11) ---------------------------
 # A random sequence of INSERT(on_conflict=replace/ignore) / UPDATE /
-# DELETE / DEDUP verbs mirrored against a plain Python dict model; after
-# every sequence the collection's (id -> payload) state must equal the
-# model exactly. Catches cross-verb interactions (a replace after a
-# delete, dedup after an update rewrote payloads) that per-verb tests
-# never sequence.
+# DELETE / DEDUP / RESTORE verbs mirrored against a plain Python dict
+# model (RESTORE: per-version model snapshots); after every sequence the
+# collection's (id -> payload) state must equal the model exactly.
+# Catches cross-verb interactions (a replace after a delete, dedup after
+# an update rewrote payloads, mutations stacked on a rollback) that
+# per-verb tests never sequence.
 
 _op = st.one_of(
     st.tuples(st.just("insert_replace"), st.integers(0, 9), st.text("abc", max_size=4)),
@@ -378,6 +380,7 @@ _op = st.one_of(
     st.tuples(st.just("update"), st.integers(0, 9), st.text("xyz", min_size=1, max_size=4)),
     st.tuples(st.just("delete"), st.integers(0, 9), st.just("")),
     st.tuples(st.just("dedup"), st.just(0), st.just("")),
+    st.tuples(st.just("restore"), st.integers(0, 9), st.just("")),
 )
 
 
@@ -396,6 +399,9 @@ def test_engine_mutation_sequence_matches_model(spark, tmp_path_factory, ops, se
         collection="m",
         arg=[{"id": i, "payload": p} for i, p in model.items()],
     )
+    col = eng.db.collection("m")
+    # committed version -> model state at that version (for RESTORE)
+    snapshots: dict[int, dict[int, str]] = {col.version: dict(model)}
     for verb, rid, text in ops:
         if verb == "insert_replace":
             eng.execute(
@@ -432,6 +438,18 @@ def test_engine_mutation_sequence_matches_model(spark, tmp_path_factory, ops, se
                 key = model[i].strip().lower()
                 keep.setdefault(key, i)
             model = {i: model[i] for i in keep.values()}
+        elif verb == "restore":
+            # time-travel write: roll back to any committed version; the
+            # model becomes the state recorded at that version. Restoring
+            # the current version is rejected and changes nothing.
+            target = sorted(snapshots)[rid % len(snapshots)]
+            if target == col.version:
+                with pytest.raises(CommandArgError):
+                    eng.execute("RESTORE", collection="m", arg=target)
+            else:
+                eng.execute("RESTORE", collection="m", arg=target)
+                model = dict(snapshots[target])
+        snapshots[col.version] = dict(model)
     got = {
         r["id"]: r["payload"]
         for r in eng.db.collection("m").read().select("id", "payload").collect()
