@@ -2799,3 +2799,30 @@ def test_export_writes_manifest(engine, spark, tmp_path):
     md = json.load(open(infod["manifest"]))
     assert md["since_version"] == 1 and md["version"] is None
     assert md["rows"] == 1
+
+
+def test_restore_rejects_orphans_and_float_versions(engine, spark):
+    """r11 review: (a) a crashed writer's orphaned v{N} dir (on disk but
+    never pointed to by _CURRENT) must not be restorable — its link set
+    may be partial; (b) non-integer versions are rejected, never
+    silently truncated to a different snapshot."""
+    engine.execute("CREATE", collection="ro")
+    engine.execute("INSERT", collection="ro", arg=[{"id": 1, "payload": "a"}])
+    engine.execute("INSERT", collection="ro", arg=[{"id": 2, "payload": "b"}])
+    col = engine.db.collection("ro")
+    # fabricate an orphan: a version dir with data but no commit record
+    orphan = col.version_dir(col.version + 7)
+    os.makedirs(orphan)
+    import shutil as _sh
+
+    for f in os.listdir(col.version_dir(1)):
+        if not f.startswith(("_", ".")):
+            _sh.copy(os.path.join(col.version_dir(1), f), orphan)
+    with pytest.raises(CommandArgError, match="no.*commit record|orphan"):
+        engine.execute("RESTORE", collection="ro", arg=col.version + 7)
+    # committed targets still work
+    assert engine.execute("RESTORE", collection="ro", arg=1).info["rows"] == 1
+    # numeric fidelity: floats and bools are not versions
+    for bad in (1.0, 2.9, True, {"version": 2.9}, "2.9"):
+        with pytest.raises(CommandArgError):
+            engine.execute("RESTORE", collection="ro", arg=bad)

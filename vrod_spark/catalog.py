@@ -291,6 +291,34 @@ class Collection:
         v = self.version if version is None else version
         return os.path.join(self.path, f"v{v}")
 
+    def _require_version_dir(self, version: int) -> str:
+        """The on-disk dir of a historical version, or the shared
+        CollectionNotFoundError when it was never committed or was
+        reclaimed — the one error contract read/read_delta/restore use."""
+        target = self.version_dir(version)
+        if not os.path.isdir(target):
+            raise CollectionNotFoundError(
+                f"version {version} of {self.name} does not exist "
+                "(never committed, or reclaimed by TRUNCATEWAL)"
+            )
+        return target
+
+    def committed_versions(self) -> set[int]:
+        """Versions PROVABLY committed: the current one plus every WAL
+        entry's (v0 — CREATE's empty snapshot — commits outside the
+        collection WAL). A crashed writer can leave an orphaned v{N}
+        directory that was never pointed to by _CURRENT; its content may
+        be partial, so anything consuming a historical version as DATA
+        (RESTORE) must check membership here, not just isdir. Excluding
+        a commit whose WAL line was lost to a crash between pointer swap
+        and log append is the conservative side of that coin."""
+        out = {0, self.version}
+        for e in self.wal_entries():
+            v = e.get("version")
+            if isinstance(v, int):
+                out.add(v)
+        return out
+
     def read(self, version: int | None = None, *, spark: SparkSession | None = None) -> DataFrame:
         """Read a committed snapshot — the CURRENT one by default, or a
         historical one (time travel): COW versions are immutable until
@@ -310,11 +338,7 @@ class Collection:
         ]
         target = self.version_dir(version)
         if version is not None:
-            if not os.path.isdir(target):
-                raise CollectionNotFoundError(
-                    f"version {version} of {self.name} does not exist "
-                    "(never committed, or reclaimed by TRUNCATEWAL)"
-                )
+            target = self._require_version_dir(version)
             # A historical snapshot may predate or postdate a REINDEX /
             # repartition, so its on-disk layout (plain vs partitioned) can
             # differ from what current meta suggests — sniff, don't trust.
@@ -359,12 +383,7 @@ class Collection:
         rewrites would keep an append log table instead (the WAL already
         carries the commit sequence for it)."""
         cur = self.version
-        old_dir = self.version_dir(since_version)
-        if not os.path.isdir(old_dir):
-            raise CollectionNotFoundError(
-                f"version {since_version} of {self.name} does not exist "
-                "(never committed, or reclaimed by TRUNCATEWAL)"
-            )
+        old_dir = self._require_version_dir(since_version)
         if since_version >= cur:
             return self.read().limit(0)
         # Append-only iff EVERY committed version in (since, cur] has a
@@ -1089,16 +1108,24 @@ class Collection:
         from vrod_spark.errors import CommandArgError, CommitConflictError
 
         version = int(version)
-        src = self.version_dir(version)
-        if not os.path.isdir(src):
-            raise CollectionNotFoundError(
-                f"version {version} of {self.name} does not exist "
-                "(never committed, or reclaimed by TRUNCATEWAL)"
-            )
+        src = self._require_version_dir(version)
         if version == self.version:
             raise CommandArgError(
                 f"{self.name} is already at version {version}; "
                 "RESTORE targets a historical snapshot"
+            )
+        # isdir is not enough here: a crashed writer leaves an orphaned
+        # v{N} dir that was never pointed to by _CURRENT and may hold a
+        # PARTIAL link set — promoting it would present data loss as a
+        # successful rollback. Time-travel READS share the risk surface
+        # but not the blast radius (they don't commit); RESTORE requires
+        # proof of commit.
+        if version not in self.committed_versions():
+            raise CommandArgError(
+                f"version {version} of {self.name} is on disk but has no "
+                "commit record (an orphaned directory from a crashed "
+                "writer, or its WAL line was lost) — refusing to RESTORE "
+                "possibly-partial content"
             )
         entries = os.listdir(src)
         part_key = self.meta.get("partition_by")
@@ -1106,6 +1133,20 @@ class Collection:
         pk_laid = any(e.startswith("pk=") for e in entries)
         linkable = not bucketed and (pk_laid == bool(part_key))
         if linkable:
+            # Count rows from the SOURCE dir's parquet footers before
+            # taking the lock: the dir is immutable and the links will
+            # share its inodes, but footer reads are open+read per file —
+            # O(files) I/O that must not sit inside the commit lock's
+            # stale-breaker budget (the locked tail below is link+swap
+            # metadata ops only).
+            n = 0
+            for root, _dirs, files in os.walk(src):
+                for fname in files:
+                    if fname.startswith(("_", ".")):
+                        continue
+                    n += pq.ParquetFile(
+                        os.path.join(root, fname)
+                    ).metadata.num_rows
             with self._commit_lock():
                 # Re-check under the lock: a racing commit may have moved
                 # CURRENT onto the target (restore would then be a no-op
@@ -1119,14 +1160,6 @@ class Collection:
                 os.makedirs(nxt_dir)
                 try:
                     self._link_existing(src, nxt_dir)
-                    n = 0
-                    for root, _dirs, files in os.walk(nxt_dir):
-                        for fname in files:
-                            if fname.startswith(("_", ".")):
-                                continue
-                            n += pq.ParquetFile(
-                                os.path.join(root, fname)
-                            ).metadata.num_rows
                 except Exception:
                     shutil.rmtree(nxt_dir, ignore_errors=True)
                     raise

@@ -488,13 +488,15 @@ class Engine:
             if "version" not in spec:
                 raise CommandArgError('RESTORE dict form needs {"version": N}')
             spec = spec["version"]
-        try:
-            version = int(spec)
-        except (TypeError, ValueError):
+        # Exact integers only: int(2.9) would silently restore a
+        # DIFFERENT snapshot than the one named, and True is not a
+        # version (same id-fidelity rule as INSERT's key handling).
+        if isinstance(spec, bool) or not isinstance(spec, int):
             raise CommandArgError(
                 f"RESTORE needs an integer version, got {spec!r}"
             )
-        n = col.restore(version)
+        n = col.restore(spec)
+        version = spec
         return CommandResult(
             "RESTORE",
             info={
@@ -616,8 +618,16 @@ class Engine:
             )
         if since is not None:
             df = col.read_delta(int(since))
+            snapshot_version = None
         else:
-            df = col.read(version=int(version) if version is not None else None)
+            # Pin the snapshot by NUMBER before building the read: the
+            # write job below can run for minutes, and a concurrent
+            # commit must not make the manifest claim a version whose
+            # rows the export never saw.
+            snapshot_version = (
+                int(version) if version is not None else col.version
+            )
+            df = col.read(version=snapshot_version)
         if spec.get("where"):
             df = df.filter(F.expr(str(spec["where"])))
         if spec.get("columns"):
@@ -650,9 +660,7 @@ class Engine:
             fmt=fmt,
             rows=rows,
             collection=col.name,
-            version=int(version) if version is not None else (
-                None if since is not None else col.version
-            ),
+            version=snapshot_version,
             since_version=int(since) if since is not None else None,
             columns=[str(c) for c in spec["columns"]] if spec.get("columns") else None,
             where=str(spec["where"]) if spec.get("where") else None,
