@@ -2826,3 +2826,35 @@ def test_restore_rejects_orphans_and_float_versions(engine, spark):
     for bad in (1.0, 2.9, True, {"version": 2.9}, "2.9"):
         with pytest.raises(CommandArgError):
             engine.execute("RESTORE", collection="ro", arg=bad)
+
+
+def test_history_verb(engine, spark):
+    """HISTORY: one row per commit with retained/current flags —
+    the introspection face of RESTORE (pick a rollback target)."""
+    engine.execute("CREATE", collection="h")
+    engine.execute("INSERT", collection="h", arg=[{"id": 1, "payload": "a"}])
+    engine.execute("INSERT", collection="h", arg=[{"id": 2, "payload": "b"}])
+    engine.execute("DELETE", collection="h", arg="id = 1")
+    engine.execute("RESTORE", collection="h", arg=2)
+    hist = engine.execute("HISTORY", collection="h").df.orderBy("version").collect()
+    assert [r["op"] for r in hist] == [
+        "CREATE", "INSERT", "INSERT", "DELETE", "RESTORE"
+    ]
+    assert [r["version"] for r in hist] == [0, 1, 2, 3, 4]
+    assert all(r["retained"] for r in hist)
+    assert [r["current"] for r in hist] == [False, False, False, False, True]
+    assert hist[-1]["restored_from"] == 2 and hist[-1]["rows"] == 2
+    # TRUNCATEWAL: log restarts; reclaimed dirs drop out of `retained`,
+    # the surviving checkpoint snapshot is synthesized into the history
+    engine.execute("TRUNCATEWAL", collection="h")
+    hist2 = engine.execute("HISTORY", collection="h").df.orderBy("version").collect()
+    ops2 = {r["version"]: r for r in hist2}
+    assert not ops2[0]["retained"]  # v0 reclaimed
+    assert ops2[4]["op"] == "CHECKPOINT" and ops2[4]["current"]
+    assert ops2[4]["retained"]
+    # and new commits log on top of the checkpoint
+    engine.execute("INSERT", collection="h", arg=[{"id": 9, "payload": "z"}])
+    hist3 = engine.execute("HISTORY", collection="h").df.orderBy("version").collect()
+    assert hist3[-1]["op"] == "INSERT" and hist3[-1]["version"] == 5
+    with pytest.raises(CommandArgError):
+        engine.execute("HISTORY", collection=None)

@@ -14,6 +14,7 @@ declarative DataFrame plan (Catalyst optimizes) or a catalog/COW action.
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import dataclass
 from typing import Any
 
@@ -100,6 +101,7 @@ class Engine:
             "UPDATE": self._update,
             "DELETE": self._delete,
             "RESTORE": self._restore,
+            "HISTORY": self._history,
             "SEARCH": self._search,
             "SEARCHSIMILAR": self._search_similar,
             "REINDEX": self._reindex,
@@ -505,6 +507,73 @@ class Engine:
                 "version": col.version,
                 "rows": n,
             },
+        )
+
+    def _history(self, collection: str | None, arg: Any) -> CommandResult:
+        """HISTORY — [N] introspection verb pairing with RESTORE/time
+        travel: one row per commit (version, op, ts, rows touched,
+        restored_from for RESTOREs), plus whether each snapshot dir is
+        still retained on disk (restorable/readable) and which is
+        CURRENT. v0 is CREATE's empty snapshot (committed outside the
+        collection WAL, so synthesized from meta). After TRUNCATEWAL the
+        log restarts — retained=false rows disappear with their dirs.
+
+        Driver-side O(commits): the WAL is line-JSON on the driver and a
+        collection's commit count is bounded by its mutation history,
+        not its data. The result is a local Arrow DataFrame."""
+        import pandas as pd
+
+        col = self._require_collection(collection)
+        cur = col.version
+        rows = [
+            {
+                "version": 0,
+                "op": "CREATE",
+                "ts": float(col.meta.get("created_at") or 0.0),
+                "rows": None,
+                "restored_from": None,
+            }
+        ]
+        for e in col.wal_entries():
+            rows.append(
+                {
+                    "version": int(e.get("version", -1)),
+                    "op": str(e.get("op", "")),
+                    "ts": float(e.get("ts", 0.0)),
+                    "rows": e.get("rows"),
+                    "restored_from": e.get("restored_from"),
+                }
+            )
+        # TRUNCATEWAL clears the log but keeps the CURRENT snapshot: a
+        # post-truncation history must still show it (it is the restore
+        # horizon), so synthesize a CHECKPOINT row when unlogged.
+        if all(r["version"] != cur for r in rows):
+            try:
+                ts = os.path.getmtime(col.version_dir(cur))
+            except OSError:
+                ts = 0.0
+            rows.append(
+                {
+                    "version": cur,
+                    "op": "CHECKPOINT",
+                    "ts": float(ts),
+                    "rows": None,
+                    "restored_from": None,
+                }
+            )
+        pdf = pd.DataFrame(rows).drop_duplicates("version", keep="last")
+        pdf["retained"] = pdf["version"].map(
+            lambda v: os.path.isdir(col.version_dir(int(v)))
+        )
+        pdf["current"] = pdf["version"] == cur
+        pdf = pdf.sort_values("version")
+        df = self.spark.createDataFrame(
+            pdf,
+            "version bigint, op string, ts double, rows bigint, "
+            "restored_from bigint, retained boolean, current boolean",
+        )
+        return CommandResult(
+            "HISTORY", df=df, info={"collection": col.name, "current": cur}
         )
 
     # -- queries -----------------------------------------------------------

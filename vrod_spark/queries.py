@@ -4255,6 +4255,9 @@ def q54_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # - 'restore': RESTORE docs_back to its pre-append snapshot (time-travel
 #   WRITE, metadata-only hard-link path) — current content must again be
 #   the exported survivor set, count + payload checksum.
+# - 'history': HISTORY over docs_back pins the commit sequence (4
+#   retained snapshots, CURRENT = v3 the restore) — literal pins like
+#   the explain leg.
 # Columns (leg, n, v) — all integers.
 # ---------------------------------------------------------------------------
 @query(
@@ -4292,6 +4295,8 @@ def q54_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'restore', count(*),
            sum(('0x' || substring(md5(text), 1, 15))::BIGINT % 1000003)::BIGINT
     FROM surv
+    UNION ALL
+    SELECT 'history', 4::BIGINT, 3::BIGINT
     ORDER BY leg, n
     """,
 )
@@ -4439,6 +4444,14 @@ def q48_dedup_engine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum(md60).alias("v"))
         .select(F.lit("restore").alias("leg"), "n", "v")
     )
+    # history leg — HISTORY over docs_back pins the whole commit
+    # sequence the pipeline produced: CREATE v0 → BULKINSERT v1 →
+    # INSERT v2 → RESTORE v3, all retained, CURRENT = the restore.
+    hist = eng.execute("HISTORY", collection="docs_back").df
+    history_leg = hist.agg(
+        F.sum(F.col("retained").cast("bigint")).alias("n"),
+        F.max(F.when(F.col("current"), F.col("version"))).alias("v"),
+    ).select(F.lit("history").alias("leg"), "n", "v")
     return (
         dedup_leg.unionByName(travel_leg)
         .unionByName(facets_leg)
@@ -4446,6 +4459,7 @@ def q48_dedup_engine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(export_leg)
         .unionByName(delta_leg)
         .unionByName(restore_leg)
+        .unionByName(history_leg)
         .orderBy("leg", "n")
     )
 
