@@ -2858,3 +2858,30 @@ def test_history_verb(engine, spark):
     assert hist3[-1]["op"] == "INSERT" and hist3[-1]["version"] == 5
     with pytest.raises(CommandArgError):
         engine.execute("HISTORY", collection=None)
+
+
+def test_restore_as_of_timestamp(engine, spark):
+    """RESTORE {"ts": T}: latest retained commit at-or-before T,
+    resolved from the WAL's commit timestamps (HISTORY's ts column)."""
+    engine.execute("CREATE", collection="rt")
+    engine.execute("INSERT", collection="rt", arg=[{"id": 1, "payload": "a"}])
+    engine.execute("INSERT", collection="rt", arg=[{"id": 2, "payload": "b"}])
+    engine.execute("DELETE", collection="rt", arg="id = 1")
+    col = engine.db.collection("rt")
+    ts_by_version = {e["version"]: e["ts"] for e in col.wal_entries()}
+    # between the two inserts -> v1's content (only id 1)
+    mid = (ts_by_version[1] + ts_by_version[2]) / 2
+    info = engine.execute("RESTORE", collection="rt", arg={"ts": mid}).info
+    assert info["restored_from"] == 1 and info["rows"] == 1
+    assert {r["id"] for r in col.read().collect()} == {1}
+    # far future resolves to CURRENT -> rejected as a no-op restore
+    with pytest.raises(CommandArgError, match="already at version"):
+        engine.execute("RESTORE", collection="rt", arg={"ts": mid + 1e9})
+    # before creation -> nothing to restore
+    with pytest.raises(CommandArgError, match="no retained commit"):
+        engine.execute("RESTORE", collection="rt", arg={"ts": 0.0})
+    # ts and version together, and non-numeric ts, are rejected
+    with pytest.raises(CommandArgError):
+        engine.execute("RESTORE", collection="rt", arg={"ts": mid, "version": 1})
+    with pytest.raises(CommandArgError):
+        engine.execute("RESTORE", collection="rt", arg={"ts": "noon"})

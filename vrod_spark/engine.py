@@ -475,10 +475,13 @@ class Engine:
         is SEARCH's ``version=``): commit a NEW version whose content is
         a committed historical snapshot's. History stays append-only, so
         a bad DEDUP/UPDATE/DELETE is reversible until TRUNCATEWAL
-        reclaims the superseded dirs. ``arg``: a version number, or
-        {"version": N}. Metadata-only (hard-link) when the historical
-        layout matches the collection's conventions — zero Spark jobs;
-        see Collection.restore for the layout rules."""
+        reclaims the superseded dirs. ``arg``: a version number,
+        {"version": N}, or {"ts": <unix seconds>} — "as of" semantics:
+        the LATEST commit at-or-before that instant, resolved from the
+        WAL's commit timestamps (the same ts column HISTORY shows).
+        Metadata-only (hard-link) when the historical layout matches the
+        collection's conventions — zero Spark jobs; see
+        Collection.restore for the layout rules."""
         col = self._require_collection(collection)
         spec = self._require_arg(arg, "restore version")
         if isinstance(spec, str):
@@ -487,9 +490,20 @@ class Engine:
             except json.JSONDecodeError:
                 pass
         if isinstance(spec, dict):
-            if "version" not in spec:
-                raise CommandArgError('RESTORE dict form needs {"version": N}')
-            spec = spec["version"]
+            if ("version" in spec) == ("ts" in spec):
+                raise CommandArgError(
+                    'RESTORE dict form needs {"version": N} or {"ts": T}, '
+                    "not both"
+                )
+            if "ts" in spec:
+                ts = spec["ts"]
+                if isinstance(ts, bool) or not isinstance(ts, (int, float)):
+                    raise CommandArgError(
+                        f"RESTORE ts must be unix seconds, got {ts!r}"
+                    )
+                spec = self._version_as_of(col, float(ts))
+            else:
+                spec = spec["version"]
         # Exact integers only: int(2.9) would silently restore a
         # DIFFERENT snapshot than the one named, and True is not a
         # version (same id-fidelity rule as INSERT's key handling).
@@ -508,6 +522,30 @@ class Engine:
                 "rows": n,
             },
         )
+
+    @staticmethod
+    def _version_as_of(col: Collection, ts: float) -> int:
+        """Latest committed version whose commit time is <= ``ts`` —
+        v0's time is the collection's created_at; every later commit's
+        is its WAL line. Only versions still retained on disk qualify
+        (a reclaimed snapshot can't be restored anyway, and the error
+        should say "nothing at that time", not "missing dir")."""
+        candidates = [(float(col.meta.get("created_at") or 0.0), 0)]
+        for e in col.wal_entries():
+            v = e.get("version")
+            if isinstance(v, int):
+                candidates.append((float(e.get("ts", 0.0)), v))
+        eligible = [
+            v
+            for t, v in candidates
+            if t <= ts and os.path.isdir(col.version_dir(v))
+        ]
+        if not eligible:
+            raise CommandArgError(
+                f"no retained commit of {col.name} at or before ts={ts} "
+                "(before creation, or reclaimed by TRUNCATEWAL)"
+            )
+        return max(eligible)
 
     def _history(self, collection: str | None, arg: Any) -> CommandResult:
         """HISTORY — [N] introspection verb pairing with RESTORE/time
