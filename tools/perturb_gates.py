@@ -28,6 +28,11 @@ GATES = [
     "q28b_embedding_near_dup_bucketed",
     "q49_repetition_ratio",
     "q53_vocab_top_tokens",
+    # r11: the mutating engine pipeline (EXPORT shard cycle, RESTORE
+    # hard-link rollback, HISTORY commit-sequence pins) — filesystem
+    # side effects rather than float orderings, but the same "only the
+    # driver's env is different" failure surface.
+    "q48_dedup_engine_roundtrip",
 ]
 
 RUNNER_BODY = r"""
