@@ -2885,3 +2885,34 @@ def test_restore_as_of_timestamp(engine, spark):
         engine.execute("RESTORE", collection="rt", arg={"ts": mid, "version": 1})
     with pytest.raises(CommandArgError):
         engine.execute("RESTORE", collection="rt", arg={"ts": "noon"})
+
+
+def test_restore_detects_racing_commit_under_lock(engine, spark, monkeypatch):
+    """The fast path re-checks CURRENT under the commit lock: a racing
+    commit that lands the collection ON the restore target between the
+    outer validation and lock acquisition must surface as a conflict,
+    not a silent duplicate commit. Simulated by a lock wrapper that
+    moves the pointer at the exact pre-lock instant."""
+    from contextlib import contextmanager
+
+    from vrod_spark.catalog import CURRENT, _atomic_write
+    from vrod_spark.errors import CommitConflictError
+
+    engine.execute("CREATE", collection="rc")
+    engine.execute("INSERT", collection="rc", arg=[{"id": 1, "payload": "a"}])
+    engine.execute("INSERT", collection="rc", arg=[{"id": 2, "payload": "b"}])
+    col = engine.db.collection("rc")
+    real_lock = col._commit_lock
+
+    @contextmanager
+    def racing_lock(timeout=30.0):
+        _atomic_write(os.path.join(col.path, CURRENT), "1")
+        with real_lock(timeout):
+            yield
+
+    monkeypatch.setattr(col, "_commit_lock", racing_lock)
+    with pytest.raises(CommitConflictError):
+        col.restore(1)
+    # nothing was committed: CURRENT is the racer's v1, no v3 dir exists
+    assert col.version == 1
+    assert not os.path.isdir(col.version_dir(3))
