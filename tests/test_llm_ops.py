@@ -3827,3 +3827,69 @@ def test_embedding_near_dup_null_vectors_skipped(spark):
     assert {(r["id_a"], r["id_b"]) for r in exact} == {(1, 2)}
     bucketed = embedding_near_dup_bucketed(df, min_cosine=0.99).collect()
     assert {(r["id_a"], r["id_b"]) for r in bucketed} == {(1, 2)}
+
+
+def test_fused_bucket_scoring_matches_standalone_operators(spark):
+    """score_bucket_features with DSIR's and the classifier's value
+    columns STACKED into one bucket table (q54's one-scan multi-model
+    shape) reproduces dsir_scores and quality_classifier_scores
+    exactly (to summation-order ulps)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from vrod_spark.operators.classifier import (
+        _hashed_ngram_counts,
+        quality_classifier_scores,
+    )
+    from vrod_spark.operators.sampling import (
+        dsir_bucket_model,
+        dsir_scores,
+        score_bucket_features,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog", "en"),
+            (1, "pack my box with five dozen liquor jugs", "en"),
+            (2, "der schnelle braune fuchs springt darueber", "de"),
+            (3, "", "en"),
+            (4, "cinco perros grandes corren por la calle hoy", "es"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    feats = _hashed_ngram_counts(docs, text_col="text", id_col="doc_id",
+                                 n_buckets=64)
+    tgt = F.col("lang") == "en"
+    bias = 0.25
+    w = np.array([(b % 5 - 2) / 7.0 for b in range(64)] + [bias])
+    model = dsir_bucket_model(docs, tgt, n_buckets=64, feature_counts=feats)
+    wdf = spark.createDataFrame(
+        pd.DataFrame({"_b": range(64), "_w": w[:64]}), "_b long, _w double"
+    )
+    fused = {
+        r["_id"]: r
+        for r in score_bucket_features(
+            feats, model.join(wdf, "_b"), ["_lr", "_w"]
+        ).collect()
+    }
+    d_ref = {
+        r["doc_id"]: r
+        for r in dsir_scores(docs, tgt, n_buckets=64,
+                             feature_counts=feats).collect()
+    }
+    q_ref = {
+        r["doc_id"]: r
+        for r in quality_classifier_scores(docs, w,
+                                           feature_counts=feats).collect()
+    }
+    # featured docs: every fused column matches its standalone twin
+    for i in (0, 1, 2, 4):
+        assert fused[i]["n_feats"] == d_ref[i]["n_feats"] == q_ref[i]["n_feats"]
+        assert abs(fused[i]["_lr"] - d_ref[i]["score"]) < 1e-10
+        prob = 1.0 / (1.0 + np.exp(-(fused[i]["_w"] + bias)))
+        assert abs(prob - q_ref[i]["quality_prob"]) < 1e-10
+    # the zero-feature doc has no fused row (left-join semantics are the
+    # caller's, as in q54); the classifier operator still backfills it
+    assert 3 not in fused
+    assert abs(q_ref[3]["quality_prob"] - 1.0 / (1.0 + np.exp(-bias))) < 1e-9

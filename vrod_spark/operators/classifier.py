@@ -175,19 +175,16 @@ def quality_classifier_scores(
             df, text_col=text_col, id_col=id_col, n_buckets=n_buckets
         )
     )
-    scored = (
-        fc.join(wdf, "_b")
-        .groupBy("_id")
-        .agg(
-            F.sum("_c").alias("_n"),
-            (F.sum(F.col("_w") * F.col("_c")) / F.sum("_c")).alias("_z"),
-        )
-        .select(
-            "_id",
-            F.col("_n").alias("n_feats"),
-            (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("_z") + F.lit(bias)))))
-            .alias("quality_prob"),
-        )
+    from vrod_spark.operators.sampling import score_bucket_features
+
+    # _w's count-weighted mean IS the pre-bias logit z; the shared
+    # kernel lets a multi-scorer pipeline (q54) stack this model's
+    # column with DSIR's and pay one feature-table pass for both.
+    scored = score_bucket_features(fc, wdf, ["_w"]).select(
+        "_id",
+        "n_feats",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("_w") + F.lit(bias)))))
+        .alias("quality_prob"),
     )
     return (
         df.select(F.col(id_col))

@@ -149,6 +149,79 @@ def temperature_mixture_rates(
     return rates
 
 
+def score_bucket_features(
+    feature_counts: DataFrame,
+    bucket_values: DataFrame,
+    value_cols: list[str],
+    *,
+    id_col: str = "_id",
+) -> DataFrame:
+    """ONE pass over a hashed-ngram count table ``(_id, _b, _c)``:
+    broadcast-join a bounded per-bucket value table and return, per
+    document, ``n_feats`` (Σc) plus the count-weighted mean of every
+    column in ``value_cols`` (Σ c·v / Σ c).
+
+    This is the shared scoring kernel of DSIR and the quality
+    classifier — and the reason a pipeline scoring a corpus with BOTH
+    (q54's shape) pays a single scan + single per-doc aggregation for
+    any number of bucket models: stack the models' value columns into
+    one ≤n_buckets-row table and pass all the names here. At 100 TB the
+    feature table is the big side; scanning it once per MODEL instead
+    of once total is the difference that matters."""
+    joined = feature_counts.join(F.broadcast(bucket_values), "_b")
+    aggs = [F.sum("_c").alias("n_feats")] + [
+        (F.sum(F.col("_c") * F.col(c)) / F.sum("_c")).alias(c)
+        for c in value_cols
+    ]
+    return joined.groupBy(F.col(id_col)).agg(*aggs)
+
+
+def dsir_bucket_model(
+    df: DataFrame,
+    is_target: Column,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    feature_counts: DataFrame | None = None,
+) -> DataFrame:
+    """The bounded DSIR model: ``(_b, _lr)`` — per-bucket Laplace-
+    smoothed log ratio of the target vs raw hashed-ngram distributions
+    (see :func:`dsir_scores` for the estimator and provenance). Exactly
+    ``n_buckets`` rows; broadcast it into
+    :func:`score_bucket_features` (optionally stacked with other
+    bucket models) to score documents."""
+    if feature_counts is not None:
+        fdf = feature_counts.select(
+            F.col("_id").alias(id_col), "_b", "_c"
+        ).join(df.select(F.col(id_col), is_target.alias("_t")), id_col)
+    else:
+        feats = hashed_ngram_feats(text_col)
+        bucket = ngram_bucket(F.col("_f"), n_buckets)
+        fdf = (
+            df.select(
+                F.col(id_col), is_target.alias("_t"), F.explode(feats).alias("_f")
+            )
+            .select(id_col, "_t", bucket.alias("_b"))
+            .groupBy(id_col, "_t", "_b")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+    stats = fdf.groupBy("_b").agg(
+        F.sum(F.when(F.col("_t"), F.col("_c")).otherwise(F.lit(0))).alias("_ct"),
+        F.sum(F.when(~F.col("_t"), F.col("_c")).otherwise(F.lit(0))).alias("_cr"),
+    )
+    tot = stats.agg(
+        F.sum("_ct").alias("_Tt"), F.sum("_cr").alias("_Tr")
+    )
+    return stats.crossJoin(F.broadcast(tot)).select(
+        "_b",
+        (
+            F.log((F.col("_ct") + 1) / (F.col("_Tt") + F.lit(n_buckets)))
+            - F.log((F.col("_cr") + 1) / (F.col("_Tr") + F.lit(n_buckets)))
+        ).alias("_lr"),
+    )
+
+
 def dsir_scores(
     df: DataFrame,
     is_target: Column,
@@ -191,42 +264,24 @@ def dsir_scores(
 
     Returns (id_col, n_feats, score).
     """
-    if feature_counts is not None:
-        fdf = feature_counts.select(
-            F.col("_id").alias(id_col), "_b", "_c"
-        ).join(df.select(F.col(id_col), is_target.alias("_t")), id_col)
-    else:
-        feats = hashed_ngram_feats(text_col)
-        bucket = ngram_bucket(F.col("_f"), n_buckets)
-        fdf = (
-            df.select(
-                F.col(id_col), is_target.alias("_t"), F.explode(feats).alias("_f")
-            )
-            .select(id_col, "_t", bucket.alias("_b"))
-            .groupBy(id_col, "_t", "_b")
-            .agg(F.count(F.lit(1)).alias("_c"))
+    if feature_counts is None:
+        from vrod_spark.operators.classifier import _hashed_ngram_counts
+
+        feature_counts = _hashed_ngram_counts(
+            df, text_col=text_col, id_col=id_col, n_buckets=n_buckets
         )
-    stats = fdf.groupBy("_b").agg(
-        F.sum(F.when(F.col("_t"), F.col("_c")).otherwise(F.lit(0))).alias("_ct"),
-        F.sum(F.when(~F.col("_t"), F.col("_c")).otherwise(F.lit(0))).alias("_cr"),
+    model = dsir_bucket_model(
+        df,
+        is_target,
+        text_col=text_col,
+        id_col=id_col,
+        n_buckets=n_buckets,
+        feature_counts=feature_counts,
     )
-    tot = stats.agg(
-        F.sum("_ct").alias("_Tt"), F.sum("_cr").alias("_Tr")
-    )
-    model = stats.crossJoin(F.broadcast(tot)).select(
-        "_b",
-        (
-            F.log((F.col("_ct") + 1) / (F.col("_Tt") + F.lit(n_buckets)))
-            - F.log((F.col("_cr") + 1) / (F.col("_Tr") + F.lit(n_buckets)))
-        ).alias("_lr"),
-    )
-    return (
-        fdf.join(F.broadcast(model), "_b")
-        .groupBy(id_col)
-        .agg(
-            F.sum("_c").alias("n_feats"),
-            (F.sum(F.col("_c") * F.col("_lr")) / F.sum("_c")).alias("score"),
-        )
+    return score_bucket_features(feature_counts, model, ["_lr"]).select(
+        F.col("_id").alias(id_col),
+        "n_feats",
+        F.col("_lr").alias("score"),
     )
 
 

@@ -4182,7 +4182,11 @@ def q54_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stratified split columns (operators/sampling.stratified_split):
     # disjoint, exhaustive train/val/test from the SAME md5 coordinate —
     # names sorted, so boundaries are test < 0.1 <= train < 0.9 <= val.
-    from vrod_spark.operators.sampling import dsir_scores, stratified_split
+    from vrod_spark.operators.sampling import (
+        dsir_bucket_model,
+        score_bucket_features,
+        stratified_split,
+    )
 
     split_docs = stratified_split(
         docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
@@ -4190,24 +4194,40 @@ def q54_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Both scorers fan out from the session's shared hashed-ngram bucket
     # table — one corpus explode per snapshot, not one per scorer build.
     feats = shared_ngram_buckets(spark, sf_dir)
-    scores = dsir_scores(docs, F.col("lang") == "en", feature_counts=feats)
-    # qc columns — the trained-quality-classifier SCORING path
-    # (operators/classifier.quality_classifier_scores: bucket counts +
-    # broadcast weight join + sigmoid, pure codegen) pinned cross-engine
-    # with CLOSED-FORM weights w(b) = (b%7-3)/10, bias 0.1 — the trained
-    # weights themselves are driver-side numpy (bit-determinism
-    # pytest-pinned), but the distributed scorer the weights feed is
-    # what runs at corpus scale, and the oracle re-derives it entirely
-    # in SQL over the shared DSIR feature space.
-    import numpy as np
+    # FUSED scoring (late r11): the DSIR log-ratio model (bounded, 256
+    # rows — operators/sampling.dsir_bucket_model, the same estimator
+    # dsir_scores wraps) and the quality classifier's weight vector
+    # (CLOSED-FORM w(b) = (b%7-3)/10, bias 0.1; the trained weights are
+    # driver-side numpy, bit-determinism pytest-pinned) stack into ONE
+    # ≤256-row bucket-value table, so score_bucket_features pays a
+    # single feature-table scan + single per-doc aggregation for BOTH
+    # scorers — the multi-model shape that matters when the feature
+    # table is 100 TB-sided. Equality with the standalone operators
+    # (dsir_scores / quality_classifier_scores) is pytest-pinned; the
+    # oracle re-derives both estimators in SQL over the same space.
+    import pandas as pd
 
-    from vrod_spark.operators.classifier import quality_classifier_scores
-
-    wvec = np.array([(b % 7 - 3) / 10.0 for b in range(256)] + [0.1])
-    qc = quality_classifier_scores(docs, wvec, feature_counts=feats)
+    model = dsir_bucket_model(
+        docs, F.col("lang") == "en", feature_counts=feats
+    )
+    bias = 0.1
+    wdf = spark.createDataFrame(
+        pd.DataFrame(
+            {"_b": range(256), "_w": [(b % 7 - 3) / 10.0 for b in range(256)]}
+        ),
+        "_b long, _w double",
+    )
+    per_doc = score_bucket_features(
+        feats, model.join(wdf, "_b"), ["_lr", "_w"]
+    ).select(
+        F.col("_id").alias("doc_id"),
+        "n_feats",
+        F.col("_lr").alias("score"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("_w") + F.lit(bias)))))
+        .alias("quality_prob"),
+    )
     return (
-        split_docs.join(scores.select("doc_id", "score"), "doc_id", "left")
-        .join(qc, "doc_id", "left")
+        split_docs.join(per_doc, "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_total"),
