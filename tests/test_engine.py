@@ -178,8 +178,21 @@ def test_delete_and_truncatewal(engine):
     assert n_versions_before > 1
     info = engine.execute("TRUNCATEWAL", collection="vec").info
     assert info["removed_versions"]
-    assert col.wal_entries() == []
+    # the log restarts from a CHECKPOINT naming the surviving snapshot
+    # (an empty log would leave it with no commit record — invisible to
+    # HISTORY and un-RESTORE-able once the next commit lands)
+    entries = col.wal_entries()
+    assert [e["op"] for e in entries] == ["CHECKPOINT"]
+    assert entries[0]["version"] == col.version
     assert sorted(r["id"] for r in col.read().collect()) == [0, 1, 2, 3, 4]
+    # the checkpoint stays restorable across later commits
+    engine.execute("INSERT", collection="vec", arg=[{"id": 99, "payload": "x"}])
+    assert (
+        engine.execute(
+            "RESTORE", collection="vec", arg=entries[0]["version"]
+        ).info["rows"]
+        == 5
+    )
 
 
 def test_delete_by_id_list(engine):
@@ -2916,3 +2929,63 @@ def test_restore_detects_racing_commit_under_lock(engine, spark, monkeypatch):
     # nothing was committed: CURRENT is the racer's v1, no v3 dir exists
     assert col.version == 1
     assert not os.path.isdir(col.version_dir(3))
+
+
+def test_export_since_version_after_replace_upsert(engine, spark, tmp_path):
+    """r11 review: INSERT on_conflict=replace is a full REWRITE (every
+    file renamed) committed with op UPSERT — read_delta must NOT take
+    the file-level append fast path after one, or the incremental
+    export ships the whole snapshot as 'new files'."""
+    from vrod_spark.plans.inspect import explain_str
+
+    engine.execute("CREATE", collection="up")
+    engine.execute(
+        "INSERT",
+        collection="up",
+        arg=[{"id": i, "payload": f"base{i}"} for i in range(5)],
+    )
+    col = engine.db.collection("up")
+    v_base = col.version
+    engine.execute(
+        "INSERT",
+        collection="up",
+        arg={"rows": [{"id": 1, "payload": "REPLACED"}],
+             "on_conflict": "replace"},
+    )
+    assert col.wal_entries()[-1]["op"] == "UPSERT"
+    # semantic delta since v_base: no NEW ids were added — zero rows
+    out = str(tmp_path / "up1")
+    info = engine.execute(
+        "EXPORT",
+        collection="up",
+        arg={"path": out, "columns": ["id", "payload"],
+             "since_version": v_base},
+    ).info
+    assert info["rows"] == 0
+    assert "LeftAnti" in explain_str(col.read_delta(v_base))
+    # EXPORT rejects non-integer snapshot identities instead of
+    # silently truncating them (same rule as RESTORE)
+    with pytest.raises(CommandArgError):
+        engine.execute(
+            "EXPORT", collection="up",
+            arg={"path": str(tmp_path / "x"), "since_version": 1.9},
+        )
+    with pytest.raises(CommandArgError):
+        engine.execute(
+            "EXPORT", collection="up",
+            arg={"path": str(tmp_path / "y"), "version": True},
+        )
+
+
+def test_collection_name_path_traversal_rejected(engine, spark, tmp_path):
+    """r11 review: every verb maps the collection name through
+    Database.collection_path — '..', separators, and empty names are
+    rejected there, so DROP '..' can never rmtree the database's
+    parent."""
+    for bad in ("..", ".", "", "a/b", "a\\b", "../../etc"):
+        with pytest.raises(CommandArgError):
+            engine.execute("DROP", collection=bad)
+        with pytest.raises(CommandArgError):
+            engine.execute("CREATE", collection=bad)
+    # the database dir itself is untouched
+    assert os.path.isdir(engine.db.path)

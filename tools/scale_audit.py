@@ -88,19 +88,23 @@ def main() -> int:
             print(f"{name:<34} {sf:>7} {shuf:>5} {bc:>6} {wall:>8.2f}")
         shufs = {r[1] for r in rows}
         bcs = [r[2] for r in rows]  # ordered small SF → large SF
+        # A query can violate BOTH checks — count it as ONE unstable
+        # query, not two, so the N/M summary stays a query tally.
+        failed = False
         if len(shufs) > 1:
-            failures += 1
+            failed = True
             print(f"{name}: FAIL — shuffle-exchange count varies with SF: "
                   f"{[r[1] for r in rows]}")
         if any(b < bcs[0] for b in bcs[1:]):
             # FEWER broadcasts at a LARGER sf = a broadcast silently
             # degraded as the data grew — the classic 100 TB cliff.
-            failures += 1
+            failed = True
             print(f"{name}: FAIL — broadcast count drops as SF grows: {bcs}")
         elif len(set(bcs)) > 1:
             # more broadcasts at larger sf (CBO flip toward broadcast)
             # is not a scaling hazard — report as info.
             print(f"{name}: info — broadcast counts across SFs: {bcs}")
+        failures += int(failed)
     print(f"\n{len(names) - failures}/{len(names)} shape-stable")
     return 1 if failures else 0
 

@@ -128,6 +128,21 @@ class Database:
 
     # -- collections -------------------------------------------------------
     def collection_path(self, name: str) -> str:
+        # Shared chokepoint for EVERY verb that maps a user-supplied
+        # collection name to a directory (r11 review: DROP ".." would
+        # rmtree the database's PARENT). Path separators and the two
+        # dot dirs can never be collection names; CREATE additionally
+        # enforces its SQL-identifier charset.
+        if (
+            not name
+            or name in (".", "..")
+            or "/" in name
+            or "\\" in name
+            or "\x00" in name
+        ):
+            from vrod_spark.errors import CommandArgError
+
+            raise CommandArgError(f"invalid collection name: {name!r}")
         return os.path.join(self.path, name)
 
     def _write_empty_snapshot(self, v0_path: str, schema: str) -> None:
@@ -399,14 +414,10 @@ class Collection:
             and since_version < int(e[1:]) <= cur
         }
         logged: dict[int, str] = {}
-        wal_path = os.path.join(self.path, WAL)
-        if os.path.exists(wal_path):
-            with open(wal_path) as f:
-                for line in f:
-                    e = json.loads(line)
-                    v = int(e.get("version", -1))
-                    if since_version < v <= cur:
-                        logged[v] = e.get("op", "")
+        for e in self.wal_entries():
+            v = int(e.get("version", -1))
+            if since_version < v <= cur:
+                logged[v] = e.get("op", "")
         append_only = committed <= set(logged) and all(
             logged[v] in ("INSERT", "BULKINSERT") for v in committed
         )
@@ -645,33 +656,58 @@ class Collection:
             while True:
                 try:
                     fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.write(fd, f"{os.getpid()}\n".encode())
                     break
                 except FileExistsError:
                     # Stale-lock recovery (r11 review): a writer SIGKILLed
-                    # inside the (sub-second) critical section leaves the
-                    # file forever, bricking all writes. The section never
-                    # runs a Spark job, so a lock older than the full
-                    # acquire timeout is provably abandoned — break it.
-                    # (Races on the break are harmless: unlink is
-                    # idempotent and the O_EXCL create re-arbitrates.)
+                    # inside the critical section leaves the file forever,
+                    # bricking all writes. Live holders of O(files)
+                    # sections keep the mtime fresh via the yielded
+                    # heartbeat, so mtime older than the acquire timeout
+                    # is provably abandoned. The break is an ATOMIC
+                    # rename — exactly one racer moves the stale lock
+                    # aside (a bare unlink let two waiters both "break"
+                    # it, the second unlinking the lock the first had
+                    # just re-created).
                     try:
                         age = time.time() - os.path.getmtime(lock_path)
-                        if age > timeout:
-                            os.unlink(lock_path)
-                            continue
                     except FileNotFoundError:
+                        continue
+                    if age > timeout:
+                        stale = lock_path + f".stale-{uuid.uuid4().hex}"
+                        try:
+                            os.rename(lock_path, stale)
+                            os.unlink(stale)
+                        except FileNotFoundError:
+                            pass  # another breaker won the rename
                         continue
                     if time.time() > deadline:
                         raise TimeoutError(f"commit lock busy: {lock_path}")
                     time.sleep(0.02)
-            try:
-                yield
-            finally:
-                os.close(fd)
+
+            def beat() -> None:
+                # Heartbeat for legitimately long critical sections
+                # (TRUNCATEWAL's rmtree loop, link loops over many
+                # files): refreshes mtime so concurrent waiters never
+                # misread a LIVE holder as abandoned.
                 try:
-                    os.unlink(lock_path)
+                    os.utime(lock_path)
+                except FileNotFoundError:
+                    pass
+
+            try:
+                yield beat
+            finally:
+                # Only remove the lock if it is still OURS: if a breaker
+                # (wrongly or rightly) stole it and another writer
+                # re-created the file, its inode differs — unlinking it
+                # would cascade mutual-exclusion loss to a third writer.
+                try:
+                    if os.fstat(fd).st_ino == os.stat(lock_path).st_ino:
+                        os.unlink(lock_path)
                 except FileNotFoundError:
                     pass  # a stale-break raced us; the commit already ran
+                os.close(fd)
 
         return lock()
 
@@ -689,11 +725,13 @@ class Collection:
         with open(os.path.join(self.path, WAL), "a") as f:
             f.write(json.dumps(entry) + "\n")
 
-    def _link_existing(self, src_dir: str, dst_dir: str) -> int:
+    def _link_existing(self, src_dir: str, dst_dir: str, heartbeat=None) -> int:
         """Hard-link the prior snapshot's data files into the new version —
         O(1) per file, no data copy. Recurses into ``bucket=`` partition
         subdirectories so indexed (bucket-partitioned) snapshots link the
-        same way flat ones do. Returns number of linked files."""
+        same way flat ones do. Returns number of linked files.
+        ``heartbeat`` (the commit lock's refresher) is pulsed every 256
+        links so a many-file snapshot never reads as an abandoned lock."""
         n = 0
         for fname in os.listdir(src_dir):
             if fname.startswith(("_", ".")):
@@ -702,10 +740,12 @@ class Collection:
             dst = os.path.join(dst_dir, fname)
             if os.path.isdir(src):
                 os.makedirs(dst, exist_ok=True)
-                n += self._link_existing(src, dst)
+                n += self._link_existing(src, dst, heartbeat)
             else:
                 os.link(src, dst)
                 n += 1
+                if heartbeat is not None and n % 256 == 0:
+                    heartbeat()
         return n
 
     def _index_bucket_col(self, idx: dict):
@@ -871,7 +911,7 @@ class Collection:
             #   it / produce a mixed flat+partitioned tree);
             # - the declared-dimension check-and-pin is serialized here so
             #   two racing first-inserts can't both pin different dims.
-            with self._commit_lock():
+            with self._commit_lock() as beat:
                 fresh_meta = self.meta
                 if fresh_meta.get("partition_by") != part_key or _index_identity(
                     fresh_meta.get("index")
@@ -894,7 +934,7 @@ class Collection:
                 cur_dir = self.version_dir()
                 nxt, nxt_dir = self._next_version_dir()
                 os.makedirs(nxt_dir)
-                self._link_existing(cur_dir, nxt_dir)
+                self._link_existing(cur_dir, nxt_dir, heartbeat=beat)
                 if bucketed:
                     added = self._merge_partitioned_delta(staging, nxt_dir, nxt)
                     # Identity matched above, so only the histogram can have
@@ -1147,7 +1187,7 @@ class Collection:
                     n += pq.ParquetFile(
                         os.path.join(root, fname)
                     ).metadata.num_rows
-            with self._commit_lock():
+            with self._commit_lock() as beat:
                 # Re-check under the lock: a racing commit may have moved
                 # CURRENT onto the target (restore would then be a no-op
                 # duplicate) — refuse, same shape as the rewrite conflict.
@@ -1159,7 +1199,7 @@ class Collection:
                 nxt, nxt_dir = self._next_version_dir()
                 os.makedirs(nxt_dir)
                 try:
-                    self._link_existing(src, nxt_dir)
+                    self._link_existing(src, nxt_dir, heartbeat=beat)
                 except Exception:
                     shutil.rmtree(nxt_dir, ignore_errors=True)
                     raise
@@ -1194,16 +1234,20 @@ class Collection:
         staging WRITE jobs hold no lock, but their dirs are only eligible
         here when no writer holds the lock, and a writer acquires it
         before renaming staging into a version."""
-        with self._commit_lock():
-            return self._truncate_wal_locked()
+        with self._commit_lock() as beat:
+            return self._truncate_wal_locked(beat)
 
-    def _truncate_wal_locked(self) -> dict:
+    def _truncate_wal_locked(self, heartbeat=None) -> dict:
         current = self.version
         removed = []
         for entry in os.listdir(self.path):
             if entry.startswith("v") and entry[1:].isdigit() and int(entry[1:]) != current:
                 shutil.rmtree(os.path.join(self.path, entry))
                 removed.append(entry)
+                # rmtree of large snapshots is the one legitimately long
+                # locked section — keep the lock visibly live.
+                if heartbeat is not None:
+                    heartbeat()
             elif entry.startswith(".staging-"):
                 # Only reclaim ABANDONED staging (crashed writers): a live
                 # writer's staging WRITE job holds no lock, so age-gate
@@ -1216,7 +1260,18 @@ class Collection:
                     continue
                 shutil.rmtree(p)
                 removed.append(entry)
-        _atomic_write(os.path.join(self.path, WAL), "")
+        # The log restarts from a CHECKPOINT line naming the surviving
+        # snapshot (r11 review): an empty WAL left the kept version with
+        # no commit record, so the first commit AFTER truncation made it
+        # vanish from committed_versions() — permanently un-restorable
+        # and absent from HISTORY despite its dir being retained.
+        _atomic_write(
+            os.path.join(self.path, WAL),
+            json.dumps(
+                {"op": "CHECKPOINT", "version": current, "ts": time.time()}
+            )
+            + "\n",
+        )
         return {"truncated": self.name, "removed_versions": sorted(removed)}
 
     def wal_entries(self) -> list[dict]:

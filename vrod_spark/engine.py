@@ -170,6 +170,15 @@ class Engine:
             raise CommandArgError(f"command requires an argument: {what}")
         return arg
 
+    @staticmethod
+    def _require_int(val: Any, what: str) -> int:
+        """Exact integers only for snapshot-identity arguments: int(2.9)
+        would silently name a DIFFERENT snapshot than the user did, and
+        True is not a version (id-fidelity rule, r11 review)."""
+        if isinstance(val, bool) or not isinstance(val, int):
+            raise CommandArgError(f"{what} must be an integer, got {val!r}")
+        return val
+
     # -- DDL ---------------------------------------------------------------
     def _create(self, collection: str | None, arg: Any) -> CommandResult:
         name = collection or self._require_arg(arg, "collection name")
@@ -333,7 +342,12 @@ class Engine:
                 survivors = col.read().join(
                     df.select("id").distinct(), "id", "left_anti"
                 ).unionByName(df)
-                n = col._rewrite(survivors, "INSERT", {"on_conflict": "replace"})
+                # WAL op "UPSERT", not "INSERT": this path is a full
+                # rewrite (every file renamed), and read_delta's
+                # append-only fast path trusts the op string — logging
+                # it as an insert would make a later since_version
+                # export ship the ENTIRE snapshot as "new files".
+                n = col._rewrite(survivors, "UPSERT", {"on_conflict": "replace"})
                 info.update(rows=n, on_conflict="replace")
                 return CommandResult("INSERT", info=info)
             info["on_conflict"] = on_conflict
@@ -504,15 +518,8 @@ class Engine:
                 spec = self._version_as_of(col, float(ts))
             else:
                 spec = spec["version"]
-        # Exact integers only: int(2.9) would silently restore a
-        # DIFFERENT snapshot than the one named, and True is not a
-        # version (same id-fidelity rule as INSERT's key handling).
-        if isinstance(spec, bool) or not isinstance(spec, int):
-            raise CommandArgError(
-                f"RESTORE needs an integer version, got {spec!r}"
-            )
-        n = col.restore(spec)
-        version = spec
+        version = self._require_int(spec, "RESTORE version")
+        n = col.restore(version)
         return CommandResult(
             "RESTORE",
             info={
@@ -724,7 +731,8 @@ class Engine:
                 "(the delta after one), not both"
             )
         if since is not None:
-            df = col.read_delta(int(since))
+            since = self._require_int(since, "EXPORT since_version")
+            df = col.read_delta(since)
             snapshot_version = None
         else:
             # Pin the snapshot by NUMBER before building the read: the
@@ -732,7 +740,9 @@ class Engine:
             # commit must not make the manifest claim a version whose
             # rows the export never saw.
             snapshot_version = (
-                int(version) if version is not None else col.version
+                self._require_int(version, "EXPORT version")
+                if version is not None
+                else col.version
             )
             df = col.read(version=snapshot_version)
         if spec.get("where"):
@@ -768,7 +778,7 @@ class Engine:
             rows=rows,
             collection=col.name,
             version=snapshot_version,
-            since_version=int(since) if since is not None else None,
+            since_version=since,
             columns=[str(c) for c in spec["columns"]] if spec.get("columns") else None,
             where=str(spec["where"]) if spec.get("where") else None,
         )
