@@ -2989,3 +2989,45 @@ def test_collection_name_path_traversal_rejected(engine, spark, tmp_path):
             engine.execute("CREATE", collection=bad)
     # the database dir itself is untouched
     assert os.path.isdir(engine.db.path)
+
+
+def test_commit_lock_stale_break_and_inode_guarded_release(engine):
+    """r11 review lock semantics, directly: an abandoned (old-mtime)
+    lock is stolen atomically; a FRESH lock is honored until timeout;
+    and release never unlinks a lock file it no longer owns (inode
+    guard), so a mistaken steal can't cascade."""
+    import time as _t
+
+    engine.execute("CREATE", collection="lk")
+    col = engine.db.collection("lk")
+    lock_path = os.path.join(col.path, ".commit-lock")
+    # abandoned lock (mtime far past the timeout) -> stolen, acquired
+    with open(lock_path, "w") as f:
+        f.write("dead\n")
+    old = _t.time() - 120
+    os.utime(lock_path, (old, old))
+    with col._commit_lock(timeout=2.0):
+        assert os.path.exists(lock_path)
+    assert not os.path.exists(lock_path)  # released by owner
+    # live lock -> acquire honors it and times out. The staleness
+    # threshold equals the acquire timeout, so emulate a HEARTBEATING
+    # holder (whose mtime keeps moving) with a future mtime.
+    with open(lock_path, "w") as f:
+        f.write("alive\n")
+    fut = _t.time() + 300
+    os.utime(lock_path, (fut, fut))
+    t0 = _t.time()
+    with pytest.raises(TimeoutError):
+        with col._commit_lock(timeout=0.3):
+            pass
+    assert _t.time() - t0 >= 0.3
+    os.unlink(lock_path)
+    # inode guard: if the lock is stolen and re-created by another
+    # writer mid-section, release must NOT unlink the foreign lock
+    with col._commit_lock(timeout=2.0):
+        os.unlink(lock_path)
+        with open(lock_path, "w") as f:
+            f.write("other-writer\n")
+    assert os.path.exists(lock_path)
+    assert open(lock_path).read().startswith("other-writer")
+    os.unlink(lock_path)
