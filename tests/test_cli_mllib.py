@@ -185,3 +185,53 @@ def test_cli_export_and_hybrid_reach_engine(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out)
     assert len(out["rows"]) == 3
     assert out["rows"][0]["fused_rank"] == 1
+
+
+def test_cli_restore_and_history_reach_engine(spark, tmp_path, capsys):
+    """The r11 lifecycle verbs flow through the CLI's generic arg path:
+    RESTORE rolls the collection back (version number or as-of ts JSON),
+    HISTORY prints the commit rows."""
+    rc = cli_main(
+        ["--init-database", str(tmp_path), "--init-database-name", "clir"],
+        spark=spark,
+    )
+    assert rc == 0
+    db_path = json.loads(capsys.readouterr().out)["created"]
+    assert cli_main(
+        ["--database", db_path, "--collection", "c", "-e", "CREATE"], spark=spark
+    ) == 0
+    capsys.readouterr()
+    rows_path = tmp_path / "r.json"
+    rows_path.write_text(
+        "\n".join(json.dumps({"id": i, "payload": f"p{i}"}) for i in range(4))
+    )
+    assert cli_main(
+        ["--database", db_path, "--collection", "c", "-e", "BULKINSERT",
+         "-a", str(rows_path)],
+        spark=spark,
+    ) == 0
+    capsys.readouterr()
+    assert cli_main(
+        ["--database", db_path, "--collection", "c", "-e", "DELETE",
+         "-a", "id >= 2"],
+        spark=spark,
+    ) == 0
+    capsys.readouterr()
+    # RESTORE by version number (string arg -> json int through the CLI)
+    assert cli_main(
+        ["--database", db_path, "--collection", "c", "-e", "RESTORE",
+         "-a", "1"],
+        spark=spark,
+    ) == 0
+    info = json.loads(capsys.readouterr().out)["info"]
+    assert info["restored_from"] == 1 and info["rows"] == 4
+    # HISTORY returns the commit rows through the DataFrame result path
+    assert cli_main(
+        ["--database", db_path, "--collection", "c", "-e", "HISTORY"],
+        spark=spark,
+    ) == 0
+    out = json.loads(capsys.readouterr().out)
+    ops = [r["op"] for r in out["rows"]]
+    # BULKINSERT commits through Collection.insert -> WAL op "INSERT"
+    assert ops == ["CREATE", "INSERT", "DELETE", "RESTORE"]
+    assert out["rows"][-1]["current"] is True
