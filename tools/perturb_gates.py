@@ -33,6 +33,9 @@ GATES = [
     # side effects rather than float orderings, but the same "only the
     # driver's env is different" failure surface.
     "q48_dedup_engine_roundtrip",
+    # late r11: the fused one-scan multi-model scoring rewrite — its
+    # snap-rounded float pins (dsir_avg/dsir_max) ride a new plan.
+    "q54_mixture_sampling",
 ]
 
 RUNNER_BODY = r"""
