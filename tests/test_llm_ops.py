@@ -3893,3 +3893,87 @@ def test_fused_bucket_scoring_matches_standalone_operators(spark):
     # caller's, as in q54); the classifier operator still backfills it
     assert 3 not in fused
     assert abs(q_ref[3]["quality_prob"] - 1.0 / (1.0 + np.exp(-bias))) < 1e-9
+
+
+def test_tokens_edge_whitespace_and_null_propagation(spark):
+    """r11 review batch: (a) non-space edge whitespace must not emit
+    phantom empty tokens (F.trim strips only 0x20; split keeps trailing
+    empties); (b) NULL text propagates NULL through tokens/shingles/
+    fingerprint/lang_id/gopher_rules instead of fusing into '' / 'und' /
+    mask 0."""
+    from pyspark.sql import functions as F
+
+    from vrod_spark.functions.text import (
+        doc_fingerprint,
+        gopher_rules,
+        lang_id,
+        shingles,
+        tokens,
+        whitespace_token_count,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "hello world\n"),
+            (1, "\t the quick fox \r\n"),
+            (2, None),
+            (3, ""),
+            (4, "  \n\t  "),
+        ],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            tokens("text").alias("t"),
+            whitespace_token_count("text").alias("wc"),
+            shingles("text", 2).alias("sh"),
+            doc_fingerprint("text").alias("fp"),
+            lang_id("text").alias("lang"),
+            gopher_rules("text").alias("gm"),
+        ).collect()
+    }
+    assert rows[0]["t"] == ["hello", "world"] and rows[0]["wc"] == 2
+    assert rows[1]["t"] == ["the", "quick", "fox"]
+    assert "" not in (rows[0]["sh"] or [])
+    # NULL text: everything NULL — never [''], md5(''), 'und', or mask 0
+    assert rows[2]["t"] is None and rows[2]["sh"] is None
+    assert rows[2]["fp"] is None and rows[2]["lang"] is None
+    assert rows[2]["gm"] is None
+    # empty / all-whitespace text: empty token array (not NULL), and the
+    # whole-text shingle fallback keeps '' docs mutually dedupable
+    assert rows[3]["t"] == [] and rows[4]["t"] == []
+    assert rows[3]["lang"] == "und"  # evidence-free but present
+
+
+def test_minhash_lsh_excludes_null_text(spark):
+    """NULL-text docs must never pair as duplicates through the MLlib
+    LSH path (they'd all share the shingle set {''} pre-fix)."""
+    from vrod_spark.operators.mllib_lsh import minhash_similarity_join
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, None),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = minhash_similarity_join(df, threshold=0.5, n=2)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got or (1, 0) in got
+    assert all(2 not in p and 3 not in p for p in got)
+
+
+def test_ngram_lm_perplexity_respects_id_col(spark):
+    """The default training slice keys on the caller's id column."""
+    from vrod_spark.functions.text import ngram_lm_perplexity
+
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the dog", "en") for i in range(20)],
+        "id long, text string, lang string",
+    )
+    out = ngram_lm_perplexity(df, id_col="id")
+    assert out.count() == 20  # resolves; every doc scored

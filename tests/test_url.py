@@ -359,3 +359,21 @@ def test_blocklist_filter(spark):
         ).collect()
     }
     assert hits == {1: False, 2: True, 3: False, 4: None}
+
+
+def test_filter_blocked_domains_input_with_dom_column(spark):
+    """r11 review: a >256-entry blocklist joins on a frame-qualified
+    reference — an input frame that itself has a 'dom' column must not
+    make the join ambiguous."""
+    from vrod_spark.functions.url import filter_blocked_domains
+
+    df = spark.createDataFrame(
+        [
+            (0, "http://bad0.example/x", "decoy"),
+            (1, "http://good.example/y", "decoy"),
+        ],
+        "id long, url string, dom string",
+    )
+    blocked = [f"bad{i}.example" for i in range(300)]
+    kept = filter_blocked_domains(df, blocked).collect()
+    assert [r["id"] for r in kept] == [1]

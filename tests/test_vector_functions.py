@@ -388,3 +388,18 @@ def test_random_projection_deterministic_and_jl_bound(spark, sf_dir):
     }
     for r in rows:
         assert np.allclose(again[r["vec_id"]], r["proj"], atol=0, rtol=0)
+
+
+def test_random_project_null_rows_yield_null(spark):
+    """r11 review: a NULL embedding row must project to NULL, not crash
+    the Arrow batch (and with it the whole job)."""
+    from vrod_spark.functions.vector import random_project
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, None), (2, [0.0, 1.0, 0.0, 0.0])],
+        "id long, embedding array<double>",
+    )
+    out = {r["id"]: r["proj"] for r in
+           random_project(df, out_dim=2, in_dim=4, out_col="proj").collect()}
+    assert out[1] is None
+    assert out[0] is not None and len(out[0]) == 2

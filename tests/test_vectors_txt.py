@@ -187,3 +187,27 @@ def test_malformed_lines_degrade_like_the_expression_reader(spark, tmp_path):
         assert got["bad_component"][1] is None
         assert got["bad_component"][2] == pytest.approx(3.0)
         assert got["empty_vector"] in ([], None)
+
+
+def test_semicolon_in_payload_roundtrip_and_reader_parity(spark, tmp_path):
+    """r11 review: payloads containing ';' must survive the write→read
+    roundtrip on BOTH readers (the expression reader's unlimited split
+    truncated 'a;b' to 'a'), and a line with no ';' yields payload ''
+    on both (the expression reader NULLed it)."""
+    from pyspark.sql import functions as F
+
+    from vrod_spark.sources.vectors_txt import read_vectors_txt
+
+    p = tmp_path / "v.txt"
+    p.write_text("1.0,2.0;a;b\n3.0,4.0\n")
+    expr = {
+        tuple(r["embedding"]): r["payload"]
+        for r in read_vectors_txt(spark, str(p)).collect()
+    }
+    assert expr[(1.0, 2.0)] == "a;b"
+    assert expr[(3.0, 4.0)] == ""
+    ds = {
+        tuple(r["embedding"]): r["payload"]
+        for r in spark.read.format("vrod_vectors").load(str(p)).collect()
+    }
+    assert ds == expr

@@ -218,3 +218,29 @@ def test_bulkinsert_warc_then_url_dedup(engine, tmp_path):
     assert sorted(r["meta"]["url"] for r in kept) == sorted(
         r["meta"]["url"] for r in kept2
     )
+
+
+def test_negative_content_length_terminates(spark):
+    """r11 review: a negative Content-Length moved the parse cursor
+    BACKWARD — strict mode looped forever without raising; skip mode
+    re-found the same record each resync, growing records unboundedly."""
+    import pytest
+
+    from vrod_spark.sources.warc import make_warc_bytes, parse_warc_bytes
+
+    good = make_warc_bytes(
+        [{"url": "http://a.example/", "body": "<p>ok</p>"}], gzip_members=False
+    )
+    evil = good.replace(
+        b"Content-Length: ", b"Content-Length: -", 1
+    )
+    # two records: corrupt first, good second — skip yields the good one
+    two = evil + make_warc_bytes(
+        [{"url": "http://b.example/", "body": "<p>fine</p>"}],
+        gzip_members=False,
+    )
+    with pytest.raises(ValueError, match="negative Content-Length"):
+        parse_warc_bytes(two, on_error="raise")
+    recs = parse_warc_bytes(two, on_error="skip")
+    assert len(recs) == 1
+    assert recs[0]["headers"]["warc-target-uri"] == "http://b.example/"

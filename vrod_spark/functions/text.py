@@ -36,13 +36,17 @@ BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization (embeddings.rs:24 parity), empties removed.
 
-    After ``trim``, a ``\\s+`` split can yield an empty token only for the
-    empty string — handled by the CASE — so the old higher-order
-    ``filter`` lambda (interpreted: HigherOrderFunction is CodegenFallback)
-    is replaced by pure scalar codegen. Same result for every input,
-    including NULL (both forms propagate NULL)."""
+    Edge whitespace is stripped with a regex, NOT ``F.trim`` — trim
+    removes only 0x20 spaces, so ``"hello\\n"`` would split (limit -1
+    keeps trailing empties) into ``['hello', '']`` and every downstream
+    count/shingle/quality signal would silently carry phantom empty
+    tokens (r11 review). After the full strip, a ``\\s+`` split can
+    yield an empty token only for the empty string — handled by the
+    CASE — so no higher-order ``filter`` lambda (interpreted:
+    HigherOrderFunction is CodegenFallback) is needed; everything stays
+    scalar codegen. NULL propagates."""
     col = F.col(text) if isinstance(text, str) else text
-    trimmed = F.trim(col)
+    trimmed = F.regexp_replace(col, r"^\s+|\s+$", "")
     return (
         F.when(trimmed == "", F.array().cast("array<string>"))
         .otherwise(F.split(trimmed, r"\s+"))
@@ -76,7 +80,14 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
         acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
     # zip_with pads the shorter side with nulls → drop the null-concat tails
     full = F.filter(acc, lambda s: s.isNotNull())
-    return F.when(size >= n, full).otherwise(F.array(F.concat_ws(" ", toks)))
+    # NULL token array (NULL text) → NULL shingles, never [''] —
+    # concat_ws flattens NULL to "" and every NULL doc would otherwise
+    # fingerprint/fuse identically (r11 review; the NULL-fusion class).
+    return (
+        F.when(toks.isNull(), F.lit(None).cast("array<string>"))
+        .when(size >= n, full)
+        .otherwise(F.array(F.concat_ws(" ", toks)))
+    )
 
 
 @memo_column
@@ -142,8 +153,14 @@ def lang_id(text: Column | str) -> Column:
         )
         # Struct sort is lexicographic: (neg_hits asc, lang asc) = most hits
         # first, ties → lexicographically first language. Deterministic.
+        # NULL tokens (NULL text) stay NULL — 'und' means "document with
+        # no stopword evidence", not "no document" (r11 review).
         first = F.array_sort(scored).getItem(0)
-        return F.when(first["neg_hits"] < 0, first["lang"]).otherwise(F.lit("und"))
+        return (
+            F.when(toks.isNull(), F.lit(None).cast("string"))
+            .when(first["neg_hits"] < 0, first["lang"])
+            .otherwise(F.lit("und"))
+        )
 
     return let_once(toks_lc, score)
 
@@ -260,7 +277,13 @@ def gopher_rule_mask(toks: Column, text: Column) -> Column:
     mask = F.lit(0)
     for bit, rule in ((1, r1), (2, r2), (4, r3), (8, r4), (16, r5)):
         mask = mask + F.when(rule, F.lit(bit)).otherwise(F.lit(0))
-    return mask.cast("int")
+    # NULL text → NULL mask, never 0: each rule condition evaluates to
+    # NULL and would fall through every when() as "passes" — a curation
+    # filter on mask == 0 would keep unknown content as battery-clean
+    # (r11 review; same spurious-pass class c4_line_stats guards).
+    return F.when(toks.isNull(), F.lit(None).cast("int")).otherwise(
+        mask.cast("int")
+    )
 
 
 @memo_column
@@ -559,7 +582,7 @@ def ngram_lm_perplexity(
     text_col: str = "text",
     lang_col: str = "lang",
     id_col: str = "doc_id",
-    train_pred: str = "doc_id % 10 < 3",
+    train_pred: str | None = None,
     n: int = 3,
     oov_mass: float = 0.5,
 ):
@@ -583,11 +606,20 @@ def ngram_lm_perplexity(
     """
     from pyspark.sql import DataFrame  # noqa: F401
 
+    # The default training slice keys on the CALLER's id column — a
+    # hardcoded "doc_id % 10 < 3" default failed resolution (or silently
+    # keyed on a stale doc_id column) whenever id_col was renamed
+    # (r11 review).
+    pred = (
+        F.expr(train_pred)
+        if train_pred is not None
+        else (F.col(id_col) % 10) < 3
+    )
     t = F.lower(F.trim(F.col(text_col)))
     base = df.filter(F.length(t) >= n).select(
         F.col(id_col).alias("_id"),
         F.col(lang_col).alias("_lang"),
-        F.expr(train_pred).alias("_train"),
+        pred.alias("_train"),
         t.alias("_t"),
     )
     grams = base.select(

@@ -249,7 +249,11 @@ def filter_blocked_domains(
     if len(blocked) <= 256:
         return df.filter(~F.coalesce(dom.isin(*blocked), F.lit(False)))
     spark = df.sparkSession
-    bl = spark.createDataFrame([(b,) for b in blocked], "dom string")
+    # Collision-proof blocklist column name + a frame-qualified
+    # reference: a bare F.col("dom") was ambiguous (or resolved to the
+    # wrong side) whenever the INPUT frame also had a 'dom' column —
+    # surfacing only past the 256-entry isin cutoff (r11 review).
+    bl = spark.createDataFrame([(b,) for b in blocked], "__vr_blocked_dom string")
     return df.join(
-        F.broadcast(bl), dom == F.col("dom"), "left_anti"
+        F.broadcast(bl), dom == bl["__vr_blocked_dom"], "left_anti"
     )

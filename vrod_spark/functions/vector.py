@@ -87,8 +87,10 @@ def quantize_int8(vec: Column | str) -> Column:
 
     floor(x + 0.5), NOT round(): round() half-even/half-away behavior
     differs across engines; floor(+0.5) is identical everywhere, keeping
-    quantized values oracle-comparable. A zero vector quantizes to scale
-    NULL (try_divide) and q all-zero."""
+    quantized values oracle-comparable. A zero vector quantizes to
+    scale 0.0 and q all-zero (try_divide only NULLs on a zero DIVISOR,
+    and 127 never is — r11 review corrected this doc); dequantize maps
+    it back to exact zeros. A NULL vector propagates scale/q NULL."""
     v = _to_double(vec)
     scale = F.try_divide(
         F.array_max(F.transform(v, F.abs)), F.lit(127.0)
@@ -165,8 +167,13 @@ def random_project(
         # order varies with the Arrow batch SHAPE, so the same row could
         # project to ulp-different values under a different partitioning
         # (regression-tested: repartition(7) must reproduce bit-exactly).
+        # NULL rows project to NULL instead of raising inside the Arrow
+        # batch and failing the whole task (r11 review).
         return pd.Series(
-            [mat @ np.asarray(v, dtype=np.float64) for v in vecs]
+            [
+                None if v is None else mat @ np.asarray(v, dtype=np.float64)
+                for v in vecs
+            ]
         )
 
     _proj = pandas_udf(_proj_fn, "array<double>")

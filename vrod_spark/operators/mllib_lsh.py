@@ -111,9 +111,25 @@ def minhash_similarity_join(
     Note MLlib computes Jaccard on the hashed-feature SETS (HashingTF
     collisions make it an approximation of true shingle Jaccard) — use
     operators/dedup.py for the exact-verified contract."""
-    sh = docs.select(F.col(id_col).alias("id"), shingles(text_col, n).alias("sh"))
+    # NULL-text exclusion must be VALUE-level, not filter-level (r11
+    # review): shingles(NULL) is NULL, HashingTF's Scala UDF NPEs on a
+    # null array and MinHash rejects a zero vector — and Catalyst merges
+    # and reorders filter predicates around the LSH UDFs, so neither an
+    # isNotNull filter nor a coalesce-to-empty + size filter can
+    # guarantee the UDFs never see the bad row. A per-row UNIQUE
+    # sentinel shingle is order-proof: never null, never zero, shares
+    # nothing with any other document, so NULL docs can never pair.
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(
+            shingles(text_col, n),
+            F.array(
+                F.concat(F.lit("\x00vr_null:"), F.col(id_col).cast("string"))
+            ),
+        ).alias("sh"),
+    )
     tf = HashingTF(inputCol="sh", outputCol="_features", numFeatures=num_features, binary=True)
-    feats = tf.transform(sh).filter(F.expr("size(sh) > 0"))
+    feats = tf.transform(sh)
     model = MinHashLSH(
         inputCol="_features", outputCol="_hashes", numHashTables=num_hash_tables, seed=SEED
     ).fit(feats)

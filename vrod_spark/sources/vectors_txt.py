@@ -25,8 +25,16 @@ def read_vectors_txt(spark: SparkSession, path: str) -> DataFrame:
     exactly what an id column needs to be at scale.
     """
     raw = spark.read.text(path)
-    vec_part = F.split(F.col("value"), ";").getItem(0)
-    payload = F.split(F.col("value"), ";").getItem(1)
+    # Split on the FIRST ';' only (limit=2), exactly like the Python
+    # DataSource reader's str.partition: a payload containing ';' must
+    # survive the write→read roundtrip intact, and a line with no ';'
+    # yields payload '' on both readers (r11 review — getItem(1) of an
+    # unlimited split truncated 'a;b' to 'a'). F.get, not getItem: under
+    # ANSI mode an out-of-bounds getItem THROWS on the no-';' line.
+    vec_part = F.split(F.col("value"), ";", 2).getItem(0)
+    payload = F.coalesce(
+        F.get(F.split(F.col("value"), ";", 2), 1), F.lit("")
+    )
     # try_cast, not cast: under Spark 4's default ANSI mode a malformed
     # float component would THROW and fail the whole scan — one corrupt
     # line in a TB-scale corpus must instead degrade to a NULL element.

@@ -157,6 +157,13 @@ def parse_warc_bytes(b: bytes, *, on_error: str = "raise") -> list[dict]:
                     value.decode("utf-8", "replace").strip()
                 )
             length = int(headers["content-length"])
+            if length < 0:
+                # Without this check a negative length moves pos BACKWARD
+                # past the record start: strict mode then loops forever
+                # (no exception is ever raised), and skip mode re-finds
+                # the same record on every resync while `records` grows
+                # unboundedly (r11 review).
+                raise ValueError("negative Content-Length")
             body_start = head_end + 4
             if body_start + length > n:
                 raise ValueError("truncated record payload")
