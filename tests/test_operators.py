@@ -437,3 +437,109 @@ def test_temperature_mixture_rates(spark):
     kept_df = deterministic_sample(df, "doc_id", rates, strata_col="source")
     frac = kept_df.count() / 3000
     assert abs(frac - 0.4) < 0.05  # hash acceptance ≈ expectation
+
+
+def test_knn_null_distance_rows_never_enter_topk(spark):
+    """r11 review: NULL distances (missing embedding / zero-norm cosine)
+    sorted NULLS FIRST and displaced every real neighbor from the
+    top-k."""
+    from pyspark.sql import functions as F
+
+    from vrod_spark.operators.knn import knn_exact
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, None),
+            (3, [0.0, 0.0]),  # zero norm -> NULL cosine distance
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = [r["vec_id"] for r in knn_exact(df, [1.0, 0.0], k=2, metric="cosine").collect()]
+    assert got == [0, 1]
+    got_l2 = [
+        r["vec_id"] for r in knn_exact(df, [1.0, 0.0], k=3, metric="l2").collect()
+    ]
+    assert 2 not in got_l2[:2]  # the NULL-embedding row never leads
+
+
+def test_asof_join_null_keys_and_timestamps(spark):
+    """r11 review: NULL right keys/timestamps must match nothing (equi-
+    join semantics), and NULL-key left rows get NULL payload — they
+    previously received payloads from co-partitioned NULL-key right
+    rows."""
+    from vrod_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "l1"), (None, 10, "l2"), (1, None, "l3")],
+        "k int, ts int, lbl string",
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "r1"), (None, 3, "rnull"), (1, None, "rts")],
+        "k int, ts int, val string",
+    )
+    out = {
+        r["lbl"]: r["asof_val"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            right_cols=["val"],
+        ).collect()
+    }
+    assert out["l1"] == "r1"      # real match unaffected
+    assert out["l2"] is None      # NULL key matches nothing
+    assert out["l3"] is None      # NULL left ts precedes nothing
+
+
+def test_salted_join_default_salt_skips_map_columns(spark):
+    """r11 review: the default salt hashed every left column; MapType
+    columns made the whole join fail (hash over maps is rejected)."""
+    from vrod_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(1, {"a": "b"}), (1, {"c": "d"}), (2, {})],
+        "k int, meta map<string,string>",
+    )
+    right = spark.createDataFrame([(1, "one"), (2, "two")], "k int, v string")
+    out = salted_join(left, right, "k", factor=4)
+    assert out.count() == 3
+    assert {r["v"] for r in out.collect()} == {"one", "two"}
+
+
+def test_reindex_empty_and_conflict_paths(spark, tmp_path):
+    """r11 review: (a) REINDEX of an emptied collection is a clean
+    'no rows' no-op for every index kind (numpy AxisError / unreadable
+    empty snapshot before); (b) the staged-commit tail refuses when a
+    concurrent commit superseded the base version, reclaiming staging."""
+    import os
+
+    import pytest
+
+    from vrod_spark.engine import Engine
+    from vrod_spark.errors import CommitConflictError
+
+    eng = Engine.create(spark, str(tmp_path), "rdb")
+    eng.execute("CREATE", collection="e", arg={"dimension": 4})
+    eng.execute(
+        "INSERT",
+        collection="e",
+        arg=[{"id": i, "embedding": [float(i)] * 4} for i in range(8)],
+    )
+    eng.execute("DELETE", collection="e", arg="true")
+    col = eng.db.collection("e")
+    for kind in ("sign_lsh", "ivf", "pq", "ivfpq"):
+        info = eng.execute("REINDEX", collection="e", arg={"kind": kind}).info
+        assert info["indexed"] is False and info["reason"] == "no rows"
+        assert col.meta["index"] is None
+    # staged-commit conflict: stale base_version is refused, staging gone
+    staging = os.path.join(col.path, ".staging-test")
+    os.makedirs(staging)
+    with pytest.raises(CommitConflictError):
+        col.commit_staged_index(
+            staging,
+            base_version=col.version - 1,
+            index={"kind": "sign_lsh"},
+            op_detail={},
+        )
+    assert not os.path.exists(staging)
+    assert col.meta["index"] is None  # nothing committed

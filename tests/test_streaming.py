@@ -311,3 +311,29 @@ def test_stream_url_dedup_batch_equivalence(spark, tmp_path):
         url_dedup_stream(stream).select("id"), output_mode="append"
     )
     assert sorted(r["id"] for r in out.collect()) == [1, 4, 5, 6]
+
+
+def test_idempotent_stream_insert_skips_replayed_epoch(spark, tmp_path):
+    """r11 review: foreachBatch is at-least-once — a replayed epoch (crash
+    between the collection commit and the streaming checkpoint commit)
+    must be recognized via the WAL's (stream_query, stream_epoch) record
+    and skipped, not double-inserted."""
+    from vrod_spark.engine import Engine
+    from vrod_spark.streaming.ingest import idempotent_stream_insert
+
+    eng = Engine.create(spark, str(tmp_path), "sdb")
+    eng.execute("CREATE", collection="s")
+    col = eng.db.collection("s")
+    batch = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, payload string"
+    )
+    assert idempotent_stream_insert(col, batch, 7, "q1") is True
+    assert col.read().count() == 2
+    # the same epoch replayed -> skipped
+    assert idempotent_stream_insert(col, batch, 7, "q1") is False
+    assert col.read().count() == 2
+    # a NEW epoch (or another stream) still inserts
+    batch2 = spark.createDataFrame([(3, "c")], "id long, payload string")
+    assert idempotent_stream_insert(col, batch2, 8, "q1") is True
+    assert col.read().count() == 3
+    assert col.wal_entries()[-1]["stream_epoch"] == 8

@@ -803,8 +803,80 @@ class Collection:
                 os.rename(src, os.path.join(dst, f"d{nxt}-{fname}"))
         return added
 
+    @staticmethod
+    def _footer_rowcount(root: str) -> int:
+        """Row count of a snapshot dir from parquet FOOTERS — driver-side
+        O(files), zero Spark jobs; recurses through pk=/bucket= layouts."""
+        import pyarrow.parquet as pq
+
+        n = 0
+        for r, _dirs, files in os.walk(root):
+            for fname in files:
+                if fname.startswith(("_", ".")):
+                    continue
+                n += pq.ParquetFile(os.path.join(r, fname)).metadata.num_rows
+        return n
+
+    @staticmethod
+    def bucket_histogram(root: str) -> dict[str, int]:
+        """Per-bucket row counts of a ``bucket=``-partitioned snapshot,
+        read from parquet FOOTERS — driver-side, O(files), zero Spark
+        jobs (the `_merge_partitioned_delta` technique). Replaces the
+        full second scan REINDEX used to pay just to build its
+        histogram (r11 review)."""
+        import pyarrow.parquet as pq
+
+        hist: dict[str, int] = {}
+        for entry in os.listdir(root):
+            if not entry.startswith("bucket="):
+                continue
+            bucket = entry.split("=", 1)[1]
+            n = 0
+            for fname in os.listdir(os.path.join(root, entry)):
+                if fname.startswith(("_", ".")):
+                    continue
+                n += pq.ParquetFile(
+                    os.path.join(root, entry, fname)
+                ).metadata.num_rows
+            hist[bucket] = n
+        return hist
+
+    def commit_staged_index(
+        self,
+        staging: str,
+        *,
+        base_version: int,
+        index: dict | None,
+        op_detail: dict,
+    ) -> int:
+        """Locked commit tail for REINDEX-class rewrites (r11 review —
+        the four index builders committed with neither the lock nor a
+        conflict check, so a concurrent INSERT's rows could silently
+        vanish under the re-pointed snapshot): verify no commit
+        superseded ``base_version``, rename the STAGED snapshot into the
+        next version dir, persist the index meta, and swap the pointer —
+        the same read-modify-write contract as `_rewrite`. The heavy
+        write job happens into ``staging`` before this call, outside the
+        lock. On conflict the staging dir is reclaimed and
+        CommitConflictError asks the caller to re-run against the new
+        snapshot."""
+        from vrod_spark.errors import CommitConflictError
+
+        with self._commit_lock():
+            if self.version != base_version:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise CommitConflictError(
+                    f"REINDEX derived from v{base_version} but CURRENT is "
+                    f"v{self.version}; re-run against the new snapshot"
+                )
+            nxt, nxt_dir = self._next_version_dir()
+            os.rename(staging, nxt_dir)
+            self.update_meta(index=index)
+            self._commit(nxt, "REINDEX", op_detail)
+            return nxt
+
     # -- mutations (each: write new snapshot → atomic pointer swap) --------
-    def insert(self, df: DataFrame) -> int:
+    def insert(self, df: DataFrame, *, commit_detail: dict | None = None) -> int:
         """INSERT / BULKINSERT (builder.rs:43-52): append-only commit.
         Existing files are hard-linked; only the delta is written — for
         indexed collections too: the delta is bucket-assigned with the
@@ -968,7 +1040,7 @@ class Collection:
                             os.path.join(nxt_dir, f"d{nxt}-{fname}"),
                         )
                     detail = {"rows": n_new}
-                self._commit(nxt, "INSERT", detail)
+                self._commit(nxt, "INSERT", {**detail, **(commit_detail or {})})
         finally:
             shutil.rmtree(staging, ignore_errors=True)
         return n_new
@@ -1085,35 +1157,33 @@ class Collection:
                     raise
 
     def delete(self, predicate: str, *, retries: int = 3) -> int:
-        """DELETE (builder.rs:58-62): anti-filter rewrite. Matched count is
-        observed on the pre-filter scan of the same single rewrite job.
+        """DELETE (builder.rs:58-62): anti-filter rewrite. Matched count =
+        rows before (parquet footers, driver-side, no job) minus rows the
+        rewrite kept (its observe metric) — NOT a pre-filter observation:
+        a constant-true predicate ("true", "1=1") folds the keep-filter to
+        an empty relation and the optimizer PRUNES the subtree including
+        the CollectMetrics node, so that observation never fires and its
+        get() fails (r11 review, found by the REINDEX empty-collection
+        test). The difference counts exactly the pred-TRUE rows —
+        NULL-evaluating predicates keep their rows on both sides.
         Conflicting commits retry like :meth:`update`."""
-        from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
         from vrod_spark.errors import CommitConflictError
 
         for attempt in range(retries + 1):
             base = self.version
+            n_before = self._footer_rowcount(self.version_dir(base))
             df = self.read()
             pred = F.expr(predicate)
-            obs = Observation()
-            df = df.observe(
-                obs,
-                F.coalesce(F.sum(F.when(pred, 1).otherwise(0)), F.lit(0)).alias("matched"),
-            )
             try:
-                # NULL-evaluating predicates keep the row (SQL DELETE
-                # removes only rows where the predicate is TRUE): a bare
-                # ~pred filter would DROP rows where pred is NULL while
-                # the matched count called them untouched (r11 review).
-                self._rewrite(
+                n_after = self._rewrite(
                     df.filter(~F.coalesce(pred, F.lit(False))),
                     "DELETE",
                     {"predicate": predicate},
                     base_version=base,
                 )
-                return int(obs.get["matched"])
+                return n_before - int(n_after)
             except CommitConflictError:
                 if attempt == retries:
                     raise
@@ -1179,14 +1249,7 @@ class Collection:
             # O(files) I/O that must not sit inside the commit lock's
             # stale-breaker budget (the locked tail below is link+swap
             # metadata ops only).
-            n = 0
-            for root, _dirs, files in os.walk(src):
-                for fname in files:
-                    if fname.startswith(("_", ".")):
-                        continue
-                    n += pq.ParquetFile(
-                        os.path.join(root, fname)
-                    ).metadata.num_rows
+            n = self._footer_rowcount(src)
             with self._commit_lock() as beat:
                 # Re-check under the lock: a racing commit may have moved
                 # CURRENT onto the target (restore would then be a no-op

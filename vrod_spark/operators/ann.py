@@ -88,43 +88,62 @@ def _buckets_by_hamming(center: int, n_planes: int):
 
 
 def reindex_collection(collection, *, n_planes: int = DEFAULT_PLANES, seed: int = SEED) -> dict:
-    """Fit LSH planes, rewrite the snapshot bucket-partitioned, commit."""
+    """Fit LSH planes, rewrite the snapshot bucket-partitioned into a
+    STAGING dir, then commit through the locked conflict-checked tail
+    (`Collection.commit_staged_index` — r11 review: the unlocked commit
+    could silently drop a concurrent INSERT). The histogram comes from
+    the staged files' parquet footers, not a second scan."""
+    import os
+    import shutil
+    import uuid
+
     meta = collection.meta
     dimension = meta.get("dimension")
     if dimension is None:
         # Empty / dim-less collection: nothing to index yet.
         collection.update_meta(index=None)
         return {"collection": collection.name, "indexed": False, "reason": "no vectors"}
+    base = collection.version
     planes = _planes(dimension, n_planes, seed)
     df = collection.read().withColumn("bucket", bucket_expr("embedding", planes))
 
-    nxt, nxt_dir = collection._next_version_dir()
-    # Cluster rows physically by bucket; partitionBy gives one directory per
-    # bucket → partition pruning serves bucket-filtered scans.
-    (
-        df.repartition("bucket")
-        .sortWithinPartitions("bucket", "id")
-        .write.partitionBy("bucket")
-        .mode("overwrite")
-        .parquet(nxt_dir)
-    )
-    hist_rows = (
-        collection.db.spark.read.parquet(nxt_dir)
-        .groupBy("bucket")
-        .count()
-        .collect()
-    )
-    histogram = {str(r["bucket"]): r["count"] for r in hist_rows}
-    collection.update_meta(
-        index={
-            "kind": "sign_lsh",
-            "n_planes": n_planes,
-            "seed": seed,
-            "planes": [[float(x) for x in p] for p in planes],
-            "histogram": histogram,
-        }
-    )
-    collection._commit(nxt, "REINDEX", {"n_planes": n_planes, "buckets": len(histogram)})
+    staging = os.path.join(collection.path, f".staging-{uuid.uuid4().hex}")
+    try:
+        # Cluster rows physically by bucket; partitionBy gives one
+        # directory per bucket → partition pruning serves bucket scans.
+        (
+            df.repartition("bucket")
+            .sortWithinPartitions("bucket", "id")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        histogram = collection.bucket_histogram(staging)
+        if not histogram:
+            # Zero rows: an empty bucketed snapshot is unreadable (no
+            # partition dirs to infer from) — declare nothing to index.
+            shutil.rmtree(staging, ignore_errors=True)
+            collection.update_meta(index=None)
+            return {
+                "collection": collection.name,
+                "indexed": False,
+                "reason": "no rows",
+            }
+        collection.commit_staged_index(
+            staging,
+            base_version=base,
+            index={
+                "kind": "sign_lsh",
+                "n_planes": n_planes,
+                "seed": seed,
+                "planes": [[float(x) for x in p] for p in planes],
+                "histogram": histogram,
+            },
+            op_detail={"n_planes": n_planes, "buckets": len(histogram)},
+        )
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     return {
         "collection": collection.name,
         "indexed": True,

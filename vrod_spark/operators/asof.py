@@ -44,7 +44,16 @@ def asof_join(
         *( [F.col(tiebreak).alias("_tb")] if tiebreak else [F.lit(0).alias("_tb")] ),
         *[F.col(c).alias(c) for c in right_cols],
     )
-    r = right.select(
+    # Join-semantics NULL handling (r11 review): an equi-join never
+    # matches NULL keys, and a right row with NULL timestamp satisfies
+    # no "r.ts <= l.ts" predicate — but the window formulation would
+    # happily partition NULL keys together and sort NULL _t first
+    # (feeding its payload to every left row). Drop such right rows;
+    # NULL-key left rows then sit alone in their partition and get the
+    # correct NULL payload.
+    r = right.filter(
+        F.col(on).isNotNull() & F.col(right_ts).isNotNull()
+    ).select(
         F.col(on).alias("_key"),
         F.col(right_ts).alias("_t"),
         F.lit(0).alias("_marker"),

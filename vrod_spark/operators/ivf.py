@@ -122,6 +122,7 @@ def reindex_ivf(
             int(meta["dimension"]), int(project_dim), int(project_seed)
         )
 
+    base = collection.version
     df = collection.read()
     # Deterministic bounded sample (xxhash64-smallest rows — a pure
     # function of the data): ``df.sample`` seeds per PARTITION, so the
@@ -133,6 +134,12 @@ def reindex_ivf(
         .limit(train_sample)
         .collect()
     )
+    if not sample_rows:
+        # Zero-row snapshot (e.g. everything deleted since the dimension
+        # was pinned): k-means on an empty sample is a numpy AxisError —
+        # declare nothing to index instead (r11 review).
+        collection.update_meta(index=None)
+        return {"collection": collection.name, "indexed": False, "reason": "no rows"}
     sample = np.array([r["v"] for r in sample_rows], dtype=np.float64)
     if proj is not None:
         # per-row dgemv, matching the distributed assign path bit-exactly
@@ -141,30 +148,39 @@ def reindex_ivf(
     bucketed = df.withColumn(
         "bucket", ivf_assign_expr(df.sparkSession, centroids, "embedding", proj=proj)
     )
-    nxt, nxt_dir = collection._next_version_dir()
-    (
-        bucketed.repartition("bucket")
-        .sortWithinPartitions("bucket", "id")
-        .write.partitionBy("bucket")
-        .mode("overwrite")
-        .parquet(nxt_dir)
-    )
-    hist_rows = (
-        collection.db.spark.read.parquet(nxt_dir).groupBy("bucket").count().collect()
-    )
-    histogram = {str(r["bucket"]): r["count"] for r in hist_rows}
-    index_meta = {
-        "kind": "ivf",
-        "n_centroids": int(len(centroids)),
-        "seed": seed,
-        "centroids": [[float(x) for x in c] for c in centroids],
-        "histogram": histogram,
-    }
-    if proj is not None:
-        index_meta["project_dim"] = int(project_dim)
-        index_meta["project_seed"] = int(project_seed)
-    collection.update_meta(index=index_meta)
-    collection._commit(nxt, "REINDEX", {"kind": "ivf", "buckets": len(histogram)})
+    import os
+    import shutil
+    import uuid
+
+    staging = os.path.join(collection.path, f".staging-{uuid.uuid4().hex}")
+    try:
+        (
+            bucketed.repartition("bucket")
+            .sortWithinPartitions("bucket", "id")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        histogram = collection.bucket_histogram(staging)
+        index_meta = {
+            "kind": "ivf",
+            "n_centroids": int(len(centroids)),
+            "seed": seed,
+            "centroids": [[float(x) for x in c] for c in centroids],
+            "histogram": histogram,
+        }
+        if proj is not None:
+            index_meta["project_dim"] = int(project_dim)
+            index_meta["project_seed"] = int(project_seed)
+        collection.commit_staged_index(
+            staging,
+            base_version=base,
+            index=index_meta,
+            op_detail={"kind": "ivf", "buckets": len(histogram)},
+        )
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     return {
         "collection": collection.name,
         "indexed": True,

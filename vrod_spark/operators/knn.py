@@ -53,7 +53,13 @@ def knn_exact(
     """
     dist = _distance(metric, vec_col, vector_lit(query_vector))
     scored = df.select(id_col, *payload_cols, dist.alias(dist_alias))
-    return scored.orderBy(F.col(dist_alias).asc(), F.col(id_col).asc()).limit(k)
+    # asc_nulls_last: a NULL distance (row inserted without an
+    # embedding, or zero-norm vector under cosine) must never occupy the
+    # top-k ahead of real neighbors — Spark's plain asc sorts NULLS
+    # FIRST (r11 review).
+    return scored.orderBy(
+        F.col(dist_alias).asc_nulls_last(), F.col(id_col).asc()
+    ).limit(k)
 
 
 def knn_per_group(
@@ -74,7 +80,9 @@ def knn_per_group(
     """
     dist = _distance(metric, vec_col, vector_lit(query_vector))
     scored = df.select(group_col, id_col, dist.alias(dist_alias))
-    w = Window.partitionBy(group_col).orderBy(F.col(dist_alias).asc(), F.col(id_col).asc())
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(dist_alias).asc_nulls_last(), F.col(id_col).asc()
+    )
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
@@ -107,7 +115,7 @@ def range_search(
     scored = (
         df.select(id_col, *payload_cols, dist.alias(dist_alias))
         .filter(F.col(dist_alias) <= F.lit(float(radius)))
-        .orderBy(F.col(dist_alias).asc(), F.col(id_col).asc())
+        .orderBy(F.col(dist_alias).asc_nulls_last(), F.col(id_col).asc())
     )
     return scored.limit(int(limit)) if limit is not None else scored
 
@@ -157,7 +165,7 @@ def knn_batch(
     scored = df.crossJoin(qdf).select(
         "query_idx", id_col, *payload_cols, dist.alias(dist_alias)
     )
-    order = [F.col(dist_alias).asc(), F.col(id_col).asc()]
+    order = [F.col(dist_alias).asc_nulls_last(), F.col(id_col).asc()]
     local = Window.partitionBy("query_idx", F.spark_partition_id()).orderBy(*order)
     pruned = (
         scored.withColumn("_rn", F.row_number().over(local))

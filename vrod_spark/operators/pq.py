@@ -536,6 +536,7 @@ def reindex_pq(
         return {"collection": collection.name, "indexed": False, "reason": "no vectors"}
     import numpy as np
 
+    base = collection.version
     df = collection.read()
     rows = (
         df.select(F.col("embedding").alias("v"))
@@ -544,7 +545,10 @@ def reindex_pq(
         .collect()
     )
     if not rows:
-        raise ValueError("reindex_pq: empty input")
+        # Zero-row snapshot: nothing to train on — consistent with the
+        # other index kinds' "no rows" no-op (r11 review).
+        collection.update_meta(index=None)
+        return {"collection": collection.name, "indexed": False, "reason": "no rows"}
     xs = np.asarray([r["v"] for r in rows], dtype=np.float64)
     rotation = opq_rotation(xs, m) if opq else None
     train = xs @ rotation.T if opq else xs
@@ -553,23 +557,33 @@ def reindex_pq(
         "pq_code",
         pq_code_expr(collection.db.spark, codebooks, "embedding", rotation=rotation),
     )
-    nxt, nxt_dir = collection._next_version_dir()
-    encoded.write.mode("overwrite").parquet(nxt_dir)
-    collection.update_meta(
-        index={
-            "kind": "pq",
-            "m": int(m),
-            "nbits": int(nbits),
-            "seed": int(seed),
-            "codebooks": _codebooks_meta(codebooks),
-            **(
-                {"rotation": [[float(x) for x in row] for row in rotation]}
-                if rotation is not None
-                else {}
-            ),
-        }
-    )
-    collection._commit(nxt, "REINDEX", {"kind": "pq"})
+    import os
+    import shutil
+    import uuid
+
+    staging = os.path.join(collection.path, f".staging-{uuid.uuid4().hex}")
+    try:
+        encoded.write.mode("overwrite").parquet(staging)
+        collection.commit_staged_index(
+            staging,
+            base_version=base,
+            index={
+                "kind": "pq",
+                "m": int(m),
+                "nbits": int(nbits),
+                "seed": int(seed),
+                "codebooks": _codebooks_meta(codebooks),
+                **(
+                    {"rotation": [[float(x) for x in row] for row in rotation]}
+                    if rotation is not None
+                    else {}
+                ),
+            },
+            op_detail={"kind": "pq"},
+        )
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     return {"collection": collection.name, "indexed": True, "kind": "pq", "opq": bool(opq)}
 
 
@@ -622,6 +636,7 @@ def reindex_ivfpq(
     if meta.get("dimension") is None:
         collection.update_meta(index=None)
         return {"collection": collection.name, "indexed": False, "reason": "no vectors"}
+    base = collection.version
     df = collection.read()
     # ONE bounded DETERMINISTIC sample (the xxhash64 subset rule of
     # pq_train — a pure function of the data, independent of file order
@@ -634,6 +649,9 @@ def reindex_ivfpq(
         .limit(max(sample_size, train_sample))
         .collect()
     )
+    if not rows:
+        collection.update_meta(index=None)
+        return {"collection": collection.name, "indexed": False, "reason": "no rows"}
     xs = np.asarray([r["v"] for r in rows], dtype=np.float64)
     centroids = _spherical_kmeans(xs[:train_sample], n_centroids, seed=seed)
     if residual:
@@ -661,35 +679,44 @@ def reindex_ivfpq(
         enc = enc.withColumn(
             "pq_code", pq_code_expr(spark, codebooks, "embedding", rotation=rotation)
         )
-    nxt, nxt_dir = collection._next_version_dir()
-    (
-        enc.repartition("bucket")
-        .sortWithinPartitions("bucket", "id")
-        .write.partitionBy("bucket")
-        .mode("overwrite")
-        .parquet(nxt_dir)
-    )
-    hist_rows = spark.read.parquet(nxt_dir).groupBy("bucket").count().collect()
-    histogram = {str(r["bucket"]): r["count"] for r in hist_rows}
-    collection.update_meta(
-        index={
-            "kind": "ivfpq",
-            "n_centroids": int(len(centroids)),
-            "m": int(m),
-            "nbits": int(nbits),
-            "seed": int(seed),
-            "residual": bool(residual),
-            "centroids": [[float(x) for x in c] for c in centroids],
-            "histogram": histogram,
-            "codebooks": _codebooks_meta(codebooks),
-            **(
-                {"rotation": [[float(x) for x in row] for row in rotation]}
-                if rotation is not None
-                else {}
-            ),
-        }
-    )
-    collection._commit(nxt, "REINDEX", {"kind": "ivfpq", "buckets": len(histogram)})
+    import os
+    import shutil
+    import uuid
+
+    staging = os.path.join(collection.path, f".staging-{uuid.uuid4().hex}")
+    try:
+        (
+            enc.repartition("bucket")
+            .sortWithinPartitions("bucket", "id")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(staging)
+        )
+        histogram = collection.bucket_histogram(staging)
+        collection.commit_staged_index(
+            staging,
+            base_version=base,
+            index={
+                "kind": "ivfpq",
+                "n_centroids": int(len(centroids)),
+                "m": int(m),
+                "nbits": int(nbits),
+                "seed": int(seed),
+                "residual": bool(residual),
+                "centroids": [[float(x) for x in c] for c in centroids],
+                "histogram": histogram,
+                "codebooks": _codebooks_meta(codebooks),
+                **(
+                    {"rotation": [[float(x) for x in row] for row in rotation]}
+                    if rotation is not None
+                    else {}
+                ),
+            },
+            op_detail={"kind": "ivfpq", "buckets": len(histogram)},
+        )
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
     return {
         "collection": collection.name,
         "indexed": True,

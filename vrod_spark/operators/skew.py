@@ -48,7 +48,21 @@ def salted_join(
             f"got how={how!r} — swap the sides so the replicated side is the small one"
         )
     if salt_by is None:
-        salt_src = F.xxhash64(*[F.col(c) for c in left.columns])
+        # Hashable columns only: Spark rejects hash functions over
+        # MapType, so a collection-shaped left side (meta map column)
+        # would fail the whole join with an opaque AnalysisException
+        # (r11 review).
+        hashable = [
+            f.name
+            for f in left.schema.fields
+            if f.dataType.typeName() != "map"
+        ]
+        if not hashable:
+            raise ValueError(
+                "salted_join cannot derive a default salt: every left "
+                "column is a map type; pass salt_by="
+            )
+        salt_src = F.xxhash64(*[F.col(c) for c in hashable])
     else:
         salt_src = F.xxhash64(F.col(salt_by) if isinstance(salt_by, str) else salt_by)
     l_salted = left.withColumn("_salt", F.pmod(salt_src, F.lit(factor)).cast("int"))

@@ -43,20 +43,26 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     micros-NTZ ``ts``) — a footer probe picks the right one; a mismatch
     here silently yields garbage timestamps, not an error."""
     nanos = events_ts_is_nanos_long(spark, sf_dir)
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", str(nanos).lower())
-    try:
-        # File-stream sources require a directory: stream the sf-dir with a
-        # glob filter selecting only the events table.
-        raw = (
-            spark.readStream.schema(
-                EVENTS_RAW_SCHEMA_NANOS if nanos else EVENTS_RAW_SCHEMA_NTZ
-            )
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
+    if nanos:
+        # The conf must OUTLIVE this builder (r11 review): readStream
+        # does no footer work here — Structured Streaming captures the
+        # session conf at .start(), and every micro-batch scan consults
+        # it. A set-then-restore `finally` made the toggle a no-op for
+        # streaming and each batch failed with PARQUET_TYPE_ILLEGAL on
+        # the nanos vintage. Leaving it set is safe: it only affects
+        # TIMESTAMP(NANOS) parquet columns, which no other table ships,
+        # and the gate queries run on child sessions (run_to_completion)
+        # whose conf dies with the query.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # File-stream sources require a directory: stream the sf-dir with a
+    # glob filter selecting only the events table.
+    raw = (
+        spark.readStream.schema(
+            EVENTS_RAW_SCHEMA_NANOS if nanos else EVENTS_RAW_SCHEMA_NTZ
         )
-    finally:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
     # Watermarks require an instant-typed (TIMESTAMP) event-time column —
     # TIMESTAMP_NTZ is rejected. ``ts_evt`` is the exact instant from epoch
     # nanos; since epoch-aligned windows and gap-based sessions are
@@ -228,6 +234,34 @@ def url_dedup_stream(
     )
 
 
+def idempotent_stream_insert(
+    collection, batch_df: DataFrame, epoch_id: int, qtag: str
+) -> bool:
+    """One foreachBatch epoch's insert, replay-safe (r11 review):
+    foreachBatch is at-least-once — a crash between the collection's COW
+    commit and the streaming checkpoint's batch commit REPLAYS the epoch
+    on restart, and a plain insert would duplicate its rows. Each insert
+    records (stream_query, stream_epoch) in the collection WAL, so a
+    replayed epoch is recognized and skipped — exactly-once up to the
+    (much smaller) window between the pointer swap and its WAL line, and
+    bounded by TRUNCATEWAL's log horizon (run it only at stream
+    quiesce). Returns True when rows were inserted."""
+    if batch_df.isEmpty():
+        return False
+    applied = {
+        int(e["stream_epoch"])
+        for e in collection.wal_entries()
+        if e.get("stream_query") == qtag and "stream_epoch" in e
+    }
+    if int(epoch_id) in applied:
+        return False
+    collection.insert(
+        batch_df,
+        commit_detail={"stream_query": qtag, "stream_epoch": int(epoch_id)},
+    )
+    return True
+
+
 def stream_ingest_into_collection(
     collection, src_stream: DataFrame, *, checkpoint_dir: str | None = None
 ):
@@ -237,12 +271,15 @@ def stream_ingest_into_collection(
     after a crash re-runs only uncommitted batches. The checkpoint
     directory is the streaming analog of vr_wal; clearing it after a
     terminal batch is the TRUNCATEWAL maintenance op."""
+    import hashlib
+
     checkpoint = checkpoint_dir or os.path.join(collection.path, "_stream_checkpoint")
+    # Stable identity for THIS stream's epochs across restarts: the
+    # checkpoint path (the same identity Spark itself resumes by).
+    qtag = hashlib.sha256(os.path.abspath(checkpoint).encode()).hexdigest()[:16]
 
     def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        collection.insert(batch_df)
+        idempotent_stream_insert(collection, batch_df, int(epoch_id), qtag)
 
     return (
         src_stream.writeStream.foreachBatch(commit_batch)

@@ -175,13 +175,20 @@ def click_abandonment_timers(events: DataFrame, *, max_delay_min: int = 30) -> D
         ):
             user = int(key[0])
             expiry_us = expiredTimerInfo.getExpiryTimeInMs() * 1000
+            wm_ms = timerValues.getCurrentWatermarkInMs()
             expired, still = [], []
             for cid, cus in self._pending():
                 if cus + delay_us < expiry_us:
                     expired.append((cid, cus, False))
                 else:
                     still.append((cid, cus))
-            self._store(still, self._purch())
+            # Purchases older than the watermark are unreachable here too
+            # (r11 review): a key whose last inputs were purchases never
+            # re-enters handleInputRows, so without this the buffered
+            # purchase list leaked for the stream's lifetime.
+            purch = self._purch()
+            purch = [p for p in purch if wm_ms <= 0 or p >= wm_ms * 1000]
+            self._store(still, purch)
             yield self._frame(user, expired)
 
         def close(self) -> None:
