@@ -3977,3 +3977,20 @@ def test_ngram_lm_perplexity_respects_id_col(spark):
     )
     out = ngram_lm_perplexity(df, id_col="id")
     assert out.count() == 20  # resolves; every doc scored
+
+
+def test_embed_documents_empty_doc_width_without_dim(spark):
+    """r11 review (live-reproduced): with dim=None the zero-vector width
+    was inferred per Arrow batch, so an empty doc whose batch had no
+    real row got a 0-length array — a mixed-width embedding column."""
+    from pyspark.sql import functions as F
+
+    from vrod_spark.pipeline import deterministic_embedder, embed_documents
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "")], "doc_id long, text string"
+    ).repartition(2)  # each doc in its own batch
+    out = embed_documents(docs, deterministic_embedder(8))
+    widths = {r["doc_id"]: r["w"] for r in
+              out.select("doc_id", F.size("embedding").alias("w")).collect()}
+    assert widths == {1: 8, 2: 8}

@@ -112,3 +112,20 @@ def test_engine_sql_isolated_from_shared_session_views(spark, tmp_path):
         assert [r["payload"] for r in shared] == ["EVIL"]
     finally:
         spark.catalog.dropTempView("c")
+
+
+def test_project_events_raw_pre_epoch_nanos(spark):
+    """r11 review (live-reproduced): pre-1970 epoch nanos made div/%
+    produce a negative remainder and make_timestamp_ntz threw under
+    ANSI mode; floor semantics render them correctly."""
+    from vrod_spark.sources.tables import project_events_raw
+
+    raw = spark.createDataFrame(
+        [(1, -1000, 1, "click", 0.0, None), (2, 1000, 1, "click", 0.0, None)],
+        "event_id bigint, ts bigint, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    rows = {r["event_id"]: r for r in project_events_raw(raw).collect()}
+    assert str(rows[1]["ts"]) == "1969-12-31 23:59:59.999999"
+    assert str(rows[2]["ts"]) == "1970-01-01 00:00:00.000001"
+    assert rows[1]["ts_ns"] == -1000 and rows[2]["ts_ns"] == 1000

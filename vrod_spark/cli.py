@@ -56,18 +56,35 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None, spark=None) -> int:
     args = build_parser().parse_args(argv)
-    from vrod_spark.session import get_spark
 
-    spark = spark or get_spark("vrod-spark-cli")
+    def _spark():
+        # Lazy: error/help paths must not pay a JVM launch, and argument
+        # validation runs before any session exists (r11 review).
+        nonlocal spark
+        if spark is None:
+            from vrod_spark.session import get_spark
+
+            spark = get_spark("vrod-spark-cli")
+        return spark
 
     # 1. --generate-embeddings short-circuit (main.rs:46-49)
     if args.generate_embeddings is not None:
+        if args.generate_embeddings < 0:
+            print("error: --generate-embeddings takes N >= 0", file=sys.stderr)
+            return 2
         from vrod_spark.pipeline import embed_corpus, embedding_stats
         from vrod_spark.sources.vectors_txt import write_vectors_txt
 
-        df = embed_corpus(spark, args.corpus, limit=args.generate_embeddings)
-        stats = embedding_stats(df)
-        write_vectors_txt(df, args.output, single_file=True)
+        df = embed_corpus(_spark(), args.corpus, limit=args.generate_embeddings)
+        # ONE pipeline execution for stats + sink: the embed UDF is the
+        # expensive stage (real-model inference), and unpersisted it ran
+        # once for embedding_stats and again for the write (r11 review).
+        df = df.persist()
+        try:
+            stats = embedding_stats(df)
+            write_vectors_txt(df, args.output, single_file=True)
+        finally:
+            df.unpersist()
         print(json.dumps({"embeddings": stats, "output": args.output}))
         return 0
 
@@ -80,7 +97,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         from vrod_spark.engine import Engine
 
         try:
-            eng = Engine.create(spark, args.init_database, args.init_database_name)
+            eng = Engine.create(_spark(), args.init_database, args.init_database_name)
         except VrodError as exc:
             print(f"error: {exc}", file=sys.stderr)
             return 1
@@ -103,7 +120,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             except ValueError:
                 pass
         try:
-            eng = Engine.load(spark, args.database)
+            eng = Engine.load(_spark(), args.database)
             result = eng.execute(
                 args.execute, collection=args.collection, arg=arg
             )

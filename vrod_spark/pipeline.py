@@ -88,7 +88,10 @@ def best_available_embedder(
         def embed_fast(words: pd.Series) -> pd.Series:
             return pd.Series([list(map(float, v)) for v in model.embed(list(words))])
 
-        return embed_fast, 384, "fastembed"
+        # Probe the actual output width — a hardcoded 384 is only right
+        # for bge-SMALL; model_name is a parameter (r11 review).
+        out_dim = len(list(model.embed(["probe"]))[0])
+        return embed_fast, out_dim, "fastembed"
     except Exception:
         pass
     try:
@@ -239,6 +242,14 @@ def embed_documents(
     embed_documents → cluster/semantic_dedup or knn — a full
     train-embed-curate path with zero external ML dependencies."""
     from pyspark.sql.functions import pandas_udf
+
+    if dim is None:
+        # Probe the embedder ONCE driver-side: inferring the zero-vector
+        # width per Arrow batch left empty docs whose batch had no real
+        # row with 0-length arrays — a mixed-width embedding column that
+        # silently misscores every downstream cosine/knn (r11 review,
+        # reproduced with a 2-doc corpus split across partitions).
+        dim = len(list(embedder(pd.Series(["probe"])))[0])
 
     def _doc_fn(texts: pd.Series) -> pd.Series:
         import numpy as np

@@ -29,18 +29,25 @@ def get_spark(
     post-shuffle partitions land in the 100-200 MB range — AQE's
     ``coalescePartitions`` handles the fine-tuning at runtime either way.
     """
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # Tolerant parse for BOTH env knobs (r11 review: only SHUFFLE was
+    # tolerant; `SPARK_GRAFT_CPUS= python bench.py` crashed on int('')
+    # and produced master 'local[]'): empty/garbage/non-positive falls
+    # back to '*'.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*").strip() or "*"
+    if cpus != "*":
+        try:
+            cpus = str(max(int(cpus), 1))
+        except ValueError:
+            cpus = "*"
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        # Tolerant parse: empty/garbage/non-positive falls back to the
-        # default (`SPARK_GRAFT_SHUFFLE= python bench.py` must not crash).
         try:
             env_shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE") or "0")
         except ValueError:
             env_shuffle = 0
         shuffle_partitions = (
-            env_shuffle if env_shuffle > 0 else (32 if cpus == "*" else max(int(cpus), 1))
+            env_shuffle if env_shuffle > 0 else (32 if cpus == "*" else int(cpus))
         )
 
     builder = (

@@ -50,9 +50,18 @@ _LOCK = threading.RLock()
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    key = (os.path.abspath(sf_dir), name)
+    # Double-checked: hot hits read the dict lock-free (CPython dict
+    # reads are atomic; the design the _LOCK comment documents — r11
+    # review found every hit serializing behind the miss lock, queueing
+    # concurrent query builds behind one cold events footer probe).
+    cache = _CATALOG.get(spark)
+    if cache is not None:
+        df = cache.get(key)
+        if df is not None:
+            return df
     with _LOCK:
         cache = _CATALOG.setdefault(spark, {})
-        key = (os.path.abspath(sf_dir), name)
         if key not in cache:
             path = os.path.join(sf_dir, f"{name}.parquet")
             cache[key] = (
@@ -87,11 +96,20 @@ def project_events_raw(raw: DataFrame) -> DataFrame:
         raw = raw.withColumn("__ns", F.unix_micros(F.col("ts")) * F.lit(1000))
         ns_col = "__ns"
     if ns_col is not None:
+        # FLOOR division/modulo, not div/% (which truncate toward zero
+        # and keep the dividend's sign): pre-1970 nanos otherwise yield
+        # a negative remainder and make_timestamp_ntz throws
+        # DATETIME_FIELD_OUT_OF_BOUNDS under ANSI mode (r11 review).
+        # pmod is always non-negative; subtracting it before div gives
+        # exact floor semantics in pure bigint arithmetic (the values
+        # exceed 2^53, so double-based floor() would lose precision).
+        us = f"(({ns_col}) - pmod({ns_col}, 1000)) div 1000"
+        rem = f"pmod({us}, 86400000000)"
         d = F.date_add(
             F.lit("1970-01-01").cast("date"),
-            F.expr(f"cast(({ns_col} div 1000) div 86400000000 as int)"),
+            F.expr(f"cast((({us}) - ({rem})) div 86400000000 as int)"),
         )
-        rem_us = F.expr(f"({ns_col} div 1000) % 86400000000")
+        rem_us = F.expr(rem)
         ts_ntz = F.make_timestamp_ntz(
             F.year(d),
             F.month(d),
@@ -150,13 +168,15 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     ``project_events_raw``), then apply the shared projection."""
     if not events_ts_is_nanos_long(spark, os.path.dirname(path)):
         return project_events_raw(spark.read.parquet(path))
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    # Set-and-LEAVE, never save-toggle-restore (r11 review): the
+    # streaming reader (streaming/ingest.events_stream) needs this conf
+    # to persist for its query's whole lifetime, so a batch load
+    # restoring "false" here raced every in-flight nanos stream into
+    # PARQUET_TYPE_ILLEGAL. Monotonic true-only writes cannot race, and
+    # the conf only affects TIMESTAMP(NANOS) parquet columns — which no
+    # other table ships.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
-        raw = spark.read.parquet(path)
-    finally:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-    return project_events_raw(raw)
+    return project_events_raw(spark.read.parquet(path))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
