@@ -7,7 +7,8 @@ DuckDB oracles under deliberately perturbed environments, each in a
 FRESH subprocess (JVM options and thread-pool env only bind at session
 launch): master local[1]/local[4], shuffle.partitions 1/7/200,
 single-threaded BLAS, a Turkish JVM locale (the classic upper/lowercase
-trap), and small Arrow batches (different pandas_udf batch shapes).
+trap), small Arrow batches (different pandas_udf batch shapes), and
+Arrow disabled entirely (the driver's session — the r11 NaN episode).
 
 Any FAIL here reproduces the driver's red row and names the trigger.
 Run: ``python tools/perturb_gates.py [sf_dir]``.
@@ -81,6 +82,16 @@ CONFIGS: list[tuple[str, dict]] = [
     })),
     ("arrow97", dict(extra={
         "spark.sql.execution.arrow.maxRecordsPerBatch": "97",
+    })),
+    # Driver parity (r11 postmortem): the driver's session never enables
+    # Arrow, so every createDataFrame(pandas) takes the row-pickling
+    # conversion path, which is STRICTER about dtypes (r11: HISTORY's
+    # int+None -> float64/NaN frame died with "LongType() can not accept
+    # object nan" only in the driver). Two consecutive red episodes
+    # (HUGEINT r8-r10, NaN r11) were builder-vs-driver representation
+    # gaps invisible to every Arrow-on in-session check.
+    ("arrow_off", dict(extra={
+        "spark.sql.execution.arrow.pyspark.enabled": "false",
     })),
 ]
 

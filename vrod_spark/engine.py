@@ -566,7 +566,7 @@ class Engine:
         Driver-side O(commits): the WAL is line-JSON on the driver and a
         collection's commit count is bounded by its mutation history,
         not its data. The result is a local Arrow DataFrame."""
-        import pandas as pd
+        from vrod_spark.localdf import local_df
 
         col = self._require_collection(collection)
         cur = col.version
@@ -606,14 +606,35 @@ class Engine:
                     "restored_from": None,
                 }
             )
-        pdf = pd.DataFrame(rows).drop_duplicates("version", keep="last")
-        pdf["retained"] = pdf["version"].map(
-            lambda v: os.path.isdir(col.version_dir(int(v)))
-        )
-        pdf["current"] = pdf["version"] == cur
-        pdf = pdf.sort_values("version")
-        df = self.spark.createDataFrame(
-            pdf,
+        # Dedup/sort in plain Python and build via the NaN-safe local_df
+        # helper: pd.DataFrame(rows) would coerce the int+None "rows"
+        # column to float64/NaN, and createDataFrame(pdf, "... bigint")
+        # then dies on the NON-Arrow conversion path ("LongType() can
+        # not accept object nan") — exactly the driver's session
+        # (arrow.pyspark.enabled unset). localdf.local_df keeps Nones
+        # as NULLs on both paths.
+        by_version: dict[int, dict] = {}
+        for r in rows:
+            by_version[r["version"]] = r  # keep="last"
+        out = []
+        for v in sorted(by_version):
+            r = by_version[v]
+            out.append(
+                (
+                    int(v),
+                    r["op"],
+                    r["ts"],
+                    None if r["rows"] is None else int(r["rows"]),
+                    None
+                    if r["restored_from"] is None
+                    else int(r["restored_from"]),
+                    os.path.isdir(col.version_dir(int(v))),
+                    int(v) == cur,
+                )
+            )
+        df = local_df(
+            self.spark,
+            out,
             "version bigint, op string, ts double, rows bigint, "
             "restored_from bigint, retained boolean, current boolean",
         )
