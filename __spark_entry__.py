@@ -5,15 +5,23 @@ embeddings collection — the reference's raison d'être, builder.rs:68-72) on
 sf0.001. ``queries()`` / ``oracle_sql()`` expose the declared corpus from
 ``vrod_spark.queries`` (SURVEY.md §2.4) for the DuckDB correctness gate.
 
-Gate dumps (r10): the two gates the driver reported hash-red in r8/r9
-(while every in-session re-run was green) additionally write BOTH
-engines' canonicalized result rows plus an environment fingerprint to
-``gate_dumps/`` as a side effect of building their DataFrame — so if a
-driver row is ever red again, the repo carries the exact rows both
-engines produced IN THE DRIVER'S ENVIRONMENT and the diagnosis is a
-one-file diff instead of another blind hardening round. Disable with
-``VROD_GATE_DUMPS=`` (empty). bench.py imports ``vrod_spark.queries``
-directly and never pays for this.
+Gate dumps (r10, widened r12): every ``queries()`` entry is wrapped so
+a red gate leaves evidence in ``gate_dumps/`` IN THE DRIVER'S OWN
+ENVIRONMENT, making the diagnosis a one-file diff instead of another
+blind hardening round (r8-r10 HUGEINT and r11 NaN both burned a round
+for lack of exactly this):
+
+- build or collect raises → ``{name}.error.txt`` (traceback + env
+  fingerprint), the exception still propagating to the driver;
+- the in-wrapper oracle compare mismatches → both engines'
+  canonicalized rows + status + env;
+- gates in ``VROD_GATE_DUMPS`` (default: the float-ordering-sensitive
+  set) → rows dumped unconditionally, even when green.
+
+The compare costs one extra collect + DuckDB run per gate at the
+correctness gate's sf0.01 — bench.py imports ``vrod_spark.queries``
+directly and never pays for any of this. Disable with
+``VROD_GATE_DUMPS=`` (empty) and ``VROD_GATE_DUMP_ALL=0``.
 """
 
 from __future__ import annotations
@@ -30,14 +38,22 @@ sys.path.insert(0, _REPO)
 
 from vrod_spark.queries import ORACLES, QUERIES  # noqa: E402
 
+#: Gates whose rows are dumped even when the in-wrapper compare says
+#: match — the float-ordering-sensitive set (tools/perturb_gates.GATES)
+#: whose pins have historically drifted between environments.
 _DUMP_GATES = tuple(
     g
     for g in os.environ.get(
         "VROD_GATE_DUMPS",
-        "q28b_embedding_near_dup_bucketed,q49_repetition_ratio",
+        "q05_knn_metrics,q28b_embedding_near_dup_bucketed,"
+        "q49_repetition_ratio,q53_vocab_top_tokens,"
+        "q48_dedup_engine_roundtrip,q54_mixture_sampling",
     ).split(",")
     if g
 )
+#: Wrap EVERY gate with error-dump + compare-mismatch-dump (r12). "0"
+#: restores the r10 behavior (only _DUMP_GATES, unconditionally).
+_DUMP_ALL = os.environ.get("VROD_GATE_DUMP_ALL", "1") != "0"
 _DUMP_DIR = os.path.join(_REPO, "gate_dumps")
 
 
@@ -109,18 +125,17 @@ def _env_fingerprint(spark: SparkSession) -> str:
     return "\n".join(lines) + "\n"
 
 
-def _dump_gate(name: str, df: DataFrame, spark: SparkSession, sf_dir: str) -> None:
+def _dump_gate(
+    name: str, df: DataFrame, spark: SparkSession, sf_dir: str, always: bool
+) -> None:
     import duckdb
 
     from vrod_spark.sources.tables import TABLE_NAMES
 
-    os.makedirs(_DUMP_DIR, exist_ok=True)
     srows = [tuple(r) for r in df.collect()]
     slines = _canon_lines(srows, df.columns)
-    with open(os.path.join(_DUMP_DIR, f"{name}.spark.txt"), "w") as f:
-        f.write("\t".join(sorted(df.columns)) + "\n")
-        f.write("\n".join(slines) + "\n")
     dlines: list[str] = []
+    dcols: list[str] = []
     if name in ORACLES:
         con = duckdb.connect()
         for t in TABLE_NAMES:
@@ -132,9 +147,6 @@ def _dump_gate(name: str, df: DataFrame, spark: SparkSession, sf_dir: str) -> No
         rel = con.execute(ORACLES[name])
         dcols = [d[0] for d in rel.description]
         dlines = _canon_lines(rel.fetchall(), dcols)
-        with open(os.path.join(_DUMP_DIR, f"{name}.duck.txt"), "w") as f:
-            f.write("\t".join(sorted(dcols)) + "\n")
-            f.write("\n".join(dlines) + "\n")
         con.close()
     # Strip the full-repr suffix for the match verdict: the driver's own
     # compare works on a rounded grid, and ulp-level float tails would
@@ -148,10 +160,20 @@ def _dump_gate(name: str, df: DataFrame, spark: SparkSession, sf_dir: str) -> No
         # rows-only gate: no duck side exists — a MISMATCH verdict here
         # would falsely report an engine disagreement.
         verdict = "no-oracle"
-    elif grid(slines) == grid(dlines):
+    elif grid(slines) == grid(dlines) and sorted(df.columns) == sorted(dcols):
         verdict = "match"
     else:
         verdict = "MISMATCH"
+    if not always and verdict != "MISMATCH":
+        return
+    os.makedirs(_DUMP_DIR, exist_ok=True)
+    with open(os.path.join(_DUMP_DIR, f"{name}.spark.txt"), "w") as f:
+        f.write("\t".join(sorted(df.columns)) + "\n")
+        f.write("\n".join(slines) + "\n")
+    if name in ORACLES:
+        with open(os.path.join(_DUMP_DIR, f"{name}.duck.txt"), "w") as f:
+            f.write("\t".join(sorted(dcols)) + "\n")
+            f.write("\n".join(dlines) + "\n")
     with open(os.path.join(_DUMP_DIR, f"{name}.status.txt"), "w") as f:
         f.write(f"{verdict} sf_dir={sf_dir} spark_rows={len(slines)} "
                 f"duck_rows={len(dlines)}\n")
@@ -159,14 +181,42 @@ def _dump_gate(name: str, df: DataFrame, spark: SparkSession, sf_dir: str) -> No
         f.write(_env_fingerprint(spark))
 
 
-def _with_dump(name: str, fn: Callable) -> Callable:
-    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        df = fn(spark, sf_dir)
+def _dump_error(name: str, spark: SparkSession, sf_dir: str) -> None:
+    import traceback
+
+    os.makedirs(_DUMP_DIR, exist_ok=True)
+    with open(os.path.join(_DUMP_DIR, f"{name}.error.txt"), "w") as f:
+        f.write(f"sf_dir={sf_dir}\n")
+        f.write(traceback.format_exc())
         try:
-            _dump_gate(name, df, spark, sf_dir)
+            f.write("\n" + _env_fingerprint(spark))
         except Exception:
-            # Diagnostics must never break the gate itself.
-            pass
+            f.write("\n<env fingerprint failed>\n")
+
+
+def _with_dump(name: str, fn: Callable, always: bool) -> Callable:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        try:
+            df = fn(spark, sf_dir)
+        except Exception:
+            # A build-time raise (r11: HISTORY's createDataFrame died on
+            # the driver's non-Arrow path) leaves its traceback + env in
+            # gate_dumps/ and still propagates — the driver must see red.
+            try:
+                _dump_error(name, spark, sf_dir)
+            except Exception:
+                pass
+            raise
+        try:
+            _dump_gate(name, df, spark, sf_dir, always)
+        except Exception:
+            # A collect-time raise is recorded too, but NOT propagated:
+            # the driver's own collect will hit it and own the verdict —
+            # diagnostics must never break (or fail) the gate themselves.
+            try:
+                _dump_error(name, spark, sf_dir)
+            except Exception:
+                pass
         return df
 
     return run
@@ -180,9 +230,10 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     out: dict[str, Callable] = dict(QUERIES)
-    for name in _DUMP_GATES:
-        if name in out:
-            out[name] = _with_dump(name, out[name])
+    for name in out:
+        always = name in _DUMP_GATES
+        if always or _DUMP_ALL:
+            out[name] = _with_dump(name, out[name], always)
     return out
 
 

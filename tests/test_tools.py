@@ -57,3 +57,46 @@ def test_check_oracle_canon_rounds_and_orders():
     assert any("'NaN'" in v for row in got for v in row)
     assert any("2.0" == v.strip("'") for row in got for v in row if "2.0" in v)
     assert not any("2.00000049" in v for row in got for v in row)
+
+
+@pytest.mark.skipif(not os.path.exists(SF), reason="driver testdata absent")
+def test_gate_dump_wrapper_paths(spark, tmp_path, monkeypatch):
+    """r12: every gate is wrapped — green plain gates dump NOTHING,
+    a compare mismatch dumps both engines' rows + MISMATCH status, and
+    a build-time raise dumps the traceback while still propagating.
+    This is the machinery that turns a driver-red round into a one-file
+    diff (r8-r10 HUGEINT / r11 NaN both lacked it)."""
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as E
+
+    dump_dir = str(tmp_path / "gate_dumps")
+    monkeypatch.setattr(E, "_DUMP_DIR", dump_dir)
+
+    # Green gate, not in the always-dump set: no files at all.
+    fn = E._with_dump(
+        "q01_pricing_summary", E.QUERIES["q01_pricing_summary"], always=False
+    )
+    fn(spark, SF).collect()
+    assert not os.path.exists(dump_dir)
+
+    # Deliberate oracle mismatch: rows + MISMATCH status land on disk.
+    monkeypatch.setitem(
+        E.ORACLES, "q01_pricing_summary",
+        "SELECT 1::BIGINT AS nothing_like_the_real_result",
+    )
+    fn(spark, SF).collect()
+    status = open(os.path.join(dump_dir, "q01_pricing_summary.status.txt")).read()
+    assert status.startswith("MISMATCH")
+    assert os.path.exists(os.path.join(dump_dir, "q01_pricing_summary.spark.txt"))
+    assert os.path.exists(os.path.join(dump_dir, "q01_pricing_summary.duck.txt"))
+    assert os.path.exists(os.path.join(dump_dir, "env.txt"))
+
+    # Build-time raise: error dump written, exception still propagates.
+    def boom(spark, sf_dir):
+        raise RuntimeError("synthetic build failure")
+
+    wrapped = E._with_dump("qXX_synthetic", boom, always=False)
+    with pytest.raises(RuntimeError, match="synthetic build failure"):
+        wrapped(spark, SF)
+    err = open(os.path.join(dump_dir, "qXX_synthetic.error.txt")).read()
+    assert "synthetic build failure" in err and "sf_dir=" in err
