@@ -148,6 +148,38 @@ def _warmup(spark, sf_dir: str) -> None:
     spark.range(1000).repartition(n_workers).mapInPandas(
         _warm_worker, "id long"
     ).collect()
+    # Interpreted higher-order text-expression classes: transform /
+    # filter / zip_with / aggregate are CodegenFallback, and their first
+    # evaluation (class init + C2-compiling the interpreted eval path,
+    # plus the md5/regex scalar battery) costs ~1.5-2 s — one-time per
+    # session, otherwise landing inside whichever text query (q29/q30/
+    # q49/q52/q53) the scheduler runs first. 64 documents suffice; the
+    # cost is per-expression-class, not per-row.
+    from vrod_spark.functions.text import (
+        gopher_rule_mask,
+        let_once,
+        shingles_from_tokens,
+        tokens,
+    )
+
+    _prof = let_once(
+        tokens(F.col("text")),
+        lambda toks: F.struct(
+            F.size(toks).alias("ws"),
+            F.array_min(
+                F.transform(shingles_from_tokens(toks, 3), F.md5)
+            ).alias("fp"),
+            gopher_rule_mask(toks, F.col("text")).alias("gm"),
+        ),
+    )
+    (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .limit(64)
+        .select(_prof.alias("p"))
+        .groupBy("p.gm")
+        .agg(F.count("p.fp"))
+        .collect()
+    )
     # Structured Streaming machinery (state store providers, memory sink,
     # micro-batch thread pools) — otherwise the first streaming query in
     # the suite absorbs ~2 s of one-time initialization.

@@ -31,9 +31,12 @@ def main() -> None:
     spark = get_spark(app_name="cold-probe")
     bench._warmup(spark, sf_dir)
 
-    from __spark_entry__ import oracle_sql, queries
-
-    qs, oracles = queries(), oracle_sql()
+    # The raw registry, NOT __spark_entry__.queries(): the r12 gate-dump
+    # wrapper adds a compare collect + a DuckDB run to each first call,
+    # which would inflate every cold number here (bench.py bypasses it
+    # the same way).
+    from vrod_spark.queries import ORACLES as oracles
+    from vrod_spark.queries import QUERIES as qs
 
     import duckdb
 

@@ -256,12 +256,11 @@ def gopher_rule_mask(toks: Column, text: Column) -> Column:
     mask is bit-identical across engines — no float boundary can drift.
     Pure codegen; 0 = passes all rules."""
     wc = F.size(toks)
-    sum_len = F.coalesce(
-        F.aggregate(
-            toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
-        ),
-        F.lit(0).cast("long"),
-    )
+    # Σ token length == length of the ""-joined tokens: one scalar
+    # codegen expression instead of an interpreted aggregate() fold
+    # (HigherOrderFunction is CodegenFallback). NULL array → "" → 0,
+    # matching the old coalesce(fold, 0).
+    sum_len = F.length(F.concat_ws("", toks)).cast("long")
     n_sym = F.size(F.regexp_extract_all(text, F.lit(r"#|\.\.\.|…"), F.lit(0)))
     n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]")))
     n_stop = F.size(
@@ -409,8 +408,18 @@ def doc_fingerprint(text: Column | str, n: int = 3) -> Column:
     """Deterministic near-dup-stable fingerprint: the lexicographic min of
     the md5 digests of a document's shingles (1-permutation MinHash with
     md5 as the random order — winnowing-lite). Two docs sharing their
-    minimal shingle collide; md5 keeps it oracle-comparable cross-engine."""
-    return F.array_min(F.transform(shingles(text, n), F.md5))
+    minimal shingle collide; md5 keeps it oracle-comparable cross-engine.
+
+    The token array is let-bound ONCE per row before the shingle
+    zip_with chain: the chain references its input three times (acc +
+    two slices), and an unbound ``tokens(text)`` tree is re-evaluated at
+    every reference — measured 3x slower at bench scale (r12)."""
+    return let_once(
+        tokens(text),
+        lambda toks: F.array_min(
+            F.transform(shingles_from_tokens(toks, n), F.md5)
+        ),
+    )
 
 
 def repetition_stats(toks: Column) -> Column:

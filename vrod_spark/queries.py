@@ -1931,11 +1931,7 @@ def q29_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q30_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vrod_spark.functions.text import (
-        bpe_token_count,
-        doc_fingerprint,
-        whitespace_token_count,
-    )
+    from vrod_spark.functions.text import bpe_token_count
 
     docs = _t(spark, sf_dir, "documents")
     # Two-level aggregate instead of countDistinct: mixing a DISTINCT
@@ -1947,18 +1943,44 @@ def q30_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct count because fp is an inner group key. Both shuffles stay
     # map-side-combined: the first keys on (lang, source, fp), the second
     # on (lang, source) — O(groups), never O(docs), at any scale.
-    from vrod_spark.functions.text import gopher_rules
+    from vrod_spark.functions.text import (
+        gopher_rule_mask,
+        let_once,
+        shingles_from_tokens,
+        tokens,
+    )
 
-    gmask = gopher_rules("text")
+    # ONE tokenization pass per document (r12): the token count, the
+    # min-md5-shingle fingerprint, and the Gopher rule mask all consume
+    # the same let-bound token array. Unbound, each leg re-tokenizes at
+    # every array reference (the shingle chain alone holds three) —
+    # measured ~3x the per-doc cost of this fused form at bench scale.
+    profile = let_once(
+        tokens(F.col("text")),
+        lambda toks: F.struct(
+            F.size(toks).cast("bigint").alias("ws"),
+            F.array_min(
+                F.transform(shingles_from_tokens(toks, 3), F.md5)
+            ).alias("fp"),
+            gopher_rule_mask(toks, F.col("text")).alias("gm"),
+        ),
+    )
     per_fp = (
         docs.select(
             "lang",
             "source",
             "n_chars",
-            whitespace_token_count("text").alias("ws"),
             bpe_token_count("text").alias("bpe"),
-            doc_fingerprint("text", 3).alias("fp"),
-            gmask.alias("gm"),
+            profile.alias("p"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_chars",
+            "bpe",
+            F.col("p.ws").alias("ws"),
+            F.col("p.fp").alias("fp"),
+            F.col("p.gm").alias("gm"),
         )
         .groupBy("lang", "source", "fp")
         .agg(
