@@ -2931,6 +2931,48 @@ def test_restore_detects_racing_commit_under_lock(engine, spark, monkeypatch):
     assert not os.path.isdir(col.version_dir(3))
 
 
+def test_restore_layout_race_falls_back_to_rematerialize(
+    engine, spark, monkeypatch
+):
+    """r11 advice: linkability is decided from meta BEFORE the commit
+    lock; a racing commit that changes the layout conventions (e.g.
+    pinning partition_by) between that check and lock acquisition must
+    NOT hard-link a flat snapshot under a now-partitioned meta — the
+    under-lock re-check falls back to re-materializing through the
+    CURRENT conventions. Simulated by a lock wrapper that rewrites meta
+    at the exact pre-lock instant."""
+    from contextlib import contextmanager
+
+    engine.execute("CREATE", collection="lr")
+    engine.execute(
+        "INSERT",
+        collection="lr",
+        arg=[
+            {"id": i, "payload": f"p{i}", "meta": {"region": ["eu", "us"][i % 2]}}
+            for i in range(4)
+        ],
+    )
+    engine.execute("DELETE", collection="lr", arg="id = 0")
+    col = engine.db.collection("lr")
+    real_lock = col._commit_lock
+
+    @contextmanager
+    def convention_flipping_lock(timeout=30.0):
+        col.update_meta(partition_by="region")
+        with real_lock(timeout):
+            yield
+
+    monkeypatch.setattr(col, "_commit_lock", convention_flipping_lock)
+    n = col.restore(1)
+    assert n == 4
+    # The restored snapshot was WRITTEN under the new conventions
+    # (pk= dirs), not hard-linked flat from the v1 source dir.
+    dst = col.version_dir()
+    assert any(e.startswith("pk=") for e in os.listdir(dst)), os.listdir(dst)
+    got = {r["id"]: r["payload"] for r in col.read().collect()}
+    assert got == {i: f"p{i}" for i in range(4)}
+
+
 def test_export_since_version_after_replace_upsert(engine, spark, tmp_path):
     """r11 review: INSERT on_conflict=replace is a full REWRITE (every
     file renamed) committed with op UPSERT — read_delta must NOT take

@@ -3591,6 +3591,19 @@ def test_scorers_shared_feature_counts_equivalence(spark):
     # (tolerance sits above canon's 10dp rounding, far below any real bug)
     z = dict((r[0], r[2]) for r in q_shared)[3]
     assert abs(z - 1.0 / (1.0 + np.exp(-0.25))) < 1e-9
+    # r11 advice: a shared feature table BROADER than df (extra _ids from
+    # other splits) must not widen the result — scores stay restricted to
+    # df's ids and are identical to the self-computed path.
+    extra = spark.createDataFrame(
+        [(999, b, 2) for b in range(4)], "_id long, _b int, _c long"
+    )
+    d_broad = canon(
+        dsir_scores(
+            docs, tgt, n_buckets=64, feature_counts=feats.unionByName(extra)
+        ).collect()
+    )
+    assert d_broad == d_plain
+    assert all(r[0] != 999 for r in d_broad)
 
 
 def test_rrf_fuse_single_list_and_validation(spark):

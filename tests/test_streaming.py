@@ -337,3 +337,44 @@ def test_idempotent_stream_insert_skips_replayed_epoch(spark, tmp_path):
     assert idempotent_stream_insert(col, batch2, 8, "q1") is True
     assert col.read().count() == 3
     assert col.wal_entries()[-1]["stream_epoch"] == 8
+
+
+def test_idempotent_stream_insert_cache_and_truncatewal(spark, tmp_path):
+    """r11 advice: (a) with an applied_cache the WAL is parsed once —
+    subsequent epochs never re-read it; (b) the replay guard survives
+    TRUNCATEWAL via the harvested meta stream_hwm, so a post-truncation
+    restart cannot duplicate the in-flight epoch."""
+    from vrod_spark.engine import Engine
+    from vrod_spark.streaming.ingest import idempotent_stream_insert
+
+    eng = Engine.create(spark, str(tmp_path), "sdb2")
+    eng.execute("CREATE", collection="s")
+    col = eng.db.collection("s")
+    batch = spark.createDataFrame([(1, "a")], "id long, payload string")
+    cache: dict = {}
+    assert idempotent_stream_insert(col, batch, 3, "qA", applied_cache=cache)
+    assert cache == {"qA": 3}
+    # replay through the cache is skipped WITHOUT touching the WAL
+    calls = {"n": 0}
+    real = col.wal_entries
+
+    def counting():
+        calls["n"] += 1
+        return real()
+
+    col.wal_entries = counting
+    assert not idempotent_stream_insert(col, batch, 3, "qA", applied_cache=cache)
+    assert idempotent_stream_insert(col, batch, 4, "qA", applied_cache=cache)
+    assert calls["n"] == 0 and cache == {"qA": 4}
+    col.wal_entries = real
+    # TRUNCATEWAL harvests the high-water mark into meta...
+    eng.execute("TRUNCATEWAL", collection="s")
+    assert col.meta["stream_hwm"] == {"qA": 4}
+    assert not any(
+        e.get("stream_query") == "qA" for e in col.wal_entries()
+    )
+    # ...so a cold restart (fresh cache, empty WAL) still skips replays
+    assert not idempotent_stream_insert(col, batch, 4, "qA", applied_cache={})
+    assert not idempotent_stream_insert(col, batch, 4, "qA")  # uncached path
+    assert idempotent_stream_insert(col, batch, 5, "qA", applied_cache={})
+    assert col.read().count() == 3

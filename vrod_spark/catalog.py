@@ -1250,6 +1250,7 @@ class Collection:
             # stale-breaker budget (the locked tail below is link+swap
             # metadata ops only).
             n = self._footer_rowcount(src)
+            linked = False
             with self._commit_lock() as beat:
                 # Re-check under the lock: a racing commit may have moved
                 # CURRENT onto the target (restore would then be a no-op
@@ -1259,19 +1260,35 @@ class Collection:
                         f"concurrent commit moved {self.name} to "
                         f"v{version} while RESTORE was preparing"
                     )
-                nxt, nxt_dir = self._next_version_dir()
-                os.makedirs(nxt_dir)
-                try:
-                    self._link_existing(src, nxt_dir, heartbeat=beat)
-                except Exception:
-                    shutil.rmtree(nxt_dir, ignore_errors=True)
-                    raise
-                if self.meta.get("index"):
-                    self.update_meta(index=None)
-                self._commit(
-                    nxt, "RESTORE", {"restored_from": version, "rows": n}
-                )
-            return n
+                # Re-derive linkability from a FRESH meta read under the
+                # lock (r11 advice): a racing commit between the check
+                # above and lock acquisition can change the layout
+                # conventions (first-insert pinning partition_by, or a
+                # REINDEX) — a linked snapshot would then contradict the
+                # meta that current-version read() trusts. The src dir is
+                # immutable, so bucketed/pk_laid stand; only the meta
+                # side can move.
+                if not bucketed and pk_laid == bool(
+                    self.meta.get("partition_by")
+                ):
+                    nxt, nxt_dir = self._next_version_dir()
+                    os.makedirs(nxt_dir)
+                    try:
+                        self._link_existing(src, nxt_dir, heartbeat=beat)
+                    except Exception:
+                        shutil.rmtree(nxt_dir, ignore_errors=True)
+                        raise
+                    if self.meta.get("index"):
+                        self.update_meta(index=None)
+                    self._commit(
+                        nxt, "RESTORE", {"restored_from": version, "rows": n}
+                    )
+                    linked = True
+            if linked:
+                return n
+            # fell through: conventions moved under us — take the
+            # re-materialize path below, which reads the logical rows and
+            # writes them through the CURRENT conventions.
         # Layout mismatch (historical bucket= index layout, or a
         # partition_by added/removed since): re-materialize the logical
         # rows through the current conventions. read(version) is
@@ -1323,6 +1340,20 @@ class Collection:
                     continue
                 shutil.rmtree(p)
                 removed.append(entry)
+        # Streaming replay guards survive truncation (r11 advice): the
+        # idempotent-insert high-water mark per stream query lived only
+        # in WAL lines, so TRUNCATEWAL while a stream was in flight
+        # could let a post-restart replay duplicate the in-flight epoch.
+        # Harvest max applied epoch per qtag into collection meta before
+        # the log restarts; ingest consults meta alongside the WAL.
+        hwm: dict[str, int] = dict(self.meta.get("stream_hwm") or {})
+        for e in self.wal_entries():
+            q = e.get("stream_query")
+            if q is not None and "stream_epoch" in e:
+                q = str(q)
+                hwm[q] = max(int(hwm.get(q, -1)), int(e["stream_epoch"]))
+        if hwm:
+            self.update_meta(stream_hwm=hwm)
         # The log restarts from a CHECKPOINT line naming the surviving
         # snapshot (r11 review): an empty WAL left the kept version with
         # no commit record, so the first commit AFTER truncation made it

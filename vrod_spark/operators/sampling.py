@@ -260,7 +260,11 @@ def dsir_scores(
     hashed-ngram count table (the classifier's `_hashed_ngram_counts`
     shape, same ``n_buckets``) — the target flag is joined back from
     ``df``, so a session can explode the corpus once and serve BOTH
-    DSIR and classifier scoring from the shared table.
+    DSIR and classifier scoring from the shared table. A shared table
+    may be BROADER than ``df`` (other splits, already-filtered docs);
+    the result is still restricted to ``df``'s ids (r11 advice — the
+    un-supplied path only ever scored df, and a silent widening would
+    leak rows into downstream joins/ranks).
 
     Returns (id_col, n_feats, score).
     """
@@ -269,6 +273,10 @@ def dsir_scores(
 
         feature_counts = _hashed_ngram_counts(
             df, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+        )
+    else:
+        feature_counts = feature_counts.join(
+            df.select(F.col(id_col).alias("_id")), "_id", "leftsemi"
         )
     model = dsir_bucket_model(
         df,

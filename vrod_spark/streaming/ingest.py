@@ -235,30 +235,54 @@ def url_dedup_stream(
 
 
 def idempotent_stream_insert(
-    collection, batch_df: DataFrame, epoch_id: int, qtag: str
+    collection, batch_df: DataFrame, epoch_id: int, qtag: str,
+    applied_cache: dict | None = None,
 ) -> bool:
     """One foreachBatch epoch's insert, replay-safe (r11 review):
     foreachBatch is at-least-once — a crash between the collection's COW
     commit and the streaming checkpoint's batch commit REPLAYS the epoch
     on restart, and a plain insert would duplicate its rows. Each insert
-    records (stream_query, stream_epoch) in the collection WAL, so a
-    replayed epoch is recognized and skipped — exactly-once up to the
-    (much smaller) window between the pointer swap and its WAL line, and
-    bounded by TRUNCATEWAL's log horizon (run it only at stream
-    quiesce). Returns True when rows were inserted."""
+    records (stream_query, stream_epoch) in the collection WAL; a
+    replayed epoch is recognized by the per-query HIGH-WATER MARK (epochs
+    commit strictly in order within one foreachBatch query, so max
+    applied epoch is the full applied set) and skipped — exactly-once up
+    to the (much smaller) window between the pointer swap and its WAL
+    line.
+
+    ``applied_cache`` (r11 advice): a caller-held dict used as the hwm
+    cache — the WAL (and meta) are read ONCE per (cache, qtag) at
+    startup, then kept current in memory, instead of re-parsing the
+    whole commit log every micro-batch (O(commits) per epoch, quadratic
+    over a long-lived stream). Safe because a checkpoint's stream is
+    single-writer. The mark also survives TRUNCATEWAL: truncation
+    harvests it into collection meta (``stream_hwm``), consulted here
+    alongside the WAL. Returns True when rows were inserted."""
     if batch_df.isEmpty():
         return False
-    applied = {
-        int(e["stream_epoch"])
-        for e in collection.wal_entries()
-        if e.get("stream_query") == qtag and "stream_epoch" in e
-    }
-    if int(epoch_id) in applied:
+    epoch = int(epoch_id)
+    if applied_cache is not None and qtag in applied_cache:
+        hwm = applied_cache[qtag]
+    else:
+        wal_max = max(
+            (
+                int(e["stream_epoch"])
+                for e in collection.wal_entries()
+                if e.get("stream_query") == qtag and "stream_epoch" in e
+            ),
+            default=-1,
+        )
+        meta_hwm = int((collection.meta.get("stream_hwm") or {}).get(qtag, -1))
+        hwm = max(wal_max, meta_hwm)
+        if applied_cache is not None:
+            applied_cache[qtag] = hwm
+    if epoch <= hwm:
         return False
     collection.insert(
         batch_df,
-        commit_detail={"stream_query": qtag, "stream_epoch": int(epoch_id)},
+        commit_detail={"stream_query": qtag, "stream_epoch": epoch},
     )
+    if applied_cache is not None:
+        applied_cache[qtag] = epoch
     return True
 
 
@@ -277,9 +301,15 @@ def stream_ingest_into_collection(
     # Stable identity for THIS stream's epochs across restarts: the
     # checkpoint path (the same identity Spark itself resumes by).
     qtag = hashlib.sha256(os.path.abspath(checkpoint).encode()).hexdigest()[:16]
+    # Per-run replay-guard cache: the WAL is parsed once at the first
+    # batch, then the high-water mark lives in this closure — O(1) per
+    # epoch instead of O(commits) (r11 advice).
+    applied: dict = {}
 
     def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        idempotent_stream_insert(collection, batch_df, int(epoch_id), qtag)
+        idempotent_stream_insert(
+            collection, batch_df, int(epoch_id), qtag, applied_cache=applied
+        )
 
     return (
         src_stream.writeStream.foreachBatch(commit_batch)
