@@ -138,16 +138,19 @@ def _dump_gate(
     dcols: list[str] = []
     if name in ORACLES:
         con = duckdb.connect()
-        for t in TABLE_NAMES:
-            path = os.path.join(sf_dir, f"{t}.parquet")
-            if os.path.exists(path):
-                con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
-                )
-        rel = con.execute(ORACLES[name])
-        dcols = [d[0] for d in rel.description]
-        dlines = _canon_lines(rel.fetchall(), dcols)
-        con.close()
+        try:
+            for t in TABLE_NAMES:
+                path = os.path.join(sf_dir, f"{t}.parquet")
+                if os.path.exists(path):
+                    con.execute(
+                        f"CREATE VIEW {t} AS "
+                        f"SELECT * FROM read_parquet('{path}')"
+                    )
+            rel = con.execute(ORACLES[name])
+            dcols = [d[0] for d in rel.description]
+            dlines = _canon_lines(rel.fetchall(), dcols)
+        finally:
+            con.close()
     # Strip the full-repr suffix for the match verdict: the driver's own
     # compare works on a rounded grid, and ulp-level float tails would
     # make every legitimately-matching float row read as a mismatch here.
@@ -165,6 +168,11 @@ def _dump_gate(
     else:
         verdict = "MISMATCH"
     if not always and verdict != "MISMATCH":
+        # Green again: retire any stale red evidence from an earlier
+        # round — the whole point of the dumps is to show CURRENT
+        # disagreement, and leftover MISMATCH/error files would read as
+        # live red in the next diagnosis.
+        _clear_dump(name)
         return
     os.makedirs(_DUMP_DIR, exist_ok=True)
     with open(os.path.join(_DUMP_DIR, f"{name}.spark.txt"), "w") as f:
@@ -179,6 +187,19 @@ def _dump_gate(
                 f"duck_rows={len(dlines)}\n")
     with open(os.path.join(_DUMP_DIR, "env.txt"), "w") as f:
         f.write(_env_fingerprint(spark))
+    # A successful dump supersedes any earlier error record.
+    try:
+        os.unlink(os.path.join(_DUMP_DIR, f"{name}.error.txt"))
+    except OSError:
+        pass
+
+
+def _clear_dump(name: str) -> None:
+    for suffix in ("status", "spark", "duck", "error"):
+        try:
+            os.unlink(os.path.join(_DUMP_DIR, f"{name}.{suffix}.txt"))
+        except OSError:
+            pass
 
 
 def _dump_error(name: str, spark: SparkSession, sf_dir: str) -> None:

@@ -172,14 +172,16 @@ def _warmup(spark, sf_dir: str) -> None:
             gopher_rule_mask(toks, F.col("text")).alias("gm"),
         ),
     )
-    (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
-        .limit(64)
-        .select(_prof.alias("p"))
-        .groupBy("p.gm")
-        .agg(F.count("p.fp"))
-        .collect()
-    )
+    _docs_pq = os.path.join(sf_dir, "documents.parquet")
+    if os.path.exists(_docs_pq):
+        (
+            spark.read.parquet(_docs_pq)
+            .limit(64)
+            .select(_prof.alias("p"))
+            .groupBy("p.gm")
+            .agg(F.count("p.fp"))
+            .collect()
+        )
     # Structured Streaming machinery (state store providers, memory sink,
     # micro-batch thread pools) — otherwise the first streaming query in
     # the suite absorbs ~2 s of one-time initialization.

@@ -22,7 +22,6 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-sys.path.insert(0, os.path.join(REPO, "tools"))
 
 from tools.scale_audit import DEFAULT, plan_shape  # noqa: E402
 
@@ -34,11 +33,15 @@ SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 )
 @pytest.mark.parametrize("name", DEFAULT)
 def test_plan_shape_invariant_across_sf(spark, name):
-    from vrod_spark.queries import QUERIES
+    # RAW builders: the plan cache can hand back an already-EXECUTED
+    # DataFrame (another test collected it), whose explain shows the
+    # final AQE plan — runtime-converted exchanges would make the shape
+    # compare order-dependent across the test session.
+    from vrod_spark.queries import RAW_QUERIES
 
     shapes = []
     for sf in SFS:
-        shapes.append(plan_shape(QUERIES[name](spark, sf)))
+        shapes.append(plan_shape(RAW_QUERIES[name](spark, sf)))
     shufs = [s for s, _ in shapes]
     bcs = [b for _, b in shapes]
     assert len(set(shufs)) == 1, (

@@ -91,6 +91,18 @@ def test_gate_dump_wrapper_paths(spark, tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(dump_dir, "q01_pricing_summary.duck.txt"))
     assert os.path.exists(os.path.join(dump_dir, "env.txt"))
 
+    # Back to green: the stale MISMATCH evidence is retired (r12 review
+    # — leftover red files would read as live disagreement next round).
+    monkeypatch.undo()
+    monkeypatch.setattr(E, "_DUMP_DIR", dump_dir)
+    fn(spark, SF).collect()
+    assert not os.path.exists(
+        os.path.join(dump_dir, "q01_pricing_summary.status.txt")
+    )
+    assert not os.path.exists(
+        os.path.join(dump_dir, "q01_pricing_summary.spark.txt")
+    )
+
     # Build-time raise: error dump written, exception still propagates.
     def boom(spark, sf_dir):
         raise RuntimeError("synthetic build failure")
