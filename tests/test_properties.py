@@ -381,6 +381,7 @@ _op = st.one_of(
     st.tuples(st.just("delete"), st.integers(0, 9), st.just("")),
     st.tuples(st.just("dedup"), st.just(0), st.just("")),
     st.tuples(st.just("restore"), st.integers(0, 9), st.just("")),
+    st.tuples(st.just("truncate"), st.just(0), st.just("")),
 )
 
 
@@ -449,9 +450,22 @@ def test_engine_mutation_sequence_matches_model(spark, tmp_path_factory, ops, se
             else:
                 eng.execute("RESTORE", collection="m", arg=target)
                 model = dict(snapshots[target])
+        elif verb == "truncate":
+            # TRUNCATEWAL reclaims every superseded snapshot: only the
+            # CURRENT version remains a legal restore target afterwards
+            # (r12 — sequences truncation between mutations/rollbacks).
+            eng.execute("TRUNCATEWAL", collection="m")
+            snapshots = {col.version: dict(model)}
         snapshots[col.version] = dict(model)
     got = {
         r["id"]: r["payload"]
         for r in eng.db.collection("m").read().select("id", "payload").collect()
     }
     assert got == model
+    # HISTORY stays coherent through any sequence: exactly one CURRENT
+    # row, it is the max version, and it is retained on disk.
+    hist = eng.execute("HISTORY", collection="m").df.collect()
+    cur_rows = [r for r in hist if r["current"]]
+    assert len(cur_rows) == 1
+    assert cur_rows[0]["version"] == max(r["version"] for r in hist)
+    assert cur_rows[0]["version"] == col.version and cur_rows[0]["retained"]
