@@ -3073,3 +3073,98 @@ def test_commit_lock_stale_break_and_inode_guarded_release(engine):
     assert os.path.exists(lock_path)
     assert open(lock_path).read().startswith("other-writer")
     os.unlink(lock_path)
+
+
+def test_concurrent_mixed_verbs_invariants(engine, spark):
+    """r12 stress: 6 threads race MIXED verbs (append, upsert-replace,
+    delete, restore, truncatewal, dedup) on one collection. Individual
+    outcomes are racy by design — the invariants are not:
+
+    - no committed APPEND is ever lost (every id inserted by the append
+      threads is present unless a delete/dedup/restore legitimately
+      removed it — appends use disjoint id ranges and the destructive
+      verbs here only target the seed range, so append ids must all
+      survive);
+    - the collection always reads consistently (no torn snapshot: ids
+      are unique, schema intact);
+    - HISTORY ends coherent (exactly one CURRENT row == max retained
+      version);
+    - every raised error is a DECLARED engine error (CommandArgError /
+      CommitConflictError), never a raw filesystem/Spark exception."""
+    import random
+    from concurrent.futures import ThreadPoolExecutor
+
+    from vrod_spark.errors import CommandArgError, CommitConflictError
+
+    engine.execute("CREATE", collection="mix")
+    col = engine.db.collection("mix")
+    # seed range 0..9: the only ids destructive verbs touch
+    engine.execute(
+        "INSERT",
+        collection="mix",
+        arg=[{"id": i, "payload": f"seed{i % 3}"} for i in range(10)],
+    )
+    errors: list[Exception] = []
+
+    def appender(t):
+        for i in range(3):
+            rid = 1000 * (t + 1) + i
+            try:
+                engine.execute(
+                    "INSERT", collection="mix",
+                    arg=[{"id": rid, "payload": f"app{t}"}],
+                )
+            except (CommandArgError, CommitConflictError):
+                raise AssertionError("append must never conflict")
+
+    def destroyer(t):
+        rng = random.Random(t)
+        for _ in range(3):
+            verb = rng.choice(["delete", "replace", "restore", "truncate", "dedup"])
+            try:
+                if verb == "delete":
+                    engine.execute("DELETE", collection="mix",
+                                   arg=f"id = {rng.randrange(10)}")
+                elif verb == "replace":
+                    engine.execute(
+                        "INSERT", collection="mix",
+                        arg={"rows": [{"id": rng.randrange(10),
+                                       "payload": "repl"}],
+                             "on_conflict": "replace"},
+                    )
+                elif verb == "restore":
+                    vs = sorted(col.committed_versions())
+                    engine.execute("RESTORE", collection="mix",
+                                   arg=vs[rng.randrange(len(vs))])
+                elif verb == "truncate":
+                    engine.execute("TRUNCATEWAL", collection="mix")
+                else:
+                    engine.execute("DEDUP", collection="mix")
+            except (CommandArgError, CommitConflictError):
+                pass  # legal race outcomes (stale target, conflict, GC'd version)
+            except Exception as e:  # noqa: BLE001 — the invariant under test
+                errors.append(e)
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        futs = [pool.submit(appender, t) for t in range(3)]
+        futs += [pool.submit(destroyer, t) for t in range(3)]
+        for f in futs:
+            f.result()
+
+    assert not errors, f"undeclared exceptions escaped: {errors[:3]}"
+    rows = col.read().select("id", "payload").collect()
+    ids = [r["id"] for r in rows]
+    assert len(ids) == len(set(ids)), "torn snapshot: duplicate ids"
+    # RESTORE can roll back past an append's commit: an append id may
+    # legally be absent ONLY if some restore committed after it targeted
+    # an earlier snapshot. Detect via history: if no RESTORE ever
+    # committed, every append id must be present.
+    hist = engine.execute("HISTORY", collection="mix").df.collect()
+    restored = any(r["op"] == "RESTORE" for r in hist)
+    if not restored:
+        expected = {1000 * (t + 1) + i for t in range(3) for i in range(3)}
+        assert expected <= set(ids), sorted(expected - set(ids))
+    cur_rows = [r for r in hist if r["current"]]
+    assert len(cur_rows) == 1
+    assert cur_rows[0]["version"] == max(r["version"] for r in hist)
+    assert cur_rows[0]["retained"]
