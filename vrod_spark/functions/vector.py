@@ -79,6 +79,22 @@ def cosine_distance(a: Column | str, b: Column | str) -> Column:
     return F.lit(1.0) - cosine_similarity(a, b)
 
 
+def cosine_distance_to_lit(a: Column | str, qvals: Sequence[float]) -> Column:
+    """Cosine distance against a LITERAL query vector: the query norm is
+    folded to a Python constant instead of an interpreted per-row
+    ``aggregate`` over the literal array (higher-order expressions are
+    CodegenFallback and Catalyst does not constant-fold them — the old
+    form re-reduced the 64-element literal on EVERY scanned row).
+    Bit-identical to ``cosine_distance(a, vector_lit(qvals))``: Python's
+    left-to-right ``sum`` over ``v*v`` performs the same IEEE double
+    operations in the same order as the aggregate fold it replaces.
+    NULL when either norm is zero, matching cosine_similarity."""
+    vals = [float(v) for v in qvals]
+    qn = math.sqrt(sum(v * v for v in vals))
+    dot = dot_product(a, vector_lit(vals))
+    return F.lit(1.0) - F.try_divide(dot, l2_norm(a) * F.lit(qn))
+
+
 def quantize_int8(vec: Column | str) -> Column:
     """Scalar int8 quantization: STRUCT(scale DOUBLE, q ARRAY<INT>) with
     q_i = floor(x_i/scale + 0.5) ∈ [-127, 127], scale = max|x|/127 — the

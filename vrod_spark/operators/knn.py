@@ -18,7 +18,12 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from vrod_spark.functions.vector import cosine_distance, l2_distance, vector_lit
+from vrod_spark.functions.vector import (
+    cosine_distance,
+    cosine_distance_to_lit,
+    l2_distance,
+    vector_lit,
+)
 
 _METRICS = {
     "l2": l2_distance,
@@ -32,6 +37,18 @@ def _distance(metric: str, vec_col: Column | str, query: Column) -> Column:
     except KeyError:
         raise ValueError(f"unknown metric {metric!r}; expected one of {sorted(_METRICS)}")
     return fn(vec_col, query)
+
+
+def _distance_lit(metric: str, vec_col: Column | str, query_vals) -> Column:
+    """Distance against a literal query vector. Cosine takes the
+    constant-query-norm form (functions/vector.cosine_distance_to_lit —
+    bit-identical, one less interpreted per-row aggregate); l2 has no
+    redundant term to fold."""
+    if metric not in _METRICS:
+        raise ValueError(f"unknown metric {metric!r}; expected one of {sorted(_METRICS)}")
+    if metric == "cosine":
+        return cosine_distance_to_lit(vec_col, query_vals)
+    return l2_distance(vec_col, vector_lit(query_vals))
 
 
 def knn_exact(
@@ -51,7 +68,7 @@ def knn_exact(
     (dist, id). This is both the serving path for small collections and the
     recall oracle for the LSH approximate path.
     """
-    dist = _distance(metric, vec_col, vector_lit(query_vector))
+    dist = _distance_lit(metric, vec_col, query_vector)
     scored = df.select(id_col, *payload_cols, dist.alias(dist_alias))
     # asc_nulls_last: a NULL distance (row inserted without an
     # embedding, or zero-norm vector under cosine) must never occupy the
@@ -78,7 +95,7 @@ def knn_per_group(
     Window ``row_number`` over (dist, id) within each group — a single
     shuffle on the group key; each group's top-k computed in parallel.
     """
-    dist = _distance(metric, vec_col, vector_lit(query_vector))
+    dist = _distance_lit(metric, vec_col, query_vector)
     scored = df.select(group_col, id_col, dist.alias(dist_alias))
     w = Window.partitionBy(group_col).orderBy(
         F.col(dist_alias).asc_nulls_last(), F.col(id_col).asc()
@@ -111,7 +128,7 @@ def range_search(
     of the matching rows — callers bound the result by choosing radius).
     This is the dedup-style query shape ("everything within ε"), where a
     k cut would silently drop true matches past k."""
-    dist = _distance(metric, vec_col, vector_lit(query_vector))
+    dist = _distance_lit(metric, vec_col, query_vector)
     scored = (
         df.select(id_col, *payload_cols, dist.alias(dist_alias))
         .filter(F.col(dist_alias) <= F.lit(float(radius)))
