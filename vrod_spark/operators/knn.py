@@ -171,14 +171,36 @@ def knn_batch(
     spark = df.sparkSession
     from vrod_spark.localdf import local_df
 
+    # Ship each query's norm alongside it: cosine would otherwise
+    # re-reduce the query array per (row x query) pair (interpreted
+    # aggregate — the cosine_distance_to_lit rationale, batch form).
+    # Python's left-to-right sum matches the fold it replaces, so the
+    # distances are bit-identical.
+    import math
+
     qdf = F.broadcast(
         local_df(
             spark,
-            [(i, [float(x) for x in v]) for i, v in enumerate(query_vectors)],
-            "query_idx int, _q array<double>",
+            [
+                (
+                    i,
+                    [float(x) for x in v],
+                    math.sqrt(sum(float(x) * float(x) for x in v)),
+                )
+                for i, v in enumerate(query_vectors)
+            ],
+            "query_idx int, _q array<double>, _qn double",
         )
     )
-    dist = _distance(metric, vec_col, F.col("_q"))
+    if metric == "cosine":
+        from vrod_spark.functions.vector import dot_product, l2_norm
+
+        dist = F.lit(1.0) - F.try_divide(
+            dot_product(vec_col, F.col("_q")),
+            l2_norm(vec_col) * F.col("_qn"),
+        )
+    else:
+        dist = _distance(metric, vec_col, F.col("_q"))
     scored = df.crossJoin(qdf).select(
         "query_idx", id_col, *payload_cols, dist.alias(dist_alias)
     )
