@@ -250,12 +250,21 @@ def minhash_signature_expr(text_col, *, k: int = 32, n: int = 3):
     from vrod_spark.functions.text import let_once
 
     col = F.col(text_col) if isinstance(text_col, str) else text_col
-    sh = F.array_distinct(shingles_from_tokens(tokens(col), n))
+    # Nested let-bindings: the shingle chain references its token input
+    # three times (acc + two slices), so the token array is bound first
+    # — an unbound tokens(col) tree re-evaluates per reference (r12, the
+    # doc_fingerprint finding); the shingle set is then bound so the k
+    # min-scans share it.
     return let_once(
-        sh,
-        lambda s: F.transform(
-            F.sequence(F.lit(0), F.lit(k - 1)),
-            lambda i: F.array_min(F.transform(s, lambda g: F.xxhash64(g, i))),
+        tokens(col),
+        lambda toks: let_once(
+            F.array_distinct(shingles_from_tokens(toks, n)),
+            lambda s: F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda i: F.array_min(
+                    F.transform(s, lambda g: F.xxhash64(g, i))
+                ),
+            ),
         ),
     )
 
