@@ -638,10 +638,19 @@ def ngram_lm_perplexity(
         F.explode(F.sequence(F.lit(1), F.length("_t") - (n - 1))).alias("_i"),
         F.col("_t"),
     ).select("_id", "_lang", "_train", F.expr(f"substring(_t, _i, {n})").alias("_g"))
+    # Materialize the training counts ONCE (eager): the model and the
+    # totals are two broadcast subtrees and the scoring pass joins both —
+    # without this seam each broadcast job re-runs the full gram explode
+    # (measured: the composed per-doc join form cost ~4 gram passes,
+    # 4.1 s vs 0.7 s for one pass at sf0.1). The table is vocab-bounded
+    # (per-language charset^n), not corpus-bounded, so the checkpoint is
+    # small at any SF; values are unchanged — the same aggregation, read
+    # twice instead of recomputed four times.
     counts = (
         grams.filter("_train")
         .groupBy("_lang", "_g")
         .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=True)
     )
     totals = counts.groupBy("_lang").agg(F.sum("_c").alias("_tot"))
     model = counts.join(totals, "_lang").select(
