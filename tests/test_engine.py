@@ -3094,7 +3094,11 @@ def test_concurrent_mixed_verbs_invariants(engine, spark):
     import random
     from concurrent.futures import ThreadPoolExecutor
 
-    from vrod_spark.errors import CommandArgError, CommitConflictError
+    from vrod_spark.errors import (
+        CollectionNotFoundError,
+        CommandArgError,
+        CommitConflictError,
+    )
 
     engine.execute("CREATE", collection="mix")
     col = engine.db.collection("mix")
@@ -3105,14 +3109,22 @@ def test_concurrent_mixed_verbs_invariants(engine, spark):
         arg=[{"id": i, "payload": f"seed{i % 3}"} for i in range(10)],
     )
     errors: list[Exception] = []
+    # Committed RESTOREs are tracked HERE, not via HISTORY: a later
+    # TRUNCATEWAL clears the WAL, so HISTORY legally forgets a RESTORE
+    # that rolled appends back (r12 review). list.append is atomic.
+    restores: list[int] = []
 
     def appender(t):
         for i in range(3):
             rid = 1000 * (t + 1) + i
             try:
+                # Unique payloads: a corpus-global DEDUP must never have
+                # grounds to remove an append row (r12 review — shared
+                # f"app{t}" payloads made thread-local appends exact
+                # duplicates of each other).
                 engine.execute(
                     "INSERT", collection="mix",
-                    arg=[{"id": rid, "payload": f"app{t}"}],
+                    arg=[{"id": rid, "payload": f"app{t}-{i}"}],
                 )
             except (CommandArgError, CommitConflictError):
                 raise AssertionError("append must never conflict")
@@ -3136,12 +3148,20 @@ def test_concurrent_mixed_verbs_invariants(engine, spark):
                     vs = sorted(col.committed_versions())
                     engine.execute("RESTORE", collection="mix",
                                    arg=vs[rng.randrange(len(vs))])
+                    restores.append(1)
                 elif verb == "truncate":
                     engine.execute("TRUNCATEWAL", collection="mix")
                 else:
                     engine.execute("DEDUP", collection="mix")
-            except (CommandArgError, CommitConflictError):
-                pass  # legal race outcomes (stale target, conflict, GC'd version)
+            except (CommandArgError, CommitConflictError,
+                    CollectionNotFoundError):
+                # Legal race outcomes: stale target, conflict, or a
+                # committed_versions() snapshot naming a version whose
+                # dir a racing TRUNCATEWAL just reclaimed (v0 included:
+                # committed_versions always contains 0, and truncation
+                # removes its dir) -> CollectionNotFoundError (r12
+                # review; all three are declared engine errors).
+                pass
             except Exception as e:  # noqa: BLE001 — the invariant under test
                 errors.append(e)
 
@@ -3160,8 +3180,7 @@ def test_concurrent_mixed_verbs_invariants(engine, spark):
     # an earlier snapshot. Detect via history: if no RESTORE ever
     # committed, every append id must be present.
     hist = engine.execute("HISTORY", collection="mix").df.collect()
-    restored = any(r["op"] == "RESTORE" for r in hist)
-    if not restored:
+    if not restores:
         expected = {1000 * (t + 1) + i for t in range(3) for i in range(3)}
         assert expected <= set(ids), sorted(expected - set(ids))
     cur_rows = [r for r in hist if r["current"]]

@@ -79,6 +79,17 @@ def cosine_distance(a: Column | str, b: Column | str) -> Column:
     return F.lit(1.0) - cosine_similarity(a, b)
 
 
+def cosine_distance_with_norm(
+    a: Column | str, b: Column, b_norm: Column
+) -> Column:
+    """Cosine distance where ``b``'s norm is already available as a
+    column/constant — the one definition of the precomputed-norm form
+    (NULL when either norm is zero, via try_divide, matching
+    cosine_similarity). Shared by the literal-query and batch kNN paths
+    so the zero-norm contract lives in exactly one place."""
+    return F.lit(1.0) - F.try_divide(dot_product(a, b), l2_norm(a) * b_norm)
+
+
 def cosine_distance_to_lit(a: Column | str, qvals: Sequence[float]) -> Column:
     """Cosine distance against a LITERAL query vector: the query norm is
     folded to a Python constant instead of an interpreted per-row
@@ -91,8 +102,7 @@ def cosine_distance_to_lit(a: Column | str, qvals: Sequence[float]) -> Column:
     NULL when either norm is zero, matching cosine_similarity."""
     vals = [float(v) for v in qvals]
     qn = math.sqrt(sum(v * v for v in vals))
-    dot = dot_product(a, vector_lit(vals))
-    return F.lit(1.0) - F.try_divide(dot, l2_norm(a) * F.lit(qn))
+    return cosine_distance_with_norm(a, vector_lit(vals), F.lit(qn))
 
 
 def quantize_int8(vec: Column | str) -> Column:

@@ -42,13 +42,12 @@ def _distance(metric: str, vec_col: Column | str, query: Column) -> Column:
 def _distance_lit(metric: str, vec_col: Column | str, query_vals) -> Column:
     """Distance against a literal query vector. Cosine takes the
     constant-query-norm form (functions/vector.cosine_distance_to_lit —
-    bit-identical, one less interpreted per-row aggregate); l2 has no
-    redundant term to fold."""
-    if metric not in _METRICS:
-        raise ValueError(f"unknown metric {metric!r}; expected one of {sorted(_METRICS)}")
+    bit-identical, one less interpreted per-row aggregate); everything
+    else dispatches through _METRICS so a metric added there can never
+    silently score as l2 on the literal paths (r12 review)."""
     if metric == "cosine":
         return cosine_distance_to_lit(vec_col, query_vals)
-    return l2_distance(vec_col, vector_lit(query_vals))
+    return _distance(metric, vec_col, vector_lit(query_vals))
 
 
 def knn_exact(
@@ -171,34 +170,33 @@ def knn_batch(
     spark = df.sparkSession
     from vrod_spark.localdf import local_df
 
-    # Ship each query's norm alongside it: cosine would otherwise
-    # re-reduce the query array per (row x query) pair (interpreted
-    # aggregate — the cosine_distance_to_lit rationale, batch form).
-    # Python's left-to-right sum matches the fold it replaces, so the
-    # distances are bit-identical.
+    # For cosine, ship each query's norm alongside it: the distance
+    # would otherwise re-reduce the query array per (row x query) pair
+    # (interpreted aggregate — the cosine_distance_to_lit rationale,
+    # batch form). Python's left-to-right sum matches the fold it
+    # replaces, so the distances are bit-identical; the shared
+    # cosine_distance_with_norm keeps the zero-norm NULL contract in
+    # one place (r12 review).
     import math
 
-    qdf = F.broadcast(
-        local_df(
-            spark,
-            [
-                (
-                    i,
-                    [float(x) for x in v],
-                    math.sqrt(sum(float(x) * float(x) for x in v)),
-                )
-                for i, v in enumerate(query_vectors)
-            ],
-            "query_idx int, _q array<double>, _qn double",
+    with_norm = metric == "cosine"
+    rows = [
+        (i, [float(x) for x in v])
+        + (
+            (math.sqrt(sum(float(x) * float(x) for x in v)),)
+            if with_norm
+            else ()
         )
+        for i, v in enumerate(query_vectors)
+    ]
+    schema = "query_idx int, _q array<double>" + (
+        ", _qn double" if with_norm else ""
     )
-    if metric == "cosine":
-        from vrod_spark.functions.vector import dot_product, l2_norm
+    qdf = F.broadcast(local_df(spark, rows, schema))
+    if with_norm:
+        from vrod_spark.functions.vector import cosine_distance_with_norm
 
-        dist = F.lit(1.0) - F.try_divide(
-            dot_product(vec_col, F.col("_q")),
-            l2_norm(vec_col) * F.col("_qn"),
-        )
+        dist = cosine_distance_with_norm(vec_col, F.col("_q"), F.col("_qn"))
     else:
         dist = _distance(metric, vec_col, F.col("_q"))
     scored = df.crossJoin(qdf).select(
