@@ -469,3 +469,91 @@ def test_engine_mutation_sequence_matches_model(spark, tmp_path_factory, ops, se
     assert len(cur_rows) == 1
     assert cur_rows[0]["version"] == max(r["version"] for r in hist)
     assert cur_rows[0]["version"] == col.version and cur_rows[0]["retained"]
+
+
+# --- generative SEARCH-predicate fuzz vs a Python model (r12) ---------------
+# The partition-pruning conjunct extraction (catalog.partition_literal)
+# decides when SEARCH narrows a meta-key-partitioned scan to one pk= dir.
+# A false-positive prune silently DROPS matching rows — the worst failure
+# class the engine has. Fuzz a small predicate grammar (equalities on the
+# partition key and other columns under AND/OR/NOT nesting) against a
+# plain Python evaluation of the same predicate over the model rows.
+
+_pred_leaf = st.one_of(
+    st.builds(
+        lambda v: (f"meta['region'] = '{v}'", lambda r: r["region"] == v),
+        st.sampled_from(["EU", "US", "APAC", "ZZ"]),
+    ),
+    st.builds(
+        lambda n: (f"id % 7 = {n}", lambda r: r["id"] % 7 == n),
+        st.integers(0, 6),
+    ),
+    st.builds(
+        lambda n: (f"id >= {n}", lambda r: r["id"] >= n),
+        st.integers(0, 25),
+    ),
+    st.builds(
+        lambda v: (f"payload = 'p{v}'", lambda r: r["payload"] == f"p{v}"),
+        st.integers(0, 30),
+    ),
+)
+
+
+def _pred_tree(depth: int):
+    if depth <= 0:
+        return _pred_leaf
+    sub = _pred_tree(depth - 1)
+    return st.one_of(
+        _pred_leaf,
+        st.builds(
+            lambda a, b: (f"({a[0]}) AND ({b[0]})",
+                          lambda r, fa=a[1], fb=b[1]: fa(r) and fb(r)),
+            sub, sub,
+        ),
+        st.builds(
+            lambda a, b: (f"({a[0]}) OR ({b[0]})",
+                          lambda r, fa=a[1], fb=b[1]: fa(r) or fb(r)),
+            sub, sub,
+        ),
+        st.builds(
+            lambda a: (f"NOT ({a[0]})", lambda r, fa=a[1]: not fa(r)),
+            sub,
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def search_fuzz_engine(spark, tmp_path_factory):
+    eng = Engine.create(
+        spark, str(tmp_path_factory.mktemp("searchfuzz")), "db"
+    )
+    eng.execute("CREATE", collection="sf", arg={"partition_by": "region"})
+    regions = ["EU", "US", "APAC"]
+    rows = [
+        {
+            "id": i,
+            "embedding": [float(i)],
+            "payload": f"p{i}",
+            "meta": {"region": regions[i % 3]},
+        }
+        for i in range(30)
+    ]
+    eng.execute("INSERT", collection="sf", arg=rows)
+    model = [
+        {"id": i, "payload": f"p{i}", "region": regions[i % 3]}
+        for i in range(30)
+    ]
+    return eng, model
+
+
+@given(pred=_pred_tree(2))
+@SETTINGS
+def test_search_predicate_fuzz_matches_model(search_fuzz_engine, pred):
+    sql, pyfn = pred
+    eng, model = search_fuzz_engine
+    got = sorted(
+        r["id"]
+        for r in eng.execute("SEARCH", collection="sf", arg=sql).df.collect()
+    )
+    want = sorted(r["id"] for r in model if pyfn(r))
+    assert got == want, (sql, got, want)
