@@ -169,10 +169,13 @@ def _dump_gate(
         verdict = "MISMATCH"
     if not always and verdict != "MISMATCH":
         # Green again: retire any stale red evidence from an earlier
-        # round — the whole point of the dumps is to show CURRENT
-        # disagreement, and leftover MISMATCH/error files would read as
-        # live red in the next diagnosis.
-        _clear_dump(name)
+        # round so it cannot read as live red — but ARCHIVE it
+        # (rename → .prev) instead of unlinking (r12 advice): the
+        # wrapper's verdict uses the 6dp-rounded grid, and if the
+        # driver's own compare disagrees (the r8/r9 'driver red, every
+        # re-run green' shape), the prior round's evidence is exactly
+        # what the diagnosis needs.
+        _archive_dump(name)
         return
     os.makedirs(_DUMP_DIR, exist_ok=True)
     with open(os.path.join(_DUMP_DIR, f"{name}.spark.txt"), "w") as f:
@@ -187,17 +190,22 @@ def _dump_gate(
                 f"duck_rows={len(dlines)}\n")
     with open(os.path.join(_DUMP_DIR, "env.txt"), "w") as f:
         f.write(_env_fingerprint(spark))
-    # A successful dump supersedes any earlier error record.
+    # A successful dump supersedes any earlier error record (archived,
+    # not unlinked — same rationale as _archive_dump).
+    err = os.path.join(_DUMP_DIR, f"{name}.error.txt")
     try:
-        os.unlink(os.path.join(_DUMP_DIR, f"{name}.error.txt"))
+        os.replace(err, err + ".prev")
     except OSError:
         pass
 
 
-def _clear_dump(name: str) -> None:
+def _archive_dump(name: str) -> None:
+    """Move a gate's live dump files aside as ``*.txt.prev`` (latest
+    superseded evidence only — each archive overwrites the previous one)."""
     for suffix in ("status", "spark", "duck", "error"):
+        live = os.path.join(_DUMP_DIR, f"{name}.{suffix}.txt")
         try:
-            os.unlink(os.path.join(_DUMP_DIR, f"{name}.{suffix}.txt"))
+            os.replace(live, live + ".prev")
         except OSError:
             pass
 

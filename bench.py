@@ -35,6 +35,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
 
@@ -249,10 +250,60 @@ def main() -> None:
     def over_deadline() -> bool:
         return time.monotonic() - t0 > deadline
 
+    names = [n for n in HEADLINE if n in QUERIES]
+    # Subset knob for CI gates / targeted debugging: a comma list of query
+    # names restricts the suite (used by the heap-headroom and
+    # evidence-on-JVM-death tests; also handy for bisecting a regression).
+    only = {s.strip() for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s.strip()}
+    if only:
+        names = [n for n in names if n in only]
+    mode = "serial" if serial else "concurrent"
+    walls: list[float] = []
+    timings: dict[str, float] = {}
+
+    try:
+        _run_suite(serial, sf_dir, sf_val, t0, over_deadline, names,
+                   walls, timings)
+        return
+    except BaseException as exc:  # noqa: BLE001 — incl. py4j gateway death
+        # r2, r3 and r12 each lost the round's official number because the
+        # JVM (or the run) died before the single end-of-run print. Leave a
+        # best-so-far, parseable headline record — flagged degraded — on
+        # stdout before exiting nonzero, whatever killed the suite.
+        if isinstance(exc, KeyboardInterrupt):
+            raise
+        snapshot = dict(timings)
+        print(json.dumps({
+            "metric": "headline_suite_detail",
+            "queries": snapshot,
+            "walls": walls,
+            "degraded": True,
+        }), flush=True)
+        print(json.dumps({
+            "metric": "headline_suite_wall_clock",
+            "value": min(walls) if walls else round(time.monotonic() - t0, 3),
+            "unit": "sec",
+            "sf": sf_val,
+            "mode": mode,
+            "workers": 0,
+            "n_queries": len(names),
+            "serial_sum_sec": round(sum(snapshot.values()), 3),
+            "final": False,
+            "degraded": True,
+            "completed_queries": len(snapshot),
+            "error": f"{type(exc).__name__}: {exc}"[:300],
+        }), flush=True)
+        raise SystemExit(1) from exc
+
+
+def _run_suite(serial, sf_dir, sf_val, t0, over_deadline, names,
+               walls, timings) -> None:
+    """The measured body. ``walls`` and ``timings`` are MUTATED IN PLACE
+    (never rebound): they are main()'s crash-handler view of progress, so
+    a mid-pass JVM death still has per-query evidence to report."""
+    mode = "serial" if serial else "concurrent"
     spark = get_spark("vrod-spark-bench")
     _warmup(spark, sf_dir)
-
-    names = [n for n in HEADLINE if n in QUERIES]
     # Default: submit EVERYTHING at once. Half the suite is streaming /
     # engine-path queries that hold a thread while idling on micro-batch
     # or commit machinery, not on cores — oversubscribing threads lets the
@@ -273,7 +324,21 @@ def main() -> None:
             "q32_python_pipelines", "q15_window_analytics", "q17_range_join_tiers",
         ]
         names = [n for n in heavy if n in names] + [n for n in names if n not in heavy]
-    timings: dict[str, float] = {}
+
+    # Mid-pass progress evidence (r12 verdict item 2): a partial-detail
+    # line every 10 completions, so a JVM death DURING the first pass —
+    # the exact r12 failure, which previously left zero evidence because
+    # the first emit happened only after a complete pass — still leaves
+    # per-query timings on stdout (in addition to main()'s degraded
+    # record, which needs the process to survive the exception; these
+    # lines don't even need that much).
+    progress_lock = threading.Lock()
+    completed = [0]
+    # Test hook for the evidence-on-JVM-death CI gate: after N query
+    # completions, halt the JVM the same way an OOM-killed driver dies
+    # (no shutdown hooks, no socket close handshake) so every later py4j
+    # call sees the r12 ConnectionRefused. Never set outside tests.
+    kill_after = int(os.environ.get("SPARK_GRAFT_BENCH_KILL_AFTER", "0") or "0")
 
     def run_one(idx_name) -> None:
         idx, name = idx_name
@@ -294,14 +359,30 @@ def main() -> None:
             # keeps the failed attempt's cost — honest, not flattering.
             RAW_QUERIES[name](spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - start, 3)
+        with progress_lock:
+            completed[0] += 1
+            done = completed[0]
+            snapshot = dict(timings)
+        if kill_after and done == kill_after:
+            try:
+                spark.sparkContext._jvm.java.lang.Runtime.getRuntime().halt(1)
+            except Exception:
+                pass  # the halt itself severs the py4j reply channel
+        if done % 10 == 0:
+            print(json.dumps({
+                "metric": "headline_suite_partial",
+                "completed": done,
+                "n_queries": len(names),
+                "elapsed_sec": round(time.monotonic() - t0, 3),
+                "queries": snapshot,
+            }), flush=True)
 
-    mode = "serial" if serial else "concurrent"
     emit_workers = 1 if serial else workers
     if serial:
         suite_start = time.perf_counter()
         for item in enumerate(names):
             run_one(item)
-        walls = [round(time.perf_counter() - suite_start, 3)]
+        walls.append(round(time.perf_counter() - suite_start, 3))
     else:
         # Best-of-N (default 2): the concurrent suite saturates every core
         # for its whole window, so a host-side CPU-steal episode inflates
@@ -315,10 +396,9 @@ def main() -> None:
         # caller's timeout for no signal. Past the cutoff, settle for the
         # single (degraded, flagged) measurement.
         cutoff = float(os.environ.get("SPARK_GRAFT_BENCH_REPEAT_CUTOFF", "45"))
-        walls = []
         best: dict[str, float] | None = None
         for rep in range(repeats):
-            timings = {}
+            timings.clear()
             suite_start = time.perf_counter()
             with ThreadPoolExecutor(max_workers=workers) as pool:
                 list(pool.map(run_one, enumerate(names)))
@@ -330,7 +410,9 @@ def main() -> None:
             _emit(walls, best, names, sf_val, mode, workers, {}, final=False)
             if walls[-1] > cutoff or over_deadline():
                 break
-        timings = best or timings
+        if best is not None:
+            timings.clear()
+            timings.update(best)
 
     # Uncontended per-query latency for the expensive queries — concurrent
     # timings include scheduler contention, so regressions in a single
@@ -372,8 +454,9 @@ def main() -> None:
                 build().collect()  # fresh DataFrame: full analyze+compile
                 t.append(time.perf_counter() - start)
             floor[probe] = round(min(t), 3)
+        only = {s.strip() for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s.strip()}
         for name in SERIAL_TRACK:
-            if name not in QUERIES or over_deadline():
+            if name not in QUERIES or over_deadline() or (only and name not in only):
                 continue
             start = time.perf_counter()
             try:

@@ -1,0 +1,121 @@
+"""Bench DELIVERY gates (r12 verdict items 1-3): the round's official
+perf number comes from the driver running ``bench.py`` in its own
+environment, and rounds 2, 3 and 12 each lost theirs to the same class
+of failure — the process (or its JVM) dying before a parseable record
+reached stdout. These tests pin the two halves of the fix in the
+driver's own configuration shape:
+
+- the single local-mode JVM survives the concurrent suite on a SMALL
+  heap (r12's death was the default-1 GiB heap under 46 concurrent
+  queries + eager in-heap materializations; the shared snapshots are
+  DISK_ONLY now and ``get_spark`` sets an explicit
+  ``spark.driver.memory``), and
+- when the JVM DOES die mid-pass (simulated exactly: ``Runtime.halt``
+  severs py4j the way an OOM kill does), stdout still ends with a
+  parseable, degraded-flagged headline record.
+
+Each test launches bench.py in a subprocess so it owns a fresh JVM with
+its own heap setting — the in-process pytest session's JVM proves
+nothing about either property.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(REPO, "bench.py")
+
+#: The memory-heavy slice: every query that materializes a shared
+#: snapshot (localCheckpoint), trains a driver-bounded model, or carries
+#: a broadcast — the allocations that stacked up in the r12 death.
+HEAVY_SLICE = (
+    "q29_lang_quality,q49_repetition_ratio,q52_clean_corpus_pipeline,"
+    "q53_vocab_top_tokens,q26_jaccard_top_pairs,q26b_prob_near_dup,"
+    "q28_embedding_near_dup,q28b_embedding_near_dup_bucketed,"
+    "q59_corpus_assembly,q54_mixture_sampling"
+)
+
+
+def _run_bench(env_overrides: dict[str, str], timeout: int = 360):
+    env = dict(os.environ)
+    env.update(env_overrides)
+    return subprocess.run(
+        [sys.executable, BENCH],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        env=env,
+        cwd=REPO,
+    )
+
+
+def _last_json_line(stdout: str) -> dict:
+    lines = [ln for ln in stdout.strip().splitlines() if ln.strip()]
+    assert lines, f"no stdout at all; stderr tail was the only output"
+    return json.loads(lines[-1])
+
+
+def test_heap_headroom_1g_driver():
+    """The concurrent heavy slice at the driver's SF completes on a
+    1 GiB driver heap — the exact configuration BENCH_r12 died under.
+    This is the proof that the explicit-driver-memory default in
+    get_spark is margin, not a crutch: the engine's working set is
+    bounded (DISK_ONLY snapshots, driver-bounded models) even at the
+    Spark default heap. If this test starts failing after adding a new
+    eagerly-materialized shared asset, that asset is parking blocks in
+    the execution heap — fix the asset, don't raise this limit."""
+    res = _run_bench(
+        {
+            "SPARK_GRAFT_DRIVER_MEM": "1g",
+            "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.1",
+            "SPARK_GRAFT_BENCH_ONLY": HEAVY_SLICE,
+            "SPARK_GRAFT_BENCH_REPEATS": "1",
+        }
+    )
+    assert res.returncode == 0, (
+        f"bench died on a 1g heap: rc={res.returncode}\n"
+        f"stdout tail: {res.stdout[-2000:]}\nstderr tail: {res.stderr[-2000:]}"
+    )
+    record = _last_json_line(res.stdout)
+    assert record["metric"] == "headline_suite_wall_clock"
+    assert record["final"] is True
+    assert not record.get("degraded")
+    assert record["n_queries"] == len(HEAVY_SLICE.split(","))
+
+
+def test_evidence_survives_jvm_death():
+    """Killing the JVM mid-pass (Runtime.halt — no shutdown hooks, the
+    OOM-kill shape) must leave a parseable, degraded-flagged headline
+    record as the LAST stdout line and exit nonzero. r2, r3 and r12 each
+    lost their official number to exactly this; the driver's parser
+    takes the last complete JSON line, so this record IS the round's
+    evidence floor."""
+    res = _run_bench(
+        {
+            "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.01",
+            "SPARK_GRAFT_BENCH_ONLY": (
+                "q01_pricing_summary,q03_top_orders,q10_semi_anti,"
+                "q11_date_buckets,q12_events_hourly,q16_set_ops"
+            ),
+            "SPARK_GRAFT_BENCH_REPEATS": "1",
+            "SPARK_GRAFT_BENCH_KILL_AFTER": "3",
+        }
+    )
+    assert res.returncode != 0, "JVM halt should surface as a nonzero exit"
+    record = _last_json_line(res.stdout)
+    assert record["metric"] == "headline_suite_wall_clock"
+    assert record["degraded"] is True
+    assert record["completed_queries"] >= 3
+    assert "error" in record and record["error"]
+    # The mid-pass per-query evidence (detail line) precedes it.
+    details = [
+        json.loads(ln)
+        for ln in res.stdout.strip().splitlines()
+        if '"headline_suite_detail"' in ln
+    ]
+    assert details and details[-1].get("degraded") is True
+    assert len(details[-1]["queries"]) >= 3

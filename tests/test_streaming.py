@@ -82,6 +82,25 @@ def test_stream_ingest_exactly_once(spark, tmp_path, sf_dir):
     eng.execute("TRUNCATEWAL", collection="embcol")
     assert col.read().count() == 500
 
+    # r12 advice: TRUNCATEWAL persisted the replay high-water mark into
+    # collection meta FOREVER, keyed (pre-r13) by checkpoint PATH — so an
+    # operator who deleted and recreated a checkpoint at the same path got
+    # every batch of the NEW stream silently dropped (epoch ids restart at
+    # 0 <= hwm). Identity now derives from the checkpoint's streaming
+    # query id (metadata file), which a recreated checkpoint re-mints:
+    # the new stream must actually ingest (an intentional full re-read →
+    # duplicates), not silently no-op.
+    assert (col.meta.get("stream_hwm") or {}), "truncate should persist hwm"
+    import shutil
+
+    shutil.rmtree(ckpt)
+    q3 = stream_ingest_into_collection(col, src(), checkpoint_dir=ckpt)
+    q3.awaitTermination()
+    assert col.read().count() == 1000, (
+        "recreated checkpoint's batches were silently dropped by a stale "
+        "stream_hwm — checkpoint identity must be per-incarnation"
+    )
+
 
 def test_late_data_dropped_beyond_watermark(spark):
     """Rows older than the watermark horizon are excluded from closed

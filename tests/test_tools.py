@@ -92,7 +92,10 @@ def test_gate_dump_wrapper_paths(spark, tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(dump_dir, "env.txt"))
 
     # Back to green: the stale MISMATCH evidence is retired (r12 review
-    # — leftover red files would read as live disagreement next round).
+    # — leftover red files would read as live disagreement next round)
+    # but ARCHIVED as .prev, not unlinked (r12 advice: if the driver's
+    # own compare disagrees with the wrapper's grid verdict, the prior
+    # round's rows are exactly the diagnostic that was being deleted).
     monkeypatch.undo()
     monkeypatch.setattr(E, "_DUMP_DIR", dump_dir)
     fn(spark, SF).collect()
@@ -101,6 +104,13 @@ def test_gate_dump_wrapper_paths(spark, tmp_path, monkeypatch):
     )
     assert not os.path.exists(
         os.path.join(dump_dir, "q01_pricing_summary.spark.txt")
+    )
+    prev = open(
+        os.path.join(dump_dir, "q01_pricing_summary.status.txt.prev")
+    ).read()
+    assert prev.startswith("MISMATCH")
+    assert os.path.exists(
+        os.path.join(dump_dir, "q01_pricing_summary.spark.txt.prev")
     )
 
     # Build-time raise: error dump written, exception still propagates.

@@ -129,8 +129,21 @@ def _shared_cached(spark: SparkSession, key: tuple, build: Callable[[], object])
 def _shared_materialized(spark: SparkSession, key: tuple, builder: Callable[[], DataFrame]) -> DataFrame:
     # Built (and executed, eagerly) under the KEY's lock: racing
     # consumers share ONE materialization — the whole point of the cache.
+    # Blocks go to DISK_ONLY (r12 verdict item 4): the default
+    # MEMORY_AND_DISK level parks every snapshot's partitions in the
+    # execution heap, where a concurrent ~50-query suite stacks them on
+    # top of broadcasts + codegen cache (the r12 JVM death). Local-disk
+    # reads of these output-sized blocks are page-cache-backed and cost
+    # nothing measurable at bench SF; at 100 TB this seam is a
+    # fault-tolerant checkpoint()/table write anyway.
+    from pyspark.storagelevel import StorageLevel
+
     return _shared_cached(
-        spark, key, lambda: builder().localCheckpoint(eager=True)
+        spark,
+        key,
+        lambda: builder().localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        ),
     )
 
 

@@ -50,9 +50,22 @@ def get_spark(
             env_shuffle if env_shuffle > 0 else (32 if cpus == "*" else int(cpus))
         )
 
+    # Driver heap (r12 verdict's hard failure): in local mode the ONE JVM
+    # is driver + all executor threads, and Spark's default is 1 GiB —
+    # marginal under a ~50-query concurrent suite with a 64 MB broadcast
+    # threshold, a 4096-entry codegen cache, and eagerly-materialized
+    # shared snapshots (BENCH_r12 died mid-suite with py4j
+    # ConnectionRefused when the default-heap JVM exited; the GCLocker
+    # warnings at the -Xlog config below were the earlier symptom). Only
+    # binds when THIS call launches the JVM (always in practice — the
+    # factory is the engine's entry point); on a cluster spark-submit
+    # owns it. Tolerant parse like the other env knobs.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "").strip() or "12g"
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # AQE: runtime partition coalescing, skew-join splitting, plan re-opt.
         .config("spark.sql.adaptive.enabled", "true")

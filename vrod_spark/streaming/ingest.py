@@ -276,6 +276,20 @@ def idempotent_stream_insert(
         if applied_cache is not None:
             applied_cache[qtag] = hwm
     if epoch <= hwm:
+        # Loud skip (r12 advice): a legitimately-replayed epoch after a
+        # crash is expected ONCE at restart — a stream of skips means the
+        # epoch counter restarted below a persisted high-water mark (e.g.
+        # a checkpoint that was deleted but whose identity collided with
+        # the old one) and rows are being dropped. Make that visible.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "stream %s: skipping non-empty epoch %d <= applied hwm %d for "
+            "collection %s (replay guard). If this stream is NEW and its "
+            "checkpoint was recreated, its identity collides with a prior "
+            "stream's stream_hwm — use a fresh checkpoint directory.",
+            qtag, epoch, hwm, getattr(collection, "name", "?"),
+        )
         return False
     collection.insert(
         batch_df,
@@ -296,11 +310,39 @@ def stream_ingest_into_collection(
     directory is the streaming analog of vr_wal; clearing it after a
     terminal batch is the TRUNCATEWAL maintenance op."""
     import hashlib
+    import json as _json
 
     checkpoint = checkpoint_dir or os.path.join(collection.path, "_stream_checkpoint")
     # Stable identity for THIS stream's epochs across restarts: the
-    # checkpoint path (the same identity Spark itself resumes by).
-    qtag = hashlib.sha256(os.path.abspath(checkpoint).encode()).hexdigest()[:16]
+    # streaming query id Spark persists in the checkpoint's `metadata`
+    # file (written at query start, before batch 0 runs). Resuming the
+    # same checkpoint keeps the id; DELETING and recreating a checkpoint
+    # at the same path mints a NEW id — so its epochs (restarting at 0)
+    # get a fresh replay-guard identity instead of being silently dropped
+    # below the old incarnation's persisted stream_hwm (r12 advice: the
+    # path-derived tag made that loss mode permanent and invisible).
+    # The path-derived tag remains the fallback when no metadata exists
+    # (pre-4.x layouts / non-Spark checkpoints); entries recorded under
+    # it by older code stop guarding after an upgrade — a one-time,
+    # crash-window-sized exposure, vs. unbounded silent drop the other way.
+    path_tag = hashlib.sha256(os.path.abspath(checkpoint).encode()).hexdigest()[:16]
+    tag_cache: list[str] = []
+
+    def _qtag() -> str:
+        if not tag_cache:
+            qid = None
+            try:
+                with open(os.path.join(checkpoint, "metadata")) as f:
+                    qid = _json.load(f).get("id")
+            except (OSError, ValueError):
+                qid = None
+            tag_cache.append(
+                hashlib.sha256(f"qid:{qid}".encode()).hexdigest()[:16]
+                if qid
+                else path_tag
+            )
+        return tag_cache[0]
+
     # Per-run replay-guard cache: the WAL is parsed once at the first
     # batch, then the high-water mark lives in this closure — O(1) per
     # epoch instead of O(commits) (r11 advice).
@@ -308,7 +350,7 @@ def stream_ingest_into_collection(
 
     def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
         idempotent_stream_insert(
-            collection, batch_df, int(epoch_id), qtag, applied_cache=applied
+            collection, batch_df, int(epoch_id), _qtag(), applied_cache=applied
         )
 
     return (
