@@ -257,12 +257,24 @@ def main() -> None:
     only = {s.strip() for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s.strip()}
     if only:
         names = [n for n in names if n in only]
+        if not names:
+            # Loud, immediate failure: an all-typos filter must not mint a
+            # plausible rc=0 ~0 s headline (serial mode) or die inside
+            # ThreadPoolExecutor(max_workers=0) with a confusing degraded
+            # record (concurrent mode).
+            print(
+                f"SPARK_GRAFT_BENCH_ONLY matched no known queries: "
+                f"{sorted(only)}",
+                file=sys.stderr,
+                flush=True,
+            )
+            raise SystemExit(2)
     mode = "serial" if serial else "concurrent"
     walls: list[float] = []
     timings: dict[str, float] = {}
 
     try:
-        _run_suite(serial, sf_dir, sf_val, t0, over_deadline, names,
+        _run_suite(serial, sf_dir, sf_val, t0, over_deadline, names, only,
                    walls, timings)
         return
     except BaseException as exc:  # noqa: BLE001 — incl. py4j gateway death
@@ -296,7 +308,7 @@ def main() -> None:
         raise SystemExit(1) from exc
 
 
-def _run_suite(serial, sf_dir, sf_val, t0, over_deadline, names,
+def _run_suite(serial, sf_dir, sf_val, t0, over_deadline, names, only,
                walls, timings) -> None:
     """The measured body. ``walls`` and ``timings`` are MUTATED IN PLACE
     (never rebound): they are main()'s crash-handler view of progress, so
@@ -333,11 +345,13 @@ def _run_suite(serial, sf_dir, sf_val, t0, over_deadline, names,
     # record, which needs the process to survive the exception; these
     # lines don't even need that much).
     progress_lock = threading.Lock()
-    completed = [0]
+    completed = [0]  # per-pass (reset each repeat); drives the %10 cadence
+    total_done = [0]  # monotonic across repeats; drives the kill hook
     # Test hook for the evidence-on-JVM-death CI gate: after N query
-    # completions, halt the JVM the same way an OOM-killed driver dies
-    # (no shutdown hooks, no socket close handshake) so every later py4j
-    # call sees the r12 ConnectionRefused. Never set outside tests.
+    # completions (counted across the whole run), halt the JVM the same
+    # way an OOM-killed driver dies (no shutdown hooks, no socket close
+    # handshake) so every later py4j call sees the r12 ConnectionRefused.
+    # Never set outside tests.
     kill_after = int(os.environ.get("SPARK_GRAFT_BENCH_KILL_AFTER", "0") or "0")
 
     def run_one(idx_name) -> None:
@@ -353,29 +367,41 @@ def _run_suite(serial, sf_dir, sf_val, t0, over_deadline, names,
             # though the engine's query surface (QUERIES) carries a
             # prepared-plan cache.
             RAW_QUERIES[name](spark, sf_dir).collect()
-        except Exception:
+        except Exception as first_err:
             # One retry: a host-contention kill of a single micro-batch or
             # task must not zero out the whole suite's evidence. The timing
             # keeps the failed attempt's cost — honest, not flattering.
+            # Named on stderr so a flaky query is diagnosable from the
+            # driver's log even when the retry goes green.
+            print(
+                f"bench retry {name}: {type(first_err).__name__}: "
+                f"{str(first_err)[:200]}",
+                file=sys.stderr,
+                flush=True,
+            )
             RAW_QUERIES[name](spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - start, 3)
         with progress_lock:
             completed[0] += 1
+            total_done[0] += 1
             done = completed[0]
-            snapshot = dict(timings)
-        if kill_after and done == kill_after:
+            kill_now = kill_after and total_done[0] == kill_after
+            # Print under the lock: two threads hitting done=10 and
+            # done=20 near-simultaneously would otherwise interleave
+            # their write() calls and corrupt both evidence lines.
+            if done % 10 == 0:
+                print(json.dumps({
+                    "metric": "headline_suite_partial",
+                    "completed": done,
+                    "n_queries": len(names),
+                    "elapsed_sec": round(time.monotonic() - t0, 3),
+                    "queries": dict(timings),
+                }), flush=True)
+        if kill_now:
             try:
                 spark.sparkContext._jvm.java.lang.Runtime.getRuntime().halt(1)
             except Exception:
                 pass  # the halt itself severs the py4j reply channel
-        if done % 10 == 0:
-            print(json.dumps({
-                "metric": "headline_suite_partial",
-                "completed": done,
-                "n_queries": len(names),
-                "elapsed_sec": round(time.monotonic() - t0, 3),
-                "queries": snapshot,
-            }), flush=True)
 
     emit_workers = 1 if serial else workers
     if serial:
@@ -399,6 +425,7 @@ def _run_suite(serial, sf_dir, sf_val, t0, over_deadline, names,
         best: dict[str, float] | None = None
         for rep in range(repeats):
             timings.clear()
+            completed[0] = 0  # per-pass progress; total_done keeps counting
             suite_start = time.perf_counter()
             with ThreadPoolExecutor(max_workers=workers) as pool:
                 list(pool.map(run_one, enumerate(names)))
@@ -454,7 +481,6 @@ def _run_suite(serial, sf_dir, sf_val, t0, over_deadline, names,
                 build().collect()  # fresh DataFrame: full analyze+compile
                 t.append(time.perf_counter() - start)
             floor[probe] = round(min(t), 3)
-        only = {s.strip() for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s.strip()}
         for name in SERIAL_TRACK:
             if name not in QUERIES or over_deadline() or (only and name not in only):
                 continue

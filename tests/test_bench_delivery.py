@@ -40,7 +40,7 @@ HEAVY_SLICE = (
 )
 
 
-def _run_bench(env_overrides: dict[str, str], timeout: int = 360):
+def _run_bench(env_overrides: dict[str, str], timeout: int = 540):
     env = dict(os.environ)
     env.update(env_overrides)
     return subprocess.run(

@@ -59,8 +59,17 @@ def get_spark(
     # warnings at the -Xlog config below were the earlier symptom). Only
     # binds when THIS call launches the JVM (always in practice — the
     # factory is the engine's entry point); on a cluster spark-submit
-    # owns it. Tolerant parse like the other env knobs.
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "").strip() or "12g"
+    # owns it. Tolerant parse like the other env knobs: anything that is
+    # not a JVM memory string (digits + optional b/k/m/g/t unit) falls
+    # back to the default instead of crashing deep inside the py4j
+    # gateway launch (the r11 SPARK_GRAFT_CPUS lesson).
+    import re
+
+    # (A unit suffix is required: Spark reads a bare "12" as 12 MiB — far
+    # below its own minimum — which is never what the operator meant.)
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "").strip().lower()
+    if not re.fullmatch(r"[0-9]+[kmgt]", driver_mem or ""):
+        driver_mem = "12g"
 
     builder = (
         SparkSession.builder.appName(app_name)

@@ -325,17 +325,46 @@ def stream_ingest_into_collection(
     # (pre-4.x layouts / non-Spark checkpoints); entries recorded under
     # it by older code stop guarding after an upgrade — a one-time,
     # crash-window-sized exposure, vs. unbounded silent drop the other way.
+    # stream_hwm growth: one {16-char tag: int} meta entry per stream
+    # INCARNATION, retained forever — bytes per checkpoint recreation,
+    # never a correctness hazard (fresh incarnations mint fresh tags, so
+    # a stale entry can no longer match, let alone drop, anything).
     path_tag = hashlib.sha256(os.path.abspath(checkpoint).encode()).hexdigest()[:16]
     tag_cache: list[str] = []
+    spark = src_stream.sparkSession
+
+    def _read_checkpoint_qid():
+        meta_path = os.path.join(checkpoint, "metadata")
+        try:
+            with open(meta_path) as f:
+                return _json.load(f).get("id")
+        except (OSError, ValueError):
+            pass
+        # Remote checkpoint URI (hdfs://, s3a://): local open() can't see
+        # it — go through Hadoop's FileSystem so remote deployments get
+        # the per-incarnation identity too, not the path fallback (r13
+        # review: the local-only read silently reinstated the
+        # recreate-silent-drop hazard for every remote checkpoint).
+        try:
+            jvm = spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(checkpoint + "/metadata")
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            if not fs.exists(jpath):
+                return None
+            stream = fs.open(jpath)
+            try:
+                text = jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            finally:
+                stream.close()
+            return _json.loads(text).get("id")
+        except Exception:
+            return None
 
     def _qtag() -> str:
         if not tag_cache:
-            qid = None
-            try:
-                with open(os.path.join(checkpoint, "metadata")) as f:
-                    qid = _json.load(f).get("id")
-            except (OSError, ValueError):
-                qid = None
+            qid = _read_checkpoint_qid()
             tag_cache.append(
                 hashlib.sha256(f"qid:{qid}".encode()).hexdigest()[:16]
                 if qid
