@@ -52,3 +52,37 @@ def test_plan_shape_invariant_across_sf(spark, name):
         f"{name}: broadcast count DROPS as SF grows {list(zip(SFS, bcs))} "
         f"— a broadcast silently degraded to a shuffle"
     )
+
+
+def test_shared_snapshots_never_cache_in_heap(spark):
+    """r13 (verdict item 4): every session-shared materialized snapshot
+    must keep its blocks OUT of the execution heap — the r12 JVM death
+    was MEMORY_AND_DISK localCheckpoint blocks stacking on top of
+    broadcasts + codegen cache under the concurrent suite. Pin the
+    storage level of the blocks _shared_materialized actually creates
+    (df.storageLevel stays NONE for checkpointed frames; the truth is in
+    the SparkContext's RDD storage info)."""
+    from vrod_spark.queries import _shared_materialized
+
+    def storage_levels() -> dict[int, str]:
+        return {
+            info.id(): info.storageLevel().toString()
+            for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+
+    before = storage_levels()
+    df = _shared_materialized(
+        spark, ("scale_audit_heap_probe",), lambda: spark.range(1000)
+    )
+    assert df.count() == 1000
+    # Diff against the pre-materialization snapshot: a shared pytest
+    # session may carry other tests' (legitimately heap-cached) RDDs.
+    ours = {
+        rid: lvl for rid, lvl in storage_levels().items() if rid not in before
+    }
+    assert ours, "no cached RDD appeared for the shared snapshot"
+    for rid, lvl in ours.items():
+        assert "memory" not in lvl.lower(), (
+            f"shared snapshot blocks are heap-resident (rdd {rid}: {lvl}) — "
+            "the r12 concurrent-suite death mode"
+        )
