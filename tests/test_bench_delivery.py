@@ -119,3 +119,19 @@ def test_evidence_survives_jvm_death():
     ]
     assert details and details[-1].get("degraded") is True
     assert len(details[-1]["queries"]) >= 3
+
+
+def test_parse_driver_mem_tolerant():
+    """The heap knob must never be able to crash (or shrink) the JVM
+    launch: valid JVM memory strings pass through, everything else —
+    including a bare number, which Spark would read as MiB — falls back
+    to the default."""
+    from vrod_spark.session import DEFAULT_DRIVER_MEM, parse_driver_mem
+
+    assert parse_driver_mem("8g") == "8g"
+    assert parse_driver_mem(" 512M ") == "512m"
+    assert parse_driver_mem("4096k") == "4096k"
+    assert parse_driver_mem("1t") == "1t"
+    for bad in (None, "", "   ", "twelve", "12", "12 g", "g12", "-4g",
+                "1.5g", "12gb"):
+        assert parse_driver_mem(bad) == DEFAULT_DRIVER_MEM, bad

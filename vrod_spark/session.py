@@ -10,8 +10,25 @@ parallelism instead of the legacy 200.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
+
+#: Default local-mode driver heap. In local mode the ONE JVM is driver +
+#: all executor threads, and Spark's own default is 1 GiB — marginal
+#: under a ~50-query concurrent suite (the BENCH_r12 death).
+DEFAULT_DRIVER_MEM = "12g"
+
+
+def parse_driver_mem(raw: str | None) -> str:
+    """Tolerant parse of the SPARK_GRAFT_DRIVER_MEM knob: a JVM memory
+    string (digits + k/m/g/t unit) passes through lowercased; anything
+    else — empty, garbage, or a bare number (Spark reads "12" as 12 MiB,
+    far below its own floor, never what the operator meant) — falls back
+    to the default instead of crashing deep inside the py4j gateway
+    launch (the r11 SPARK_GRAFT_CPUS lesson)."""
+    val = (raw or "").strip().lower()
+    return val if re.fullmatch(r"[0-9]+[kmgt]", val) else DEFAULT_DRIVER_MEM
 
 
 def get_spark(
@@ -59,17 +76,8 @@ def get_spark(
     # warnings at the -Xlog config below were the earlier symptom). Only
     # binds when THIS call launches the JVM (always in practice — the
     # factory is the engine's entry point); on a cluster spark-submit
-    # owns it. Tolerant parse like the other env knobs: anything that is
-    # not a JVM memory string (digits + optional b/k/m/g/t unit) falls
-    # back to the default instead of crashing deep inside the py4j
-    # gateway launch (the r11 SPARK_GRAFT_CPUS lesson).
-    import re
-
-    # (A unit suffix is required: Spark reads a bare "12" as 12 MiB — far
-    # below its own minimum — which is never what the operator meant.)
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "").strip().lower()
-    if not re.fullmatch(r"[0-9]+[kmgt]", driver_mem or ""):
-        driver_mem = "12g"
+    # owns it. Tolerant parse: see parse_driver_mem.
+    driver_mem = parse_driver_mem(os.environ.get("SPARK_GRAFT_DRIVER_MEM"))
 
     builder = (
         SparkSession.builder.appName(app_name)
