@@ -272,10 +272,11 @@ def main() -> None:
     mode = "serial" if serial else "concurrent"
     walls: list[float] = []
     timings: dict[str, float] = {}
+    best_holder: dict[str, dict[str, float]] = {}
 
     try:
         _run_suite(serial, sf_dir, sf_val, t0, over_deadline, names, only,
-                   walls, timings)
+                   walls, timings, best_holder)
         return
     except BaseException as exc:  # noqa: BLE001 — incl. py4j gateway death
         # r2, r3 and r12 each lost the round's official number because the
@@ -284,7 +285,21 @@ def main() -> None:
         # stdout before exiting nonzero, whatever killed the suite.
         if isinstance(exc, KeyboardInterrupt):
             raise
-        snapshot = dict(timings)
+        # The full traceback still belongs on stderr — SystemExit would
+        # otherwise suppress it (including the __cause__ chain) and leave
+        # only the 300-char type+message in the JSON record.
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        sys.stderr.flush()
+        # Prefer the last COMPLETE pass's snapshot when one exists: a
+        # death in repeat 2 must not pair repeat 1's wall with repeat 2's
+        # half-filled timings (the record would claim the measured pass
+        # died early).
+        if walls and best_holder.get("best"):
+            snapshot = dict(best_holder["best"])
+        else:
+            snapshot = dict(timings)
         print(json.dumps({
             "metric": "headline_suite_detail",
             "queries": snapshot,
@@ -309,10 +324,12 @@ def main() -> None:
 
 
 def _run_suite(serial, sf_dir, sf_val, t0, over_deadline, names, only,
-               walls, timings) -> None:
-    """The measured body. ``walls`` and ``timings`` are MUTATED IN PLACE
-    (never rebound): they are main()'s crash-handler view of progress, so
-    a mid-pass JVM death still has per-query evidence to report."""
+               walls, timings, best_holder) -> None:
+    """The measured body. ``walls``, ``timings`` and ``best_holder`` are
+    MUTATED IN PLACE (never rebound): they are main()'s crash-handler
+    view of progress, so a mid-pass JVM death still has per-query
+    evidence to report — ``best_holder['best']`` carries the last
+    complete pass's snapshot once one exists."""
     mode = "serial" if serial else "concurrent"
     spark = get_spark("vrod-spark-bench")
     _warmup(spark, sf_dir)
@@ -432,6 +449,7 @@ def _run_suite(serial, sf_dir, sf_val, t0, over_deadline, names, only,
             walls.append(round(time.perf_counter() - suite_start, 3))
             if best is None or walls[-1] == min(walls):
                 best = dict(timings)
+            best_holder["best"] = best
             # Evidence checkpoint: a parseable record exists from the first
             # completed pass onward, whatever happens later.
             _emit(walls, best, names, sf_val, mode, workers, {}, final=False)

@@ -121,17 +121,26 @@ def test_evidence_survives_jvm_death():
     assert len(details[-1]["queries"]) >= 3
 
 
-def test_parse_driver_mem_tolerant():
+def test_parse_driver_mem_tolerant(capsys):
     """The heap knob must never be able to crash (or shrink) the JVM
-    launch: valid JVM memory strings pass through, everything else —
-    including a bare number, which Spark would read as MiB — falls back
-    to the default."""
+    launch: valid JVM memory strings of at least Spark's practical floor
+    pass through; everything else — garbage, a bare number (Spark reads
+    it as MiB), or a sub-floor value the JVM cannot start with — falls
+    back to the default, loudly when the operator actually set a value."""
     from vrod_spark.session import DEFAULT_DRIVER_MEM, parse_driver_mem
 
     assert parse_driver_mem("8g") == "8g"
     assert parse_driver_mem(" 512M ") == "512m"
-    assert parse_driver_mem("4096k") == "4096k"
+    assert parse_driver_mem("1g") == "1g"  # the heap-headroom gate's value
+    assert parse_driver_mem("524288k") == "524288k"
     assert parse_driver_mem("1t") == "1t"
     for bad in (None, "", "   ", "twelve", "12", "12 g", "g12", "-4g",
-                "1.5g", "12gb"):
+                "1.5g", "12gb", "0g", "1k", "256m", "4096k"):
         assert parse_driver_mem(bad) == DEFAULT_DRIVER_MEM, bad
+    # Explicit-but-rejected values warn on stderr; unset/empty stays quiet.
+    capsys.readouterr()
+    parse_driver_mem("0g")
+    assert "SPARK_GRAFT_DRIVER_MEM" in capsys.readouterr().err
+    parse_driver_mem(None)
+    parse_driver_mem("")
+    assert capsys.readouterr().err == ""

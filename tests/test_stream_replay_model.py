@@ -126,6 +126,51 @@ def test_replay_guard_matches_model(ops):
     assert col.inserted == sorted(set(col.inserted)), "dup or disorder"
 
 
+def test_legacy_tag_adoption_on_upgrade():
+    """The pre-r13 path-derived identity's marks must keep guarding a
+    CONTINUING stream across the code upgrade: a restart whose first
+    delivery is a replayed epoch > 0 (the crash-window shape) adopts the
+    legacy tag's hwm; a FRESH stream entering at epoch 0 (a recreated
+    checkpoint) must NOT adopt it — and an empty epoch 0 still anchors
+    that fresh identity for the epochs after it."""
+    legacy = "old-path-tag"
+
+    # History recorded by old code under the path tag, then truncated.
+    col = _StubCollection()
+    for e in range(5):
+        idempotent_stream_insert(col, _Batch(), e, legacy, applied_cache={})
+    col.truncate()
+
+    # Upgrade: same checkpoint continues under the new qid tag. The
+    # replayed epoch 4 must skip (adopted legacy hwm), epoch 5 inserts.
+    cache: dict = {}
+    assert not idempotent_stream_insert(
+        col, _Batch(), 4, "new-qid-tag", applied_cache=cache,
+        legacy_qtags=(legacy,),
+    )
+    assert idempotent_stream_insert(
+        col, _Batch(), 5, "new-qid-tag", applied_cache=cache,
+        legacy_qtags=(legacy,),
+    )
+
+    # Recreated checkpoint (fresh identity, epochs restart at 0): the
+    # stale legacy mark must not throttle it even when epoch 0 is EMPTY
+    # — the identity anchors on first resolution, not first insert.
+    class _EmptyBatch:
+        def isEmpty(self):  # noqa: N802
+            return True
+
+    cache2: dict = {}
+    assert not idempotent_stream_insert(
+        col, _EmptyBatch(), 0, "recreated-qid", applied_cache=cache2,
+        legacy_qtags=(legacy,),
+    )
+    assert idempotent_stream_insert(
+        col, _Batch(), 1, "recreated-qid", applied_cache=cache2,
+        legacy_qtags=(legacy,),
+    ), "empty epoch 0 must anchor the fresh identity, not defer to legacy"
+
+
 @settings(max_examples=50, deadline=None)
 @given(ops=OPS)
 def test_fresh_identity_is_immune_to_stale_hwm(ops):

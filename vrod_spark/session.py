@@ -20,15 +20,38 @@ from pyspark.sql import SparkSession
 DEFAULT_DRIVER_MEM = "12g"
 
 
+_MEM_UNIT_MIB = {"k": 1 / 1024, "m": 1, "g": 1024, "t": 1024 * 1024}
+#: Spark's own driver floor is ~450 MiB (it refuses to start below it);
+#: anything smaller is a typo, not a choice.
+_MIN_DRIVER_MIB = 512
+
+
 def parse_driver_mem(raw: str | None) -> str:
     """Tolerant parse of the SPARK_GRAFT_DRIVER_MEM knob: a JVM memory
-    string (digits + k/m/g/t unit) passes through lowercased; anything
-    else — empty, garbage, or a bare number (Spark reads "12" as 12 MiB,
-    far below its own floor, never what the operator meant) — falls back
-    to the default instead of crashing deep inside the py4j gateway
-    launch (the r11 SPARK_GRAFT_CPUS lesson)."""
+    string (digits + k/m/g/t unit) of at least 512 MiB passes through
+    lowercased; anything else — empty, garbage, a bare number (Spark
+    reads "12" as 12 MiB, far below its own floor, never what the
+    operator meant), or a sub-floor value like "0g"/"1k" the JVM cannot
+    start with — falls back to the default instead of crashing deep
+    inside the py4j gateway launch (the r11 SPARK_GRAFT_CPUS lesson).
+    The substitution is LOUD (one stderr line) whenever a non-empty
+    value is overridden — a silently upsized heap on a constrained box
+    is its own failure mode."""
+    import sys
+
     val = (raw or "").strip().lower()
-    return val if re.fullmatch(r"[0-9]+[kmgt]", val) else DEFAULT_DRIVER_MEM
+    m = re.fullmatch(r"([0-9]+)([kmgt])", val)
+    if m and int(m.group(1)) * _MEM_UNIT_MIB[m.group(2)] >= _MIN_DRIVER_MIB:
+        return val
+    if val:
+        print(
+            f"SPARK_GRAFT_DRIVER_MEM={raw!r} is not a usable JVM memory "
+            f"string (need digits + k/m/g/t unit, >= {_MIN_DRIVER_MIB}m); "
+            f"using {DEFAULT_DRIVER_MEM}",
+            file=sys.stderr,
+            flush=True,
+        )
+    return DEFAULT_DRIVER_MEM
 
 
 def get_spark(

@@ -237,6 +237,7 @@ def url_dedup_stream(
 def idempotent_stream_insert(
     collection, batch_df: DataFrame, epoch_id: int, qtag: str,
     applied_cache: dict | None = None,
+    legacy_qtags: tuple = (),
 ) -> bool:
     """One foreachBatch epoch's insert, replay-safe (r11 review):
     foreachBatch is at-least-once — a crash between the collection's COW
@@ -256,25 +257,47 @@ def idempotent_stream_insert(
     over a long-lived stream). Safe because a checkpoint's stream is
     single-writer. The mark also survives TRUNCATEWAL: truncation
     harvests it into collection meta (``stream_hwm``), consulted here
-    alongside the WAL. Returns True when rows were inserted."""
-    if batch_df.isEmpty():
-        return False
+    alongside the WAL. Returns True when rows were inserted.
+
+    ``legacy_qtags`` (r13 review): identities this stream was recorded
+    under by OLDER code (the pre-r13 path-derived tag). Adopted ONLY
+    when the primary tag has no history at all AND the incoming epoch
+    is > 0 — i.e. a CONTINUING checkpoint whose marks live under the
+    old scheme (a mid-stream code upgrade). A recreated checkpoint's
+    batch ids restart at 0, so it never adopts a stale legacy mark —
+    the r12-advice loss mode stays closed. The hwm is resolved (and
+    cached) BEFORE the empty-batch early-return so an empty epoch 0
+    still anchors a recreated stream's fresh identity — otherwise its
+    first NON-empty epoch (> 0) would wrongly adopt the legacy mark."""
     epoch = int(epoch_id)
-    if applied_cache is not None and qtag in applied_cache:
-        hwm = applied_cache[qtag]
-    else:
+
+    def _recorded_hwm(tag: str) -> int:
         wal_max = max(
             (
                 int(e["stream_epoch"])
                 for e in collection.wal_entries()
-                if e.get("stream_query") == qtag and "stream_epoch" in e
+                if e.get("stream_query") == tag and "stream_epoch" in e
             ),
             default=-1,
         )
-        meta_hwm = int((collection.meta.get("stream_hwm") or {}).get(qtag, -1))
-        hwm = max(wal_max, meta_hwm)
+        meta_hwm = int((collection.meta.get("stream_hwm") or {}).get(tag, -1))
+        return max(wal_max, meta_hwm)
+
+    if applied_cache is not None and qtag in applied_cache:
+        hwm = applied_cache[qtag]
+    else:
+        hwm = _recorded_hwm(qtag)
+        if hwm < 0 and epoch > 0:
+            # No history under the primary identity but the stream is
+            # mid-flight: its marks were recorded under a legacy tag —
+            # adopt the highest so a replay across the upgrade boundary
+            # still skips (a fresh stream always enters at epoch 0 and
+            # never reaches this branch).
+            hwm = max((_recorded_hwm(t) for t in legacy_qtags), default=-1)
         if applied_cache is not None:
             applied_cache[qtag] = hwm
+    if batch_df.isEmpty():
+        return False
     if epoch <= hwm:
         # Loud skip (r12 advice): a legitimately-replayed epoch after a
         # crash is expected ONCE at restart — a stream of skips means the
@@ -330,46 +353,69 @@ def stream_ingest_into_collection(
     # never a correctness hazard (fresh incarnations mint fresh tags, so
     # a stale entry can no longer match, let alone drop, anything).
     path_tag = hashlib.sha256(os.path.abspath(checkpoint).encode()).hexdigest()[:16]
+    is_remote = "://" in checkpoint
     tag_cache: list[str] = []
     spark = src_stream.sparkSession
 
     def _read_checkpoint_qid():
         meta_path = os.path.join(checkpoint, "metadata")
-        try:
-            with open(meta_path) as f:
-                return _json.load(f).get("id")
-        except (OSError, ValueError):
-            pass
-        # Remote checkpoint URI (hdfs://, s3a://): local open() can't see
-        # it — go through Hadoop's FileSystem so remote deployments get
-        # the per-incarnation identity too, not the path fallback (r13
-        # review: the local-only read silently reinstated the
-        # recreate-silent-drop hazard for every remote checkpoint).
-        try:
-            jvm = spark._jvm
-            jpath = jvm.org.apache.hadoop.fs.Path(checkpoint + "/metadata")
-            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-            if not fs.exists(jpath):
-                return None
-            stream = fs.open(jpath)
+        if not is_remote:
             try:
-                text = jvm.org.apache.commons.io.IOUtils.toString(
-                    stream, "UTF-8"
-                )
-            finally:
-                stream.close()
-            return _json.loads(text).get("id")
-        except Exception:
-            return None
+                with open(meta_path) as f:
+                    return _json.load(f).get("id")
+            except FileNotFoundError:
+                return None  # genuinely no metadata: legacy/fresh layout
+            except (OSError, ValueError):
+                pass  # unreadable, not absent — fall through to Hadoop
+        # Remote checkpoint URI (hdfs://, s3a://), or a local read that
+        # failed for a non-absence reason: go through Hadoop's
+        # FileSystem so remote deployments get the per-incarnation
+        # identity too (r13 review: the local-only read silently
+        # reinstated the recreate-silent-drop hazard for every remote
+        # checkpoint). A TRANSIENT failure must not silently flip the
+        # identity to the path tag (the guard's determinism is the whole
+        # point) — retry, then RAISE so the micro-batch fails loudly and
+        # Spark retries it, instead of committing under a wrong tag.
+        last_err = None
+        for _attempt in range(3):
+            try:
+                jvm = spark._jvm
+                jpath = jvm.org.apache.hadoop.fs.Path(meta_path)
+                fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+                if not fs.exists(jpath):
+                    return None
+                stream = fs.open(jpath)
+                try:
+                    text = jvm.org.apache.commons.io.IOUtils.toString(
+                        stream, "UTF-8"
+                    )
+                finally:
+                    stream.close()
+                return _json.loads(text).get("id")
+            except Exception as exc:  # noqa: BLE001 — classified below
+                last_err = exc
+        raise RuntimeError(
+            f"cannot determine stream identity: checkpoint metadata at "
+            f"{meta_path} unreadable after retries (committing under a "
+            f"fallback identity would break the replay guard)"
+        ) from last_err
 
     def _qtag() -> str:
         if not tag_cache:
             qid = _read_checkpoint_qid()
-            tag_cache.append(
+            tag = (
                 hashlib.sha256(f"qid:{qid}".encode()).hexdigest()[:16]
                 if qid
                 else path_tag
             )
+            import logging
+
+            logging.getLogger(__name__).info(
+                "stream identity for checkpoint %s: %s (%s)",
+                checkpoint, tag,
+                "query-id" if qid else "path fallback — no metadata file",
+            )
+            tag_cache.append(tag)
         return tag_cache[0]
 
     # Per-run replay-guard cache: the WAL is parsed once at the first
@@ -379,7 +425,12 @@ def stream_ingest_into_collection(
 
     def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
         idempotent_stream_insert(
-            collection, batch_df, int(epoch_id), _qtag(), applied_cache=applied
+            collection, batch_df, int(epoch_id), _qtag(),
+            applied_cache=applied,
+            # Marks recorded by pre-r13 code live under the path tag;
+            # adopted only for a CONTINUING stream (epoch > 0 with no
+            # history under the primary tag) — see idempotent_stream_insert.
+            legacy_qtags=(path_tag,),
         )
 
     return (
