@@ -1,0 +1,73 @@
+"""Multi-JVM execution smoke: a gate slice under ``local-cluster``.
+
+``local[N]`` runs driver and executors in ONE JVM, which silently
+forgives whole classes of cluster bugs: driver-local filesystem or
+sys.path assumptions inside worker closures (functions pickled by
+reference resolve against the driver's modules), broadcast values that
+were never actually serialized across a process boundary, and
+accumulator/state shared through process memory. ``local-cluster[w,c,m]``
+launches REAL separate executor JVMs (Spark's own cluster-regime test
+harness), so everything a 1000-executor deployment would serialize gets
+serialized here too.
+
+The slice spans the pickling-sensitive families: engine lifecycle (q48:
+COW commits + EXPORT/RESTORE/HISTORY driven from executor tasks),
+streaming (q37: state store + dedup), a trained-model broadcast join
+(q54: DSIR + classifier scoring), kNN (q05: vector kernels), and the
+Arrow/mapInPandas multimodal path (q51). The full 50-gate surface was
+run green under this master at round 13 (PERF.md); this CI smoke keeps
+the regime from silently regressing. Runs from /tmp in a subprocess —
+workers must not inherit the repo cwd (the pickling trap the verify
+recipe documents).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = "/root/testdata/sf0.01"
+
+SCRIPT = r"""
+import sys
+sys.path.insert(0, sys.argv[1])
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder
+    .master("local-cluster[2,4,2048]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.executor.memory", "2g")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+import __spark_entry__ as E
+qs = E.queries()
+for name in ("q05_knn_metrics", "q37_stream_dedup", "q54_mixture_sampling",
+             "q48_dedup_engine_roundtrip", "q51_multimodal_decode"):
+    n = len(qs[name](spark, sys.argv[2]).collect())
+    assert n > 0, name
+    print(f"{name}: OK ({n} rows)", flush=True)
+spark.stop()
+print("LOCAL_CLUSTER_OK")
+"""
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
+def test_gates_under_local_cluster(tmp_path):
+    res = subprocess.run(
+        [sys.executable, "-c", SCRIPT, REPO, SF],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=str(tmp_path),  # NOT the repo: workers must not see it either
+    )
+    assert res.returncode == 0, (
+        f"local-cluster slice failed: rc={res.returncode}\n"
+        f"stdout tail: {res.stdout[-2000:]}\nstderr tail: {res.stderr[-2000:]}"
+    )
+    assert "LOCAL_CLUSTER_OK" in res.stdout
