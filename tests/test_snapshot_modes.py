@@ -1,0 +1,60 @@
+"""Snapshot materialization modes must be result-identical.
+
+``_shared_materialized`` has two modes (VROD_SNAPSHOT_MODE):
+``localcheckpoint`` (default — executor-local DISK_ONLY blocks, fast,
+not fault-tolerant) and ``table`` (parquet write + fresh scan under
+VROD_SNAPSHOT_DIR — the cluster-grade swap that survives executor loss,
+verified by the r13 chaos runs). The swap is only legitimate if it is
+invisible to every consumer: same rows, bit-identical values, through
+every gate that fans out from a shared snapshot."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+#: Every gate that consumes a _shared_materialized snapshot: the jaccard
+#: edge graph (q26, q59), the tokenized corpus + bm25 ranks (q53), the
+#: span/winnow/line snapshots (q49), the ngram bucket table (q54), and
+#: the trigram LM model (q29).
+SNAPSHOT_GATES = [
+    "q26_jaccard_top_pairs",
+    "q29_lang_quality",
+    "q49_repetition_ratio",
+    "q53_vocab_top_tokens",
+    "q54_mixture_sampling",
+    "q59_corpus_assembly",
+]
+
+
+def _canon(df) -> list[tuple]:
+    return sorted(tuple(repr(v) for v in row) for row in df.collect())
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
+@pytest.mark.parametrize("name", SNAPSHOT_GATES)
+def test_table_mode_matches_localcheckpoint(spark, tmp_path, monkeypatch, name):
+    from vrod_spark.queries import RAW_QUERIES
+
+    monkeypatch.delenv("VROD_SNAPSHOT_MODE", raising=False)
+    base = _canon(RAW_QUERIES[name](spark, SF))
+
+    monkeypatch.setenv("VROD_SNAPSHOT_MODE", "table")
+    monkeypatch.setenv("VROD_SNAPSHOT_DIR", str(tmp_path / "snapshots"))
+    table = _canon(RAW_QUERIES[name](spark, SF))
+
+    assert table == base, f"{name}: table-mode snapshot changed the result"
+
+
+def test_unknown_mode_rejected(spark, monkeypatch):
+    from vrod_spark.queries import _shared_materialized
+
+    monkeypatch.setenv("VROD_SNAPSHOT_MODE", "inmemory")
+    with pytest.raises(ValueError, match="VROD_SNAPSHOT_MODE"):
+        _shared_materialized(spark, ("mode_probe",), lambda: spark.range(1))

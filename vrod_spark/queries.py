@@ -129,22 +129,51 @@ def _shared_cached(spark: SparkSession, key: tuple, build: Callable[[], object])
 def _shared_materialized(spark: SparkSession, key: tuple, builder: Callable[[], DataFrame]) -> DataFrame:
     # Built (and executed, eagerly) under the KEY's lock: racing
     # consumers share ONE materialization — the whole point of the cache.
-    # Blocks go to DISK_ONLY (r12 verdict item 4): the default
-    # MEMORY_AND_DISK level parks every snapshot's partitions in the
-    # execution heap, where a concurrent ~50-query suite stacks them on
-    # top of broadcasts + codegen cache (the r12 JVM death). Local-disk
-    # reads of these output-sized blocks are page-cache-backed and cost
-    # nothing measurable at bench SF; at 100 TB this seam is a
-    # fault-tolerant checkpoint()/table write anyway.
-    from pyspark.storagelevel import StorageLevel
+    #
+    # Two modes (VROD_SNAPSHOT_MODE):
+    # - "localcheckpoint" (default): blocks go to executor-local
+    #   DISK_ONLY (r12 verdict item 4 — the default MEMORY_AND_DISK
+    #   level parked every snapshot's partitions in the execution heap,
+    #   where the concurrent suite stacked them on top of broadcasts +
+    #   codegen cache: the r12 JVM death). Page-cache-backed reads, zero
+    #   copies — but NOT fault-tolerant: losing the executor that holds
+    #   a block makes dependent queries fail loudly
+    #   (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND — verified by the r13
+    #   executor-kill chaos run; never silently wrong).
+    # - "table": the cluster-grade swap — write the snapshot as parquet
+    #   under VROD_SNAPSHOT_DIR (a shared filesystem on a real cluster;
+    #   a session temp dir by default) and serve consumers from a fresh
+    #   scan. Survives executor loss (r13 chaos re-run: the q54 gate
+    #   goes from infra-fail to bit-identical under SIGKILL) and gives
+    #   consumers an ordinary pruned/pushed-down parquet scan; costs one
+    #   write+read roundtrip at build.
+    mode = os.environ.get("VROD_SNAPSHOT_MODE", "localcheckpoint").strip().lower()
+    if mode not in ("localcheckpoint", "table"):
+        raise ValueError(
+            f"VROD_SNAPSHOT_MODE={mode!r}: expected 'localcheckpoint' or 'table'"
+        )
 
-    return _shared_cached(
-        spark,
-        key,
-        lambda: builder().localCheckpoint(
-            eager=True, storageLevel=StorageLevel.DISK_ONLY
-        ),
-    )
+    def build() -> DataFrame:
+        df = builder()
+        if mode == "table":
+            import hashlib
+            import tempfile
+
+            base = os.environ.get("VROD_SNAPSHOT_DIR") or tempfile.mkdtemp(
+                prefix="vrod_snapshots_"
+            )
+            target = os.path.join(
+                base, hashlib.sha256(repr(key).encode()).hexdigest()[:24]
+            )
+            df.write.mode("overwrite").parquet(target)
+            return spark.read.parquet(target)
+        from pyspark.storagelevel import StorageLevel
+
+        return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+
+    # The mode is part of the identity: a mid-session env flip must not
+    # hand a table-mode consumer a localCheckpoint frame (or vice versa).
+    return _shared_cached(spark, (mode, *key), build)
 
 
 def _shared_scalar(spark: SparkSession, key: tuple, compute: Callable[[], object]) -> object:
