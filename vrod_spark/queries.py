@@ -126,6 +126,21 @@ def _shared_cached(spark: SparkSession, key: tuple, build: Callable[[], object])
     return value
 
 
+_SNAPSHOT_TMP: list[str] = []
+
+
+def _default_snapshot_dir() -> str:
+    """One per-process temp root for table-mode snapshots (not one per
+    materialization — that would scatter orphan dirs across /tmp)."""
+    if not _SNAPSHOT_TMP:
+        import tempfile
+
+        with _SUBPLAN_LOCK:
+            if not _SNAPSHOT_TMP:
+                _SNAPSHOT_TMP.append(tempfile.mkdtemp(prefix="vrod_snapshots_"))
+    return _SNAPSHOT_TMP[0]
+
+
 def _shared_materialized(spark: SparkSession, key: tuple, builder: Callable[[], DataFrame]) -> DataFrame:
     # Built (and executed, eagerly) under the KEY's lock: racing
     # consumers share ONE materialization — the whole point of the cache.
@@ -157,11 +172,8 @@ def _shared_materialized(spark: SparkSession, key: tuple, builder: Callable[[], 
         df = builder()
         if mode == "table":
             import hashlib
-            import tempfile
 
-            base = os.environ.get("VROD_SNAPSHOT_DIR") or tempfile.mkdtemp(
-                prefix="vrod_snapshots_"
-            )
+            base = os.environ.get("VROD_SNAPSHOT_DIR") or _default_snapshot_dir()
             target = os.path.join(
                 base, hashlib.sha256(repr(key).encode()).hexdigest()[:24]
             )
