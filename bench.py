@@ -195,8 +195,42 @@ def _warmup(spark, sf_dir: str) -> None:
     )
 
 
+def _oracle_leg(sf_dir: str, names: list[str]) -> dict:
+    """Same-window DuckDB oracle leg (r13 verdict item 1): time the
+    oracle SQL for every headline query that has one, serially, in THIS
+    process right after the measured suite — so the headline record
+    carries its own baseline and ``ratio`` self-normalizes away host
+    CPU-steal episodes. (r9's 25.8 s and r13's 25.463 s were both
+    ~2x-degraded windows, indistinguishable from regressions because the
+    record had no same-window baseline; four independent same-HEAD
+    brackets all read 0.63-0.75x.) Serial loop is the symmetric choice:
+    DuckDB parallelizes internally and saturates the box from a serial
+    loop (per-query fixed cost ~1 ms), which is exactly how
+    tools/bench_oracle.py and BASELINE.md measure it."""
+    from tools.check_oracle import duck_connect
+    from vrod_spark.queries import ORACLES
+
+    con = duck_connect(sf_dir)
+    timings: dict[str, float] = {}
+    start = time.perf_counter()
+    for name in names:
+        sql = ORACLES.get(name)
+        if sql is None:
+            continue  # declared rows-only gates (q26b/q32) have no twin
+        q0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        timings[name] = round(time.perf_counter() - q0, 3)
+    wall = round(time.perf_counter() - start, 3)
+    con.close()
+    return {
+        "oracle_sec": wall,
+        "oracle_n_queries": len(timings),
+        "oracle_queries": timings,
+    }
+
+
 def _emit(walls, timings, names, sf_val, mode, workers, serial_queries, final,
-          serial_warm=None, floor=None):
+          serial_warm=None, floor=None, oracle=None):
     """Print the two evidence lines (detail, then the short headline) and
     flush. Called after EVERY phase, not only at process exit: rounds 2 and
     3 both lost their official bench number to the driver killing/truncating
@@ -205,6 +239,8 @@ def _emit(walls, timings, names, sf_val, mode, workers, serial_queries, final,
     JSON line on the stream is always a valid headline record; ``final``
     marks whether later phases were still pending when it was printed."""
     wall = min(walls)
+    oracle = oracle or {}
+    oracle_sec = oracle.get("oracle_sec")
     print(
         json.dumps(
             {
@@ -214,6 +250,11 @@ def _emit(walls, timings, names, sf_val, mode, workers, serial_queries, final,
                 **({"serial_queries": serial_queries} if serial_queries else {}),
                 **({"serial_warm": serial_warm} if serial_warm else {}),
                 **({"floor": floor} if floor else {}),
+                **(
+                    {"oracle_queries": oracle["oracle_queries"]}
+                    if oracle.get("oracle_queries")
+                    else {}
+                ),
             }
         ),
         flush=True,
@@ -230,6 +271,27 @@ def _emit(walls, timings, names, sf_val, mode, workers, serial_queries, final,
                 "n_queries": len(names),
                 "serial_sum_sec": round(sum(timings.values()), 3),
                 "final": final,
+                # Same-window baseline: DuckDB serial wall over the same
+                # headline set (minus the no-oracle gates), measured in
+                # this process minutes apart from `value`. ratio <= ~1.2
+                # is the quiet-window expectation; a degraded host
+                # inflates BOTH legs, so ratio stays meaningful.
+                **({"oracle_sec": oracle_sec} if oracle_sec else {}),
+                **(
+                    {"oracle_n_queries": oracle["oracle_n_queries"]}
+                    if "oracle_n_queries" in oracle
+                    else {}
+                ),
+                **(
+                    {"ratio": round(wall / oracle_sec, 3)}
+                    if oracle_sec
+                    else {}
+                ),
+                **(
+                    {"oracle_error": oracle["oracle_error"]}
+                    if oracle.get("oracle_error")
+                    else {}
+                ),
             }
         ),
         flush=True,
@@ -270,13 +332,20 @@ def main() -> None:
             )
             raise SystemExit(2)
     mode = "serial" if serial else "concurrent"
+    # Computed here, not in _run_suite, so the degraded crash record can
+    # report the REAL worker count (r13 advice: it hardcoded 0, a
+    # fictional value differing from the normal record's semantics).
+    workers = 1 if serial else (
+        int(os.environ.get("SPARK_GRAFT_BENCH_WORKERS", "0")) or len(names)
+    )
     walls: list[float] = []
     timings: dict[str, float] = {}
     best_holder: dict[str, dict[str, float]] = {}
+    oracle_holder: dict = {}
 
     try:
         _run_suite(serial, sf_dir, sf_val, t0, over_deadline, names, only,
-                   walls, timings, best_holder)
+                   walls, timings, best_holder, workers, oracle_holder)
         return
     except BaseException as exc:  # noqa: BLE001 — incl. py4j gateway death
         # r2, r3 and r12 each lost the round's official number because the
@@ -306,40 +375,48 @@ def main() -> None:
             "walls": walls,
             "degraded": True,
         }), flush=True)
+        oracle_sec = oracle_holder.get("oracle_sec")
         print(json.dumps({
             "metric": "headline_suite_wall_clock",
             "value": min(walls) if walls else round(time.monotonic() - t0, 3),
             "unit": "sec",
             "sf": sf_val,
             "mode": mode,
-            "workers": 0,
+            "workers": workers,
             "n_queries": len(names),
             "serial_sum_sec": round(sum(snapshot.values()), 3),
             "final": False,
             "degraded": True,
             "completed_queries": len(snapshot),
+            **({"oracle_sec": oracle_sec} if oracle_sec else {}),
+            **(
+                {"ratio": round(min(walls) / oracle_sec, 3)}
+                if oracle_sec and walls
+                else {}
+            ),
             "error": f"{type(exc).__name__}: {exc}"[:300],
         }), flush=True)
         raise SystemExit(1) from exc
 
 
 def _run_suite(serial, sf_dir, sf_val, t0, over_deadline, names, only,
-               walls, timings, best_holder) -> None:
-    """The measured body. ``walls``, ``timings`` and ``best_holder`` are
-    MUTATED IN PLACE (never rebound): they are main()'s crash-handler
-    view of progress, so a mid-pass JVM death still has per-query
-    evidence to report — ``best_holder['best']`` carries the last
-    complete pass's snapshot once one exists."""
+               walls, timings, best_holder, workers, oracle_holder) -> None:
+    """The measured body. ``walls``, ``timings``, ``best_holder`` and
+    ``oracle_holder`` are MUTATED IN PLACE (never rebound): they are
+    main()'s crash-handler view of progress, so a mid-pass JVM death
+    still has per-query evidence to report — ``best_holder['best']``
+    carries the last complete pass's snapshot once one exists.
+
+    ``workers``: thread-pool size for the concurrent suite (default: one
+    per query — submit EVERYTHING at once). Half the suite is streaming /
+    engine-path queries that hold a thread while idling on micro-batch
+    or commit machinery, not on cores — oversubscribing threads lets the
+    CPU-bound queries fill those idle slots (measured: 49 workers ≈ 12.5 s
+    wall vs 14 workers ≈ 15.7 s at sf0.1/local[32]). FAIR pools keep task
+    slots shared; the scheduler, not the thread count, owns the cores."""
     mode = "serial" if serial else "concurrent"
     spark = get_spark("vrod-spark-bench")
     _warmup(spark, sf_dir)
-    # Default: submit EVERYTHING at once. Half the suite is streaming /
-    # engine-path queries that hold a thread while idling on micro-batch
-    # or commit machinery, not on cores — oversubscribing threads lets the
-    # CPU-bound queries fill those idle slots (measured: 49 workers ≈ 12.5 s
-    # wall vs 14 workers ≈ 15.7 s at sf0.1/local[32]). FAIR pools keep task
-    # slots shared; the scheduler, not the thread count, owns the cores.
-    workers = int(os.environ.get("SPARK_GRAFT_BENCH_WORKERS", "0")) or len(names)
     if not serial:
         # Longest-processing-time-first submission: the suite's makespan is
         # bounded below by the slowest query, and LPT keeps the long poles
@@ -420,7 +497,6 @@ def _run_suite(serial, sf_dir, sf_val, t0, over_deadline, names, only,
             except Exception:
                 pass  # the halt itself severs the py4j reply channel
 
-    emit_workers = 1 if serial else workers
     if serial:
         suite_start = time.perf_counter()
         for item in enumerate(names):
@@ -458,6 +534,21 @@ def _run_suite(serial, sf_dir, sf_val, t0, over_deadline, names, only,
         if best is not None:
             timings.clear()
             timings.update(best)
+
+    # Same-window oracle leg, run IMMEDIATELY after the measured passes
+    # (the closest window to what `value` measured). A DuckDB failure
+    # must never cost the round its Spark number — degrade to an
+    # oracle_error field instead. oracle_holder is main()'s crash-handler
+    # view, so even a later serial-track death keeps the ratio.
+    if not over_deadline():
+        try:
+            oracle_holder.update(_oracle_leg(sf_dir, names))
+        except Exception as exc:  # noqa: BLE001 — evidence over purity
+            oracle_holder["oracle_error"] = f"{type(exc).__name__}: {exc}"[:200]
+        # Evidence checkpoint: the ratio reaches stdout before the serial
+        # track runs (r12 lesson — never defer evidence to process exit).
+        _emit(walls, timings, names, sf_val, mode, workers, {},
+              final=False, oracle=oracle_holder)
 
     # Uncontended per-query latency for the expensive queries — concurrent
     # timings include scheduler contention, so regressions in a single
@@ -527,8 +618,9 @@ def _run_suite(serial, sf_dir, sf_val, t0, over_deadline, names, only,
     # warnings cannot land between the JSON and the end of the stream. The
     # detail line comes first; the LAST line is the short headline summary,
     # small enough to survive the driver's ~2 KB tail capture.
-    _emit(walls, timings, names, sf_val, mode, emit_workers, serial_queries,
-          final=True, serial_warm=serial_warm, floor=floor)
+    _emit(walls, timings, names, sf_val, mode, workers, serial_queries,
+          final=True, serial_warm=serial_warm, floor=floor,
+          oracle=oracle_holder)
 
 
 if __name__ == "__main__":

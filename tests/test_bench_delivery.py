@@ -134,8 +134,15 @@ def test_parse_driver_mem_tolerant(capsys):
     assert parse_driver_mem("1g") == "1g"  # the heap-headroom gate's value
     assert parse_driver_mem("524288k") == "524288k"
     assert parse_driver_mem("1t") == "1t"
+    # Two-letter units (r13 advice): Spark's JavaUtils accepts them, so
+    # rejecting '2gb' silently handed the operator a 6x larger default
+    # heap. Normalized to the single-letter form Spark also accepts.
+    assert parse_driver_mem("12gb") == "12g"
+    assert parse_driver_mem(" 2048MB ") == "2048m"
+    assert parse_driver_mem("1tb") == "1t"
+    assert parse_driver_mem("0gb") == DEFAULT_DRIVER_MEM  # still sub-floor
     for bad in (None, "", "   ", "twelve", "12", "12 g", "g12", "-4g",
-                "1.5g", "12gb", "0g", "1k", "256m", "4096k"):
+                "1.5g", "12bg", "12gbb", "0g", "1k", "256m", "4096k"):
         assert parse_driver_mem(bad) == DEFAULT_DRIVER_MEM, bad
     # Explicit-but-rejected values warn on stderr; unset/empty stays quiet.
     capsys.readouterr()

@@ -61,6 +61,12 @@ class _StubCollection:
         self.inserted.append(int(commit_detail["stream_epoch"]))
         self.wal.append(dict(commit_detail))
 
+    def update_meta(self, **fields):
+        # catalog.py:293's read-modify-write shape (the guard persists
+        # the epoch-0 identity anchor through it).
+        self.meta.update(fields)
+        return self.meta
+
     def truncate(self) -> None:
         # catalog.py:1349's harvest: max applied epoch per qtag into
         # meta['stream_hwm'], then the log restarts empty.
@@ -169,6 +175,46 @@ def test_legacy_tag_adoption_on_upgrade():
         col, _Batch(), 1, "recreated-qid", applied_cache=cache2,
         legacy_qtags=(legacy,),
     ), "empty epoch 0 must anchor the fresh identity, not defer to legacy"
+
+
+def test_anchor_survives_restart_before_first_insert():
+    """The r13-advice crash window: an EMPTY epoch 0 of a recreated
+    checkpoint, then a PROCESS RESTART (applied_cache dropped) before any
+    non-empty insert. The next delivery is epoch 1 with no WAL history
+    under the new tag — without a persisted anchor it would adopt the
+    stale legacy hwm and silently drop every epoch <= it. The anchor must
+    live in collection meta, not just the in-process cache."""
+    legacy = "old-path-tag"
+    col = _StubCollection()
+    for e in range(5):
+        idempotent_stream_insert(col, _Batch(), e, legacy, applied_cache={})
+    col.truncate()  # legacy hwm=4 persisted in meta forever
+
+    # New incarnation: empty epoch 0 resolves (and must persist) the
+    # fresh identity's anchor...
+    class _EmptyBatch:
+        def isEmpty(self):  # noqa: N802
+            return True
+
+    assert not idempotent_stream_insert(
+        col, _EmptyBatch(), 0, "recreated-qid-b", applied_cache={},
+        legacy_qtags=(legacy,),
+    )
+    assert "recreated-qid-b" in col.meta.get("stream_hwm", {}), (
+        "epoch 0 must persist the identity anchor in collection meta"
+    )
+    # ...then the process restarts (fresh cache) before any insert:
+    # epoch 1 <= legacy hwm 4 must still be INGESTED, not dropped.
+    assert idempotent_stream_insert(
+        col, _Batch(), 1, "recreated-qid-b", applied_cache={},
+        legacy_qtags=(legacy,),
+    ), "persisted anchor must block legacy adoption across a restart"
+    # And the continuing-upgrade path is unaffected: a tag with real WAL
+    # history never consults legacy even after restarts.
+    assert not idempotent_stream_insert(
+        col, _Batch(), 1, "recreated-qid-b", applied_cache={},
+        legacy_qtags=(legacy,),
+    ), "replayed epoch must still skip under the anchored identity"
 
 
 @settings(max_examples=50, deadline=None)

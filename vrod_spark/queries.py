@@ -127,6 +127,19 @@ def _shared_cached(spark: SparkSession, key: tuple, build: Callable[[], object])
 
 
 _SNAPSHOT_TMP: list[str] = []
+_SNAPSHOT_INCARNATION: list[str] = []
+
+
+def _snapshot_incarnation() -> str:
+    """One random token per process: disambiguates table-mode snapshot
+    paths across sessions sharing VROD_SNAPSHOT_DIR (see build())."""
+    if not _SNAPSHOT_INCARNATION:
+        import uuid
+
+        with _SUBPLAN_LOCK:
+            if not _SNAPSHOT_INCARNATION:
+                _SNAPSHOT_INCARNATION.append(uuid.uuid4().hex[:12])
+    return _SNAPSHOT_INCARNATION[0]
 
 
 def _default_snapshot_dir() -> str:
@@ -174,8 +187,19 @@ def _shared_materialized(spark: SparkSession, key: tuple, builder: Callable[[], 
             import hashlib
 
             base = os.environ.get("VROD_SNAPSHOT_DIR") or _default_snapshot_dir()
+            # Per-incarnation path component (r13 advice): the per-key
+            # build lock is per-PROCESS, but VROD_SNAPSHOT_DIR may be a
+            # shared filesystem — two sessions materializing the same
+            # key concurrently would overwrite one target in place, and
+            # overwrite = delete-then-rewrite, so the other session's
+            # scan could read a torn directory. A unique-per-session
+            # suffix makes every writer sole owner of its path; stale
+            # incarnation dirs are scratch data (the default base is a
+            # process tempdir; a shared base is operator-managed scratch).
             target = os.path.join(
-                base, hashlib.sha256(repr(key).encode()).hexdigest()[:24]
+                base,
+                hashlib.sha256(repr(key).encode()).hexdigest()[:24]
+                + "-" + _snapshot_incarnation(),
             )
             df.write.mode("overwrite").parquet(target)
             return spark.read.parquet(target)

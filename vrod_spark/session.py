@@ -40,9 +40,13 @@ def parse_driver_mem(raw: str | None) -> str:
     import sys
 
     val = (raw or "").strip().lower()
-    m = re.fullmatch(r"([0-9]+)([kmgt])", val)
+    # Optional trailing 'b' (r13 advice): Spark's own JavaUtils
+    # byteStringAsBytes accepts '12gb'/'2048mb' — rejecting them here
+    # silently substituted a 12g default for an operator deliberately
+    # capping the heap. Normalize to the single-letter form.
+    m = re.fullmatch(r"([0-9]+)([kmgt])b?", val)
     if m and int(m.group(1)) * _MEM_UNIT_MIB[m.group(2)] >= _MIN_DRIVER_MIB:
-        return val
+        return m.group(1) + m.group(2)
     if val:
         print(
             f"SPARK_GRAFT_DRIVER_MEM={raw!r} is not a usable JVM memory "

@@ -265,10 +265,14 @@ def idempotent_stream_insert(
     is > 0 — i.e. a CONTINUING checkpoint whose marks live under the
     old scheme (a mid-stream code upgrade). A recreated checkpoint's
     batch ids restart at 0, so it never adopts a stale legacy mark —
-    the r12-advice loss mode stays closed. The hwm is resolved (and
-    cached) BEFORE the empty-batch early-return so an empty epoch 0
-    still anchors a recreated stream's fresh identity — otherwise its
-    first NON-empty epoch (> 0) would wrongly adopt the legacy mark."""
+    the r12-advice loss mode stays closed. The hwm is resolved BEFORE
+    the empty-batch early-return, and a fresh identity's epoch 0 —
+    even an EMPTY one — is anchored PERSISTENTLY (r13 advice): an
+    explicit ``stream_hwm[qtag] = -1`` meta entry, not just the
+    in-process ``applied_cache``, so a process restart between the
+    empty epoch 0 and the first non-empty insert cannot send epoch 1
+    back down the legacy-adoption branch (which would skip every epoch
+    <= the OLD incarnation's hwm — silent loss)."""
     epoch = int(epoch_id)
 
     def _recorded_hwm(tag: str) -> int:
@@ -287,13 +291,29 @@ def idempotent_stream_insert(
         hwm = applied_cache[qtag]
     else:
         hwm = _recorded_hwm(qtag)
-        if hwm < 0 and epoch > 0:
+        # "Anchored" = this identity has ANY durable record: a WAL/meta
+        # hwm >= 0, or the explicit -1 anchor entry written below. Only
+        # an un-anchored identity may consult legacy tags.
+        anchored = hwm >= 0 or qtag in (collection.meta.get("stream_hwm") or {})
+        if hwm < 0 and epoch > 0 and not anchored:
             # No history under the primary identity but the stream is
             # mid-flight: its marks were recorded under a legacy tag —
             # adopt the highest so a replay across the upgrade boundary
             # still skips (a fresh stream always enters at epoch 0 and
             # never reaches this branch).
             hwm = max((_recorded_hwm(t) for t in legacy_qtags), default=-1)
+        elif epoch == 0 and not anchored:
+            # Fresh incarnation: persist the anchor NOW so legacy
+            # adoption is permanently disabled for this identity even
+            # if the process dies before its first non-empty insert.
+            # Read-modify-write of the whole map matches the
+            # TRUNCATEWAL harvest (catalog.py:1349) — streams are
+            # single-writer per checkpoint, and a lost -1 anchor from
+            # two NEW streams racing meta is re-written on the loser's
+            # next cold resolution.
+            hwm_map = dict(collection.meta.get("stream_hwm") or {})
+            hwm_map[qtag] = -1
+            collection.update_meta(stream_hwm=hwm_map)
         if applied_cache is not None:
             applied_cache[qtag] = hwm
     if batch_df.isEmpty():
@@ -386,9 +406,21 @@ def stream_ingest_into_collection(
                     return None
                 stream = fs.open(jpath)
                 try:
-                    text = jvm.org.apache.commons.io.IOUtils.toString(
-                        stream, "UTF-8"
+                    # JDK-only read (r13 advice): commons-io IOUtils is a
+                    # TRANSITIVE Spark dependency, not a guaranteed
+                    # classpath API — a deployment that shades/drops it
+                    # would turn every attempt here into a permanent
+                    # micro-batch failure. BufferedReader over
+                    # InputStreamReader is java.base and cannot be absent.
+                    reader = jvm.java.io.BufferedReader(
+                        jvm.java.io.InputStreamReader(stream, "UTF-8")
                     )
+                    lines = []
+                    line = reader.readLine()
+                    while line is not None:
+                        lines.append(line)
+                        line = reader.readLine()
+                    text = "\n".join(lines)
                 finally:
                     stream.close()
                 return _json.loads(text).get("id")
