@@ -334,6 +334,33 @@ class Collection:
                 out.add(v)
         return out
 
+    def live_index(self, meta: dict | None = None) -> dict | None:
+        """The index dict consumers may TRUST, or None.
+
+        ``meta['index']`` alone is not proof the index is live: REINDEX's
+        commit tail writes the index meta BEFORE the _CURRENT pointer
+        swap (commit_staged_index), so a writer killed between the two
+        leaves index meta pointing at an orphaned (never-committed,
+        possibly-partial) bucketed snapshot while the live snapshot is
+        still the previous flat layout. Trusting it then wedges searches
+        (no ``bucket`` column) and — worse — lets INSERT bucket-assign a
+        delta and merge it into a flat snapshot (silent mixed-layout
+        corruption; r14 kill-test). commit_staged_index therefore stamps
+        the index with the version it committed as, and an index is LIVE
+        only when that stamp is a PROVABLY-committed version. An orphan's
+        number is never committed (later writers skip over its dir), so
+        stale index meta is permanently inert — readers fall back to the
+        exact paths until a REINDEX re-runs or TRUNCATEWAL clears it.
+        Stamp-less index meta (pre-r14 collections) is trusted as live.
+        """
+        idx = (meta if meta is not None else self.meta).get("index")
+        if not idx:
+            return None
+        v = idx.get("version")
+        if v is None:
+            return idx
+        return idx if int(v) in self.committed_versions() else None
+
     def read(self, version: int | None = None, *, spark: SparkSession | None = None) -> DataFrame:
         """Read a committed snapshot — the CURRENT one by default, or a
         historical one (time travel): COW versions are immutable until
@@ -367,7 +394,7 @@ class Collection:
                     .select(*field_names)
                 )
             return s.read.schema(meta["schema"]).parquet(target)
-        if meta.get("index"):
+        if self.live_index(meta):
             return s.read.parquet(target).select(*field_names)
         if meta.get("partition_by"):
             return (
@@ -871,6 +898,13 @@ class Collection:
                 )
             nxt, nxt_dir = self._next_version_dir()
             os.rename(staging, nxt_dir)
+            # Stamp the index with ITS commit's version: the meta write
+            # below lands before the pointer swap in _commit, so a crash
+            # between the two leaves index meta without a committed
+            # snapshot — live_index() treats a stamp that never became a
+            # committed version as no-index (see its docstring).
+            if index is not None:
+                index = {**index, "version": nxt}
             self.update_meta(index=index)
             self._commit(nxt, "REINDEX", op_detail)
             return nxt
@@ -907,7 +941,7 @@ class Collection:
             ]
         df = df.observe(obs, *metrics)
 
-        idx = self.meta.get("index")
+        idx = self.live_index()
         part_key = self.meta.get("partition_by")
         # Plain "pq" is a FLAT layout (codes are a data column, no bucket
         # dirs) — its delta takes the unpartitioned append path. Bucket
@@ -986,7 +1020,7 @@ class Collection:
             with self._commit_lock() as beat:
                 fresh_meta = self.meta
                 if fresh_meta.get("partition_by") != part_key or _index_identity(
-                    fresh_meta.get("index")
+                    self.live_index(fresh_meta)
                 ) != _index_identity(idx):
                     from vrod_spark.errors import CommitConflictError
 
@@ -1354,6 +1388,21 @@ class Collection:
                 hwm[q] = max(int(hwm.get(q, -1)), int(e["stream_epoch"]))
         if hwm:
             self.update_meta(stream_hwm=hwm)
+        # Index liveness across WAL compaction: live_index() proves an
+        # index by its commit-version stamp being in committed_versions(),
+        # and the compaction below collapses those to {0, current}. A LIVE
+        # index (stamp committed per the pre-compaction WAL) is re-stamped
+        # to the surviving checkpoint version — appends since its REINDEX
+        # kept the bucket layout, so the CURRENT snapshot is what it
+        # indexes. A STALE stamp (a killed REINDEX's meta debris; its
+        # orphan dir was just reclaimed above) is cleared — this is the
+        # maintenance op, and we hold the commit lock.
+        idx = self.meta.get("index")
+        if idx is not None and idx.get("version") is not None:
+            if self.live_index() is not None:
+                self.update_meta(index={**idx, "version": current})
+            else:
+                self.update_meta(index=None)
         # The log restarts from a CHECKPOINT line naming the surviving
         # snapshot (r11 review): an empty WAL left the kept version with
         # no commit record, so the first commit AFTER truncation made it

@@ -1148,8 +1148,9 @@ class Engine:
                 limit=int(spec["k"]) if isinstance(spec, dict) and "k" in spec else None,
             )
             return CommandResult("SEARCHSIMILAR", df=result)
-        if meta.get("index"):
-            kind = meta["index"].get("kind")
+        live_idx = col.live_index(meta)
+        if live_idx:
+            kind = live_idx.get("kind")
             if kind == "ivf":
                 from vrod_spark.operators.ivf import ivf_search
 

@@ -204,7 +204,12 @@ def ann_search_bucketed(
     candidate_factor: int = 8,
 ) -> DataFrame:
     """LSH fast path: prune to candidate buckets, exact-score, top-k."""
-    index_meta = collection.meta["index"]
+    index_meta = collection.live_index()
+    if index_meta is None:
+        raise RuntimeError(
+            f"{collection.name}: no live index (missing, or its commit "
+            "never became visible — re-run REINDEX)"
+        )
     buckets = candidate_buckets(index_meta, vector, k, candidate_factor)
     df = collection.db.spark.read.parquet(collection.version_dir())
     df = df.filter(F.col("bucket").isin(buckets))  # → partition pruning

@@ -224,7 +224,12 @@ def ivf_search(
     candidate_factor: int = 8,
 ) -> DataFrame:
     """Probe nearest centroids (partition-pruned scan) then exact-score."""
-    index_meta = collection.meta["index"]
+    index_meta = collection.live_index()
+    if index_meta is None:
+        raise RuntimeError(
+            f"{collection.name}: no live index (missing, or its commit "
+            "never became visible — re-run REINDEX)"
+        )
     buckets = ivf_candidate_buckets(index_meta, vector, k, candidate_factor)
     df = collection.db.spark.read.parquet(collection.version_dir())
     df = df.filter(F.col("bucket").isin(buckets))

@@ -760,7 +760,12 @@ def pq_collection_search(
 
     from vrod_spark.operators.knn import knn_exact
 
-    idx = collection.meta["index"]
+    idx = collection.live_index()
+    if idx is None:
+        raise RuntimeError(
+            f"{collection.name}: no live index (missing, or its commit "
+            "never became visible — re-run REINDEX)"
+        )
     cb = np.asarray(idx["codebooks"], dtype=np.float64)
     rotation = (
         np.asarray(idx["rotation"], dtype=np.float64) if idx.get("rotation") else None
