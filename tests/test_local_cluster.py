@@ -56,6 +56,33 @@ spark.stop()
 print("LOCAL_CLUSTER_OK")
 """
 
+#: Table-mode snapshot leg (r13 verdict item 4): VROD_SNAPSHOT_MODE=table
+#: is the CLUSTER-grade snapshot seam (parquet roundtrip on a shared dir,
+#: survives executor loss — the r13 chaos run's fix for the q54
+#: infra-fail), so it must be exercised in the multi-JVM regime it exists
+#: for, not only under local[N]. q54 is exactly the gate whose
+#: localcheckpoint snapshots died with SIGKILLed executors.
+TABLE_MODE_SCRIPT = r"""
+import sys
+sys.path.insert(0, sys.argv[1])
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder
+    .master("local-cluster[2,4,2048]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.executor.memory", "2g")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+import __spark_entry__ as E
+rows = E.queries()["q54_mixture_sampling"](spark, sys.argv[2]).collect()
+assert len(rows) > 0
+print(f"q54_mixture_sampling[table]: OK ({len(rows)} rows)", flush=True)
+spark.stop()
+print("TABLE_MODE_OK")
+"""
+
 
 @pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
 def test_gates_under_local_cluster(tmp_path):
@@ -71,3 +98,23 @@ def test_gates_under_local_cluster(tmp_path):
         f"stdout tail: {res.stdout[-2000:]}\nstderr tail: {res.stderr[-2000:]}"
     )
     assert "LOCAL_CLUSTER_OK" in res.stdout
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
+def test_table_mode_snapshots_under_local_cluster(tmp_path):
+    env = dict(os.environ)
+    env["VROD_SNAPSHOT_MODE"] = "table"
+    env["VROD_SNAPSHOT_DIR"] = str(tmp_path / "snapshots")
+    res = subprocess.run(
+        [sys.executable, "-c", TABLE_MODE_SCRIPT, REPO, SF],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=str(tmp_path),
+        env=env,
+    )
+    assert res.returncode == 0, (
+        f"table-mode local-cluster leg failed: rc={res.returncode}\n"
+        f"stdout tail: {res.stdout[-2000:]}\nstderr tail: {res.stderr[-2000:]}"
+    )
+    assert "TABLE_MODE_OK" in res.stdout
