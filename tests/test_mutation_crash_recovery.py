@@ -135,6 +135,30 @@ else:
         eng.execute("TRUNCATEWAL", collection="c")
         print("VERIFY", repr((col.meta.get("index"), col.read().count())),
               flush=True)
+    elif phase == "truncate_kill":
+        # Die at the FIRST snapshot-dir reclaim inside TRUNCATEWAL — the
+        # index-meta heal must already be persisted by then (heal before
+        # reclaim: freeing an orphan's version NUMBER while its stale
+        # stamp survives would let a later commit mint that number and
+        # resurrect the stale index as live).
+        import vrod_spark.catalog as C2
+        C2.shutil.rmtree = lambda *a, **k: os._exit(7)
+        eng.execute("TRUNCATEWAL", collection="c")
+        os._exit(8)
+    elif phase == "verify_truncate_kill":
+        col = eng.db.collection("c")
+        idx_meta = col.meta.get("index")
+        n_vdirs = len([e for e in os.listdir(col.path)
+                       if e.startswith("v") and e[1:].isdigit()])
+        n = col.read().count()
+        eng.execute("INSERT", collection="c",
+                    arg=[{"id": 100, "embedding": [1.0, 2.0, 3.0],
+                          "payload": "post"}])
+        eng.execute("TRUNCATEWAL", collection="c")
+        n_vdirs2 = len([e for e in os.listdir(col.path)
+                        if e.startswith("v") and e[1:].isdigit()])
+        print("VERIFY", repr((idx_meta, n_vdirs, n, col.read().count(),
+                              n_vdirs2)), flush=True)
 spark.stop()
 """
 
@@ -214,3 +238,26 @@ def test_truncate_heals_stale_index_meta(tmp_path):
     idx_meta, n = _verify_line(base, "verify_truncate_heals", str(tmp_path))
     assert idx_meta is None, f"stale index meta survived TRUNCATEWAL: {idx_meta}"
     assert n == 12
+
+
+def test_truncate_heals_meta_before_reclaiming_orphans(tmp_path):
+    """Kill TRUNCATEWAL at its first snapshot-dir rmtree, running on
+    window-C debris: the stale-index heal must ALREADY be on disk. The
+    reverse order would free the orphan's version number while the stale
+    stamp survives — a later commit minting that number would make the
+    stamp read as committed (live) over a flat snapshot."""
+    base = _setup(tmp_path)
+    _crash(base, "reindex-C", str(tmp_path))
+    _crash(base, "truncate_kill", str(tmp_path))
+    idx_meta, n_vdirs, n, n2, n_vdirs2 = _verify_line(
+        base, "verify_truncate_kill", str(tmp_path)
+    )
+    assert idx_meta is None, (
+        f"stale index meta not healed before dir reclaim: {idx_meta}"
+    )
+    # v0 (CREATE), v1 (INSERT=current), v2 (orphan) all still on disk —
+    # the kill fired at the first reclaim attempt.
+    assert n_vdirs == 3 and n == 12
+    # post-crash: inserts commit and a re-run TRUNCATEWAL finishes the
+    # reclaim (only the new current survives).
+    assert n2 == 13 and n_vdirs2 == 1

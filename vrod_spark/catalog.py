@@ -359,6 +359,13 @@ class Collection:
         v = idx.get("version")
         if v is None:
             return idx
+        # Fast path: a stamp equal to the CURRENT pointer is committed by
+        # definition (the pointer only ever names committed snapshots) —
+        # skips the O(commits) WAL parse for the common just-reindexed
+        # state; older stamps (appends since) pay one wal.jsonl read,
+        # bounded by TRUNCATEWAL compaction.
+        if int(v) == self.version:
+            return idx
         return idx if int(v) in self.committed_versions() else None
 
     def read(self, version: int | None = None, *, spark: SparkSession | None = None) -> DataFrame:
@@ -1353,6 +1360,27 @@ class Collection:
 
     def _truncate_wal_locked(self, heartbeat=None) -> dict:
         current = self.version
+        # Index liveness across WAL compaction: live_index() proves an
+        # index by its commit-version stamp being in committed_versions(),
+        # and the compaction below collapses those to {0, current}. A LIVE
+        # index (stamp committed per the pre-compaction WAL) is re-stamped
+        # to the surviving checkpoint version — appends since its REINDEX
+        # kept the bucket layout, so the CURRENT snapshot is what it
+        # indexes. A STALE stamp (a killed REINDEX's meta debris) is
+        # cleared — this is the maintenance op, and we hold the commit
+        # lock. Heal BEFORE the orphan-dir rmtree below: a crash between
+        # removing an orphan dir and clearing its stale stamp would free
+        # the orphan's version NUMBER for a later commit to mint, making
+        # the stale stamp read as committed (live) over a flat snapshot.
+        # Meta-first leaves either (stale meta + orphan dir: number still
+        # blocked, stamp still dead) or (clean meta + orphan dir: next
+        # truncate reclaims) — both safe.
+        idx = self.meta.get("index")
+        if idx is not None and idx.get("version") is not None:
+            if self.live_index() is not None:
+                self.update_meta(index={**idx, "version": current})
+            else:
+                self.update_meta(index=None)
         removed = []
         for entry in os.listdir(self.path):
             if entry.startswith("v") and entry[1:].isdigit() and int(entry[1:]) != current:
@@ -1388,21 +1416,6 @@ class Collection:
                 hwm[q] = max(int(hwm.get(q, -1)), int(e["stream_epoch"]))
         if hwm:
             self.update_meta(stream_hwm=hwm)
-        # Index liveness across WAL compaction: live_index() proves an
-        # index by its commit-version stamp being in committed_versions(),
-        # and the compaction below collapses those to {0, current}. A LIVE
-        # index (stamp committed per the pre-compaction WAL) is re-stamped
-        # to the surviving checkpoint version — appends since its REINDEX
-        # kept the bucket layout, so the CURRENT snapshot is what it
-        # indexes. A STALE stamp (a killed REINDEX's meta debris; its
-        # orphan dir was just reclaimed above) is cleared — this is the
-        # maintenance op, and we hold the commit lock.
-        idx = self.meta.get("index")
-        if idx is not None and idx.get("version") is not None:
-            if self.live_index() is not None:
-                self.update_meta(index={**idx, "version": current})
-            else:
-                self.update_meta(index=None)
         # The log restarts from a CHECKPOINT line naming the surviving
         # snapshot (r11 review): an empty WAL left the kept version with
         # no commit record, so the first commit AFTER truncation made it
