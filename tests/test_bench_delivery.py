@@ -85,6 +85,14 @@ def test_heap_headroom_1g_driver():
     assert record["final"] is True
     assert not record.get("degraded")
     assert record["n_queries"] == len(HEAVY_SLICE.split(","))
+    # Self-normalizing record (r13 verdict item 1): the same-window
+    # DuckDB oracle leg and ratio live INSIDE the official record, so a
+    # degraded host window is identifiable from the record alone. q26b
+    # has no oracle twin (declared rows-only), hence n-1.
+    assert record["oracle_sec"] > 0
+    assert record["oracle_n_queries"] == record["n_queries"] - 1
+    assert record["ratio"] == round(record["value"] / record["oracle_sec"], 3)
+    assert record["workers"] == record["n_queries"]
 
 
 def test_evidence_survives_jvm_death():
