@@ -58,3 +58,40 @@ def test_unknown_mode_rejected(spark, monkeypatch):
     monkeypatch.setenv("VROD_SNAPSHOT_MODE", "inmemory")
     with pytest.raises(ValueError, match="VROD_SNAPSHOT_MODE"):
         _shared_materialized(spark, ("mode_probe",), lambda: spark.range(1))
+
+
+def test_table_mode_paths_are_per_session(spark, tmp_path, monkeypatch):
+    """r13 advice: VROD_SNAPSHOT_DIR may be a SHARED filesystem, and the
+    per-key build lock is per-process — two sessions materializing the
+    same key must not overwrite one target in place (overwrite =
+    delete-then-rewrite; a concurrent reader's scan can hit a torn dir).
+    The target path therefore carries a per-process incarnation token:
+    this session's writes land under paths containing it, and a fresh
+    interpreter (simulating the second session) mints a DIFFERENT token
+    — so the two sessions' targets can never collide."""
+    import subprocess
+    import sys
+
+    from vrod_spark.queries import _shared_materialized, _snapshot_incarnation
+
+    snap_dir = tmp_path / "shared_snapshots"
+    monkeypatch.setenv("VROD_SNAPSHOT_MODE", "table")
+    monkeypatch.setenv("VROD_SNAPSHOT_DIR", str(snap_dir))
+    tok = _snapshot_incarnation()
+    got = _shared_materialized(
+        spark, ("incarnation_probe",), lambda: spark.range(3)
+    )
+    assert got.count() == 3
+    dirs = os.listdir(snap_dir)
+    assert dirs and all(d.endswith("-" + tok) for d in dirs), dirs
+    # A second process (same repo, same env) must mint a different token.
+    other = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, sys.argv[1]); "
+         "from vrod_spark.queries import _snapshot_incarnation; "
+         "print(_snapshot_incarnation())",
+         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert other.returncode == 0, other.stderr[-500:]
+    assert other.stdout.strip() and other.stdout.strip() != tok

@@ -306,14 +306,21 @@ def idempotent_stream_insert(
             # Fresh incarnation: persist the anchor NOW so legacy
             # adoption is permanently disabled for this identity even
             # if the process dies before its first non-empty insert.
-            # Read-modify-write of the whole map matches the
-            # TRUNCATEWAL harvest (catalog.py:1349) — streams are
-            # single-writer per checkpoint, and a lost -1 anchor from
-            # two NEW streams racing meta is re-written on the loser's
-            # next cold resolution.
-            hwm_map = dict(collection.meta.get("stream_hwm") or {})
-            hwm_map[qtag] = -1
-            collection.update_meta(stream_hwm=hwm_map)
+            # The read-modify-write of the whole map runs under the
+            # collection's commit lock when available (two NEW streams
+            # into one collection anchoring concurrently must not drop
+            # each other's entry — the unlocked loser would regress to
+            # legacy adoption exactly in the crash window this guards);
+            # stubs/legacy collections without the lock fall back to
+            # the bare write, where the loser re-anchors on its next
+            # cold resolution.
+            import contextlib
+
+            lock = getattr(collection, "_commit_lock", None)
+            with (lock() if callable(lock) else contextlib.nullcontext()):
+                hwm_map = dict(collection.meta.get("stream_hwm") or {})
+                hwm_map[qtag] = -1
+                collection.update_meta(stream_hwm=hwm_map)
         if applied_cache is not None:
             applied_cache[qtag] = hwm
     if batch_df.isEmpty():
