@@ -230,3 +230,49 @@ def test_compact_preserves_index(spark, tmp_path, sf_dir):
     ).df.collect()
     assert [r["id"] for r in hit] == [20_000]
     assert col.read().count() == 503
+    # r14: the indexed compact re-stamps the index to its own commit
+    # (post-pointer-swap, so a crash before the re-stamp leaves the old
+    # committed stamp — live either way), restoring live_index's
+    # stamp==current fast path after maintenance.
+    assert meta["index"]["version"] == col.version
+    assert col.live_index() is not None
+
+
+def test_compact_and_truncate_heal_stale_index_meta(spark, tmp_path):
+    """Window-C debris (a killed REINDEX's index meta whose version
+    stamp never committed — kill-produced end-to-end in
+    test_mutation_crash_recovery; fabricated here for the maintenance
+    surfaces): COMPACT must treat the collection as FLAT (not wedge on a
+    missing bucket column) and clear the stale meta via its rewrite;
+    TRUNCATEWAL re-stamps a LIVE index to the checkpoint version."""
+    eng = Engine.create(spark, str(tmp_path), "healdb")
+    eng.execute("CREATE", collection="c")
+    for i in range(3):
+        eng.execute("INSERT", collection="c",
+                    arg=[{"id": i, "embedding": [float(i), 1.0], "payload": "p"}])
+    col = eng.db.collection("c")
+    # Fabricate the stale stamp: an index dict naming a version that was
+    # never committed (the exact state a kill inside commit_staged_index
+    # between update_meta and _commit leaves).
+    col.update_meta(index={"kind": "sign_lsh", "n_planes": 2,
+                           "planes": [[1.0, 0.0], [0.0, 1.0]],
+                           "histogram": {"0": 3}, "version": col.version + 7})
+    assert col.live_index() is None
+    info = col.compact(target_partitions=1)
+    assert info["rows"] == 3
+    assert col.meta.get("index") is None, "compact must clear stale index meta"
+    assert col.read().count() == 3
+
+    # TRUNCATEWAL re-stamp of a LIVE index: reindex, append (stamp <
+    # current), truncate — the stamp must move to the surviving
+    # checkpoint version and stay live.
+    eng.execute("REINDEX", collection="c", arg={"kind": "sign_lsh", "n_planes": 2})
+    eng.execute("INSERT", collection="c",
+                arg=[{"id": 10, "embedding": [9.0, 9.0], "payload": "d"}])
+    assert col.meta["index"]["version"] < col.version
+    eng.execute("TRUNCATEWAL", collection="c")
+    assert col.meta["index"]["version"] == col.version
+    assert col.live_index() is not None
+    hit = eng.execute("SEARCHSIMILAR", collection="c",
+                      arg={"vector": [9.0, 9.0], "k": 1}).df.collect()
+    assert [r["id"] for r in hit] == [10]

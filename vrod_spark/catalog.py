@@ -572,7 +572,13 @@ class Collection:
             # ~128 MB target files; cheap estimate from current dir size.
             size = sum(os.path.getsize(f) for f in files_before)
             target_partitions = max(1, size // (128 * 1024 * 1024))
-        idx = self.meta.get("index")
+        # live_index, not raw meta (r14): a killed REINDEX's stale index
+        # meta over a FLAT snapshot would otherwise route compaction down
+        # the bucket-repartition branch (AnalysisException: no `bucket`
+        # column — maintenance wedged until manual repair). Live-filtered,
+        # the debris takes the flat _rewrite branch below, which also
+        # CLEARS the stale meta — compaction self-heals it.
+        idx = self.live_index()
         if zorder:
             if idx:
                 raise ValueError(
@@ -639,6 +645,13 @@ class Collection:
                     nxt, nxt_dir = self._next_version_dir()
                     os.rename(staging, nxt_dir)
                     self._commit(nxt, "COMPACT", {"rows": n, "index": "preserved"})
+                    # Re-stamp AFTER the pointer swap (opposite order to
+                    # commit_staged_index, deliberately): a crash before
+                    # this line leaves the OLD stamp, which is still a
+                    # committed version — index stays live, nothing
+                    # degrades. The re-stamp only restores live_index's
+                    # fast path (stamp == current) after compaction.
+                    self.update_meta(index={**idx, "version": nxt})
             except Exception:
                 shutil.rmtree(staging, ignore_errors=True)
                 raise
