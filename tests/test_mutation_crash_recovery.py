@@ -145,6 +145,31 @@ else:
         C2.shutil.rmtree = lambda *a, **k: os._exit(7)
         eng.execute("TRUNCATEWAL", collection="c")
         os._exit(8)
+    elif phase == "export_kill":
+        # Die after the shard write job, before _manifest.json: the
+        # manifest is the export's commit record — a crashed export must
+        # be DETECTABLE (shards without a manifest), never mistaken for
+        # a complete one.
+        # engine._export imports write_export_manifest from the module
+        # at call time, so the module-attribute patch is what it runs.
+        import vrod_spark.sources.export as X
+        X.write_export_manifest = lambda *a, **k: os._exit(7)
+        eng.execute("EXPORT", collection="c",
+                    arg={"path": os.path.join(base, "shards"),
+                         "format": "jsonl"})
+        os._exit(8)
+    elif phase == "verify_export_kill":
+        shards = os.path.join(base, "shards")
+        had_manifest = os.path.exists(os.path.join(shards, "_manifest.json"))
+        # re-export over the debris must complete and commit the manifest
+        import json as _j
+        res = eng.execute("EXPORT", collection="c",
+                          arg={"path": shards, "format": "jsonl",
+                               "mode": "overwrite"})
+        with open(os.path.join(shards, "_manifest.json")) as f:
+            man = _j.load(f)
+        print("VERIFY", repr((had_manifest, res.info.get("rows"),
+                              man["rows"], man["n_files"] > 0)), flush=True)
     elif phase == "verify_truncate_kill":
         col = eng.db.collection("c")
         idx_meta = col.meta.get("index")
@@ -238,6 +263,23 @@ def test_truncate_heals_stale_index_meta(tmp_path):
     idx_meta, n = _verify_line(base, "verify_truncate_heals", str(tmp_path))
     assert idx_meta is None, f"stale index meta survived TRUNCATEWAL: {idx_meta}"
     assert n == 12
+
+
+def test_export_crash_is_detectable_and_rerunnable(tmp_path):
+    """Kill EXPORT between the shard write and the manifest write: the
+    manifest is the export's commit record, so the debris must read as
+    INCOMPLETE (no _manifest.json) and a re-run EXPORT over the same
+    path must complete with a manifest matching the collection."""
+    base = _setup(tmp_path)
+    _crash(base, "export_kill", str(tmp_path))
+    had_manifest, rows, man_rows, has_files = _verify_line(
+        base, "verify_export_kill", str(tmp_path)
+    )
+    assert had_manifest is False, (
+        "crashed export left a manifest — partial shards would read as "
+        "a complete export"
+    )
+    assert rows == 12 and man_rows == 12 and has_files
 
 
 def test_truncate_heals_meta_before_reclaiming_orphans(tmp_path):
