@@ -42,6 +42,13 @@ HEAVY_SLICE = (
 
 def _run_bench(env_overrides: dict[str, str], timeout: int = 540):
     env = dict(os.environ)
+    # The ambient shell may export bench knobs (a prior perf probe, a CI
+    # wrapper); the assertions below pin bench.py's DEFAULTS, so drop any
+    # inherited override before applying this test's own (ADVICE r14:
+    # SPARK_GRAFT_BENCH_WORKERS leaking in broke workers == n_queries).
+    for k in list(env):
+        if k.startswith("SPARK_GRAFT_BENCH"):
+            del env[k]
     env.update(env_overrides)
     return subprocess.run(
         [sys.executable, BENCH],

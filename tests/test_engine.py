@@ -585,6 +585,36 @@ def test_partitioned_collection_layout_and_pruning(engine, spark):
         engine.execute("REINDEX", collection="parts")
 
 
+def test_partitioned_read_raw_survives_stale_index_debris(engine, spark):
+    """ADVICE r14: stale index meta (a killed REINDEX's never-committed
+    version stamp) on a partition_by collection must NOT push read_raw()
+    onto the flat read() path — that projects ``pk`` away and SEARCH's
+    pk-pruned scan then dies on the missing column. read_raw gates on
+    live_index(), so debris keeps the pk-bearing partitioned read and
+    pruned SEARCH degrades to nothing worse than the exact path."""
+    engine.execute("CREATE", collection="pdbg", arg={"partition_by": "region"})
+    rows = [
+        {
+            "id": i,
+            "embedding": [float(i)],
+            "payload": f"p{i}",
+            "meta": {"region": "EU" if i % 2 == 0 else "US"},
+        }
+        for i in range(10)
+    ]
+    engine.execute("INSERT", collection="pdbg", arg=rows)
+    col = engine.db.collection("pdbg")
+    # Inject debris: an index stamped with a version that never committed
+    # (exactly what a REINDEX killed between meta-write and pointer-swap
+    # leaves behind). live_index() must read it as no-index.
+    col.update_meta(index={"kind": "lsh", "planes": 4, "version": 9999})
+    assert col.meta.get("index") is not None
+    assert col.live_index() is None
+    assert "pk" in col.read_raw().columns
+    res = engine.execute("SEARCH", collection="pdbg", arg="meta['region'] = 'EU'")
+    assert [r["id"] for r in res.df.collect()] == [0, 2, 4, 6, 8]
+
+
 def test_failed_ingest_leaves_no_residue(engine, spark):
     """A dimension-violating ingest must abort WITHOUT committing: version
     pointer unchanged, no staging directory left behind, collection still

@@ -27,6 +27,22 @@ from tools.scale_audit import DEFAULT, plan_shape  # noqa: E402
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
+#: The single-partition-window audit covers the shape-audited plans PLUS
+#: every window-bearing gate (r14 verdict item 1: q25's unpartitioned
+#: ntile/percent_rank was the last unbounded single-partition WindowExec;
+#: this list keeps the whole surface regression-proof).
+WINDOW_AUDIT = sorted(
+    set(DEFAULT)
+    | {
+        "q03_top_orders",
+        "q04_window_rank",
+        "q07_knn_per_label",
+        "q15_window_analytics",
+        "q22_distinct_percentiles",
+        "q25_distribution_windows",
+    }
+)
+
 
 @pytest.mark.skipif(
     not all(os.path.isdir(sf) for sf in SFS), reason="driver testdata absent"
@@ -52,6 +68,25 @@ def test_plan_shape_invariant_across_sf(spark, name):
         f"{name}: broadcast count DROPS as SF grows {list(zip(SFS, bcs))} "
         f"— a broadcast silently degraded to a shuffle"
     )
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SFS[1]), reason="driver testdata absent"
+)
+@pytest.mark.parametrize("name", WINDOW_AUDIT)
+def test_no_unbounded_single_partition_window(spark, name):
+    """r14 verdict item 1: no audited plan may contain a WindowExec fed
+    by a SinglePartition exchange over an unbounded subtree — the
+    every-row-through-one-task shape that was q25's 100x cliff. Bounded
+    feeders (a tiny aggregate histogram, a limit) are allowed; the
+    detector's contract lives in plans/inspect.py."""
+    from vrod_spark.plans.inspect import single_partition_window_violations
+    from vrod_spark.queries import RAW_QUERIES
+
+    violations = single_partition_window_violations(
+        RAW_QUERIES[name](spark, SFS[1])
+    )
+    assert not violations, f"{name}: {violations}"
 
 
 def test_shared_snapshots_never_cache_in_heap(spark):

@@ -95,3 +95,43 @@ def test_table_mode_paths_are_per_session(spark, tmp_path, monkeypatch):
     )
     assert other.returncode == 0, other.stderr[-500:]
     assert other.stdout.strip() and other.stdout.strip() != tok
+
+
+def test_table_mode_gc_reclaims_cold_foreign_incarnations(spark, tmp_path, monkeypatch):
+    """ADVICE r14: a shared VROD_SNAPSHOT_DIR must not accumulate one dir
+    set per session forever. The next same-key build reclaims FOREIGN
+    incarnation dirs older than the GC age, and only those: a cold
+    foreign dir under a DIFFERENT key survives (its own next build owns
+    it), a recent foreign dir survives (could be a live session), and
+    this session's own target survives."""
+    import hashlib
+    import time as _time
+
+    from vrod_spark.queries import _shared_materialized, _snapshot_incarnation
+
+    snap_dir = tmp_path / "shared_snapshots"
+    snap_dir.mkdir()
+    monkeypatch.setenv("VROD_SNAPSHOT_MODE", "table")
+    monkeypatch.setenv("VROD_SNAPSHOT_DIR", str(snap_dir))
+
+    key = ("gc_probe",)
+    # The on-disk path hashes the RAW key (the mode prefix only enters
+    # the in-process cache key).
+    key_sha = hashlib.sha256(repr(key).encode()).hexdigest()[:24]
+    old = snap_dir / f"{key_sha}-deadbeefcafe"
+    recent = snap_dir / f"{key_sha}-feedfacecafe"
+    otherkey = snap_dir / f"{'0' * 24}-deadbeefcafe"
+    for d in (old, recent, otherkey):
+        d.mkdir()
+        (d / "part-0.parquet").write_bytes(b"stale")
+    stale_ts = _time.time() - 48 * 3600
+    os.utime(old, (stale_ts, stale_ts))
+    os.utime(otherkey, (stale_ts, stale_ts))
+
+    got = _shared_materialized(spark, key, lambda: spark.range(3))
+    assert got.count() == 3
+    entries = set(os.listdir(snap_dir))
+    assert old.name not in entries, "cold same-key foreign dir not reclaimed"
+    assert recent.name in entries, "recent foreign dir must survive (may be live)"
+    assert otherkey.name in entries, "foreign-KEY dir is not ours to reclaim"
+    assert f"{key_sha}-{_snapshot_incarnation()}" in entries

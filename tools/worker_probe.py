@@ -27,7 +27,15 @@ from vrod_spark.queries import QUERIES, RAW_QUERIES  # noqa: E402
 from vrod_spark.session import get_spark  # noqa: E402
 
 
-def suite_pass(spark, sf_dir: str, names: list[str], workers: int) -> float:
+def suite_pass(
+    spark, sf_dir: str, names: list[str], workers: int, anomalies: list[dict]
+) -> float:
+    """One timed concurrent pass. A query that fails is retried once and
+    RECORDED (ADVICE r14: a silent in-pass retry inflates that worker
+    count's wall with no signal — the distortion the probe exists to
+    measure); a second failure is recorded too, never allowed to escape
+    pool.map and abort the whole run mid-pass."""
+
     def run_one(idx_name) -> None:
         idx, name = idx_name
         spark.sparkContext.setLocalProperty(
@@ -35,8 +43,21 @@ def suite_pass(spark, sf_dir: str, names: list[str], workers: int) -> float:
         )
         try:
             RAW_QUERIES[name](spark, sf_dir).collect()
-        except Exception:
-            RAW_QUERIES[name](spark, sf_dir).collect()
+        except Exception as first:
+            print(f"retrying {name} (workers={workers}): {first!r}",
+                  file=sys.stderr, flush=True)
+            try:
+                RAW_QUERIES[name](spark, sf_dir).collect()
+            except Exception as second:
+                anomalies.append(
+                    {"query": name, "workers": workers, "outcome": "failed",
+                     "error": repr(second)[:300]}
+                )
+                return
+            anomalies.append(
+                {"query": name, "workers": workers, "outcome": "retried",
+                 "error": repr(first)[:300]}
+            )
 
     start = time.perf_counter()
     with ThreadPoolExecutor(max_workers=workers) as pool:
@@ -63,12 +84,13 @@ def main() -> None:
     _warmup(spark, sf_dir)
     # One throwaway pass so every measured pass sees the same cache state
     # (bench.py's repeat 2 benefits from repeat 1 the same way).
-    suite_pass(spark, sf_dir, names, counts[0])
+    anomalies: list[dict] = []
+    suite_pass(spark, sf_dir, names, counts[0], anomalies)
 
     walls: dict[str, list[float]] = {str(c): [] for c in counts}
     for _ in range(passes):
         for c in counts:
-            walls[str(c)].append(suite_pass(spark, sf_dir, names, c))
+            walls[str(c)].append(suite_pass(spark, sf_dir, names, c, anomalies))
             print(json.dumps({"partial": walls}), file=sys.stderr, flush=True)
     spark.stop()
     print(json.dumps({
@@ -76,6 +98,10 @@ def main() -> None:
         "best": {c: min(v) for c, v in walls.items()},
         "loadavg": os.getloadavg(),
         "n_queries": len(names),
+        # Non-empty means some walls above are distorted (a retried query
+        # ran ~2x inside its timed pass) or incomplete (a failed query
+        # contributed nothing) — identify and rerun those passes.
+        "anomalies": anomalies,
     }), flush=True)
 
 

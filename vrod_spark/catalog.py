@@ -487,9 +487,15 @@ class Collection:
         """CURRENT snapshot INCLUDING the physical ``pk`` partition column
         (meta-key-partitioned collections) — the handle SEARCH uses to get
         partition pruning. Explicit schema so an empty partitioned snapshot
-        (v0 is only a _SUCCESS marker) still reads cleanly."""
+        (v0 is only a _SUCCESS marker) still reads cleanly.
+
+        Gates on live_index(), not raw ``meta['index']`` (ADVICE r14):
+        stale index debris from a killed REINDEX must not push a
+        partition_by collection onto read()'s flat path — that projects
+        ``pk`` away and SEARCH's pk-pruned scan then fails on the missing
+        column instead of degrading to the exact partitioned read."""
         meta = self.meta
-        if meta.get("partition_by") and not meta.get("index"):
+        if meta.get("partition_by") and not self.live_index(meta):
             return (
                 self.db.spark.read.schema(meta["schema"] + ", pk string")
                 .parquet(self.version_dir())

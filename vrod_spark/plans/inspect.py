@@ -19,3 +19,104 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
 def plan_has(df: DataFrame, *needles: str, mode: str = "formatted") -> bool:
     plan = explain_str(df, mode)
     return all(needle in plan for needle in needles)
+
+
+def _parse_formatted_tree(plan: str):
+    """Parse a FORMATTED explain into (nodes, details).
+
+    ``nodes``: {id: (name, depth, [child_ids])} from the header tree;
+    ``details``: {id: detail-block text} from the numbered section."""
+    lines = plan.splitlines()
+    # Header tree runs until the first blank line after the plan line.
+    import re
+
+    node_re = re.compile(r"^([:\s]*)(?:[+*]-\s*)?(.+?)\s\((\d+)\)\s*$")
+    nodes: dict[int, tuple[str, int, list[int]]] = {}
+    stack: list[tuple[int, int]] = []  # (depth, id)
+    in_tree = False
+    tree_done = False
+    details: dict[int, list[str]] = {}
+    cur_detail: int | None = None
+    for ln in lines:
+        if not tree_done:
+            m = node_re.match(ln)
+            if m and ("+-" in ln or ":-" in ln or not in_tree):
+                in_tree = True
+                prefix, name, nid = m.group(1), m.group(2).strip(), int(m.group(3))
+                depth = len(prefix) // 3 + (1 if ("+-" in ln or ":-" in ln) else 0)
+                nodes[nid] = (name, depth, [])
+                while stack and stack[-1][0] >= depth:
+                    stack.pop()
+                if stack:
+                    nodes[stack[-1][1]][2].append(nid)
+                stack.append((depth, nid))
+                continue
+            if in_tree and not ln.strip():
+                tree_done = True
+                continue
+        m = re.match(r"^\((\d+)\)\s", ln)
+        if m:
+            cur_detail = int(m.group(1))
+            details[cur_detail] = [ln]
+        elif cur_detail is not None:
+            details[cur_detail].append(ln)
+    return nodes, {k: "\n".join(v) for k, v in details.items()}
+
+
+#: Subtree markers that bound a single-partition window's input: an
+#: aggregation collapses cardinality to its group count, a limit is a
+#: limit. (A groupBy on a high-cardinality key would still slip through —
+#: the audit is a tripwire for the common regression, not a proof.)
+_BOUNDED_MARKERS = ("Aggregate", "TakeOrderedAndProject", "Limit")
+
+
+def single_partition_window_violations(df: DataFrame) -> list[str]:
+    """WindowExec nodes whose input is a SinglePartition exchange over an
+    UNBOUNDED subtree (no aggregate/limit below the exchange) — the
+    every-row-through-one-task shape that is correct at test SF and a
+    cliff at 100x (r14 verdict item 1). Returns human-readable
+    descriptions; empty list = scale-safe."""
+    plan = explain_str(df, "formatted")
+    nodes, details = _parse_formatted_tree(plan)
+
+    def subtree_ids(nid: int):
+        yield nid
+        for c in nodes[nid][2]:
+            yield from subtree_ids(c)
+
+    out: list[str] = []
+    for nid, (name, _d, _c) in nodes.items():
+        if not name.startswith("Window"):
+            continue
+        # Walk the single-child chain through partition-preserving nodes
+        # (Sort/Project/Filter/other Windows) to the partition origin.
+        cur = nid
+        while True:
+            kids = nodes[cur][2]
+            if len(kids) != 1:
+                cur = None
+                break
+            child = kids[0]
+            cname = nodes[child][0]
+            if cname.startswith(("Exchange", "ShuffleQueryStage", "ReusedExchange", "Coalesce")):
+                cur = child
+                break
+            cur = child
+            if not nodes[cur][2]:
+                cur = None
+                break
+        if cur is None:
+            continue
+        if "SinglePartition" not in details.get(cur, ""):
+            continue
+        below = list(subtree_ids(cur))
+        if any(
+            any(marker in nodes[b][0] for marker in _BOUNDED_MARKERS)
+            for b in below
+        ):
+            continue
+        out.append(
+            f"Window ({nid}) reads a SinglePartition exchange ({cur}) over an "
+            f"unbounded subtree — every row funnels through one task"
+        )
+    return out

@@ -19,6 +19,7 @@ from __future__ import annotations
 import functools
 import os
 import threading
+import time
 from collections.abc import Callable
 from weakref import WeakKeyDictionary
 
@@ -129,6 +130,13 @@ def _shared_cached(spark: SparkSession, key: tuple, build: Callable[[], object])
 _SNAPSHOT_TMP: list[str] = []
 _SNAPSHOT_INCARNATION: list[str] = []
 
+#: Foreign-incarnation snapshot dirs older than this are reclaimed by the
+#: next same-key table-mode build (best-effort GC; see _shared_materialized).
+#: 24h is far past any in-flight query, so a LIVE session's dirs (which it
+#: wrote at session start) are only at risk if the session itself runs
+#: this long — such an operator should set VROD_SNAPSHOT_GC_AGE_SEC higher.
+_SNAPSHOT_GC_AGE_SEC = float(os.environ.get("VROD_SNAPSHOT_GC_AGE_SEC", 24 * 3600))
+
 
 def _snapshot_incarnation() -> str:
     """One random token per process: disambiguates table-mode snapshot
@@ -196,11 +204,32 @@ def _shared_materialized(spark: SparkSession, key: tuple, builder: Callable[[], 
             # suffix makes every writer sole owner of its path; stale
             # incarnation dirs are scratch data (the default base is a
             # process tempdir; a shared base is operator-managed scratch).
+            key_sha = hashlib.sha256(repr(key).encode()).hexdigest()[:24]
             target = os.path.join(
-                base,
-                hashlib.sha256(repr(key).encode()).hexdigest()[:24]
-                + "-" + _snapshot_incarnation(),
+                base, key_sha + "-" + _snapshot_incarnation()
             )
+            # Best-effort GC (ADVICE r14: without it a shared
+            # VROD_SNAPSHOT_DIR accumulates one dir set per session
+            # forever): reclaim same-key dirs left by FOREIGN
+            # incarnations that have gone cold — an age gate well past
+            # any in-flight query keeps live sessions' dirs safe, and
+            # errors (a racing reclaim, permissions) are ignored: the
+            # worst case is yesterday's behavior, an unreclaimed dir.
+            try:
+                cutoff = time.time() - _SNAPSHOT_GC_AGE_SEC
+                for entry in os.listdir(base):
+                    if not entry.startswith(key_sha + "-") or entry == os.path.basename(target):
+                        continue
+                    stale = os.path.join(base, entry)
+                    try:
+                        if os.path.getmtime(stale) < cutoff:
+                            import shutil
+
+                            shutil.rmtree(stale, ignore_errors=True)
+                    except OSError:
+                        pass
+            except OSError:
+                pass
             df.write.mode("overwrite").parquet(target)
             return spark.read.parquet(target)
         from pyspark.storagelevel import StorageLevel
@@ -1452,14 +1481,75 @@ def q24_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q25_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/percent_rank/cume_dist WITHOUT an unpartitioned window
+    (r14 verdict item 1 — ``Window.orderBy(...)`` with no partitionBy
+    plans a single-partition WindowExec that funnels the whole table
+    through one task: the repo's last 100x scale-killer). Total-order
+    semantics via two-pass rank arithmetic instead:
+
+    1. range-partition on the sort key; per-PARTITION row_number (a
+       partitioned window — scale-safe);
+    2. a tiny per-partition histogram (#partitions rows, bounded by
+       cluster layout, not data) yields cumulative offsets + total n;
+       broadcast it back: global rn = offset + local rn;
+    3. rank arithmetic: percent_rank = (min rn over ties − 1)/(n − 1),
+       cume_dist = (max rn over ties)/n — both value-PARTITIONED
+       windows; ntile(k) = floor arithmetic on rn (first n%k tiles get
+       one extra row, Spark/ISO semantics).
+
+    The explicit partition count pins the range exchange against AQE
+    re-coalescing, so the offsets branch and the row branch see
+    identical pid assignment (Catalyst additionally reuses the
+    exchange)."""
     cust = _t(spark, sf_dir, "customer")
-    w_total = Window.orderBy("c_acctbal", "c_custkey")
-    w_bal = Window.orderBy("c_acctbal")
-    return cust.select(
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ranged = cust.repartitionByRange(
+        n_parts, "c_acctbal", "c_custkey"
+    ).withColumn("_pid", F.spark_partition_id())
+    local = ranged.withColumn(
+        "_lrn",
+        F.row_number().over(
+            Window.partitionBy("_pid").orderBy("c_acctbal", "c_custkey")
+        ),
+    )
+    # Tiny frame: one row per range partition. The unpartitioned window
+    # over it is bounded-input by construction (#partitions rows).
+    w_pid = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_cnt").over(w_pid), F.lit(0)).alias("_off"),
+            F.sum("_cnt").over(
+                Window.partitionBy(F.lit(1)).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("_n"),
+        )
+    )
+    rn = (F.col("_off") + F.col("_lrn")).alias("_rn")
+    numbered = local.join(F.broadcast(offsets), "_pid").select(
+        "c_custkey", "c_acctbal", "_n", rn
+    )
+    w_val = Window.partitionBy("c_acctbal")
+    min_rn = F.min("_rn").over(w_val)
+    max_rn = F.max("_rn").over(w_val)
+    n = F.col("_n")
+    # ntile(4): base = n div 4, the first n%4 tiles take base+1 rows.
+    base, rem = (n / 4).cast("long"), n % 4
+    head = rem * (base + 1)
+    quartile = (
+        F.when(F.col("_rn") <= head, ((F.col("_rn") - 1) / (base + 1)).cast("long") + 1)
+        .otherwise(rem + ((F.col("_rn") - head - 1) / F.greatest(base, F.lit(1))).cast("long") + 1)
+    )
+    return numbered.select(
         "c_custkey",
-        F.ntile(4).over(w_total).alias("quartile"),
-        F.round(F.percent_rank().over(w_bal), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w_bal), 6).alias("cdist"),
+        quartile.cast("int").alias("quartile"),
+        F.round(
+            F.when(n > 1, (min_rn - 1) / (n - 1)).otherwise(F.lit(0.0)), 6
+        ).alias("pct_rank"),
+        F.round(max_rn / n, 6).alias("cdist"),
     ).orderBy("c_custkey")
 
 
