@@ -256,14 +256,28 @@ def register_vector_datasource(spark: SparkSession) -> None:
             # visible (same contract as Spark's own _temporary-dir file
             # sinks without a manifest). A crash inside that window is
             # repaired by the replay, which re-runs this same commit.
+            # Crash-window test seam (tests/test_vectors_sink_crash.py):
+            # the commit body runs inside Spark's Python sink-runner
+            # process, out of reach of in-test monkeypatching, so the
+            # kill-test injects through the environment. N = die before
+            # the (N+1)-th rename (mid-commit torn window); N == #files =
+            # die after the last rename, before the checkpoint learns the
+            # batch committed (the replay window). Unset in production.
+            kill_after = int(
+                os.environ.get("VROD_VECTORS_SINK_KILL_AFTER_RENAMES", "-1")
+            )
             for stale in glob.glob(
                 os.path.join(self.path, f"batch-{batchId:010d}-*.txt")
             ):
                 os.remove(stale)
             kept = [m for m in messages if m is not None and m.rows > 0]
             for i, m in enumerate(sorted(kept, key=lambda m: m.partition_id)):
+                if i == kill_after:
+                    os._exit(7)
                 final = os.path.join(self.path, f"batch-{batchId:010d}-{i:05d}.txt")
                 os.replace(m.tmp_path, final)
+            if kill_after == len(kept):
+                os._exit(7)
             for m in messages:
                 if m is not None and m.rows == 0 and os.path.exists(m.tmp_path):
                     os.remove(m.tmp_path)
