@@ -26,6 +26,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BENCH = os.path.join(REPO, "bench.py")
 
@@ -66,7 +68,40 @@ def _last_json_line(stdout: str) -> dict:
     return json.loads(lines[-1])
 
 
-def test_heap_headroom_1g_driver():
+@pytest.fixture(scope="module")
+def bench_runs():
+    """Both bench subprocesses run CONCURRENTLY: each owns a fresh JVM
+    with its own heap, and every assertion below is correctness-shaped
+    (exit codes, record fields), not timing-shaped, so CPU overlap is
+    safe and halves the module's mostly-idle pytest wall."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        heap = pool.submit(
+            _run_bench,
+            {
+                "SPARK_GRAFT_DRIVER_MEM": "1g",
+                "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.1",
+                "SPARK_GRAFT_BENCH_ONLY": HEAVY_SLICE,
+                "SPARK_GRAFT_BENCH_REPEATS": "1",
+            },
+        )
+        kill = pool.submit(
+            _run_bench,
+            {
+                "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.01",
+                "SPARK_GRAFT_BENCH_ONLY": (
+                    "q01_pricing_summary,q03_top_orders,q10_semi_anti,"
+                    "q11_date_buckets,q12_events_hourly,q16_set_ops"
+                ),
+                "SPARK_GRAFT_BENCH_REPEATS": "1",
+                "SPARK_GRAFT_BENCH_KILL_AFTER": "3",
+            },
+        )
+        return {"heap": heap.result(), "kill": kill.result()}
+
+
+def test_heap_headroom_1g_driver(bench_runs):
     """The concurrent heavy slice at the driver's SF completes on a
     1 GiB driver heap — the exact configuration BENCH_r12 died under.
     This is the proof that the explicit-driver-memory default in
@@ -75,14 +110,7 @@ def test_heap_headroom_1g_driver():
     Spark default heap. If this test starts failing after adding a new
     eagerly-materialized shared asset, that asset is parking blocks in
     the execution heap — fix the asset, don't raise this limit."""
-    res = _run_bench(
-        {
-            "SPARK_GRAFT_DRIVER_MEM": "1g",
-            "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.1",
-            "SPARK_GRAFT_BENCH_ONLY": HEAVY_SLICE,
-            "SPARK_GRAFT_BENCH_REPEATS": "1",
-        }
-    )
+    res = bench_runs["heap"]
     assert res.returncode == 0, (
         f"bench died on a 1g heap: rc={res.returncode}\n"
         f"stdout tail: {res.stdout[-2000:]}\nstderr tail: {res.stderr[-2000:]}"
@@ -102,24 +130,14 @@ def test_heap_headroom_1g_driver():
     assert record["workers"] == record["n_queries"]
 
 
-def test_evidence_survives_jvm_death():
+def test_evidence_survives_jvm_death(bench_runs):
     """Killing the JVM mid-pass (Runtime.halt — no shutdown hooks, the
     OOM-kill shape) must leave a parseable, degraded-flagged headline
     record as the LAST stdout line and exit nonzero. r2, r3 and r12 each
     lost their official number to exactly this; the driver's parser
     takes the last complete JSON line, so this record IS the round's
     evidence floor."""
-    res = _run_bench(
-        {
-            "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.01",
-            "SPARK_GRAFT_BENCH_ONLY": (
-                "q01_pricing_summary,q03_top_orders,q10_semi_anti,"
-                "q11_date_buckets,q12_events_hourly,q16_set_ops"
-            ),
-            "SPARK_GRAFT_BENCH_REPEATS": "1",
-            "SPARK_GRAFT_BENCH_KILL_AFTER": "3",
-        }
-    )
+    res = bench_runs["kill"]
     assert res.returncode != 0, "JVM halt should surface as a nonzero exit"
     record = _last_json_line(res.stdout)
     assert record["metric"] == "headline_suite_wall_clock"

@@ -81,8 +81,7 @@ def _run(base: str, phase: str, cwd: str):
     )
 
 
-@pytest.mark.parametrize("window", ["crashA", "crashB"])
-def test_insert_crash_leaves_committed_snapshot(tmp_path, window):
+def _chain(tmp_path, window: str):
     base = str(tmp_path / "wh")
     setup = _run(base, "setup", str(tmp_path))
     assert setup.returncode == 0, setup.stderr[-1500:]
@@ -97,7 +96,32 @@ def test_insert_crash_leaves_committed_snapshot(tmp_path, window):
     verify = _run(base, "verify", str(tmp_path))
     assert verify.returncode == 0, verify.stderr[-1500:]
     line = [ln for ln in verify.stdout.splitlines() if ln.startswith("VERIFY")][0]
-    rows, ops, rows2 = eval(line.removeprefix("VERIFY "), {"__builtins__": {}}, {})  # noqa: S307 — our own repr
+    return eval(line.removeprefix("VERIFY "), {"__builtins__": {}}, {})  # noqa: S307 — our own repr
+
+
+@pytest.fixture(scope="module")
+def crash_results(tmp_path_factory):
+    """Both windows' subprocess chains run CONCURRENTLY (isolated tmp
+    dirs); serially this module was ~110 s of mostly-idle pytest wall."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(window: str):
+        try:
+            return ("ok", _chain(tmp_path_factory.mktemp(window), window))
+        except BaseException as e:
+            return ("err", e)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = {w: pool.submit(one, w) for w in ("crashA", "crashB")}
+        return {w: f.result() for w, f in futs.items()}
+
+
+@pytest.mark.parametrize("window", ["crashA", "crashB"])
+def test_insert_crash_leaves_committed_snapshot(crash_results, window):
+    status, value = crash_results[window]
+    if status == "err":
+        raise value
+    rows, ops, rows2 = value
     assert rows == [1, 2], f"{window}: doomed insert leaked rows: {rows}"
     assert "INSERT" in ops and len([o for o in ops if o == "INSERT"]) == 1, (
         f"{window}: phantom commit in history: {ops}"

@@ -84,15 +84,35 @@ print("TABLE_MODE_OK")
 """
 
 
+@pytest.fixture(scope="module")
+def cluster_runs(tmp_path_factory):
+    """Both multi-JVM legs run CONCURRENTLY (each spawns its own
+    local-cluster master + 2 executor JVMs in an isolated cwd)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run(script: str, env: dict | None):
+        tmp = tmp_path_factory.mktemp("lc")
+        if env is not None:
+            env = {**os.environ, **env,
+                   "VROD_SNAPSHOT_DIR": str(tmp / "snapshots")}
+        return subprocess.run(
+            [sys.executable, "-c", script, REPO, SF],
+            capture_output=True,
+            text=True,
+            timeout=900,
+            cwd=str(tmp),  # NOT the repo: workers must not see it either
+            env=env,
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        gates = pool.submit(run, SCRIPT, None)
+        table = pool.submit(run, TABLE_MODE_SCRIPT, {"VROD_SNAPSHOT_MODE": "table"})
+        return {"gates": gates.result(), "table": table.result()}
+
+
 @pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
-def test_gates_under_local_cluster(tmp_path):
-    res = subprocess.run(
-        [sys.executable, "-c", SCRIPT, REPO, SF],
-        capture_output=True,
-        text=True,
-        timeout=900,
-        cwd=str(tmp_path),  # NOT the repo: workers must not see it either
-    )
+def test_gates_under_local_cluster(cluster_runs):
+    res = cluster_runs["gates"]
     assert res.returncode == 0, (
         f"local-cluster slice failed: rc={res.returncode}\n"
         f"stdout tail: {res.stdout[-2000:]}\nstderr tail: {res.stderr[-2000:]}"
@@ -101,18 +121,8 @@ def test_gates_under_local_cluster(tmp_path):
 
 
 @pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
-def test_table_mode_snapshots_under_local_cluster(tmp_path):
-    env = dict(os.environ)
-    env["VROD_SNAPSHOT_MODE"] = "table"
-    env["VROD_SNAPSHOT_DIR"] = str(tmp_path / "snapshots")
-    res = subprocess.run(
-        [sys.executable, "-c", TABLE_MODE_SCRIPT, REPO, SF],
-        capture_output=True,
-        text=True,
-        timeout=900,
-        cwd=str(tmp_path),
-        env=env,
-    )
+def test_table_mode_snapshots_under_local_cluster(cluster_runs):
+    res = cluster_runs["table"]
     assert res.returncode == 0, (
         f"table-mode local-cluster leg failed: rc={res.returncode}\n"
         f"stdout tail: {res.stdout[-2000:]}\nstderr tail: {res.stderr[-2000:]}"

@@ -218,13 +218,61 @@ def _verify_line(base: str, phase: str, cwd: str):
     return eval(line.removeprefix("VERIFY "), {"__builtins__": {}}, {})  # noqa: S307 — our own repr
 
 
-@pytest.mark.parametrize("phase", ["update-A", "update-B", "delete-A", "delete-B"])
-def test_rewrite_crash_leaves_committed_snapshot(tmp_path, phase):
+def _chain(tmp_path, crash_phases: list[str], verify_phase: str):
+    """One full scenario: fresh warehouse → kill(s) → verify, in its own
+    tmp dir. Safe to run concurrently with other scenarios — every
+    subprocess chain is fully isolated on disk."""
     base = _setup(tmp_path)
-    _crash(base, phase, str(tmp_path))
-    rows, ops, n_up, n_del, n2, first, last = _verify_line(
-        base, "verify_rewrite", str(tmp_path)
-    )
+    for phase in crash_phases:
+        _crash(base, phase, str(tmp_path))
+    return _verify_line(base, verify_phase, str(tmp_path))
+
+
+#: scenario -> (kill phases, verify phase). Each is a 3-4 subprocess
+#: chain dominated by JVM boots; serially this module cost ~9.5 min of
+#: mostly-idle pytest wall (r14 PERF), so the module fixture below runs
+#: all chains CONCURRENTLY and the tests only assert.
+SCENARIOS: dict[str, tuple[list[str], str]] = {
+    "update-A": (["update-A"], "verify_rewrite"),
+    "update-B": (["update-B"], "verify_rewrite"),
+    "delete-A": (["delete-A"], "verify_rewrite"),
+    "delete-B": (["delete-B"], "verify_rewrite"),
+    "reindex-A": (["reindex-A"], "verify_reindex"),
+    "reindex-B": (["reindex-B"], "verify_reindex"),
+    "reindex-C": (["reindex-C"], "verify_reindex"),
+    "truncate_heals": (["reindex-C"], "verify_truncate_heals"),
+    "export": (["export_kill"], "verify_export_kill"),
+    "truncate_kill": (["reindex-C", "truncate_kill"], "verify_truncate_kill"),
+}
+
+
+@pytest.fixture(scope="module")
+def crash_results(tmp_path_factory):
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(name: str):
+        phases, verify = SCENARIOS[name]
+        tmp = tmp_path_factory.mktemp(f"mcr_{name.replace('-', '_')}")
+        try:
+            return ("ok", _chain(tmp, phases, verify))
+        except BaseException as e:  # re-raised in the owning test
+            return ("err", e)
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        futs = {name: pool.submit(one, name) for name in SCENARIOS}
+        return {name: f.result() for name, f in futs.items()}
+
+
+def _result(crash_results, name: str):
+    status, value = crash_results[name]
+    if status == "err":
+        raise value
+    return value
+
+
+@pytest.mark.parametrize("phase", ["update-A", "update-B", "delete-A", "delete-B"])
+def test_rewrite_crash_leaves_committed_snapshot(crash_results, phase):
+    rows, ops, n_up, n_del, n2, first, last = _result(crash_results, phase)
     assert rows == [(i, f"p{i}") for i in range(12)], (
         f"{phase}: doomed rewrite leaked: {rows[:4]}..."
     )
@@ -236,11 +284,9 @@ def test_rewrite_crash_leaves_committed_snapshot(tmp_path, phase):
 
 
 @pytest.mark.parametrize("window", ["A", "B", "C"])
-def test_reindex_crash_degrades_then_repairs(tmp_path, window):
-    base = _setup(tmp_path)
-    _crash(base, f"reindex-{window}", str(tmp_path))
+def test_reindex_crash_degrades_then_repairs(crash_results, window):
     (rows, ops, live_none, stale_meta, ids_crash, ids_ins, n_ins,
-     live2, ids_re) = _verify_line(base, "verify_reindex", str(tmp_path))
+     live2, ids_re) = _result(crash_results, f"reindex-{window}")
     assert rows == list(range(12)), f"{window}: rows corrupted: {rows}"
     assert ops.count("INSERT") == 1 and "REINDEX" not in ops, (
         f"{window}: phantom commit: {ops}"
@@ -255,26 +301,20 @@ def test_reindex_crash_degrades_then_repairs(tmp_path, window):
     assert ids_re == [4, 5, 99], f"{window}: indexed search broken: {ids_re}"
 
 
-def test_truncate_heals_stale_index_meta(tmp_path):
+def test_truncate_heals_stale_index_meta(crash_results):
     """TRUNCATEWAL under window-C debris must clear the stale index meta
     (and reclaim the orphan), not re-stamp it live."""
-    base = _setup(tmp_path)
-    _crash(base, "reindex-C", str(tmp_path))
-    idx_meta, n = _verify_line(base, "verify_truncate_heals", str(tmp_path))
+    idx_meta, n = _result(crash_results, "truncate_heals")
     assert idx_meta is None, f"stale index meta survived TRUNCATEWAL: {idx_meta}"
     assert n == 12
 
 
-def test_export_crash_is_detectable_and_rerunnable(tmp_path):
+def test_export_crash_is_detectable_and_rerunnable(crash_results):
     """Kill EXPORT between the shard write and the manifest write: the
     manifest is the export's commit record, so the debris must read as
     INCOMPLETE (no _manifest.json) and a re-run EXPORT over the same
     path must complete with a manifest matching the collection."""
-    base = _setup(tmp_path)
-    _crash(base, "export_kill", str(tmp_path))
-    had_manifest, rows, man_rows, has_files = _verify_line(
-        base, "verify_export_kill", str(tmp_path)
-    )
+    had_manifest, rows, man_rows, has_files = _result(crash_results, "export")
     assert had_manifest is False, (
         "crashed export left a manifest — partial shards would read as "
         "a complete export"
@@ -282,18 +322,13 @@ def test_export_crash_is_detectable_and_rerunnable(tmp_path):
     assert rows == 12 and man_rows == 12 and has_files
 
 
-def test_truncate_heals_meta_before_reclaiming_orphans(tmp_path):
+def test_truncate_heals_meta_before_reclaiming_orphans(crash_results):
     """Kill TRUNCATEWAL at its first snapshot-dir rmtree, running on
     window-C debris: the stale-index heal must ALREADY be on disk. The
     reverse order would free the orphan's version number while the stale
     stamp survives — a later commit minting that number would make the
     stamp read as committed (live) over a flat snapshot."""
-    base = _setup(tmp_path)
-    _crash(base, "reindex-C", str(tmp_path))
-    _crash(base, "truncate_kill", str(tmp_path))
-    idx_meta, n_vdirs, n, n2, n_vdirs2 = _verify_line(
-        base, "verify_truncate_kill", str(tmp_path)
-    )
+    idx_meta, n_vdirs, n, n2, n_vdirs2 = _result(crash_results, "truncate_kill")
     assert idx_meta is None, (
         f"stale index meta not healed before dir reclaim: {idx_meta}"
     )

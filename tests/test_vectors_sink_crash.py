@@ -116,8 +116,7 @@ spark.stop()
     ]
 
 
-@pytest.mark.parametrize("window", ["0", "1", "all"])
-def test_sink_commit_kill_windows_repair_to_exactly_once(tmp_path, window):
+def _window_chain(tmp_path, window: str):
     base = str(tmp_path / "wh")
     os.makedirs(base)
     _source_lines(os.path.join(base, "src"))
@@ -161,3 +160,29 @@ def test_sink_commit_kill_windows_repair_to_exactly_once(tmp_path, window):
     # ids are the reader's (file_index << 40 | line) mint — uniqueness
     # proves no duplicated shard survived beside the repaired one.
     assert len({i for _, i in rows}) == 30
+
+
+@pytest.fixture(scope="module")
+def window_results(tmp_path_factory):
+    """All three windows' crash→resume→cold-read chains run CONCURRENTLY
+    (isolated tmp dirs; ~3 JVM boots each — serially this module was
+    ~2.7 min of mostly-idle pytest wall)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(window: str):
+        try:
+            _window_chain(tmp_path_factory.mktemp(f"w{window}"), window)
+            return ("ok", None)
+        except BaseException as e:
+            return ("err", e)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = {w: pool.submit(one, w) for w in ("0", "1", "all")}
+        return {w: f.result() for w, f in futs.items()}
+
+
+@pytest.mark.parametrize("window", ["0", "1", "all"])
+def test_sink_commit_kill_windows_repair_to_exactly_once(window_results, window):
+    status, err = window_results[window]
+    if status == "err":
+        raise err
