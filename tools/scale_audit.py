@@ -42,6 +42,7 @@ DEFAULT = [
     "q04_window_rank",
     "q08b_dedup_keep_first",
     "q22_distinct_percentiles",
+    "q25_distribution_windows",
     "q26_jaccard_top_pairs",
     "q28_embedding_near_dup",
     "q29_lang_quality",
