@@ -1487,8 +1487,12 @@ def q25_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     through one task: the repo's last 100x scale-killer). Total-order
     semantics via two-pass rank arithmetic instead:
 
-    1. range-partition on the sort key; per-PARTITION row_number (a
-       partitioned window — scale-safe);
+    1. range-partition on the sort key and sort WITHIN partitions (one
+       exchange, one local sort); per-partition ordinals come from
+       ``monotonically_increasing_id`` — pid·2³³ + local index by
+       contract — so no per-pid window (a window partitioned on
+       spark_partition_id() would re-shuffle the whole table by
+       hash(_pid) just to regroup rows that are already grouped);
     2. a tiny per-partition histogram (#partitions rows, bounded by
        cluster layout, not data) yields cumulative offsets + total n;
        broadcast it back: global rn = offset + local rn;
@@ -1500,17 +1504,22 @@ def q25_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     The explicit partition count pins the range exchange against AQE
     re-coalescing, so the offsets branch and the row branch see
     identical pid assignment (Catalyst additionally reuses the
-    exchange)."""
+    exchange); the unique total sort key makes the within-partition
+    order (and so the minted ordinals) deterministic across the two
+    computations. The 2³³-rows-per-partition id headroom is ~860 GB of
+    rows in one partition — far past any sane partition sizing."""
     cust = _t(spark, sf_dir, "customer")
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ranged = cust.repartitionByRange(
         n_parts, "c_acctbal", "c_custkey"
-    ).withColumn("_pid", F.spark_partition_id())
-    local = ranged.withColumn(
-        "_lrn",
-        F.row_number().over(
-            Window.partitionBy("_pid").orderBy("c_acctbal", "c_custkey")
-        ),
+    ).sortWithinPartitions("c_acctbal", "c_custkey")
+    local = (
+        ranged.withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_lrn",
+            F.col("_mid") - F.col("_pid").cast("long") * F.lit(1 << 33) + 1,
+        )
     )
     # Tiny frame: one row per range partition. The unpartitioned window
     # over it is bounded-input by construction (#partitions rows).
