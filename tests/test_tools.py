@@ -122,3 +122,50 @@ def test_gate_dump_wrapper_paths(spark, tmp_path, monkeypatch):
         wrapped(spark, SF)
     err = open(os.path.join(dump_dir, "qXX_synthetic.error.txt")).read()
     assert "synthetic build failure" in err and "sf_dir=" in err
+
+
+def test_worker_probe_records_anomalies(monkeypatch):
+    """ADVICE r14: a query that fails inside a timed probe pass must be
+    RECORDED (retried once -> 'retried'; failed twice -> 'failed'), never
+    silently retried or allowed to escape pool.map and abort the run."""
+    sys.path.insert(0, REPO)
+    import tools.worker_probe as wp
+
+    class FakeDF:
+        def __init__(self, fn):
+            self._fn = fn
+
+        def collect(self):
+            return self._fn()
+
+    def boom():
+        raise RuntimeError("synthetic query failure")
+
+    def mk(*behaviors):
+        it = iter(behaviors)
+
+        def build(spark, sf_dir):
+            return FakeDF(next(it))
+
+        return build
+
+    fakes = {
+        "ok": mk(lambda: []),
+        "flaky": mk(boom, lambda: []),
+        "dead": mk(boom, boom),
+    }
+    monkeypatch.setattr(wp, "RAW_QUERIES", fakes)
+
+    class FakeSC:
+        def setLocalProperty(self, k, v):
+            pass
+
+    class FakeSpark:
+        sparkContext = FakeSC()
+
+    anomalies: list[dict] = []
+    wall = wp.suite_pass(FakeSpark(), "/none", ["ok", "flaky", "dead"], 2, anomalies)
+    assert wall >= 0  # the pass completed despite the dead query
+    outcomes = {(a["query"], a["outcome"]) for a in anomalies}
+    assert outcomes == {("flaky", "retried"), ("dead", "failed")}
+    assert all("synthetic query failure" in a["error"] for a in anomalies)
