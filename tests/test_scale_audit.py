@@ -89,6 +89,29 @@ def test_no_unbounded_single_partition_window(spark, name):
     assert not violations, f"{name}: {violations}"
 
 
+@pytest.mark.skipif(
+    not os.path.isdir(SFS[1]), reason="driver testdata absent"
+)
+def test_no_planner_forced_single_partition_anywhere(spark):
+    """Generalized r15 audit over EVERY gate plan: Catalyst must never
+    insert a SinglePartition exchange (ENSURE_REQUIREMENTS) over an
+    unbounded subtree to satisfy a distribution — whatever the consumer.
+    Explicit repartition(1) collapses are exempt (authorial, bound
+    argued at the call site); planner-forced ones are always an accident
+    and a 100x cliff."""
+    from vrod_spark.plans.inspect import unbounded_single_partition_violations
+    from vrod_spark.queries import RAW_QUERIES
+
+    bad = {}
+    for name in sorted(RAW_QUERIES):
+        violations = unbounded_single_partition_violations(
+            RAW_QUERIES[name](spark, SFS[1])
+        )
+        if violations:
+            bad[name] = violations
+    assert not bad, f"planner-forced single-partition stages: {bad}"
+
+
 def test_shared_snapshots_never_cache_in_heap(spark):
     """r13 (verdict item 4): every session-shared materialized snapshot
     must keep its blocks OUT of the execution heap — the r12 JVM death

@@ -120,3 +120,42 @@ def single_partition_window_violations(df: DataFrame) -> list[str]:
             f"unbounded subtree — every row funnels through one task"
         )
     return out
+
+
+def unbounded_single_partition_violations(df: DataFrame) -> list[str]:
+    """PLANNER-FORCED SinglePartition exchanges (ENSURE_REQUIREMENTS —
+    Catalyst inserted them to satisfy a distribution the author never
+    asked for) over an unbounded subtree, regardless of consumer. This is
+    the generalized r15 audit: any such exchange serializes the whole
+    input through one task at 100x scale. Explicit ``repartition(1)``
+    (REPARTITION_BY_NUM origin) is exempt — it is an authorial choice
+    whose bound must be argued at the call site (e.g. q22 collapses a
+    3-group aggregate for its presentation sort); the stricter
+    window-specific audit above still flags explicit single-partition
+    feeds into WindowExec."""
+    plan = explain_str(df, "formatted")
+    nodes, details = _parse_formatted_tree(plan)
+
+    def subtree_ids(nid: int):
+        yield nid
+        for c in nodes[nid][2]:
+            yield from subtree_ids(c)
+
+    out: list[str] = []
+    for nid, (name, _d, _c) in nodes.items():
+        if not name.startswith("Exchange"):
+            continue
+        det = details.get(nid, "")
+        if "SinglePartition" not in det or "ENSURE_REQUIREMENTS" not in det:
+            continue
+        below = list(subtree_ids(nid))
+        if any(
+            any(marker in nodes[b][0] for marker in _BOUNDED_MARKERS)
+            for b in below
+        ):
+            continue
+        out.append(
+            f"planner-forced SinglePartition exchange ({nid}) over an "
+            f"unbounded subtree — every row funnels through one task"
+        )
+    return out
