@@ -71,7 +71,7 @@ def test_plan_shape_invariant_across_sf(spark, name):
 
 
 @pytest.mark.skipif(
-    not os.path.isdir(SFS[1]), reason="driver testdata absent"
+    not os.path.isdir(SFS[0]), reason="driver testdata absent"
 )
 @pytest.mark.parametrize("name", WINDOW_AUDIT)
 def test_no_unbounded_single_partition_window(spark, name):
@@ -83,14 +83,17 @@ def test_no_unbounded_single_partition_window(spark, name):
     from vrod_spark.plans.inspect import single_partition_window_violations
     from vrod_spark.queries import RAW_QUERIES
 
+    # sf0.001: SinglePartition insertion is STRUCTURAL (AllTuples
+    # required distribution), not stats-driven, so the smoke SF proves
+    # the same property while sharing the suite's warm model caches.
     violations = single_partition_window_violations(
-        RAW_QUERIES[name](spark, SFS[1])
+        RAW_QUERIES[name](spark, SFS[0])
     )
     assert not violations, f"{name}: {violations}"
 
 
 @pytest.mark.skipif(
-    not os.path.isdir(SFS[1]), reason="driver testdata absent"
+    not os.path.isdir(SFS[0]), reason="driver testdata absent"
 )
 def test_no_planner_forced_single_partition_anywhere(spark):
     """Generalized r15 audit over EVERY gate plan: Catalyst must never
@@ -105,7 +108,7 @@ def test_no_planner_forced_single_partition_anywhere(spark):
     bad = {}
     for name in sorted(RAW_QUERIES):
         violations = unbounded_single_partition_violations(
-            RAW_QUERIES[name](spark, SFS[1])
+            RAW_QUERIES[name](spark, SFS[0])
         )
         if violations:
             bad[name] = violations
