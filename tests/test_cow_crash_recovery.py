@@ -105,14 +105,17 @@ def crash_results(tmp_path_factory):
     dirs); serially this module was ~110 s of mostly-idle pytest wall."""
     from concurrent.futures import ThreadPoolExecutor
 
+    # mktemp on the main thread only — TempPathFactory is not thread-safe.
+    tmps = {w: tmp_path_factory.mktemp(w) for w in ("crashA", "crashB")}
+
     def one(window: str):
         try:
-            return ("ok", _chain(tmp_path_factory.mktemp(window), window))
+            return ("ok", _chain(tmps[window], window))
         except BaseException as e:
             return ("err", e)
 
     with ThreadPoolExecutor(max_workers=2) as pool:
-        futs = {w: pool.submit(one, w) for w in ("crashA", "crashB")}
+        futs = {w: pool.submit(one, w) for w in tmps}
         return {w: f.result() for w, f in futs.items()}
 
 

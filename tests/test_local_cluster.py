@@ -90,8 +90,11 @@ def cluster_runs(tmp_path_factory):
     local-cluster master + 2 executor JVMs in an isolated cwd)."""
     from concurrent.futures import ThreadPoolExecutor
 
+    # mktemp on the main thread only — TempPathFactory is not thread-safe.
+    tmps = [tmp_path_factory.mktemp("lc"), tmp_path_factory.mktemp("lc")]
+
     def run(script: str, env: dict | None):
-        tmp = tmp_path_factory.mktemp("lc")
+        tmp = tmps.pop()
         if env is not None:
             env = {**os.environ, **env,
                    "VROD_SNAPSHOT_DIR": str(tmp / "snapshots")}

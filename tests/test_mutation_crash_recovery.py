@@ -250,15 +250,22 @@ SCENARIOS: dict[str, tuple[list[str], str]] = {
 def crash_results(tmp_path_factory):
     from concurrent.futures import ThreadPoolExecutor
 
+    # mktemp on the main thread only — TempPathFactory is not
+    # thread-safe (a concurrent mktemp intermittently fails its
+    # relative-path sanity check).
+    tmps = {
+        name: tmp_path_factory.mktemp(f"mcr_{name.replace('-', '_')}")
+        for name in SCENARIOS
+    }
+
     def one(name: str):
         phases, verify = SCENARIOS[name]
-        tmp = tmp_path_factory.mktemp(f"mcr_{name.replace('-', '_')}")
         try:
-            return ("ok", _chain(tmp, phases, verify))
+            return ("ok", _chain(tmps[name], phases, verify))
         except BaseException as e:  # re-raised in the owning test
             return ("err", e)
 
-    with ThreadPoolExecutor(max_workers=8) as pool:
+    with ThreadPoolExecutor(max_workers=len(SCENARIOS)) as pool:
         futs = {name: pool.submit(one, name) for name in SCENARIOS}
         return {name: f.result() for name, f in futs.items()}
 

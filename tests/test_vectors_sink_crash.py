@@ -169,15 +169,18 @@ def window_results(tmp_path_factory):
     ~2.7 min of mostly-idle pytest wall)."""
     from concurrent.futures import ThreadPoolExecutor
 
+    # mktemp on the main thread only — TempPathFactory is not thread-safe.
+    tmps = {w: tmp_path_factory.mktemp(f"w{w}") for w in ("0", "1", "all")}
+
     def one(window: str):
         try:
-            _window_chain(tmp_path_factory.mktemp(f"w{window}"), window)
+            _window_chain(tmps[window], window)
             return ("ok", None)
         except BaseException as e:
             return ("err", e)
 
     with ThreadPoolExecutor(max_workers=3) as pool:
-        futs = {w: pool.submit(one, w) for w in ("0", "1", "all")}
+        futs = {w: pool.submit(one, w) for w in tmps}
         return {w: f.result() for w, f in futs.items()}
 
 
