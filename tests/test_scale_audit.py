@@ -7,10 +7,10 @@ regresses, and should fail CI that round, not a later ad-hoc audit.
 
 Plans are built but NOT executed (the ad-hoc tool also measures walls;
 CI only needs shapes), so the whole matrix costs plan-build time —
-~60-90 s for 15 queries x 2 SFs on this box, dominated by the few
-queries that train bounded models at plan-construction time. sf0.1 is
-deliberately excluded (runtime budget; the per-round ad-hoc tool still
-covers it).
+~60-90 s for the 16 audited queries x 2 SFs on this box, dominated by
+the few queries that train bounded models at plan-construction time.
+sf0.1 is deliberately excluded (runtime budget; the per-round ad-hoc
+tool still covers it).
 """
 
 from __future__ import annotations
