@@ -83,9 +83,13 @@ def main() -> None:
     spark = get_spark("vrod-worker-probe")
     _warmup(spark, sf_dir)
     # One throwaway pass so every measured pass sees the same cache state
-    # (bench.py's repeat 2 benefits from repeat 1 the same way).
+    # (bench.py's repeat 2 benefits from repeat 1 the same way). Its
+    # anomalies go to a SEPARATE list (ADVICE r15): appended to the
+    # measured list they carried the first bracket's workers value, so
+    # the "walls above are distorted" guidance flagged clean passes.
     anomalies: list[dict] = []
-    suite_pass(spark, sf_dir, names, counts[0], anomalies)
+    warmup_anomalies: list[dict] = []
+    suite_pass(spark, sf_dir, names, counts[0], warmup_anomalies)
 
     walls: dict[str, list[float]] = {str(c): [] for c in counts}
     for _ in range(passes):
@@ -102,6 +106,10 @@ def main() -> None:
         # ran ~2x inside its timed pass) or incomplete (a failed query
         # contributed nothing) — identify and rerun those passes.
         "anomalies": anomalies,
+        # Throwaway-pass failures: informational only (nothing they ran
+        # in is reported above), kept separate so they cannot be read as
+        # measured-pass distortion.
+        "warmup_anomalies": warmup_anomalies,
     }), flush=True)
 
 

@@ -238,7 +238,23 @@ def _shared_materialized(spark: SparkSession, key: tuple, builder: Callable[[], 
 
     # The mode is part of the identity: a mid-session env flip must not
     # hand a table-mode consumer a localCheckpoint frame (or vice versa).
-    return _shared_cached(spark, (mode, *key), build)
+    value = _shared_cached(spark, (mode, *key), build)
+    if mode == "table":
+        # Heartbeat (ADVICE r15): refresh the snapshot dir's mtime on
+        # every cache hit, not only at build, so the GC's mtime age gate
+        # tracks LIVE USE rather than write time — a session older than
+        # VROD_SNAPSHOT_GC_AGE_SEC that still serves reads from its dir
+        # keeps it out of foreign sessions' reclaim window. Best-effort:
+        # a failed utime (raced reclaim, permissions) changes nothing.
+        import hashlib
+
+        base = os.environ.get("VROD_SNAPSHOT_DIR") or _default_snapshot_dir()
+        key_sha = hashlib.sha256(repr(key).encode()).hexdigest()[:24]
+        try:
+            os.utime(os.path.join(base, key_sha + "-" + _snapshot_incarnation()))
+        except OSError:
+            pass
+    return value
 
 
 def _shared_scalar(spark: SparkSession, key: tuple, compute: Callable[[], object]) -> object:
@@ -2542,58 +2558,74 @@ def q37_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return run_to_completion(build, spark, output_mode="update", state_partitions=2)
 
+    # Batch comparator on IDENTICAL banding: candidate pairs share >= 1
+    # band bucket; verdict = min earlier partner with signature agreement
+    # >= the same threshold. Clusters are mutually near, so sequential
+    # (streaming) and pairwise (batch) decisions must coincide.
+    def batch_comparator_run():
+        docs_all = _local_df(spark, b0 + b1, schema)
+        sigs = docs_all.select(
+            "doc_id", minhash_signature_expr("text", k=32, n=3).alias("sig")
+        )
+        banded = sigs.select(
+            "doc_id", "sig", F.explode(minhash_band_expr("sig", k=32, bands=8)).alias("bb")
+        ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        a, b = banded.alias("a"), banded.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.col("a.sig").alias("sig_a"),
+                F.col("b.sig").alias("sig_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        n_agree_comp = F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        batch_dup = (
+            cand.filter(n_agree_comp >= F.lit(16))  # 0.5 * k
+            .groupBy("id_b")
+            .agg(F.min("id_a").alias("bdup"))
+            .withColumnRenamed("id_b", "doc_id")
+        )
+        # Eager materialization so the comparator's multi-stage plan
+        # (banding self-join + dedup + agg over 12 local rows — pure
+        # stage-floor cost, ~0.6-1.0 s) executes WHILE the two streams
+        # idle on micro-batch machinery, instead of serially inside the
+        # gate's final collect (r16 optimization, guide §2.6 "overlap
+        # independent jobs"). 2-row result; values unchanged.
+        from pyspark.storagelevel import StorageLevel
+
+        return docs_all, batch_dup.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
+
     # The two availableNow runs are independent streams on independent
-    # child sessions — run them CONCURRENTLY (the q34 pattern) so the
-    # gate's latency is max(leg), not sum(leg): each stream idles on
-    # micro-batch machinery, not cores.
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_distinct, f_near = pool.submit(distinct_leg_run), pool.submit(near_dup_run)
+    # child sessions, and the batch comparator is an independent batch
+    # job — run all three CONCURRENTLY (the q34 pattern) so the gate's
+    # latency is max(leg), not sum(leg): the streams idle on micro-batch
+    # machinery, not cores, and the comparator back-fills those cores.
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_distinct = pool.submit(distinct_leg_run)
+        f_near = pool.submit(near_dup_run)
+        f_comp = pool.submit(batch_comparator_run)
         out, flagged = f_distinct.result(), f_near.result()
+        docs_all, batch_dup = f_comp.result()
     distinct_leg = out.select(
         F.lit("distinct").alias("leg"),
         F.col("event_type").alias("grp"),
         F.col("n_unique").cast("bigint").alias("n"),
     )
     stream_flags = flagged.groupBy("doc_id").agg(F.min("dup_of").alias("dup_of"))
-
-    # Batch comparator on IDENTICAL banding: candidate pairs share >= 1
-    # band bucket; verdict = min earlier partner with signature agreement
-    # >= the same threshold. Clusters are mutually near, so sequential
-    # (streaming) and pairwise (batch) decisions must coincide.
-    docs_all = _local_df(spark, b0 + b1, schema)
-    sigs = docs_all.select(
-        "doc_id", minhash_signature_expr("text", k=32, n=3).alias("sig")
-    )
-    banded = sigs.select(
-        "doc_id", "sig", F.explode(minhash_band_expr("sig", k=32, bands=8)).alias("bb")
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    n_agree_comp = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    )
-    batch_dup = (
-        cand.filter(n_agree_comp >= F.lit(16))  # 0.5 * k
-        .groupBy("id_b")
-        .agg(F.min("id_a").alias("bdup"))
-        .withColumnRenamed("id_b", "doc_id")
-    )
     merged = (
         docs_all.select("doc_id")
         .join(stream_flags, "doc_id", "left")

@@ -263,9 +263,16 @@ def register_vector_datasource(spark: SparkSession) -> None:
             # the (N+1)-th rename (mid-commit torn window); N == #files =
             # die after the last rename, before the checkpoint learns the
             # batch committed (the replay window). Unset in production.
-            kill_after = int(
-                os.environ.get("VROD_VECTORS_SINK_KILL_AFTER_RENAMES", "-1")
-            )
+            # Tolerant parse (ADVICE r15): a non-integer value (operator
+            # typo, stray export) must not raise inside the commit body
+            # and fail the stream with an opaque error — it means "no
+            # kill seam", the production default.
+            try:
+                kill_after = int(
+                    os.environ.get("VROD_VECTORS_SINK_KILL_AFTER_RENAMES", "-1")
+                )
+            except ValueError:
+                kill_after = -1
             for stale in glob.glob(
                 os.path.join(self.path, f"batch-{batchId:010d}-*.txt")
             ):
