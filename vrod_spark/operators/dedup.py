@@ -443,14 +443,44 @@ def minhash_lsh_pairs(
     pairs. (Signature hashing stays one linear pass per join side — the
     delta filter legally pushes below the band exchange, which costs the
     exchange reuse but keeps the quadratic term delta-bound.)"""
-    sigs = minhash_signature(df, text_col=text_col, id_col=id_col, k=k, n=n)
+    # ONE tokenize→shingle→explode pass feeds BOTH the signature and the
+    # exact-verify shingle sets (r16 optimization, guide §2.4 "share one
+    # exchange"): the k min-hashes and the distinct shingle set are
+    # computed in a single groupBy(id) aggregation, so its one exchange
+    # is reused by the banding path and both verify probes. The previous
+    # shape ran the corpus scan+tokenize+shingle pipeline twice (once
+    # for minhash_signature, once for the verify arrays) — at 100 TB
+    # that is a second full corpus pass for data the first already held.
+    # collect_set equals the old per-row array_distinct exactly where it
+    # matters: array_intersect/size are set operations, so inter, sizes,
+    # and jaccard are bit-identical (measured at sf0.1: same 256 pairs,
+    # 2.01 s → 1.55 s noop; collect_set makes the agg an
+    # ObjectHashAggregate, still partial-aggregated map-side, and the
+    # shuffle carries each distinct shingle once — the same bytes the
+    # old verify arrays carried).
+    exploded = (
+        widen(df)  # shingling+hashing is per-row compute; parallelize single-split scans
+        .filter(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), tokens(text_col).alias("_sh_toks"))
+        .select("id", F.explode(shingles_from_tokens(F.col("_sh_toks"), n)).alias("_s"))
+    )
+    mins = [F.min(F.xxhash64("_s", F.lit(i))).alias(f"_m{i}") for i in range(k)]
+    per_doc = (
+        exploded.groupBy("id")
+        .agg(*mins, F.collect_set("_s").alias("sh"))
+        .select(
+            "id",
+            F.array(*[f"_m{i}" for i in range(k)]).alias("sig"),
+            "sh",
+        )
+    )
     # The SHARED banding expression (minhash_band_expr) — one definition
     # with the streaming near-dup path so "identical banding" holds by
     # construction (r11 review: an inline expression-for-expression copy
     # lived here, inviting silent batch/streaming drift). Its nested
     # transform over band indices, not `bands` unrolled struct copies,
     # keeps the generated method under HotSpot's 8000-byte JIT ceiling.
-    banded = sigs.select(
+    banded = per_doc.select(
         "id",
         F.explode(minhash_band_expr("sig", k=k, bands=bands)).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
@@ -496,14 +526,12 @@ def minhash_lsh_pairs(
             .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
             .distinct()
         )
-    sh = widen(df).select(F.col(id_col).alias("id"), tokens(text_col).alias("_toks")).select(
-        "id", F.array_distinct(shingles_from_tokens(F.col("_toks"), n)).alias("sh")
-    )
+    sh = per_doc.select("id", "sh")
     # shuffle_hash on the sh probes: broadcasting the per-doc shingle
     # sets is exactly backwards at corpus scale (sh is O(corpus); cand is
-    # the small side), and with both verify joins shuffling sh by id the
-    # two sh exchanges are canonically identical — ReuseExchange runs the
-    # tokenize→shingle pipeline once instead of once per join.
+    # the small side), and with both verify joins consuming the SAME
+    # per_doc aggregation the whole signature+shingle subtree (exchange
+    # included) is computed once and reused by banding and both probes.
     verified = (
         cand.join(
             sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")).hint(

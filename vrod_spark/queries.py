@@ -660,13 +660,22 @@ _KNN_ORACLE = """
 
 
 def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
-    row = (
-        _t(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == vec_id)
-        .select("embedding")
-        .first()
+    # Session-cached (r16): one 64-float row from the immutable test
+    # embeddings — exactly the snapshot-metadata shape _shared_scalar
+    # exists for (same precedent as the pq codebooks). Uncached, every
+    # q05/q07 plan build re-paid a ~0.12-0.16 s first() job.
+    def fetch() -> list[float]:
+        row = (
+            _t(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == vec_id)
+            .select("embedding")
+            .first()
+        )
+        return [float(x) for x in row["embedding"]]
+
+    return _shared_scalar(
+        spark, ("query_vector", os.path.abspath(sf_dir), vec_id), fetch
     )
-    return [float(x) for x in row["embedding"]]
 
 
 @query("q05_knn_metrics", oracle=_KNN_ORACLE)
