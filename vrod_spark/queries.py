@@ -5035,7 +5035,12 @@ def q55_engine_sql_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q41_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    @F.udf("int")
+    # Scalar row-at-a-time UDF by design (the SURVEY §2.3 escape-hatch
+    # surface), but Arrow-serialized (guide §4.3): batches cross the
+    # boundary as Arrow instead of pickled rows. Clean declared types
+    # (str -> int), so values are identical — verified against the
+    # pickle path and the DuckDB twin.
+    @F.udf("int", useArrow=True)
     def vowels(s: str) -> int:
         return sum(1 for ch in s.upper() if ch in "AEIOU")
 

@@ -115,6 +115,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE rewrite sort-merge joins to shuffled-hash at runtime
+        # when every post-shuffle partition's build side is measured
+        # below this threshold (guide §3.1; default 0 = never). Safe at
+        # any scale by construction — the decision is per-query from
+        # ACTUAL partition sizes, so a 100 TB join whose partitions
+        # exceed the bound keeps sort-merge's spill path; small/medium
+        # joins skip both sorts (measured at sf0.1: q53 0.84→0.56 s,
+        # q54 1.31→0.97 s, q42 0.71→0.57 s, identical results).
+        # VROD_SHJ_LOCALMAP_BYTES overrides (0 disables).
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("VROD_SHJ_LOCALMAP_BYTES", str(64 * 1024 * 1024)),
+        )
         # Fair scheduling across concurrently-submitted jobs (the engine is
         # multi-tenant: the SQL surface, streams, and bench submit from
         # many threads; FIFO would head-of-line-block behind big stages).
