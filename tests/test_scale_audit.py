@@ -115,6 +115,51 @@ def test_no_planner_forced_single_partition_anywhere(spark):
     assert not bad, f"planner-forced single-partition stages: {bad}"
 
 
+def test_detector_flags_high_cardinality_aggregate_feed(spark):
+    """r15 verdict's one residual soft spot, closed in r16: the audit
+    used to accept ANY Aggregate below a SinglePartition exchange as
+    bounding, so a high-cardinality groupBy feeding an unpartitioned
+    window slipped through. The tightened detector accepts only global
+    aggregates, all-literal keys, and call-site-declared `_bounded_`
+    keys — this synthetic groupBy(high_card_key) → global window plan
+    MUST be flagged by both detectors."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vrod_spark.plans.inspect import (
+        single_partition_window_violations,
+        unbounded_single_partition_violations,
+    )
+
+    high_card = (
+        spark.range(100_000)
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    )
+    assert single_partition_window_violations(high_card), (
+        "high-cardinality aggregate feeding a SinglePartition window "
+        "was not flagged — the r15 _BOUNDED_MARKERS hole is back"
+    )
+    assert unbounded_single_partition_violations(high_card)
+
+    # Positive controls: the declared-bounded and global-aggregate forms
+    # must stay clean.
+    declared = (
+        spark.range(100_000)
+        .groupBy((F.col("id") % 8).alias("_bounded_g"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("_bounded_g")))
+    )
+    assert not single_partition_window_violations(declared)
+    glob = (
+        spark.range(100_000)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("c")))
+    )
+    assert not single_partition_window_violations(glob)
+
+
 def test_shared_snapshots_never_cache_in_heap(spark):
     """r13 (verdict item 4): every session-shared materialized snapshot
     must keep its blocks OUT of the execution heap — the r12 JVM death

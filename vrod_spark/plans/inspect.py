@@ -63,11 +63,46 @@ def _parse_formatted_tree(plan: str):
     return nodes, {k: "\n".join(v) for k, v in details.items()}
 
 
-#: Subtree markers that bound a single-partition window's input: an
-#: aggregation collapses cardinality to its group count, a limit is a
-#: limit. (A groupBy on a high-cardinality key would still slip through —
-#: the audit is a tripwire for the common regression, not a proof.)
-_BOUNDED_MARKERS = ("Aggregate", "TakeOrderedAndProject", "Limit")
+#: Subtree markers that bound a single-partition consumer's input
+#: unconditionally: a limit is a limit.
+_BOUNDED_MARKERS = ("TakeOrderedAndProject", "Limit")
+
+#: Grouping-key attribute name prefix that DECLARES an aggregate's group
+#: count bounded at the call site (e.g. q25's per-scan-partition ordinal
+#: histogram: #groups == #partitions, by construction). The r15 audit
+#: accepted ANY Aggregate as bounding, so a high-cardinality groupBy
+#: feeding a single-partition consumer slipped through (r15 verdict's one
+#: residual soft spot); now only global aggregates (no grouping keys) and
+#: explicitly declared-bounded keys count.
+BOUNDED_KEY_PREFIX = "_bounded_"
+
+
+def _aggregate_is_bounded(name: str, detail: str) -> bool:
+    """True iff this Aggregate node provably (or declaredly) collapses to
+    a bounded row count: empty grouping keys (global aggregate → one
+    row), all-literal keys, or a grouping key named with
+    :data:`BOUNDED_KEY_PREFIX` (the call site's documented bound)."""
+    if "Aggregate" not in name:
+        return False
+    import re
+
+    if BOUNDED_KEY_PREFIX in detail:
+        # Declared bounded at the call site (the alias may appear in the
+        # Keys line or — after Catalyst collapses the aliasing Project
+        # into the aggregate — only in its Results line).
+        return True
+    m = re.search(r"^Keys(?: \[\d+\])?: \[(.*)\]$", detail, re.M)
+    if m is None:
+        # No Keys line in the detail block — cannot prove a bound.
+        return False
+    keys = m.group(1).strip()
+    if not keys:
+        return True  # global aggregate
+    # All-literal keys (e.g. groupBy(lit(1))) are a 1-row group set.
+    return all(
+        re.fullmatch(r"-?\d+(\.\d+)?|true|false|null", k.strip())
+        for k in keys.split(",")
+    )
 
 
 def single_partition_window_violations(df: DataFrame) -> list[str]:
@@ -112,6 +147,7 @@ def single_partition_window_violations(df: DataFrame) -> list[str]:
         below = list(subtree_ids(cur))
         if any(
             any(marker in nodes[b][0] for marker in _BOUNDED_MARKERS)
+            or _aggregate_is_bounded(nodes[b][0], details.get(b, ""))
             for b in below
         ):
             continue
@@ -151,6 +187,7 @@ def unbounded_single_partition_violations(df: DataFrame) -> list[str]:
         below = list(subtree_ids(nid))
         if any(
             any(marker in nodes[b][0] for marker in _BOUNDED_MARKERS)
+            or _aggregate_is_bounded(nodes[b][0], details.get(b, ""))
             for b in below
         ):
             continue

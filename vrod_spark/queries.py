@@ -1547,13 +1547,19 @@ def q25_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # Tiny frame: one row per range partition. The unpartitioned window
-    # over it is bounded-input by construction (#partitions rows).
-    w_pid = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    # over it is bounded-input by construction (#partitions rows) — the
+    # `_bounded_` key prefix DECLARES that bound to the single-partition
+    # plan audit (plans/inspect.BOUNDED_KEY_PREFIX): since r16 the audit
+    # no longer accepts arbitrary aggregates as bounding, only global
+    # aggregates and call-site-declared ones like this histogram.
+    w_pid = Window.orderBy("_bounded_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     offsets = (
-        local.groupBy("_pid")
+        local.groupBy(F.col("_pid").alias("_bounded_pid"))
         .agg(F.count(F.lit(1)).alias("_cnt"))
         .select(
-            "_pid",
+            F.col("_bounded_pid").alias("_pid"),
             F.coalesce(F.sum("_cnt").over(w_pid), F.lit(0)).alias("_off"),
             F.sum("_cnt").over(
                 Window.partitionBy(F.lit(1)).rowsBetween(
@@ -1746,12 +1752,18 @@ def q26b_prob_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hamming").cast("double").alias("b"),
     )
     li = _t(spark, sf_dir, "lineitem")
+    # Sketch and exact legs as separate aggregations joined on the tiny
+    # flag key (r16, the q22 split-agg lesson): mixing countDistinct with
+    # approx_count_distinct in ONE agg makes Catalyst thread the HLL
+    # buffer through the distinct rewrite's two-level plan — measured
+    # 0.92 s vs 0.52 s for the split form at sf0.1, identical rows.
+    hll_exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("double").alias("b")
+    )
     hll = (
         li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey").cast("double").alias("a"),
-            F.countDistinct("l_partkey").cast("double").alias("b"),
-        )
+        .agg(F.approx_count_distinct("l_partkey").cast("double").alias("a"))
+        .join(hll_exact, "l_returnflag")
         .select(
             F.lit("hll_distinct").alias("method"),
             F.col("l_returnflag").alias("key"),
