@@ -3992,6 +3992,35 @@ def test_ngram_lm_perplexity_respects_id_col(spark):
     assert out.count() == 20  # resolves; every doc scored
 
 
+def test_ngram_lm_precomputed_counts_match_default_path(spark):
+    """Passing a precomputed training-counts table (the session-shared
+    train-once-score-many seam, r16) yields bit-identical scores to the
+    default train-inline path — the factored-out builder IS the inline
+    training pipeline, so the two cannot drift."""
+    from vrod_spark.functions.text import (
+        ngram_lm_perplexity,
+        ngram_lm_train_counts,
+    )
+
+    texts = [
+        "the cat sat on the mat and watched the birds",
+        "she walked to the market to buy fresh bread",
+        "the children played in the park until sundown",
+        "zxq jwv qkz xvj wqz jxk vqz kjx wzq xqj",
+    ]
+    docs = spark.createDataFrame(
+        [(i, "en", t) for i, t in enumerate(texts * 5)],
+        "doc_id bigint, lang string, text string",
+    )
+    inline = {r["doc_id"]: r["ppx"] for r in ngram_lm_perplexity(docs).collect()}
+    counts = ngram_lm_train_counts(docs, n=3).localCheckpoint(eager=True)
+    seeded = {
+        r["doc_id"]: r["ppx"]
+        for r in ngram_lm_perplexity(docs, counts=counts).collect()
+    }
+    assert seeded == inline
+
+
 def test_embed_documents_empty_doc_width_without_dim(spark):
     """r11 review (live-reproduced): with dim=None the zero-vector width
     was inferred per Arrow batch, so an empty doc whose batch had no

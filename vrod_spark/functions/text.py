@@ -585,6 +585,37 @@ def winnow_fingerprints_relational(
     )
 
 
+def ngram_lm_train_counts(
+    df,
+    *,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    train_pred: str | None = None,
+    n: int = 3,
+):
+    """The training-slice gram counts ``(_lang, _g, _c)`` that define an
+    :func:`ngram_lm_perplexity` model — factored out so a session can
+    materialize them ONCE and score many times (pass the result as
+    ``counts=``). One definition of the training pipeline; the scoring
+    path cannot drift from it."""
+    pred = (
+        F.expr(train_pred)
+        if train_pred is not None
+        else (F.col(id_col) % 10) < 3
+    )
+    t = F.lower(F.trim(F.col(text_col)))
+    base = df.filter(pred & (F.length(t) >= n)).select(
+        F.col(lang_col).alias("_lang"), t.alias("_t")
+    )
+    grams = base.select(
+        "_lang",
+        F.explode(F.sequence(F.lit(1), F.length("_t") - (n - 1))).alias("_i"),
+        F.col("_t"),
+    ).select("_lang", F.expr(f"substring(_t, _i, {n})").alias("_g"))
+    return grams.groupBy("_lang", "_g").agg(F.count(F.lit(1)).alias("_c"))
+
+
 def ngram_lm_perplexity(
     df,
     *,
@@ -594,6 +625,7 @@ def ngram_lm_perplexity(
     train_pred: str | None = None,
     n: int = 3,
     oov_mass: float = 0.5,
+    counts=None,
 ):
     """Character n-gram language-model quality scoring (the CCNet /
     perplexity-filtering signal: Wenzek et al., "CCNet", LREC 2020 —
@@ -612,46 +644,49 @@ def ngram_lm_perplexity(
     join BROADCASTS it (vocabulary is charset^n-bounded per language, a
     few MB at worst), so the gram stream is never shuffled — at 100 TB
     the only exchange is the per-document aggregation.
+
+    ``counts`` (optional): a precomputed ``(_lang, _g, _c)`` training
+    table — :func:`ngram_lm_train_counts` output, e.g. a
+    session-materialized snapshot — so repeated scoring builds skip the
+    training gram pass entirely (the compute-once-per-snapshot shape the
+    winnowing/span legs already use). ``train_pred``/``n`` are then the
+    parameters it was BUILT with.
     """
     from pyspark.sql import DataFrame  # noqa: F401
 
-    # The default training slice keys on the CALLER's id column — a
-    # hardcoded "doc_id % 10 < 3" default failed resolution (or silently
-    # keyed on a stale doc_id column) whenever id_col was renamed
-    # (r11 review).
-    pred = (
-        F.expr(train_pred)
-        if train_pred is not None
-        else (F.col(id_col) % 10) < 3
-    )
     t = F.lower(F.trim(F.col(text_col)))
     base = df.filter(F.length(t) >= n).select(
         F.col(id_col).alias("_id"),
         F.col(lang_col).alias("_lang"),
-        pred.alias("_train"),
         t.alias("_t"),
     )
     grams = base.select(
         "_id",
         "_lang",
-        "_train",
         F.explode(F.sequence(F.lit(1), F.length("_t") - (n - 1))).alias("_i"),
         F.col("_t"),
-    ).select("_id", "_lang", "_train", F.expr(f"substring(_t, _i, {n})").alias("_g"))
-    # Materialize the training counts ONCE (eager): the model and the
-    # totals are two broadcast subtrees and the scoring pass joins both —
-    # without this seam each broadcast job re-runs the full gram explode
-    # (measured: the composed per-doc join form cost ~4 gram passes,
-    # 4.1 s vs 0.7 s for one pass at sf0.1). The table is vocab-bounded
-    # (per-language charset^n), not corpus-bounded, so the checkpoint is
-    # small at any SF; values are unchanged — the same aggregation, read
-    # twice instead of recomputed four times.
-    counts = (
-        grams.filter("_train")
-        .groupBy("_lang", "_g")
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .localCheckpoint(eager=True)
-    )
+    ).select("_id", "_lang", F.expr(f"substring(_t, _i, {n})").alias("_g"))
+    if counts is None:
+        # Materialize the training counts ONCE (eager): the model and the
+        # totals are two broadcast subtrees and the scoring pass joins
+        # both — without this seam each broadcast job re-runs the full
+        # gram explode (measured: the composed per-doc join form cost ~4
+        # gram passes, 4.1 s vs 0.7 s for one pass at sf0.1). The table
+        # is vocab-bounded (per-language charset^n), not corpus-bounded,
+        # so the checkpoint is small at any SF; values are unchanged —
+        # the same aggregation, read twice instead of recomputed four
+        # times. The default training slice keys on the CALLER's id
+        # column — a hardcoded "doc_id % 10 < 3" default failed
+        # resolution (or silently keyed on a stale doc_id column)
+        # whenever id_col was renamed (r11 review).
+        counts = ngram_lm_train_counts(
+            df,
+            text_col=text_col,
+            lang_col=lang_col,
+            id_col=id_col,
+            train_pred=train_pred,
+            n=n,
+        ).localCheckpoint(eager=True)
     totals = counts.groupBy("_lang").agg(F.sum("_c").alias("_tot"))
     model = counts.join(totals, "_lang").select(
         "_lang", "_g", F.log(F.col("_c") / F.col("_tot")).alias("_logp")

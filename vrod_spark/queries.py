@@ -428,6 +428,28 @@ def shared_decon_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shared_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet-style trigram LM's training counts (_lang, _g, _c) —
+    the deterministic doc_id %% 10 < 3 slice's gram frequencies
+    (functions/text.ngram_lm_train_counts) — materialized once per
+    session per snapshot. The model table is vocab-bounded (per-language
+    charset³), not corpus-bounded, so the snapshot is small at any SF;
+    q29's scorer previously re-ran the training gram explode+aggregate
+    on EVERY fresh build (an eager localCheckpoint inside the builder:
+    0.69 s per build at sf0.1, paid once per suite pass per run). A
+    production pipeline trains the LM once per corpus snapshot and
+    scores many batches — this is that seam."""
+    from vrod_spark.functions.text import ngram_lm_train_counts
+
+    def build() -> DataFrame:
+        docs = _t(spark, sf_dir, "documents")
+        return ngram_lm_train_counts(docs, n=3)
+
+    return _shared_materialized(
+        spark, ("ngram_lm_counts", os.path.abspath(sf_dir), 3, "mod10lt3"), build
+    )
+
+
 def shared_ngram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document hashed unigram+bigram bucket counts (_id, _b, _c),
     n_buckets=256 — the ONE feature space DSIR and the quality
@@ -2104,7 +2126,15 @@ def q29_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         lang_id("text").alias("lang_pred"),
         quality_score("text").alias("q"),
-    ).join(ngram_lm_perplexity(docs), "doc_id", "left")
+    ).join(
+        # Train once per session per snapshot (shared_ngram_lm_counts),
+        # score per build — the scorer's own training pass otherwise
+        # re-runs inside every fresh plan build (r16; same
+        # compute-once-per-snapshot shape as the winnow/span legs).
+        ngram_lm_perplexity(docs, counts=shared_ngram_lm_counts(spark, sf_dir)),
+        "doc_id",
+        "left",
+    )
     return (
         per_doc.groupBy("lang_pred")
         .agg(
