@@ -160,6 +160,57 @@ def test_detector_flags_high_cardinality_aggregate_feed(spark):
     assert not single_partition_window_violations(glob)
 
 
+@pytest.mark.skipif(
+    not os.path.isdir(SFS[1]), reason="driver testdata absent"
+)
+def test_q25_ordinal_contract(spark):
+    """r15 verdict item 2: q25's two-pass rank arithmetic assumes the
+    ``monotonically_increasing_id`` contract — id = pid·2³³ + DENSE
+    0-based local index within a pinned range exchange — so global
+    rn = broadcast_offset + local ordinal. Pin that contract at runtime
+    with the exact construction q25 uses (queries.py:1560-1570): per
+    partition the minted local ordinals must be exactly 1..cnt (dense,
+    min 1, max == count), and the histogram total must equal the table
+    count. A Spark-version semantic change (id stride, non-dense ids,
+    AQE re-coalescing the pinned exchange) fails HERE, loudly, not as
+    silent rank corruption in q25's output."""
+    from pyspark.sql import functions as F
+
+    from vrod_spark.sources.tables import load_table
+
+    cust = load_table(spark, SFS[1], "customer")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    local = (
+        cust.repartitionByRange(n_parts, "c_acctbal", "c_custkey")
+        .sortWithinPartitions("c_acctbal", "c_custkey")
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_lrn",
+            F.col("_mid") - F.col("_pid").cast("long") * F.lit(1 << 33) + 1,
+        )
+    )
+    hist = (
+        local.groupBy("_pid")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("_lrn").alias("lo"),
+            F.max("_lrn").alias("hi"),
+            F.countDistinct("_lrn").alias("nd"),
+        )
+        .collect()
+    )
+    total = cust.count()
+    assert sum(r["cnt"] for r in hist) == total > 0
+    for r in hist:
+        assert r["lo"] == 1, f"partition {r['_pid']}: ordinals not 1-based ({r['lo']})"
+        assert r["hi"] == r["cnt"], (
+            f"partition {r['_pid']}: max ordinal {r['hi']} != count {r['cnt']} — "
+            "monotonically_increasing_id is no longer pid*2^33 + dense index"
+        )
+        assert r["nd"] == r["cnt"], f"partition {r['_pid']}: ordinals not distinct"
+
+
 def test_shared_snapshots_never_cache_in_heap(spark):
     """r13 (verdict item 4): every session-shared materialized snapshot
     must keep its blocks OUT of the execution heap — the r12 JVM death
