@@ -115,18 +115,23 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Let AQE rewrite sort-merge joins to shuffled-hash at runtime
-        # when every post-shuffle partition's build side is measured
-        # below this threshold (guide §3.1; default 0 = never). Safe at
-        # any scale by construction — the decision is per-query from
-        # ACTUAL partition sizes, so a 100 TB join whose partitions
-        # exceed the bound keeps sort-merge's spill path; small/medium
-        # joins skip both sorts (measured at sf0.1: q53 0.84→0.56 s,
-        # q54 1.31→0.97 s, q42 0.71→0.57 s, identical results).
-        # VROD_SHJ_LOCALMAP_BYTES overrides (0 disables).
+        # AQE sort-merge → shuffled-hash rewrite (guide §3.1): OFF by
+        # default (Spark's own default). Isolated-query probes favored it
+        # (q53 0.84→0.56 s, q54 1.31→0.97 s, q42 0.71→0.57 s serial at
+        # sf0.1), but the engine is multi-tenant: under the 46-query
+        # concurrent suite every converted join's per-partition hash
+        # build bids against every other query's operators for the ONE
+        # unified execution-memory pool, and the suite wall regressed
+        # 12-13 s → ≥17.3 s across 8 measured passes (min-statistics;
+        # same windows read 9.2-15.7 s with the rewrite off — r16
+        # bisect, OPTIMIZATION_r16.md). Sort-merge's streaming/spill
+        # path degrades gracefully under that contention; the hash build
+        # does not. Deployments with per-executor memory isolation (a
+        # real cluster, where concurrent queries do not share one pool)
+        # can opt in: VROD_SHJ_LOCALMAP_BYTES=67108864.
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-            os.environ.get("VROD_SHJ_LOCALMAP_BYTES", str(64 * 1024 * 1024)),
+            os.environ.get("VROD_SHJ_LOCALMAP_BYTES", "0"),
         )
         # Fair scheduling across concurrently-submitted jobs (the engine is
         # multi-tenant: the SQL surface, streams, and bench submit from
