@@ -2484,12 +2484,19 @@ def q34_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # The two streaming runs are independent (each on its own child
     # session + uuid memory sink) — run them concurrently so the gate's
-    # wall time is max(leg), not sum(leg).
+    # wall time is max(leg), not sum(leg). state_partitions=2 (r16):
+    # every state partition pays a per-micro-batch store open/commit
+    # cost regardless of volume, and these gate windows' whole state is
+    # a few hundred (window, type) groups — measured at sf0.1: 1.80 s
+    # per stream at 4 partitions → 1.22 s at 2. Identical results (state
+    # layout, not semantics); a production keyspace raises the per-
+    # stream knob, same as the q37/q46 sites.
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_tumb = pool.submit(
             run_to_completion,
             lambda s: tumbling_counts(events_stream(s, sf_dir), duration="1 hour"),
             spark,
+            state_partitions=2,
         )
         f_slid = pool.submit(
             run_to_completion,
@@ -2497,6 +2504,7 @@ def q34_stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 events_stream(s, sf_dir), duration="1 hour", slide="30 minutes"
             ),
             spark,
+            state_partitions=2,
         )
         tumb_raw, slid_raw = f_tumb.result(), f_slid.result()
     tumb = tumb_raw.select(
@@ -2547,8 +2555,13 @@ def q36_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     because gaps are >> 1 microsecond)."""
     from vrod_spark.streaming.ingest import events_stream, run_to_completion, session_stats
 
+    # state_partitions=2 (r16): per-partition store open/commit costs
+    # dominate a tiny-state gate run — see the q34 measurement (1.80 s →
+    # 1.22 s per stream); identical results, per-stream knob.
     sessions = run_to_completion(
-        lambda s: session_stats(events_stream(s, sf_dir), gap="10 minutes"), spark
+        lambda s: session_stats(events_stream(s, sf_dir), gap="10 minutes"),
+        spark,
+        state_partitions=2,
     )
     return (
         sessions.groupBy("user_id")
@@ -2626,12 +2639,15 @@ def q37_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "doc_id bigint, text string"
 
     def distinct_leg_run():
+        # state_partitions=2 (r16): same tiny-state store-commit floor
+        # as the q34 measurement; identical results.
         return run_to_completion(
             lambda s: dedup_stream(events_stream(s, sf_dir))
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_unique")),
             spark,
             output_mode="complete",
+            state_partitions=2,
         )
 
     def near_dup_run():
@@ -4879,10 +4895,13 @@ def q40_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vrod_spark.streaming.ingest import events_stream, run_to_completion
     from vrod_spark.streaming.stateful import stateful_user_totals
 
+    # state_partitions=2 (r16): same tiny-state store-commit floor as
+    # the q34 measurement; identical results, per-stream knob.
     out = run_to_completion(
         lambda s: stateful_user_totals(events_stream(s, sf_dir)),
         spark,
         output_mode="update",
+        state_partitions=2,
     )
     return (
         out.groupBy("user_id")
