@@ -397,3 +397,47 @@ def test_idempotent_stream_insert_cache_and_truncatewal(spark, tmp_path):
     assert not idempotent_stream_insert(col, batch, 4, "qA")  # uncached path
     assert idempotent_stream_insert(col, batch, 5, "qA", applied_cache={})
     assert col.read().count() == 3
+
+
+def test_run_to_completion_scratch_checkpoint_cleanup(
+    spark, tmp_path, monkeypatch, sf_dir
+):
+    """run_to_completion honors VROD_STREAM_SCRATCH and removes its
+    checkpoint dir on every exit path — including a FAILED attempt
+    (Spark's own temp checkpoints are only deleted on successful stop,
+    so failures used to leak dirs under /tmp)."""
+    from vrod_spark.streaming.ingest import _scratch_root
+
+    scratch = tmp_path / "scratch"
+    monkeypatch.setenv("VROD_STREAM_SCRATCH", str(scratch))
+    root = _scratch_root()
+    assert root == str(scratch / "vrod_stream_ckpt")
+
+    out = run_to_completion(
+        lambda s: tumbling_counts(events_stream(s, sf_dir)),
+        spark,
+        output_mode="complete",
+        state_partitions=2,
+    )
+    assert out.count() >= 1
+    assert os.listdir(root) == []  # success path: checkpoint removed
+
+    # Failure path: a plan that dies inside the micro-batch (bad UDF) must
+    # still clean up its checkpoint dirs after the retry attempts.
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_RETRIES", "0")
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    boom = F.udf(lambda v: (_ for _ in ()).throw(RuntimeError("boom")), LongType())
+    try:
+        run_to_completion(
+            lambda s: events_stream(s, sf_dir).select(boom("event_id").alias("b")),
+            spark,
+            output_mode="append",
+            state_partitions=2,
+        )
+    except Exception:
+        pass
+    else:  # pragma: no cover - the stream must fail
+        raise AssertionError("expected the poisoned stream to fail")
+    assert os.listdir(root) == []  # failure path: checkpoint removed too

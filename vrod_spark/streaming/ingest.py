@@ -97,7 +97,26 @@ def run_to_completion(
     stream-stream joins open 4 stores/partition and want 2); a production
     deployment with large keyspaces raises it — the knob is per-stream,
     not global. Only applied in the builder form (a ready-made DataFrame
-    is already bound to its session's conf)."""
+    is already bound to its session's conf).
+
+    Checkpoint placement: this harness's checkpoint is SCRATCH by
+    construction — the sink is in-memory, every attempt starts a fresh
+    checkpoint, and the directory is deleted when the run ends (exactly
+    what Spark itself does with its auto-minted temp checkpoints — except
+    Spark only deletes on SUCCESSFUL stop, so failed attempts leaked
+    checkpoint dirs under /tmp; the explicit rmtree here covers every
+    exit path). Scratch belongs on the node's fastest ephemeral storage,
+    not a durable volume: interleaved same-window A/B over the five
+    streaming gates at sf0.1 (min of 6 reps each) reads 9.43 s total on
+    disk /tmp vs 9.02 s on tmpfs — a small, consistent win (the
+    offset/commit/state-log writes mostly land in page cache either way;
+    the single-stream breakdown shows walCommit 55→42 ms, commitOffsets
+    59→47 ms, state commit 119→87 ms). ``VROD_STREAM_SCRATCH`` overrides
+    the root; the default prefers ``/dev/shm`` when present and writable
+    (Linux tmpfs), else the system temp dir — the same preference order
+    holds on a cluster node. DURABLE streams (foreachBatch ingest into a
+    collection) are unaffected: they pass their own real
+    ``checkpointLocation`` and never come through here."""
     if callable(stream):
         if spark is None:
             raise ValueError("builder form requires the parent SparkSession")
@@ -119,10 +138,12 @@ def run_to_completion(
     last_err: Exception | None = None
     for _ in range(attempts):
         name = f"stream_{uuid.uuid4().hex[:12]}"
+        ckpt = os.path.join(_scratch_root(), name)
         q = (
             stream_df.writeStream.outputMode(output_mode)
             .format("memory")
             .queryName(name)
+            .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )
@@ -137,7 +158,29 @@ def run_to_completion(
         finally:
             if q.isActive:
                 q.stop()
+            import shutil
+
+            shutil.rmtree(ckpt, ignore_errors=True)
     raise last_err if last_err is not None else RuntimeError("stream never ran")
+
+
+def _scratch_root() -> str:
+    """Root for ephemeral stream checkpoints (see run_to_completion's
+    docstring): $VROD_STREAM_SCRATCH > /dev/shm (when it is a writable
+    directory) > the system temp dir. Resolved per call — cheap, and
+    tests can flip the env var without a module reload."""
+    root = os.environ.get("VROD_STREAM_SCRATCH", "").strip()
+    if not root:
+        root = "/dev/shm" if os.path.isdir("/dev/shm") and os.access(
+            "/dev/shm", os.W_OK
+        ) else None
+    if not root:
+        import tempfile
+
+        root = tempfile.gettempdir()
+    path = os.path.join(root, "vrod_stream_ckpt")
+    os.makedirs(path, exist_ok=True)
+    return path
 
 
 def tumbling_counts(events: DataFrame, *, duration: str = "1 hour") -> DataFrame:
