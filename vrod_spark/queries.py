@@ -121,7 +121,24 @@ def _shared_cached(spark: SparkSession, key: tuple, build: Callable[[], object])
         with _SUBPLAN_LOCK:
             if key in per:
                 return per[key]
-        value = build()
+        # Run the build's Spark jobs in the WEIGHTED vrod_build FAIR pool
+        # (conf/fairscheduler.xml): a snapshot build is a shared
+        # prerequisite many blocked consumers fan out from, but in the
+        # caller's own pool it gets one query's 1/Nth share of task slots
+        # under a concurrent workload — the pass-1 "materialization
+        # convoy". Weighting clears it first. Set explicitly on THIS
+        # Python thread (pinned-thread mode: JVM local properties do not
+        # inherit from the Python parent thread, so prefetch-pool threads
+        # would otherwise land in the default pool), and restored after —
+        # the consumer's own jobs keep the caller's pool. Scheduling
+        # only; plans and results are untouched.
+        sc = spark.sparkContext
+        prev_pool = sc.getLocalProperty("spark.scheduler.pool")
+        sc.setLocalProperty("spark.scheduler.pool", "vrod_build")
+        try:
+            value = build()
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", prev_pool)
         with _SUBPLAN_LOCK:
             per[key] = value
     return value

@@ -171,6 +171,17 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
     )
+    # Pool declarations (vrod_build, the weighted FAIR pool the session-
+    # shared snapshot builders run in — see conf/fairscheduler.xml).
+    # Undeclared pools keep Spark's defaults, so the file changes nothing
+    # for ordinary query jobs. Only set when the file actually exists: an
+    # explicitly-configured missing allocation file fails SparkContext
+    # start, whereas omitting the conf just leaves every pool at default.
+    alloc = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "conf", "fairscheduler.xml"
+    )
+    if os.path.exists(alloc):
+        builder = builder.config("spark.scheduler.allocation.file", alloc)
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
