@@ -261,6 +261,36 @@ def test_shared_jaccard_edges_is_one_materialization(spark, sf_dir):
     assert other is a  # path normalization: same snapshot, same entry
 
 
+def test_shared_cached_build_pool_is_opt_in(spark, monkeypatch):
+    """_shared_cached must leave the caller's scheduler pool untouched by
+    default (the weighted vrod_build pool regressed the shared-JVM
+    concurrent suite — r16 A/B), and with VROD_BUILD_POOL set it must run
+    the build in that pool and restore the caller's pool afterwards."""
+    from vrod_spark.queries import _shared_cached
+
+    sc = spark.sparkContext
+    seen = {}
+
+    def probe():
+        seen["pool"] = sc.getLocalProperty("spark.scheduler.pool")
+        return object()
+
+    monkeypatch.delenv("VROD_BUILD_POOL", raising=False)
+    sc.setLocalProperty("spark.scheduler.pool", None)
+    _shared_cached(spark, ("__pool_gate_test__", "off"), probe)
+    assert seen["pool"] is None  # default: no pool override
+
+    monkeypatch.setenv("VROD_BUILD_POOL", "vrod_build")
+    sc.setLocalProperty("spark.scheduler.pool", "caller_pool")
+    try:
+        _shared_cached(spark, ("__pool_gate_test__", "on"), probe)
+        assert seen["pool"] == "vrod_build"  # opted-in build pool
+        # ... and the caller's own pool is restored after the build.
+        assert sc.getLocalProperty("spark.scheduler.pool") == "caller_pool"
+    finally:
+        sc.setLocalProperty("spark.scheduler.pool", None)
+
+
 def test_shared_doc_tokens_is_one_materialization_and_complete(spark, sf_dir):
     """The tokenize-once snapshot (q53's three legs): same session+snapshot
     returns the identical checkpointed DataFrame; EVERY document row is

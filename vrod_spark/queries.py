@@ -121,24 +121,36 @@ def _shared_cached(spark: SparkSession, key: tuple, build: Callable[[], object])
         with _SUBPLAN_LOCK:
             if key in per:
                 return per[key]
-        # Run the build's Spark jobs in the WEIGHTED vrod_build FAIR pool
-        # (conf/fairscheduler.xml): a snapshot build is a shared
-        # prerequisite many blocked consumers fan out from, but in the
-        # caller's own pool it gets one query's 1/Nth share of task slots
-        # under a concurrent workload — the pass-1 "materialization
-        # convoy". Weighting clears it first. Set explicitly on THIS
+        # Optionally run the build's Spark jobs in a weighted FAIR pool
+        # (VROD_BUILD_POOL=vrod_build; conf/fairscheduler.xml declares the
+        # weights). The theory: a snapshot build is a shared prerequisite
+        # many blocked consumers fan out from, but in the caller's own
+        # pool it gets one query's 1/Nth share of task slots under a
+        # concurrent workload — the pass-1 "materialization convoy".
+        # DEFAULT OFF: interleaved quiet-window A/B on the shared-JVM
+        # local-mode suite (5 pairs, both run orders) read the pool
+        # WORSE on both the oracle-normalized pass-1 wall (median 1.65
+        # vs 1.39) and the best-of-2 headline (median 1.21 vs 1.01) —
+        # boosting corpus-sized builder stages crowds out the many small
+        # queries that would otherwise finish and release their slots.
+        # Same lesson as the SHJ knob in session.py: deployments with
+        # per-executor isolation can opt in; the shared-pool local mode
+        # must not. When enabled, the pool is set explicitly on THIS
         # Python thread (pinned-thread mode: JVM local properties do not
-        # inherit from the Python parent thread, so prefetch-pool threads
-        # would otherwise land in the default pool), and restored after —
+        # inherit from the Python parent thread) and restored after, so
         # the consumer's own jobs keep the caller's pool. Scheduling
-        # only; plans and results are untouched.
-        sc = spark.sparkContext
-        prev_pool = sc.getLocalProperty("spark.scheduler.pool")
-        sc.setLocalProperty("spark.scheduler.pool", "vrod_build")
-        try:
+        # only; plans and results are untouched either way.
+        build_pool = os.environ.get("VROD_BUILD_POOL", "").strip()
+        if build_pool:
+            sc = spark.sparkContext
+            prev_pool = sc.getLocalProperty("spark.scheduler.pool")
+            sc.setLocalProperty("spark.scheduler.pool", build_pool)
+            try:
+                value = build()
+            finally:
+                sc.setLocalProperty("spark.scheduler.pool", prev_pool)
+        else:
             value = build()
-        finally:
-            sc.setLocalProperty("spark.scheduler.pool", prev_pool)
         with _SUBPLAN_LOCK:
             per[key] = value
     return value

@@ -172,11 +172,13 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
     )
     # Pool declarations (vrod_build, the weighted FAIR pool the session-
-    # shared snapshot builders run in — see conf/fairscheduler.xml).
-    # Undeclared pools keep Spark's defaults, so the file changes nothing
-    # for ordinary query jobs. Only set when the file actually exists: an
-    # explicitly-configured missing allocation file fails SparkContext
-    # start, whereas omitting the conf just leaves every pool at default.
+    # shared snapshot builders can OPT INTO via VROD_BUILD_POOL — see
+    # conf/fairscheduler.xml and queries._shared_cached; nothing selects
+    # it by default). Undeclared pools keep Spark's defaults, so the file
+    # changes nothing for ordinary query jobs. Only set when the file
+    # actually exists: an explicitly-configured missing allocation file
+    # fails SparkContext start, whereas omitting the conf just leaves
+    # every pool at default.
     alloc = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "conf", "fairscheduler.xml"
     )
