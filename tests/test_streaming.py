@@ -441,3 +441,41 @@ def test_run_to_completion_scratch_checkpoint_cleanup(
     else:  # pragma: no cover - the stream must fail
         raise AssertionError("expected the poisoned stream to fail")
     assert os.listdir(root) == []  # failure path: checkpoint removed too
+
+
+def test_no_data_batch_optout_is_result_neutral(spark, sf_dir):
+    """``no_data_batch=False`` (skip the final no-data micro-batch) must
+    return the exact rows of the default run for the shapes that opt in:
+    complete-mode aggregation over dropDuplicates (q37's distinct leg)
+    and the append-mode INNER interval join (q46's pairs leg). The skipped
+    batch only evicts state the run is about to delete with its
+    checkpoint; any emitted-row difference here means the opt-out was
+    applied to a shape it is not safe for."""
+    from vrod_spark.streaming.ingest import click_purchase_join
+
+    def distinct_leg(s):
+        return (
+            dedup_stream(events_stream(s, sf_dir))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_unique"))
+        )
+
+    def pairs_leg(s):
+        return click_purchase_join(events_stream(s, sf_dir), max_delay="30 minutes")
+
+    for builder, mode in ((distinct_leg, "complete"), (pairs_leg, "append")):
+        base = run_to_completion(
+            builder, spark, output_mode=mode, state_partitions=2
+        )
+        skipped = run_to_completion(
+            builder, spark, output_mode=mode, state_partitions=2,
+            no_data_batch=False,
+        )
+        want = sorted(tuple(r) for r in base.collect())
+        got = sorted(tuple(r) for r in skipped.collect())
+        assert got == want
+
+    # The knob must be scoped to the run's child session, never the parent.
+    assert (
+        spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled") == "true"
+    )

@@ -2670,6 +2670,10 @@ def q37_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def distinct_leg_run():
         # state_partitions=2 (r16): same tiny-state store-commit floor
         # as the q34 measurement; identical results.
+        # no_data_batch=False (r16): complete mode re-emits the whole
+        # result every batch, so the final no-data batch (dropDuplicates
+        # state eviction the run is about to checkpoint-delete anyway)
+        # cannot change the sink — it cost 0.32 s of this 1.31 s leg.
         return run_to_completion(
             lambda s: dedup_stream(events_stream(s, sf_dir))
             .groupBy("event_type")
@@ -2677,6 +2681,7 @@ def q37_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             output_mode="complete",
             state_partitions=2,
+            no_data_batch=False,
         )
 
     def near_dup_run():
@@ -4924,8 +4929,19 @@ def q40_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vrod_spark.streaming.ingest import events_stream, run_to_completion
     from vrod_spark.streaming.stateful import stateful_user_totals
 
-    # state_partitions=2 (r16): same tiny-state store-commit floor as
-    # the q34 measurement; identical results, per-stream knob.
+    # state_partitions=2 (r16, re-affirmed after measuring the
+    # alternative): this operator's cost is per-GROUP Python/Arrow
+    # machinery inside applyInPandasWithState (~2 ms/group; the closure
+    # body itself is ~0.3 ms), which PARALLELIZES with state partitions
+    # while the store commit stays ~70 ms — ISOLATED walls at sf0.1 read
+    # 2.12 s at 2 partitions → 1.68 at 4 → 1.44 at 8 (min of 3, warm).
+    # But under the CONCURRENT gate suite the extra python-stateful
+    # tasks bid against every other query's work and the 5-stream
+    # concurrent wall regressed ~0.6-1.2 s at 8 partitions in
+    # interleaved same-window A/B — the same isolated-win /
+    # shared-pool-loss shape as the r16 shuffled-hash-join revert, so
+    # the multi-tenant setting wins. A deployment running this stream
+    # alone (or with per-executor isolation) raises the knob.
     out = run_to_completion(
         lambda s: stateful_user_totals(events_stream(s, sf_dir)),
         spark,
@@ -5014,6 +5030,12 @@ def q46_stream_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Per-stream knob, not a global conf — a large keyspace
             # deployment raises it.
             state_partitions=2,
+            # INNER interval join: every emitted row comes out of the
+            # data batch at match time; the final no-data batch only
+            # evicts join state (it emitted 0 rows, removed 39884 state
+            # rows) and cost 0.65 s of this 2.06 s leg. The OUTER leg
+            # below MUST keep it — that is where its NULL rows emit.
+            no_data_batch=False,
         )
         f_outer = pool.submit(
             run_to_completion,

@@ -75,7 +75,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def run_to_completion(
     stream, spark: SparkSession | None = None, *, output_mode: str = "complete",
-    state_partitions: int | None = 4,
+    state_partitions: int | None = 4, no_data_batch: bool = True,
 ) -> DataFrame:
     """Execute a streaming plan under availableNow into a memory sink and
     return the final result as a batch DataFrame. This is the
@@ -97,7 +97,32 @@ def run_to_completion(
     stream-stream joins open 4 stores/partition and want 2); a production
     deployment with large keyspaces raises it — the knob is per-stream,
     not global. Only applied in the builder form (a ready-made DataFrame
-    is already bound to its session's conf).
+    is already bound to its session's conf). The dropDuplicates/
+    stream-join floor holds for JVM-state operators; Python-stateful
+    operators (``applyInPandasWithState``) are bound by per-GROUP
+    Python/Arrow machinery instead, which PARALLELIZES with partitions
+    while the store commit stays ~70 ms — q40 measured 2.12 s at 2
+    partitions → 1.44 s at 8 ISOLATED (sf0.1, min of 3), but the extra
+    concurrent python-stateful tasks regressed the 5-stream concurrent
+    wall ~0.6-1.2 s, so the multi-tenant gate stays at 2 (see the q40
+    call site).
+
+    ``no_data_batch`` maps to ``spark.sql.streaming.noDataMicroBatches``
+    for this run (builder form only, like ``state_partitions``). With
+    the default (True), an availableNow run whose operators schedule
+    watermark work appends a final NO-DATA micro-batch after the data is
+    exhausted; that batch is where append-mode operators emit
+    watermark-gated output (a left-outer interval join's NULL rows), so
+    it must stay on for them. For runs where it provably cannot change
+    the sink — complete-mode aggregations (every batch re-emits the full
+    result), update-mode stateful ops with ``NoTimeout`` (no data ⇒ no
+    state change ⇒ nothing emitted), inner joins (matches emit in the
+    data batch) — it only pays a full offset-log/commit/state round to
+    evict state the run is about to delete with its checkpoint. Measured
+    at sf0.1: the batch costs 0.32 s of q37's 1.31 s distinct leg and
+    0.65 s of q46's 2.06 s inner-pairs leg. Callers assert
+    result-neutrality by passing ``no_data_batch=False``; the gate
+    hashes re-verified identical at sf0.01 + sf0.1.
 
     Checkpoint placement: this harness's checkpoint is SCRATCH by
     construction — the sink is in-memory, every attempt starts a fresh
@@ -123,6 +148,10 @@ def run_to_completion(
         session = spark.newSession()
         if state_partitions is not None:
             session.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        if not no_data_batch:
+            session.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", "false"
+            )
         stream_df = stream(session)
     else:
         stream_df = stream
