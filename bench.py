@@ -241,11 +241,12 @@ def _emit(walls, timings, names, sf_val, mode, workers, serial_queries, final,
     wall = min(walls)
     oracle = oracle or {}
     oracle_sec = oracle.get("oracle_sec")
+    per_query = {n: timings[n] for n in names if n in timings}
     print(
         json.dumps(
             {
                 "metric": "headline_suite_detail",
-                "queries": {n: timings[n] for n in names if n in timings},
+                "queries": per_query,
                 "walls": walls,
                 **({"serial_queries": serial_queries} if serial_queries else {}),
                 **({"serial_warm": serial_warm} if serial_warm else {}),
@@ -259,6 +260,44 @@ def _emit(walls, timings, names, sf_val, mode, workers, serial_queries, final,
         ),
         flush=True,
     )
+    # Additive one-line per-query records (r16 VERDICT item 2): the
+    # driver's per-query comparator reads one-line JSON records, and the
+    # per-query data previously lived only inside the multi-line detail
+    # record, so PERF_r16.per_query came out empty. Emitted before the
+    # headline line so the LAST complete JSON line on the stream stays
+    # the compact headline record — the driver's BENCH capture keeps only
+    # the final ~2000 bytes of stdout, so the headline line itself must
+    # stay well under that; per-query dicts (~1.9 KB for 46 queries) go
+    # in their own records. ``per_query_concurrent`` is each query's
+    # submit→result latency inside the best concurrent pass;
+    # ``per_query_serial`` is the uncontended serial-track cold latency
+    # (the number that detects a single-query plan regression), with its
+    # prepared-plan ``warm`` twin.
+    if per_query:
+        print(
+            json.dumps(
+                {
+                    "metric": "per_query_concurrent",
+                    "unit": "sec",
+                    "sf": sf_val,
+                    "queries": per_query,
+                }
+            ),
+            flush=True,
+        )
+    if serial_queries:
+        print(
+            json.dumps(
+                {
+                    "metric": "per_query_serial",
+                    "unit": "sec",
+                    "sf": sf_val,
+                    "queries": serial_queries,
+                    **({"warm": serial_warm} if serial_warm else {}),
+                }
+            ),
+            flush=True,
+        )
     print(
         json.dumps(
             {
@@ -270,6 +309,12 @@ def _emit(walls, timings, names, sf_val, mode, workers, serial_queries, final,
                 "workers": workers,
                 "n_queries": len(names),
                 "serial_sum_sec": round(sum(timings.values()), 3),
+                # Pass-1 wall as a first-class metric (r16 VERDICT item
+                # 1): best-of-N discards the first pass, where every
+                # session-shared snapshot build lands — this keeps the
+                # cold "materialization convoy" number tracked instead of
+                # invisible. walls[0] is always the first measured pass.
+                "pass1_wall_sec": walls[0],
                 "final": final,
                 # Same-window baseline: DuckDB serial wall over the same
                 # headline set (minus the no-oracle gates), measured in
@@ -385,6 +430,7 @@ def main() -> None:
             "workers": workers,
             "n_queries": len(names),
             "serial_sum_sec": round(sum(snapshot.values()), 3),
+            **({"pass1_wall_sec": walls[0]} if walls else {}),
             "final": False,
             "degraded": True,
             "completed_queries": len(snapshot),

@@ -243,22 +243,57 @@ def test_pq_search_is_take_ordered_over_python_scan(spark, sf_dir):
     assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
 
 
-def test_shared_jaccard_edges_is_one_materialization(spark, sf_dir):
-    """q26 and q59 consume ONE session-scoped materialized candidate
-    graph: same (session, sf_dir) returns the identical DataFrame object
-    (so all consumers read the same localCheckpoint partitions), and a
-    different sf_dir key builds its own."""
-    from vrod_spark.queries import shared_jaccard_edges
+def test_shared_jaccard_graph_is_one_materialization(spark, sf_dir):
+    """q26 and q59 consume ONE session-scoped materialized candidate-graph
+    build (r17: the output-sized top-20 ∪ edges>=0.05 slices): same
+    (session, sf_dir) returns the identical underlying DataFrame object
+    (so all consumers read the same localCheckpoint partitions), and the
+    builder's union plan serves the pair-aggregation subtree to both legs
+    through ReusedExchange — the corpus tokenize→shingle→postings
+    pipeline runs exactly once per build."""
+    from vrod_spark.queries import (
+        _shared_jaccard_graph_slices,
+        shared_jaccard_edges05,
+        shared_jaccard_top20,
+    )
 
-    a = shared_jaccard_edges(spark, sf_dir)
-    b = shared_jaccard_edges(spark, sf_dir)
+    a = _shared_jaccard_graph_slices(spark, sf_dir)
+    b = _shared_jaccard_graph_slices(spark, sf_dir)
     assert a is b
     # Materialized: the plan is a checkpoint scan, not the inverted-index
     # join — re-collecting runs no shuffle of the corpus.
     plan = a._jdf.queryExecution().executedPlan().toString()
     assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan or "Checkpoint" in plan
-    other = shared_jaccard_edges(spark, sf_dir.rstrip("/"))
+    other = _shared_jaccard_graph_slices(spark, sf_dir.rstrip("/"))
     assert other is a  # path normalization: same snapshot, same entry
+    # Both consumer slices restrict the SAME materialization (leg filter
+    # over the checkpointed union, never a rebuild).
+    top = shared_jaccard_top20(spark, sf_dir)
+    comp = shared_jaccard_edges05(spark, sf_dir)
+    assert top.columns == comp.columns == [
+        "id_a", "id_b", "inter", "jaccard", "containment"
+    ]
+    assert top.count() <= 20
+    # The union BUILDER plan must reuse the pair-aggregation exchange
+    # across its two legs (the corpus pipeline runs once, not twice).
+    # Executed-plan check: AQE only materializes reuse at runtime.
+    from vrod_spark.operators.dedup import jaccard_pairs
+    from vrod_spark.queries import _t
+    from pyspark.sql import functions as F
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, n=3, max_shingle_df=20, min_jaccard=0.0)
+    union = (
+        pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b")
+        .limit(20)
+        .withColumn("leg", F.lit("top"))
+        .unionByName(
+            pairs.filter(F.col("jaccard") >= 0.05).withColumn("leg", F.lit("comp"))
+        )
+    )
+    uplan = _executed_plan(union)
+    assert "ReusedExchange" in uplan
+    assert "BroadcastExchange" not in uplan
 
 
 def test_shared_cached_build_pool_is_opt_in(spark, monkeypatch):

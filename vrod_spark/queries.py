@@ -503,7 +503,7 @@ def shared_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus's MinHash-LSH verified near-dup edge set (k=32,
     bands=16, n=3, verified Jaccard >= 0.2 — the q26b configuration),
     materialized once per session per snapshot: the probabilistic
-    sibling of :func:`shared_jaccard_edges`. A production dedup pipeline
+    sibling of :func:`_shared_jaccard_graph_slices`. A production dedup pipeline
     computes the near-dup edge set once per corpus snapshot and fans
     consumers (report, cut, cluster) out from it; re-running the
     tokenize→shingle→32-hash signature pipeline per consumer execution
@@ -536,21 +536,70 @@ def shared_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shared_jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus's exact-Jaccard candidate graph (n=3 shingles,
-    df-capped at 20 — the deployable q26 configuration), materialized
-    once per session per snapshot. Consumers filter/sort on top: q26
-    takes the global top-20, q59 keeps edges >= 0.05 for component
-    closure. Threshold 0.0 here so every consumer's threshold is a
-    restriction of the shared graph."""
+def _shared_jaccard_graph_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two consumer restrictions of the corpus's exact-Jaccard
+    candidate graph (n=3 shingles, df-capped at 20 — the deployable q26
+    configuration), computed in ONE pass and materialized once per
+    session per snapshot:
+
+    - leg 'top':  the global top-20 pairs by (jaccard DESC, id_a, id_b)
+      — q26's report slice (ordering key unrounded, ties impossible:
+      (id_a, id_b) is unique per pair, so the limit is deterministic);
+    - leg 'comp': every edge with jaccard >= 0.05 — q59's component
+      input.
+
+    r16 materialized the FULL graph at threshold 0.0 (1.12M rows at
+    sf0.1) so each consumer could restrict it; but both consumers are
+    output-sized restrictions, and the full graph cost a 1.12M-row
+    DISK_ONLY checkpoint write at build plus a 1.12M-row scan per
+    consumer execution (q26 warm 0.74 s). Computing both restrictions
+    inside one union lets ReuseExchange serve the pair-aggregation
+    subtree once (the corpus tokenize→shingle→postings pipeline still
+    runs exactly once — same exchange-reuse property as before, now
+    plan-asserted in tests over the union), and the materialized table
+    is output-sized (~top-20 + edges>=0.05), the r16 q26b lesson
+    (guide §2.3 "shuffle fewer bytes" applied to the checkpoint seam).
+    Every value is bit-identical: both legs are exact restrictions of
+    the same pair set."""
     from vrod_spark.operators.dedup import jaccard_pairs
 
     def build() -> DataFrame:
         docs = _t(spark, sf_dir, "documents")
-        return jaccard_pairs(docs, n=3, max_shingle_df=20, min_jaccard=0.0)
+        pairs = jaccard_pairs(docs, n=3, max_shingle_df=20, min_jaccard=0.0)
+        top = (
+            pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b")
+            .limit(20)
+            .withColumn("leg", F.lit("top"))
+        )
+        comp = pairs.filter(F.col("jaccard") >= 0.05).withColumn(
+            "leg", F.lit("comp")
+        )
+        return top.unionByName(comp)
 
     return _shared_materialized(
-        spark, ("jaccard_edges", os.path.abspath(sf_dir), 3, 20), build
+        spark,
+        ("jaccard_graph_slices", os.path.abspath(sf_dir), 3, 20, 0.05, 20),
+        build,
+    )
+
+
+def shared_jaccard_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q26's slice of the shared Jaccard graph build: the exact global
+    top-20 pairs by (jaccard DESC, id_a, id_b), unrounded."""
+    return (
+        _shared_jaccard_graph_slices(spark, sf_dir)
+        .filter(F.col("leg") == "top")
+        .select("id_a", "id_b", "inter", "jaccard", "containment")
+    )
+
+
+def shared_jaccard_edges05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q59's slice of the shared Jaccard graph build: every candidate
+    edge with jaccard >= 0.05."""
+    return (
+        _shared_jaccard_graph_slices(spark, sf_dir)
+        .filter(F.col("leg") == "comp")
+        .select("id_a", "id_b", "inter", "jaccard", "containment")
     )
 
 
@@ -1740,20 +1789,18 @@ def q26_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The gate runs the capped configuration — the one you'd deploy — and
     # the oracle applies the identical df-window, so the result is exact.
     # Set sizes stay full, so pruned Jaccard is a lower bound of the true
-    # value, computed identically on both engines. The graph is the
-    # session-shared materialization (see shared_jaccard_edges): q26 and
-    # q59 are two consumers of ONE candidate-graph build.
-    pairs = shared_jaccard_edges(spark, sf_dir)
-    top = (
-        pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b")
-        .limit(20)
-        .select(
-            "id_a",
-            "id_b",
-            "inter",
-            F.round("jaccard", 6).alias("jaccard"),
-            F.round("containment", 6).alias("containment"),
-        )
+    # value, computed identically on both engines. The top-20 slice comes
+    # from the session-shared candidate-graph build
+    # (_shared_jaccard_graph_slices): q26 and q59 are two consumers of
+    # ONE build, and the slice already IS the exact global top-20 by
+    # (jaccard DESC, id_a, id_b) — the same orderBy+limit this query
+    # applied to the full graph before r17.
+    top = shared_jaccard_top20(spark, sf_dir).select(
+        "id_a",
+        "id_b",
+        "inter",
+        F.round("jaccard", 6).alias("jaccard"),
+        F.round("containment", 6).alias("containment"),
     )
     # Exact edit-distance VERIFICATION of the reported pairs: character-
     # level normalized similarity 1 - lev/max(len) over the top pairs
@@ -1819,7 +1866,7 @@ def q26b_prob_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ('id_a:id_b', score, score); sketch rows carry (group, approx, exact).
     """
     # Both near-dup edge sets come from the session-shared per-snapshot
-    # materializations (r16; the shared_jaccard_edges seam): the
+    # materializations (r16; the shared Jaccard-graph seam): the
     # signature pipelines run once per session per snapshot, repeat
     # executions read the output-sized verified pair tables. Parameters
     # (k=32, bands=16, n=3, j>=0.2 / hamming<=4, bands=8) live in the
@@ -5630,9 +5677,12 @@ def q59_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     # Same capped-df configuration as q26 (the deployable one) — in fact
-    # the SAME session-shared materialized graph (shared_jaccard_edges);
-    # 0.05 keeps every informative edge so the component graph has depth.
-    pairs = shared_jaccard_edges(spark, sf_dir).filter(F.col("jaccard") >= 0.05)
+    # the SAME session-shared graph build (_shared_jaccard_graph_slices);
+    # 0.05 keeps every informative edge so the component graph has depth
+    # (the threshold is applied inside the shared build — this slice IS
+    # the jaccard >= 0.05 restriction, bit-identical to filtering the
+    # full graph).
+    pairs = shared_jaccard_edges05(spark, sf_dir)
     comp = connected_components(pairs, src_col="id_a", dst_col="id_b").select(
         F.lit("comp").alias("leg"),
         F.col("id").alias("doc_id"),
