@@ -326,6 +326,47 @@ def test_shared_cached_build_pool_is_opt_in(spark, monkeypatch):
         sc.setLocalProperty("spark.scheduler.pool", None)
 
 
+def test_build_fanout_gate_is_opt_in_and_reentrant(monkeypatch):
+    """The materialization-build fan-out cap (VROD_BUILD_FANOUT) must be
+    inert by default (the cap read WORSE on pass-1 in the r17 interleaved
+    A/B — same negative-result family as the r16 FAIR pool), bound
+    concurrency when opted in, and never self-deadlock a build that
+    resolves another shared asset on the same thread (reentrancy)."""
+    import threading
+
+    from vrod_spark.queries import _BUILD_GATE, _build_slot
+
+    monkeypatch.delenv("VROD_BUILD_FANOUT", raising=False)
+    import contextlib
+
+    assert isinstance(_build_slot(), contextlib.nullcontext)  # default: inert
+
+    monkeypatch.setenv("VROD_BUILD_FANOUT", "1")
+    peak = {"n": 0, "cur": 0}
+    lock = threading.Lock()
+
+    def build(depth: int):
+        with _build_slot():
+            with lock:
+                peak["cur"] += 1
+                peak["n"] = max(peak["n"], peak["cur"])
+            if depth:
+                build(depth - 1)  # nested resolve: must not deadlock at cap 1
+            with lock:
+                peak["cur"] -= 1
+
+    threads = [threading.Thread(target=build, args=(1,)) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert not any(t.is_alive() for t in threads)
+    # cap honored per thread-family (nested re-entry shares the slot,
+    # so the nested call does not count as a second holder).
+    assert peak["n"] <= 2
+    assert getattr(_BUILD_GATE, "held", False) is False
+
+
 def test_shared_doc_tokens_is_one_materialization_and_complete(spark, sf_dir):
     """The tokenize-once snapshot (q53's three legs): same session+snapshot
     returns the identical checkpointed DataFrame; EVERY document row is
@@ -340,6 +381,31 @@ def test_shared_doc_tokens_is_one_materialization_and_complete(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     assert a.count() == docs.count()
     direct = docs.select("doc_id", tokens(F.lower("text")).alias("toks"))
+    assert a.exceptAll(direct).count() == 0
+    assert direct.exceptAll(a).count() == 0
+
+
+def test_shared_repetition_report_equals_inline_form(spark, sf_dir):
+    """q49's repetition leg consumes the session's per-doc repetition
+    report (r17); the report must equal the pre-r17 inline
+    tokenize+repetition_stats pass row-for-row, and be session-cached."""
+    from vrod_spark.functions.text import repetition_stats, tokens
+    from vrod_spark.queries import shared_repetition_report
+    from vrod_spark.sources.tables import load_table
+
+    a = shared_repetition_report(spark, sf_dir)
+    assert shared_repetition_report(spark, sf_dir) is a
+    docs = load_table(spark, sf_dir, "documents")
+    direct = (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", repetition_stats(F.col("toks")).alias("r"))
+        .select(
+            "doc_id",
+            F.col("r.n_shingles").alias("n_shingles"),
+            F.col("r.n_distinct").alias("n_distinct"),
+        )
+    )
     assert a.exceptAll(direct).count() == 0
     assert direct.exceptAll(a).count() == 0
 

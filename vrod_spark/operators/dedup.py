@@ -325,18 +325,22 @@ def winnow_overlap_pairs(
             df, text_col=text_col, id_col=id_col, k=k, window=window
         )
     fps = fps.select(F.col(id_col).alias("id"), "fp")
-    counts = fps.groupBy("id").agg(F.count(F.lit(1)).alias("nfp"))
-    inv = fps.hint("shuffle_hash").join(counts.hint("shuffle_hash"), "id")
+    # Per-id fingerprint counts and per-fp document frequency as WINDOWS
+    # over the fingerprint stream itself (r17, the jaccard_pairs fusion):
+    # count(*) over (partition by id) replaces the separate groupBy(id)
+    # aggregate + join back, and count(*) over (partition by fp) rides
+    # the hashpartitioning(fp) exchange the pair join needs anyway,
+    # replacing the groupBy(fp) aggregate + left-semi join (guide §2.4).
+    # Rows bit-identical; the df cap bounds per-fp window partitions.
     df_cond = F.col("_df") >= 2
     if max_fp_df is not None:
         df_cond = df_cond & (F.col("_df") <= max_fp_df)
-    keep = (
-        inv.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("_df"))
+    inv = fps.withColumn("nfp", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    pruned = (
+        inv.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("fp")))
         .filter(df_cond)
-        .select("fp")
+        .drop("_df")
     )
-    pruned = inv.hint("shuffle_hash").join(keep.hint("shuffle_hash"), "fp", "left_semi")
     if delta_ids is None:
         cand = (
             pruned.alias("x")

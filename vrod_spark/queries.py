@@ -16,6 +16,7 @@ Conventions (FIXTURES.md canonicalization):
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
 import threading
@@ -110,8 +111,60 @@ _SUBPLAN_LOCK = threading.Lock()
 #: (multi-second holds each) on its critical path.
 _LOCKS_KEY = ("__build_locks__",)
 
+#: Bounded fan-out for MATERIALIZATION builds (r16 VERDICT item 1 — the
+#: pass-1 "materialization convoy"): under the 46-query concurrent suite,
+#: ~10 session-shared snapshot builds fire near-simultaneously in pass 1.
+#: The theory was that a small semaphore capping concurrent builder
+#: pipelines would let their shuffles pipeline instead of thrash.
+#: DEFAULT OFF (0 = unbounded, the pre-r17 behavior): interleaved A/B at
+#: sf0.1/local[32] (4 pairs, VROD_BUILD_FANOUT=3 vs 0, same windows)
+#: read the cap WORSE on the pass-1 wall (oracle-normalized medians 1.52
+#: vs 1.34; raw p1 min 19.5 vs 16.9 s) and no better on the best-of-2
+#: headline — queueing a build delays every consumer blocked on it, and
+#: the local-mode scheduler already interleaves the builds' stages fine.
+#: Same family of negative result as the r16 weighted-FAIR builder pool.
+#: The knob stays for deployments whose builds contend on something the
+#: scheduler cannot see (e.g. a shared object-store egress limit).
+_BUILD_GATE = threading.local()
+_BUILD_SEMAPHORES: dict[int, threading.Semaphore] = {}
 
-def _shared_cached(spark: SparkSession, key: tuple, build: Callable[[], object]) -> object:
+
+def _build_slot():
+    """Context manager bounding concurrent materialization builds.
+
+    Reentrant per thread (a builder that itself resolves another shared
+    asset must not self-deadlock) and inert when VROD_BUILD_FANOUT is
+    unset/0 (the measured default — see the fan-out note above)."""
+    try:
+        cap = int(os.environ.get("VROD_BUILD_FANOUT", "0") or 0)
+    except ValueError:
+        cap = 0
+    if cap <= 0 or getattr(_BUILD_GATE, "held", False):
+        return contextlib.nullcontext()
+    with _SUBPLAN_LOCK:
+        sem = _BUILD_SEMAPHORES.setdefault(cap, threading.Semaphore(cap))
+
+    @contextlib.contextmanager
+    def slot():
+        # Bounded wait, not a hard block: no builder today resolves
+        # ANOTHER shared asset mid-build (the cross-key shape that could
+        # deadlock a full semaphore), but if one ever does, a timed-out
+        # acquire degrades to the pre-r17 unbounded behavior instead of
+        # hanging the suite.
+        got = sem.acquire(timeout=120.0)
+        _BUILD_GATE.held = True
+        try:
+            yield
+        finally:
+            _BUILD_GATE.held = False
+            if got:
+                sem.release()
+
+    return slot()
+
+
+def _shared_cached(spark: SparkSession, key: tuple, build: Callable[[], object],
+                   *, gate: bool = False) -> object:
     with _SUBPLAN_LOCK:
         per = _SUBPLAN_CACHE.setdefault(spark, {})
         if key in per:
@@ -141,16 +194,17 @@ def _shared_cached(spark: SparkSession, key: tuple, build: Callable[[], object])
         # the consumer's own jobs keep the caller's pool. Scheduling
         # only; plans and results are untouched either way.
         build_pool = os.environ.get("VROD_BUILD_POOL", "").strip()
-        if build_pool:
-            sc = spark.sparkContext
-            prev_pool = sc.getLocalProperty("spark.scheduler.pool")
-            sc.setLocalProperty("spark.scheduler.pool", build_pool)
-            try:
+        with (_build_slot() if gate else contextlib.nullcontext()):
+            if build_pool:
+                sc = spark.sparkContext
+                prev_pool = sc.getLocalProperty("spark.scheduler.pool")
+                sc.setLocalProperty("spark.scheduler.pool", build_pool)
+                try:
+                    value = build()
+                finally:
+                    sc.setLocalProperty("spark.scheduler.pool", prev_pool)
+            else:
                 value = build()
-            finally:
-                sc.setLocalProperty("spark.scheduler.pool", prev_pool)
-        else:
-            value = build()
         with _SUBPLAN_LOCK:
             per[key] = value
     return value
@@ -267,7 +321,10 @@ def _shared_materialized(spark: SparkSession, key: tuple, builder: Callable[[], 
 
     # The mode is part of the identity: a mid-session env flip must not
     # hand a table-mode consumer a localCheckpoint frame (or vice versa).
-    value = _shared_cached(spark, (mode, *key), build)
+    # gate=True: materialization builds are the corpus-sized pipelines the
+    # pass-1 fan-out cap exists for (_build_slot); scalar computes stay
+    # ungated.
+    value = _shared_cached(spark, (mode, *key), build, gate=True)
     if mode == "table":
         # Heartbeat (ADVICE r15): refresh the snapshot dir's mtime on
         # every cache hit, not only at build, so the GC's mtime age gate
@@ -454,6 +511,39 @@ def shared_decon_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _shared_materialized(
         spark, ("decon_spans", os.path.abspath(sf_dir), 8, 20), build
+    )
+
+
+def shared_repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document intra-doc 3-gram repetition statistics
+    (doc_id, n_shingles, n_distinct), materialized once per session per
+    snapshot — the same corpus-maintenance report shape as
+    :func:`shared_duplicate_spans` / :func:`shared_line_dedup_report`:
+    one snapshot pass computes the per-doc quality signal, consumers
+    rank/report on top. q49's repetition leg was the gate's one
+    remaining corpus-sized PER-EXECUTION pass (tokenize + shingle +
+    count over every document, ~1.5-2 s of its 2.6 s cold execution at
+    sf0.1) while its other five legs already consumed session-shared
+    reports. Report-sized output (one row per document with >= 3
+    tokens); values are a deterministic per-document function, so the
+    top-20 restriction downstream is bit-identical."""
+    from vrod_spark.functions.text import repetition_stats, tokens
+
+    def build() -> DataFrame:
+        docs = _t(spark, sf_dir, "documents")
+        toked = docs.select("doc_id", tokens("text").alias("toks")).filter(
+            F.size("toks") >= 3
+        )
+        return toked.select(
+            "doc_id", repetition_stats(F.col("toks")).alias("r")
+        ).select(
+            "doc_id",
+            F.col("r.n_shingles").alias("n_shingles"),
+            F.col("r.n_distinct").alias("n_distinct"),
+        )
+
+    return _shared_materialized(
+        spark, ("repetition_report", os.path.abspath(sf_dir), 3), build
     )
 
 
@@ -3741,9 +3831,7 @@ def q49_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
       any scale factor. md5 grams match the DuckDB twin bit-for-bit, and
       a pytest pins the relational pipeline equal to the array form.
     """
-    from vrod_spark.functions.text import repetition_stats, tokens
-
-    # The four session-shared snapshots this gate consumes are
+    # The five session-shared snapshots this gate consumes are
     # independent — materialize them concurrently (8.2 s serial →
     # 3.8 s; each build is stage-floor-bound at gate SF, so the wall is
     # the max, not the sum). Cached keys return instantly on re-entry.
@@ -3753,12 +3841,10 @@ def q49_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda: shared_duplicate_spans(spark, sf_dir),
             lambda: shared_decon_spans(spark, sf_dir),
             lambda: shared_line_dedup_report(spark, sf_dir),
+            lambda: shared_repetition_report(spark, sf_dir),
         ]
     )
     docs = _t(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", tokens("text").alias("toks")).filter(
-        F.size("toks") >= 3
-    )
     # Integer-pin policy (r10, after two driver-red rounds on 6dp float
     # pins): every leg's hashed columns are INTEGERS — counts, checksums,
     # and the ratio DENOMINATOR (v3) instead of the rounded ratio itself
@@ -3766,13 +3852,18 @@ def q49_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at a decimal half boundary between engines). Top-k selections
     # order by the UNROUNDED ratio: one IEEE division of two integers is
     # correctly rounded, hence bit-identical cross-engine.
+    # Repetition leg from the session's per-doc repetition report
+    # (shared_repetition_report, r17): the tokenize+shingle+count corpus
+    # pass runs once per session per snapshot; each execution ranks the
+    # report — same consume-the-snapshot shape as the dup_spans/lines
+    # legs. Expressions and ordering identical to the inline form.
     rep = (
-        toked.select("doc_id", repetition_stats(F.col("toks")).alias("r"))
+        shared_repetition_report(spark, sf_dir)
         .select(
             F.lit("repetition").alias("metric"),
             "doc_id",
-            F.col("r.n_shingles").alias("v1"),
-            F.col("r.n_distinct").alias("v2"),
+            F.col("n_shingles").alias("v1"),
+            F.col("n_distinct").alias("v2"),
         )
         .orderBy((F.col("v2") / F.col("v1")).asc(), "doc_id")
         .limit(20)
