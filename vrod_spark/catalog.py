@@ -634,8 +634,17 @@ class Collection:
                         .parquet(staging)
                     )
                 else:
+                    # One task per known bucket when the histogram is
+                    # available (r17, the ann.py reindex rationale): AQE
+                    # otherwise coalesces the post-shuffle partitions and
+                    # a single task writes every partition file serially.
+                    n_buckets = len(idx.get("histogram") or {})
                     (
-                        df.repartition("bucket")
+                        (
+                            df.repartition(n_buckets, "bucket")
+                            if n_buckets
+                            else df.repartition("bucket")
+                        )
                         .sortWithinPartitions("bucket", "id")
                         .write.partitionBy("bucket")
                         .mode("overwrite")
@@ -1559,12 +1568,19 @@ class Collection:
                 f"SELECT {', '.join(field_names)} FROM {data_tbl}"
             )
         cols = columns or self._stats_columns(s)
-        s.sql(f"ANALYZE TABLE {data_tbl} COMPUTE STATISTICS")
+        # ONE stats scan, not two (r17): AnalyzeColumnCommand computes the
+        # table-level stats (rowCount + sizeInBytes) alongside the column
+        # NDV/null/min/max in the same distributed aggregate, so the
+        # separate COMPUTE STATISTICS pass only re-scanned the snapshot
+        # for numbers the FOR COLUMNS pass already produces. The plain
+        # form remains for schemas with no analyzable column.
         if cols:
             s.sql(
                 f"ANALYZE TABLE {data_tbl} COMPUTE STATISTICS "
                 f"FOR COLUMNS {', '.join(cols)}"
             )
+        else:
+            s.sql(f"ANALYZE TABLE {data_tbl} COMPUTE STATISTICS")
         summary: dict = {"version": v, "table": tbl, "analyzed_at": time.time()}
         for row in s.sql(f"DESCRIBE TABLE EXTENDED {data_tbl}").collect():
             if row["col_name"] == "Statistics":

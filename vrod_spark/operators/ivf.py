@@ -155,7 +155,10 @@ def reindex_ivf(
     staging = os.path.join(collection.path, f".staging-{uuid.uuid4().hex}")
     try:
         (
-            bucketed.repartition("bucket")
+            # One task per centroid bucket (r17, the ann.py rationale):
+            # AQE otherwise coalesces the tiny post-shuffle partitions
+            # and one task writes every partition file sequentially.
+            bucketed.repartition(len(centroids), "bucket")
             .sortWithinPartitions("bucket", "id")
             .write.partitionBy("bucket")
             .mode("overwrite")

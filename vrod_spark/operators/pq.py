@@ -686,7 +686,8 @@ def reindex_ivfpq(
     staging = os.path.join(collection.path, f".staging-{uuid.uuid4().hex}")
     try:
         (
-            enc.repartition("bucket")
+            # One task per centroid bucket (r17, the ann.py rationale).
+            enc.repartition(len(centroids), "bucket")
             .sortWithinPartitions("bucket", "id")
             .write.partitionBy("bucket")
             .mode("overwrite")
